@@ -1,38 +1,923 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query through the Engine;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the LLM-pipeline extension surface); ``oracle_sql()``
+holds the DuckDB-equivalent ANSI SQL for every SQL-expressible one.
+
+Determinism rules used throughout (so value hashes match the oracle):
+- every computed column is aliased identically on both sides;
+- timestamps are compared as epoch microseconds (``unix_micros`` /
+  ``epoch_us``) — engine-neutral integers;
+- double aggregates are rounded to 2 decimals, per-row doubles to 6;
+- cosine similarities use quantized int-exact arithmetic
+  (see ``revtron_utils_spark/functions/vectors.py``) so float results
+  are bit-identical across engines;
+- every top-k orders by a unique tiebreaker.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from revtron_utils_spark import Engine, upsert_merge, keyed_update, delete_where, compile_where
+from revtron_utils_spark.io import read_table
+from revtron_utils_spark.functions import text as TX
+from revtron_utils_spark.functions import vectors as VX
+from revtron_utils_spark.operators import dedup as DD
+from revtron_utils_spark.operators import similarity as SIM
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _prep(spark)
+    return read_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# entry: flagship query through the Engine (milestone 0)
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    _prep(spark)
+    eng = Engine(spark)
+    eng.attach_dir(SF_DEFAULT)
+    return eng.get(
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"],
+        where=[
+            {"l_shipdate": {"operator": "between", "value": ["1995-01-01", "1997-12-31"]}},
+            {"l_returnflag": "R"},
+        ],
+        sort_by="l_extendedprice",
+        ascending=False,
+        limit=10,
+    )
+
+
+# --------------------------------------------------------------------------
+# query registry: name -> (spark_callable, oracle_sql | None)
+# --------------------------------------------------------------------------
+
+_STOPWORDS_SQL = "('" + "','".join(TX.STOPWORDS) + "')"
+_QUANT = "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000))"
+
+
+def q_flagship(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            F.col("l_shipdate").between("1995-01-01", "1997-12-31")
+            & (F.col("l_returnflag") == "R")
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+SQL_FLAGSHIP = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+WHERE l_shipdate BETWEEN '1995-01-01' AND '1997-12-31' AND l_returnflag = 'R'
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10
+"""
+
+
+def q_where_eq(spark, sf):
+    eng = Engine(spark)
+    eng.attach_dir(sf)
+    return eng.get(
+        "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"], where={"l_returnflag": "R"}
+    )
+
+
+SQL_WHERE_EQ = "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_returnflag = 'R'"
+
+
+def q_where_in(spark, sf):
+    eng = Engine(spark)
+    eng.attach_dir(sf)
+    return eng.get(
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber"],
+        where={"l_linestatus": {"operator": "in", "value": ["O"]}},
+    )
+
+
+SQL_WHERE_IN = "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linestatus IN ('O')"
+
+
+def q_where_not_in(spark, sf):
+    eng = Engine(spark)
+    eng.attach_dir(sf)
+    return eng.get(
+        "orders",
+        columns=["o_orderkey"],
+        where={"o_orderpriority": {"operator": "not in", "value": ["1-URGENT", "2-HIGH"]}},
+    )
+
+
+SQL_WHERE_NOT_IN = (
+    "SELECT o_orderkey FROM orders WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')"
+)
+
+
+def q_where_like(spark, sf):
+    eng = Engine(spark)
+    eng.attach_dir(sf)
+    return eng.get(
+        "part",
+        columns=["p_partkey", "p_name"],
+        where={"p_name": {"operator": "like", "value": "%widget%"}},
+    )
+
+
+SQL_WHERE_LIKE = "SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%widget%'"
+
+
+def q_where_not_like(spark, sf):
+    eng = Engine(spark)
+    eng.attach_dir(sf)
+    return eng.get(
+        "part",
+        columns=["p_partkey"],
+        where={"p_name": {"operator": "not like", "value": "%bolt%"}},
+    )
+
+
+SQL_WHERE_NOT_LIKE = "SELECT p_partkey FROM part WHERE p_name NOT LIKE '%bolt%'"
+
+
+def q_where_null_checks(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.agg(
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).cast("long").alias("n_null_props"),
+        F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0)).cast("long").alias("n_value"),
+    )
+
+
+SQL_WHERE_NULL_CHECKS = """
+SELECT CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props,
+       CAST(SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_value
+FROM events
+"""
+
+
+def q_where_between(spark, sf):
+    eng = Engine(spark)
+    eng.attach_dir(sf)
+    return eng.get(
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+        where={"l_quantity": {"operator": "between", "value": [10, 20]}},
+    )
+
+
+SQL_WHERE_BETWEEN = (
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_quantity BETWEEN 10 AND 20"
+)
+
+
+def q_where_not_between(spark, sf):
+    eng = Engine(spark)
+    eng.attach_dir(sf)
+    return eng.get(
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber"],
+        where={"l_extendedprice": {"operator": "not between", "value": [1000.0, 80000.0]}},
+    )
+
+
+SQL_WHERE_NOT_BETWEEN = (
+    "SELECT l_orderkey, l_linenumber FROM lineitem "
+    "WHERE l_extendedprice NOT BETWEEN 1000.0 AND 80000.0"
+)
+
+
+def q_where_theta(spark, sf):
+    eng = Engine(spark)
+    eng.attach_dir(sf)
+    return eng.get(
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_discount", "l_tax"],
+        where=[
+            {"l_discount": {"operator": ">=", "value": 0.05}},
+            {"l_tax": {"operator": "<", "value": 0.04}},
+        ],
+    )
+
+
+SQL_WHERE_THETA = (
+    "SELECT l_orderkey, l_linenumber, l_discount, l_tax FROM lineitem "
+    "WHERE l_discount >= 0.05 AND l_tax < 0.04"
+)
+
+
+def q_sort_limit_offset(spark, sf):
+    eng = Engine(spark)
+    eng.attach_dir(sf)
+    return eng.get(
+        "orders",
+        columns=["o_orderkey", "o_totalprice"],
+        sort_by="o_orderkey",
+        ascending=True,
+        limit=10,
+        offset=10,
+    )
+
+
+SQL_SORT_LIMIT_OFFSET = (
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 10"
+)
+
+
+def q_count_star(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_COUNT_STAR = "SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem"
+
+
+def q_table_size_profile(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.unix_micros(F.min("ts")).alias("min_us"),
+        F.unix_micros(F.max("ts")).alias("max_us"),
+    ).withColumn("n_columns", F.lit(6).cast("long"))
+
+
+SQL_TABLE_SIZE_PROFILE = """
+SELECT CAST(count(*) AS BIGINT) AS n_records, epoch_us(min(ts)) AS min_us,
+       epoch_us(max(ts)) AS max_us, CAST(6 AS BIGINT) AS n_columns
+FROM events
+"""
+
+
+def q_groupby_q1(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_GROUPBY_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 2) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_q3(spark, sf):
+    cu, od, li = (_t(spark, sf, n) for n in ("customer", "orders", "lineitem"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu.filter(F.col("c_mktsegment") == "BUILDING")), od.o_custkey == cu.c_custkey)
+        .filter((F.col("o_orderdate") < "1999-01-01") & (F.col("l_shipdate") > "1996-01-01"))
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+SQL_JOIN_Q3 = """
+SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1999-01-01' AND l_shipdate > '1996-01-01'
+GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_join_q5(spark, sf):
+    rg, na, cu, od, li = (
+        _t(spark, sf, n) for n in ("region", "nation", "customer", "orders", "lineitem")
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(rg.filter(F.col("r_name") == "ASIA")), na.n_regionkey == rg.r_regionkey)
+        .filter(F.col("o_orderdate") < "2000-01-01")
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+SQL_JOIN_Q5 = """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM region JOIN nation ON n_regionkey = r_regionkey
+ JOIN customer ON c_nationkey = n_nationkey
+ JOIN orders ON o_custkey = c_custkey
+ JOIN lineitem ON l_orderkey = o_orderkey
+WHERE r_name = 'ASIA' AND o_orderdate < '2000-01-01'
+GROUP BY n_name
+"""
+
+
+def q_semi_join(spark, sf):
+    od, li = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    urgent = od.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return li.join(
+        F.broadcast(urgent), li.l_orderkey == urgent.o_orderkey, "left_semi"
+    ).select("l_orderkey", "l_linenumber")
+
+
+SQL_SEMI_JOIN = """
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def q_anti_join(spark, sf):
+    cu, od = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_anti").select("c_custkey")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_window_topk(spark, sf):
+    od = _t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        od.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+SQL_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q_window_lag(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id", "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+
+
+SQL_WINDOW_LAG = """
+SELECT event_id, user_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+FROM events
+"""
+
+
+def q_set_ops(spark, sf):
+    cu, od = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    building = cu.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    have_orders = od.select(F.col("o_custkey").alias("c_custkey"))
+    return building.intersect(have_orders)
+
+
+SQL_SET_OPS = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders
+"""
+
+
+def q_union_distinct(spark, sf):
+    na, rg = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    return (
+        na.select(F.col("n_nationkey").cast("long").alias("key"))
+        .union(rg.select(F.col("r_regionkey").cast("long").alias("key")))
+        .distinct()
+    )
+
+
+SQL_UNION_DISTINCT = """
+SELECT CAST(n_nationkey AS BIGINT) AS key FROM nation
+UNION
+SELECT CAST(r_regionkey AS BIGINT) AS key FROM region
+"""
+
+
+RAW_SQL = (
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, "
+    "ROUND(SUM(o_totalprice), 2) AS total FROM orders GROUP BY o_orderpriority"
+)
+
+
+def q_raw_sql(spark, sf):
+    eng = Engine(spark)
+    eng.attach_dir(sf)
+    return eng.execute_raw(RAW_SQL)
+
+
+def q_json_extract(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+SQL_JSON_EXTRACT = (
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events"
+)
+
+
+def q_date_window(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.filter(
+        (F.col("ts") >= "2024-01-05") & (F.col("ts") <= "2024-01-15 23:59:59")
+    ).select("event_id", F.unix_micros("ts").alias("us"), "value")
+
+
+SQL_DATE_WINDOW = """
+SELECT event_id, epoch_us(ts) AS us, value FROM events
+WHERE ts >= '2024-01-05' AND ts <= '2024-01-15 23:59:59'
+"""
+
+
+def q_tumbling_counts(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(F.unix_micros(F.col("w.start")).alias("ws"), "event_type", "n", "sv")
+    )
+
+
+SQL_TUMBLING_COUNTS = """
+SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type,
+       CAST(count(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_incremental_merge(spark, sf):
+    """ST1-ST5: overlapping date-window extracts replayed through the
+    null-preserving merge must converge to the plain union window."""
+    ev = _t(spark, sf, "events")
+    windows = [
+        ("2024-01-01", "2024-01-12"),
+        ("2024-01-10", "2024-01-22"),
+        ("2024-01-20", "2024-02-02"),
+    ]
+    state = None
+    for lo, hi in windows:
+        batch = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        state = batch if state is None else upsert_merge(state, batch, ["event_id"])
+    return state.select(
+        "event_id", F.unix_micros("ts").alias("us"), "user_id", "event_type", "value"
+    )
+
+
+SQL_INCREMENTAL_MERGE = """
+SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value FROM events
+WHERE ts >= '2024-01-01' AND ts < '2024-02-02'
+"""
+
+
+def _upsert_demo(spark, sf, overwrite_with_null):
+    cu = _t(spark, sf, "customer")
+    mod = cu.filter(F.col("c_custkey") % 7 == 0)
+    src = mod.select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+    ).unionByName(
+        mod.select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.lit("NEW").alias("c_name"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+    )
+    out = upsert_merge(cu, src, ["c_custkey"], overwrite_with_null=overwrite_with_null)
+    return out.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "c_nationkey", "c_mktsegment"
+    )
+
+
+def q_upsert_nullpreserve(spark, sf):
+    return _upsert_demo(spark, sf, overwrite_with_null=False)
+
+
+def q_upsert_overwrite(spark, sf):
+    return _upsert_demo(spark, sf, overwrite_with_null=True)
+
+
+def _sql_upsert(update_name_expr: str) -> str:
+    return f"""
+WITH mod AS (SELECT * FROM customer WHERE c_custkey % 7 = 0),
+src AS (
+  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, c_acctbal + 100 AS c_acctbal FROM mod
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW', 0.0 FROM mod
+)
+SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+       CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL THEN {update_name_expr}
+            WHEN s.c_custkey IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+       ROUND(CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL THEN COALESCE(s.c_acctbal, t.c_acctbal)
+            WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END, 2) AS c_acctbal,
+       t.c_nationkey AS c_nationkey, t.c_mktsegment AS c_mktsegment
+FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+"""
+
+
+SQL_UPSERT_NULLPRESERVE = _sql_upsert("COALESCE(s.c_name, t.c_name)")
+SQL_UPSERT_OVERWRITE = _sql_upsert("s.c_name")
+
+
+def q_keyed_update(spark, sf):
+    od = _t(spark, sf, "orders")
+    src = od.filter(F.col("o_totalprice") > 300000).select(
+        "o_orderkey", F.lit("X").alias("o_orderstatus")
+    )
+    return keyed_update(od, src, "o_orderkey").select("o_orderkey", "o_orderstatus")
+
+
+SQL_KEYED_UPDATE = """
+SELECT o_orderkey, CASE WHEN o_totalprice > 300000 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+FROM orders
+"""
+
+
+def q_delete_where(spark, sf):
+    ev = _t(spark, sf, "events")
+    remaining = delete_where(ev, compile_where({"value": {"operator": ">", "value": 50}}))
+    return remaining.select("event_id")
+
+
+SQL_DELETE_WHERE = "SELECT event_id FROM events WHERE NOT COALESCE(value > 50, FALSE)"
+
+
+# ----------------------------------------------------------- extensions
+
+
+def _docs_with_planted_dups(spark, sf):
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), F.col("text"))
+    )
+
+
+def q_dedup_exact(spark, sf):
+    allv = _docs_with_planted_dups(spark, sf)
+    return DD.exact_dedup(allv, "text", "doc_id").select(
+        "doc_id", TX.fingerprint("text").alias("fp")
+    )
+
+
+SQL_DEDUP_EXACT = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+)
+SELECT MIN(doc_id) AS doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM all_docs GROUP BY 2
+"""
+
+
+def q_dedup_groups(spark, sf):
+    allv = _docs_with_planted_dups(spark, sf)
+    return DD.duplicate_groups(allv, "text", "doc_id")
+
+
+SQL_DEDUP_GROUPS = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+)
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       CAST(count(*) AS BIGINT) AS n_dups, MIN(doc_id) AS keep_id
+FROM all_docs GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+def q_token_stats(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(TX.tokens("text"))).cast("long").alias("n_distinct"),
+        F.length(TX.normalize_text("text")).cast("long").alias("n_chars_norm"),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_distinct,
+       CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS n_chars_norm
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+SQL_TEXT_QUALITY = rf"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
+)
+SELECT doc_id,
+  ROUND((
+    LEAST(length(text) / 200.0, 1.0)
+    + LEAST((CAST(len(list_filter(toks, t -> lower(t) IN {_STOPWORDS_SQL})) AS DOUBLE)
+             / GREATEST(len(toks), 1)) * 4.0, 1.0)
+    + GREATEST(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+             / GREATEST(length(text), 1)) * 4.0)
+  ) / 3.0, 6) AS quality
+FROM t
+"""
+
+
+_MARKER_SQL = {
+    lang: "('" + "','".join(ms) + "')" for lang, ms in TX.LANG_MARKERS.items()
+}
+
+
+def q_lang_id(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
+
+
+SQL_LANG_ID = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+    len(list_filter(toks, t -> lower(t) IN {_MARKER_SQL['de']})) AS s_de,
+    len(list_filter(toks, t -> lower(t) IN {_MARKER_SQL['en']})) AS s_en,
+    len(list_filter(toks, t -> lower(t) IN {_MARKER_SQL['es']})) AS s_es,
+    len(list_filter(toks, t -> lower(t) IN {_MARKER_SQL['fr']})) AS s_fr
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN s_de > 0 AND s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+       WHEN s_en > 0 AND s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+       WHEN s_es > 0 AND s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+       WHEN s_fr > 0 AND s_fr = GREATEST(s_de, s_en, s_es, s_fr) THEN 'fr'
+       ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+def q_rolling_fingerprint(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", TX.rolling_hash("text").cast("long").alias("rhash"))
+
+
+SQL_ROLLING_FINGERPRINT = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '') AS chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(list_reduce(
+              list_prepend(CAST(0 AS BIGINT), list_transform(chars, c -> CAST(ascii(c) AS BIGINT))),
+              (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS rhash
+FROM t
+"""
+
+
+def q_ngram_jaccard(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return DD.ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=("lang", "source"), shingle_n=3, threshold=0.2
+    )
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+           ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM (SELECT doc_id, lang, source, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+), f AS (SELECT * FROM t WHERE len(sh) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+FROM f a JOIN f b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+"""
+
+
+def q_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    min_id = emb.agg(F.min("vec_id")).first()[0]
+    qvec = emb.filter(F.col("vec_id") == min_id).select("embedding").first()[0]
+    return SIM.cosine_topk(emb, qvec, k=10)
+
+
+SQL_COSINE_TOPK = f"""
+WITH q AS (SELECT {_QUANT} AS qv FROM embeddings
+           WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+e AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings)
+SELECT e.vec_id,
+       ROUND(list_inner_product(e.ev, q.qv)
+             / (SQRT(list_inner_product(e.ev, e.ev)) * SQRT(list_inner_product(q.qv, q.qv))), 6) AS cosine
+FROM e, q ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def q_cosine_neardup(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return DD.embedding_neardup_pairs(emb, threshold=0.4)
+
+
+SQL_COSINE_NEARDUP = f"""
+WITH e AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_inner_product(a.ev, b.ev)
+             / (SQRT(list_inner_product(a.ev, a.ev)) * SQRT(list_inner_product(b.ev, b.ev))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.ev, b.ev)
+      / (SQRT(list_inner_product(a.ev, a.ev)) * SQRT(list_inner_product(b.ev, b.ev))) >= 0.4
+"""
+
+
+def q_label_centroids(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return (
+        emb.select("label", F.posexplode(VX.quantize("embedding")).alias("pos", "qv"))
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(F.round(F.avg("qv") / 1000000, 6).alias("centroid"))
+    )
+
+
+SQL_LABEL_CENTROIDS = f"""
+SELECT label, CAST(dim AS BIGINT) AS dim, ROUND(AVG(qv) / 1000000, 6) AS centroid
+FROM (SELECT label, unnest({_QUANT}) AS qv, generate_subscripts(embedding, 1) AS dim
+      FROM embeddings)
+GROUP BY label, dim
+"""
+
+
+# ------------------------------------------- rows-only (non-SQL-expressible)
+
+
+def q_minhash_pairs(spark, sf):
+    """MinHash-LSH near-dup candidates over planted near-duplicates
+    (documents with their last tokens dropped). Probabilistic hashing →
+    no SQL oracle; validated by tests/test_dedup.py against exact
+    Jaccard."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = TX.tokens("text")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))).alias("text"),
+    )
+    return DD.minhash_lsh_pairs(
+        docs.unionByName(mutated), "text", "doc_id", jaccard_threshold=0.5
+    )
+
+
+def q_simhash_pairs(spark, sf):
+    """SimHash near-dup pairs over the same planted near-duplicates."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = TX.tokens("text")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))).alias("text"),
+    )
+    return DD.simhash_pairs(docs.unionByName(mutated), "text", "doc_id", max_hamming=3)
+
+
+def q_ivf_ann(spark, sf):
+    """IVF approximate nearest neighbors (KMeans centroids + partition
+    pruning). Centroid training is iterative → no SQL oracle; recall vs
+    brute force checked in tests/test_similarity.py."""
+    import hashlib
+    import tempfile
+
+    emb = _t(spark, sf, "embeddings")
+    min_id = emb.agg(F.min("vec_id")).first()[0]
+    qvec = emb.filter(F.col("vec_id") == min_id).select("embedding").first()[0]
+    # stable path (not a context-managed tempdir): the returned DataFrame
+    # is lazy — the index files must outlive this function call
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    index_path = f"{tempfile.gettempdir()}/revtron_ivf_{tag}"
+    index = SIM.IVFIndex.build(emb, index_path, n_clusters=8)
+    return index.search(qvec, k=10, nprobe=8)
+
+
+def q_multimodal_features(spark, sf):
+    """Binary-column plumbing demo: documents encoded as opaque binary
+    payloads with typed metadata, features extracted via mapInPandas
+    (the decode step is a deterministic stand-in — see
+    revtron_utils_spark/multimodal.py)."""
+    from revtron_utils_spark.multimodal import attach_binary_payload, extract_features
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    binary = attach_binary_payload(docs, "text")
+    return extract_features(binary).select("doc_id", "byte_len", "feat_hash")
+
+
+# --------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    "flagship": (q_flagship, SQL_FLAGSHIP),
+    "where_eq": (q_where_eq, SQL_WHERE_EQ),
+    "where_in": (q_where_in, SQL_WHERE_IN),
+    "where_not_in": (q_where_not_in, SQL_WHERE_NOT_IN),
+    "where_like": (q_where_like, SQL_WHERE_LIKE),
+    "where_not_like": (q_where_not_like, SQL_WHERE_NOT_LIKE),
+    "where_null_checks": (q_where_null_checks, SQL_WHERE_NULL_CHECKS),
+    "where_between": (q_where_between, SQL_WHERE_BETWEEN),
+    "where_not_between": (q_where_not_between, SQL_WHERE_NOT_BETWEEN),
+    "where_theta": (q_where_theta, SQL_WHERE_THETA),
+    "sort_limit_offset": (q_sort_limit_offset, SQL_SORT_LIMIT_OFFSET),
+    "count_star": (q_count_star, SQL_COUNT_STAR),
+    "table_size_profile": (q_table_size_profile, SQL_TABLE_SIZE_PROFILE),
+    "groupby_q1": (q_groupby_q1, SQL_GROUPBY_Q1),
+    "join_q3": (q_join_q3, SQL_JOIN_Q3),
+    "join_q5": (q_join_q5, SQL_JOIN_Q5),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "window_topk": (q_window_topk, SQL_WINDOW_TOPK),
+    "window_lag": (q_window_lag, SQL_WINDOW_LAG),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
+    "raw_sql": (q_raw_sql, RAW_SQL),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "date_window": (q_date_window, SQL_DATE_WINDOW),
+    "tumbling_counts": (q_tumbling_counts, SQL_TUMBLING_COUNTS),
+    "incremental_merge": (q_incremental_merge, SQL_INCREMENTAL_MERGE),
+    "upsert_nullpreserve": (q_upsert_nullpreserve, SQL_UPSERT_NULLPRESERVE),
+    "upsert_overwrite": (q_upsert_overwrite, SQL_UPSERT_OVERWRITE),
+    "keyed_update": (q_keyed_update, SQL_KEYED_UPDATE),
+    "delete_where": (q_delete_where, SQL_DELETE_WHERE),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_groups": (q_dedup_groups, SQL_DEDUP_GROUPS),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    # rows-only (probabilistic / iterative / UDF-backed — no SQL oracle)
+    "minhash_pairs": (q_minhash_pairs, None),
+    "simhash_pairs": (q_simhash_pairs, None),
+    "ivf_ann": (q_ivf_ann, None),
+    "multimodal_features": (q_multimodal_features, None),
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

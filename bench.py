@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query is forced end-to-end with the ``noop`` sink (full computation,
+no driver-side result transfer), timed wall-clock after a warm-up of the
+session itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entry_mod
+from revtron_utils_spark.session import get_spark
+
+HEADLINE = [
+    "flagship",
+    "where_theta",
+    "groupby_q1",
+    "join_q3",
+    "join_q5",
+    "window_topk",
+    "tumbling_counts",
+    "incremental_merge",
+    "upsert_nullpreserve",
+    "dedup_exact",
+    "token_stats",
+    "text_quality",
+    "minhash_pairs",
+    "simhash_pairs",
+    "cosine_topk",
+    "cosine_neardup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    spark = get_spark(app_name="revtron-bench")
+
+    # warm the JVM/session so the first query doesn't pay startup cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,402 @@
+"""The ``Engine`` — Spark-native replacement for the reference's
+``Database`` class (``/root/reference/revtron/database/main.py``).
+
+Same API surface (get / upsert / update / delete / create_table / catalog
+introspection / execute_raw), executed by Spark instead of Postgres:
+
+* kwargs → Column expressions → Catalyst logical plan → Tungsten, instead
+  of kwargs → SQLAlchemy → SQL text → Postgres.
+* Tables are named Parquet datasets: **attached** (external read-only
+  paths, e.g. the test fixtures) or **managed** (warehouse directory the
+  mutation suite writes to, versioned-dir swap for crash safety).
+* Spark has no enforced primary keys, so the PK registry replaces
+  reflection-discovered PKs; ``upsert`` raises without one, mirroring
+  ``main.py:97-99``.
+
+Scale: reads are plain ``spark.read.parquet`` → full predicate/projection
+pushdown; mutations rewrite via one full-outer merge (see
+``operators/merge.py``) — on a cluster you'd swap the persistence layer
+for Delta/Iceberg MERGE and keep the same expression generator.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dsl import Where, compile_where
+from .io import read_parquet
+from .operators.merge import (
+    MergeKeyError,
+    affected_keys,
+    delete_where,
+    keyed_update,
+    upsert_merge,
+)
+
+_SPARK_TYPES: dict[str, T.DataType] = {
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "bigint": T.LongType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "text": T.StringType(),
+    "varchar": T.StringType(),
+    "boolean": T.BooleanType(),
+    "bool": T.BooleanType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+    "binary": T.BinaryType(),
+}
+
+
+def _to_spark_type(t: Any) -> T.DataType:
+    if isinstance(t, T.DataType):
+        return t
+    key = str(t).strip().lower()
+    if key in _SPARK_TYPES:
+        return _SPARK_TYPES[key]
+    # fall back to DDL parsing ("decimal(10,2)", "array<float>", ...)
+    return T._parse_datatype_string(str(t))
+
+
+@dataclass
+class ColumnModel:
+    """Declarative column spec — analog of the reference's pydantic
+    ``Database.ColumnModel`` (``main.py:28-37``). ``foreign_key`` and
+    ``default`` are informational metadata (Spark doesn't enforce
+    constraints); ``default`` is applied on insert when the column is
+    absent."""
+
+    name: str
+    type: Any = "string"
+    nullable: bool = True
+    default: Any = None
+    primary_key: bool = False
+    foreign_key: str | None = None
+
+    def to_field(self) -> T.StructField:
+        meta = {}
+        if self.foreign_key:
+            meta["foreign_key"] = self.foreign_key
+        if self.primary_key:
+            meta["primary_key"] = True
+        return T.StructField(self.name, _to_spark_type(self.type), self.nullable, meta)
+
+
+@dataclass
+class Engine:
+    """Spark-backed Database analog. ``schema`` mirrors the reference's
+    Postgres schema name (default ``'public'``, ``main.py:39``) and is a
+    logical namespace here."""
+
+    spark: SparkSession
+    warehouse_dir: str | None = None
+    schema: str = "public"
+    pk_registry: dict[str, list[str]] = field(default_factory=dict)
+    _attached: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.warehouse_dir:
+            Path(self.warehouse_dir).mkdir(parents=True, exist_ok=True)
+        # liveness probe, mirroring `select 1 as is_alive` (main.py:45-49)
+        assert self.spark.sql("select 1 as is_alive").collect()[0].is_alive == 1
+
+    # ------------------------------------------------------------------ #
+    # catalog (S2-S6)
+    # ------------------------------------------------------------------ #
+
+    def attach(self, table_name: str, path: str) -> None:
+        """Register an external parquet dataset as a named (read-only)
+        table."""
+        self._attached[table_name] = path
+
+    def attach_dir(self, directory: str) -> list[str]:
+        """Attach every ``<name>.parquet`` under a directory (the test
+        fixture layout)."""
+        names = []
+        for p in sorted(Path(directory).glob("*.parquet")):
+            self.attach(p.stem, str(p))
+            names.append(p.stem)
+        return names
+
+    def _managed_path(self, table_name: str) -> Path | None:
+        if not self.warehouse_dir:
+            return None
+        base = Path(self.warehouse_dir) / table_name
+        return base if base.exists() else None
+
+    def get_table(self, table_name: str) -> DataFrame:
+        """Reflection analog (``main.py:59-66``): resolve a name to a
+        DataFrame — managed table, attached path, or temp view."""
+        mp = self._managed_path(table_name)
+        if mp is not None:
+            return read_parquet(self.spark, str(mp / "current"))
+        if table_name in self._attached:
+            return read_parquet(self.spark, self._attached[table_name])
+        if self.spark.catalog.tableExists(table_name):
+            return self.spark.table(table_name)
+        raise KeyError(f"table {table_name!r} not found")
+
+    def check_table_exists(self, table_name: str, schema: str | None = None) -> bool:
+        """S3 (``main.py:68-70``)."""
+        return (
+            self._managed_path(table_name) is not None
+            or table_name in self._attached
+            or self.spark.catalog.tableExists(table_name)
+        )
+
+    def get_table_columns(self, table_name: str) -> list[str]:
+        """S4 (``main.py:72-73``)."""
+        return self.get_table(table_name).columns
+
+    def get_tables(self, schema: str | None = None) -> list[str]:
+        """S5 (``main.py:82-83``)."""
+        managed = (
+            [p.name for p in Path(self.warehouse_dir).iterdir() if p.is_dir()]
+            if self.warehouse_dir and Path(self.warehouse_dir).exists()
+            else []
+        )
+        return sorted(set(managed) | set(self._attached))
+
+    def get_views(self, schema: str | None = None) -> list[str]:
+        """S6 (``main.py:85-86``) — temp/global views in the Spark catalog."""
+        return sorted(
+            t.name for t in self.spark.catalog.listTables() if t.tableType in ("TEMPORARY", "VIEW")
+        )
+
+    def get_table_count(self, table_name: str) -> int:
+        """A1 (``main.py:75-80``)."""
+        return self.get_table(table_name).count()
+
+    # ------------------------------------------------------------------ #
+    # read path (S1, P1, F1-F10, O1-O3) — Database.get (main.py:218-248)
+    # ------------------------------------------------------------------ #
+
+    def get(
+        self,
+        table_name: str,
+        columns: Sequence[str] | None = None,
+        where: Where = None,
+        limit: int | None = None,
+        offset: int | None = None,
+        sort_by: str | None = None,
+        ascending: bool = True,
+        as_dicts: bool = False,
+    ) -> DataFrame | list[dict]:
+        """Declarative read. Builder-order quirk note: the reference applies
+        ``.offset()`` before ``.order_by()`` textually (main.py:233-238) but
+        SQL compiles to ORDER BY..LIMIT..OFFSET — our semantics are sort →
+        offset → limit, identical results."""
+        df = self.get_table(table_name)
+        pred = compile_where(where)
+        if pred is not None:
+            df = df.filter(pred)
+        if columns:
+            df = df.select(*columns)
+        if sort_by is not None:
+            df = df.orderBy(F.col(sort_by).asc() if ascending else F.col(sort_by).desc())
+        if offset:
+            df = df.offset(offset)
+        if limit is not None:
+            df = df.limit(limit)
+        if as_dicts:
+            # row-dict compat shell (reference returns list[dict],
+            # main.py:243-244) — only at the API edge, never in a transform
+            return [r.asDict(recursive=True) for r in df.collect()]
+        return df
+
+    def execute_raw(self, query: str, as_dicts: bool = False) -> DataFrame | list[dict]:
+        """S7 raw passthrough (``main.py:287-293``) — Spark SQL dialect.
+        Attached/managed tables are exposed as temp views first so the SQL
+        can reference them by name."""
+        for name in self.get_tables():
+            self.get_table(name).createOrReplaceTempView(name)
+        df = self.spark.sql(query)
+        if as_dicts:
+            return [r.asDict(recursive=True) for r in df.collect()]
+        return df
+
+    def table_size(
+        self,
+        table_name: str,
+        date_field: str | None = None,
+        date_window: int | None = None,
+        **filters: Any,
+    ) -> dict:
+        """A2 — the ``Salesforce.sobject_size`` profile analog
+        (``/root/reference/revtron/salesforce/main.py:185-228``): COUNT +
+        MIN/MAX of a date field + column count, with optional relative
+        lookback window (days back from now) and kwargs filters."""
+        from .dsl import kwargs_filters
+
+        df = self.get_table(table_name)
+        if date_field and date_window is not None:
+            df = df.filter(
+                F.col(date_field)
+                >= F.current_timestamp() - F.expr(f"INTERVAL {int(date_window)} DAYS")
+            )
+        pred = kwargs_filters(**filters)
+        if pred is not None:
+            df = df.filter(pred)
+        aggs = [F.count(F.lit(1)).alias("n_records")]
+        if date_field:
+            aggs += [F.min(date_field).alias("min_date"), F.max(date_field).alias("max_date")]
+        row = df.agg(*aggs).collect()[0].asDict()
+        return {
+            "table": table_name,
+            "n_columns": len(self.get_table(table_name).columns),
+            **row,
+            "date_window": date_window,
+        }
+
+    # ------------------------------------------------------------------ #
+    # DDL (create_table + additive schema evolution, main.py:119-189)
+    # ------------------------------------------------------------------ #
+
+    def create_table(
+        self,
+        table_name: str,
+        columns: Sequence[ColumnModel | dict],
+        primary_key: Sequence[str] | None = None,
+    ) -> None:
+        """Create a managed table; if it exists, diff declared vs existing
+        columns and add the missing ones (additive evolution — the
+        reference issues one ALTER per column, ``main.py:129-140``; we diff
+        once and rewrite once)."""
+        self._require_warehouse()
+        cols = [c if isinstance(c, ColumnModel) else ColumnModel(**c) for c in columns]
+        declared = T.StructType([c.to_field() for c in cols])
+        pk = list(primary_key or [c.name for c in cols if c.primary_key])
+        if pk:
+            self.pk_registry[table_name] = pk
+
+        if self.check_table_exists(table_name) and self._managed_path(table_name):
+            existing = self.get_table(table_name)
+            missing = [f for f in declared.fields if f.name not in existing.columns]
+            if missing:
+                for f in missing:
+                    existing = existing.withColumn(f.name, F.lit(None).cast(f.dataType))
+                self._write_managed(table_name, existing)
+            return
+        empty = self.spark.createDataFrame([], declared)
+        self._write_managed(table_name, empty)
+
+    def add_column(self, table_name: str, column: ColumnModel | dict) -> None:
+        """Single-column ALTER analog (``main.py:172-189``)."""
+        self.create_table(table_name, [column])
+
+    def save_table(
+        self, table_name: str, df: DataFrame, primary_key: Sequence[str] | None = None
+    ) -> None:
+        """Materialize a DataFrame as a managed table (used to seed the
+        mutation suite from fixtures)."""
+        self._require_warehouse()
+        if primary_key:
+            self.pk_registry[table_name] = list(primary_key)
+        self._write_managed(table_name, df)
+
+    # ------------------------------------------------------------------ #
+    # mutation suite (J1-J3)
+    # ------------------------------------------------------------------ #
+
+    def upsert(
+        self,
+        table_name: str,
+        data: DataFrame | dict | list[dict],
+        chunk_size: int = 1_000,  # accepted for API parity; Spark partitions replace chunking
+        overwrite_with_null: bool = False,
+        return_keys: bool = True,
+    ) -> list[dict] | None:
+        """J1 keyed merge (``main.py:88-117``). Match key = registered PK
+        (error when none — main.py:97-99); incoming NULL preserves the
+        existing value unless ``overwrite_with_null``. Returns the affected
+        keys (RETURNING analog)."""
+        pk = self.pk_registry.get(table_name)
+        if not pk:
+            raise MergeKeyError(
+                f"table {table_name!r} has no registered primary key; upsert requires one"
+            )
+        source = self._as_df(data, like=self.get_table(table_name))
+        target = self.get_table(table_name)
+        merged = upsert_merge(target, source, pk, overwrite_with_null=overwrite_with_null)
+        self._write_managed(table_name, merged)
+        if return_keys:
+            keys = [r.asDict() for r in affected_keys(source, pk).collect()]
+            return keys
+        return None
+
+    def update(
+        self,
+        table_name: str,
+        data: DataFrame | dict | list[dict],
+        on: str | Sequence[str],
+    ) -> int:
+        """J2 keyed bulk update (``main.py:250-269``); returns matched-row
+        count (the rowcount analog)."""
+        target = self.get_table(table_name)
+        source = self._as_df(data, like=target)
+        on_cols = [on] if isinstance(on, str) else list(on)
+        matched = target.join(source.select(*on_cols).distinct(), on_cols, "left_semi").count()
+        self._write_managed(table_name, keyed_update(target, source, on_cols))
+        return matched
+
+    def delete(self, table_name: str, where: Where = None) -> int:
+        """J3 delete-where (``main.py:271-285``); returns deleted-row
+        count."""
+        target = self.get_table(table_name)
+        remaining = delete_where(target, compile_where(where))
+        before = target.count()
+        self._write_managed(table_name, remaining)
+        return before - self.get_table(table_name).count()
+
+    # ------------------------------------------------------------------ #
+    # internals
+    # ------------------------------------------------------------------ #
+
+    def _require_warehouse(self) -> None:
+        if not self.warehouse_dir:
+            raise ValueError("Engine has no warehouse_dir; managed tables unavailable")
+
+    def _as_df(self, data: DataFrame | dict | list[dict], like: DataFrame) -> DataFrame:
+        if isinstance(data, DataFrame):
+            return data
+        records = [data] if isinstance(data, dict) else list(data)
+        # project the target schema onto the provided keys so types line up
+        fields = {f.name: f for f in like.schema.fields}
+        keys = list(records[0].keys())
+        schema = T.StructType(
+            [fields.get(k, T.StructField(k, T.StringType(), True)) for k in keys]
+        )
+        return self.spark.createDataFrame([Row(**r) for r in records], schema=schema)
+
+    def _write_managed(self, table_name: str, df: DataFrame) -> None:
+        """Versioned-dir swap: write the new table image next to the old
+        one, then flip the ``current`` symlink-style directory. Not a real
+        transaction log (that's Delta/Iceberg territory) but safe against
+        partial writes and read-while-write on local FS."""
+        self._require_warehouse()
+        base = Path(self.warehouse_dir) / table_name
+        base.mkdir(parents=True, exist_ok=True)
+        tmp = base / f"v_{uuid.uuid4().hex[:12]}"
+        df.write.mode("overwrite").parquet(str(tmp))
+        current = base / "current"
+        old_target = None
+        if current.is_symlink():
+            old_target = current.resolve()
+            current.unlink()
+        elif current.exists():
+            old_target = base / f"gone_{uuid.uuid4().hex[:6]}"
+            current.rename(old_target)
+        current.symlink_to(tmp.name)
+        if old_target and old_target.exists():
+            shutil.rmtree(old_target, ignore_errors=True)

@@ -1,0 +1,192 @@
+"""Text-analysis column functions for large-scale training-data pipelines:
+normalization, tokenization, n-grams, quality scoring, language ID,
+fingerprinting, simhash.
+
+All of these are pure ``pyspark.sql.functions`` Column expressions —
+JVM-side, whole-stage-codegen'd, no Python UDFs — so they run at full scan
+speed on 100 TB: a single narrow projection per document, no shuffle, no
+Arrow transfer. (The reference has no text surface; this is the extension
+layer mandated by BASELINE.json's north star.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small deterministic stopword/marker sets. Real pipelines plug in proper
+# lists; these are the fixture-scale defaults and double as language
+# markers for the n-gram-free lang-id heuristic.
+STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "that"]
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "los", "que"],
+    "de": ["der", "die", "und", "das", "nicht"],
+}
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, trim, collapse internal whitespace — the canonical form
+    used by exact dedup and fingerprinting."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """A BPE-ish sub-word segmentation via regex: word pieces, digit runs,
+    and single non-space symbols — the cheap token-count proxy used when a
+    real tokenizer isn't on the cluster."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.expr(
+        f"filter(regexp_extract_all({_sql(c)}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0), x -> x != '')"
+    )
+
+
+def _sql(c: Column) -> str:
+    # Render a column reference for use inside F.expr fragments.
+    return c._jc.toString()  # type: ignore[attr-defined]
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word-level n-grams as space-joined strings. Returns an empty array
+    when the document has fewer than ``n`` tokens (guards Spark's
+    descending-``sequence`` surprise)."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Character shingles of the normalized text."""
+    norm = normalize_text(col)
+    return F.when(
+        F.length(norm) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (n - 1)),
+            lambda i: norm.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return n_sw / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
+def uppercase_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n_upper = F.length(c) - F.length(F.regexp_replace(c, r"[A-Z]", ""))
+    return n_upper / F.greatest(F.length(c), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: penalize very short docs, high
+    punctuation density, and vanishing stopword ratio (gibberish signal).
+    Deterministic arithmetic only — ports 1:1 to the DuckDB oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_score = F.least(F.length(c) / F.lit(200.0), F.lit(1.0))
+    sw = stopword_ratio(c)
+    sw_score = F.least(sw * 4.0, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(c) * 4.0)
+    return F.round((len_score + sw_score + punct_penalty) / 3.0, 6)
+
+
+def lang_id(col: Column | str, markers: dict[str, list[str]] | None = None) -> Column:
+    """Marker-token language ID: score = count of per-language marker
+    tokens; argmax wins, alphabetical tiebreak, ``'und'`` when all scores
+    are zero. A real pipeline swaps in character-n-gram profiles; the
+    shape (per-language score → greatest → CASE) is the same."""
+    markers = markers or LANG_MARKERS
+    toks = tokens(col)
+    scores = {
+        lang: F.size(
+            F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(m) for m in ms]), F.lower(t)))
+        )
+        for lang, ms in sorted(markers.items())
+    }
+    best = F.greatest(*scores.values()) if len(scores) > 1 else list(scores.values())[0]
+    result = F.lit("und")
+    # reverse alphabetical fold so the earliest language wins ties
+    for lang in sorted(scores, reverse=True):
+        result = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(result)
+    return result
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (md5 is bit-identical across Spark, DuckDB, and every other engine —
+    the property the dedup oracle relies on.)"""
+    return F.md5(normalize_text(col))
+
+
+def rolling_hash(col: Column | str, mod: int = 1_000_000_007, base: int = 31) -> Column:
+    """Polynomial rolling hash of the normalized text over character
+    codes — ANSI-safe (the accumulator stays < mod*base + 65k, far inside
+    int64). Used for cheap grouping keys where md5's string output is
+    too wide."""
+    norm = normalize_text(col)
+    # Spark's split leaves a trailing '' element — drop empties so the
+    # fold matches a plain per-character iteration.
+    chars = F.filter(F.split(norm, "(?!^)"), lambda ch: ch != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash over whitespace tokens. Single narrow projection:
+    per token, xxhash64 supplies the 64 bits; per bit we accumulate +1/-1
+    votes with ``aggregate`` over an int array; the sign vector packs back
+    into one long. No shuffle, no UDF."""
+    toks = F.array_distinct(tokens(col))
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                bit_idx,
+                lambda i: F.when(F.getbit(F.xxhash64(t), i) == 1, 1).otherwise(-1),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        bit_val = F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
+        packed = packed.bitwiseOR(
+            F.when(F.element_at(votes, i + 1) > 0, bit_val).otherwise(F.lit(0).cast("long"))
+        )
+    return packed
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed 64-bit simhashes."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,65 @@
+"""Parquet table reading with nanosecond-timestamp compatibility.
+
+Spark's vectorized parquet reader rejects ``TIMESTAMP(NANOS)`` columns
+(PARQUET_TYPE_ILLEGAL) — the fixture table ``events`` stores ``ts`` as
+timestamp[ns]. We detect ns columns from the parquet footer (pyarrow),
+read them as raw int64 nanos via ``spark.sql.legacy.parquet.nanosAsLong``,
+and rebuild proper TimestampType with integer division to microseconds
+(``div 1000`` — no double round-trip, which would lose precision above
+2^53 ns). Cheap: one footer read at planning time, one projection at scan
+time; pushdown on other columns is unaffected.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@lru_cache(maxsize=1024)
+def _nanos_columns(path: str) -> tuple[str, ...]:
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+    except ImportError:  # pragma: no cover
+        return ()
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        # a directory dataset (our managed tables) — sample one fragment
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+    return tuple(
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` that transparently handles timestamp[ns]."""
+    ns_cols = _nanos_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    # Only convert columns that actually surfaced as raw int64 nanos —
+    # INT96-encoded timestamps also report as ns in the Arrow footer but
+    # Spark reads them as proper TIMESTAMP already.
+    long_cols = {name for name, dtype in df.dtypes if dtype == "bigint"}
+    for c in ns_cols:
+        if c in long_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table (``{sf_dir}/{name}.parquet``)."""
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")

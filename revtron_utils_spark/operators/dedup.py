@@ -1,0 +1,358 @@
+"""Deduplication operators for training-data pipelines, designed
+shuffle-minimal for 100 TB inputs:
+
+* **exact_dedup** — one hash shuffle on the fingerprint (window
+  row_number), no join.
+* **minhash_lsh_pairs / minhash_lsh_dedup** — shingle → k minhashes →
+  b bands; candidate pairs come from a self-equi-join on (band,
+  band_hash) — the only shuffle is on band hashes, never an all-pairs
+  product. Exact Jaccard verification runs only on candidates.
+* **simhash_pairs** — 64-bit simhash, pigeonhole banding on 16-bit
+  chunks (Hamming ≤ 3 ⇒ some chunk equal), verify with bit_count(xor).
+* **embedding_neardup_pairs** — cosine near-dup with either a blocking
+  column (exact within block) or random-hyperplane LSH buckets.
+
+Everything is DataFrame-native; hashes are Spark's ``xxhash64`` bounded
+into a Mersenne-prime field so the universal-hash arithmetic
+``(a*h + b) mod p`` stays inside int64 under ANSI mode.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions import text as TX
+from ..functions import vectors as VX
+
+MERSENNE_P = (1 << 31) - 1  # 2^31-1, prime
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Keep one row per normalized-text fingerprint (lowest/highest id).
+    Single shuffle on the 128-bit fingerprint; at 100 TB the fingerprint
+    (16 bytes) shuffles instead of the document body."""
+    fp = TX.fingerprint(text_col)
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    w = W.partitionBy(fp).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fingerprint groups with >1 member: (fingerprint, n_dups, keep_id)."""
+    return (
+        df.groupBy(TX.fingerprint(text_col).alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ------------------------------------------------------------------ MinHash
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P)) for _ in range(num_hashes)]
+
+
+def minhash_signature(
+    text_col: str | Column,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> Column:
+    """k-minhash signature (array<long>) over word ``shingle_n``-grams.
+    ``pmod(xxhash64(s), p)`` bounds shingle hashes below 2^31 so
+    ``a*h + b`` (< 2^62) never overflows under ANSI mode. Empty shingle
+    sets (docs shorter than n tokens) get sentinel signature p (max).
+
+    Single-pass formulation: shingle hashes are computed once, then one
+    ``aggregate`` folds them into the k-wide signature with a nested
+    ``zip_with`` — keeps codegen size O(1) in k instead of emitting k
+    independent array traversals (which was ~25× slower to compile)."""
+    params = _hash_params(num_hashes, seed)
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in params])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in params])
+    pstruct = F.zip_with(a_arr, b_arr, lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    shingles = F.array_distinct(TX.word_ngrams(text_col, shingle_n))
+    hs = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
+    init = F.array_repeat(F.lit(MERSENNE_P).cast("long"), num_hashes)
+    return F.aggregate(
+        hs,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            pstruct,
+            lambda m, p: F.least(m, F.pmod(p["a"] * h + p["b"], F.lit(MERSENNE_P))),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding, verified with
+    exact shingle-set Jaccard. Returns (id_a, id_b, jaccard) with
+    id_a < id_b.
+
+    Scale path: signature is a narrow projection; candidates come from a
+    groupable equi-join on (band, band_hash) — shuffle volume is
+    O(rows × bands × 8 bytes), not O(rows²). AQE handles hot buckets.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(TX.word_ngrams(text_col, shingle_n)).alias("shingles"),
+        minhash_signature(text_col, num_hashes, shingle_n, seed).alias("sig"),
+    ).filter(F.size("shingles") > 0)
+    # materialize signatures once — the candidate self-join would otherwise
+    # recompute the (expensive) shingle+minhash projection on both sides
+    shingled = shingled.persist()
+
+    banded = shingled.select(
+        "id",
+        "shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "shingles", "bk.band", "bk.bhash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: for every verified pair keep the smaller id.
+    One representative-propagation round (a doc pointing at a smaller
+    neighbor is dropped) — exact transitive closure would iterate, but
+    one round already collapses star-shaped duplicate clusters, the
+    overwhelmingly common case in web-scale dedup."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------------------------ SimHash
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash, Hamming distance ≤ ``max_hamming``
+    (< 16 required). Pigeonhole: split the hash into 4 × 16-bit chunks;
+    any pair within distance 3 must agree on ≥1 chunk → candidates from
+    4 equi-joins (via explode), verified with bit_count(xor)."""
+    assert max_hamming < 16
+    hashed = df.select(
+        F.col(id_col).alias("id"), TX.simhash64(text_col).alias("sh")
+    )
+    chunked = hashed.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sh", "c.chunk", "c.ckey")
+    l, r = chunked.alias("l"), chunked.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ckey") == F.col("r.ckey"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", TX.hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------------------ n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: Sequence[str] = (),
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs, optionally blocked on equality
+    columns (e.g. ``lang``) to bound the pair space. Without blocking this
+    is quadratic — at scale always pass block_cols or use the MinHash
+    path; this operator is the exact oracle-checkable baseline."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(TX.word_ngrams(text_col, shingle_n)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    l, r = base.alias("l"), base.alias("r")
+    cond = F.col("l.id") < F.col("r.id")
+    for c in block_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    jac = F.size(F.array_intersect("l.sh", "r.sh")) / F.size(F.array_union("l.sh", "r.sh"))
+    return (
+        l.join(r, cond)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+# -------------------------------------------------------- embedding near-dup
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_cols: Sequence[str] = (),
+    threshold: float = 0.95,
+    lsh_planes: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an embedding column.
+
+    With ``block_cols``: exact within blocks. With ``lsh_planes=k``:
+    random-hyperplane sign buckets — only vectors in the same bucket are
+    compared (recall < 1, the scale path). Cosine is computed on
+    quantized vectors (``vectors.int_cosine``) so results are
+    deterministic and oracle-exact.
+    """
+    q = VX.quantize(vec_col)
+    # precompute each row's norm once — per-pair work is then a single
+    # dot product (64 mults) instead of three (dot + both norms)
+    base = df.select(
+        F.col(id_col).alias("id"), *[F.col(c) for c in block_cols], q.alias("q")
+    ).withColumn("nrm", F.sqrt(VX.int_dot(F.col("q"), F.col("q"))))
+    extra_key: list[str] = []
+    if lsh_planes:
+        rng = random.Random(seed)
+        dim = len(df.select(vec_col).first()[0])
+        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(lsh_planes)]
+        sig = F.concat_ws(
+            "",
+            *[
+                F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("q"),
+                            F.array(*[F.lit(w) for w in plane]),
+                            lambda x, w: x * w,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for plane in planes
+            ],
+        )
+        base = base.withColumn("bucket", sig)
+        extra_key = ["bucket"]
+
+    l, r = base.alias("l"), base.alias("r")
+    cond = F.col("l.id") < F.col("r.id")
+    for c in list(block_cols) + extra_key:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    sim = VX.int_dot(F.col("l.q"), F.col("r.q")) / (F.col("l.nrm") * F.col("r.nrm"))
+    return (
+        l.join(r, cond)
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

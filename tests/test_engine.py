@@ -1,0 +1,195 @@
+"""Engine read-path, catalog, and mutation-suite tests (SURVEY §2.1, §2.4,
+§2.6). Mutation semantics are checked against the reference's documented
+Postgres behavior: null-preserving upsert, write-through update, SQL
+three-valued delete."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import duck
+
+
+def test_flagship_read(engine):
+    df = engine.get(
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_shipdate", "l_returnflag"],
+        where=[
+            {"l_shipdate": {"operator": "between", "value": ["1994-01-01", "1996-12-31"]}},
+            {"l_returnflag": "R"},
+        ],
+        sort_by="l_extendedprice",
+        ascending=False,
+        limit=10,
+    )
+    rows = df.collect()
+    assert len(rows) == 10
+    prices = [r.l_extendedprice for r in rows]
+    assert prices == sorted(prices, reverse=True)
+    con = duck()
+    want = con.execute(
+        "SELECT l_extendedprice FROM lineitem WHERE l_shipdate BETWEEN '1994-01-01' AND "
+        "'1996-12-31' AND l_returnflag='R' ORDER BY l_extendedprice DESC LIMIT 10"
+    ).fetchall()
+    assert prices == [w[0] for w in want]
+
+
+def test_sort_offset_limit_pagination(engine):
+    page1 = engine.get("orders", sort_by="o_orderkey", limit=5, as_dicts=True)
+    page2 = engine.get("orders", sort_by="o_orderkey", limit=5, offset=5, as_dicts=True)
+    keys = [r["o_orderkey"] for r in page1 + page2]
+    assert keys == sorted(keys)
+    assert len(set(keys)) == 10
+
+
+def test_catalog(engine):
+    assert engine.check_table_exists("lineitem")
+    assert not engine.check_table_exists("nope")
+    assert "l_orderkey" in engine.get_table_columns("lineitem")
+    assert set(engine.get_tables()) >= {"region", "nation", "orders", "lineitem"}
+    assert engine.get_table_count("region") == 5
+
+
+def test_execute_raw(engine):
+    df = engine.execute_raw(
+        "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus"
+    )
+    got = {r.o_orderstatus: r.n for r in df.collect()}
+    con = duck()
+    want = dict(con.execute("SELECT o_orderstatus, count(*) FROM orders GROUP BY 1").fetchall())
+    assert got == want
+
+
+def test_table_size_profile(engine):
+    prof = engine.table_size("events", date_field="ts")
+    assert prof["n_records"] == engine.get_table_count("events")
+    assert prof["n_columns"] == 6
+    assert prof["min_date"] <= prof["max_date"]
+
+
+# ---------------------------------------------------------------- mutations
+
+
+@pytest.fixture()
+def managed_customer(engine):
+    engine.save_table("mcustomer", engine.get_table("customer"), primary_key=["c_custkey"])
+    return engine
+
+
+def test_upsert_null_preserving(managed_customer):
+    eng = managed_customer
+    before = {r["c_custkey"]: r for r in eng.get("mcustomer", as_dicts=True)}
+    some_key = min(before)
+    keys = eng.upsert(
+        "mcustomer",
+        [
+            {"c_custkey": some_key, "c_name": "RENAMED", "c_acctbal": None},
+            {"c_custkey": 10**9, "c_name": "NEWBIE", "c_acctbal": 42.0},
+        ],
+    )
+    assert sorted(k["c_custkey"] for k in keys) == [some_key, 10**9]
+    after = {r["c_custkey"]: r for r in eng.get("mcustomer", as_dicts=True)}
+    assert len(after) == len(before) + 1
+    assert after[some_key]["c_name"] == "RENAMED"
+    # incoming NULL must NOT clobber (main.py:106-113)
+    assert after[some_key]["c_acctbal"] == before[some_key]["c_acctbal"]
+    # untouched column passes through
+    assert after[some_key]["c_mktsegment"] == before[some_key]["c_mktsegment"]
+    assert after[10**9]["c_name"] == "NEWBIE"
+
+
+def test_upsert_overwrite_with_null(managed_customer):
+    eng = managed_customer
+    some_key = min(r["c_custkey"] for r in eng.get("mcustomer", as_dicts=True))
+    eng.upsert(
+        "mcustomer",
+        {"c_custkey": some_key, "c_acctbal": None},
+        overwrite_with_null=True,
+    )
+    after = {r["c_custkey"]: r for r in eng.get("mcustomer", as_dicts=True)}
+    assert after[some_key]["c_acctbal"] is None
+
+
+def test_upsert_idempotent(managed_customer):
+    eng = managed_customer
+    rec = {"c_custkey": 77777, "c_name": "IDEMP", "c_acctbal": 1.5}
+    eng.upsert("mcustomer", rec)
+    snap1 = sorted(map(str, eng.get("mcustomer", as_dicts=True)))
+    eng.upsert("mcustomer", rec)
+    snap2 = sorted(map(str, eng.get("mcustomer", as_dicts=True)))
+    assert snap1 == snap2
+
+
+def test_upsert_requires_pk(engine):
+    from revtron_utils_spark import MergeKeyError
+
+    engine.save_table("nopk", engine.get_table("region"))
+    with pytest.raises(MergeKeyError):
+        engine.upsert("nopk", {"r_regionkey": 1, "r_name": "x"})
+
+
+def test_update_writes_nulls_through(managed_customer):
+    eng = managed_customer
+    some_key = min(r["c_custkey"] for r in eng.get("mcustomer", as_dicts=True))
+    n = eng.update(
+        "mcustomer",
+        [{"c_custkey": some_key, "c_acctbal": None, "c_name": "UPD"}],
+        on="c_custkey",
+    )
+    assert n == 1
+    after = {r["c_custkey"]: r for r in eng.get("mcustomer", as_dicts=True)}
+    assert after[some_key]["c_acctbal"] is None  # UPDATE clobbers, unlike upsert
+    assert after[some_key]["c_name"] == "UPD"
+
+
+def test_update_no_insert(managed_customer):
+    eng = managed_customer
+    before = eng.get_table_count("mcustomer")
+    n = eng.update("mcustomer", [{"c_custkey": 10**9 + 5, "c_name": "GHOST"}], on="c_custkey")
+    assert n == 0
+    assert eng.get_table_count("mcustomer") == before
+
+
+def test_delete_where(engine):
+    engine.save_table("mevents", engine.get_table("events"), primary_key=["event_id"])
+    total = engine.get_table_count("mevents")
+    con = duck()
+    want_deleted = con.execute("SELECT count(*) FROM events WHERE value > 50").fetchone()[0]
+    n = engine.delete("mevents", {"value": {"operator": ">", "value": 50}})
+    assert n == want_deleted
+    assert engine.get_table_count("mevents") == total - want_deleted
+
+
+def test_create_table_schema_evolution(engine):
+    from revtron_utils_spark import ColumnModel
+
+    engine.create_table(
+        "evolving",
+        [ColumnModel("id", "bigint", primary_key=True), ColumnModel("a", "string")],
+    )
+    engine.upsert("evolving", {"id": 1, "a": "x"})
+    engine.create_table(
+        "evolving",
+        [ColumnModel("id", "bigint"), ColumnModel("a", "string"), ColumnModel("b", "double")],
+    )
+    cols = engine.get_table_columns("evolving")
+    assert cols == ["id", "a", "b"]
+    rows = engine.get("evolving", as_dicts=True)
+    assert rows[0]["b"] is None
+
+
+def test_timer_decorator(capsys):
+    from revtron_utils_spark import timer
+
+    @timer
+    def f(x):
+        return x + 1
+
+    @timer(text="hello")
+    def g(x):
+        return x * 2
+
+    assert f(1) == 2 and g(2) == 4
+    out = capsys.readouterr().out
+    assert "seconds" in out and "hello" in out
+    assert f.last_elapsed is not None
