@@ -851,6 +851,58 @@ def q_ivf_ann(spark, sf):
     return index.search(qvec, k=10, nprobe=8)
 
 
+def _fake_sf_client(spark, sf, limit_rows=5000):
+    """Salesforce-compatible client over an in-memory backend seeded
+    deterministically from the events fixture (S9-S19 demo without a
+    live org)."""
+    from revtron_utils_spark.sources.salesforce import FakeSalesforceTransport, Salesforce
+
+    ev = _t(spark, sf, "events").orderBy("event_id").limit(limit_rows)
+    records = [
+        {
+            "Id": f"ID{r.event_id}",
+            "LastModifiedDate": r.ts,
+            "event_type": r.event_type,
+            "value": r.value,
+        }
+        for r in ev.collect()
+    ]
+    transport = FakeSalesforceTransport({"Event__c": records})
+    return Salesforce(spark, transport, max_parallelism=8)
+
+
+def q_rest_extract(spark, sf):
+    """S9-S13: two-phase partition-parallel REST extraction (id cursor →
+    mapInPandas batch fetch) with a date window, against the
+    deterministic fake backend."""
+    from datetime import datetime
+
+    client = _fake_sf_client(spark, sf)
+    df = client.get(
+        "Event__c",
+        columns=["Id", "event_type", "value"],
+        start_date=datetime(2024, 1, 5),
+        end_date=datetime(2024, 1, 15),
+    )
+    return df.select(F.col("Id").alias("id"), "event_type", "value")
+
+
+SQL_REST_EXTRACT = """
+SELECT 'ID' || CAST(event_id AS VARCHAR) AS id, event_type, value FROM (
+  SELECT * FROM events ORDER BY event_id LIMIT 5000
+) WHERE ts >= '2024-01-05' AND ts <= '2024-01-15'
+"""
+
+
+def q_rest_writeback(spark, sf):
+    """S19 rows-only: partition-parallel write-back with per-record
+    status capture (PATCH-if-id-else-POST routing)."""
+    client = _fake_sf_client(spark, sf, limit_rows=200)
+    updates = [{"Id": f"ID{i}", "event_type": "patched"} for i in range(1, 51)]
+    res = client.update("Event__c", updates)
+    return res.select("record_id", "status").orderBy("record_id")
+
+
 def q_multimodal_features(spark, sf):
     """Binary-column plumbing demo: documents encoded as opaque binary
     payloads with typed metadata, features extracted via mapInPandas
@@ -907,7 +959,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "rest_extract": (q_rest_extract, SQL_REST_EXTRACT),
     # rows-only (probabilistic / iterative / UDF-backed — no SQL oracle)
+    "rest_writeback": (q_rest_writeback, None),
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "ivf_ann": (q_ivf_ann, None),

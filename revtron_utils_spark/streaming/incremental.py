@@ -1,0 +1,158 @@
+"""Incremental extraction & sync — the reference's core ETL loop
+(date-windowed ``Salesforce.get`` + PK ``Database.upsert``,
+SURVEY.md §2.9 ST1-ST5) in both batch-loop and Structured Streaming
+forms.
+
+* **ST1/ST2** change-window scan: timestamp-range extract, either
+  absolute or a relative lookback from now.
+* **ST3** soft-delete propagation: source rows flagged deleted remove
+  the matching target keys (MERGE ... WHEN MATCHED AND deleted THEN
+  DELETE, composed from upsert + anti-join).
+* **ST4** idempotent replay: merge-on-key makes overlapping/repeated
+  windows converge — at-least-once extraction, exactly-once state.
+* **ST5** late data: overlapping windows are absorbed by the merge; the
+  streaming form adds a watermark + in-watermark dedup.
+
+The streaming variant is the canonical Spark pattern: file/Kafka source →
+``withWatermark`` → ``foreachBatch(merge)``; each micro-batch applies the
+same merge used by the batch loop, so semantics are identical and tested
+once.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import Engine
+from ..operators.merge import upsert_merge
+
+
+def window_extract(
+    df: DataFrame,
+    start: datetime | str | None,
+    end: datetime | str | None,
+    date_field: str = "ts",
+) -> DataFrame:
+    """ST1: rows with ``date_field`` in [start, end) — half-open so
+    adjacent windows tile without double-pull (the reference uses
+    closed intervals and relies on merge idempotence; we keep the merge
+    idempotent AND avoid the overlap)."""
+    out = df
+    if start is not None:
+        out = out.filter(F.col(date_field) >= F.lit(start))
+    if end is not None:
+        out = out.filter(F.col(date_field) < F.lit(end))
+    return out
+
+
+def lookback_extract(
+    df: DataFrame, days: int, date_field: str = "ts", now: datetime | None = None
+) -> DataFrame:
+    """ST2: relative lookback — ``date_window`` days back from now
+    (salesforce/main.py:189, 196-197)."""
+    now = now or datetime.now()
+    return window_extract(df, now - timedelta(days=days), None, date_field)
+
+
+def merge_with_soft_delete(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    delete_col: str = "IsDeleted",
+    overwrite_with_null: bool = False,
+) -> DataFrame:
+    """ST3: upsert live rows, remove keys the source marks deleted —
+    the ``WHEN MATCHED AND src.IsDeleted THEN DELETE`` branch of a
+    MERGE, composed from DataFrame ops (broadcast-friendly: the deleted
+    key set is typically tiny)."""
+    if delete_col not in source.columns:
+        return upsert_merge(target, source, keys, overwrite_with_null)
+    live = source.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
+    dead_keys = (
+        source.filter(F.coalesce(F.col(delete_col), F.lit(False)))
+        .select(*keys)
+        .distinct()
+    )
+    merged = upsert_merge(target, live, keys, overwrite_with_null)
+    return merged.join(F.broadcast(dead_keys), list(keys), "left_anti")
+
+
+class IncrementalSyncer:
+    """Replayable window-sync loop against a managed Engine table (ST4:
+    each window is extract → merge, so overlaps and retries converge)."""
+
+    def __init__(
+        self,
+        engine: Engine,
+        target_table: str,
+        keys: Sequence[str],
+        date_field: str = "ts",
+        delete_col: str | None = None,
+    ):
+        self.engine = engine
+        self.target_table = target_table
+        self.keys = list(keys)
+        self.date_field = date_field
+        self.delete_col = delete_col
+
+    def sync_window(
+        self, source: DataFrame, start: datetime | str | None, end: datetime | str | None
+    ) -> int:
+        batch = window_extract(source, start, end, self.date_field)
+        if not self.engine.check_table_exists(self.target_table):
+            self.engine.save_table(self.target_table, batch.limit(0), primary_key=self.keys)
+        target = self.engine.get_table(self.target_table)
+        merged = merge_with_soft_delete(
+            target, batch, self.keys, self.delete_col or "__none__"
+        )
+        self.engine.save_table(self.target_table, merged, primary_key=self.keys)
+        return batch.count()
+
+    def sync(
+        self, source: DataFrame, windows: Sequence[tuple[datetime | str, datetime | str]]
+    ) -> list[int]:
+        return [self.sync_window(source, lo, hi) for lo, hi in windows]
+
+
+def stream_merge(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    engine: Engine,
+    target_table: str,
+    keys: Sequence[str],
+    date_field: str = "ts",
+    watermark: str = "1 hour",
+    delete_col: str | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Structured Streaming form: file source → watermark → in-watermark
+    dedup on key → ``foreachBatch`` applying the same merge as the batch
+    loop (exactly-once state over at-least-once delivery). Runs with
+    ``availableNow`` so tests drive it to completion synchronously;
+    a production deployment changes only the trigger and source format.
+    """
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .load(source_dir)
+        .withWatermark(date_field, watermark)
+        .dropDuplicates(list(keys))
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not engine.check_table_exists(target_table):
+            engine.save_table(target_table, batch_df.limit(0), primary_key=list(keys))
+        target = engine.get_table(target_table)
+        merged = merge_with_soft_delete(target, batch_df, keys, delete_col or "__none__")
+        engine.save_table(target_table, merged, primary_key=list(keys))
+
+    writer = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

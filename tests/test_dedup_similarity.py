@@ -1,0 +1,215 @@
+"""Dedup & similarity operator tests: planted duplicates, MinHash-LSH
+recall against exact Jaccard, SimHash behavior, ANN recall vs brute
+force, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from revtron_utils_spark.functions import text as TX
+from revtron_utils_spark.operators import dedup as DD
+from revtron_utils_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from revtron_utils_spark.io import read_table
+
+    return read_table(spark, sf_dir, "documents").select("doc_id", "text").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from revtron_utils_spark.io import read_table
+
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+def _with_exact_copies(docs):
+    return docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+
+
+def _with_near_copies(docs):
+    toks = TX.tokens("text")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+def test_exact_dedup_removes_planted_copies(docs):
+    n = docs.count()
+    deduped = DD.exact_dedup(_with_exact_copies(docs), "text", "doc_id")
+    assert deduped.count() == n
+    # keeps the MIN id of each group — i.e. all original ids
+    assert deduped.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_exact_dedup_keep_max(docs):
+    deduped = DD.exact_dedup(_with_exact_copies(docs), "text", "doc_id", keep="max")
+    assert deduped.filter(F.col("doc_id") < 100000).count() == 0
+
+
+def test_duplicate_groups(docs):
+    groups = DD.duplicate_groups(_with_exact_copies(docs), "text", "doc_id")
+    assert groups.count() == docs.count()
+    assert groups.agg(F.max("n_dups")).first()[0] == 2
+
+
+def test_minhash_finds_planted_near_dups(docs):
+    planted = _with_near_copies(docs)
+    pairs = DD.minhash_lsh_pairs(planted, "text", "doc_id", jaccard_threshold=0.5)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # every doc and its 2-token-truncated copy should be a candidate pair
+    want = {(r.doc_id, r.doc_id + 100000) for r in docs.collect()}
+    recall = len(found & want) / len(want)
+    assert recall > 0.9, f"minhash recall {recall}"
+    # verified jaccard values must be genuinely high
+    assert pairs.agg(F.min("jaccard")).first()[0] >= 0.5
+
+
+def test_minhash_jaccard_estimates_match_exact(docs):
+    """The banded candidates carry EXACT jaccard (verification step) —
+    spot-check against a direct computation."""
+    planted = _with_near_copies(docs).limit(40)
+    pairs = DD.minhash_lsh_pairs(planted, "text", "doc_id", jaccard_threshold=0.1).collect()
+    sh = {
+        r.doc_id: set(r.s)
+        for r in planted.select(
+            "doc_id", F.array_distinct(TX.word_ngrams("text", 3)).alias("s")
+        ).collect()
+    }
+    for p in pairs[:20]:
+        a, b = sh[p.id_a], sh[p.id_b]
+        exact = len(a & b) / len(a | b)
+        assert abs(p.jaccard - exact) < 1e-6
+
+
+def test_minhash_dedup_drops_near_dups(docs):
+    planted = _with_near_copies(docs)
+    kept = DD.minhash_lsh_dedup(planted, "text", "doc_id", jaccard_threshold=0.5)
+    # each planted copy should be dropped (it has the larger id)
+    assert kept.count() <= docs.count() * 2 - docs.count() * 0.9
+
+
+def test_simhash_near_dups(docs):
+    planted = _with_near_copies(docs)
+    pairs = DD.simhash_pairs(planted, "text", "doc_id", max_hamming=3)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    want = {(r.doc_id, r.doc_id + 100000) for r in docs.collect()}
+    recall = len(found & want) / len(want)
+    assert recall > 0.5, f"simhash recall {recall}"
+    assert pairs.agg(F.max("hamming")).first()[0] <= 3
+
+
+def test_ngram_jaccard_blocked(docs, spark, sf_dir):
+    from revtron_utils_spark.io import read_table
+
+    full = read_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(full, block_cols=("lang",), threshold=0.05)
+    # deterministic; no same-id pairs; jaccard in range
+    rows = pairs.collect()
+    for r in rows:
+        assert r.id_a < r.id_b and 0.05 <= r.jaccard <= 1.0
+
+
+def test_embedding_neardup_lsh_vs_exact(emb):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in DD.embedding_neardup_pairs(emb, threshold=0.3).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in DD.embedding_neardup_pairs(emb, threshold=0.3, lsh_planes=2).collect()
+    }
+    assert lsh <= exact  # LSH may miss but never invents pairs
+    if exact:
+        # 2 hyperplanes: collision prob for sim≈0.3 pairs is (1-θ/π)² ≈ 0.36
+        assert len(lsh) / len(exact) > 0.1
+
+
+def test_cosine_topk_self_is_first(emb):
+    q = emb.orderBy("vec_id").first()
+    top = SIM.cosine_topk(emb, q.embedding, k=5).collect()
+    assert top[0].vec_id == q.vec_id
+    assert abs(top[0].cosine - 1.0) < 1e-5
+    sims = [r.cosine for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_recall_vs_brute_force(emb, tmp_path):
+    q = emb.orderBy("vec_id").first()
+    brute = [r.vec_id for r in SIM.cosine_topk(emb, q.embedding, k=10).collect()]
+    index = SIM.IVFIndex.build(emb, str(tmp_path / "ivf"), n_clusters=8)
+    # full probe = exact
+    full = [r.vec_id for r in index.search(q.embedding, k=10, nprobe=8).collect()]
+    assert full == brute
+    # partial probe: recall degrades gracefully, stays useful
+    part = [r.vec_id for r in index.search(q.embedding, k=10, nprobe=2).collect()]
+    assert len(set(part) & set(brute)) >= 5
+
+
+def test_knn_join_blocked(emb):
+    left = emb.limit(5)
+    out = SIM.knn_join(left, emb, k=3, block_cols=("label",))
+    rows = out.collect()
+    by_left = {}
+    for r in rows:
+        by_left.setdefault(r.lid, []).append(r)
+    for lid, nbrs in by_left.items():
+        assert len(nbrs) <= 3
+        ranks = sorted(n.rank for n in nbrs)
+        assert ranks == list(range(1, len(nbrs) + 1))
+
+
+def test_multimodal_plumbing(docs, spark):
+    from revtron_utils_spark.multimodal import (
+        attach_binary_payload,
+        decode_image,
+        extract_features,
+        sample_frames,
+    )
+
+    binary = attach_binary_payload(docs.limit(20), "text")
+    assert binary.schema["payload"].dataType.typeName() == "binary"
+    feats = extract_features(binary).collect()
+    assert len(feats) == 20
+    for f in feats:
+        assert f.byte_len > 0 and len(f.feature) == 8
+        assert all(0.0 <= v < 1.0 for v in f.feature)
+    # determinism across runs
+    feats2 = extract_features(binary).collect()
+    assert {(f.doc_id, f.feat_hash) for f in feats} == {(f.doc_id, f.feat_hash) for f in feats2}
+    frames = sample_frames(binary, every_nth=2).collect()
+    assert frames and all(fr.frame_idx % 2 == 0 for fr in frames)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_text_functions_edges(spark):
+    df = spark.createDataFrame(
+        [("", ), ("   ",), ("one",), ("The the THE and of to",), ("abc!!! ??? def",)],
+        ["text"],
+    )
+    out = df.select(
+        TX.token_count("text").alias("n"),
+        TX.stopword_ratio("text").alias("sw"),
+        TX.punct_ratio("text").alias("punct"),
+        TX.quality_score("text").alias("q"),
+        TX.lang_id("text").alias("lang"),
+        TX.fingerprint("text").alias("fp"),
+        TX.simhash64("text").alias("sh"),
+    ).collect()
+    for r in out:
+        assert 0.0 <= r.sw <= 1.0 and 0.0 <= r.punct <= 1.0 and 0.0 <= r.q <= 1.0
+        assert r.fp is not None and r.sh is not None
+    assert out[3].lang == "en"
+    # identical normalized text → identical fingerprint
+    a = spark.createDataFrame([("Hello   World",), ("hello world",)], ["text"])
+    fps = [r.fp for r in a.select(TX.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]

@@ -1,0 +1,188 @@
+"""Property-based tests (SURVEY.md §5.4): random where-DSL trees compiled
+to Spark vs an independently-rendered SQL predicate in DuckDB; merge
+idempotence and null-preservation invariants."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from revtron_utils_spark.dsl import compile_where
+from revtron_utils_spark.operators.merge import upsert_merge
+from tests.conftest import SF_DIR, duck
+
+# --- DSL term strategies over real lineitem columns ------------------------
+
+_NUM_COL = st.sampled_from(["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+_STR_COL = st.sampled_from(["l_returnflag", "l_linestatus"])
+_STR_VAL = st.sampled_from(["A", "N", "R", "O", "F", "zzz"])
+_NUM_VAL = st.one_of(
+    st.integers(min_value=-5, max_value=60),
+    st.floats(min_value=0.0, max_value=60.0, allow_nan=False, width=32),
+)
+
+
+def _term_eq():
+    return st.one_of(
+        st.tuples(_STR_COL, _STR_VAL).map(lambda t: {t[0]: t[1]}),
+        st.tuples(_NUM_COL, _NUM_VAL).map(lambda t: {t[0]: t[1]}),
+    )
+
+
+def _term_op():
+    num_ops = st.sampled_from([">", "<", ">=", "<=", "!="])
+    return st.one_of(
+        st.tuples(_NUM_COL, num_ops, _NUM_VAL).map(
+            lambda t: {t[0]: {"operator": t[1], "value": t[2]}}
+        ),
+        st.tuples(_STR_COL, st.lists(_STR_VAL, min_size=1, max_size=3)).map(
+            lambda t: {t[0]: {"operator": "in", "value": t[1]}}
+        ),
+        st.tuples(_STR_COL, st.lists(_STR_VAL, min_size=1, max_size=3)).map(
+            lambda t: {t[0]: {"operator": "not in", "value": t[1]}}
+        ),
+        st.tuples(_NUM_COL, _NUM_VAL, _NUM_VAL).map(
+            lambda t: {t[0]: {"operator": "between", "value": sorted([t[1], t[2]])}}
+        ),
+        st.tuples(_NUM_COL, _NUM_VAL, _NUM_VAL).map(
+            lambda t: {t[0]: {"operator": "not between", "value": sorted([t[1], t[2]])}}
+        ),
+        _STR_COL.map(lambda c: {c: {"operator": "is not null"}}),
+        _STR_COL.map(lambda c: {c: {"operator": "is null"}}),
+    )
+
+
+DSL = st.lists(st.one_of(_term_eq(), _term_op()), min_size=1, max_size=4)
+
+
+def _sql_literal(v):
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return repr(float(v)) if isinstance(v, float) else str(v)
+
+
+def _render_sql(where) -> str:
+    """Independent DSL→SQL renderer (NOT the code under test)."""
+    parts = []
+    for term in where:
+        for col, spec in term.items():
+            if not isinstance(spec, dict):
+                parts.append(f"{col} = {_sql_literal(spec)}")
+                continue
+            op, v = spec["operator"], spec.get("value")
+            if op in ("in", "not in"):
+                lst = ", ".join(_sql_literal(x) for x in v)
+                parts.append(f"{col} {op.upper()} ({lst})")
+            elif op in ("between", "not between"):
+                parts.append(f"{col} {op.upper()} {_sql_literal(v[0])} AND {_sql_literal(v[1])}")
+            elif op in ("is null", "is not null"):
+                parts.append(f"{col} {op.upper()}")
+            else:
+                parts.append(f"{col} {op} {_sql_literal(v)}")
+    return " AND ".join(parts)
+
+
+@pytest.fixture(scope="module")
+def lineitem_cached(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def duck_con():
+    return duck()
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(where=DSL)
+def test_dsl_differential(lineitem_cached, duck_con, where):
+    got = lineitem_cached.filter(compile_where(where)).count()
+    sql = f"SELECT count(*) FROM lineitem WHERE {_render_sql(where)}"
+    want = duck_con.execute(sql).fetchone()[0]
+    assert got == want, f"{where} -> spark={got} duck={want}"
+
+
+# --- merge invariants -------------------------------------------------------
+
+RECORDS = st.lists(
+    st.builds(
+        lambda k, name, bal: {"c_custkey": k, "c_name": name, "c_acctbal": bal},
+        st.integers(min_value=1, max_value=40),
+        st.one_of(st.none(), st.text(alphabet="abcXYZ", min_size=1, max_size=6)),
+        st.one_of(st.none(), st.floats(min_value=-100, max_value=100, allow_nan=False)),
+    ),
+    min_size=1,
+    max_size=6,
+    unique_by=lambda r: r["c_custkey"],
+)
+
+
+@pytest.fixture(scope="module")
+def customer_small(spark):
+    df = spark.read.parquet(f"{SF_DIR}/customer.parquet").limit(20).cache()
+    df.count()
+    return df
+
+
+def _snapshot(df):
+    return sorted(map(str, (tuple(r) for r in df.collect())))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(records=RECORDS)
+def test_upsert_idempotent_and_null_preserving(spark, customer_small, records):
+    src = spark.createDataFrame(
+        records, "c_custkey bigint, c_name string, c_acctbal double"
+    )
+    once = upsert_merge(customer_small, src, ["c_custkey"])
+    twice = upsert_merge(once, src, ["c_custkey"])
+    assert _snapshot(once) == _snapshot(twice)  # idempotence
+
+    before = {r.c_custkey: r for r in customer_small.collect()}
+    after = {r.c_custkey: r for r in once.collect()}
+    for rec in records:
+        k = rec["c_custkey"]
+        if k in before:
+            # null-preservation: None in source must not clobber
+            for col in ("c_name", "c_acctbal"):
+                if rec[col] is None:
+                    assert getattr(after[k], col) == getattr(before[k], col)
+                else:
+                    assert getattr(after[k], col) == rec[col] or (
+                        isinstance(rec[col], float)
+                        and abs(getattr(after[k], col) - rec[col]) < 1e-9
+                    )
+        else:
+            assert k in after  # inserted
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(records=RECORDS)
+def test_upsert_overwrite_clobbers(spark, customer_small, records):
+    src = spark.createDataFrame(
+        records, "c_custkey bigint, c_name string, c_acctbal double"
+    )
+    out = {
+        r.c_custkey: r
+        for r in upsert_merge(
+            customer_small, src, ["c_custkey"], overwrite_with_null=True
+        ).collect()
+    }
+    for rec in records:
+        got = out[rec["c_custkey"]]
+        assert got.c_name == rec["c_name"]
