@@ -59,3 +59,31 @@ def int_cosine(qa: Column, qb: Column) -> Column:
     norms, one correctly-rounded sqrt/div each — bit-identical across
     engines."""
     return int_dot(qa, qb) / (F.sqrt(int_dot(qa, qa)) * F.sqrt(int_dot(qb, qb)))
+
+
+def pair_dot_arrow() -> "Column":
+    """Arrow-vectorized dot product UDF for pair-heavy workloads.
+
+    Spark's higher-order functions (``zip_with``/``aggregate``) evaluate
+    interpreted, per element, with boxing — fine for one vector per row,
+    ~30× too slow for millions of candidate pairs. This Pandas UDF
+    batches pairs through Arrow and hits BLAS via ``np.einsum``.
+    Determinism is preserved for quantized inputs: every product and
+    partial sum of 1e-6-quantized 64-dim vectors is an exact integer
+    < 2^53, so float64 accumulation order cannot change the result —
+    output is bit-identical to the expression path and the DuckDB oracle.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's signature inference rejects
+    def _dot(a, b):
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.values)
+        B = np.stack(b.values)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return pandas_udf(_dot, "double")

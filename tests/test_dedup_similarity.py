@@ -133,6 +133,12 @@ def test_embedding_neardup_lsh_vs_exact(emb):
         assert len(lsh) / len(exact) > 0.1
 
 
+def test_embedding_neardup_degenerate_inputs(emb):
+    # empty corpus and single row must not crash the matmul path
+    assert DD.embedding_neardup_pairs(emb.limit(0), threshold=0.5).count() == 0
+    assert DD.embedding_neardup_pairs(emb.limit(1), threshold=0.0).count() == 0
+
+
 def test_cosine_topk_self_is_first(emb):
     q = emb.orderBy("vec_id").first()
     top = SIM.cosine_topk(emb, q.embedding, k=5).collect()
