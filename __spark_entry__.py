@@ -492,6 +492,54 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_sessionize(spark, sf):
+    """Sessionization (the lag+cumsum pattern): a new session starts when
+    a user's inter-event gap exceeds 30 minutes. One window shuffle on
+    user_id; the same logic streams via session_window in Structured
+    Streaming."""
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    new_s = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(new_s)
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_idx"),
+    )
+
+
+SQL_SESSIONIZE = """
+SELECT event_id, user_id,
+       CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+FROM (
+  SELECT event_id, user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 30 * 60 * 1000000
+              OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events)
+"""
+
+
+def q_bpe_tokens(spark, sf):
+    """BPE-ish sub-word token counting (regex word/digit/symbol pieces)."""
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", F.size(TX.bpe_ish_tokens("text")).cast("long").alias("n_pieces")
+    )
+
+
+SQL_BPE_TOKENS = rf"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '{TX.BPE_ISH_PATTERN}')) AS BIGINT) AS n_pieces
+FROM documents
+"""
+
+
 def q_incremental_merge(spark, sf):
     """ST1-ST5: overlapping date-window extracts replayed through the
     null-preserving merge must converge to the plain union window."""
@@ -944,6 +992,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "date_window": (q_date_window, SQL_DATE_WINDOW),
     "tumbling_counts": (q_tumbling_counts, SQL_TUMBLING_COUNTS),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
     "incremental_merge": (q_incremental_merge, SQL_INCREMENTAL_MERGE),
     "upsert_nullpreserve": (q_upsert_nullpreserve, SQL_UPSERT_NULLPRESERVE),
     "upsert_overwrite": (q_upsert_overwrite, SQL_UPSERT_OVERWRITE),

@@ -104,6 +104,7 @@ class Engine:
     schema: str = "public"
     pk_registry: dict[str, list[str]] = field(default_factory=dict)
     _attached: dict[str, str] = field(default_factory=dict)
+    _jdbc: dict[str, dict] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         if self.warehouse_dir:
@@ -119,6 +120,34 @@ class Engine:
         """Register an external parquet dataset as a named (read-only)
         table."""
         self._attached[table_name] = path
+
+    def attach_jdbc(
+        self,
+        table_name: str,
+        url: str,
+        dbtable: str | None = None,
+        partition_column: str | None = None,
+        num_partitions: int = 8,
+        lower_bound: int | None = None,
+        upper_bound: int | None = None,
+        **options: str,
+    ) -> None:
+        """Register a JDBC-backed table (the reference's actual Postgres
+        backend — ``create_engine(url)``, ``main.py:41-45``). Spark's JDBC
+        source pushes projections/filters server-side; supply
+        ``partition_column`` + bounds for partition-parallel reads (the
+        JDBC analog of our REST id-partitioning). Requires the JDBC
+        driver jar on the classpath — not present in this container, so
+        this wires options only."""
+        opts = {"url": url, "dbtable": dbtable or table_name, **options}
+        if partition_column:
+            opts.update(
+                partitionColumn=partition_column,
+                numPartitions=str(num_partitions),
+                lowerBound=str(lower_bound or 0),
+                upperBound=str(upper_bound or 1_000_000),
+            )
+        self._jdbc[table_name] = opts
 
     def attach_dir(self, directory: str) -> list[str]:
         """Attach every ``<name>.parquet`` under a directory (the test
@@ -143,6 +172,8 @@ class Engine:
             return read_parquet(self.spark, str(mp / "current"))
         if table_name in self._attached:
             return read_parquet(self.spark, self._attached[table_name])
+        if table_name in self._jdbc:
+            return self.spark.read.format("jdbc").options(**self._jdbc[table_name]).load()
         if self.spark.catalog.tableExists(table_name):
             return self.spark.table(table_name)
         raise KeyError(f"table {table_name!r} not found")
@@ -152,6 +183,7 @@ class Engine:
         return (
             self._managed_path(table_name) is not None
             or table_name in self._attached
+            or table_name in self._jdbc
             or self.spark.catalog.tableExists(table_name)
         )
 
@@ -166,7 +198,7 @@ class Engine:
             if self.warehouse_dir and Path(self.warehouse_dir).exists()
             else []
         )
-        return sorted(set(managed) | set(self._attached))
+        return sorted(set(managed) | set(self._attached) | set(self._jdbc))
 
     def get_views(self, schema: str | None = None) -> list[str]:
         """S6 (``main.py:85-86``) — temp/global views in the Spark catalog."""

@@ -39,19 +39,15 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
 def bpe_ish_tokens(col: Column | str) -> Column:
     """A BPE-ish sub-word segmentation via regex: word pieces, digit runs,
     and single non-space symbols — the cheap token-count proxy used when a
     real tokenizer isn't on the cluster."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.expr(
-        f"filter(regexp_extract_all({_sql(c)}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0), x -> x != '')"
-    )
-
-
-def _sql(c: Column) -> str:
-    # Render a column reference for use inside F.expr fragments.
-    return c._jc.toString()  # type: ignore[attr-defined]
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
 
 
 def token_count(col: Column | str) -> Column:
