@@ -303,6 +303,77 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_rollup(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_cube(spark, sf):
+    od = _t(spark, sf, "orders")
+    return od.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_pivot(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+SQL_PIVOT = """
+SELECT l_returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_distinct_counts(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp"),
+    )
+
+
+SQL_DISTINCT_COUNTS = """
+SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT (l_partkey, l_suppkey)) AS BIGINT) AS n_part_supp
+FROM lineitem
+"""
+
+
+def q_approx_distinct(spark, sf):
+    """HyperLogLog++ approximate distinct — engine-specific sketch, so
+    rows-only (the exact twin is q_distinct_counts)."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9))").alias("price_pcts"),
+    )
+
+
 def q_join_q3(spark, sf):
     cu, od, li = (_t(spark, sf, n) for n in ("customer", "orders", "lineitem"))
     return (
@@ -980,6 +1051,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "count_star": (q_count_star, SQL_COUNT_STAR),
     "table_size_profile": (q_table_size_profile, SQL_TABLE_SIZE_PROFILE),
     "groupby_q1": (q_groupby_q1, SQL_GROUPBY_Q1),
+    "rollup": (q_rollup, SQL_ROLLUP),
+    "cube": (q_cube, SQL_CUBE),
+    "pivot": (q_pivot, SQL_PIVOT),
+    "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
     "join_q3": (q_join_q3, SQL_JOIN_Q3),
     "join_q5": (q_join_q5, SQL_JOIN_Q5),
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
@@ -1012,6 +1087,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rest_extract": (q_rest_extract, SQL_REST_EXTRACT),
     # rows-only (probabilistic / iterative / UDF-backed — no SQL oracle)
     "rest_writeback": (q_rest_writeback, None),
+    "approx_distinct": (q_approx_distinct, None),
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "ivf_ann": (q_ivf_ann, None),
