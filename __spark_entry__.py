@@ -611,6 +611,54 @@ FROM documents
 """
 
 
+def q_asof_join(spark, sf):
+    """As-of join (union+window form, one shuffle): each event picks up
+    the latest hourly per-type rate at or before its timestamp."""
+    from revtron_utils_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    rates = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("rate_ts"))
+        .agg(F.round(F.avg("value"), 6).alias("rate"))
+    )
+    joined = asof_join(ev, rates, on="event_type", left_ts="ts", right_ts="rate_ts")
+    return joined.select("event_id", F.col("rate_r").alias("rate"))
+
+
+SQL_ASOF_JOIN = """
+WITH rates AS (
+  SELECT event_type, date_trunc('hour', ts) AS rate_ts, ROUND(AVG(value), 6) AS rate
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, r.rate
+FROM events e ASOF LEFT JOIN rates r
+  ON e.event_type = r.event_type AND e.ts >= r.rate_ts
+"""
+
+
+def q_range_join(spark, sf):
+    """Range (interval containment) join via bucketized equi-join."""
+    from revtron_utils_spark.operators.asof import interval_join
+
+    ev = _t(spark, sf, "events")
+    bands = spark.range(0, 8).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 50.0).alias("lo"),
+        (F.col("id") * 50.0 + 50.0).alias("hi"),
+    )
+    return interval_join(ev, bands, "value", "lo", "hi", bucket_width=50.0).select(
+        "event_id", "band_id"
+    )
+
+
+SQL_RANGE_JOIN = """
+SELECT e.event_id, b.band_id
+FROM events e JOIN (
+  SELECT i AS band_id, i * 50.0 AS lo, i * 50.0 + 50.0 AS hi FROM range(8) t(i)
+) b ON e.value >= b.lo AND e.value < b.hi
+"""
+
+
 def q_incremental_merge(spark, sf):
     """ST1-ST5: overlapping date-window extracts replayed through the
     null-preserving merge must converge to the plain union window."""
@@ -1068,6 +1116,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "date_window": (q_date_window, SQL_DATE_WINDOW),
     "tumbling_counts": (q_tumbling_counts, SQL_TUMBLING_COUNTS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
     "incremental_merge": (q_incremental_merge, SQL_INCREMENTAL_MERGE),
     "upsert_nullpreserve": (q_upsert_nullpreserve, SQL_UPSERT_NULLPRESERVE),

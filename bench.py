@@ -28,6 +28,10 @@ HEADLINE = [
     "join_q3",
     "join_q5",
     "window_topk",
+    "rollup",
+    "sessionize",
+    "asof_join",
+    "range_join",
     "tumbling_counts",
     "incremental_merge",
     "upsert_nullpreserve",

@@ -104,7 +104,9 @@ class Engine:
     schema: str = "public"
     pk_registry: dict[str, list[str]] = field(default_factory=dict)
     _attached: dict[str, str] = field(default_factory=dict)
+    _attach_formats: dict[str, tuple] = field(default_factory=dict)
     _jdbc: dict[str, dict] = field(default_factory=dict)
+    _views: set = field(default_factory=set)
 
     def __post_init__(self) -> None:
         if self.warehouse_dir:
@@ -116,10 +118,23 @@ class Engine:
     # catalog (S2-S6)
     # ------------------------------------------------------------------ #
 
-    def attach(self, table_name: str, path: str) -> None:
-        """Register an external parquet dataset as a named (read-only)
-        table."""
-        self._attached[table_name] = path
+    def attach(self, table_name: str, path: str, format: str = "parquet", **options) -> None:
+        """Register an external dataset as a named (read-only) table.
+        Parquet is the native format; csv/json/orc ride Spark's built-in
+        sources (schema inference off by default in prod — pass
+        ``schema=...`` via options)."""
+        if format == "parquet" and not options:
+            self._attached[table_name] = path
+        else:
+            self._attached[table_name] = path
+            self._attach_formats[table_name] = (format, options)
+
+    def create_view(self, view_name: str, sql: str) -> None:
+        """Named view over engine SQL (listed by ``get_views`` — the
+        reference only enumerates views, ``main.py:85-86``; creating them
+        completes the surface)."""
+        self.execute_raw(sql).createOrReplaceTempView(view_name)
+        self._views.add(view_name)
 
     def attach_jdbc(
         self,
@@ -171,6 +186,13 @@ class Engine:
         if mp is not None:
             return read_parquet(self.spark, str(mp / "current"))
         if table_name in self._attached:
+            if table_name in self._attach_formats:
+                fmt, options = self._attach_formats[table_name]
+                return (
+                    self.spark.read.format(fmt)
+                    .options(**options)
+                    .load(self._attached[table_name])
+                )
             return read_parquet(self.spark, self._attached[table_name])
         if table_name in self._jdbc:
             return self.spark.read.format("jdbc").options(**self._jdbc[table_name]).load()
@@ -201,10 +223,11 @@ class Engine:
         return sorted(set(managed) | set(self._attached) | set(self._jdbc))
 
     def get_views(self, schema: str | None = None) -> list[str]:
-        """S6 (``main.py:85-86``) — temp/global views in the Spark catalog."""
-        return sorted(
-            t.name for t in self.spark.catalog.listTables() if t.tableType in ("TEMPORARY", "VIEW")
-        )
+        """S6 (``main.py:85-86``) — views created through this engine
+        (``execute_raw`` registers attached tables as temp views too, so
+        filtering the raw catalog listing would conflate tables and
+        views)."""
+        return sorted(self._views)
 
     def get_table_count(self, table_name: str) -> int:
         """A1 (``main.py:75-80``)."""

@@ -302,23 +302,31 @@ def minhash_lsh_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
-def _neardup_matmul(base: DataFrame, threshold: float) -> DataFrame:
+def _neardup_matmul(
+    base: DataFrame, threshold: float, tile_rows: int = 1_000_000
+) -> DataFrame:
     """All-pairs cosine ≥ threshold via broadcast matrix + per-partition
-    BLAS matmul. ``base`` columns: id, q (quantized array), nrm."""
+    BLAS matmul. ``base`` columns: id, q (quantized array), nrm.
+
+    Corpora larger than ``tile_rows`` are processed as broadcast TILES
+    (hash-sliced on id): each tile is collected, broadcast, matmul'd
+    against the full distributed corpus, and the per-tile results
+    unioned — driver and executor memory stay bounded by one tile
+    (~tile_rows × dim × 8 B) regardless of corpus size, at the cost of
+    scanning the left side once per tile."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import types as T
 
     spark = base.sparkSession
-    rows = base.select("id", "q", "nrm").collect()
     out_empty_schema = "id_a bigint, id_b bigint, cosine double"
-    if not rows:
+    n = base.count()
+    if n == 0:
         return spark.createDataFrame([], out_empty_schema)
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    R = np.stack([np.asarray(r["q"], dtype=np.float64) for r in rows])
-    nrm = np.array([r["nrm"] for r in rows], dtype=np.float64)
-    bc = spark.sparkContext.broadcast((ids, R, nrm))
+    n_tiles = max(1, math.ceil(n / tile_rows))
 
     out_schema = T.StructType(
         [
@@ -327,34 +335,52 @@ def _neardup_matmul(base: DataFrame, threshold: float) -> DataFrame:
             T.StructField("cosine", T.DoubleType(), True),
         ]
     )
-
-    def gen(batches):
-        b_ids, b_R, b_nrm = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            l_ids = pdf["id"].to_numpy(dtype=np.int64)
-            L = np.stack(pdf["q"].values)
-            l_nrm = pdf["nrm"].to_numpy(dtype=np.float64)
-            for lo in range(0, len(l_ids), 1024):  # bound the sim tile
-                sl = slice(lo, lo + 1024)
-                sims = (L[sl] @ b_R.T) / (l_nrm[sl][:, None] * b_nrm[None, :])
-                ii, jj = np.nonzero(sims >= threshold)
-                if len(ii) == 0:
-                    continue
-                ia = l_ids[sl][ii]
-                ib = b_ids[jj]
-                keep = ia < ib
-                yield pd.DataFrame(
-                    {"id_a": ia[keep], "id_b": ib[keep], "cosine": sims[ii, jj][keep]}
-                )
-
     par = spark.sparkContext.defaultParallelism
-    return (
-        base.repartition(par)
-        .mapInPandas(gen, out_schema)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-    )
+    if n_tiles > 1:
+        base = base.persist()
+
+    results = []
+    for t in range(n_tiles):
+        tile_df = (
+            base
+            if n_tiles == 1
+            else base.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(n_tiles)) == t)
+        )
+        rows = tile_df.select("id", "q", "nrm").collect()
+        if not rows:
+            continue
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        R = np.stack([np.asarray(r["q"], dtype=np.float64) for r in rows])
+        nrm = np.array([r["nrm"] for r in rows], dtype=np.float64)
+        bc = spark.sparkContext.broadcast((ids, R, nrm))
+
+        def gen(batches, _bc=bc):
+            b_ids, b_R, b_nrm = _bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                l_ids = pdf["id"].to_numpy(dtype=np.int64)
+                L = np.stack(pdf["q"].values)
+                l_nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+                for lo in range(0, len(l_ids), 1024):  # bound the sim tile
+                    sl = slice(lo, lo + 1024)
+                    sims = (L[sl] @ b_R.T) / (l_nrm[sl][:, None] * b_nrm[None, :])
+                    ii, jj = np.nonzero(sims >= threshold)
+                    if len(ii) == 0:
+                        continue
+                    ia = l_ids[sl][ii]
+                    ib = b_ids[jj]
+                    keep = ia < ib
+                    yield pd.DataFrame(
+                        {"id_a": ia[keep], "id_b": ib[keep], "cosine": sims[ii, jj][keep]}
+                    )
+
+        results.append(base.repartition(par).mapInPandas(gen, out_schema))
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 # ------------------------------------------------------------------ SimHash

@@ -133,6 +133,23 @@ def test_embedding_neardup_lsh_vs_exact(emb):
         assert len(lsh) / len(exact) > 0.1
 
 
+def test_neardup_tiled_matches_single_tile(emb):
+    """Forcing multiple broadcast tiles must give the identical pair set
+    (tiling changes memory shape, never results)."""
+    from revtron_utils_spark.operators.dedup import _neardup_matmul
+    from revtron_utils_spark.functions import vectors as VX
+
+    base = emb.select(
+        F.col("vec_id").alias("id"), VX.quantize("embedding").alias("q")
+    ).withColumn("nrm", F.sqrt(VX.int_dot(F.col("q"), F.col("q"))))
+    single = {(r.id_a, r.id_b, r.cosine) for r in _neardup_matmul(base, 0.3).collect()}
+    tiled = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in _neardup_matmul(base, 0.3, tile_rows=100).collect()
+    }
+    assert tiled == single and len(single) > 0
+
+
 def test_embedding_neardup_degenerate_inputs(emb):
     # empty corpus and single row must not crash the matmul path
     assert DD.embedding_neardup_pairs(emb.limit(0), threshold=0.5).count() == 0

@@ -178,6 +178,25 @@ def test_create_table_schema_evolution(engine):
     assert rows[0]["b"] is None
 
 
+def test_attach_csv_json(engine, spark, tmp_path):
+    df = engine.get_table("region")
+    df.write.option("header", "true").csv(str(tmp_path / "region_csv"))
+    df.write.json(str(tmp_path / "region_json"))
+    engine.attach("region_csv", str(tmp_path / "region_csv"), format="csv",
+                  header="true", inferSchema="true")
+    engine.attach("region_json", str(tmp_path / "region_json"), format="json")
+    assert engine.get_table_count("region_csv") == 5
+    assert engine.get_table_count("region_json") == 5
+    assert set(engine.get_table_columns("region_json")) == {"r_regionkey", "r_name"}
+
+
+def test_create_view_and_list(engine):
+    engine.create_view("big_orders", "SELECT * FROM orders WHERE o_totalprice > 100000")
+    assert "big_orders" in engine.get_views()
+    n = engine.execute_raw("SELECT count(*) AS n FROM big_orders").collect()[0].n
+    assert 0 < n < engine.get_table_count("orders")
+
+
 def test_timer_decorator(capsys):
     from revtron_utils_spark import timer
 
