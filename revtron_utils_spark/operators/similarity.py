@@ -154,6 +154,20 @@ class IVFIndex:
 
         assigned = df.withColumn("cluster_id", cls._nearest_centroid_expr(centroids, vec_col))
         assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(index_path)
+        # persist centroids with the index so it reopens across sessions
+        import json
+        from pathlib import Path
+
+        (Path(index_path) / "_centroids.json").write_text(json.dumps(centroids))
+        return cls(spark, index_path, centroids)
+
+    @classmethod
+    def load(cls, spark: SparkSession, index_path: str) -> "IVFIndex":
+        """Reopen a previously-built index (centroids travel with it)."""
+        import json
+        from pathlib import Path
+
+        centroids = json.loads((Path(index_path) / "_centroids.json").read_text())
         return cls(spark, index_path, centroids)
 
     def search(

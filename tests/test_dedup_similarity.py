@@ -177,6 +177,16 @@ def test_ivf_recall_vs_brute_force(emb, tmp_path):
     assert len(set(part) & set(brute)) >= 5
 
 
+def test_ivf_index_save_load(emb, tmp_path):
+    q = emb.orderBy("vec_id").first()
+    built = SIM.IVFIndex.build(emb, str(tmp_path / "ivf2"), n_clusters=4)
+    reopened = SIM.IVFIndex.load(emb.sparkSession, str(tmp_path / "ivf2"))
+    assert reopened.centroids == built.centroids
+    a = [r.vec_id for r in built.search(q.embedding, k=5, nprobe=4).collect()]
+    b = [r.vec_id for r in reopened.search(q.embedding, k=5, nprobe=4).collect()]
+    assert a == b
+
+
 def test_knn_join_blocked(emb):
     left = emb.limit(5)
     out = SIM.knn_join(left, emb, k=3, block_cols=("label",))

@@ -69,6 +69,42 @@ def test_soft_delete_merge(engine, spark):
     assert len(rows) == 9
 
 
+def test_streaming_windowed_agg_matches_batch(engine, spark, tmp_path):
+    """True readStream windowed aggregation (watermark + tumbling
+    window) must agree with the batch twin over a bounded input."""
+    ev = engine.get_table("events").select("ts", "event_type", "value")
+    src = str(tmp_path / "agg_src")
+    ev.write.parquet(src)
+
+    agg = (
+        spark.readStream.format("parquet")
+        .schema(ev.schema)
+        .load(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.ws, r.event_type): r.n for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    want = {
+        (r.ws, r.event_type): r.n
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+
+
 def test_stream_merge_foreachbatch(engine, spark, tmp_path):
     ev = engine.get_table("events").select("event_id", "ts", "user_id", "event_type", "value")
     src_dir = str(tmp_path / "stream_src")
