@@ -107,6 +107,8 @@ class Engine:
     _attach_formats: dict[str, tuple] = field(default_factory=dict)
     _jdbc: dict[str, dict] = field(default_factory=dict)
     _views: set = field(default_factory=set)
+    _catalog_version: int = 0
+    _registered_version: int = -1
 
     def __post_init__(self) -> None:
         if self.warehouse_dir:
@@ -123,11 +125,13 @@ class Engine:
         Parquet is the native format; csv/json/orc ride Spark's built-in
         sources (schema inference off by default in prod — pass
         ``schema=...`` via options)."""
+        self._attached[table_name] = path
         if format == "parquet" and not options:
-            self._attached[table_name] = path
+            # clear any stale format from a previous attach of this name
+            self._attach_formats.pop(table_name, None)
         else:
-            self._attached[table_name] = path
             self._attach_formats[table_name] = (format, options)
+        self._catalog_version += 1
 
     def create_view(self, view_name: str, sql: str) -> None:
         """Named view over engine SQL (listed by ``get_views`` — the
@@ -163,6 +167,7 @@ class Engine:
                 upperBound=str(upper_bound or 1_000_000),
             )
         self._jdbc[table_name] = opts
+        self._catalog_version += 1
 
     def attach_dir(self, directory: str) -> list[str]:
         """Attach every ``<name>.parquet`` under a directory (the test
@@ -273,9 +278,18 @@ class Engine:
     def execute_raw(self, query: str, as_dicts: bool = False) -> DataFrame | list[dict]:
         """S7 raw passthrough (``main.py:287-293``) — Spark SQL dialect.
         Attached/managed tables are exposed as temp views first so the SQL
-        can reference them by name."""
-        for name in self.get_tables():
-            self.get_table(name).createOrReplaceTempView(name)
+        can reference them by name. JDBC tables are NOT auto-registered
+        (their schema resolution connects eagerly, which would fail every
+        raw query when the driver jar/database is unavailable) — register
+        one explicitly via ``get_table(name).createOrReplaceTempView``
+        when needed. Registration is skipped when the catalog hasn't
+        changed since the last call."""
+        if self._catalog_version != self._registered_version:
+            for name in self.get_tables():
+                if name in self._jdbc:
+                    continue
+                self.get_table(name).createOrReplaceTempView(name)
+            self._registered_version = self._catalog_version
         df = self.spark.sql(query)
         if as_dicts:
             return [r.asDict(recursive=True) for r in df.collect()]
@@ -440,6 +454,8 @@ class Engine:
         transaction log (that's Delta/Iceberg territory) but safe against
         partial writes and read-while-write on local FS."""
         self._require_warehouse()
+        import os
+
         base = Path(self.warehouse_dir) / table_name
         base.mkdir(parents=True, exist_ok=True)
         tmp = base / f"v_{uuid.uuid4().hex[:12]}"
@@ -448,10 +464,16 @@ class Engine:
         old_target = None
         if current.is_symlink():
             old_target = current.resolve()
-            current.unlink()
-        elif current.exists():
+        elif current.exists():  # pre-symlink layout migration
             old_target = base / f"gone_{uuid.uuid4().hex[:6]}"
             current.rename(old_target)
-        current.symlink_to(tmp.name)
+        # atomic flip: build the new symlink under a temp name, then
+        # os.replace over 'current' — a crash leaves either the old or
+        # the new pointer, never a missing one
+        link_tmp = base / f".current_{uuid.uuid4().hex[:6]}"
+        link_tmp.symlink_to(tmp.name)
+        os.replace(link_tmp, current)
         if old_target and old_target.exists():
             shutil.rmtree(old_target, ignore_errors=True)
+        # any temp views registered over the old version dir are stale now
+        self._catalog_version += 1

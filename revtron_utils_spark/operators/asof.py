@@ -47,10 +47,14 @@ def asof_join(
 
     payload = [c for c in right.columns if c not in on and c != right_ts]
     l_tag = left.withColumn("__evt", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    # the whole right payload travels as ONE struct: `last(ignorenulls)`
+    # then skips only missing right rows, never a present row whose
+    # payload columns happen to be NULL (per-column carry would resurrect
+    # stale values and could mix columns from different right rows)
     r_tag = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("__payload"),
     ).withColumn("__evt", F.lit(0))
 
     all_cols = set(l_tag.columns) | set(r_tag.columns)
@@ -73,12 +77,13 @@ def asof_join(
             W.unboundedPreceding, 0
         )
 
-    carried = unioned
+    carried = unioned.withColumn(
+        "__carried", F.last(F.col("__payload"), ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__evt") == 1)
     for c in payload:
-        carried = carried.withColumn(
-            f"{c}{suffix}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
-        )
-    return carried.filter(F.col("__evt") == 1).drop("__evt", "__ts")
+        out = out.withColumn(f"{c}{suffix}", F.col("__carried").getField(c))
+    return out.drop("__evt", "__ts", "__payload", "__carried")
 
 
 def interval_join(
@@ -96,10 +101,9 @@ def interval_join(
     nested-loop theta join. Right intervals explode to every bucket they
     overlap — size ``bucket_width`` near the typical interval width so
     the fan-out stays O(1) per interval."""
-    lb = F.floor(F.col(value_col) / bucket_width).alias("__bucket")
-    l = left.withColumn("__bucket", lb)
+    l = left.withColumn("__lbucket", F.floor(F.col(value_col) / bucket_width))
     r = right.withColumn(
-        "__bucket",
+        "__rbucket",
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / bucket_width),
@@ -108,7 +112,11 @@ def interval_join(
             )
         ),
     )
-    joined = l.join(r, "__bucket", how).filter(
-        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    # containment lives IN the join condition (not a post-filter), so
+    # outer joins null-extend correctly instead of degrading to inner
+    cond = (
+        (F.col("__lbucket") == F.col("__rbucket"))
+        & (F.col(value_col) >= F.col(lo_col))
+        & (F.col(value_col) < F.col(hi_col))
     )
-    return joined.drop("__bucket")
+    return l.join(r, cond, how).drop("__lbucket", "__rbucket")

@@ -31,6 +31,31 @@ from ..functions import vectors as VX
 
 MERSENNE_P = (1 << 31) - 1  # 2^31-1, prime
 
+# Operators below persist() intermediates that feed self-joins (the join
+# would otherwise recompute an expensive projection on both sides). The
+# persisted frames are tracked here; long-lived drivers that call these
+# operators repeatedly should release_caches() between rounds.
+_PERSISTED: list = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    out = df.persist()
+    _PERSISTED.append(out)
+    return out
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate cached by dedup operators; returns
+    the number released."""
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
 
 def exact_dedup(
     df: DataFrame,
@@ -228,7 +253,7 @@ def minhash_lsh_pairs(
     shingled = shingled.filter(F.size("shingles") > 0)
     # materialize signatures once — the candidate self-join would otherwise
     # recompute the (expensive) shingle+minhash projection on both sides
-    shingled = shingled.persist()
+    shingled = _persist(shingled)
 
     # band keys only (id + 8-byte hash) ride through the explode and the
     # candidate join — shingle arrays would inflate the shuffle ~16×;
@@ -337,7 +362,7 @@ def _neardup_matmul(
     )
     par = spark.sparkContext.defaultParallelism
     if n_tiles > 1:
-        base = base.persist()
+        base = _persist(base)
 
     results = []
     for t in range(n_tiles):
@@ -444,7 +469,7 @@ def simhash_pairs(
     hashed = df.select(F.col(id_col).alias("id"), sh_col.alias("sh"))
     # materialize once — the chunk self-join would recompute the hash on
     # both sides otherwise
-    hashed = hashed.persist()
+    hashed = _persist(hashed)
     chunked = hashed.select(
         "id",
         "sh",

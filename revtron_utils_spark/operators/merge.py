@@ -50,11 +50,31 @@ def _key_cond(keys: Sequence[str]) -> Column:
     )
 
 
+def dedupe_source(source: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Collapse duplicate-key source rows to one deterministic winner
+    (ordered by the remaining columns, last wins). A full-outer merge
+    against a source with repeated keys would otherwise MULTIPLY target
+    rows — Postgres errors with 'cannot affect row a second time'; we
+    collapse instead so replayed/overlapping batches stay idempotent."""
+    from pyspark.sql import Window as W
+
+    keys = list(keys)
+    rest = [c for c in source.columns if c not in keys]
+    order = [F.col(c).desc_nulls_last() for c in rest] or [F.lit(1)]
+    w = W.partitionBy(*keys).orderBy(*order)
+    return (
+        source.withColumn("__rvt_rn", F.row_number().over(w))
+        .filter(F.col("__rvt_rn") == 1)
+        .drop("__rvt_rn")
+    )
+
+
 def upsert_merge(
     target: DataFrame,
     source: DataFrame,
     keys: Sequence[str],
     overwrite_with_null: bool = False,
+    dedupe: bool = True,
 ) -> DataFrame:
     """Merge ``source`` into ``target`` on ``keys``.
 
@@ -64,6 +84,10 @@ def upsert_merge(
     target rows pass through. Source columns missing from the target are
     added (additive schema evolution, NULL for pre-existing rows), and
     target columns missing from the source survive untouched.
+
+    ``dedupe`` (default) collapses duplicate source keys first — see
+    :func:`dedupe_source`; pass ``dedupe=False`` only when the source is
+    provably key-unique and the extra window matters.
     """
     keys = list(keys)
     if not keys:
@@ -71,6 +95,8 @@ def upsert_merge(
     for k in keys:
         if k not in target.columns or k not in source.columns:
             raise MergeKeyError(f"key column {k!r} missing from target or source")
+    if dedupe:
+        source = dedupe_source(source, keys)
 
     t = target.withColumn(_T_MARK, F.lit(1)).alias("t")
     s = source.withColumn(_S_MARK, F.lit(1)).alias("s")
@@ -115,6 +141,7 @@ def keyed_update(
     target: DataFrame,
     source: DataFrame,
     on: str | Sequence[str],
+    dedupe: bool = True,
 ) -> DataFrame:
     """Bulk keyed UPDATE: for target rows whose ``on`` key matches a source
     row, overwrite the source-provided columns (NULLs write through —
@@ -122,11 +149,15 @@ def keyed_update(
 
     Mirrors ``Database.update`` (``main.py:250-269``) including multi-column
     ``on`` keys. The reference renames key fields to ``_<col>`` bindparams
-    (main.py:260-266) — an SQL-text artifact we don't need.
+    (main.py:260-266) — an SQL-text artifact we don't need. Duplicate
+    source keys collapse deterministically (``dedupe``) — a left join
+    against repeated keys would multiply target rows.
     """
     on = [on] if isinstance(on, str) else list(on)
     if not on:
         raise MergeKeyError("update requires at least one 'on' column")
+    if dedupe:
+        source = dedupe_source(source, on)
     set_cols = [c for c in source.columns if c not in on]
 
     t = target.alias("t")

@@ -32,6 +32,14 @@ def salted_join(
     small enough to replicate ×salt (typical dim-table skew). Identical
     output to ``left.join(right, on, how)``."""
     on = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        # right/full outer would surface each unmatched right row once
+        # PER SALT REPLICA (up to `salt` duplicates) — refuse rather than
+        # silently break the identity contract
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi joins, not {how!r}: "
+            "the replicated right side would duplicate unmatched right rows"
+        )
     l = left.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
     r = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -136,20 +136,33 @@ def stream_merge(
     ``availableNow`` so tests drive it to completion synchronously;
     a production deployment changes only the trigger and source format.
     """
+    # NOTE: no stream-level dropDuplicates(keys) here — that would treat a
+    # key's LATER UPDATE as a duplicate and silently drop it (and, with
+    # the event-time column absent from the subset, grow dedup state
+    # unboundedly). The keyed merge below is already idempotent; within a
+    # micro-batch, duplicate keys collapse to the newest row by event
+    # time before merging.
     stream = (
         spark.readStream.format("parquet")
         .schema(schema)
         .option("maxFilesPerTrigger", "8")
         .load(source_dir)
         .withWatermark(date_field, watermark)
-        .dropDuplicates(list(keys))
     )
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*keys).orderBy(F.col(date_field).desc())
+        newest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         if not engine.check_table_exists(target_table):
-            engine.save_table(target_table, batch_df.limit(0), primary_key=list(keys))
+            engine.save_table(target_table, newest.limit(0), primary_key=list(keys))
         target = engine.get_table(target_table)
-        merged = merge_with_soft_delete(target, batch_df, keys, delete_col or "__none__")
+        merged = merge_with_soft_delete(target, newest, keys, delete_col or "__none__")
         engine.save_table(target_table, merged, primary_key=list(keys))
 
     writer = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True)

@@ -83,7 +83,16 @@ def _sessionize_fn(gap_us: int):
                 cur = (cur[0], max(cur[1], t), cur[2] + 1)
         if cur is not None:
             state.update(cur)
-            state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000)  # ms
+            # clamp: late events can put end+gap at/behind the watermark,
+            # and setTimeoutTimestamp raises (killing the query) for any
+            # timestamp <= watermark — push it just past instead so the
+            # session closes on the next watermark advance
+            timeout_ms = cur[1] // 1000 + gap_us // 1000
+            try:
+                wm_ms = state.getCurrentWatermarkMs()
+            except Exception:
+                wm_ms = 0
+            state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1000))  # ms
         if closed:
             # single frame per group: one yield — emitting one frame per
             # closed session proved lossy (only the last survived)

@@ -70,6 +70,27 @@ def test_asof_preserves_left_rowcount(engine, spark):
     assert "rate_r" in joined.columns
 
 
+def test_asof_null_payload_not_resurrected(spark):
+    """A matched right row whose payload is NULL must yield NULL, not a
+    stale older value (DuckDB ASOF semantics)."""
+    ev = spark.createDataFrame([(1, "k1", "2024-01-01 10:30:00")], ["id", "k", "ts_s"]).select(
+        "id", "k", F.to_timestamp("ts_s").alias("ts")
+    )
+    rates = spark.createDataFrame(
+        [("k1", "2024-01-01 09:00:00", 5.0), ("k1", "2024-01-01 10:00:00", None)],
+        ["k", "rts_s", "rate"],
+    ).select("k", F.to_timestamp("rts_s").alias("rts"), F.col("rate").cast("double"))
+    out = asof_join(ev, rates, on="k", left_ts="ts", right_ts="rts").collect()
+    assert out[0].rate_r is None  # the 10:00 row matched; its NULL stands
+
+
+def test_interval_join_left_outer_null_extends(spark):
+    vals = spark.createDataFrame([(1, 10.0), (2, 999.0)], ["id", "v"])
+    bands = spark.createDataFrame([(0, 0.0, 50.0)], ["band", "lo", "hi"])
+    out = {r.id: r.band for r in interval_join(vals, bands, "v", "lo", "hi", 50.0, how="left").collect()}
+    assert out == {1: 0, 2: None}  # unmatched left row survives with NULL
+
+
 def test_interval_join_boundaries(spark):
     vals = spark.createDataFrame(
         [(1, 0.0), (2, 49.999), (3, 50.0), (4, 149.999), (5, 200.0)], ["id", "v"]

@@ -120,6 +120,53 @@ def test_upsert_idempotent(managed_customer):
     assert snap1 == snap2
 
 
+def test_upsert_duplicate_source_keys_collapse(managed_customer):
+    """A source with repeated keys must not multiply target rows
+    (Postgres errors; we collapse deterministically)."""
+    eng = managed_customer
+    before = eng.get_table_count("mcustomer")
+    some_key = min(r["c_custkey"] for r in eng.get("mcustomer", as_dicts=True))
+    eng.upsert(
+        "mcustomer",
+        [
+            {"c_custkey": some_key, "c_name": "A"},
+            {"c_custkey": some_key, "c_name": "B"},
+        ],
+    )
+    assert eng.get_table_count("mcustomer") == before
+    after = {r["c_custkey"]: r for r in eng.get("mcustomer", as_dicts=True)}
+    assert after[some_key]["c_name"] in ("A", "B")
+
+
+def test_update_duplicate_source_keys_no_multiply(managed_customer):
+    eng = managed_customer
+    before = eng.get_table_count("mcustomer")
+    some_key = min(r["c_custkey"] for r in eng.get("mcustomer", as_dicts=True))
+    eng.update(
+        "mcustomer",
+        [{"c_custkey": some_key, "c_name": "X"}, {"c_custkey": some_key, "c_name": "Y"}],
+        on="c_custkey",
+    )
+    assert eng.get_table_count("mcustomer") == before
+
+
+def test_reattach_clears_format(engine, tmp_path):
+    df = engine.get_table("region")
+    df.write.option("header", "true").csv(str(tmp_path / "r_csv"))
+    df.write.parquet(str(tmp_path / "r_pq"))
+    engine.attach("swap", str(tmp_path / "r_csv"), format="csv", header="true", inferSchema="true")
+    assert engine.get_table_count("swap") == 5
+    engine.attach("swap", str(tmp_path / "r_pq"))  # re-attach as plain parquet
+    assert engine.get_table_count("swap") == 5
+    assert set(engine.get_table_columns("swap")) == {"r_regionkey", "r_name"}
+
+
+def test_execute_raw_works_with_jdbc_attached(engine):
+    engine.attach_jdbc("pg_x", url="jdbc:postgresql://nowhere/db")
+    n = engine.execute_raw("SELECT count(*) AS n FROM region").collect()[0].n
+    assert n == 5
+
+
 def test_upsert_requires_pk(engine):
     from revtron_utils_spark import MergeKeyError
 

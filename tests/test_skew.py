@@ -67,6 +67,15 @@ def test_salted_agg_matches_plain(engine):
         assert salted[k][2] == plain[k][2] and salted[k][3] == plain[k][3]
 
 
+def test_salted_join_rejects_right_outer(engine):
+    import pytest
+
+    cu = engine.get_table("customer").select(F.col("c_custkey").alias("k"))
+    od = engine.get_table("orders").select(F.col("o_custkey").alias("k"))
+    with pytest.raises(ValueError, match="duplicate"):
+        salted_join(cu, od, "k", how="full")
+
+
 def test_salted_agg_rejects_nondecomposable(engine):
     import pytest
 

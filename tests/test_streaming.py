@@ -69,6 +69,40 @@ def test_soft_delete_merge(engine, spark):
     assert len(rows) == 9
 
 
+def test_stream_merge_later_update_wins(engine, spark, tmp_path):
+    """Regression: stream-level dropDuplicates(keys) used to discard a
+    key's later update. The newest row by event time must land."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    src = str(tmp_path / "upd_src")
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 10.0)], ["event_id", "ts_s", "value"]
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "value"
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [(1, "2024-01-02 10:00:00", 99.0)], ["event_id", "ts_s", "value"]
+    ).select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), "value"
+    ).write.mode("append").parquet(src)
+
+    q = stream_merge(
+        spark, src, schema, engine, "upd_target", keys=["event_id"],
+        date_field="ts", checkpoint_dir=str(tmp_path / "upd_ck"),
+    )
+    q.awaitTermination(120)
+    rows = engine.get("upd_target", as_dicts=True)
+    assert len(rows) == 1
+    assert rows[0]["value"] == 99.0  # the update, not the original
+
+
 def test_streaming_windowed_agg_matches_batch(engine, spark, tmp_path):
     """True readStream windowed aggregation (watermark + tumbling
     window) must agree with the batch twin over a bounded input."""
