@@ -103,6 +103,7 @@ class Engine:
     warehouse_dir: str | None = None
     schema: str = "public"
     pk_registry: dict[str, list[str]] = field(default_factory=dict)
+    default_registry: dict[str, dict] = field(default_factory=dict)
     _attached: dict[str, str] = field(default_factory=dict)
     _attach_formats: dict[str, tuple] = field(default_factory=dict)
     _jdbc: dict[str, dict] = field(default_factory=dict)
@@ -264,7 +265,10 @@ class Engine:
         if columns:
             df = df.select(*columns)
         if sort_by is not None:
-            df = df.orderBy(F.col(sort_by).asc() if ascending else F.col(sort_by).desc())
+            sort_cols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            df = df.orderBy(
+                *[(F.col(c).asc() if ascending else F.col(c).desc()) for c in sort_cols]
+            )
         if offset:
             df = df.offset(offset)
         if limit is not None:
@@ -348,6 +352,9 @@ class Engine:
         pk = list(primary_key or [c.name for c in cols if c.primary_key])
         if pk:
             self.pk_registry[table_name] = pk
+        defaults = {c.name: c.default for c in cols if c.default is not None}
+        if defaults:
+            self.default_registry.setdefault(table_name, {}).update(defaults)
 
         if self.check_table_exists(table_name) and self._managed_path(table_name):
             existing = self.get_table(table_name)
@@ -397,7 +404,13 @@ class Engine:
             )
         source = self._as_df(data, like=self.get_table(table_name))
         target = self.get_table(table_name)
-        merged = upsert_merge(target, source, pk, overwrite_with_null=overwrite_with_null)
+        merged = upsert_merge(
+            target,
+            source,
+            pk,
+            overwrite_with_null=overwrite_with_null,
+            insert_defaults=self.default_registry.get(table_name),
+        )
         self._write_managed(table_name, merged)
         if return_keys:
             keys = [r.asDict() for r in affected_keys(source, pk).collect()]

@@ -75,6 +75,7 @@ def upsert_merge(
     keys: Sequence[str],
     overwrite_with_null: bool = False,
     dedupe: bool = True,
+    insert_defaults: dict | None = None,
 ) -> DataFrame:
     """Merge ``source`` into ``target`` on ``keys``.
 
@@ -129,7 +130,16 @@ def upsert_merge(
                 .alias(c)
             )
         elif in_t:
-            out_cols.append(F.col(f"t.{c}").alias(c))
+            default = (insert_defaults or {}).get(c)
+            if default is not None:
+                # column absent from the source: newly inserted rows take
+                # the declared default (Postgres column-default parity);
+                # existing rows keep their value
+                out_cols.append(
+                    F.when(t_present, F.col(f"t.{c}")).otherwise(F.lit(default)).alias(c)
+                )
+            else:
+                out_cols.append(F.col(f"t.{c}").alias(c))
         else:
             out_cols.append(
                 F.when(s_present, F.col(f"s.{c}")).otherwise(F.lit(None)).alias(c)

@@ -207,6 +207,39 @@ def test_delete_where(engine):
     assert engine.get_table_count("mevents") == total - want_deleted
 
 
+def test_insert_defaults_applied(engine):
+    from revtron_utils_spark import ColumnModel
+
+    engine.create_table(
+        "with_defaults",
+        [
+            ColumnModel("id", "bigint", primary_key=True),
+            ColumnModel("status", "string", default="new"),
+            ColumnModel("score", "double"),
+        ],
+    )
+    engine.upsert("with_defaults", {"id": 1})  # status/score omitted
+    row = engine.get("with_defaults", as_dicts=True)[0]
+    assert row["status"] == "new"  # declared default applied on insert
+    assert row["score"] is None  # no default -> NULL
+    # an update must NOT re-apply the default over an existing value
+    engine.upsert("with_defaults", {"id": 1, "score": 2.5})
+    row = engine.get("with_defaults", as_dicts=True)[0]
+    assert row["status"] == "new" and row["score"] == 2.5
+
+
+def test_multi_column_sort(engine):
+    rows = engine.get(
+        "lineitem",
+        columns=["l_returnflag", "l_quantity"],
+        sort_by=["l_returnflag", "l_quantity"],
+        limit=20,
+        as_dicts=True,
+    )
+    pairs = [(r["l_returnflag"], r["l_quantity"]) for r in rows]
+    assert pairs == sorted(pairs)
+
+
 def test_create_table_schema_evolution(engine):
     from revtron_utils_spark import ColumnModel
 
