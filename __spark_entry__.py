@@ -480,6 +480,110 @@ FROM events
 """
 
 
+def q_window_running(spark, sf):
+    """Running (cumulative) revenue per customer over order date."""
+    od = _t(spark, sf, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return od.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT o_orderkey, o_custkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+def q_window_rank_ntile(spark, sf):
+    """dense_rank + ntile over the same ordering (deterministic: unique
+    tiebreaker)."""
+    od = _t(spark, sf, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return od.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+SQL_WINDOW_RANK_NTILE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS drank,
+       CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+FROM orders
+"""
+
+
+def q_vocab_df(spark, sf):
+    """Corpus vocabulary with document frequency and total term count —
+    the explode-aggregate pattern (one shuffle on the term)."""
+    docs = _t(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok"))
+    return toks.groupBy(F.lower("tok").alias("term")).agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_count"),
+    )
+
+
+SQL_VOCAB_DF = r"""
+SELECT lower(tok) AS term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+       CAST(count(*) AS BIGINT) AS total_count
+FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+GROUP BY 1
+"""
+
+
+def q_tfidf_top_term(spark, sf):
+    """Each document's highest-scoring term by a log-free tf-idf variant
+    (tf × N/df — rational arithmetic, engine-deterministic; log() is not
+    correctly-rounded across libms so it can't be oracle-hashed)."""
+    docs = _t(spark, sf, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("tok")).select(
+        "doc_id", F.lower("tok").alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "score", F.round(F.col("tf") * F.lit(float(n_docs)) / F.col("df"), 6)
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", "score")
+    )
+
+
+SQL_TFIDF_TOP_TERM = r"""
+WITH toks AS (
+  SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * (SELECT CAST(count(*) AS DOUBLE) FROM documents) / df.df, 6) AS score
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM scored
+) WHERE rn = 1
+"""
+
+
 def q_set_ops(spark, sf):
     cu, od = _t(spark, sf, "customer"), _t(spark, sf, "orders")
     building = cu.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -1109,6 +1213,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "window_topk": (q_window_topk, SQL_WINDOW_TOPK),
     "window_lag": (q_window_lag, SQL_WINDOW_LAG),
+    "window_running": (q_window_running, SQL_WINDOW_RUNNING),
+    "window_rank_ntile": (q_window_rank_ntile, SQL_WINDOW_RANK_NTILE),
+    "vocab_df": (q_vocab_df, SQL_VOCAB_DF),
+    "tfidf_top_term": (q_tfidf_top_term, SQL_TFIDF_TOP_TERM),
     "set_ops": (q_set_ops, SQL_SET_OPS),
     "union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
     "raw_sql": (q_raw_sql, RAW_SQL),
