@@ -667,6 +667,42 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_profile(spark, sf):
+    """Single-pass per-column profile (exact distincts so the oracle can
+    check it; production default is HLL++)."""
+    from revtron_utils_spark.operators.profile import profile_table
+
+    li = _t(spark, sf, "lineitem").select("l_quantity", "l_returnflag", "l_shipdate")
+    return profile_table(li, approx_distinct=False)
+
+
+SQL_PROFILE = """
+SELECT 'l_quantity' AS column, 'double' AS dtype, 'numeric' AS stat_kind,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       ROUND(CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS null_rate,
+       CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min, CAST(MAX(l_quantity) AS DOUBLE) AS max,
+       ROUND(AVG(l_quantity), 6) AS mean
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', 'string', 'string_len', CAST(count(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       ROUND(CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6),
+       CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+       CAST(MIN(length(l_returnflag)) AS DOUBLE), CAST(MAX(length(l_returnflag)) AS DOUBLE),
+       CAST(NULL AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', 'timestamp', 'other', CAST(count(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       ROUND(CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6),
+       CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM lineitem
+"""
+
+
 def q_sessionize(spark, sf):
     """Sessionization (the lag+cumsum pattern): a new session starts when
     a user's inter-event gap exceeds 30 minutes. One window shuffle on
@@ -1202,6 +1238,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sort_limit_offset": (q_sort_limit_offset, SQL_SORT_LIMIT_OFFSET),
     "count_star": (q_count_star, SQL_COUNT_STAR),
     "table_size_profile": (q_table_size_profile, SQL_TABLE_SIZE_PROFILE),
+    "profile": (q_profile, SQL_PROFILE),
     "groupby_q1": (q_groupby_q1, SQL_GROUPBY_Q1),
     "rollup": (q_rollup, SQL_ROLLUP),
     "cube": (q_cube, SQL_CUBE),

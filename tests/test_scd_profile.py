@@ -1,0 +1,86 @@
+"""SCD2 merge semantics (insert/close/reopen, point-in-time snapshots)
+and single-pass table profiling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from revtron_utils_spark.operators.profile import profile_table
+from revtron_utils_spark.operators.scd import asof_snapshot, scd2_init, scd2_merge
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, city string, tier string")
+
+
+def test_scd2_lifecycle(spark):
+    t0 = scd2_init(_batch(spark, [(1, "nyc", "gold"), (2, "sfo", "silver")]), ["id"], "2024-01-01")
+    assert t0.count() == 2 and t0.filter("is_current").count() == 2
+
+    # batch 2: id=1 changes city, id=2 unchanged, id=3 new
+    t1 = scd2_merge(
+        t0,
+        _batch(spark, [(1, "lax", "gold"), (2, "sfo", "silver"), (3, "chi", "bronze")]),
+        ["id"],
+        "2024-02-01",
+    )
+    rows = {(r.id, r.is_current): r for r in t1.collect()}
+    assert len(rows) == 4  # closed v1 of id=1, open v2, open id=2, open id=3
+    assert rows[(1, False)].city == "nyc"
+    assert str(rows[(1, False)].effective_to).startswith("2024-02-01")
+    assert rows[(1, True)].city == "lax" and rows[(1, True)].effective_to is None
+    assert rows[(2, True)].effective_from == rows[(2, True)].effective_from  # untouched
+    assert rows[(3, True)].city == "chi"
+
+    # batch 3: id=1 reverts to nyc → another version
+    t2 = scd2_merge(t1, _batch(spark, [(1, "nyc", "gold")]), ["id"], "2024-03-01")
+    id1 = sorted(
+        [r for r in t2.collect() if r.id == 1], key=lambda r: str(r.effective_from)
+    )
+    assert [r.city for r in id1] == ["nyc", "lax", "nyc"]
+    assert [r.is_current for r in id1] == [False, False, True]
+
+    # point-in-time snapshots
+    jan = {r.id: r.city for r in asof_snapshot(t2, "2024-01-15").collect()}
+    feb = {r.id: r.city for r in asof_snapshot(t2, "2024-02-15").collect()}
+    assert jan == {1: "nyc", 2: "sfo"}
+    assert feb == {1: "lax", 2: "sfo", 3: "chi"}
+
+
+def test_scd2_null_safe_change_detection(spark):
+    t0 = scd2_init(_batch(spark, [(1, None, "gold")]), ["id"], "2024-01-01")
+    # same NULL city → no new version
+    t1 = scd2_merge(t0, _batch(spark, [(1, None, "gold")]), ["id"], "2024-02-01")
+    assert t1.count() == 1
+    # NULL → value IS a change
+    t2 = scd2_merge(t1, _batch(spark, [(1, "nyc", "gold")]), ["id"], "2024-03-01")
+    assert t2.count() == 2
+
+
+def test_scd2_duplicate_batch_keys_collapse(spark):
+    t0 = scd2_init(_batch(spark, [(1, "nyc", "gold")]), ["id"], "2024-01-01")
+    t1 = scd2_merge(
+        t0, _batch(spark, [(1, "lax", "gold"), (1, "chi", "gold")]), ["id"], "2024-02-01"
+    )
+    assert t1.filter("id = 1 AND is_current").count() == 1
+
+
+def test_profile_table(engine):
+    li = engine.get_table("lineitem")
+    prof = {r.column: r for r in profile_table(li, approx_distinct=False).collect()}
+    assert prof["l_quantity"].stat_kind == "numeric"
+    assert prof["l_quantity"].n_nulls == 0 and prof["l_quantity"].null_rate == 0.0
+    assert 1 <= prof["l_quantity"].min <= prof["l_quantity"].max <= 50
+    assert prof["l_returnflag"].stat_kind == "string_len"
+    assert prof["l_returnflag"].n_distinct == 3
+    assert prof["l_shipdate"].stat_kind == "other"
+    assert prof["l_quantity"].n_rows == li.count()
+
+
+def test_profile_approx_close_to_exact(engine):
+    od = engine.get_table("orders")
+    exact = {r.column: r.n_distinct for r in profile_table(od, approx_distinct=False).collect()}
+    approx = {r.column: r.n_distinct for r in profile_table(od, approx_distinct=True).collect()}
+    for c in exact:
+        if exact[c]:
+            assert abs(approx[c] - exact[c]) / exact[c] < 0.15
