@@ -74,6 +74,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _STOPWORDS_SQL = "('" + "','".join(TX.STOPWORDS) + "')"
+_MARKER_SQL = {lang: "('" + "','".join(ms) + "')" for lang, ms in TX.LANG_MARKERS.items()}
 _QUANT = "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000))"
 
 
@@ -598,6 +599,101 @@ SELECT o_custkey FROM orders
 """
 
 
+def q_except(spark, sf):
+    """EXCEPT (distinct): customers with a finished order but no open one.
+    (Reference exposes set ops only via raw-SQL passthrough,
+    revtron/database/main.py:287-293; Spark's `subtract` is first-class.)"""
+    od = _t(spark, sf, "orders")
+    fin = od.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    opn = od.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return fin.subtract(opn)
+
+
+SQL_EXCEPT = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_null_ordering(spark, sf):
+    """Explicit NULLS FIRST ordering over a derived nullable column —
+    null-sort parity across engines."""
+    ev = _t(spark, sf, "events")
+    v = F.when(F.col("value") > 300, None).otherwise(F.col("value")).alias("v")
+    return (
+        ev.select("event_id", v)
+        .orderBy(F.col("v").asc_nulls_first(), "event_id")
+        .limit(50)
+    )
+
+
+SQL_NULL_ORDERING = """
+SELECT event_id, CASE WHEN value > 300 THEN NULL ELSE value END AS v
+FROM events ORDER BY v ASC NULLS FIRST, event_id LIMIT 50
+"""
+
+
+def q_curation_pipeline(spark, sf):
+    """The north-star story end-to-end: dedup (planted copies) → quality
+    gate → language gate → token accounting, composed from the engine's
+    operators in one plan."""
+    allv = _docs_with_planted_dups(spark, sf)
+    deduped = DD.exact_dedup(allv, "text", "doc_id")
+    scored = deduped.select(
+        "doc_id",
+        "text",
+        TX.quality_score("text").alias("quality"),
+        TX.lang_id("text").alias("lang_pred"),
+        TX.token_count("text").cast("long").alias("n_tokens"),
+    )
+    return scored.filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en")).select(
+        "doc_id", "quality", "n_tokens"
+    )
+
+
+SQL_CURATION_PIPELINE = rf"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+), deduped AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                              ORDER BY doc_id) AS rn
+    FROM all_docs) WHERE rn = 1
+), toks AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t FROM deduped
+), scored AS (
+  SELECT doc_id,
+    ROUND((
+      LEAST(length(text) / 200.0, 1.0)
+      + LEAST((CAST(len(list_filter(t, x -> lower(x) IN {_STOPWORDS_SQL})) AS DOUBLE)
+               / GREATEST(len(t), 1)) * 4.0, 1.0)
+      + GREATEST(0.0, 1.0 - (CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE)
+               / GREATEST(length(text), 1)) * 4.0)
+    ) / 3.0, 6) AS quality,
+    len(list_filter(t, x -> lower(x) IN {_MARKER_SQL['de']})) AS s_de,
+    len(list_filter(t, x -> lower(x) IN {_MARKER_SQL['en']})) AS s_en,
+    len(list_filter(t, x -> lower(x) IN {_MARKER_SQL['es']})) AS s_es,
+    len(list_filter(t, x -> lower(x) IN {_MARKER_SQL['fr']})) AS s_fr,
+    CAST(len(t) AS BIGINT) AS n_tokens
+  FROM toks
+), flagged AS (
+  SELECT doc_id, quality, n_tokens,
+    CASE WHEN s_de > 0 AND s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+         WHEN s_en > 0 AND s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+         WHEN s_es > 0 AND s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+         WHEN s_fr > 0 AND s_fr = GREATEST(s_de, s_en, s_es, s_fr) THEN 'fr'
+         ELSE 'und' END AS lang_pred
+  FROM scored
+)
+SELECT doc_id, quality, n_tokens FROM flagged
+WHERE quality >= 0.5 AND lang_pred = 'en'
+"""
+
+
 def q_union_distinct(spark, sf):
     na, rg = _t(spark, sf, "nation"), _t(spark, sf, "region")
     return (
@@ -983,11 +1079,6 @@ FROM t
 """
 
 
-_MARKER_SQL = {
-    lang: "('" + "','".join(ms) + "')" for lang, ms in TX.LANG_MARKERS.items()
-}
-
-
 def q_lang_id(spark, sf):
     docs = _t(spark, sf, "documents")
     return docs.select("doc_id", TX.lang_id("text").alias("lang_pred"))
@@ -1256,6 +1347,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tfidf_top_term": (q_tfidf_top_term, SQL_TFIDF_TOP_TERM),
     "set_ops": (q_set_ops, SQL_SET_OPS),
     "union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
+    "except": (q_except, SQL_EXCEPT),
+    "null_ordering": (q_null_ordering, SQL_NULL_ORDERING),
+    "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "raw_sql": (q_raw_sql, RAW_SQL),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "date_window": (q_date_window, SQL_DATE_WINDOW),
