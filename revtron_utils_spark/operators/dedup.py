@@ -486,25 +486,23 @@ def simhash_pairs(
         ).alias("c"),
     ).select("id", "sh", "c.chunk", "c.ckey")
     l, r = chunked.alias("l"), chunked.alias("r")
-    cand = (
+    # verify (one xor+bit_count per candidate) BEFORE the pair-dedup: the
+    # hamming filter is join-local and free inside codegen, while
+    # dropDuplicates is a shuffle — dedup only the surviving pairs
+    return (
         l.join(
             r,
             (F.col("l.chunk") == F.col("r.chunk"))
             & (F.col("l.ckey") == F.col("r.ckey"))
-            & (F.col("l.id") < F.col("r.id")),
+            & (F.col("l.id") < F.col("r.id"))
+            & (TX.hamming64(F.col("l.sh"), F.col("r.sh")) <= max_hamming),
         )
         .select(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
+            TX.hamming64(F.col("l.sh"), F.col("r.sh")).alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn("hamming", TX.hamming64(F.col("sh_a"), F.col("sh_b")))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 
