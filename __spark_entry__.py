@@ -365,6 +365,97 @@ FROM lineitem
 """
 
 
+def q_stats_moments(spark, sf):
+    """Second-moment statistics per group (stddev/variance/correlation/
+    covariance) — the statistical-profile layer of table profiling.
+    (Reference computes only count/min/max, salesforce/main.py:195.)"""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
+    )
+
+
+SQL_STATS_MOMENTS = """
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+       ROUND(VAR_SAMP(l_extendedprice), 2) AS var_price,
+       ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(COVAR_SAMP(l_quantity, l_discount), 4) AS cov_qty_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_percentiles(spark, sf):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.25), 2).alias("p25"),
+        F.round(F.percentile("l_extendedprice", 0.5), 2).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.75), 2).alias("p75"),
+        F.round(F.percentile("l_extendedprice", 0.99), 2).alias("p99"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 2) AS p25,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 2) AS p50,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 2) AS p75,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 2) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_conditional_agg(spark, sf):
+    """Filtered/conditional aggregation (CASE-gated sums and counts) —
+    map-side combinable, no extra pass per condition."""
+    od = _t(spark, sf, "orders")
+    big = F.when(F.col("o_totalprice") > 150000, 1)
+    fprice = F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+    return od.groupBy("o_orderpriority").agg(
+        F.count(big).alias("n_big"),
+        F.round(F.avg(fprice), 2).alias("avg_f_price"),
+        F.round(F.sum(fprice), 2).alias("sum_f_price"),
+    )
+
+
+SQL_CONDITIONAL_AGG = """
+SELECT o_orderpriority,
+       CAST(COUNT(CASE WHEN o_totalprice > 150000 THEN 1 END) AS BIGINT) AS n_big,
+       ROUND(AVG(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS avg_f_price,
+       ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS sum_f_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_value_histogram(spark, sf):
+    """Fixed-width binning over a metric column — distribution profiling
+    for pipeline data-quality dashboards."""
+    ev = _t(spark, sf, "events")
+    binc = F.floor(F.col("value") / 100).cast("long").alias("bin")
+    return (
+        ev.groupBy(binc)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT CAST(FLOOR(value / 100) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(value), 6) AS lo,
+       ROUND(MAX(value), 6) AS hi
+FROM events GROUP BY 1
+"""
+
+
 def q_approx_distinct(spark, sf):
     """HyperLogLog++ approximate distinct — engine-specific sketch, so
     rows-only (the exact twin is q_distinct_counts)."""
@@ -1335,6 +1426,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cube": (q_cube, SQL_CUBE),
     "pivot": (q_pivot, SQL_PIVOT),
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
+    "stats_moments": (q_stats_moments, SQL_STATS_MOMENTS),
+    "percentiles": (q_percentiles, SQL_PERCENTILES),
+    "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
+    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "join_q3": (q_join_q3, SQL_JOIN_Q3),
     "join_q5": (q_join_q5, SQL_JOIN_Q5),
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
