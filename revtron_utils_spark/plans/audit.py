@@ -30,6 +30,7 @@ def formatted_plan(df: DataFrame) -> str:
 class PlanFacts:
     text: str
     pushed_filters: list[str] = field(default_factory=list)
+    partition_filters: list[str] = field(default_factory=list)
     read_schemas: list[str] = field(default_factory=list)
     has_broadcast_join: bool = False
     has_sort_merge_join: bool = False
@@ -46,10 +47,16 @@ class PlanFacts:
             for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text)
             if m.group(1).strip()
         ]
+        part = [
+            m.group(1).strip()
+            for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", text)
+            if m.group(1).strip()
+        ]
         schemas = [m.group(1).strip() for m in re.finditer(r"ReadSchema: (.+)", text)]
         return cls(
             text=text,
             pushed_filters=pushed,
+            partition_filters=part,
             read_schemas=schemas,
             has_broadcast_join="BroadcastHashJoin" in text,
             has_sort_merge_join="SortMergeJoin" in text,
