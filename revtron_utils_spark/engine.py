@@ -104,6 +104,8 @@ class Engine:
     schema: str = "public"
     pk_registry: dict[str, list[str]] = field(default_factory=dict)
     default_registry: dict[str, dict] = field(default_factory=dict)
+    unique_registry: dict[str, list[list[str]]] = field(default_factory=dict)
+    index_registry: dict[str, list[str]] = field(default_factory=dict)
     _attached: dict[str, str] = field(default_factory=dict)
     _attach_formats: dict[str, tuple] = field(default_factory=dict)
     _jdbc: dict[str, dict] = field(default_factory=dict)
@@ -341,17 +343,34 @@ class Engine:
         table_name: str,
         columns: Sequence[ColumnModel | dict],
         primary_key: Sequence[str] | None = None,
+        unique_columns: Sequence[str] | None = None,
+        indexes: Sequence[str] | None = None,
     ) -> None:
         """Create a managed table; if it exists, diff declared vs existing
         columns and add the missing ones (additive evolution — the
         reference issues one ALTER per column, ``main.py:129-140``; we diff
-        once and rewrite once)."""
+        once and rewrite once).
+
+        ``unique_columns`` / ``indexes`` mirror the reference signature
+        (``main.py:118-127``: UniqueConstraint / Index per column). Spark
+        enforces neither, so uniques are recorded and checked on demand
+        (``validate_unique``) and indexes become a *layout hint*: managed
+        writes sort within partitions on the indexed columns, which makes
+        parquet row-group min/max stats selective — the scan-pruning
+        analog of a B-tree index."""
         self._require_warehouse()
         cols = [c if isinstance(c, ColumnModel) else ColumnModel(**c) for c in columns]
         declared = T.StructType([c.to_field() for c in cols])
         pk = list(primary_key or [c.name for c in cols if c.primary_key])
         if pk:
             self.pk_registry[table_name] = pk
+        for uc in unique_columns or []:
+            entry = [uc] if isinstance(uc, str) else list(uc)
+            if entry not in self.unique_registry.setdefault(table_name, []):
+                self.unique_registry[table_name].append(entry)
+        if indexes:
+            merged_idx = self.index_registry.setdefault(table_name, [])
+            merged_idx += [c for c in indexes if c not in merged_idx]
         defaults = {c.name: c.default for c in cols if c.default is not None}
         if defaults:
             self.default_registry.setdefault(table_name, {}).update(defaults)
@@ -370,6 +389,28 @@ class Engine:
     def add_column(self, table_name: str, column: ColumnModel | dict) -> None:
         """Single-column ALTER analog (``main.py:172-189``)."""
         self.create_table(table_name, [column])
+
+    def validate_unique(self, table_name: str) -> dict[str, int]:
+        """Check declared unique constraints (and the PK) distributively;
+        returns ``{constraint: duplicate-key-count}`` for violated ones.
+        The reference gets enforcement from Postgres; here it's an
+        explicit audit — run it after bulk loads."""
+        constraints: dict[str, list[str]] = {}
+        if table_name in self.pk_registry:
+            constraints["pk"] = self.pk_registry[table_name]
+        for cols in self.unique_registry.get(table_name, []):
+            constraints["unique:" + ",".join(cols)] = cols
+        out: dict[str, int] = {}
+        if not constraints:
+            return out
+        df = self.get_table(table_name)
+        for name, cols in constraints.items():
+            dups = (
+                df.groupBy(*cols).count().filter(F.col("count") > 1).count()
+            )
+            if dups:
+                out[name] = dups
+        return out
 
     def save_table(
         self, table_name: str, df: DataFrame, primary_key: Sequence[str] | None = None
@@ -472,6 +513,12 @@ class Engine:
         base = Path(self.warehouse_dir) / table_name
         base.mkdir(parents=True, exist_ok=True)
         tmp = base / f"v_{uuid.uuid4().hex[:12]}"
+        # index hint: cluster rows on the indexed columns so parquet
+        # row-group min/max stats prune point/range scans (see
+        # create_table); sortWithinPartitions is shuffle-free
+        idx = [c for c in self.index_registry.get(table_name, []) if c in df.columns]
+        if idx:
+            df = df.sortWithinPartitions(*idx)
         df.write.mode("overwrite").parquet(str(tmp))
         current = base / "current"
         old_target = None

@@ -258,6 +258,50 @@ def test_create_table_schema_evolution(engine):
     assert rows[0]["b"] is None
 
 
+def test_unique_constraints_and_index_layout(engine):
+    from revtron_utils_spark import ColumnModel
+
+    engine.create_table(
+        "uq",
+        [
+            ColumnModel("id", "bigint", primary_key=True),
+            ColumnModel("email", "string"),
+            ColumnModel("score", "double"),
+        ],
+        unique_columns=["email"],
+        indexes=["score"],
+    )
+    engine.upsert("uq", [{"id": 1, "email": "a@x"}, {"id": 2, "email": "b@x"}])
+    assert engine.validate_unique("uq") == {}
+    # bulk-load a duplicate email around the upsert path
+    dup = engine.get_table("uq").unionByName(
+        engine.spark.createDataFrame([(3, "a@x", 1.0)], engine.get_table("uq").schema)
+    )
+    engine.save_table("uq", dup)
+    violations = engine.validate_unique("uq")
+    assert violations == {"unique:email": 1}
+
+    # index hint: managed write sorts within partitions on `score`
+    import random
+
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    rng = random.Random(7)
+    rows = [(i, f"u{i}@x", rng.uniform(0, 1000)) for i in range(200)]
+    big = engine.spark.createDataFrame(rows, engine.get_table("uq").schema).repartition(2)
+    engine.save_table("uq", big)
+    path = Path(engine._managed_path("uq")) / "current"
+    files = sorted(path.resolve().glob("*.parquet"))
+    assert files
+    vals = []
+    for f in files:
+        t = pq.read_table(f, columns=["score"])
+        col = [v for v in t.column("score").to_pylist() if v is not None]
+        assert col == sorted(col)
+        vals += col
+
+
 def test_attach_csv_json(engine, spark, tmp_path):
     df = engine.get_table("region")
     df.write.option("header", "true").csv(str(tmp_path / "region_csv"))
