@@ -456,6 +456,53 @@ FROM events GROUP BY 1
 """
 
 
+def q_unpivot(spark, sf):
+    """Wide→long reshape (unpivot/melt) — the inverse of q_pivot.
+    (Reference exposes reshaping only via raw SQL, main.py:287-293.)"""
+    li = _t(spark, sf, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price"], "metric", "val"
+    )
+
+
+SQL_UNPIVOT = """
+WITH wide AS (
+  SELECT l_returnflag,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         ROUND(SUM(l_extendedprice), 2) AS sum_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, val
+FROM wide UNPIVOT (val FOR metric IN (sum_qty, sum_price))
+"""
+
+
+def q_date_parts(spark, sf):
+    """Calendar decomposition + per-(year, month) rollup of order volume
+    and revenue."""
+    od = _t(spark, sf, "orders")
+    return od.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+SQL_DATE_PARTS = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1, 2
+"""
+
+
 def q_approx_distinct(spark, sf):
     """HyperLogLog++ approximate distinct — engine-specific sketch, so
     rows-only (the exact twin is q_distinct_counts)."""
@@ -1430,6 +1477,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "percentiles": (q_percentiles, SQL_PERCENTILES),
     "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
+    "unpivot": (q_unpivot, SQL_UNPIVOT),
+    "date_parts": (q_date_parts, SQL_DATE_PARTS),
     "join_q3": (q_join_q3, SQL_JOIN_Q3),
     "join_q5": (q_join_q5, SQL_JOIN_Q5),
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
