@@ -390,13 +390,19 @@ FROM lineitem GROUP BY l_returnflag
 
 def q_percentiles(spark, sf):
     """Exact interpolated percentiles per group (Spark `percentile` ==
-    DuckDB `quantile_cont`)."""
+    DuckDB `quantile_cont`). One array-percentile aggregate — a single
+    sorted buffer per group — instead of four independent ones. When a
+    single group's values outgrow one reducer, switch to
+    `operators/quantiles.exact_quantiles` (histogram refinement — same
+    results, combinable stages; see its differential test)."""
     li = _t(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", 0.25), 2).alias("p25"),
-        F.round(F.percentile("l_extendedprice", 0.5), 2).alias("p50"),
-        F.round(F.percentile("l_extendedprice", 0.75), 2).alias("p75"),
-        F.round(F.percentile("l_extendedprice", 0.99), 2).alias("p99"),
+    pcts = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75, 0.99]))
+    return li.groupBy("l_returnflag").agg(pcts.alias("_p")).select(
+        "l_returnflag",
+        F.round(F.col("_p")[0], 2).alias("p25"),
+        F.round(F.col("_p")[1], 2).alias("p50"),
+        F.round(F.col("_p")[2], 2).alias("p75"),
+        F.round(F.col("_p")[3], 2).alias("p99"),
     )
 
 

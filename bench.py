@@ -42,6 +42,8 @@ HEADLINE = [
     "simhash_pairs",
     "cosine_topk",
     "cosine_neardup",
+    "percentiles",
+    "curation_pipeline",
 ]
 
 

@@ -1,0 +1,66 @@
+"""Differential tests for the histogram-refinement exact quantile
+operator: must equal Spark's built-in exact `percentile` (==
+quantile_cont) bit-for-bit-ish (1e-9) on assorted distributions."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from revtron_utils_spark.operators.quantiles import exact_quantiles
+
+PROBS = [0.0, 0.25, 0.5, 0.9, 1.0]
+
+
+def _check(spark, rows, by, probs=PROBS):
+    df = spark.createDataFrame(rows, "g string, v double")
+    mine = exact_quantiles(df, "v", probs, by=by)
+    names = [f"p{100 * p:g}".replace(".", "_") for p in probs]
+    ref = (
+        df.filter(F.col("v").isNotNull())
+        .groupBy(*by)
+        .agg(F.percentile("v", F.lit(probs)).alias("p"))
+    )
+    mine_map = {tuple(r[c] for c in by): [r[n] for n in names] for r in mine.collect()}
+    ref_map = {tuple(r[c] for c in by): list(r["p"]) for r in ref.collect()}
+    assert mine_map.keys() == ref_map.keys()
+    for k, exp in ref_map.items():
+        got = mine_map[k]
+        assert all(abs(a - b) < 1e-9 for a, b in zip(got, exp)), (k, got, exp)
+
+
+def test_uniform_groups(spark):
+    rng = random.Random(1)
+    rows = [(g, rng.uniform(-100, 100)) for g in "abc" for _ in range(500)]
+    _check(spark, rows, ["g"])
+
+
+def test_duplicate_heavy_and_singleton(spark):
+    rows = (
+        [("dup", 7.0)] * 400
+        + [("dup", 9.0)] * 100
+        + [("one", 42.0)]
+        + [("two", 1.0), ("two", 2.0)]
+    )
+    _check(spark, rows, ["g"])
+
+
+def test_constant_group_and_nulls(spark):
+    rows = [("const", 5.5)] * 50 + [("const", None)] * 5
+    _check(spark, rows, ["g"])
+
+
+def test_ungrouped(spark):
+    rng = random.Random(2)
+    rows = [("x", rng.gauss(0, 10)) for _ in range(1000)]
+    _check(spark, rows, [], probs=[0.5, 0.999])
+
+
+def test_fractional_interpolation(spark):
+    # n=4, p=0.5 → h=1.5: exactly between 2nd and 3rd sorted values
+    rows = [("g", v) for v in (10.0, 20.0, 40.0, 80.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = exact_quantiles(df, "v", [0.5], by=["g"]).collect()[0]
+    assert out["p50"] == pytest.approx(30.0, abs=1e-12)
