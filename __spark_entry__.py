@@ -462,6 +462,42 @@ FROM events GROUP BY 1
 """
 
 
+def q_data_quality(spark, sf):
+    """Declarative data-quality report — every rule evaluated in ONE
+    map-side-combinable aggregate pass (`operators/quality.py`)."""
+    from revtron_utils_spark.operators import quality as Q
+
+    li = _t(spark, sf, "lineitem")
+    return Q.check(
+        li,
+        [
+            Q.not_null("l_shipdate"),
+            Q.in_range("l_quantity", 1, 50),
+            Q.in_range("l_discount", 0.0, 0.1),
+            Q.accepted_values("l_returnflag", ["A", "N", "R"]),
+            Q.non_negative("l_tax"),
+        ],
+    )
+
+
+SQL_DATA_QUALITY = """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS BIGINT) AS r0,
+    CAST(COUNT(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE) THEN 1 END) AS BIGINT) AS r1,
+    CAST(COUNT(CASE WHEN NOT COALESCE(l_discount BETWEEN 0.0 AND 0.1, FALSE) THEN 1 END) AS BIGINT) AS r2,
+    CAST(COUNT(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE) THEN 1 END) AS BIGINT) AS r3,
+    CAST(COUNT(CASE WHEN NOT COALESCE(l_tax >= 0, FALSE) THEN 1 END) AS BIGINT) AS r4
+  FROM lineitem
+)
+SELECT 'not_null' AS rule, 'l_shipdate' AS column, r0 AS violations, n AS n_rows FROM agg
+UNION ALL SELECT 'in_range', 'l_quantity', r1, n FROM agg
+UNION ALL SELECT 'in_range', 'l_discount', r2, n FROM agg
+UNION ALL SELECT 'accepted_values', 'l_returnflag', r3, n FROM agg
+UNION ALL SELECT 'non_negative', 'l_tax', r4, n FROM agg
+"""
+
+
 def q_unpivot(spark, sf):
     """Wide→long reshape (unpivot/melt) — the inverse of q_pivot.
     (Reference exposes reshaping only via raw SQL, main.py:287-293.)"""
@@ -1484,6 +1520,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "unpivot": (q_unpivot, SQL_UNPIVOT),
+    "data_quality": (q_data_quality, SQL_DATA_QUALITY),
     "date_parts": (q_date_parts, SQL_DATE_PARTS),
     "join_q3": (q_join_q3, SQL_JOIN_Q3),
     "join_q5": (q_join_q5, SQL_JOIN_Q5),

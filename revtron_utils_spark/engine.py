@@ -106,6 +106,7 @@ class Engine:
     default_registry: dict[str, dict] = field(default_factory=dict)
     unique_registry: dict[str, list[list[str]]] = field(default_factory=dict)
     index_registry: dict[str, list[str]] = field(default_factory=dict)
+    fk_registry: dict[str, dict[str, str]] = field(default_factory=dict)
     _attached: dict[str, str] = field(default_factory=dict)
     _attach_formats: dict[str, tuple] = field(default_factory=dict)
     _jdbc: dict[str, dict] = field(default_factory=dict)
@@ -371,6 +372,9 @@ class Engine:
         if indexes:
             merged_idx = self.index_registry.setdefault(table_name, [])
             merged_idx += [c for c in indexes if c not in merged_idx]
+        for c in cols:
+            if c.foreign_key:
+                self.fk_registry.setdefault(table_name, {})[c.name] = c.foreign_key
         defaults = {c.name: c.default for c in cols if c.default is not None}
         if defaults:
             self.default_registry.setdefault(table_name, {}).update(defaults)
@@ -410,6 +414,22 @@ class Engine:
             )
             if dups:
                 out[name] = dups
+        return out
+
+    def validate_foreign_keys(self, table_name: str) -> dict[str, int]:
+        """Referential-integrity audit over the FKs declared via
+        ``ColumnModel.foreign_key`` ("parent_table.parent_column", the
+        SQLAlchemy ForeignKey string form — ``main.py:28-37``). Returns
+        ``{column: orphan-row-count}`` for violated references."""
+        from .operators.quality import fk_violations
+
+        out: dict[str, int] = {}
+        child = self.get_table(table_name)
+        for col, ref in self.fk_registry.get(table_name, {}).items():
+            parent_table, _, parent_col = ref.rpartition(".")
+            n = fk_violations(child, col, self.get_table(parent_table), parent_col)
+            if n:
+                out[col] = n
         return out
 
     def save_table(

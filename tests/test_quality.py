@@ -1,0 +1,73 @@
+"""Unit tests for the data-quality rule suite and FK audits."""
+
+from __future__ import annotations
+
+from revtron_utils_spark.operators import quality as Q
+
+
+def _report(df, rules):
+    return {
+        (r["rule"], r["column"]): (r["violations"], r["n_rows"])
+        for r in Q.check(df, rules).collect()
+    }
+
+
+def test_rules_single_pass_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "A", "a@x.io"),
+            (2, -5.0, "A", "bad"),
+            (3, None, "Z", None),
+            (None, 200.0, "B", "c@y.io"),
+        ],
+        "id bigint, amount double, code string, email string",
+    )
+    rep = _report(
+        df,
+        [
+            Q.not_null("id"),
+            Q.in_range("amount", 0.0, 100.0),
+            Q.accepted_values("code", ["A", "B"]),
+            Q.matches("email", r"^[^@]+@[^@]+$"),
+            Q.non_negative("amount"),
+        ],
+    )
+    assert rep[("not_null", "id")] == (1, 4)
+    # -5 out of range, 200 out of range, NULL counts as violation
+    assert rep[("in_range", "amount")] == (3, 4)
+    assert rep[("accepted_values", "code")] == (1, 4)
+    # "bad" fails the regex; NULL email is a violation too
+    assert rep[("matches", "email")] == (2, 4)
+    assert rep[("non_negative", "amount")] == (2, 4)
+
+
+def test_fk_violations(spark):
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k bigint")
+    child = spark.createDataFrame(
+        [(1,), (3,), (99,), (None,), (99,)], "fk bigint"
+    )
+    assert Q.fk_violations(child, "fk", parent, "k") == 2  # the two 99s; NULL exempt
+
+
+def test_engine_fk_registry_and_audit(engine):
+    from revtron_utils_spark import ColumnModel
+
+    engine.create_table(
+        "cities",
+        [
+            ColumnModel("city_id", "bigint", primary_key=True),
+            ColumnModel(
+                "region_key", "bigint", foreign_key="region.r_regionkey"
+            ),
+        ],
+    )
+    engine.upsert(
+        "cities",
+        [
+            {"city_id": 1, "region_key": 0},
+            {"city_id": 2, "region_key": 4},
+            {"city_id": 3, "region_key": 777},
+            {"city_id": 4, "region_key": None},
+        ],
+    )
+    assert engine.validate_foreign_keys("cities") == {"region_key": 1}
