@@ -76,6 +76,11 @@ def entry(spark: SparkSession) -> DataFrame:
 _STOPWORDS_SQL = "('" + "','".join(TX.STOPWORDS) + "')"
 _MARKER_SQL = {lang: "('" + "','".join(ms) + "')" for lang, ms in TX.LANG_MARKERS.items()}
 _QUANT = "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000))"
+from revtron_utils_spark.operators.curation import (  # noqa: E402
+    EMAIL_RE as CU_EMAIL_RE,
+    PHONE_RE as CU_PHONE_RE,
+    SSN_RE as CU_SSN_RE,
+)
 
 
 def q_flagship(spark, sf):
@@ -1381,6 +1386,253 @@ GROUP BY label, dim
 """
 
 
+def q_dedup_clusters(spark, sf):
+    """Transitive near-dup clustering: deterministic n-gram-Jaccard pairs
+    → distributed connected components (large-star/small-star) → every
+    doc labeled with its cluster representative. The oracle replays the
+    same edge set through a recursive-CTE reachability closure."""
+    from revtron_utils_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=("lang", "source"), shingle_n=3, threshold=0.2
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b", nodes=docs, node_col="doc_id")
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+SQL_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+           ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM (SELECT doc_id, lang, source, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+), f AS (SELECT * FROM t WHERE len(sh) > 0),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM f a JOIN f b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+)
+SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+"""
+
+
+_SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_train_test_split(spark, sf):
+    """Deterministic hash-based train/val/test assignment — stable under
+    corpus growth (a doc's split never changes when new docs arrive)."""
+    from revtron_utils_spark.operators import curation as CU
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    return CU.hash_split(docs, "doc_id", _SPLIT_W)
+
+
+def _sql_bucket(id_expr: str, seed: int = 0) -> str:
+    from revtron_utils_spark.operators.curation import HASH_MOD, HASH_MULT
+
+    return (
+        f"((((({id_expr}) % {HASH_MOD}) + {HASH_MOD}) % {HASH_MOD})"
+        f" * {HASH_MULT} + {seed}) % {HASH_MOD}"
+    )
+
+
+def _sql_split_expr() -> str:
+    from revtron_utils_spark.operators.curation import HASH_MOD
+
+    b = _sql_bucket("doc_id")
+    t_train = int(0.8 * HASH_MOD)
+    t_val = int(0.9 * HASH_MOD)
+    return (
+        f"CASE WHEN {b} < {t_train} THEN 'train' "
+        f"WHEN {b} < {t_val} THEN 'val' ELSE 'test' END"
+    )
+
+
+SQL_TRAIN_TEST_SPLIT = f"SELECT doc_id, {_sql_split_expr()} AS split FROM documents"
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic per-stratum sampling (hash-threshold analog of
+    sampleBy): urgent orders kept at 50%, others at 10%."""
+    from revtron_utils_spark.operators import curation as CU
+
+    od = _t(spark, sf, "orders")
+    out = CU.stratified_hash_sample(
+        od, "o_orderkey", "o_orderpriority", {"1-URGENT": 0.5}, default_fraction=0.1
+    )
+    return out.select("o_orderkey", "o_orderpriority")
+
+
+def _sql_stratified() -> str:
+    from revtron_utils_spark.operators.curation import HASH_MOD
+
+    b = _sql_bucket("o_orderkey")
+    return f"""
+SELECT o_orderkey, o_orderpriority FROM orders
+WHERE {b} < CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN {int(0.5 * HASH_MOD)} ELSE {int(0.1 * HASH_MOD)} END
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified()
+
+
+def q_doc_chunks(spark, sf):
+    """Sliding-window document chunking (64-token windows, stride 48) —
+    context-window prep; one generator expansion, no shuffle."""
+    from revtron_utils_spark.operators.curation import chunk_documents
+
+    docs = _t(spark, sf, "documents")
+    return chunk_documents(docs, chunk_tokens=64, stride=48).select(
+        "doc_id", "chunk_id", "n_tokens", F.md5("chunk_text").alias("chunk_md5")
+    )
+
+
+SQL_DOC_CHUNKS = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, range(1, GREATEST(len(toks), 1) + 1, 48) AS starts FROM t
+)
+SELECT doc_id,
+       CAST(generate_subscripts(starts, 1) - 1 AS BIGINT) AS chunk_id,
+       CAST(LEAST(len(toks) - unnest(starts) + 1, 64) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(toks, unnest(starts), unnest(starts) + 63), ' ')) AS chunk_md5
+FROM s
+"""
+
+
+def q_sequence_packing(spark, sf):
+    """Offset packing of documents into 512-token training sequences,
+    sharded by source (per-shard window — no global sort at scale)."""
+    from revtron_utils_spark.operators.curation import pack_sequences
+
+    docs = _t(spark, sf, "documents").select(
+        "source", "doc_id", TX.token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_tokens", budget=512, partition_cols=["source"]
+    ).select("source", "doc_id", "pack_id")
+
+
+SQL_SEQUENCE_PACKING = r"""
+SELECT source, doc_id,
+       CAST(FLOOR(COALESCE(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
+              OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS pack_id
+FROM documents
+"""
+
+
+def q_pii_scan(spark, sf):
+    """PII detection + redaction over documents with deterministically
+    planted emails/phones (every 10th doc) — counts per kind plus the
+    redacted text fingerprint."""
+    from revtron_utils_spark.operators import curation as CU
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    stats = CU.pii_stats(docs)
+    red = CU.pii_redact(stats)
+    return red.select("doc_id", "n_email", "n_phone", "n_ssn", F.md5("text").alias("red_md5"))
+
+
+SQL_PII_SCAN = rf"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{CU_EMAIL_RE}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{CU_PHONE_RE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{CU_SSN_RE}')) AS BIGINT) AS n_ssn,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{CU_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{CU_PHONE_RE}', '[PHONE]', 'g'),
+             '{CU_SSN_RE}', '[SSN]', 'g')) AS red_md5
+FROM planted
+"""
+
+
+def q_decontaminate(spark, sf):
+    """Eval-set decontamination: drop training docs sharing any word
+    8-gram with the eval slice (every 97th doc). Eval grams broadcast;
+    one scan of the train text."""
+    from revtron_utils_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, eval_df, ngram_n=8).select("doc_id")
+
+
+SQL_DECONTAMINATE = r"""
+WITH grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 8
+           THEN list_transform(range(1, len(toks) - 6),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                               toks[i+4], toks[i+5], toks[i+6], toks[i+7]))
+           ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+), ev AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+), contaminated AS (
+  SELECT DISTINCT t.doc_id FROM grams t JOIN ev ON t.g = ev.g
+)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+def q_correlated_avg(spark, sf):
+    """TPC-H Q17 shape: small-quantity orders vs the per-part average —
+    the correlated scalar subquery, decorrelated into a grouped join
+    (what Catalyst does to the SQL form internally)."""
+    li = _t(spark, sf, "lineitem")
+    pt = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#12")
+    thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("thr")
+    )
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(thr, li.l_partkey == thr.t_partkey)
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+SQL_CORRELATED_AVG = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#12'
+  AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
 # ------------------------------------------- rows-only (non-SQL-expressible)
 
 
@@ -1557,6 +1809,14 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
+    "pii_scan": (q_pii_scan, SQL_PII_SCAN),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "correlated_avg": (q_correlated_avg, SQL_CORRELATED_AVG),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),

@@ -1,0 +1,233 @@
+"""Training-data curation operators: deterministic splits and samples,
+document chunking, sequence packing, PII detection/redaction, and
+eval-set decontamination.
+
+These are the pipeline stages between "raw corpus" and "training ready"
+that the reference (an ETL utility belt over Postgres/Salesforce) never
+needed but a 100 TB text pipeline runs daily. Design rules:
+
+- **Determinism over randomness.** Splits/samples use a modular integer
+  hash of the row id, not ``rand()``: re-running the pipeline on the
+  same corpus yields byte-identical splits (and the DuckDB oracle can
+  reproduce them exactly). No seed-sensitivity across engines/versions.
+- **Narrow, shuffle-free where possible.** Split/sample/PII are pure
+  projections (whole-stage codegen, no exchange). Chunking is a single
+  generator expansion (``posexplode``). Packing is one window shuffle,
+  partitionable by a shard column so no global sort bottleneck exists.
+- **All SQL-expressible** — every operator here has a DuckDB oracle
+  twin in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+# Knuth's multiplicative constant reduced mod M; M prime < 2^30 so the
+# product of two residues stays far inside int64 (no ANSI overflow).
+HASH_MOD = 1_000_000_007
+HASH_MULT = 2_654_435_761 % HASH_MOD
+
+
+def id_hash(col: Column | str, seed: int = 0) -> Column:
+    """Deterministic uniform bucket in [0, HASH_MOD) from an integer id.
+
+    ``((id mod M) * C + seed) mod M`` — engine-portable arithmetic (plain
+    int64 multiply-mod), unlike md5-hex parsing or ``rand(seed)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    r = ((c.cast("long") % HASH_MOD) + HASH_MOD) % HASH_MOD
+    return (r * F.lit(HASH_MULT) + F.lit(seed)) % HASH_MOD
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by
+    deterministic id hash, proportional to ``weights``.
+
+    A pure projection: no shuffle, no sample() nondeterminism, stable
+    under corpus growth (a row's split never changes when other rows are
+    added — the property that keeps eval sets frozen across snapshots).
+    """
+    total = sum(weights.values())
+    bucket = id_hash(id_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = bucket < int(acc * HASH_MOD)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample by id hash (keep iff
+    ``bucket < fraction*M``). Repeatable, join-stable (the same ids are
+    kept in every table sampled with the same seed — so sampled fact and
+    dim tables still join)."""
+    return df.filter(id_hash(id_col, seed) < int(fraction * HASH_MOD))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the deterministic analog of
+    ``df.sampleBy``): each stratum keeps its own fraction. The
+    stratum→threshold map is folded into a CASE expression — no join,
+    no shuffle, still a pure scan."""
+    bucket = id_hash(id_col, seed)
+    thr = F.lit(int(default_fraction * HASH_MOD))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == value, int(frac * HASH_MOD)).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    out_text_col: str = "chunk_text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows —
+    context-window preparation for embedding/training jobs.
+
+    Chunk ``k`` covers tokens ``[1 + k*stride, 1 + k*stride +
+    chunk_tokens)``; windows start while ``start <= n_tokens`` so every
+    token lands in ≥1 chunk and short docs yield exactly one chunk.
+    One ``posexplode`` — a generator inside the scan stage, no shuffle.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    return (
+        df.withColumn("_toks", toks)
+        .select(
+            F.col(id_col),
+            F.posexplode(starts).alias("chunk_id", "_start"),
+            F.col("_toks"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice("_toks", F.col("_start"), F.lit(chunk_tokens))).alias(
+                out_text_col
+            ),
+            F.least(
+                F.size("_toks") - F.col("_start") + 1, F.lit(chunk_tokens)
+            ).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    budget: int,
+    partition_cols: list[str] | None = None,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences by
+    cumulative offset: ``pack = floor(cum_tokens_before / budget)`` in
+    ``order_col`` order.
+
+    Offset packing (the streaming concatenate-and-cut strategy used by
+    LLM data loaders) rather than bin packing: deterministic, one pass,
+    and SQL-expressible. Packs are per-partition when ``partition_cols``
+    is given — at 100 TB always shard first (e.g. by source file), since
+    an unpartitioned window is a single-reducer global sort.
+    """
+    w = W.partitionBy(*(partition_cols or [])).orderBy(order_col).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn(pack_col, F.floor(cum_before / budget).cast("long"))
+
+
+# --- PII ------------------------------------------------------------------
+
+# Conservative patterns valid in both Java regex (Spark) and RE2 (DuckDB):
+# no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+
+PII_PATTERNS: dict[str, str] = {"email": EMAIL_RE, "phone": PHONE_RE, "ssn": SSN_RE}
+
+
+def pii_stats(
+    df: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Per-row PII hit counts (one ``n_<kind>`` column per pattern) —
+    a pure projection used to route documents to redaction/quarantine."""
+    c = F.col(text_col)
+    out = df
+    for kind, pat in (patterns or PII_PATTERNS).items():
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("long")
+        )
+    return out
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace every PII match with a typed placeholder (``[EMAIL]``,
+    ``[PHONE]``, ...). Chained ``regexp_replace`` — JVM-side, codegen'd."""
+    c: Column = F.col(text_col)
+    for kind, pat in (patterns or PII_PATTERNS).items():
+        c = F.regexp_replace(c, pat, f"[{kind.upper()}]")
+    return df.withColumn(out_col or text_col, c)
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 8,
+) -> DataFrame:
+    """Remove training documents that share any word ``ngram_n``-gram
+    with the eval corpus — the standard benchmark-leakage guard.
+
+    Plan shape: eval n-grams are distinct-projected (tiny relative to
+    train) and broadcast; train side explodes its n-grams, semi-joins,
+    and the contaminated id set anti-joins back. Train text is scanned
+    once; the only shuffle is the distinct on contaminated ids.
+    """
+    from revtron_utils_spark.functions.text import word_ngrams
+
+    ev_grams = (
+        eval_df.select(F.explode(word_ngrams(text_col, ngram_n)).alias("g")).distinct()
+    )
+    tr_grams = train.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, ngram_n)).alias("g")
+    )
+    contaminated = (
+        tr_grams.join(F.broadcast(ev_grams), "g", "left_semi").select(id_col).distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")

@@ -1,0 +1,125 @@
+"""Distributed connected components — the transitive-closure step that
+turns pair-wise near-duplicate candidates (minhash/simhash/jaccard pairs)
+into whole dedup *clusters*.
+
+The reference has no graph surface at all (its dedup story is Postgres
+``ON CONFLICT`` upserts, revtron/database/main.py:88-117); at 100 TB the
+near-dup pair list is itself a multi-billion-edge graph, and "keep the
+smaller id of each pair" (one propagation round) under-merges any cluster
+that isn't star-shaped: a chain a-b, b-c leaves b and c both claiming
+different representatives.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+DataFrame joins + partial-aggregating ``groupBy``s. Converges in
+O(log^2 n) rounds on any graph (typically 2-4 on dedup graphs, whose
+components are small and dense). Each round is two shuffles on the node
+id; ``localCheckpoint`` truncates lineage so the plan doesn't grow with
+iterations (swap for ``checkpoint`` + a checkpoint dir on a real
+cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Drop self-loops, orient each undirected edge as (hi, lo), dedup."""
+    u, v = F.col("u"), F.col("v")
+    return (
+        edges.select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node, link every *strictly larger* neighbor to the
+    minimum of its neighborhood (including itself)."""
+    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node (edges oriented hi→lo), link all smaller-or-equal
+    neighbors — and the node itself — to the neighborhood minimum."""
+    e = edges.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = e.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_ = mins.select("u", F.col("m").alias("v"))
+    return nbr.unionByName(self_)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with the minimum node id of its connected
+    component. Returns ``(node, component)``.
+
+    ``edges`` is undirected (each pair listed once is enough).  ``nodes``
+    optionally supplies the full vertex set so isolated vertices appear
+    in the output with ``component == node``.
+
+    Convergence is detected by a (count, xor-of-hashes) checksum of the
+    canonical edge set — one cheap aggregate per round instead of a full
+    set comparison.
+    """
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    endpoints = e0.select("u").unionByName(e0.select(F.col("v").alias("u"))).distinct()
+    cur = _canon(e0)
+    prev_sig = None
+    for _ in range(max_iter):
+        cur = _canon(_small_star(_large_star(cur))).localCheckpoint(eager=True)
+        n, h = cur.agg(
+            F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
+        ).first()
+        sig = (n, h)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # at the fixpoint every edge is (member, root): the labels are the
+    # edges themselves plus a self-label per root
+    labels = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = cur.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    out = labels.unionByName(roots)
+    # vertices that only appeared in self-loops (dropped by _canon) or in
+    # the caller-supplied node set label themselves
+    all_nodes = endpoints.select(F.col("u").alias("node"))
+    if nodes is not None:
+        nc = node_col or nodes.columns[0]
+        all_nodes = all_nodes.unionByName(nodes.select(F.col(nc).alias("node"))).distinct()
+    isolated = all_nodes.join(out, "node", "left_anti").withColumn(
+        "component", F.col("node")
+    )
+    return out.unionByName(isolated)
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one representative (the minimum id) per connected cluster of
+    near-duplicate pairs — the exact transitive generalisation of
+    ``dedup.minhash_lsh_dedup``'s single-round heuristic."""
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,204 @@
+"""Tests for operators/graph.py (connected components) and
+operators/curation.py (split/sample/chunk/pack/PII/decontaminate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from revtron_utils_spark.operators import curation as C
+from revtron_utils_spark.operators.graph import cluster_dedup, connected_components
+
+
+# ---------------------------------------------------------------- graph
+
+
+def _cc_dict(spark, edges, **kw):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        r.node: r.component for r in connected_components(df, **kw).collect()
+    }
+
+
+def test_cc_chain_merges_transitively(spark):
+    # a-b, b-c, c-d is the case one-round "keep smaller of each pair"
+    # under-merges: the chain must collapse to a single component.
+    got = _cc_dict(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_cc_multiple_components_and_selfloops(spark):
+    got = _cc_dict(spark, [(5, 6), (6, 5), (7, 7), (10, 9), (20, 21)])
+    assert got[5] == 5 and got[6] == 5
+    assert got[9] == 9 and got[10] == 9
+    assert got[20] == 20 and got[21] == 20
+    # pure self-loop node still appears, as its own root
+    assert got[7] == 7
+
+
+def test_cc_long_path_converges(spark):
+    # path graph of 40 nodes: worst case for label propagation; the
+    # star-contraction rounds must still converge well under max_iter.
+    got = _cc_dict(spark, [(i, i + 1) for i in range(40)])
+    assert set(got.values()) == {0}
+    assert len(got) == 41
+
+
+def test_cc_isolated_nodes_via_node_set(spark):
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    nodes = spark.createDataFrame([(n,) for n in (1, 2, 3, 4)], ["id"])
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, nodes=nodes, node_col="id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4}
+
+
+def test_cc_against_networkx_style_union_find(spark):
+    # random-ish deterministic graph, checked against a python union-find
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {}
+    touched = {n for e in edges for n in e if e[0] != e[1]}
+    # min-id per component, only over nodes that have a real edge
+    comp_min: dict[int, int] = {}
+    for n in touched:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    for n in touched:
+        want[n] = comp_min[find(n)]
+    got = _cc_dict(spark, edges)
+    assert got == want
+
+
+def test_cluster_dedup_keeps_one_per_cluster(spark):
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(6)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 3), (3, 5), (1, 2)], ["id_a", "id_b"])
+    kept = sorted(r.doc_id for r in cluster_dedup(docs, pairs).collect())
+    assert kept == [0, 1, 4]
+
+
+# ------------------------------------------------------------- curation
+
+
+def test_hash_split_deterministic_and_partitions(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    out = C.hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 5000
+    assert 0.75 < counts["train"] / 5000 < 0.85
+    # stable across invocations
+    again = C.hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.exceptAll(again).count() == 0
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    small = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.9, "test": 0.1}
+    s = {r.doc_id: r.split for r in C.hash_split(small, "doc_id", w).collect()}
+    b = {r.doc_id: r.split for r in C.hash_split(big, "doc_id", w).collect()}
+    assert all(b[k] == v for k, v in s.items())
+
+
+def test_hash_sample_fraction_and_join_stability(spark):
+    df = spark.range(0, 10000).withColumnRenamed("id", "k")
+    kept = C.hash_sample(df, "k", 0.25, seed=3)
+    n = kept.count()
+    assert 0.2 * 10000 < n < 0.3 * 10000
+    # same ids survive when sampling a second table with the same seed
+    other = df.withColumn("payload", F.col("k") * 2)
+    kept2 = C.hash_sample(other, "k", 0.25, seed=3)
+    assert kept.join(kept2, "k").count() == n
+
+
+def test_stratified_hash_sample(spark):
+    df = spark.range(0, 8000).select(
+        F.col("id").alias("k"), (F.col("id") % 2 == 0).cast("string").alias("s")
+    )
+    out = C.stratified_hash_sample(df, "k", "s", {"true": 0.5, "false": 0.1})
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert 0.4 < counts["true"] / 4000 < 0.6
+    assert 0.05 < counts["false"] / 4000 < 0.15
+
+
+def test_chunk_documents_windows_and_coverage(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "a b c")], ["doc_id", "text"])
+    out = C.chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc1: starts 1, 49, 97 → 3 chunks; last has 100-97+1 = 4 tokens
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.n_tokens for r in c1] == [64, 52, 4]
+    assert c1[0].chunk_text.split()[0] == "t0"
+    assert c1[1].chunk_text.split()[0] == "t48"
+    # short doc → exactly one chunk with all tokens
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 3
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    rows = [(i, 30) for i in range(10)]  # 300 tokens, budget 100
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = {r.doc_id: r.pack_id for r in C.pack_sequences(df, "doc_id", "n_tokens", 100).collect()}
+    # cum_before: 0,30,60,90,120,... → packs 0,0,0,0,1,1,1,2,2,2
+    assert [out[i] for i in range(10)] == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
+
+
+def test_pack_sequences_partitioned(spark):
+    rows = [(s, i, 60) for s in ("a", "b") for i in range(4)]
+    df = spark.createDataFrame(rows, ["shard", "doc_id", "n_tokens"])
+    out = C.pack_sequences(df, "doc_id", "n_tokens", 100, partition_cols=["shard"])
+    packs = {(r.shard, r.doc_id): r.pack_id for r in out.collect()}
+    for s in ("a", "b"):
+        assert [packs[(s, i)] for i in range(4)] == [0, 0, 1, 1]
+
+
+def test_pii_stats_and_redact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.example.com or call 555-123-4567"),
+            (2, "ssn 123-45-6789 twice 123-45-6789"),
+            (3, "clean text"),
+        ],
+        ["doc_id", "text"],
+    )
+    stats = {r.doc_id: (r.n_email, r.n_phone, r.n_ssn) for r in C.pii_stats(df).collect()}
+    assert stats[1] == (1, 1, 0)
+    assert stats[2] == (0, 0, 2)
+    assert stats[3] == (0, 0, 0)
+    red = {r.doc_id: r.text for r in C.pii_redact(df).collect()}
+    assert "[EMAIL]" in red[1] and "[PHONE]" in red[1]
+    assert red[2].count("[SSN]") == 2
+    assert red[3] == "clean text"
+
+
+def test_decontaminate_removes_overlap(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [(1, base + " extra tail tokens here"), (2, "totally unrelated words " * 3)],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+    kept = sorted(r.doc_id for r in C.decontaminate(train, eval_df, ngram_n=8).collect())
+    assert kept == [2]
+
+
+def test_decontaminate_short_docs_survive(spark):
+    train = spark.createDataFrame([(1, "too short to have an 8gram")], ["doc_id", "text"])
+    eval_df = spark.createDataFrame([(2, "also short")], ["doc_id", "text"])
+    assert C.decontaminate(train, eval_df, ngram_n=8).count() == 1
