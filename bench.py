@@ -44,6 +44,13 @@ HEADLINE = [
     "cosine_neardup",
     "percentiles",
     "curation_pipeline",
+    "dedup_clusters",
+    "doc_chunks",
+    "sequence_packing",
+    "pii_scan",
+    "decontaminate",
+    "train_test_split",
+    "correlated_avg",
 ]
 
 

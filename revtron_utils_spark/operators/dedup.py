@@ -520,26 +520,56 @@ def ngram_jaccard_pairs(
     """Exact word-n-gram Jaccard pairs, optionally blocked on equality
     columns (e.g. ``lang``) to bound the pair space. Without blocking this
     is quadratic — at scale always pass block_cols or use the MinHash
-    path; this operator is the exact oracle-checkable baseline."""
+    path; this operator is the exact oracle-checkable baseline.
+
+    Physical shape: an **inverted-index set-similarity join**, not a
+    block² array-intersect join. Shingles are hashed to 64 bits and
+    exploded to ``(block, shingle, id)`` postings; candidate pairs come
+    from the posting-list equi-join (only pairs sharing ≥1 shingle ever
+    materialize — pairs with zero overlap, the vast majority, are never
+    formed), and ``|a ∩ b|`` is a ``count(*)`` per pair, so nothing
+    wider than 8-byte keys crosses the pair shuffle (the naive form
+    ships every multi-KB shingle array into every one of its n²/2
+    pairs). ``|a ∪ b| = |a| + |b| − |a ∩ b|`` closes the math. xxhash64
+    collisions (~n²/2⁶⁴ per pair) are negligible against the exact
+    oracle. Known caveat at scale: a degenerate ultra-common shingle
+    inflates Σdf² — standard mitigation is prefix filtering or a df cap
+    on the posting lists (kept exact here)."""
     base = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
-        F.array_distinct(TX.word_ngrams(text_col, shingle_n)).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    l, r = base.alias("l"), base.alias("r")
-    cond = F.col("l.id") < F.col("r.id")
+        F.array_distinct(TX.word_ngrams(text_col, shingle_n)).alias("sh_str"),
+    ).filter(F.size("sh_str") > 0)
+    # persist the postings: the self-join would otherwise run the whole
+    # text→shingle pipeline twice (once per side)
+    posts = _persist(
+        base.select(
+            "id",
+            *block_cols,
+            F.size("sh_str").alias("n_sh"),
+            F.explode(F.transform("sh_str", lambda s: F.xxhash64(s))).alias("g"),
+        )
+    )
+    l, r = posts.alias("l"), posts.alias("r")
+    cond = (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id"))
     for c in block_cols:
         cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
-    jac = F.size(F.array_intersect("l.sh", "r.sh")) / F.size(F.array_union("l.sh", "r.sh"))
-    return (
+    inter = F.count(F.lit(1))
+    pairs = (
         l.join(r, cond)
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select(
+        .groupBy(
             F.col("l.id").alias("id_a"),
             F.col("r.id").alias("id_b"),
-            F.round("jaccard", 6).alias("jaccard"),
+            F.col("l.n_sh").alias("n_a"),
+            F.col("r.n_sh").alias("n_b"),
         )
+        .agg(inter.alias("c"))
+    )
+    jac = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

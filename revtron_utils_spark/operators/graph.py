@@ -76,7 +76,13 @@ def connected_components(
     canonical edge set — one cheap aggregate per round instead of a full
     set comparison.
     """
-    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # materialize the edge input ONCE: it is referenced by the canonical
+    # edge set, the endpoint universe, and the final isolated-node
+    # anti-join — without this an expensive upstream (e.g. a pair-mining
+    # self-join) would be recomputed at every reference
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
     endpoints = e0.select("u").unionByName(e0.select(F.col("v").alias("u"))).distinct()
     cur = _canon(e0)
     prev_sig = None
