@@ -1633,7 +1633,207 @@ WHERE p_brand = 'Brand#12'
 """
 
 
+def q_rollup_maintenance(spark, sf):
+    """Incremental aggregate maintenance: three disjoint event windows
+    folded through mergeable partials (count/sum/sumsq/min/max) must
+    equal the direct aggregate over the union — the summary-table
+    pattern that replaces full re-aggregation per sync at 100 TB."""
+    from revtron_utils_spark.operators import rollup as RU
+
+    ev = _t(spark, sf, "events")
+    batches = [
+        ev.filter(F.col("ts") < "2024-01-10"),
+        ev.filter((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-20")),
+        ev.filter(F.col("ts") >= "2024-01-20"),
+    ]
+    out = RU.maintain_rollup(batches, ["event_type"], "value")
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round("mean", 6).alias("mean"),
+        F.round("var_pop", 2).alias("var_pop"),
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+    )
+
+
+SQL_ROLLUP_MAINTENANCE = """
+SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total,
+       ROUND(SUM(value) / COUNT(value), 6) AS mean,
+       ROUND(GREATEST(SUM(value * value) / COUNT(value)
+             - (SUM(value) / COUNT(value)) * (SUM(value) / COUNT(value)), 0.0), 2) AS var_pop,
+       ROUND(MIN(value), 6) AS min, ROUND(MAX(value), 6) AS max
+FROM events GROUP BY event_type
+"""
+
+
+def q_fuzzy_pairs(spark, sf):
+    """Entity-resolution fuzzy self-join: part names within 4 edits,
+    blocked on the noun (second word) so only plausible pairs pay the
+    edit-distance DP; Spark's thresholded levenshtein short-circuits."""
+    from revtron_utils_spark.operators.fuzzy import fuzzy_self_pairs
+
+    pt = _t(spark, sf, "part")
+    noun = F.element_at(F.split(F.col("p_name"), " "), 2)
+    return fuzzy_self_pairs(pt, "p_name", "p_partkey", [noun], max_dist=4)
+
+
+SQL_FUZZY_PAIRS = """
+WITH b AS (SELECT p_partkey AS id, p_name AS t, string_split(p_name, ' ')[2] AS blk FROM part)
+SELECT l.id AS id_a, r.id AS id_b, CAST(levenshtein(l.t, r.t) AS BIGINT) AS dist
+FROM b l JOIN b r ON l.blk = r.blk AND l.id < r.id
+WHERE levenshtein(l.t, r.t) <= 4
+"""
+
+
+def q_exists_q4(spark, sf):
+    """TPC-H Q4 shape: priority counts over orders having at least one
+    big-quantity lineitem (EXISTS → left-semi broadcast join)."""
+    od, li = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    big = li.filter(F.col("l_quantity") > 45).select("l_orderkey")
+    return (
+        od.join(big, od.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_EXISTS_Q4 = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+def q_outerjoin_q13(spark, sf):
+    """TPC-H Q13 shape: distribution of customers by order count —
+    left outer join preserving order-less customers, two-level agg."""
+    cu, od = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    per_cust = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+SQL_OUTERJOIN_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+def q_antijoin_q22(spark, sf):
+    """TPC-H Q22 shape: rich customers (balance above the positive-
+    balance average — scalar subquery) with no orders (anti join),
+    rolled up by nation."""
+    cu, od = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    avg_bal = cu.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).first()[0]
+    return (
+        cu.filter(F.col("c_acctbal") > avg_bal)
+        .join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+SQL_ANTIJOIN_Q22 = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+"""
+
+
+def q_window_range_frame(spark, sf):
+    """Time-based RANGE frame: per-user rolling 1-hour event count and
+    value sum (peers by timestamp, not row position)."""
+    ev = _t(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
+SQL_WINDOW_RANGE_FRAME = """
+SELECT event_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       ROUND(SUM(value) OVER w, 2) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_window_firstlast(spark, sf):
+    """first/last/nth value over a full-partition frame: each order
+    alongside its customer's first, latest, and second order dates."""
+    od = _t(spark, sf, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    # o_orderdate reads as TIMESTAMP_NTZ; session TZ is UTC so the cast
+    # is a clean epoch mapping matching DuckDB's epoch_us
+    d = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    return od.select(
+        "o_orderkey",
+        F.first(d).over(w).alias("first_us"),
+        F.last(d).over(w).alias("last_us"),
+        F.nth_value(d, 2).over(w).alias("second_us"),
+    )
+
+
+SQL_WINDOW_FIRSTLAST = """
+SELECT o_orderkey,
+       first_value(epoch_us(o_orderdate)) OVER w AS first_us,
+       last_value(epoch_us(o_orderdate)) OVER w AS last_us,
+       nth_value(epoch_us(o_orderdate), 2) OVER w AS second_us
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 # ------------------------------------------- rows-only (non-SQL-expressible)
+
+
+def q_sketch_rollup(spark, sf):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg/hll_union_agg): two disjoint event batches sketched
+    independently, unioned, estimated — the decomposable answer to
+    COUNT(DISTINCT) in an incrementally-maintained rollup. Sketch
+    binaries are engine-specific → rows-only."""
+    from revtron_utils_spark.operators import rollup as RU
+
+    ev = _t(spark, sf, "events")
+    b1 = RU.sketch_rollup_partial(
+        ev.filter(F.col("ts") < "2024-01-15"), ["event_type"], "user_id"
+    )
+    b2 = RU.sketch_rollup_partial(
+        ev.filter(F.col("ts") >= "2024-01-15"), ["event_type"], "user_id"
+    )
+    merged = RU.sketch_rollup_merge(b1, b2, ["event_type"])
+    return RU.sketch_rollup_estimate(merged, ["event_type"])
 
 
 def q_minhash_pairs(spark, sf):
@@ -1817,12 +2017,20 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pii_scan": (q_pii_scan, SQL_PII_SCAN),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "correlated_avg": (q_correlated_avg, SQL_CORRELATED_AVG),
+    "rollup_maintenance": (q_rollup_maintenance, SQL_ROLLUP_MAINTENANCE),
+    "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),
+    "exists_q4": (q_exists_q4, SQL_EXISTS_Q4),
+    "outerjoin_q13": (q_outerjoin_q13, SQL_OUTERJOIN_Q13),
+    "antijoin_q22": (q_antijoin_q22, SQL_ANTIJOIN_Q22),
+    "window_range_frame": (q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
+    "window_firstlast": (q_window_firstlast, SQL_WINDOW_FIRSTLAST),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "rest_extract": (q_rest_extract, SQL_REST_EXTRACT),
     # rows-only (probabilistic / iterative / UDF-backed — no SQL oracle)
     "rest_writeback": (q_rest_writeback, None),
+    "sketch_rollup": (q_sketch_rollup, None),
     "approx_distinct": (q_approx_distinct, None),
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),

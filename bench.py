@@ -51,6 +51,12 @@ HEADLINE = [
     "decontaminate",
     "train_test_split",
     "correlated_avg",
+    "fuzzy_pairs",
+    "rollup_maintenance",
+    "sketch_rollup",
+    "exists_q4",
+    "outerjoin_q13",
+    "window_range_frame",
 ]
 
 

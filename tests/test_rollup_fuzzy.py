@@ -1,0 +1,131 @@
+"""Tests for operators/rollup.py (incremental aggregate maintenance,
+HLL sketch rollups) and operators/fuzzy.py (blocked fuzzy joins)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from revtron_utils_spark.operators import rollup as RU
+from revtron_utils_spark.operators.fuzzy import fuzzy_join, fuzzy_self_pairs, normalized_key
+
+
+# ---------------------------------------------------------------- rollup
+
+
+def test_maintain_rollup_equals_direct_agg(spark, sf_dir):
+    from revtron_utils_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    batches = [
+        ev.filter(F.col("ts") < "2024-01-10"),
+        ev.filter((F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-20")),
+        ev.filter(F.col("ts") >= "2024-01-20"),
+    ]
+    got = {
+        r.event_type: r
+        for r in RU.maintain_rollup(batches, ["event_type"], "value").collect()
+    }
+    want = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("total"),
+            F.avg("value").alias("mean"),
+            F.var_pop("value").alias("var_pop"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].n == want[k].n
+        assert got[k].total == pytest.approx(want[k].total, rel=1e-9)
+        # finalize rounds to 6 decimals — compare with matching tolerance
+        assert got[k].mean == pytest.approx(want[k].mean, abs=1e-6)
+        assert got[k].var_pop == pytest.approx(want[k].var_pop, rel=1e-6, abs=1e-6)
+        assert got[k].min == pytest.approx(want[k].min)
+        assert got[k].max == pytest.approx(want[k].max)
+
+
+def test_rollup_merge_handles_disjoint_groups(spark):
+    b1 = spark.createDataFrame([("a", 1.0), ("a", 3.0)], ["g", "v"])
+    b2 = spark.createDataFrame([("b", 10.0)], ["g", "v"])
+    out = {
+        r.g: r for r in RU.maintain_rollup([b1, b2], ["g"], "v").collect()
+    }
+    assert out["a"].n == 2 and out["a"].mean == 2.0 and out["a"].max == 3.0
+    assert out["b"].n == 1 and out["b"].total == 10.0 and out["b"].min == 10.0
+
+
+def test_sketch_rollup_merge_estimates(spark):
+    rows1 = [("t", i) for i in range(0, 600)]
+    rows2 = [("t", i) for i in range(300, 1000)]  # 300-599 overlap
+    b1 = RU.sketch_rollup_partial(spark.createDataFrame(rows1, ["g", "k"]), ["g"], "k")
+    b2 = RU.sketch_rollup_partial(spark.createDataFrame(rows2, ["g", "k"]), ["g"], "k")
+    merged = RU.sketch_rollup_merge(b1, b2, ["g"])
+    est = RU.sketch_rollup_estimate(merged, ["g"]).collect()[0]
+    assert est.n == 1300  # raw rows add
+    # distinct = 1000; HLL at lg_k=12 is well under 5% off at this scale
+    assert 950 <= est.approx_distinct <= 1050
+
+
+# ----------------------------------------------------------------- fuzzy
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_self_pairs_vs_python(spark):
+    names = ["red widget", "rad widget", "blue widget", "red gadget", "rod widget"]
+    df = spark.createDataFrame(list(enumerate(names)), ["id", "name"])
+    blk = F.element_at(F.split(F.col("name"), " "), 2)
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_self_pairs(df, "name", "id", [blk], max_dist=2).collect()
+    }
+    want = {}
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            if names[i].split()[1] != names[j].split()[1]:
+                continue  # blocked out
+            d = _py_lev(names[i], names[j])
+            if d <= 2:
+                want[(i, j)] = d
+    assert got == want
+    # cross-block pair (red widget vs red gadget) must NOT appear even
+    # though its distance is small — blocking is recall-bounding
+    assert (0, 3) not in got
+
+
+def test_fuzzy_join_two_tables(spark):
+    crm = spark.createDataFrame(
+        [(1, "Acme Corp", "US"), (2, "Globex", "DE")], ["crm_id", "name", "cc"]
+    )
+    erp = spark.createDataFrame(
+        [(10, "ACME Corp.", "US"), (11, "Initech", "US"), (12, "Globexx", "DE")],
+        ["erp_id", "name2", "cc2"],
+    )
+    crm = crm.withColumn("nk", normalized_key("name"))
+    erp = erp.withColumn("nk2", normalized_key("name2"))
+    out = fuzzy_join(
+        crm, erp, "nk", "nk2", block_on=[("cc", "cc2")], max_dist=2
+    ).select("crm_id", "erp_id", "dist")
+    got = {(r.crm_id, r.erp_id): r.dist for r in out.collect()}
+    assert got == {(1, 10): 0, (2, 12): 1}
+
+
+def test_fuzzy_threshold_excludes_far_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa", "x"), (2, "zzzz", "x")], ["id", "t", "blk"]
+    )
+    assert fuzzy_self_pairs(df, "t", "id", ["blk"], max_dist=3).count() == 0
