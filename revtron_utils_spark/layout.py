@@ -19,7 +19,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -60,6 +61,122 @@ def write_partitioned(
     a small-files problem instead.
     """
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
+    """Z-order (Morton) key: interleave the top ``bits`` bits of each
+    column's rank-normalized value. Sorting by this key clusters rows
+    that are close in EVERY dimension into the same parquet row groups,
+    so min/max stats prune scans for filters on ANY of the columns —
+    the multi-dimensional generalization of sort-by-one-column.
+
+    Columns are first mapped to [0, 2^bits) via ``ntile``-free percent
+    ranking over a window-less approximation: ``pmod(xxhash64(...))`` is
+    NOT used — we keep ordinal structure by min-max scaling with global
+    aggregates (two light scans overall: one for bounds, one to write).
+    Callers pass numeric/date columns; strings need a prior dictionary
+    rank."""
+    exprs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    # min-max scale each column to [0, 2^bits) using window-free
+    # aggregates computed by the caller via zorder_write (bounds joined
+    # in as literals); here we accept pre-scaled long columns
+    key = F.lit(0).cast("long")
+    for b in range(bits - 1, -1, -1):
+        for e in exprs:
+            key = key * 2 + F.getbit(e.cast("long"), F.lit(b)).cast("long")
+    return key
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered by the Z-order of ``cols``.
+
+    Two passes: one cheap min/max aggregate for scaling bounds, then a
+    range-repartition + within-partition sort on the interleaved key and
+    the parquet write. Every output file then covers a small hyper-box
+    of the key space, so row-group min/max statistics prune effectively
+    for predicates on any clustered column (verify with
+    ``file_column_ranges``)."""
+    bounds = df.agg(
+        *[F.min(c).alias(f"_mn_{c}") for c in cols],
+        *[F.max(c).alias(f"_mx_{c}") for c in cols],
+    ).first()
+    scale = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        lo, hi = bounds[f"_mn_{c}"], bounds[f"_mx_{c}"]
+        span = (hi - lo) or 1
+        scaled.append(
+            F.least(
+                F.lit(scale).cast("long"),
+                ((F.col(c) - F.lit(lo)) / F.lit(span) * scale).cast("long"),
+            ).alias(f"_z_{c}")
+        )
+    keyed = df.select("*", *scaled).withColumn(
+        "_zkey", zorder_key([f"_z_{c}" for c in cols], bits)
+    )
+    out = keyed.repartitionByRange(num_files or 8, "_zkey").sortWithinPartitions("_zkey")
+    out.drop("_zkey", *[f"_z_{c}" for c in cols]).write.mode(mode).parquet(path)
+
+
+def file_column_ranges(spark: SparkSession, path: str, cols: Sequence[str]) -> list[dict]:
+    """Per-file min/max of ``cols`` from the written parquet footers
+    (via pyarrow) — the statistics the reader's row-group pruning uses.
+    Returns one dict per file; tests assert the ranges are narrow."""
+    import pyarrow.parquet as pq
+    from pathlib import Path as P
+
+    out = []
+    for f in sorted(P(path).glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        rec: dict = {"file": f.name, "rows": md.num_rows}
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for c in cols:
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is not None and st.has_min_max:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+            rec[c] = (min(mins), max(maxs)) if mins else None
+        out.append(rec)
+    return out
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 4_000_000,
+    sort_cols: Sequence[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into right-sized files (the
+    small-files compaction every long-running ingest needs — thousands
+    of KB-sized incremental outputs destroy scan throughput and NameNode
+    /listing behavior at scale). Returns the new file count.
+
+    Non-transactional (same caveat as the managed-table mutations):
+    readers racing the rewrite see a partial directory; on a real lake
+    use a table format's REPLACE/OPTIMIZE instead."""
+    df = spark.read.parquet(path)
+    n = df.count()
+    files = max(1, -(-n // target_rows_per_file))
+    out = df.repartition(files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    import shutil
+    from pathlib import Path as P
+
+    shutil.rmtree(path)
+    P(tmp).rename(path)
+    return files
 
 
 def bucketed_join(
