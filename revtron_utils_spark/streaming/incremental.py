@@ -169,3 +169,76 @@ def stream_merge(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_dedup(
+    stream_df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once-per-key projection of an at-least-once
+    stream: ``dropDuplicatesWithinWatermark`` keeps the first arrival of
+    each key and discards re-deliveries that arrive within the watermark
+    horizon, while the watermark bounds the dedup state (keys older than
+    the horizon are evicted — unbounded-state-free, unlike plain
+    ``dropDuplicates`` on a stream).
+
+    Use when the *source* redelivers (ST5 replay semantics) and
+    downstream is append-only; when downstream is a keyed merge, the
+    merge itself is the dedup (see ``stream_merge``)."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def stream_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_path: str,
+    group_cols: list[str],
+    value_col: str,
+    date_field: str = "ts",
+    checkpoint_dir: str | None = None,
+):
+    """Streaming incremental aggregate maintenance: each micro-batch is
+    reduced to mergeable partials (count/sum/sumsq/min/max) and merged
+    into a parquet-backed rollup state — the streaming form of
+    ``operators.rollup.maintain_rollup``, and the scale answer to
+    "keep per-group statistics current without re-reading history".
+
+    Batch cost is O(batch + |state|), independent of history size. The
+    state swap is last-writer-wins per micro-batch (foreachBatch is
+    at-least-once on failure; partials re-merged after a replayed batch
+    would double-count — production hardens this with a transactional
+    table format and the epoch id recorded in the state)."""
+    import shutil
+    from pathlib import Path
+
+    from ..operators.rollup import rollup_merge, rollup_partial
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .load(source_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        part = rollup_partial(batch_df, group_cols, value_col)
+        if Path(state_path).exists():
+            state = spark.read.parquet(state_path)
+            merged = rollup_merge(state, part, group_cols)
+        else:
+            merged = part
+        tmp = state_path.rstrip("/") + "__tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if Path(state_path).exists():
+            shutil.rmtree(state_path)
+        Path(tmp).rename(state_path)
+
+    writer = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

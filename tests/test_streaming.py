@@ -160,3 +160,91 @@ def test_stream_merge_foreachbatch(engine, spark, tmp_path):
     final = engine.get_table("stream_target")
     assert final.count() == ev.count()
     assert final.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered keys inside the watermark horizon are dropped:
+    feeding the same rows twice yields each key exactly once."""
+    from pyspark.sql import functions as F
+    from revtron_utils_spark.streaming.incremental import stream_dedup
+
+    src = tmp_path / "src"
+    rows = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(secs=F.col("id"))).alias("ts"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    rows.write.mode("overwrite").parquet(str(src / "b1"))
+    rows.write.mode("append").parquet(str(src / "b1"))  # full redelivery
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(rows.schema)
+        .load(str(src / "b1"))
+    )
+    out_path, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        stream_dedup(stream, ["k"], "ts", watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_path)
+    assert got.count() == 200
+    assert got.select("k").distinct().count() == 200
+
+
+def test_stream_rollup_matches_direct_agg(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from revtron_utils_spark.io import read_table
+    from revtron_utils_spark.operators.rollup import rollup_finalize
+    from revtron_utils_spark.streaming.incremental import stream_rollup
+    from tests.conftest import SF_DIR
+
+    ev = read_table(spark, SF_DIR, "events").select("event_type", "ts", "value")
+    src = str(tmp_path / "src")
+    # three disjoint windows arriving as separate files
+    for i, (lo, hi) in enumerate(
+        [("2024-01-01", "2024-01-10"), ("2024-01-10", "2024-01-20"), ("2024-01-20", "2025-01-01")]
+    ):
+        ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/w{i}")
+    merged_src = str(tmp_path / "all")
+    for i in range(3):
+        spark.read.parquet(f"{src}/w{i}").write.mode("append").parquet(merged_src)
+
+    state = str(tmp_path / "state")
+    q = stream_rollup(
+        spark,
+        merged_src,
+        ev.schema,
+        state,
+        ["event_type"],
+        "value",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.event_type: r
+        for r in rollup_finalize(spark.read.parquet(state), ["event_type"]).collect()
+    }
+    want = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("total"),
+            F.avg("value").alias("mean"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k].n == want[k].n
+        assert abs(got[k].total - want[k].total) < 1e-6
+        assert abs(got[k].mean - want[k].mean) < 1e-6
