@@ -1814,6 +1814,146 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+def q_nation_volume_q7(spark, sf):
+    """TPC-H Q7 shape: bilateral trade volume — supplier nation ×
+    customer nation revenue for a nation pair, by ship year. Two
+    dimension paths into one fact scan; dims broadcast."""
+    su, li, od, cu, na = (
+        _t(spark, sf, n) for n in ("supplier", "lineitem", "orders", "customer", "nation")
+    )
+    n1 = na.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = na.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_0") & (F.col("cust_nation") == "NATION_1"))
+            | ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_0"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+
+
+SQL_NATION_VOLUME_Q7 = """
+SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+      OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0'))
+) GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_returned_q10(spark, sf):
+    """TPC-H Q10 shape: top customers by revenue lost to returns."""
+    cu, od, li, na = (_t(spark, sf, n) for n in ("customer", "orders", "lineitem", "nation"))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_RETURNED_Q10 = """
+SELECT c_custkey, c_name, n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_promo_share_q14(spark, sf):
+    """TPC-H Q14 shape: share of revenue from one part type — a
+    conditional-sum ratio in a single aggregate pass over the join."""
+    li, pt = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "STANDARD", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .agg(
+            F.round(F.sum(promo) * 100.0 / F.sum(rev), 6).alias("promo_pct")
+        )
+    )
+
+
+SQL_PROMO_SHARE_Q14 = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'STANDARD'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+FROM lineitem, part WHERE l_partkey = p_partkey
+"""
+
+
+def q_having_q18(spark, sf):
+    """TPC-H Q18 shape: large-volume orders — aggregate + HAVING gate,
+    then re-join the qualifying keys to the order header."""
+    od, li = _t(spark, sf, "orders"), _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        od.join(big, od.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "sum_qty")
+    )
+
+
+SQL_HAVING_Q18 = """
+SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
+FROM orders JOIN (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+) ON o_orderkey = l_orderkey
+"""
+
+
+def q_disjunctive_q19(spark, sf):
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides — exercises Catalyst's disjunction handling (common
+    conjunct `p_partkey = l_partkey` still pushes into the join; the
+    branch predicates evaluate post-join)."""
+    li, pt = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+    j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    b1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (
+        F.col("l_quantity").between(1, 11)
+    )
+    b2 = (F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25)) & (
+        F.col("l_quantity").between(10, 20)
+    )
+    b3 = (F.col("p_brand") == "Brand#3") & (F.col("l_quantity") >= 20)
+    return j.filter(b1 | b2 | b3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_DISJUNCTIVE_Q19 = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND l_quantity >= 20)
+"""
+
+
 # ------------------------------------------- rows-only (non-SQL-expressible)
 
 
@@ -2024,6 +2164,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "antijoin_q22": (q_antijoin_q22, SQL_ANTIJOIN_Q22),
     "window_range_frame": (q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
     "window_firstlast": (q_window_firstlast, SQL_WINDOW_FIRSTLAST),
+    "nation_volume_q7": (q_nation_volume_q7, SQL_NATION_VOLUME_Q7),
+    "returned_q10": (q_returned_q10, SQL_RETURNED_Q10),
+    "promo_share_q14": (q_promo_share_q14, SQL_PROMO_SHARE_Q14),
+    "having_q18": (q_having_q18, SQL_HAVING_Q18),
+    "disjunctive_q19": (q_disjunctive_q19, SQL_DISJUNCTIVE_Q19),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),

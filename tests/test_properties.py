@@ -186,3 +186,85 @@ def test_upsert_overwrite_clobbers(spark, customer_small, records):
     for rec in records:
         got = out[rec["c_custkey"]]
         assert got.c_name == rec["c_name"]
+
+# --- curation invariants ----------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    seed=st.integers(min_value=0, max_value=10_000),
+    frac=st.floats(min_value=0.05, max_value=0.95),
+)
+def test_hash_split_sample_consistency(spark, n, seed, frac):
+    """hash_sample(f) keeps exactly the ids whose split under
+    weights {keep: f, drop: 1-f} (same seed) is 'keep' — the two
+    operators share one hash, so samples and splits compose."""
+    from revtron_utils_spark.operators.curation import hash_sample, hash_split
+
+    df = spark.range(0, n).withColumnRenamed("id", "k")
+    kept = {r.k for r in hash_sample(df, "k", frac, seed=seed).collect()}
+    split = {
+        r.k: r.split
+        for r in hash_split(df, "k", {"keep": frac, "drop": 1 - frac}, seed=seed).collect()
+    }
+    assert kept == {k for k, s in split.items() if s == "keep"}
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n_toks=st.integers(min_value=0, max_value=300),
+    chunk=st.integers(min_value=4, max_value=64),
+    stride_frac=st.floats(min_value=0.3, max_value=1.0),
+)
+def test_chunk_documents_reconstruction(spark, n_toks, chunk, stride_frac):
+    """Every token of the document appears in at least one chunk, chunk
+    sizes are within [1, chunk_tokens], and stride-aligned prefixes
+    reconstruct the document exactly when stride == chunk."""
+    from revtron_utils_spark.operators.curation import chunk_documents
+
+    stride = max(1, int(chunk * stride_frac))
+    text = " ".join(f"w{i}" for i in range(n_toks))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, stride=stride).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    if n_toks == 0:
+        # a single empty-ish chunk (split of '' yields [''])
+        assert len(rows) == 1
+        return
+    covered = set()
+    for r in rows:
+        toks = r.chunk_text.split()
+        assert 1 <= len(toks) <= chunk
+        assert len(toks) == r.n_tokens
+        covered.update(toks)
+    assert covered == {f"w{i}" for i in range(n_toks)}
+    # chunks tile the doc: chunk k starts at token k*stride
+    for r in rows:
+        assert r.chunk_text.split()[0] == f"w{r.chunk_id * stride}"
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=600), min_size=1, max_size=60),
+    budget=st.integers(min_value=64, max_value=1024),
+)
+def test_pack_sequences_offset_invariants(spark, sizes, budget):
+    """pack_id is nondecreasing in order, starts at 0, and every pack's
+    preceding-token offset stays within one document of the budget
+    boundary (the defining property of offset packing)."""
+    from revtron_utils_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(list(enumerate(sizes)), ["doc_id", "n_tokens"])
+    out = sorted(
+        pack_sequences(df, "doc_id", "n_tokens", budget).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert out[0].pack_id == 0
+    cum = 0
+    for r in out:
+        assert r.pack_id == cum // budget
+        cum += sizes[r.doc_id]
+    assert [r.pack_id for r in out] == sorted(r.pack_id for r in out)
