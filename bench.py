@@ -57,6 +57,9 @@ HEADLINE = [
     "exists_q4",
     "outerjoin_q13",
     "window_range_frame",
+    "returned_q10",
+    "having_q18",
+    "disjunctive_q19",
 ]
 
 

@@ -20,6 +20,7 @@ from .operators.merge import (
     delete_where,
     keyed_update,
     upsert_merge,
+    upsert_merge_many,
 )
 from .session import get_spark
 
@@ -40,6 +41,7 @@ __all__ = [
     "kwargs_filters",
     "timer",
     "upsert_merge",
+    "upsert_merge_many",
 ]
 
 __version__ = "0.1.0"

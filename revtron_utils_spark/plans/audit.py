@@ -62,7 +62,12 @@ class PlanFacts:
             has_sort_merge_join="SortMergeJoin" in text,
             has_bnl_join="BroadcastNestedLoopJoin" in text,
             has_take_ordered="TakeOrderedAndProject" in text,
-            codegen_stages=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", text))),
+            # simple mode prints "WholeStageCodegen (N)"; formatted mode
+            # annotates operators with "[codegen id : N]" — count both
+            codegen_stages=len(
+                set(re.findall(r"WholeStageCodegen \((\d+)\)", text))
+                | set(re.findall(r"\[codegen id : (\d+)\]", text))
+            ),
             exchanges=text.count("Exchange"),
         )
 

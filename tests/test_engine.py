@@ -336,3 +336,37 @@ def test_timer_decorator(capsys):
     out = capsys.readouterr().out
     assert "seconds" in out and "hello" in out
     assert f.last_elapsed is not None
+
+
+def test_upsert_merge_many_equals_iterated(spark):
+    """The one-shuffle N-batch fold must match pairwise upsert_merge in
+    both null-preserving and overwrite modes."""
+    from revtron_utils_spark import upsert_merge, upsert_merge_many
+
+    b1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0)], ["k", "name", "v"]
+    )
+    b2 = spark.createDataFrame(
+        [(2, None, 21.0), (3, "c", None), (4, "d", 40.0)], ["k", "name", "v"]
+    )
+    b3 = spark.createDataFrame([(1, None, None), (5, "e", 50.0)], ["k", "name", "v"])
+
+    for own in (False, True):
+        iterated = upsert_merge(
+            upsert_merge(b1, b2, ["k"], overwrite_with_null=own),
+            b3,
+            ["k"],
+            overwrite_with_null=own,
+        )
+        folded = upsert_merge_many([b1, b2, b3], ["k"], overwrite_with_null=own)
+        assert folded.exceptAll(iterated).count() == 0, f"own={own}"
+        assert iterated.exceptAll(folded).count() == 0, f"own={own}"
+
+    # plan check: the fold is a single aggregation — far fewer exchanges
+    from revtron_utils_spark.plans.audit import PlanFacts
+
+    f_folded = PlanFacts.of(upsert_merge_many([b1, b2, b3], ["k"]))
+    f_iter = PlanFacts.of(
+        upsert_merge(upsert_merge(b1, b2, ["k"]), b3, ["k"])
+    )
+    assert f_folded.exchanges < f_iter.exchanges
