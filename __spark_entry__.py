@@ -2079,6 +2079,16 @@ def q_rest_writeback(spark, sf):
     return res.select("record_id", "status").orderBy("record_id")
 
 
+def q_frame_sampling(spark, sf):
+    """Multimodal frame-sampling plumbing (rows-only): every-nth-frame
+    expansion per binary payload via Arrow-batched mapInPandas; the
+    decode is a deterministic stand-in (see multimodal.py)."""
+    from revtron_utils_spark.multimodal import attach_binary_payload, sample_frames
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return sample_frames(attach_binary_payload(docs, "text"), every_nth=5)
+
+
 def q_multimodal_features(spark, sf):
     """Binary-column plumbing demo: documents encoded as opaque binary
     payloads with typed metadata, features extracted via mapInPandas
@@ -2187,6 +2197,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "simhash_pairs": (q_simhash_pairs, None),
     "ivf_ann": (q_ivf_ann, None),
     "multimodal_features": (q_multimodal_features, None),
+    "frame_sampling": (q_frame_sampling, None),
 }
 
 

@@ -62,6 +62,24 @@ def rollup_merge(state: DataFrame, partial: DataFrame, group_cols: list[str]) ->
     )
 
 
+def rollup_merge_many(partials: list[DataFrame], group_cols: list[str]) -> DataFrame:
+    """Merge N partial states in ONE aggregation: union-all + the same
+    arithmetic (sums add, extrema fold) as a grouped re-aggregate.
+    Use for in-plan folds of many batches; ``rollup_merge`` (the keyed
+    full-outer join) remains the two-operand form for merging a batch
+    into durable state."""
+    from functools import reduce
+
+    allp = reduce(lambda a, b: a.unionByName(b), partials)
+    return allp.groupBy(*group_cols).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("s2").alias("s2"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+
+
 def rollup_finalize(state: DataFrame, group_cols: list[str], ndigits: int = 6) -> DataFrame:
     """Derive the user-facing statistics from the maintained state:
     mean and population variance via the sum-of-squares identity."""
@@ -84,13 +102,13 @@ def maintain_rollup(
 ) -> DataFrame:
     """Fold disjoint batches through partial→merge and finalize — must
     equal the direct aggregate over the union (the differential test and
-    the driver oracle assert exactly that)."""
-    state: DataFrame | None = None
-    for b in batches:
-        part = rollup_partial(b, group_cols, value_col)
-        state = part if state is None else rollup_merge(state, part, group_cols)
-    assert state is not None, "maintain_rollup needs at least one batch"
-    return rollup_finalize(state, group_cols)
+    the driver oracle assert exactly that). The fold itself is one
+    aggregation over the unioned partials (vs a keyed full-outer join
+    per batch); each batch still pays its own partial-aggregate shuffle,
+    which is the real per-sync cost in production too."""
+    assert batches, "maintain_rollup needs at least one batch"
+    parts = [rollup_partial(b, group_cols, value_col) for b in batches]
+    return rollup_finalize(rollup_merge_many(parts, group_cols), group_cols)
 
 
 def sketch_rollup_partial(
