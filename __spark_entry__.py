@@ -1820,6 +1820,35 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+def q_salted_agg(spark, sf):
+    """Skew-mitigated two-stage aggregation: partials on (group, salt)
+    then finals on group — a hot group's reduce work spreads over 16
+    tasks. Result-identical to the direct aggregate, which IS the
+    oracle."""
+    from revtron_utils_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {"n": "count(l_orderkey)", "qty": "sum(l_quantity)", "mx": "max(l_extendedprice)"},
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round("qty", 2).alias("qty"),
+        F.round("mx", 2).alias("mx"),
+    )
+
+
+SQL_SALTED_AGG = """
+SELECT l_returnflag, CAST(COUNT(l_orderkey) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS qty, ROUND(MAX(l_extendedprice), 2) AS mx
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_nation_volume_q7(spark, sf):
     """TPC-H Q7 shape: bilateral trade volume — supplier nation ×
     customer nation revenue for a nation pair, by ship year. Two
@@ -2180,6 +2209,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "antijoin_q22": (q_antijoin_q22, SQL_ANTIJOIN_Q22),
     "window_range_frame": (q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
     "window_firstlast": (q_window_firstlast, SQL_WINDOW_FIRSTLAST),
+    "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
     "nation_volume_q7": (q_nation_volume_q7, SQL_NATION_VOLUME_Q7),
     "returned_q10": (q_returned_q10, SQL_RETURNED_Q10),
     "promo_share_q14": (q_promo_share_q14, SQL_PROMO_SHARE_Q14),

@@ -1,0 +1,202 @@
+"""Versioned managed tables: a minimal copy-on-write table format that
+makes the engine's mutations (upsert/update/delete — SURVEY.md §2.4)
+atomic, isolated, and time-travelable without external dependencies.
+
+This closes the "managed-table mutations rewrite the full table
+non-transactionally" gap: the reference gets transactionality from
+Postgres (every ``Database.upsert`` statement is an implicit
+transaction, revtron/database/main.py:114-115); plain parquet
+directories lose it. The design here is the core of what
+Delta/Iceberg/Hudi do, reduced to the essentials:
+
+* **Immutable data files.** Writers only ADD parquet files — never
+  modify or delete live ones (deletion happens in ``vacuum``, and only
+  for files no retained version references).
+* **Manifest log.** ``_log/<version>.json`` lists exactly the files
+  that make up a version. A reader pins one manifest and sees a
+  consistent snapshot regardless of concurrent writers.
+* **Atomic commit = one file creation.** The manifest is written with
+  O_EXCL — if two writers race to commit the same version, exactly one
+  wins; the loser gets ``CommitConflict`` and retries on fresh state
+  (optimistic concurrency, same protocol as Delta's log).
+
+At 100 TB the same structure works with two changes: the log lives in
+object storage with a put-if-absent primitive, and ``merge`` rewrites
+only the files that contain matched keys (file-level pruning via the
+manifest's min/max stats) instead of the whole table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.merge import delete_where, keyed_update, upsert_merge
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first — reload and retry."""
+
+
+def _fmt_version(v: int) -> str:
+    return f"{v:08d}.json"
+
+
+@dataclass
+class VersionedTable:
+    spark: SparkSession
+    path: str
+
+    # ------------------------------------------------------------ log I/O
+
+    @property
+    def _log_dir(self) -> Path:
+        return Path(self.path) / "_log"
+
+    def history(self) -> list[int]:
+        """All committed versions, ascending."""
+        if not self._log_dir.exists():
+            return []
+        return sorted(int(p.stem) for p in self._log_dir.glob("*.json"))
+
+    def latest_version(self) -> int:
+        versions = self.history()
+        if not versions:
+            raise FileNotFoundError(f"no table at {self.path}")
+        return versions[-1]
+
+    def _manifest(self, version: int) -> dict:
+        return json.loads((self._log_dir / _fmt_version(version)).read_text())
+
+    def _commit(self, version: int, files: list[str], op: str) -> None:
+        """Atomic put-if-absent of the manifest: O_EXCL creation makes
+        the version file the commit point — a racing writer of the same
+        version raises CommitConflict and must rebase."""
+        self._log_dir.mkdir(parents=True, exist_ok=True)
+        manifest = {
+            "version": version,
+            "files": sorted(files),
+            "op": op,
+            "committed_at": time.time(),
+        }
+        target = self._log_dir / _fmt_version(version)
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {version} already committed at {self.path}"
+            ) from e
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+
+    # ------------------------------------------------------------- writes
+
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Materialize df as new immutable parquet files in a unique
+        subdirectory; returns their table-relative paths."""
+        sub = f"data-{uuid.uuid4().hex[:12]}"
+        out = Path(self.path) / sub
+        df.write.mode("error").parquet(str(out))
+        return [f"{sub}/{p.name}" for p in out.glob("*.parquet")]
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, df: DataFrame) -> "VersionedTable":
+        t = cls(spark, path)
+        if t.history():
+            raise FileExistsError(f"table already exists at {path}")
+        files = t._write_files(df)
+        t._commit(0, files, "create")
+        return t
+
+    def overwrite(self, df: DataFrame) -> int:
+        v = self.latest_version() + 1
+        files = self._write_files(df)
+        self._commit(v, files, "overwrite")
+        return v
+
+    def append(self, df: DataFrame) -> int:
+        """Append = old manifest's files + the new ones. No data file is
+        read or rewritten — O(new data) regardless of table size."""
+        base = self.latest_version()
+        files = self._manifest(base)["files"] + self._write_files(df)
+        v = base + 1
+        self._commit(v, files, "append")
+        return v
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: Sequence[str],
+        overwrite_with_null: bool = False,
+    ) -> int:
+        """Keyed upsert as a new version (snapshot-isolated: readers of
+        older versions are untouched). Full rewrite here; with per-file
+        key stats in the manifest this becomes rewrite-only-matched-files."""
+        base = self.latest_version()
+        merged = upsert_merge(
+            self.read(base), source, keys, overwrite_with_null=overwrite_with_null
+        )
+        files = self._write_files(merged)
+        self._commit(base + 1, files, "merge")
+        return base + 1
+
+    def update(self, source: DataFrame, on: Sequence[str] | str) -> int:
+        base = self.latest_version()
+        files = self._write_files(keyed_update(self.read(base), source, on))
+        self._commit(base + 1, files, "update")
+        return base + 1
+
+    def delete(self, predicate) -> int:
+        base = self.latest_version()
+        files = self._write_files(delete_where(self.read(base), predicate))
+        self._commit(base + 1, files, "delete")
+        return base + 1
+
+    # -------------------------------------------------------------- reads
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read: exactly the files of one manifest (time travel
+        via ``version``). Never lists data directories — concurrent
+        writers' uncommitted files are invisible by construction."""
+        v = self.latest_version() if version is None else version
+        files = [str(Path(self.path) / f) for f in self._manifest(v)["files"]]
+        if not files:
+            raise FileNotFoundError(f"version {v} has no files")
+        return self.spark.read.parquet(*files)
+
+    # ----------------------------------------------------------- cleanup
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Delete data files referenced ONLY by versions older than the
+        ``keep_last`` most recent, then drop those manifests. Returns
+        deleted file paths. Readers pinned to retained versions are
+        unaffected (their files survive by definition)."""
+        versions = self.history()
+        keep = versions[-keep_last:]
+        drop = [v for v in versions if v not in keep]
+        live: set[str] = set()
+        for v in keep:
+            live.update(self._manifest(v)["files"])
+        dead: set[str] = set()
+        for v in drop:
+            dead.update(f for f in self._manifest(v)["files"] if f not in live)
+        deleted = []
+        for f in sorted(dead):
+            p = Path(self.path) / f
+            if p.exists():
+                p.unlink()
+                deleted.append(f)
+        for v in drop:
+            (self._log_dir / _fmt_version(v)).unlink()
+        # prune empty data dirs
+        for d in Path(self.path).glob("data-*"):
+            if d.is_dir() and not any(d.iterdir()):
+                d.rmdir()
+        return deleted

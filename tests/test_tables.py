@@ -1,0 +1,91 @@
+"""Tests for the versioned table format (tables.py): atomic commits,
+snapshot isolation / time travel, merge semantics, vacuum, and the
+optimistic-concurrency conflict path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from revtron_utils_spark.tables import CommitConflict, VersionedTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["k", "name", "v"])
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0), (2, "b", 2.0)])
+    )
+    assert t.latest_version() == 0
+    assert t.read().count() == 2
+    with pytest.raises(FileExistsError):
+        VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(9, "x", 0.0)]))
+
+
+def test_append_is_additive_and_time_travel(spark, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0)]))
+    v1 = t.append(_df(spark, [(2, "b", 2.0), (3, "c", 3.0)]))
+    assert v1 == 1
+    assert t.read().count() == 3
+    # time travel: version 0 still reads exactly its snapshot
+    assert t.read(0).count() == 1
+    assert {r.k for r in t.read(0).collect()} == {1}
+
+
+def test_merge_null_preserving_and_isolation(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0), (2, "b", 2.0)])
+    )
+    v = t.merge(_df(spark, [(2, None, 20.0), (3, "c", 3.0)]), keys=["k"])
+    assert v == 1
+    got = {r.k: (r.name, r.v) for r in t.read().collect()}
+    assert got == {1: ("a", 1.0), 2: ("b", 20.0), 3: ("c", 3.0)}  # null preserved
+    # old snapshot unchanged
+    old = {r.k: (r.name, r.v) for r in t.read(0).collect()}
+    assert old == {1: ("a", 1.0), 2: ("b", 2.0)}
+
+
+def test_update_and_delete_versions(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0), (2, "b", 2.0)])
+    )
+    t.update(spark.createDataFrame([(1, "A")], ["k", "name"]), on="k")
+    assert {r.name for r in t.read().filter(F.col("k") == 1).collect()} == {"A"}
+    t.delete(F.col("v") > 1.5)
+    assert {r.k for r in t.read().collect()} == {1}
+    assert t.history() == [0, 1, 2]
+
+
+def test_commit_conflict_on_same_version(spark, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0)]))
+    # simulate a racing writer that already committed version 1
+    t._commit(1, t._manifest(0)["files"], "append")
+    with pytest.raises(CommitConflict):
+        t._commit(1, [], "append")
+    # a well-behaved writer rebases onto the new latest and succeeds
+    v = t.append(_df(spark, [(2, "b", 2.0)]))
+    assert v == 2
+
+
+def test_vacuum_removes_only_unreferenced(spark, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0)]))
+    t.overwrite(_df(spark, [(2, "b", 2.0)]))
+    t.append(_df(spark, [(3, "c", 3.0)]))  # v2 = v1 files + new
+    deleted = t.vacuum(keep_last=2)
+    # v0's file is unreferenced by v1/v2 → deleted; v1's file lives on in v2
+    assert len(deleted) >= 1
+    assert t.history() == [1, 2]
+    assert {r.k for r in t.read().collect()} == {2, 3}
+    assert {r.k for r in t.read(1).collect()} == {2}
+
+
+def test_snapshot_reader_survives_overwrite(spark, tmp_path):
+    """A reader pinned to a version sees identical data after later
+    writes (immutability), and after vacuum that retains its version."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0)]))
+    pinned = t.read(0)
+    t.overwrite(_df(spark, [(9, "z", 9.0)]))
+    t.vacuum(keep_last=2)  # retains v0 and v1
+    assert {r.k for r in pinned.collect()} == {1}
