@@ -130,6 +130,24 @@ class VersionedTable:
         self._commit(v, files, "append")
         return v
 
+    def _file_key_range(self, rel_path: str, key: str):
+        """(min, max) of ``key`` across a file's row groups, straight
+        from the parquet footer — no data read."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(str(Path(self.path) / rel_path)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if key not in idx:
+            return None
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[key]).statistics
+            if st is None or not st.has_min_max:
+                return None  # no stats → must treat as matched
+            mins.append(st.min)
+            maxs.append(st.max)
+        return (min(mins), max(maxs)) if mins else None
+
     def merge(
         self,
         source: DataFrame,
@@ -137,13 +155,42 @@ class VersionedTable:
         overwrite_with_null: bool = False,
     ) -> int:
         """Keyed upsert as a new version (snapshot-isolated: readers of
-        older versions are untouched). Full rewrite here; with per-file
-        key stats in the manifest this becomes rewrite-only-matched-files."""
+        older versions are untouched).
+
+        **File-level pruning**: only files whose footer min/max range on
+        ``keys[0]`` overlaps the source's key range are read and
+        rewritten; disjoint files carry into the new version as-is (no
+        read, no write). On a key-clustered table (sorted/bucketed/
+        Z-ordered writes) a merge touching a narrow key band rewrites a
+        narrow slice of the table — the Delta/Iceberg MERGE cost model.
+        Files without usable stats are conservatively rewritten."""
+        import pyspark.sql.functions as F
+
         base = self.latest_version()
+        all_files = self._manifest(base)["files"]
+        k0 = keys[0]
+        row = source.agg(F.min(k0), F.max(k0)).first()
+        s_lo, s_hi = row[0], row[1]
+
+        matched, untouched = [], []
+        for f in all_files:
+            rng = self._file_key_range(f, k0) if s_lo is not None else None
+            if rng is None or not (rng[1] < s_lo or rng[0] > s_hi):
+                matched.append(f)
+            else:
+                untouched.append(f)
+
+        if matched:
+            target = self.spark.read.parquet(
+                *[str(Path(self.path) / f) for f in matched]
+            )
+        else:
+            # schema-only empty target: all source rows are inserts
+            target = self.read(base).limit(0)
         merged = upsert_merge(
-            self.read(base), source, keys, overwrite_with_null=overwrite_with_null
+            target, source, keys, overwrite_with_null=overwrite_with_null
         )
-        files = self._write_files(merged)
+        files = untouched + self._write_files(merged)
         self._commit(base + 1, files, "merge")
         return base + 1
 

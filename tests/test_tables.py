@@ -89,3 +89,44 @@ def test_snapshot_reader_survives_overwrite(spark, tmp_path):
     t.overwrite(_df(spark, [(9, "z", 9.0)]))
     t.vacuum(keep_last=2)  # retains v0 and v1
     assert {r.k for r in pinned.collect()} == {1}
+
+
+def test_merge_prunes_disjoint_files(spark, tmp_path):
+    """A merge touching a narrow key band rewrites only the files whose
+    footer key range overlaps it — disjoint files carry over verbatim."""
+    base = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(100)], ["k", "name", "v"]
+    ).repartitionByRange(4, "k").sortWithinPartitions("k")
+    t = VersionedTable.create(spark, str(tmp_path / "t"), base)
+    v0_files = set(t._manifest(0)["files"])
+    assert len(v0_files) == 4
+
+    # touch only keys 90..99 (the top range partition)
+    src = spark.createDataFrame(
+        [(k, None, 1000.0 + k) for k in range(90, 100)],
+        "k long, name string, v double",
+    )
+    t.merge(src, keys=["k"])
+    v1_files = set(t._manifest(1)["files"])
+    carried = v0_files & v1_files
+    # at least 2 of the 4 original files must survive untouched
+    assert len(carried) >= 2
+
+    got = {r.k: (r.name, r.v) for r in t.read().collect()}
+    assert len(got) == 100
+    for k in range(90, 100):
+        assert got[k] == (f"n{k}", 1000.0 + k)  # null-preserved name, new v
+    for k in range(0, 50):
+        assert got[k] == (f"n{k}", float(k))
+
+
+def test_merge_all_inserts_when_no_overlap(spark, tmp_path):
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"),
+        spark.createDataFrame([(1, "a", 1.0)], ["k", "name", "v"])
+        .repartitionByRange(1, "k"),
+    )
+    t.merge(spark.createDataFrame([(1000, "z", 9.0)], ["k", "name", "v"]), keys=["k"])
+    assert {r.k for r in t.read().collect()} == {1, 1000}
+    # the original file was disjoint from the source range → carried over
+    assert set(t._manifest(0)["files"]) <= set(t._manifest(1)["files"])
