@@ -242,3 +242,45 @@ def stream_rollup(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def stream_merge_versioned(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    table,
+    keys: Sequence[str],
+    date_field: str = "ts",
+    watermark: str = "1 hour",
+    checkpoint_dir: str | None = None,
+):
+    """``stream_merge`` with a transactional target: each micro-batch
+    merges into a ``tables.VersionedTable`` and commits ONE version —
+    readers see either the pre-batch or post-batch snapshot, never a
+    half-applied merge (the property the plain parquet-rewrite path
+    cannot give), and the version history doubles as a sync audit log.
+    Replayed batches re-merge idempotently (ST4); a racing writer
+    surfaces as ``CommitConflict`` rather than silent clobber."""
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .load(source_dir)
+        .withWatermark(date_field, watermark)
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*keys).orderBy(F.col(date_field).desc())
+        newest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        table.merge(newest, list(keys))
+
+    writer = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -130,3 +130,38 @@ def test_merge_all_inserts_when_no_overlap(spark, tmp_path):
     assert {r.k for r in t.read().collect()} == {1, 1000}
     # the original file was disjoint from the source range → carried over
     assert set(t._manifest(0)["files"]) <= set(t._manifest(1)["files"])
+
+
+def test_stream_merge_versioned_snapshots(spark, tmp_path, sf_dir):
+    """Streaming sync into a versioned table: one committed version per
+    micro-batch, final state equals the batch union, and intermediate
+    snapshots remain readable (audit log of the sync)."""
+    from pyspark.sql import functions as F
+    from revtron_utils_spark.io import read_table
+    from revtron_utils_spark.streaming.incremental import stream_merge_versioned
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    src = str(tmp_path / "src")
+    # two overlapping windows in separate files (replay semantics)
+    ev.filter(F.col("ts") < "2024-01-15").coalesce(1).write.parquet(f"{src}/w0")
+    ev.filter(F.col("ts") >= "2024-01-10").coalesce(1).write.parquet(f"{src}/w1")
+    merged_src = str(tmp_path / "all")
+    spark.read.parquet(f"{src}/w0").coalesce(1).write.parquet(merged_src)
+    spark.read.parquet(f"{src}/w1").coalesce(1).write.mode("append").parquet(merged_src)
+
+    seed = ev.limit(0)
+    t = VersionedTable.create(spark, str(tmp_path / "t"), seed)
+    q = stream_merge_versioned(
+        spark, merged_src, ev.schema, t, ["event_id"],
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(180)
+
+    assert t.read().count() == ev.count()
+    # at least one intermediate version beyond v0, all readable
+    hist = t.history()
+    assert len(hist) >= 2
+    for v in hist:
+        t.read(v).count()
