@@ -119,17 +119,33 @@ class IVFIndex:
         self.centroids = centroids
 
     @staticmethod
-    def _nearest_centroid_expr(centroids: list[list[float]], vec_col: str) -> Column:
+    def _assign_clusters(df: DataFrame, centroids: list[list[float]], vec_col: str) -> DataFrame:
+        """Add ``cluster_id`` = argmax-cosine centroid via an array +
+        ``array_position(array_max)`` — linear expression size in k.
+
+        (The obvious fold — ``best = when(sim > best_sim, ...)`` chained
+        per centroid — references the previous best TWICE per step, so
+        the expression tree doubles each centroid: 2^k interpreted HOF
+        evaluations. With k=8 that made index builds ~20× slower than
+        this form.)"""
         q = VX.quantize(vec_col)
-        best_id = F.lit(0)
-        best_sim = F.lit(-2.0)
-        for cid, c in enumerate(centroids):
-            qc = VX.quantize(F.array(*[F.lit(float(v)) for v in c]))
-            sim = VX.int_cosine(q, qc)
-            improved = sim > best_sim
-            best_id = F.when(improved, F.lit(cid)).otherwise(best_id)
-            best_sim = F.when(improved, sim).otherwise(best_sim)
-        return best_id
+        sims = F.array(
+            *[
+                VX.int_cosine(
+                    F.col("__q"), VX.quantize(F.array(*[F.lit(float(v)) for v in c]))
+                )
+                for c in centroids
+            ]
+        )
+        return (
+            df.withColumn("__q", q)
+            .withColumn("__sims", sims)
+            .withColumn(
+                "cluster_id",
+                (F.array_position("__sims", F.array_max("__sims")) - 1).cast("int"),
+            )
+            .drop("__q", "__sims")
+        )
 
     @classmethod
     def build(
@@ -152,7 +168,7 @@ class IVFIndex:
         model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
         centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
-        assigned = df.withColumn("cluster_id", cls._nearest_centroid_expr(centroids, vec_col))
+        assigned = cls._assign_clusters(df, centroids, vec_col)
         assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(index_path)
         # persist centroids with the index so it reopens across sessions
         import json
