@@ -102,6 +102,10 @@ class Engine:
     spark: SparkSession
     warehouse_dir: str | None = None
     schema: str = "public"
+    #: route managed tables through tables.VersionedTable: atomic
+    #: manifest commits, snapshot isolation, time travel, file-pruned
+    #: merges — the transactional upgrade of the symlink-swap layout
+    versioned: bool = False
     pk_registry: dict[str, list[str]] = field(default_factory=dict)
     default_registry: dict[str, dict] = field(default_factory=dict)
     unique_registry: dict[str, list[list[str]]] = field(default_factory=dict)
@@ -188,10 +192,26 @@ class Engine:
         base = Path(self.warehouse_dir) / table_name
         return base if base.exists() else None
 
-    def get_table(self, table_name: str) -> DataFrame:
+    def _vt(self, table_name: str):
+        """The VersionedTable handle for a managed table (versioned mode)."""
+        from .tables import VersionedTable
+
+        self._require_warehouse()
+        return VersionedTable(self.spark, str(Path(self.warehouse_dir) / table_name))
+
+    def table_history(self, table_name: str) -> list[int]:
+        """Committed versions of a managed table (versioned mode only)."""
+        return self._vt(table_name).history()
+
+    def get_table(self, table_name: str, version: int | None = None) -> DataFrame:
         """Reflection analog (``main.py:59-66``): resolve a name to a
-        DataFrame — managed table, attached path, or temp view."""
+        DataFrame — managed table, attached path, or temp view. In
+        versioned mode ``version`` time-travels a managed table."""
         mp = self._managed_path(table_name)
+        if mp is not None and (mp / "_log").exists():
+            return self._vt(table_name).read(version)
+        if version is not None:
+            raise ValueError(f"table {table_name!r} is not versioned")
         if mp is not None:
             return read_parquet(self.spark, str(mp / "current"))
         if table_name in self._attached:
@@ -464,15 +484,28 @@ class Engine:
                 f"table {table_name!r} has no registered primary key; upsert requires one"
             )
         source = self._as_df(data, like=self.get_table(table_name))
-        target = self.get_table(table_name)
-        merged = upsert_merge(
-            target,
-            source,
-            pk,
-            overwrite_with_null=overwrite_with_null,
-            insert_defaults=self.default_registry.get(table_name),
-        )
-        self._write_managed(table_name, merged)
+        mp = self._managed_path(table_name)
+        if (
+            self.versioned
+            and mp is not None
+            and (mp / "_log").exists()
+            and not self.default_registry.get(table_name)
+        ):
+            # transactional, file-pruned merge: one manifest commit
+            self._vt(table_name).merge(
+                source, pk, overwrite_with_null=overwrite_with_null
+            )
+            self._catalog_version += 1
+        else:
+            target = self.get_table(table_name)
+            merged = upsert_merge(
+                target,
+                source,
+                pk,
+                overwrite_with_null=overwrite_with_null,
+                insert_defaults=self.default_registry.get(table_name),
+            )
+            self._write_managed(table_name, merged)
         if return_keys:
             keys = [r.asDict() for r in affected_keys(source, pk).collect()]
             return keys
@@ -531,14 +564,24 @@ class Engine:
         import os
 
         base = Path(self.warehouse_dir) / table_name
-        base.mkdir(parents=True, exist_ok=True)
-        tmp = base / f"v_{uuid.uuid4().hex[:12]}"
         # index hint: cluster rows on the indexed columns so parquet
         # row-group min/max stats prune point/range scans (see
         # create_table); sortWithinPartitions is shuffle-free
         idx = [c for c in self.index_registry.get(table_name, []) if c in df.columns]
         if idx:
             df = df.sortWithinPartitions(*idx)
+        if self.versioned:
+            from .tables import VersionedTable
+
+            vt = self._vt(table_name)
+            if vt.history():
+                vt.overwrite(df)
+            else:
+                VersionedTable.create(self.spark, str(base), df)
+            self._catalog_version += 1
+            return
+        base.mkdir(parents=True, exist_ok=True)
+        tmp = base / f"v_{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(str(tmp))
         current = base / "current"
         old_target = None

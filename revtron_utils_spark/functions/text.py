@@ -179,13 +179,18 @@ def simhash64(col: Column | str) -> Column:
             lambda a, b: a + b,
         ),
     )
-    packed = F.lit(0).cast("long")
-    for i in range(64):
-        bit_val = F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
-        packed = packed.bitwiseOR(
-            F.when(F.element_at(votes, i + 1) > 0, bit_val).otherwise(F.lit(0).cast("long"))
-        )
-    return packed
+    # pack sign bits in ONE pass: distinct powers of two never overlap,
+    # so summing the positive-vote bit values equals the bitwise OR
+    # (bit 63 contributes -(2^63), i.e. the two's-complement value).
+    # A per-bit bitwiseOR fold would reference the `votes` aggregate 64
+    # times and duplicate its whole expression tree at each reference.
+    bit_vals = F.array(
+        *[F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long") for i in range(64)]
+    )
+    contrib = F.zip_with(
+        votes, bit_vals, lambda v, b: F.when(v > 0, b).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(contrib, F.lit(0).cast("long"), lambda a, b: a + b)
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -165,3 +165,36 @@ def test_stream_merge_versioned_snapshots(spark, tmp_path, sf_dir):
     assert len(hist) >= 2
     for v in hist:
         t.read(v).count()
+
+
+def test_engine_versioned_mode(spark, sf_dir, tmp_path):
+    """Engine(versioned=True): the reference-compat mutation API runs on
+    VersionedTable — upserts commit versions, old snapshots stay
+    readable, delete/update version too."""
+    from revtron_utils_spark import Engine
+
+    eng = Engine(spark, warehouse_dir=str(tmp_path / "wh"), versioned=True)
+    eng.attach_dir(sf_dir)
+    cu = eng.get_table("customer").limit(20)
+    eng.save_table("cust", cu, primary_key=["c_custkey"])
+    assert eng.table_history("cust") == [0]
+
+    keys = eng.upsert(
+        "cust", [{"c_custkey": 1, "c_name": None, "c_acctbal": 999.0}]
+    )
+    assert keys == [{"c_custkey": 1}]
+    assert eng.table_history("cust") == [0, 1]
+    now = {r.c_custkey: r.c_acctbal for r in eng.get_table("cust").collect()}
+    assert now[1] == 999.0
+    # null-preserving: name kept from v0
+    name_v1 = eng.get_table("cust").filter(F.col("c_custkey") == 1).first().c_name
+    name_v0 = eng.get_table("cust", version=0).filter(F.col("c_custkey") == 1).first().c_name
+    assert name_v1 == name_v0 is not None
+    # time travel sees the old balance
+    old = eng.get_table("cust", version=0).filter(F.col("c_custkey") == 1).first()
+    assert old.c_acctbal != 999.0
+
+    n = eng.delete("cust", {"c_custkey": {"operator": ">", "value": 10}})
+    assert n > 0
+    assert eng.table_history("cust") == [0, 1, 2]
+    assert eng.get_table("cust", version=1).count() == 20
