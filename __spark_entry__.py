@@ -819,6 +819,37 @@ FROM events ORDER BY v ASC NULLS FIRST, event_id LIMIT 50
 """
 
 
+def q_null_safe_join(spark, sf):
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — the semantics a plain
+    equi-join silently loses."""
+    ev = _t(spark, sf, "events")
+    band = F.when(F.col("value") > 300, None).otherwise(
+        F.floor(F.col("value") / 50).cast("long")
+    )
+    left = ev.select("event_id", band.alias("band"))
+    right = left.select("band").distinct().withColumn(
+        "band_label",
+        F.coalesce(F.concat(F.lit("b"), F.col("band").cast("string")), F.lit("b_null")),
+    )
+    return left.join(right, left.band.eqNullSafe(right.band)).select(
+        "event_id", "band_label"
+    )
+
+
+SQL_NULL_SAFE_JOIN = """
+WITH l AS (
+  SELECT event_id,
+         CASE WHEN value > 300 THEN NULL ELSE CAST(FLOOR(value / 50) AS BIGINT) END AS band
+  FROM events
+), r AS (
+  SELECT band, COALESCE('b' || CAST(band AS VARCHAR), 'b_null') AS band_label
+  FROM (SELECT DISTINCT band FROM l)
+)
+SELECT l.event_id, r.band_label FROM l JOIN r ON l.band IS NOT DISTINCT FROM r.band
+"""
+
+
 def q_curation_pipeline(spark, sf):
     """The north-star story end-to-end: dedup (planted copies) → quality
     gate → language gate → token accounting, composed from the engine's
@@ -1015,6 +1046,45 @@ FROM (
               OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_s
   FROM events)
+"""
+
+
+def q_session_agg(spark, sf):
+    """Per-user session aggregation via Spark's native session_window
+    (gap-based dynamic windows — the same operator Structured Streaming
+    uses for stateful sessionization). Oracle: the lag+cumsum session
+    assignment grouped per session — both define a session break as a
+    >30 min silence, so starts/counts/sums agree exactly."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            "n",
+            "sv",
+        )
+    )
+
+
+SQL_SESSION_AGG = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) > 30 * 60 * 1000000
+              OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id, epoch_us(MIN(ts)) AS start_us,
+       CAST(count(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS sv
+FROM sess GROUP BY user_id, sid
 """
 
 
@@ -2173,12 +2243,14 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
     "except": (q_except, SQL_EXCEPT),
     "null_ordering": (q_null_ordering, SQL_NULL_ORDERING),
+    "null_safe_join": (q_null_safe_join, SQL_NULL_SAFE_JOIN),
     "curation_pipeline": (q_curation_pipeline, SQL_CURATION_PIPELINE),
     "raw_sql": (q_raw_sql, RAW_SQL),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "date_window": (q_date_window, SQL_DATE_WINDOW),
     "tumbling_counts": (q_tumbling_counts, SQL_TUMBLING_COUNTS),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "session_agg": (q_session_agg, SQL_SESSION_AGG),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),

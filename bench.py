@@ -60,6 +60,7 @@ HEADLINE = [
     "returned_q10",
     "having_q18",
     "disjunctive_q19",
+    "session_agg",
 ]
 
 
