@@ -600,3 +600,9 @@ class Engine:
             shutil.rmtree(old_target, ignore_errors=True)
         # any temp views registered over the old version dir are stale now
         self._catalog_version += 1
+
+    def vacuum_table(self, table_name: str, keep_last: int = 2) -> list[str]:
+        """Retention GC for a versioned managed table: drop manifests
+        older than the ``keep_last`` most recent and delete data files
+        only they referenced."""
+        return self._vt(table_name).vacuum(keep_last=keep_last)

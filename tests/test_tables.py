@@ -198,3 +198,67 @@ def test_engine_versioned_mode(spark, sf_dir, tmp_path):
     assert n > 0
     assert eng.table_history("cust") == [0, 1, 2]
     assert eng.get_table("cust", version=1).count() == 20
+
+
+def test_versioned_table_random_ops_match_model(spark, tmp_path):
+    """Stateful differential test: a random-but-deterministic sequence of
+    merge/append/delete/overwrite against VersionedTable must track an
+    in-memory dict model exactly, at every version."""
+    import random
+
+    rng = random.Random(20240813)
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), _df(spark, [(0, "seed", 0.0)])
+    )
+    model = {0: ("seed", 0.0)}
+    snapshots = [dict(model)]
+
+    for step in range(8):
+        op = rng.choice(["merge", "append", "delete", "overwrite"])
+        if op == "merge":
+            rows = [
+                (rng.randrange(12), rng.choice(["x", "y", None]), float(rng.randrange(100)))
+                for _ in range(rng.randrange(1, 4))
+            ]
+            # dedupe within batch like dedupe_source (last by (name,v) desc)
+            by_key = {}
+            for k, name, v in rows:
+                cur = by_key.get(k)
+                cand = (name, v)
+                if cur is None or (
+                    (cand[0] or "") > (cur[0] or "")
+                    or ((cand[0] or "") == (cur[0] or "") and cand[1] > cur[1])
+                ):
+                    by_key[k] = cand
+            src = spark.createDataFrame(
+                [(k, n, v) for k, (n, v) in by_key.items()],
+                "k long, name string, v double",
+            )
+            t.merge(src, keys=["k"])
+            for k, (name, v) in by_key.items():
+                if k in model:
+                    old = model[k]
+                    model[k] = (name if name is not None else old[0], v)
+                else:
+                    model[k] = (name, v)
+        elif op == "append":
+            k = 100 + step
+            t.append(_df(spark, [(k, f"a{step}", float(step))]))
+            model[k] = (f"a{step}", float(step))
+        elif op == "delete":
+            thr = float(rng.randrange(100))
+            t.delete(F.col("v") > thr)
+            model = {k: nv for k, nv in model.items() if not (nv[1] is not None and nv[1] > thr)}
+        else:
+            rows = [(999, "ow", float(step))]
+            t.overwrite(_df(spark, rows))
+            model = {999: ("ow", float(step))}
+        snapshots.append(dict(model))
+
+        got = {r.k: (r.name, r.v) for r in t.read().collect()}
+        assert got == model, f"divergence after step {step} ({op})"
+
+    # every historical version still matches its recorded snapshot
+    for v, snap in zip(t.history(), snapshots):
+        got = {r.k: (r.name, r.v) for r in t.read(v).collect()}
+        assert got == snap, f"time-travel divergence at version {v}"
