@@ -80,6 +80,12 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # release frames persisted inside operators so queries don't
+        # compete with earlier queries' caches for executor memory
+        from revtron_utils_spark.operators.dedup import release_caches
+
+        release_caches()
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
