@@ -123,8 +123,18 @@ class VersionedTable:
 
     def append(self, df: DataFrame) -> int:
         """Append = old manifest's files + the new ones. No data file is
-        read or rewritten — O(new data) regardless of table size."""
+        read or rewritten — O(new data) regardless of table size.
+        Schema must match the current version exactly (name+type, order
+        ignored): a drifted append would otherwise poison every future
+        read of the mixed file set."""
         base = self.latest_version()
+        current = {(f.name, f.dataType) for f in self.read(base).schema.fields}
+        incoming = {(f.name, f.dataType) for f in df.schema.fields}
+        if current != incoming:
+            raise ValueError(
+                f"append schema mismatch: table has {sorted(n for n, _ in current)}, "
+                f"incoming {sorted(n for n, _ in incoming)}"
+            )
         files = self._manifest(base)["files"] + self._write_files(df)
         v = base + 1
         self._commit(v, files, "append")

@@ -262,3 +262,17 @@ def test_versioned_table_random_ops_match_model(spark, tmp_path):
     for v, snap in zip(t.history(), snapshots):
         got = {r.k: (r.name, r.v) for r in t.read(v).collect()}
         assert got == snap, f"time-travel divergence at version {v}"
+
+
+def test_append_rejects_schema_drift(spark, tmp_path):
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0)]))
+    bad = spark.createDataFrame([(2, "b")], ["k", "name"])  # missing v
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(bad)
+    bad2 = spark.createDataFrame([(2, "b", 2)], "k long, name string, v long")  # v type drift
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(bad2)
+    # column order doesn't matter
+    ok = spark.createDataFrame([("c", 3.0, 3)], "name string, v double, k long")
+    t.append(ok)
+    assert t.read().count() == 2

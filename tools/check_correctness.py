@@ -73,6 +73,13 @@ def main():
             print(f"FAIL  {name}: spark error: {str(e).splitlines()[0][:160]}")
             failures.append(name)
             continue
+        finally:
+            # frames persisted inside operators must not pile up across
+            # the ~100-query sweep (same hygiene as bench.py)
+            from revtron_utils_spark.operators.dedup import release_caches
+
+            release_caches()
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ok?   {name}: rows-only check, {len(srows)} rows ({time.time()-t0:.1f}s)")
             if len(srows) == 0 and name not in ("cosine_neardup",):
