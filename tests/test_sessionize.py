@@ -4,6 +4,8 @@ lag/cumsum batch computation."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from revtron_utils_spark.streaming.sessionize import sessionize_batch, sessionize_stream
@@ -84,3 +86,75 @@ def test_stream_sessionize_matches_batch(spark, engine, tmp_path):
     n_users = ev.select("user_id").distinct().count()
     assert len(got) >= len(want_all) - n_users
     assert len(got) > 0
+
+
+def _protobuf_ok() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_ok(),
+    reason="transformWithStateInPandas needs google.protobuf descriptors "
+    "(absent in this container; see streaming/running.py docstring)",
+)
+def test_running_stats_transform_with_state(spark, tmp_path):
+    """transformWithStateInPandas running stats: two micro-batches fold
+    into per-key state; the final emitted row per key equals the direct
+    batch aggregate over all data."""
+    from pyspark.sql import functions as F
+    from revtron_utils_spark.streaming.running import running_stats_stream
+
+    src = str(tmp_path / "src")
+    b1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)], ["k", "value"]
+    )
+    b2 = spark.createDataFrame(
+        [("a", 5.0), ("b", -2.0), ("c", 7.0)], ["k", "value"]
+    )
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    out = running_stats_stream(stream, "k", "value")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_stats_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("SELECT * FROM running_stats_out").collect()
+    # last emission per key reflects ALL data (update mode appends to the
+    # memory sink; take the row with the max n per key)
+    final = {}
+    for r in rows:
+        if r.key not in final or r.n > final[r.key].n:
+            final[r.key] = r
+    want = {
+        r.k: r
+        for r in b1.unionByName(b2)
+        .groupBy("k")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want)
+    for k in want:
+        assert final[k].n == want[k].n
+        assert final[k].s == want[k].s
+        assert final[k].mn == want[k].mn
+        assert final[k].mx == want[k].mx
