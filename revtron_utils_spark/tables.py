@@ -75,7 +75,9 @@ class VersionedTable:
     def _manifest(self, version: int) -> dict:
         return json.loads((self._log_dir / _fmt_version(version)).read_text())
 
-    def _commit(self, version: int, files: list[str], op: str) -> None:
+    def _commit(
+        self, version: int, files: list[str], op: str, evolved: bool = False
+    ) -> None:
         """Atomic put-if-absent of the manifest: O_EXCL creation makes
         the version file the commit point — a racing writer of the same
         version raises CommitConflict and must rebase."""
@@ -85,6 +87,7 @@ class VersionedTable:
             "files": sorted(files),
             "op": op,
             "committed_at": time.time(),
+            "evolved": evolved,
         }
         target = self._log_dir / _fmt_version(version)
         try:
@@ -121,24 +124,45 @@ class VersionedTable:
         self._commit(v, files, "overwrite")
         return v
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, evolve: bool = False) -> int:
         """Append = old manifest's files + the new ones. No data file is
         read or rewritten — O(new data) regardless of table size.
+
         Schema must match the current version exactly (name+type, order
-        ignored): a drifted append would otherwise poison every future
-        read of the mixed file set."""
+        ignored) — a drifted append would otherwise poison every future
+        read of the mixed file set. With ``evolve=True``, *additive*
+        evolution is allowed instead: the incoming frame may carry NEW
+        columns (the reference's ``ALTER TABLE ADD COLUMN`` diff,
+        revtron/database/main.py:129-140); existing columns must still
+        type-match. Evolved tables read with parquet ``mergeSchema``
+        (old files surface the new columns as NULL) — recorded in the
+        manifest so every later snapshot read merges too."""
         base = self.latest_version()
         current = {(f.name, f.dataType) for f in self.read(base).schema.fields}
         incoming = {(f.name, f.dataType) for f in df.schema.fields}
+        evolved = False
         if current != incoming:
-            raise ValueError(
-                f"append schema mismatch: table has {sorted(n for n, _ in current)}, "
-                f"incoming {sorted(n for n, _ in incoming)}"
+            cur_by_name = dict(current)
+            inc_by_name = dict(incoming)
+            additive = (
+                evolve
+                and set(cur_by_name) <= set(inc_by_name)
+                and all(inc_by_name[n] == t for n, t in cur_by_name.items())
             )
+            if not additive:
+                raise ValueError(
+                    f"append schema mismatch: table has {sorted(cur_by_name)}, "
+                    f"incoming {sorted(inc_by_name)}"
+                    + ("" if evolve else " (pass evolve=True for additive columns)")
+                )
+            evolved = True
         files = self._manifest(base)["files"] + self._write_files(df)
         v = base + 1
-        self._commit(v, files, "append")
+        self._commit(v, files, "append", evolved=evolved or self._is_evolved(base))
         return v
+
+    def _is_evolved(self, version: int) -> bool:
+        return bool(self._manifest(version).get("evolved"))
 
     def _file_key_range(self, rel_path: str, key: str):
         """(min, max) of ``key`` across a file's row groups, straight
@@ -223,10 +247,14 @@ class VersionedTable:
         via ``version``). Never lists data directories — concurrent
         writers' uncommitted files are invisible by construction."""
         v = self.latest_version() if version is None else version
-        files = [str(Path(self.path) / f) for f in self._manifest(v)["files"]]
+        m = self._manifest(v)
+        files = [str(Path(self.path) / f) for f in m["files"]]
         if not files:
             raise FileNotFoundError(f"version {v} has no files")
-        return self.spark.read.parquet(*files)
+        reader = self.spark.read
+        if m.get("evolved"):
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
 
     # ----------------------------------------------------------- cleanup
 

@@ -276,3 +276,28 @@ def test_append_rejects_schema_drift(spark, tmp_path):
     ok = spark.createDataFrame([("c", 3.0, 3)], "name string, v double, k long")
     t.append(ok)
     assert t.read().count() == 2
+
+
+def test_append_evolve_adds_columns(spark, tmp_path):
+    """Additive evolution: evolve=True admits new columns; old files
+    surface them as NULL via mergeSchema, and the evolved flag sticks
+    for subsequent versions."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0)]))
+    wide = spark.createDataFrame(
+        [(2, "b", 2.0, "extra")], "k long, name string, v double, tag string"
+    )
+    # without evolve: rejected
+    with pytest.raises(ValueError, match="evolve=True"):
+        t.append(wide)
+    t.append(wide, evolve=True)
+    got = {r.k: r.tag for r in t.read().collect()}
+    assert got == {1: None, 2: "extra"}
+    # a later plain append of the evolved schema keeps merging
+    t.append(
+        spark.createDataFrame([(3, "c", 3.0, None)], "k long, name string, v double, tag string")
+    )
+    assert t.read().count() == 3
+    # type change is still rejected even with evolve
+    bad = spark.createDataFrame([(4, "d", 4, "x")], "k long, name string, v long, tag string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(bad, evolve=True)
