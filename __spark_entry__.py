@@ -1890,6 +1890,60 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+def q_scd2_history(spark, sf):
+    """SCD2 history-preserving merge: init from a base snapshot, apply a
+    batch with changed + unchanged + brand-new keys, and emit the full
+    history (closed rows, reopened rows, untouched rows). Deterministic
+    batch timestamps make the whole lifecycle oracle-checkable."""
+    from revtron_utils_spark.operators.scd import scd2_init, scd2_merge
+
+    cu = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    t0, t1 = "2024-01-01", "2024-02-01"
+    scd = scd2_init(cu, ["c_custkey"], t0)
+    changed = cu.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit("CHANGED").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 10).alias("c_acctbal"),
+    )
+    unchanged = cu.filter((F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 5 != 0))
+    new = cu.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    batch = changed.unionByName(unchanged).unionByName(new)
+    out = scd2_merge(scd, batch, ["c_custkey"], t1)
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.unix_micros("effective_from").alias("from_us"),
+        F.unix_micros("effective_to").alias("to_us"),
+        "is_current",
+    )
+
+
+SQL_SCD2_HISTORY = """
+WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer)
+SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS c_acctbal,
+       epoch_us(TIMESTAMP '2024-01-01') AS from_us,
+       epoch_us(TIMESTAMP '2024-02-01') AS to_us, FALSE AS is_current
+FROM base WHERE c_custkey % 5 = 0
+UNION ALL
+SELECT c_custkey, 'CHANGED', ROUND(c_acctbal + 10, 2),
+       epoch_us(TIMESTAMP '2024-02-01'), NULL, TRUE
+FROM base WHERE c_custkey % 5 = 0
+UNION ALL
+SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2),
+       epoch_us(TIMESTAMP '2024-01-01'), NULL, TRUE
+FROM base WHERE c_custkey % 5 != 0
+UNION ALL
+SELECT c_custkey + 1000000, 'NEW', 0.0,
+       epoch_us(TIMESTAMP '2024-02-01'), NULL, TRUE
+FROM base WHERE c_custkey % 100 = 0
+"""
+
+
 def q_salted_agg(spark, sf):
     """Skew-mitigated two-stage aggregation: partials on (group, salt)
     then finals on group — a hot group's reduce work spreads over 16
@@ -2281,6 +2335,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "antijoin_q22": (q_antijoin_q22, SQL_ANTIJOIN_Q22),
     "window_range_frame": (q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
     "window_firstlast": (q_window_firstlast, SQL_WINDOW_FIRSTLAST),
+    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
     "nation_volume_q7": (q_nation_volume_q7, SQL_NATION_VOLUME_Q7),
     "returned_q10": (q_returned_q10, SQL_RETURNED_Q10),
