@@ -87,22 +87,17 @@ def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
     return key
 
 
-def zorder_write(
+def zorder_arrange(
     df: DataFrame,
-    path: str,
     cols: Sequence[str],
     bits: int = 16,
     num_files: int | None = None,
-    mode: str = "overwrite",
-) -> None:
-    """Write ``df`` clustered by the Z-order of ``cols``.
-
-    Two passes: one cheap min/max aggregate for scaling bounds, then a
-    range-repartition + within-partition sort on the interleaved key and
-    the parquet write. Every output file then covers a small hyper-box
-    of the key space, so row-group min/max statistics prune effectively
-    for predicates on any clustered column (verify with
-    ``file_column_ranges``)."""
+) -> DataFrame:
+    """Return ``df`` range-partitioned + sorted on the Z-order key of
+    ``cols`` (one cheap min/max aggregate for scaling bounds). A plain
+    write of the result yields files that each cover a small hyper-box
+    of the key space — reused by ``zorder_write`` and by
+    ``tables.VersionedTable.overwrite(cluster_by=...)``."""
     bounds = df.agg(
         *[F.min(c).alias(f"_mn_{c}") for c in cols],
         *[F.max(c).alias(f"_mx_{c}") for c in cols],
@@ -122,7 +117,22 @@ def zorder_write(
         "_zkey", zorder_key([f"_z_{c}" for c in cols], bits)
     )
     out = keyed.repartitionByRange(num_files or 8, "_zkey").sortWithinPartitions("_zkey")
-    out.drop("_zkey", *[f"_z_{c}" for c in cols]).write.mode(mode).parquet(path)
+    return out.drop("_zkey", *[f"_z_{c}" for c in cols])
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered by the Z-order of ``cols`` (see
+    ``zorder_arrange``); row-group min/max statistics then prune scans
+    for predicates on any clustered column (verify with
+    ``file_column_ranges``)."""
+    zorder_arrange(df, cols, bits, num_files).write.mode(mode).parquet(path)
 
 
 def file_column_ranges(spark: SparkSession, path: str, cols: Sequence[str]) -> list[dict]:

@@ -118,7 +118,21 @@ class VersionedTable:
         t._commit(0, files, "create")
         return t
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        cluster_by: Sequence[str] | None = None,
+        num_files: int | None = None,
+    ) -> int:
+        """Replace the table contents. ``cluster_by`` Z-orders the write
+        (layout.zorder_arrange) so each file covers a narrow range of
+        every clustered column — which is exactly what makes ``merge``'s
+        footer-stats file pruning effective: cluster on the merge key
+        and a narrow-band merge rewrites a narrow band of files."""
+        if cluster_by:
+            from .layout import zorder_arrange
+
+            df = zorder_arrange(df, list(cluster_by), num_files=num_files)
         v = self.latest_version() + 1
         files = self._write_files(df)
         self._commit(v, files, "overwrite")

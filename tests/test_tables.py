@@ -301,3 +301,25 @@ def test_append_evolve_adds_columns(spark, tmp_path):
     bad = spark.createDataFrame([(4, "d", 4, "x")], "k long, name string, v long, tag string")
     with pytest.raises(ValueError, match="schema mismatch"):
         t.append(bad, evolve=True)
+
+
+def test_overwrite_clustered_enables_merge_pruning(spark, tmp_path):
+    """cluster_by on overwrite + footer-stats pruning on merge compose:
+    a narrow-band merge against a Z-ordered table carries most files."""
+    rows = [(i, f"n{i}", float(i % 37)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "name", "v"])
+    t = VersionedTable.create(spark, str(tmp_path / "t"), df.limit(1))
+    t.overwrite(df, cluster_by=["k"], num_files=8)
+    v1_files = set(t._manifest(t.latest_version())["files"])
+    assert len(v1_files) == 8
+
+    src = spark.createDataFrame(
+        [(k, "touched", -1.0) for k in range(1900, 2000)], ["k", "name", "v"]
+    )
+    t.merge(src, keys=["k"])
+    carried = v1_files & set(t._manifest(t.latest_version())["files"])
+    # the merge touched only the top k-band: ≥6 of 8 clustered files survive
+    assert len(carried) >= 6
+    got = t.read()
+    assert got.count() == 2000
+    assert got.filter(F.col("name") == "touched").count() == 100
