@@ -1890,6 +1890,68 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """
 
 
+def q_repetition_stats(spark, sf):
+    """Gopher-style repetition signals per document: the most common
+    word 2-gram (count + gram, via a shuffle-free sorted run-length
+    scan) and the duplicate-token ratio — the quality gates that drop
+    looping/spammy documents from training corpora."""
+    docs = _t(spark, sf, "documents")
+    top = TX.top_ngram_stats("text", 2)
+    return docs.select(
+        "doc_id",
+        top["top_gram"].alias("top_gram"),
+        top["top_count"].cast("long").alias("top_count"),
+        F.round(TX.dup_token_ratio("text"), 6).alias("dup_ratio"),
+    )
+
+
+SQL_REPETITION_STATS = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2
+           THEN list_transform(range(1, len(toks)), i -> concat_ws(' ', toks[i], toks[i+1]))
+           ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM t
+), c AS (
+  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, gram AS top_gram, n AS top_count,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, gram) AS rn
+  FROM c
+)
+SELECT t.doc_id, top.top_gram, top.top_count,
+       ROUND(1.0 - CAST(len(list_distinct(t.toks)) AS DOUBLE) / GREATEST(len(t.toks), 1), 6)
+         AS dup_ratio
+FROM t LEFT JOIN top ON t.doc_id = top.doc_id AND top.rn = 1
+"""
+
+
+def q_weighted_sample(spark, sf):
+    """Quality-weighted deterministic downsampling: each order kept with
+    probability proportional to its (capped) total price — reproducible
+    across runs and engines, unlike rand()-based sampling."""
+    from revtron_utils_spark.operators.curation import weighted_hash_sample
+
+    od = _t(spark, sf, "orders")
+    w = F.least(F.col("o_totalprice") / 400000.0, F.lit(1.0))
+    return weighted_hash_sample(od, "o_orderkey", w).select("o_orderkey")
+
+
+def _sql_weighted() -> str:
+    from revtron_utils_spark.operators.curation import HASH_MOD
+
+    b = _sql_bucket("o_orderkey")
+    return f"""
+SELECT o_orderkey FROM orders
+WHERE {b} < CAST(LEAST(o_totalprice / 400000.0, 1.0) * {HASH_MOD} AS BIGINT)
+"""
+
+
+SQL_WEIGHTED_SAMPLE = _sql_weighted()
+
+
 def q_scd2_history(spark, sf):
     """SCD2 history-preserving merge: init from a base snapshot, apply a
     batch with changed + unchanged + brand-new keys, and emit the full
@@ -2336,6 +2398,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "window_range_frame": (q_window_range_frame, SQL_WINDOW_RANGE_FRAME),
     "window_firstlast": (q_window_firstlast, SQL_WINDOW_FIRSTLAST),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
     "nation_volume_q7": (q_nation_volume_q7, SQL_NATION_VOLUME_Q7),
     "returned_q10": (q_returned_q10, SQL_RETURNED_Q10),

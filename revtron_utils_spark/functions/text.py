@@ -196,3 +196,47 @@ def simhash64(col: Column | str) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two packed 64-bit simhashes."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def top_ngram_stats(col: Column | str, n: int = 2) -> Column:
+    """Most-frequent word ``n``-gram per document as
+    ``struct(top_gram, top_count)`` — the Gopher-style repetition
+    signal ("fraction of content in the most common n-gram") used to
+    filter looping/spammy documents from training corpora.
+
+    Shuffle-free: sort the gram array and run-length-scan it with one
+    ``aggregate`` (struct accumulator), so the count of the most common
+    gram falls out of a narrow projection instead of an
+    explode+groupBy. Ties break to the lexicographically smallest gram
+    (the sorted scan's strict-greater test keeps the first maximum)."""
+    grams = F.array_sort(word_ngrams(col, n))
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_n"),
+        F.lit(None).cast("string").alias("best_g"),
+    )
+
+    def step(acc, g):
+        new_run = F.when(g.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = new_run > acc["best_n"]
+        return F.struct(
+            g.alias("prev"),
+            new_run.alias("run"),
+            F.when(better, new_run).otherwise(acc["best_n"]).alias("best_n"),
+            F.when(better, g).otherwise(acc["best_g"]).alias("best_g"),
+        )
+
+    out = F.aggregate(grams, acc0, step)
+    return F.struct(out["best_g"].alias("top_gram"), out["best_n"].alias("top_count"))
+
+
+def dup_token_ratio(col: Column | str) -> Column:
+    """Fraction of tokens that are repeats (1 − distinct/total) — the
+    cheap companion repetition signal."""
+    toks = tokens(col)
+    return F.lit(1.0) - F.size(F.array_distinct(toks)) / F.greatest(
+        F.size(toks), F.lit(1)
+    )

@@ -231,3 +231,18 @@ def decontaminate(
         tr_grams.join(F.broadcast(ev_grams), "g", "left_semi").select(id_col).distinct()
     )
     return train.join(contaminated, id_col, "left_anti")
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-row-probability deterministic sampling: keep a row iff its id
+    bucket falls below ``weight`` (a [0,1] column) — quality-weighted
+    corpus downsampling (keep high-quality docs with higher probability)
+    that stays reproducible across runs and engines, unlike rand()."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    thr = (w * HASH_MOD).cast("long")
+    return df.filter(id_hash(id_col, seed) < thr)

@@ -202,3 +202,46 @@ def test_decontaminate_short_docs_survive(spark):
     train = spark.createDataFrame([(1, "too short to have an 8gram")], ["doc_id", "text"])
     eval_df = spark.createDataFrame([(2, "also short")], ["doc_id", "text"])
     assert C.decontaminate(train, eval_df, ngram_n=8).count() == 1
+
+
+def test_top_ngram_stats_and_dup_ratio(spark):
+    from revtron_utils_spark.functions.text import dup_token_ratio, top_ngram_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b c"),       # "a b" x3 is the top 2-gram
+            (2, "x y z"),               # all 2-grams unique -> count 1, smallest first
+            (3, "solo"),                # fewer than 2 tokens -> null/0
+        ],
+        ["doc_id", "text"],
+    )
+    top = top_ngram_stats("text", 2)
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            top["top_gram"].alias("g"),
+            top["top_count"].alias("n"),
+            dup_token_ratio("text").alias("dr"),
+        ).collect()
+    }
+    assert (rows[1].g, rows[1].n) == ("a b", 3)
+    assert rows[2].n == 1 and rows[2].g == "x y"  # lexicographic tiebreak
+    assert rows[3].g is None and rows[3].n == 0
+    # doc 1: 7 tokens, 3 distinct -> dup ratio 4/7
+    assert abs(rows[1].dr - 4 / 7) < 1e-9
+    assert rows[2].dr == 0.0
+
+
+def test_weighted_hash_sample_extremes(spark):
+    from pyspark.sql import functions as F
+    from revtron_utils_spark.operators.curation import weighted_hash_sample
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 1000, 1.0).otherwise(0.0).alias("w"),
+    )
+    kept = weighted_hash_sample(df, "k", "w")
+    ks = {r.k for r in kept.collect()}
+    # weight 1.0 rows always kept, weight 0.0 rows never
+    assert ks == set(range(1000))
