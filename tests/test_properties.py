@@ -268,3 +268,88 @@ def test_pack_sequences_offset_invariants(spark, sizes, budget):
         assert r.pack_id == cum // budget
         cum += sizes[r.doc_id]
     assert [r.pack_id for r in out] == sorted(r.pack_id for r in out)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["red", "rad", "rod", "blue", "blues"]),
+            st.sampled_from(["widget", "gadget"]),
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    max_dist=st.integers(min_value=1, max_value=3),
+)
+def test_fuzzy_self_pairs_matches_bruteforce(spark, data, max_dist):
+    """The value-canonicalized blocked fuzzy join must equal the naive
+    per-row brute force (same blocks, same threshold)."""
+    from revtron_utils_spark.operators.fuzzy import fuzzy_self_pairs
+
+    rows = [(i, f"{a} {b}", b) for i, (a, b) in enumerate(data)]
+    df = spark.createDataFrame(rows, ["id", "t", "blk"])
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in fuzzy_self_pairs(df, "t", "id", ["blk"], max_dist=max_dist).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            if rows[i][2] != rows[j][2]:
+                continue
+            d = lev(rows[i][1], rows[j][1])
+            if d <= max_dist:
+                want[(i, j)] = d
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=6),
+                st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+                st.one_of(st.none(), st.floats(min_value=0, max_value=9, allow_nan=False)),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    own=st.booleans(),
+)
+def test_upsert_merge_many_matches_iterated_random(spark, batches, own):
+    """Random batch sequences (with duplicate keys removed per batch —
+    the documented precondition): the one-shuffle fold must equal the
+    pairwise iterated merge in both null modes."""
+    from revtron_utils_spark import upsert_merge, upsert_merge_many
+
+    dfs = []
+    for b in batches:
+        dedup = {}
+        for k, name, v in b:
+            dedup[k] = (k, name, v)
+        dfs.append(
+            spark.createDataFrame(
+                list(dedup.values()), "k long, name string, v double"
+            )
+        )
+    folded = upsert_merge_many(dfs, ["k"], overwrite_with_null=own)
+    it = dfs[0]
+    for d in dfs[1:]:
+        it = upsert_merge(it, d, ["k"], overwrite_with_null=own)
+    assert folded.exceptAll(it).count() == 0
+    assert it.exceptAll(folded).count() == 0
