@@ -71,6 +71,19 @@ def main() -> None:
 
     # warm the JVM/session so the first query doesn't pay startup cost
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # ...and the Arrow Python workers (pandas/numpy import once per
+    # worker): the first pandas_udf query would otherwise be charged
+    # ~5s of interpreter spawn that isn't query work
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("double")
+    def _warm(s):
+        return s
+
+    spark.range(256).repartition(64).select(
+        _warm(col("id").cast("double"))
+    ).collect()
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}

@@ -278,6 +278,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bhash")
+    # the candidate self-join reads banded twice; persist so the
+    # 16-band hash projection (interpreted HOFs) runs once per row
+    banded = _persist(banded)
 
     left = banded.alias("l")
     right = banded.alias("r")
