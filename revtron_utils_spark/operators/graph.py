@@ -86,6 +86,7 @@ def connected_components(
     endpoints = e0.select("u").unionByName(e0.select(F.col("v").alias("u"))).distinct()
     cur = _canon(e0)
     prev_sig = None
+    converged = False
     for _ in range(max_iter):
         cur = _canon(_small_star(_large_star(cur))).localCheckpoint(eager=True)
         n, h = cur.agg(
@@ -93,8 +94,17 @@ def connected_components(
         ).first()
         sig = (n, h)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: edge set still changing after {max_iter} "
+            "rounds — labels may split components; raise max_iter",
+            stacklevel=2,
+        )
     # at the fixpoint every edge is (member, root): the labels are the
     # edges themselves plus a self-label per root
     labels = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))

@@ -245,3 +245,15 @@ def test_weighted_hash_sample_extremes(spark):
     ks = {r.k for r in kept.collect()}
     # weight 1.0 rows always kept, weight 0.0 rows never
     assert ks == set(range(1000))
+
+
+def test_cc_empty_edges_with_node_set(spark):
+    """Zero edges: every supplied node is its own component; no crash in
+    the star-contraction loop."""
+    edges = spark.createDataFrame([], "src long, dst long")
+    nodes = spark.createDataFrame([(1,), (2,)], ["id"])
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, nodes=nodes, node_col="id").collect()
+    }
+    assert got == {1: 1, 2: 2}
