@@ -233,6 +233,36 @@ SQL_WHERE_THETA = (
 )
 
 
+def q_where_or(spark, sf):
+    """DSL extension beyond the reference's AND-only mini-language:
+    nested or-groups compile to a pushable disjunction."""
+    eng = Engine(spark)
+    eng.attach_dir(sf)
+    return eng.get(
+        "orders",
+        columns=["o_orderkey"],
+        where=[
+            {"o_orderdate": {"operator": ">=", "value": "1996-01-01"}},
+            {
+                "or": [
+                    {"o_orderpriority": "1-URGENT"},
+                    [
+                        {"o_orderstatus": "F"},
+                        {"o_totalprice": {"operator": ">", "value": 250000}},
+                    ],
+                ]
+            },
+        ],
+    )
+
+
+SQL_WHERE_OR = """
+SELECT o_orderkey FROM orders
+WHERE o_orderdate >= '1996-01-01'
+  AND (o_orderpriority = '1-URGENT' OR (o_orderstatus = 'F' AND o_totalprice > 250000))
+"""
+
+
 def q_sort_limit_offset(spark, sf):
     eng = Engine(spark)
     eng.attach_dir(sf)
@@ -2329,6 +2359,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "where_between": (q_where_between, SQL_WHERE_BETWEEN),
     "where_not_between": (q_where_not_between, SQL_WHERE_NOT_BETWEEN),
     "where_theta": (q_where_theta, SQL_WHERE_THETA),
+    "where_or": (q_where_or, SQL_WHERE_OR),
     "sort_limit_offset": (q_sort_limit_offset, SQL_SORT_LIMIT_OFFSET),
     "count_star": (q_count_star, SQL_COUNT_STAR),
     "table_size_profile": (q_table_size_profile, SQL_TABLE_SIZE_PROFILE),

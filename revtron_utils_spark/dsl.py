@@ -85,7 +85,13 @@ def compile_where(where: Where) -> Column | None:
 
     Returns ``None`` when the DSL is empty (no WHERE clause), matching the
     reference's no-op path.
-    """
+
+    **Extension beyond the reference** (which is AND-only,
+    main.py:193-215): a term of the form ``{"or": [<where>, ...]}``
+    compiles each element with the full DSL recursively and ORs them —
+    nestable, so arbitrary and/or trees are expressible while every
+    plain term keeps its reference semantics. Catalyst still pushes the
+    disjunction into the scan when each branch is pushable."""
     if where is None:
         return None
     terms: list[WhereTerm] = [where] if isinstance(where, Mapping) else list(where)
@@ -94,7 +100,17 @@ def compile_where(where: Where) -> Column | None:
         if not isinstance(term, Mapping):
             raise WhereDSLError(f"where term must be a mapping, got {term!r}")
         for name, spec in term.items():
-            piece = _compile_term(name, spec)
+            if name == "or":
+                if not isinstance(spec, Sequence) or isinstance(spec, (str, bytes)):
+                    raise WhereDSLError(f"'or' expects a list of where-groups, got {spec!r}")
+                branches = [compile_where(b) for b in spec]
+                if any(b is None for b in branches) or not branches:
+                    raise WhereDSLError("'or' branches must be non-empty where-groups")
+                piece = branches[0]
+                for b in branches[1:]:
+                    piece = piece | b
+            else:
+                piece = _compile_term(name, spec)
             pred = piece if pred is None else (pred & piece)
     return pred
 

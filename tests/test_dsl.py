@@ -74,3 +74,34 @@ def test_kwargs_filters(engine):
         "SELECT count(*) FROM events WHERE event_type IN ('click','view') AND user_id = 7"
     ).fetchone()[0]
     assert got == want
+
+
+def test_or_groups_compile_and_nest(spark):
+    from revtron_utils_spark.dsl import compile_where
+
+    df = spark.createDataFrame(
+        [(1, "A", 5.0), (2, "B", 50.0), (3, "C", 500.0), (4, "A", 5000.0)],
+        ["k", "flag", "v"],
+    )
+    # (flag = 'A' AND v < 10) OR (v > 400 AND (flag = 'C' OR flag = 'A'))
+    where = {
+        "or": [
+            [{"flag": "A"}, {"v": {"operator": "<", "value": 10}}],
+            [
+                {"v": {"operator": ">", "value": 400}},
+                {"or": [{"flag": "C"}, {"flag": "A"}]},
+            ],
+        ]
+    }
+    got = sorted(r.k for r in df.filter(compile_where(where)).collect())
+    assert got == [1, 3, 4]
+
+
+def test_or_group_validation():
+    import pytest
+    from revtron_utils_spark.dsl import WhereDSLError, compile_where
+
+    with pytest.raises(WhereDSLError):
+        compile_where({"or": "not-a-list"})
+    with pytest.raises(WhereDSLError):
+        compile_where({"or": []})
