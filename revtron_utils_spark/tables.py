@@ -223,10 +223,16 @@ class VersionedTable:
         matched, untouched = [], []
         for f in all_files:
             rng = self._file_key_range(f, k0) if s_lo is not None else None
-            if rng is None or not (rng[1] < s_lo or rng[0] > s_hi):
-                matched.append(f)
-            else:
+            try:
+                disjoint = rng is not None and (rng[1] < s_lo or rng[0] > s_hi)
+            except TypeError:
+                # footer stats not comparable with the Spark-side bounds
+                # (e.g. binary columns) — conservatively rewrite the file
+                disjoint = False
+            if disjoint:
                 untouched.append(f)
+            else:
+                matched.append(f)
 
         if matched:
             target = self.spark.read.parquet(

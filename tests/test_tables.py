@@ -323,3 +323,16 @@ def test_overwrite_clustered_enables_merge_pruning(spark, tmp_path):
     got = t.read()
     assert got.count() == 2000
     assert got.filter(F.col("name") == "touched").count() == 100
+
+
+def test_merge_prunes_with_string_keys(spark, tmp_path):
+    df = spark.createDataFrame([(f"k{i:03d}", float(i)) for i in range(100)], ["k", "v"])
+    t = VersionedTable.create(
+        spark, str(tmp_path / "t"), df.repartitionByRange(4, "k")
+    )
+    src = spark.createDataFrame([("k095", -1.0), ("k099", -2.0)], ["k", "v"])
+    t.merge(src, keys=["k"])
+    carried = set(t._manifest(0)["files"]) & set(t._manifest(1)["files"])
+    assert len(carried) >= 2  # low bands untouched
+    got = {r.k: r.v for r in t.read().collect()}
+    assert len(got) == 100 and got["k095"] == -1.0 and got["k000"] == 0.0
