@@ -2104,6 +2104,39 @@ SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue FROM (
 """
 
 
+def q_profit_q9(spark, sf):
+    """TPC-H Q9 shape: product-line profit by nation and order year.
+    The fixture has no partsupp, so cost is a deterministic function of
+    quantity (rate 0.6×retailprice/10) — the plan shape (two dim
+    broadcasts into the fact, two-key rollup) is the point."""
+    li, pt, su, na, od = (
+        _t(spark, sf, n) for n in ("lineitem", "part", "supplier", "nation", "orders")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.06 * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(pt.filter(F.col("p_name").like("%widget%"))), li.l_partkey == pt.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+SQL_PROFIT_Q9 = """
+SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * 0.06 * l_quantity), 2) AS sum_profit
+FROM lineitem, part, supplier, nation, orders
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND s_nationkey = n_nationkey AND o_orderkey = l_orderkey
+  AND p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+"""
+
+
 def q_returned_q10(spark, sf):
     """TPC-H Q10 shape: top customers by revenue lost to returns."""
     cu, od, li, na = (_t(spark, sf, n) for n in ("customer", "orders", "lineitem", "nation"))
@@ -2433,6 +2466,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
     "nation_volume_q7": (q_nation_volume_q7, SQL_NATION_VOLUME_Q7),
+    "profit_q9": (q_profit_q9, SQL_PROFIT_Q9),
     "returned_q10": (q_returned_q10, SQL_RETURNED_Q10),
     "promo_share_q14": (q_promo_share_q14, SQL_PROMO_SHARE_Q14),
     "having_q18": (q_having_q18, SQL_HAVING_Q18),

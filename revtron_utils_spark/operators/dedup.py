@@ -15,6 +15,16 @@ shuffle-minimal for 100 TB inputs:
 Everything is DataFrame-native; hashes are Spark's ``xxhash64`` bounded
 into a Mersenne-prime field so the universal-hash arithmetic
 ``(a*h + b) mod p`` stays inside int64 under ANSI mode.
+
+Algorithms from the published literature: MinHash resemblance sketches
+(Broder, "On the resemblance and containment of documents", SEQUENCES
+1997), LSH banding (Indyk & Motwani 1998; the band/row analysis as in
+Leskovec-Rajaraman-Ullman, "Mining of Massive Datasets" ch. 3), SimHash
+(Charikar, "Similarity estimation techniques from rounding algorithms",
+STOC 2002) with the pigeonhole chunk trick from Manku-Jain-Sarma
+("Detecting near-duplicates for web crawling", WWW 2007), and the
+inverted-index exact set-similarity join family (Sarawagi & Kirpal /
+Bayardo et al., "Scaling up all pairs similarity search", WWW 2007).
 """
 
 from __future__ import annotations
