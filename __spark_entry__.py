@@ -1545,11 +1545,11 @@ def q_train_test_split(spark, sf):
 
 
 def _sql_bucket(id_expr: str, seed: int = 0) -> str:
-    from revtron_utils_spark.operators.curation import HASH_MOD, HASH_MULT
+    from revtron_utils_spark.operators.curation import HASH_MOD, _seed_mult
 
     return (
-        f"((((({id_expr}) % {HASH_MOD}) + {HASH_MOD}) % {HASH_MOD})"
-        f" * {HASH_MULT} + {seed}) % {HASH_MOD}"
+        f"((((({id_expr}) % {HASH_MOD}) + {HASH_MOD}) % {HASH_MOD}"
+        f" * {_seed_mult(seed)} + {int(seed) % HASH_MOD}) % {HASH_MOD})"
     )
 
 
@@ -1609,11 +1609,13 @@ SQL_DOC_CHUNKS = r"""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
 ), s AS (
-  SELECT doc_id, toks, range(1, GREATEST(len(toks), 1) + 1, 48) AS starts FROM t
+  SELECT doc_id, toks,
+         range(1, 1 + ((GREATEST(len(toks) - 64, 0) + 47) // 48) * 48 + 1, 48) AS starts
+  FROM t
 )
 SELECT doc_id,
        CAST(generate_subscripts(starts, 1) - 1 AS BIGINT) AS chunk_id,
-       CAST(LEAST(len(toks) - unnest(starts) + 1, 64) AS BIGINT) AS n_tokens,
+       CAST(GREATEST(LEAST(len(toks) - unnest(starts) + 1, 64), 0) AS BIGINT) AS n_tokens,
        md5(array_to_string(list_slice(toks, unnest(starts), unnest(starts) + 63), ' ')) AS chunk_md5
 FROM s
 """

@@ -30,15 +30,45 @@ HASH_MOD = 1_000_000_007
 HASH_MULT = 2_654_435_761 % HASH_MOD
 
 
-def id_hash(col: Column | str, seed: int = 0) -> Column:
-    """Deterministic uniform bucket in [0, HASH_MOD) from an integer id.
+def _seed_mult(seed: int) -> int:
+    """Seed-specific multiplier: a = C·(2·seed+1) mod M, never zero (M
+    prime). The seed must change the MULTIPLIER, not shift the input or
+    the output: any fixed-multiplier variant is an affine bijection, so
+    two seeds' keep-sets are preimages of intervals under the SAME map —
+    structurally correlated (measured: two "independent" 20% samples
+    overlapped either ~100% or 0% depending on the seed delta).
+    Different multipliers give different arithmetic-progression run
+    structures, whose intersections behave like independent draws."""
+    a = (HASH_MULT * (2 * (int(seed) % HASH_MOD) + 1)) % HASH_MOD
+    return a or HASH_MULT
 
-    ``((id mod M) * C + seed) mod M`` — engine-portable arithmetic (plain
-    int64 multiply-mod), unlike md5-hex parsing or ``rand(seed)``.
-    """
+
+def id_hash(col: Column | str, seed: int = 0) -> Column:
+    """Deterministic uniform bucket in [0, HASH_MOD) from an integer id:
+    ``(id mod M) · a_seed + seed mod M`` — engine-portable int64
+    multiply-mod arithmetic (no md5-hex parsing, no ``rand(seed)``),
+    with a seed-dependent multiplier so distinct seeds give
+    decorrelated bucketings (see ``_seed_mult``)."""
     c = F.col(col) if isinstance(col, str) else col
     r = ((c.cast("long") % HASH_MOD) + HASH_MOD) % HASH_MOD
-    return (r * F.lit(HASH_MULT) + F.lit(seed)) % HASH_MOD
+    return (r * F.lit(_seed_mult(seed)) + F.lit(int(seed) % HASH_MOD)) % HASH_MOD
+
+
+_INTEGRAL = ("byte", "short", "int", "integer", "bigint", "long")
+
+
+def _require_integral_id(df: DataFrame, id_col: str) -> None:
+    """The modular hash silently yields NULL for non-integer ids under
+    non-ANSI casts (routing every row to the last split / out of the
+    sample) — fail loudly instead. String ids should be pre-hashed to a
+    long (e.g. ``xxhash64``) by the caller, with the caveat that the
+    DuckDB oracle can then no longer reproduce the buckets."""
+    dt = df.schema[id_col].dataType.simpleString()
+    if dt not in _INTEGRAL:
+        raise TypeError(
+            f"id column {id_col!r} has type {dt}; the deterministic hash "
+            "requires an integral id (pre-hash strings to a long first)"
+        )
 
 
 def hash_split(
@@ -55,6 +85,7 @@ def hash_split(
     under corpus growth (a row's split never changes when other rows are
     added — the property that keeps eval sets frozen across snapshots).
     """
+    _require_integral_id(df, id_col)
     total = sum(weights.values())
     bucket = id_hash(id_col, seed)
     expr = None
@@ -79,6 +110,7 @@ def hash_sample(
     ``bucket < fraction*M``). Repeatable, join-stable (the same ids are
     kept in every table sampled with the same seed — so sampled fact and
     dim tables still join)."""
+    _require_integral_id(df, id_col)
     return df.filter(id_hash(id_col, seed) < int(fraction * HASH_MOD))
 
 
@@ -94,6 +126,7 @@ def stratified_hash_sample(
     ``df.sampleBy``): each stratum keeps its own fraction. The
     stratum→threshold map is folded into a CASE expression — no join,
     no shuffle, still a pure scan."""
+    _require_integral_id(df, id_col)
     bucket = id_hash(id_col, seed)
     thr = F.lit(int(default_fraction * HASH_MOD))
     for value, frac in sorted(fractions.items()):
@@ -112,14 +145,24 @@ def chunk_documents(
     """Split documents into overlapping fixed-size token windows —
     context-window preparation for embedding/training jobs.
 
-    Chunk ``k`` covers tokens ``[1 + k*stride, 1 + k*stride +
-    chunk_tokens)``; windows start while ``start <= n_tokens`` so every
-    token lands in ≥1 chunk and short docs yield exactly one chunk.
+    Chunk ``k`` starts at token ``1 + k*stride``; exactly
+    ``1 + ceil(max(n - chunk_tokens, 0) / stride)`` chunks are emitted,
+    so every token lands in ≥1 chunk, short docs yield one chunk, and
+    no chunk is a pure suffix of its predecessor (a naive
+    "while start ≤ n" rule ships a fully-contained duplicate trailing
+    chunk for ~(chunk−stride)/stride of documents — duplicated training
+    text). NULL text degrades to one empty chunk with ``n_tokens`` 0.
     One ``posexplode`` — a generator inside the scan stage, no shuffle.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.when(
+        F.col(text_col).isNotNull(), F.split(F.trim(F.col(text_col)), r"\s+")
+    ).otherwise(F.array().cast("array<string>"))
     n = F.size(toks)
-    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    n_chunks = 1 + F.floor(
+        (F.greatest(n - chunk_tokens, F.lit(0)) + (stride - 1)) / stride
+    ).cast("int")
+    max_start = 1 + (n_chunks - 1) * stride
+    starts = F.sequence(F.lit(1), max_start, F.lit(stride))
     return (
         df.withColumn("_toks", toks)
         .select(
@@ -133,8 +176,9 @@ def chunk_documents(
             F.concat_ws(" ", F.slice("_toks", F.col("_start"), F.lit(chunk_tokens))).alias(
                 out_text_col
             ),
-            F.least(
-                F.size("_toks") - F.col("_start") + 1, F.lit(chunk_tokens)
+            F.greatest(
+                F.least(F.size("_toks") - F.col("_start") + 1, F.lit(chunk_tokens)),
+                F.lit(0),
             ).cast("long").alias("n_tokens"),
         )
     )
@@ -142,7 +186,7 @@ def chunk_documents(
 
 def pack_sequences(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     token_col: str,
     budget: int,
     partition_cols: list[str] | None = None,
@@ -157,8 +201,14 @@ def pack_sequences(
     and SQL-expressible. Packs are per-partition when ``partition_cols``
     is given — at 100 TB always shard first (e.g. by source file), since
     an unpartitioned window is a single-reducer global sort.
+
+    ``order_col`` (or the column list) must be a UNIQUE ordering within
+    each partition — ties would make the running sum, and therefore the
+    pack assignment, run-to-run nondeterministic; pass a tiebreaker
+    column if the primary order key repeats.
     """
-    w = W.partitionBy(*(partition_cols or [])).orderBy(order_col).rowsBetween(
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = W.partitionBy(*(partition_cols or [])).orderBy(*order_cols).rowsBetween(
         W.unboundedPreceding, -1
     )
     cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
@@ -243,6 +293,7 @@ def weighted_hash_sample(
     bucket falls below ``weight`` (a [0,1] column) — quality-weighted
     corpus downsampling (keep high-quality docs with higher probability)
     that stays reproducible across runs and engines, unlike rand()."""
+    _require_integral_id(df, id_col)
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     thr = (w * HASH_MOD).cast("long")
     return df.filter(id_hash(id_col, seed) < thr)

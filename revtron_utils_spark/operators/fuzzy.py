@@ -94,7 +94,14 @@ def fuzzy_join(
 ) -> DataFrame:
     """Two-table fuzzy equi-block join: rows pair when every blocking
     expression matches exactly and the texts are within ``max_dist``
-    edits. Output carries all columns of both sides plus ``dist``."""
+    edits. Output carries all columns of both sides plus ``dist``.
+
+    The distance threshold lives INSIDE the join condition, not a
+    post-join filter: with an outer ``how`` a post-filter would see
+    ``dist = levenshtein(text, NULL) = NULL`` on every unmatched row
+    and silently drop it — degenerating left/right/full joins to
+    inner. In the condition, non-matching pairs simply don't pair and
+    outer semantics keep the unmatched row (``dist`` NULL)."""
     lcond = None
     l, r = left.alias("l"), right.alias("r")
     for le, re_ in block_on:
@@ -103,8 +110,8 @@ def fuzzy_join(
         term = lc == rc
         lcond = term if lcond is None else (lcond & term)
     dist = F.levenshtein(F.col(f"l.{left_text}"), F.col(f"r.{right_text}"), max_dist)
-    joined = l.join(r, lcond, how).withColumn("dist", dist)
-    return joined.filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    cond = lcond & (dist >= 0) & (dist <= max_dist)
+    return l.join(r, cond, how).withColumn("dist", dist)
 
 
 def normalized_key(col: Column | str) -> Column:

@@ -90,14 +90,21 @@ class VersionedTable:
             "evolved": evolved,
         }
         target = self._log_dir / _fmt_version(version)
+        # write the FULL manifest to a temp file first, then hard-link it
+        # into place: link(2) fails with EEXIST exactly like O_EXCL (the
+        # conflict signal), but the commit point now carries complete
+        # content — a crash can never leave a truncated manifest that
+        # wedges every future read and commit
+        tmp = self._log_dir / f".tmp-{uuid.uuid4().hex[:12]}"
+        tmp.write_text(json.dumps(manifest))
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, target)
         except FileExistsError as e:
             raise CommitConflict(
                 f"version {version} already committed at {self.path}"
             ) from e
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
+        finally:
+            tmp.unlink(missing_ok=True)
 
     # ------------------------------------------------------------- writes
 
@@ -211,41 +218,58 @@ class VersionedTable:
         read, no write). On a key-clustered table (sorted/bucketed/
         Z-ordered writes) a merge touching a narrow key band rewrites a
         narrow slice of the table — the Delta/Iceberg MERGE cost model.
-        Files without usable stats are conservatively rewritten."""
+        Files without usable stats are conservatively rewritten.
+
+        ``source`` is persisted for the duration of the merge: its key
+        bounds (pruning) and its rows (the rewrite) are two separate
+        actions, and a source that evaluated differently between them —
+        ``rand()``, fresh ``sample()`` — could materialize keys in files
+        that pruning classified as disjoint, committing duplicates."""
         import pyspark.sql.functions as F
 
         base = self.latest_version()
+        evolved = self._is_evolved(base)
         all_files = self._manifest(base)["files"]
         k0 = keys[0]
-        row = source.agg(F.min(k0), F.max(k0)).first()
-        s_lo, s_hi = row[0], row[1]
+        source = source.persist()
+        try:
+            row = source.agg(F.min(k0), F.max(k0)).first()
+            s_lo, s_hi = row[0], row[1]
 
-        matched, untouched = [], []
-        for f in all_files:
-            rng = self._file_key_range(f, k0) if s_lo is not None else None
-            try:
-                disjoint = rng is not None and (rng[1] < s_lo or rng[0] > s_hi)
-            except TypeError:
-                # footer stats not comparable with the Spark-side bounds
-                # (e.g. binary columns) — conservatively rewrite the file
-                disjoint = False
-            if disjoint:
-                untouched.append(f)
+            matched, untouched = [], []
+            for f in all_files:
+                rng = self._file_key_range(f, k0) if s_lo is not None else None
+                try:
+                    disjoint = rng is not None and (rng[1] < s_lo or rng[0] > s_hi)
+                except TypeError:
+                    # footer stats not comparable with the Spark-side bounds
+                    # (e.g. binary columns) — conservatively rewrite the file
+                    disjoint = False
+                if disjoint:
+                    untouched.append(f)
+                else:
+                    matched.append(f)
+
+            if matched:
+                reader = self.spark.read
+                if evolved:
+                    # matched files may mix pre- and post-evolution
+                    # schemas — without mergeSchema Spark infers from an
+                    # arbitrary file and silently drops evolved columns
+                    reader = reader.option("mergeSchema", "true")
+                target = reader.parquet(*[str(Path(self.path) / f) for f in matched])
             else:
-                matched.append(f)
-
-        if matched:
-            target = self.spark.read.parquet(
-                *[str(Path(self.path) / f) for f in matched]
+                # schema-only empty target: all source rows are inserts
+                target = self.read(base).limit(0)
+            merged = upsert_merge(
+                target, source, keys, overwrite_with_null=overwrite_with_null
             )
-        else:
-            # schema-only empty target: all source rows are inserts
-            target = self.read(base).limit(0)
-        merged = upsert_merge(
-            target, source, keys, overwrite_with_null=overwrite_with_null
-        )
-        files = untouched + self._write_files(merged)
-        self._commit(base + 1, files, "merge")
+            files = untouched + self._write_files(merged)
+            # untouched pre-evolution files may carry forward — keep the
+            # evolved flag so reads keep merging schemas
+            self._commit(base + 1, files, "merge", evolved=evolved)
+        finally:
+            source.unpersist()
         return base + 1
 
     def update(self, source: DataFrame, on: Sequence[str] | str) -> int:
@@ -278,11 +302,24 @@ class VersionedTable:
 
     # ----------------------------------------------------------- cleanup
 
-    def vacuum(self, keep_last: int = 1) -> list[str]:
+    def vacuum(
+        self,
+        keep_last: int = 1,
+        clean_orphans: bool = False,
+        orphan_grace_seconds: float = 3600.0,
+    ) -> list[str]:
         """Delete data files referenced ONLY by versions older than the
         ``keep_last`` most recent, then drop those manifests. Returns
         deleted file paths. Readers pinned to retained versions are
-        unaffected (their files survive by definition)."""
+        unaffected (their files survive by definition).
+
+        ``clean_orphans`` additionally removes data files referenced by
+        NO manifest at all — the leftovers of commits that lost a
+        ``CommitConflict`` race (their ``_write_files`` output is never
+        referenced, so plain vacuum can never reclaim it). Only orphans
+        older than ``orphan_grace_seconds`` are touched: a concurrent
+        writer between its data write and its commit looks exactly like
+        an orphan, and the grace window keeps it safe."""
         versions = self.history()
         keep = versions[-keep_last:]
         drop = [v for v in versions if v not in keep]
@@ -292,6 +329,15 @@ class VersionedTable:
         dead: set[str] = set()
         for v in drop:
             dead.update(f for f in self._manifest(v)["files"] if f not in live)
+        if clean_orphans:
+            referenced = set(live)
+            for v in drop:
+                referenced.update(self._manifest(v)["files"])
+            now = time.time()
+            for p in Path(self.path).glob("data-*/*.parquet"):
+                rel = str(p.relative_to(self.path))
+                if rel not in referenced and now - p.stat().st_mtime > orphan_grace_seconds:
+                    dead.add(rel)
         deleted = []
         for f in sorted(dead):
             p = Path(self.path) / f

@@ -137,18 +137,25 @@ def test_stratified_hash_sample(spark):
 
 def test_chunk_documents_windows_and_coverage(spark):
     text = " ".join(f"t{i}" for i in range(100))
-    df = spark.createDataFrame([(1, text), (2, "a b c")], ["doc_id", "text"])
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b c"), (3, None)], "doc_id long, text string"
+    )
     out = C.chunk_documents(df, chunk_tokens=64, stride=48).collect()
     by_doc = {}
     for r in out:
         by_doc.setdefault(r.doc_id, []).append(r)
-    # doc1: starts 1, 49, 97 → 3 chunks; last has 100-97+1 = 4 tokens
+    # doc1: chunks start at 1 and 49; chunk 2 (tokens 49-100) already
+    # reaches the end, so NO redundant third chunk is emitted
     c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
-    assert [r.n_tokens for r in c1] == [64, 52, 4]
+    assert [r.n_tokens for r in c1] == [64, 52]
     assert c1[0].chunk_text.split()[0] == "t0"
     assert c1[1].chunk_text.split()[0] == "t48"
+    assert c1[1].chunk_text.split()[-1] == "t99"  # full coverage
     # short doc → exactly one chunk with all tokens
     assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 3
+    # NULL text → one empty chunk, zero tokens (not chunk_tokens!)
+    assert len(by_doc[3]) == 1
+    assert by_doc[3][0].n_tokens == 0 and by_doc[3][0].chunk_text == ""
 
 
 def test_pack_sequences_budget_boundaries(spark):
@@ -257,3 +264,21 @@ def test_cc_empty_edges_with_node_set(spark):
         for r in connected_components(edges, nodes=nodes, node_col="id").collect()
     }
     assert got == {1: 1, 2: 2}
+
+
+def test_hash_sample_seeds_decorrelated(spark):
+    """Different seeds must give (near-)independent samples: overlap of
+    two 20% samples should be ~4%, nowhere near 20%."""
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    a = {r.k for r in C.hash_sample(df, "k", 0.2, seed=1).collect()}
+    b = {r.k for r in C.hash_sample(df, "k", 0.2, seed=99999).collect()}
+    overlap = len(a & b) / 20000
+    assert 0.01 < overlap < 0.1  # ≈ 0.2*0.2 = 0.04 if independent
+
+
+def test_hash_ops_reject_string_ids(spark):
+    df = spark.createDataFrame([("a",), ("b",)], ["k"])
+    with pytest.raises(TypeError, match="integral"):
+        C.hash_sample(df, "k", 0.5)
+    with pytest.raises(TypeError, match="integral"):
+        C.hash_split(df, "k", {"x": 1.0})

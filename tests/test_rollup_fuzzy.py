@@ -129,3 +129,19 @@ def test_fuzzy_threshold_excludes_far_pairs(spark):
         [(1, "aaaa", "x"), (2, "zzzz", "x")], ["id", "t", "blk"]
     )
     assert fuzzy_self_pairs(df, "t", "id", ["blk"], max_dist=3).count() == 0
+
+
+def test_fuzzy_join_left_outer_keeps_unmatched(spark):
+    """Outer fuzzy joins must keep unmatched rows (dist NULL) — the
+    threshold lives in the join condition, not a post-filter."""
+    crm = spark.createDataFrame(
+        [(1, "acme", "US"), (2, "zzzzz", "US"), (3, "solo", "JP")],
+        ["crm_id", "nk", "cc"],
+    )
+    erp = spark.createDataFrame([(10, "acmee", "US")], ["erp_id", "nk2", "cc2"])
+    out = fuzzy_join(crm, erp, "nk", "nk2", block_on=[("cc", "cc2")], max_dist=2, how="left")
+    rows = {r.crm_id: (r.erp_id, r.dist) for r in out.collect()}
+    assert rows[1] == (10, 1)          # matched within distance
+    assert rows[2] == (None, None)     # same block, too far -> kept, null
+    assert rows[3] == (None, None)     # no block match -> kept, null
+    assert len(rows) == 3

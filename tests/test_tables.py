@@ -4,6 +4,8 @@ optimistic-concurrency conflict path."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -336,3 +338,50 @@ def test_merge_prunes_with_string_keys(spark, tmp_path):
     assert len(carried) >= 2  # low bands untouched
     got = {r.k: r.v for r in t.read().collect()}
     assert len(got) == 100 and got["k095"] == -1.0 and got["k000"] == 0.0
+
+
+def test_merge_after_evolution_preserves_new_columns(spark, tmp_path):
+    """Merging into a schema-evolved table must read matched files with
+    mergeSchema and keep the evolved flag on the new version — otherwise
+    evolved columns silently vanish."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    wide = spark.createDataFrame(
+        [(3, "c", 3.0, "T3")], "k long, name string, v double, tag string"
+    )
+    t.append(wide, evolve=True)
+    src = spark.createDataFrame(
+        [(2, "B2", 20.0, None), (4, "d", 4.0, "T4")],
+        "k long, name string, v double, tag string",
+    )
+    t.merge(src, keys=["k"])
+    got = {r.k: (r.name, r.tag) for r in t.read().collect()}
+    assert got[3] == ("c", "T3")   # evolved column survives the merge
+    assert got[2][0] == "B2"
+    assert got[4] == ("d", "T4")
+    assert t._is_evolved(t.latest_version())
+
+
+def test_vacuum_clean_orphans(spark, tmp_path):
+    """Files written but never committed (lost CommitConflict races) are
+    reclaimed only by clean_orphans and only past the grace window."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0)]))
+    # simulate a loser writer: data files exist, no manifest references them
+    orphan_files = t._write_files(_df(spark, [(9, "z", 9.0)]))
+    assert all((Path(t.path) / f).exists() for f in orphan_files)
+    # within grace: untouched
+    assert t.vacuum(keep_last=5, clean_orphans=True, orphan_grace_seconds=3600) == []
+    # past grace: reclaimed
+    deleted = t.vacuum(keep_last=5, clean_orphans=True, orphan_grace_seconds=0)
+    assert sorted(deleted) == sorted(orphan_files)
+    assert t.read().count() == 1
+
+
+def test_truncated_manifest_never_commits(spark, tmp_path):
+    """The manifest content is written before the commit point, so no
+    partially-written manifest can ever appear in the log directory."""
+    t = VersionedTable.create(spark, str(tmp_path / "t"), _df(spark, [(1, "a", 1.0)]))
+    import json
+
+    for v in t.history():
+        m = json.loads((t._log_dir / f"{v:08d}.json").read_text())
+        assert m["files"]  # complete, parseable, non-empty
