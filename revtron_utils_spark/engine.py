@@ -407,6 +407,14 @@ class Engine:
                     existing = existing.withColumn(f.name, F.lit(None).cast(f.dataType))
                 self._write_managed(table_name, existing)
             return
+        if table_name in self._attached or table_name in self._jdbc:
+            # a managed table would resolve FIRST in get_table, so
+            # creating one here would silently shadow the attached data
+            # with an empty table — refuse instead
+            raise ValueError(
+                f"table {table_name!r} is attached (read-only external data); "
+                "creating a managed table of the same name would shadow it"
+            )
         empty = self.spark.createDataFrame([], declared)
         self._write_managed(table_name, empty)
 
@@ -547,13 +555,19 @@ class Engine:
         if isinstance(data, DataFrame):
             return data
         records = [data] if isinstance(data, dict) else list(data)
+        if not records:
+            raise ValueError("empty record list — nothing to write")
         # project the target schema onto the provided keys so types line up
         fields = {f.name: f for f in like.schema.fields}
         keys = list(records[0].keys())
         schema = T.StructType(
             [fields.get(k, T.StructField(k, T.StringType(), True)) for k in keys]
         )
-        return self.spark.createDataFrame([Row(**r) for r in records], schema=schema)
+        # build tuples in SCHEMA order — Row(**r) orders values by the
+        # record's own key order, silently swapping columns when a later
+        # record lists keys differently than records[0]
+        rows = [tuple(r.get(k) for k in keys) for r in records]
+        return self.spark.createDataFrame(rows, schema=schema)
 
     def _write_managed(self, table_name: str, df: DataFrame) -> None:
         """Versioned-dir swap: write the new table image next to the old

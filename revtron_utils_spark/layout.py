@@ -97,11 +97,27 @@ def zorder_arrange(
     ``cols`` (one cheap min/max aggregate for scaling bounds). A plain
     write of the result yields files that each cover a small hyper-box
     of the key space — reused by ``zorder_write`` and by
-    ``tables.VersionedTable.overwrite(cluster_by=...)``."""
+    ``tables.VersionedTable.overwrite(cluster_by=...)``.
+
+    ``bits`` is capped at ``62 // len(cols)`` so the interleaved key
+    always fits a signed int64 (16 bits × 4+ columns would overflow —
+    an ANSI-mode error, or silently wrong ordering without ANSI).
+    Date/timestamp columns are scaled on their epoch value; an empty
+    frame passes through unchanged (no bounds to scale by)."""
+    bits = min(bits, 62 // max(len(cols), 1))
+    num_exprs = {}
+    for c in cols:
+        dt = df.schema[c].dataType.simpleString()
+        if dt in ("date", "timestamp", "timestamp_ntz"):
+            num_exprs[c] = F.unix_micros(F.col(c).cast("timestamp"))
+        else:
+            num_exprs[c] = F.col(c)
     bounds = df.agg(
-        *[F.min(c).alias(f"_mn_{c}") for c in cols],
-        *[F.max(c).alias(f"_mx_{c}") for c in cols],
+        *[F.min(num_exprs[c]).alias(f"_mn_{c}") for c in cols],
+        *[F.max(num_exprs[c]).alias(f"_mx_{c}") for c in cols],
     ).first()
+    if any(bounds[f"_mn_{c}"] is None for c in cols):
+        return df
     scale = (1 << bits) - 1
     scaled = []
     for c in cols:
@@ -110,7 +126,7 @@ def zorder_arrange(
         scaled.append(
             F.least(
                 F.lit(scale).cast("long"),
-                ((F.col(c) - F.lit(lo)) / F.lit(span) * scale).cast("long"),
+                ((num_exprs[c] - F.lit(lo)) / F.lit(span) * scale).cast("long"),
             ).alias(f"_z_{c}")
         )
     keyed = df.select("*", *scaled).withColumn(

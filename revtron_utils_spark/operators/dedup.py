@@ -475,7 +475,14 @@ def simhash_pairs(
     (< 16 required). Pigeonhole: split the hash into 4 × 16-bit chunks;
     any pair within distance 3 must agree on ≥1 chunk → candidates from
     4 equi-joins (via explode), verified with bit_count(xor)."""
-    assert max_hamming < 16
+    # 4 chunks pigeonhole-guarantee candidates only for distance <= 3
+    # (4 differing bits can hit all 4 chunks); a larger bound would
+    # silently miss pairs, so reject it rather than under-deliver
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: the 16-bit-chunk banding only "
+            "guarantees recall for Hamming distance <= 3"
+        )
     sh_col = (
         simhash64_arrow()(F.col(text_col)) if impl == "arrow" else TX.simhash64(text_col)
     )
@@ -616,7 +623,10 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id"), *[F.col(c) for c in block_cols], q.alias("q")
     ).withColumn("nrm", F.sqrt(VX.int_dot(F.col("q"), F.col("q"))))
 
-    if use_arrow and not block_cols and not lsh_planes:
+    id_integral = df.schema[id_col].dataType.simpleString() in (
+        "byte", "short", "int", "integer", "bigint", "long"
+    )
+    if use_arrow and not block_cols and not lsh_planes and id_integral:
         # exact all-pairs: broadcast the corpus as one numpy matrix and
         # matmul per partition — each vector ships ONCE (per task), not
         # once per pair; 2M candidate pairs become a handful of BLAS
@@ -627,8 +637,24 @@ def embedding_neardup_pairs(
         return _neardup_matmul(base, threshold)
     extra_key: list[str] = []
     if lsh_planes:
+        first = df.select(vec_col).first()
+        if first is None or first[0] is None:
+            # empty corpus (or null lead vector): no pairs, by definition
+            from pyspark.sql import types as T
+
+            idt = df.schema[id_col].dataType
+            return df.sparkSession.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("id_a", idt),
+                        T.StructField("id_b", idt),
+                        T.StructField("cosine", T.DoubleType()),
+                    ]
+                ),
+            )
         rng = random.Random(seed)
-        dim = len(df.select(vec_col).first()[0])
+        dim = len(first[0])
         planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(lsh_planes)]
         sig = F.concat_ws(
             "",

@@ -10,13 +10,13 @@ forms.
   DELETE, composed from upsert + anti-join).
 * **ST4** idempotent replay: merge-on-key makes overlapping/repeated
   windows converge — at-least-once extraction, exactly-once state.
-* **ST5** late data: overlapping windows are absorbed by the merge; the
-  streaming form adds a watermark + in-watermark dedup.
+* **ST5** late data: overlapping windows and replays are absorbed by
+  the keyed merge (idempotent); ``stream_dedup`` additionally offers
+  watermark-bounded exactly-once-per-key for append-only consumers.
 
 The streaming variant is the canonical Spark pattern: file/Kafka source →
-``withWatermark`` → ``foreachBatch(merge)``; each micro-batch applies the
-same merge used by the batch loop, so semantics are identical and tested
-once.
+``foreachBatch(merge)``; each micro-batch applies the same merge used by
+the batch loop, so semantics are identical and tested once.
 """
 
 from __future__ import annotations
@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..engine import Engine
-from ..operators.merge import upsert_merge
+from ..operators.merge import dedupe_source, upsert_merge
 
 
 def window_extract(
@@ -64,16 +64,35 @@ def merge_with_soft_delete(
     keys: Sequence[str],
     delete_col: str = "IsDeleted",
     overwrite_with_null: bool = False,
+    order_col: str | None = None,
 ) -> DataFrame:
     """ST3: upsert live rows, remove keys the source marks deleted —
     the ``WHEN MATCHED AND src.IsDeleted THEN DELETE`` branch of a
     MERGE, composed from DataFrame ops (broadcast-friendly: the deleted
-    key set is typically tiny)."""
+    key set is typically tiny).
+
+    When a key appears multiple times in one batch (delete + later
+    re-insert), only the key's NEWEST event decides: the batch is
+    collapsed to one row per key — by ``order_col`` descending when
+    given (pass the event-time column), else by ``dedupe_source``'s
+    deterministic ordering — BEFORE splitting live/dead. Splitting
+    first would let a stale delete erase a newer live row."""
     if delete_col not in source.columns:
         return upsert_merge(target, source, keys, overwrite_with_null)
-    live = source.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
+    if order_col is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        newest = (
+            source.withColumn("__rvt_rn", F.row_number().over(w))
+            .filter(F.col("__rvt_rn") == 1)
+            .drop("__rvt_rn")
+        )
+    else:
+        newest = dedupe_source(source, keys)
+    live = newest.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(delete_col)
     dead_keys = (
-        source.filter(F.coalesce(F.col(delete_col), F.lit(False)))
+        newest.filter(F.coalesce(F.col(delete_col), F.lit(False)))
         .select(*keys)
         .distinct()
     )
@@ -107,7 +126,8 @@ class IncrementalSyncer:
             self.engine.save_table(self.target_table, batch.limit(0), primary_key=self.keys)
         target = self.engine.get_table(self.target_table)
         merged = merge_with_soft_delete(
-            target, batch, self.keys, self.delete_col or "__none__"
+            target, batch, self.keys, self.delete_col or "__none__",
+            order_col=self.date_field,
         )
         self.engine.save_table(self.target_table, merged, primary_key=self.keys)
         return batch.count()
@@ -126,15 +146,16 @@ def stream_merge(
     target_table: str,
     keys: Sequence[str],
     date_field: str = "ts",
-    watermark: str = "1 hour",
     delete_col: str | None = None,
     checkpoint_dir: str | None = None,
 ):
-    """Structured Streaming form: file source → watermark → in-watermark
-    dedup on key → ``foreachBatch`` applying the same merge as the batch
-    loop (exactly-once state over at-least-once delivery). Runs with
-    ``availableNow`` so tests drive it to completion synchronously;
-    a production deployment changes only the trigger and source format.
+    """Structured Streaming form: file source → ``foreachBatch``
+    applying the same merge as the batch loop (exactly-once state over
+    at-least-once delivery). Runs with ``availableNow`` so tests drive
+    it to completion synchronously; a production deployment changes
+    only the trigger and source format. No ``withWatermark`` here: the
+    keyed merge is the dedup/late-data mechanism (see NOTE below), and
+    a watermark with no stateful consumer would be a dead knob.
     """
     # NOTE: no stream-level dropDuplicates(keys) here — that would treat a
     # key's LATER UPDATE as a duplicate and silently drop it (and, with
@@ -147,7 +168,6 @@ def stream_merge(
         .schema(schema)
         .option("maxFilesPerTrigger", "8")
         .load(source_dir)
-        .withWatermark(date_field, watermark)
     )
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -234,9 +254,18 @@ def stream_rollup(
             merged = part
         tmp = state_path.rstrip("/") + "__tmp"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # crash-safe flip: move the old state ASIDE (rename), promote the
+        # new one, then delete the old — a kill between any two steps
+        # leaves either the old or the new state directory present
+        # (rmtree-then-rename had a window that lost ALL history)
+        old = state_path.rstrip("/") + "__old"
+        if Path(old).exists():
+            shutil.rmtree(old)
         if Path(state_path).exists():
-            shutil.rmtree(state_path)
+            Path(state_path).rename(old)
         Path(tmp).rename(state_path)
+        if Path(old).exists():
+            shutil.rmtree(old)
 
     writer = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True)
     if checkpoint_dir:
@@ -251,7 +280,6 @@ def stream_merge_versioned(
     table,
     keys: Sequence[str],
     date_field: str = "ts",
-    watermark: str = "1 hour",
     checkpoint_dir: str | None = None,
 ):
     """``stream_merge`` with a transactional target: each micro-batch
@@ -266,7 +294,6 @@ def stream_merge_versioned(
         .schema(schema)
         .option("maxFilesPerTrigger", "8")
         .load(source_dir)
-        .withWatermark(date_field, watermark)
     )
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:

@@ -246,3 +246,37 @@ def test_text_functions_edges(spark):
     a = spark.createDataFrame([("Hello   World",), ("hello world",)], ["text"])
     fps = [r.fp for r in a.select(TX.fingerprint("text").alias("fp")).collect()]
     assert fps[0] == fps[1]
+
+
+def test_simhash_rejects_unguaranteed_hamming(spark):
+    import pytest
+    from revtron_utils_spark.operators.dedup import simhash_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="Hamming"):
+        simhash_pairs(df, max_hamming=5)
+
+
+def test_neardup_string_ids_fall_back_to_expression_path(spark):
+    from revtron_utils_spark.operators.dedup import embedding_neardup_pairs
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.01]), ("c", [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    pairs = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(df, threshold=0.9).collect()}
+    assert pairs == {("a", "b")}
+
+
+def test_neardup_lsh_empty_input(spark):
+    from pyspark.sql import types as T
+    from revtron_utils_spark.operators.dedup import embedding_neardup_pairs
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    assert embedding_neardup_pairs(empty, lsh_planes=4).count() == 0

@@ -370,3 +370,41 @@ def test_upsert_merge_many_equals_iterated(spark):
         upsert_merge(upsert_merge(b1, b2, ["k"]), b3, ["k"])
     )
     assert f_folded.exchanges < f_iter.exchanges
+
+
+def test_as_df_key_order_independent(engine):
+    """Dict records listing keys in different orders must land in the
+    right columns (positional Row conversion silently swapped them)."""
+    import pyspark.sql.functions as F
+
+    cu = engine.get_table("customer").limit(5)
+    engine.save_table("cust_ord", cu, primary_key=["c_custkey"])
+    engine.upsert(
+        "cust_ord",
+        [
+            {"c_custkey": 1, "c_acctbal": 111.0},
+            {"c_acctbal": 222.0, "c_custkey": 2},  # reversed key order
+        ],
+    )
+    got = {
+        r.c_custkey: r.c_acctbal
+        for r in engine.get_table("cust_ord").filter(F.col("c_custkey").isin(1, 2)).collect()
+    }
+    assert got[1] == 111.0 and got[2] == 222.0
+
+
+def test_as_df_empty_records_rejected(engine):
+    import pytest
+
+    cu = engine.get_table("customer").limit(1)
+    engine.save_table("cust_empty", cu, primary_key=["c_custkey"])
+    with pytest.raises(ValueError, match="empty"):
+        engine.upsert("cust_empty", [])
+
+
+def test_create_table_refuses_to_shadow_attached(engine):
+    import pytest
+    from revtron_utils_spark.engine import ColumnModel
+
+    with pytest.raises(ValueError, match="shadow"):
+        engine.create_table("customer", [ColumnModel("c_custkey", "bigint")])

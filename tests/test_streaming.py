@@ -248,3 +248,24 @@ def test_stream_rollup_matches_direct_agg(spark, tmp_path):
         assert got[k].n == want[k].n
         assert abs(got[k].total - want[k].total) < 1e-6
         assert abs(got[k].mean - want[k].mean) < 1e-6
+
+
+def test_soft_delete_newest_event_wins(spark):
+    """A delete followed by a newer re-insert in the SAME batch must
+    keep the row: only the key's latest event decides."""
+    from revtron_utils_spark.streaming.incremental import merge_with_soft_delete
+
+    target = spark.createDataFrame([(1, "old", 1.0)], ["k", "name", "v"])
+    batch = spark.createDataFrame(
+        [
+            (1, "dead", 0.0, True, 100),
+            (1, "alive-again", 2.0, False, 200),  # newer event
+            (2, "gone", 9.9, True, 150),
+        ],
+        "k long, name string, v double, IsDeleted boolean, ts long",
+    )
+    out = merge_with_soft_delete(
+        target, batch, ["k"], "IsDeleted", order_col="ts"
+    )
+    got = {r.k: r.name for r in out.collect()}
+    assert got == {1: "alive-again"}  # 1 survives via newest event; 2 deleted

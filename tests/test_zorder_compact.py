@@ -86,3 +86,34 @@ def test_compact_sorted_output(spark, tmp_path):
     ranges = file_column_ranges(spark, path, ["id"])
     assert len(ranges) == 1
     assert ranges[0]["id"] == (0, 9999)
+
+
+def test_zorder_four_columns_no_overflow(spark, tmp_path):
+    """4+ clustered columns must cap per-column bits so the Morton key
+    stays inside int64 (no ANSI overflow, no wrapped ordering)."""
+    from revtron_utils_spark.layout import zorder_arrange
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("a"),
+        (F.col("id") * 7 % 1000).alias("b"),
+        (F.col("id") * 13 % 1000).alias("c"),
+        (F.col("id") * 29 % 1000).alias("d"),
+    )
+    out = zorder_arrange(df, ["a", "b", "c", "d"], num_files=4)
+    assert out.count() == 2000  # executes without ARITHMETIC_OVERFLOW
+
+
+def test_zorder_timestamp_column(spark, sf_dir, tmp_path):
+    from revtron_utils_spark.io import read_table
+    from revtron_utils_spark.layout import zorder_arrange
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    out = zorder_arrange(ev, ["ts", "value"], num_files=4)
+    assert out.count() == ev.count()
+
+
+def test_zorder_empty_frame_passthrough(spark):
+    from revtron_utils_spark.layout import zorder_arrange
+
+    df = spark.range(0).select(F.col("id").alias("a"), (F.col("id") * 2).alias("b"))
+    assert zorder_arrange(df, ["a", "b"]).count() == 0
