@@ -34,9 +34,13 @@ def normalize_text(col: Column | str) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization (array<string>)."""
+    """Whitespace tokenization (array<string>). Empty/whitespace-only
+    documents tokenize to [] — ``split`` alone yields the phantom
+    ``['']`` (one empty token), which inflated token counts, gave all
+    empty docs a shared non-trivial simhash, and skewed every
+    ratio-based quality signal."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.trim(c), r"\s+")
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
 
 BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"

@@ -100,18 +100,29 @@ def interval_join(
     ``floor(x / bucket_width)`` plus an exact post-filter, instead of a
     nested-loop theta join. Right intervals explode to every bucket they
     overlap — size ``bucket_width`` near the typical interval width so
-    the fan-out stays O(1) per interval."""
+    the fan-out stays O(1) per interval.
+
+    ``how`` may be inner or left: the explode duplicates each right
+    interval once per bucket, so right/full outer joins would emit one
+    null-extended row PER BUCKET for unmatched intervals — rejected
+    rather than silently wrong. Empty/inverted intervals (``hi <= lo``)
+    explode to nothing (Spark's sequence auto-descends when start >
+    stop, which would fabricate buckets); the last bucket is
+    ``ceil(hi/width) - 1`` — exact for the exclusive bound, where the
+    old ``floor((hi - 1e-9)/width)`` epsilon silently stopped working
+    past ~2^53·1e-9."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"interval_join supports inner/left joins only, got {how!r} "
+            "(right/full would duplicate unmatched intervals per bucket)"
+        )
     l = left.withColumn("__lbucket", F.floor(F.col(value_col) / bucket_width))
-    r = right.withColumn(
-        "__rbucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / bucket_width),
-                # hi is exclusive: a boundary-aligned hi doesn't reach its bucket
-                F.floor((F.col(hi_col) - F.lit(1e-9)) / bucket_width),
-            )
-        ),
-    )
+    b_lo = F.floor(F.col(lo_col) / bucket_width)
+    b_hi = F.ceil(F.col(hi_col) / bucket_width) - 1
+    buckets = F.when(
+        (F.col(hi_col) > F.col(lo_col)) & (b_hi >= b_lo), F.sequence(b_lo, b_hi)
+    ).otherwise(F.array().cast("array<long>"))
+    r = right.withColumn("__rbucket", F.explode(buckets))
     # containment lives IN the join condition (not a post-filter), so
     # outer joins null-extend correctly instead of degrading to inner
     cond = (

@@ -155,7 +155,8 @@ def chunk_documents(
     One ``posexplode`` — a generator inside the scan stage, no shuffle.
     """
     toks = F.when(
-        F.col(text_col).isNotNull(), F.split(F.trim(F.col(text_col)), r"\s+")
+        F.col(text_col).isNotNull(),
+        F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""),
     ).otherwise(F.array().cast("array<string>"))
     n = F.size(toks)
     n_chunks = 1 + F.floor(

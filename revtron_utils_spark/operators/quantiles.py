@@ -71,7 +71,9 @@ def exact_quantiles(
     stats_rows = stats.collect()
     if not stats_rows:
         fields = ", ".join(f"{n} double" for n in names)
-        schema = (", ".join(f"{c} string" for c in by) + ", " if by else "") + fields
+        schema = (
+            ", ".join(f"{c} {_ddl_type(df, c)}" for c in by) + ", " if by else ""
+        ) + fields
         return spark.createDataFrame([], schema)
 
     skey = lambda r: tuple(r[c] for c in by)  # noqa: E731
@@ -80,7 +82,10 @@ def exact_quantiles(
         for r in stats_rows
     }
 
-    stats_b = F.broadcast(stats)
+    # rebuild the broadcast side from the ALREADY-COLLECTED rows —
+    # broadcasting the uncached `stats` plan would re-run the full
+    # group-stats scan over the input a second (and third) time
+    stats_b = F.broadcast(spark.createDataFrame(stats_rows, stats.schema))
     binned = vals.join(stats_b, on=by) if by else vals.crossJoin(stats_b)
     bin_expr = F.when(
         F.col("_hi") > F.col("_lo"),

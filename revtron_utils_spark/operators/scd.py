@@ -59,15 +59,19 @@ def scd2_merge(
     history = target.filter(~F.col("is_current"))
     current = target.filter(F.col("is_current"))
 
-    b = batch.alias("b")
-    cur = current.alias("t")
+    # presence markers, not key null-checks: the join is null-safe on
+    # purpose (NULL keys are legal), so `keys[0] IS NOT NULL` would
+    # silently drop every null-keyed row from both sides
+    b = batch.withColumn("__b_mark", F.lit(True)).alias("b")
+    cur = current.withColumn("__t_mark", F.lit(True)).alias("t")
     key_cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys]
     cond = key_cond[0]
     for c in key_cond[1:]:
         cond = cond & c
     joined = cur.join(b, cond, "full_outer")
 
-    b_present = F.col(f"b.{keys[0]}").isNotNull()
+    b_present = F.col("b.__b_mark").isNotNull()
+    t_present = F.col("t.__t_mark").isNotNull()
     # row-level change detection: any attribute differs (null-safe)
     changed = F.lit(False)
     for c in attr_cols:
@@ -75,19 +79,17 @@ def scd2_merge(
 
     t_cols = [F.col(f"t.{c}").alias(c) for c in current.columns]
     # 1. current rows whose key is absent from the batch, or unchanged → keep open
-    keep_open = joined.filter(
-        F.col(f"t.{keys[0]}").isNotNull() & (~b_present | ~changed)
-    ).select(*t_cols)
+    keep_open = joined.filter(t_present & (~b_present | ~changed)).select(*t_cols)
     # 2. current rows superseded by a changed batch row → close
     closed = (
-        joined.filter(F.col(f"t.{keys[0]}").isNotNull() & b_present & changed)
+        joined.filter(t_present & b_present & changed)
         .select(*t_cols)
         .withColumn("effective_to", F.lit(batch_ts).cast("timestamp"))
         .withColumn("is_current", F.lit(False))
     )
     # 3. batch rows that are new keys or changed attrs → new open rows
     new_rows = (
-        joined.filter(b_present & (F.col(f"t.{keys[0]}").isNull() | changed))
+        joined.filter(b_present & (~t_present | changed))
         .select(*[F.col(f"b.{c}").alias(c) for c in batch.columns])
         .withColumn("effective_from", F.lit(batch_ts).cast("timestamp"))
         .withColumn("effective_to", F.lit(None).cast("timestamp"))

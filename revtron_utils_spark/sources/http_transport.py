@@ -101,11 +101,17 @@ class HttpSalesforceTransport:
         if self.access_token is None:
             self.refresh_token()
         url = path if path.startswith("http") else f"{self.instance_url}{path}"
-        headers = {"Authorization": f"Bearer {self.access_token}", **kwargs.pop("headers", {})}
+        caller_headers = kwargs.pop("headers", {})
+        headers = {"Authorization": f"Bearer {self.access_token}", **caller_headers}
         resp = self.session.request(method, url, headers=headers, **kwargs)
         if resp.status_code == 401 and retry_auth:
             self.refresh_token()
-            return self.request(method, path, retry_auth=False, **kwargs)
+            # re-supply the caller headers: they were popped from kwargs
+            # above, and losing them on retry would silently change
+            # behavior (e.g. the Sforce-Query-Options page size)
+            return self.request(
+                method, path, retry_auth=False, headers=caller_headers, **kwargs
+            )
         if resp.status_code == 204:  # e.g. successful PATCH
             return {}
         if not (200 <= resp.status_code < 300):

@@ -136,6 +136,8 @@ class RestSource:
         transport = self.transport
         base_spec = QuerySpec(**{**spec.__dict__, "id_batch": None})
         col_names = [f.name for f in schema.fields]
+        ts_cols = [f.name for f in schema.fields if isinstance(f.dataType, T.TimestampType)]
+        date_cols = [f.name for f in schema.fields if isinstance(f.dataType, T.DateType)]
 
         def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -147,6 +149,21 @@ class RestSource:
                     out = pd.DataFrame(rows, columns=col_names) if rows else pd.DataFrame(
                         {c: [] for c in col_names}
                     )
+                    # a live REST transport returns ISO strings for
+                    # date/datetime fields while the declared schema says
+                    # TimestampType/DateType — Arrow cannot convert str →
+                    # timestamp, so every task would crash. Parse here
+                    # (no-op for transports that already return datetimes).
+                    for c in ts_cols:
+                        if out[c].dtype == object:
+                            out[c] = pd.to_datetime(
+                                out[c], errors="coerce", utc=True, format="mixed"
+                            ).dt.tz_localize(None)
+                    for c in date_cols:
+                        if out[c].dtype == object:
+                            out[c] = pd.to_datetime(
+                                out[c], errors="coerce", utc=True, format="mixed"
+                            ).dt.tz_localize(None).dt.date
                     yield out[col_names]
 
         return ids_df.mapInPandas(fetch, schema)

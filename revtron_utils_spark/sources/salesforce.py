@@ -35,16 +35,21 @@ DATE_FORMAT = "%Y-%m-%d"  # main.py:12
 def _fmt_value(value: Any) -> str:
     """Render one SOQL literal the way the reference does
     (main.py:132-137): strings quoted, lists→tuples with the
-    single-element special case, datetimes unquoted ISO."""
+    single-element special case, datetimes unquoted ISO.
+
+    Unlike the reference, string values are ESCAPED (backslash, then
+    single quote — SOQL's escape rules): ``O'Brien`` would otherwise
+    compile to a malformed query, and a crafted value could inject
+    arbitrary filter clauses. List elements recurse through the same
+    rendering, so datetimes inside IN-lists format as SOQL literals
+    instead of Python reprs."""
     if isinstance(value, datetime):
         return value.strftime(DATETIME_FORMAT)
     if isinstance(value, str):
-        return f"'{value}'"
+        escaped = value.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{escaped}'"
     if isinstance(value, (list, tuple, set)):
-        items = list(value)
-        if len(items) == 1:
-            return f"('{items[0]}')" if isinstance(items[0], str) else f"({items[0]})"
-        return str(tuple(items))
+        return "(" + ", ".join(_fmt_value(v) for v in value) + ")"
     return str(value)
 
 

@@ -109,3 +109,38 @@ def test_interval_join_wide_interval_spans_buckets(spark):
     assert {r.id for r in out} == {1, 2}
     # each value matched exactly once despite the interval spanning 4 buckets
     assert len(out) == 2
+
+
+def test_interval_join_rejects_right_outer(spark):
+    import pytest
+    from revtron_utils_spark.operators.asof import interval_join
+
+    l = spark.createDataFrame([(1, 10.0)], ["id", "v"])
+    r = spark.createDataFrame([(1, 0.0, 50.0)], ["band", "lo", "hi"])
+    with pytest.raises(ValueError, match="inner/left"):
+        interval_join(l, r, "v", how="full")
+
+
+def test_interval_join_empty_and_inverted_intervals(spark):
+    from revtron_utils_spark.operators.asof import interval_join
+
+    l = spark.createDataFrame([(1, 10.0), (2, 100.0)], ["id", "v"])
+    r = spark.createDataFrame(
+        [
+            (10, 0.0, 50.0),      # normal: catches v=10
+            (11, 100.0, 100.0),   # empty interval: matches nothing
+            (12, 200.0, 0.0),     # inverted: matches nothing, no bucket blowup
+        ],
+        ["band", "lo", "hi"],
+    )
+    got = {(r_.id, r_.band) for r_ in interval_join(l, r, "v").collect()}
+    assert got == {(1, 10)}
+
+
+def test_interval_join_boundary_exclusive(spark):
+    from revtron_utils_spark.operators.asof import interval_join
+
+    l = spark.createDataFrame([(1, 50.0)], ["id", "v"])
+    r = spark.createDataFrame([(10, 0.0, 50.0), (11, 50.0, 100.0)], ["band", "lo", "hi"])
+    got = {(x.id, x.band) for x in interval_join(l, r, "v").collect()}
+    assert got == {(1, 11)}  # hi exclusive, lo inclusive

@@ -280,3 +280,19 @@ def test_neardup_lsh_empty_input(spark):
     )
     empty = spark.createDataFrame([], schema)
     assert embedding_neardup_pairs(empty, lsh_planes=4).count() == 0
+
+
+def test_empty_documents_tokenize_to_zero(spark):
+    from pyspark.sql import functions as F
+    from revtron_utils_spark.functions.text import simhash64, token_count, tokens
+
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "one two")], ["id", "text"])
+    got = {
+        r.id: (r.n, r.sh)
+        for r in df.select(
+            "id", token_count("text").alias("n"), simhash64("text").alias("sh")
+        ).collect()
+    }
+    assert got[1][0] == 0 and got[2][0] == 0 and got[3][0] == 2
+    # empty docs get the all-zero simhash, not a shared phantom-token hash
+    assert got[1][1] == 0 and got[2][1] == 0

@@ -172,3 +172,20 @@ def test_soql_id_batch_gets_data_limit():
 
 def test_soql_user_limit():
     assert compile_soql(QuerySpec("Account", limit=5)).endswith("LIMIT 5")
+
+
+def test_soql_escapes_quotes_and_datetime_lists():
+    from datetime import datetime
+    from revtron_utils_spark.sources.salesforce import QuerySpec, compile_soql
+
+    q = compile_soql(QuerySpec(sobject="Contact", columns=["Id"], filters={"LastName": "O'Brien"}))
+    assert "LastName = 'O\\'Brien'" in q
+    q2 = compile_soql(
+        QuerySpec(
+            sobject="Contact",
+            columns=["Id"],
+            filters={"CreatedDate": [datetime(2020, 1, 1), datetime(2021, 1, 1)]},
+        )
+    )
+    assert "datetime" not in q2  # no Python reprs
+    assert "2020-01-01T00:00:00.000000+0000" in q2

@@ -84,3 +84,22 @@ def test_profile_approx_close_to_exact(engine):
     for c in exact:
         if exact[c]:
             assert abs(approx[c] - exact[c]) / exact[c] < 0.15
+
+
+def test_scd2_merge_null_keys_survive(spark):
+    """NULL business keys are legal (null-safe join): a null-keyed
+    current row must not vanish, and a null-keyed batch row must apply."""
+    from revtron_utils_spark.operators.scd import scd2_init, scd2_merge
+
+    base = spark.createDataFrame(
+        [(None, "n0"), (1, "a")], "k long, attr string"
+    )
+    scd = scd2_init(base, ["k"], "2024-01-01")
+    batch = spark.createDataFrame([(None, "n1")], "k long, attr string")
+    out = scd2_merge(scd, batch, ["k"], "2024-02-01")
+    rows = [(r.k, r.attr, r.is_current) for r in out.collect()]
+    # null key: old row closed, new row open; key 1 untouched
+    assert (None, "n0", False) in rows
+    assert (None, "n1", True) in rows
+    assert (1, "a", True) in rows
+    assert len(rows) == 3
