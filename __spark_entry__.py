@@ -40,6 +40,9 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 
 def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the fixture parquet stores naive timestamp[us]; without this Spark 4
+    # infers TIMESTAMP_NTZ, which unix_micros/window/session_window reject
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -39,11 +39,26 @@ def _nanos_columns(path: str) -> tuple[str, ...]:
     )
 
 
+def _ltz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP (LTZ, UTC session).
+
+    Spark 4 infers naive parquet ``timestamp[us]`` as TIMESTAMP_NTZ, which
+    ``unix_micros``/``window``/``session_window`` reject. Sessions we build
+    disable that inference (session.py), but a caller-provided session (the
+    driver's) may not — cast here so every read is LTZ either way. The cast
+    is a no-op projection when the column is already TIMESTAMP.
+    """
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """``spark.read.parquet`` that transparently handles timestamp[ns]."""
     ns_cols = _nanos_columns(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        return _ltz(spark.read.parquet(path))
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
@@ -57,7 +72,7 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     for c in ns_cols:
         if c in long_cols:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return _ltz(df)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -146,7 +146,9 @@ def sessionize_batch(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
     from pyspark.sql import functions as F
 
     w = W.partitionBy("user_id").orderBy("ts")
-    us = F.unix_micros(F.col("ts"))
+    # cast guards TIMESTAMP_NTZ inputs (naive parquet under Spark 4 default
+    # inference); no-op when already TIMESTAMP
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = us - F.lag(us).over(w)
     new_s = F.when(gap.isNull() | (gap > gap_minutes * 60 * _US), 1).otherwise(0)
     with_sid = df.withColumn(
