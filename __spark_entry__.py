@@ -2384,6 +2384,323 @@ def q_multimodal_features(spark, sf):
     return extract_features(binary).select("doc_id", "byte_len", "feat_hash")
 
 
+def q_mincost_q2(spark, sf):
+    """TPC-H Q2 shape: min-cost supplier per part (correlated MIN
+    subquery decorrelated into agg + equality join). The fixture has no
+    partsupp, so unit cost is min(l_extendedprice/l_quantity) per
+    (part, supplier) — min is order-independent, so both engines agree
+    bit-for-bit. Region-filtered dims broadcast into the fact scan.
+    Reference surface: joins only via raw-SQL passthrough
+    (/root/reference/revtron/database/main.py:287-293)."""
+    li, pt, su, na, re = (
+        _t(spark, sf, n) for n in ("lineitem", "part", "supplier", "nation", "region")
+    )
+    eu_supp = (
+        su.join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re.filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    parts = pt.filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") < 15)).select(
+        "p_partkey", "p_brand"
+    )
+    cost = (
+        li.join(F.broadcast(parts), li.l_partkey == pt.p_partkey)
+        .join(F.broadcast(eu_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = cost.groupBy(F.col("p_partkey").alias("bp")).agg(F.min("unit_cost").alias("best_cost"))
+    return (
+        cost.join(F.broadcast(best), (cost.p_partkey == F.col("bp")) & (cost.unit_cost == F.col("best_cost")))
+        .select("p_partkey", "p_brand", "s_name", "n_name", F.round("unit_cost", 2).alias("min_cost"))
+        .orderBy("min_cost", "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+SQL_MINCOST_Q2 = """
+WITH cost AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, n_name,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem, part, supplier, nation, region
+  WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+    AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE' AND p_type = 'ECONOMY' AND p_size < 15
+  GROUP BY p_partkey, p_brand, s_suppkey, s_name, n_name
+)
+SELECT p_partkey, p_brand, s_name, n_name, ROUND(unit_cost, 2) AS min_cost
+FROM cost c
+WHERE unit_cost = (SELECT MIN(unit_cost) FROM cost c2 WHERE c2.p_partkey = c.p_partkey)
+ORDER BY min_cost, p_partkey, s_name LIMIT 100
+"""
+
+
+def q_market_share_q8(spark, sf):
+    """TPC-H Q8 shape: one nation's share of regional revenue by order
+    year — two dimension paths (customer nation → region gate, supplier
+    nation → share numerator) into one fact, conditional-sum ratio."""
+    li, od, cu, su, na, re = (
+        _t(spark, sf, n)
+        for n in ("lineitem", "orders", "customer", "supplier", "nation", "region")
+    )
+    cust_am = (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re.filter(F.col("r_name") == "AMERICA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nat = su.join(
+        F.broadcast(na.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        su.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cust_am), od.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_MARKET_SHARE_Q8 = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer, nation n1, region
+  WHERE c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA')
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q_important_stock_q11(spark, sf):
+    """TPC-H Q11 shape: per-part value with a HAVING gate against a
+    global scalar (fraction of total) — agg, then broadcast the scalar
+    back over the groups. Value proxy = revenue (no partsupp)."""
+    li, su, na = (_t(spark, sf, n) for n in ("lineitem", "supplier", "nation"))
+    nat_supp = (
+        su.join(F.broadcast(na.filter(F.col("n_name") == "NATION_5")), su.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    total = val.agg(F.sum("value").alias("grand"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("grand") * 0.0008)
+        .select("l_partkey", F.round("value", 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+SQL_IMPORTANT_STOCK_Q11 = """
+WITH val AS (
+  SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier, nation
+    WHERE s_nationkey = n_nationkey AND n_name = 'NATION_5')
+  GROUP BY l_partkey
+)
+SELECT l_partkey, ROUND(value, 2) AS part_value FROM val
+WHERE value > (SELECT SUM(value) FROM val) * 0.0008
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q_shipmode_q12(spark, sf):
+    """TPC-H Q12 shape: conditional priority counts over a late-shipment
+    gate. No l_shipmode/commitdate in the fixture — the category is
+    l_linestatus and "late" is shipped >30 days after order date."""
+    li, od = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+SQL_SHIPMODE_Q12 = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q_top_supplier_q15(spark, sf):
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep the
+    supplier(s) hitting the global max — agg + broadcast scalar max."""
+    li, su = _t(spark, sf, "lineitem"), _t(spark, sf, "supplier")
+    rev = (
+        li.filter(F.col("l_shipdate").between("1996-01-01", "1996-03-31"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TOP_SUPPLIER_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-03-31'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_supplier_cnt_q16(spark, sf):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    triple, with a NOT-IN exclusion subquery (negative-balance suppliers
+    stand in for Q16's complaint filter; lineitem stands in for
+    partsupp as the part↔supplier bridge)."""
+    li, pt, su = (_t(spark, sf, n) for n in ("lineitem", "part", "supplier"))
+    bad = su.filter(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("bad_key"))
+    parts = pt.filter((F.col("p_brand") != "Brand#1") & (F.col("p_type") != "ECONOMY"))
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == pt.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == F.col("bad_key"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_SUPPLIER_CNT_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'ECONOMY'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_potential_promo_q20(spark, sf):
+    """TPC-H Q20 shape: nested IN-subquery chain — suppliers in one
+    nation who moved a large quantity of 'red' parts (HAVING over a
+    part×supplier agg feeding a semi join)."""
+    li, pt, su, na = (_t(spark, sf, n) for n in ("lineitem", "part", "supplier", "nation"))
+    red = pt.filter(F.col("p_name").like("red%")).select("p_partkey")
+    movers = (
+        li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 45)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        su.join(F.broadcast(na.filter(F.col("n_name") == "NATION_7")), su.s_nationkey == F.col("n_nationkey"), "left_semi")
+        .join(movers, su.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+SQL_POTENTIAL_PROMO_Q20 = """
+SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_7')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 45)
+ORDER BY s_name
+"""
+
+
+def q_waiting_q21(spark, sf):
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    finished multi-supplier order — EXISTS (another supplier on the
+    order) + NOT EXISTS (another late supplier), i.e. a semi join and
+    an anti join back onto the same fact. "Late" = shipped >60 days
+    after order date (fixture has no commit/receipt dates)."""
+    li, od, su, na = (_t(spark, sf, n) for n in ("lineitem", "orders", "supplier", "nation"))
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    lo = li.join(od.filter(F.col("o_orderstatus") == "F"), li.l_orderkey == od.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_linenumber", late.alias("is_late")
+    )
+    l1 = lo.filter(F.col("is_late")).alias("l1")
+    l2 = lo.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")).alias("l2")
+    l3 = (
+        lo.filter(F.col("is_late"))
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+        .alias("l3")
+    )
+    qualifying = (
+        l1.join(l2, (F.col("l1.l_orderkey") == F.col("o2")) & (F.col("l1.l_suppkey") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("l1.l_orderkey") == F.col("o3")) & (F.col("l1.l_suppkey") != F.col("s3")), "left_anti")
+    )
+    nat_supp = su.join(
+        F.broadcast(na.filter(F.col("n_name").isin("NATION_2", "NATION_4"))),
+        su.s_nationkey == F.col("n_nationkey"),
+        "left_semi",
+    ).select("s_suppkey", "s_name")
+    return (
+        qualifying.join(F.broadcast(nat_supp), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+SQL_WAITING_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name IN ('NATION_2', 'NATION_4'))
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2 JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      AND o2.o_orderstatus = 'F')
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND o3.o_orderstatus = 'F' AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
@@ -2470,8 +2787,16 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
+    "mincost_q2": (q_mincost_q2, SQL_MINCOST_Q2),
     "nation_volume_q7": (q_nation_volume_q7, SQL_NATION_VOLUME_Q7),
+    "market_share_q8": (q_market_share_q8, SQL_MARKET_SHARE_Q8),
     "profit_q9": (q_profit_q9, SQL_PROFIT_Q9),
+    "important_stock_q11": (q_important_stock_q11, SQL_IMPORTANT_STOCK_Q11),
+    "shipmode_q12": (q_shipmode_q12, SQL_SHIPMODE_Q12),
+    "top_supplier_q15": (q_top_supplier_q15, SQL_TOP_SUPPLIER_Q15),
+    "supplier_cnt_q16": (q_supplier_cnt_q16, SQL_SUPPLIER_CNT_Q16),
+    "potential_promo_q20": (q_potential_promo_q20, SQL_POTENTIAL_PROMO_Q20),
+    "waiting_q21": (q_waiting_q21, SQL_WAITING_Q21),
     "returned_q10": (q_returned_q10, SQL_RETURNED_Q10),
     "promo_share_q14": (q_promo_share_q14, SQL_PROMO_SHARE_Q14),
     "having_q18": (q_having_q18, SQL_HAVING_Q18),

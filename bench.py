@@ -56,6 +56,14 @@ HEADLINE = [
     "sketch_rollup",
     "exists_q4",
     "outerjoin_q13",
+    "mincost_q2",
+    "market_share_q8",
+    "important_stock_q11",
+    "shipmode_q12",
+    "top_supplier_q15",
+    "supplier_cnt_q16",
+    "potential_promo_q20",
+    "waiting_q21",
     "window_range_frame",
     "returned_q10",
     "having_q18",
