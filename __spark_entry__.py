@@ -2411,7 +2411,8 @@ def q_mincost_q2(spark, sf):
     )
     best = cost.groupBy(F.col("p_partkey").alias("bp")).agg(F.min("unit_cost").alias("best_cost"))
     return (
-        cost.join(F.broadcast(best), (cost.p_partkey == F.col("bp")) & (cost.unit_cost == F.col("best_cost")))
+        # no broadcast hint: `best` is part-dim-sized — let AQE choose
+        cost.join(best, (cost.p_partkey == F.col("bp")) & (cost.unit_cost == F.col("best_cost")))
         .select("p_partkey", "p_brand", "s_name", "n_name", F.round("unit_cost", 2).alias("min_cost"))
         .orderBy("min_cost", "p_partkey", "s_name")
         .limit(100)
@@ -2455,7 +2456,8 @@ def q_market_share_q8(spark, sf):
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cust_am), od.o_custkey == F.col("c_custkey"), "left_semi")
+        # customer-sized semi side — no forced broadcast, AQE decides
+        .join(cust_am, od.o_custkey == F.col("c_custkey"), "left_semi")
         .join(F.broadcast(supp_nat), li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(

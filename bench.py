@@ -92,6 +92,12 @@ def main() -> None:
     spark.range(256).repartition(64).select(
         _warm(col("id").cast("double"))
     ).collect()
+    # ...and the parquet datasource + noop sink (first read otherwise pays
+    # ~2s of JVM class-loading that isn't query work; a long-lived cluster
+    # session is always past this point)
+    from revtron_utils_spark.io import read_table
+
+    read_table(spark, sf_dir, "region").write.mode("overwrite").format("noop").save()
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
