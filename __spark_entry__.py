@@ -1160,6 +1160,92 @@ FROM events e ASOF LEFT JOIN rates r
 """
 
 
+def q_asof_forward(spark, sf):
+    """Forward as-of join: each event picks up the EARLIEST hourly rate
+    at or after its timestamp (same union+window single-shuffle form as
+    the backward variant; oracled by DuckDB's native ASOF JOIN)."""
+    from revtron_utils_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    rates = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("rate_ts"))
+        .agg(F.round(F.avg("value"), 6).alias("rate"))
+    )
+    joined = asof_join(
+        ev, rates, on="event_type", left_ts="ts", right_ts="rate_ts", direction="forward"
+    )
+    return joined.select("event_id", F.col("rate_r").alias("rate"))
+
+
+SQL_ASOF_FORWARD = """
+WITH rates AS (
+  SELECT event_type, date_trunc('hour', ts) AS rate_ts, ROUND(AVG(value), 6) AS rate
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, r.rate
+FROM events e ASOF LEFT JOIN rates r
+  ON e.event_type = r.event_type AND e.ts <= r.rate_ts
+"""
+
+
+def q_grouping_sets(spark, sf):
+    """Irregular GROUPING SETS (not a rollup/cube lattice): per-flag,
+    per-status, and grand-total aggregates in one pass — Catalyst plans
+    a single Expand + hash aggregate."""
+    li = _t(spark, sf, "lineitem")
+    li.createOrReplaceTempView("li_gsets")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM li_gsets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+_STREAM_TMP: list[str] = []  # keep temp dirs alive for the session
+
+
+def q_streaming_sessionize(spark, sf):
+    """End-to-end Structured Streaming in the driver gate: the
+    applyInPandasWithState sessionizer run to completion (availableNow)
+    over the events table, returning the closed sessions from the
+    memory sink. Rows-only (the closed-session set depends on the final
+    watermark, which SQL can't express)."""
+    import tempfile
+
+    from revtron_utils_spark.streaming.sessionize import sessionize_stream
+
+    ev = _t(spark, sf, "events").select(
+        F.col("user_id").cast("long").alias("user_id"), F.col("ts").cast("timestamp").alias("ts")
+    )
+    tmp = tempfile.mkdtemp(prefix="drv_stream_sess_")
+    _STREAM_TMP.append(tmp)
+    src = f"{tmp}/src"
+    ev.write.mode("overwrite").parquet(src)
+    q = sessionize_stream(
+        spark,
+        src,
+        ev.schema,
+        gap_minutes=30,
+        checkpoint_dir=f"{tmp}/ck",
+        queryName="drv_stream_sessions",
+    )
+    q.awaitTermination(300)
+    return spark.table("drv_stream_sessions").select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
 def q_range_join(spark, sf):
     """Range (interval containment) join via bucketized equi-join."""
     from revtron_utils_spark.operators.asof import interval_join
@@ -2756,6 +2842,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "session_agg": (q_session_agg, SQL_SESSION_AGG),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "asof_forward": (q_asof_forward, SQL_ASOF_FORWARD),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE_TOKENS),
     "incremental_merge": (q_incremental_merge, SQL_INCREMENTAL_MERGE),
@@ -2816,6 +2904,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ivf_ann": (q_ivf_ann, None),
     "multimodal_features": (q_multimodal_features, None),
     "frame_sampling": (q_frame_sampling, None),
+    "streaming_sessionize": (q_streaming_sessionize, None),
 }
 
 

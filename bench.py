@@ -31,6 +31,8 @@ HEADLINE = [
     "rollup",
     "sessionize",
     "asof_join",
+    "asof_forward",
+    "grouping_sets",
     "range_join",
     "tumbling_counts",
     "incremental_merge",
