@@ -130,8 +130,13 @@ def main() -> None:
         "sf": sf,
     }
     if errors:
+        # value covers only the surviving queries — flag it so a broken
+        # query can't masquerade as a round-over-round speedup
         out["errors"] = errors
+        out["incomplete"] = True
     print(json.dumps(out))
+    if errors:
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -42,4 +42,5 @@ def test_oracle_sql_parses():
 def test_entry_contract(spark):
     out = entry_mod.entry(spark)
     rows = out.collect()
-    assert len(rows) >= 0 and out.columns
+    assert out.columns
+    assert len(rows) > 0, "flagship query returned no rows"
