@@ -227,6 +227,69 @@ def minhash_features_arrow(num_hashes: int = 64, shingle_n: int = 3, seed: int =
     return pandas_udf(feats, "sig: array<long>, shingles: array<string>")
 
 
+def minhash_banded_arrow(
+    num_hashes: int = 64, bands: int = 16, shingle_n: int = 3, seed: int = 42
+):
+    """One Arrow pass producing the shingle set AND the per-band LSH
+    keys directly (``bhash: array<long>``, one 64-bit digest per band of
+    the minhash signature). Identical bands always digest identically,
+    so the candidate set ("agree on ≥1 band") matches the
+    signature-based form; the signature itself never leaves the worker,
+    dropping a 64-long column and the interpreted per-band slice/concat
+    projection from the corpus-wide plan."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+    params = _hash_params(num_hashes, seed)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    def band_keys(sig: np.ndarray) -> list[int]:
+        return [
+            int.from_bytes(
+                hashlib.blake2b(
+                    sig[b * rows_per_band : (b + 1) * rows_per_band].tobytes(),
+                    digest_size=8,
+                ).digest(),
+                "big",
+            )
+            >> 1  # keep it positive within long range
+            for b in range(bands)
+        ]
+
+    def feats(texts):
+        import zlib
+
+        bhashes, shingles = [], []
+        for t in texts:
+            toks = (t or "").split()
+            sh = sorted(
+                {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+            )
+            shingles.append(sh)
+            if not sh:
+                bhashes.append([])
+                continue
+            h = np.fromiter(
+                (zlib.crc32(s.encode()) % MERSENNE_P for s in sh),
+                dtype=np.int64,
+                count=len(sh),
+            )
+            sig = ((A * h + B) % MERSENNE_P).min(axis=1)
+            bhashes.append(band_keys(sig))
+        return pd.DataFrame({"bhash": bhashes, "shingles": shingles})
+
+    return pandas_udf(feats, "bhash: array<long>, shingles: array<string>")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -250,9 +313,13 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
 
     if impl == "arrow":
-        feats = minhash_features_arrow(num_hashes, shingle_n, seed)(F.col(text_col))
+        # band keys are computed inside the same Arrow pass as the
+        # shingles — the 64-long signature never becomes a plan column,
+        # and the interpreted per-band slice/concat/hash projection (and
+        # its persist) disappears
+        feats = minhash_banded_arrow(num_hashes, bands, shingle_n, seed)(F.col(text_col))
         shingled = df.select(F.col(id_col).alias("id"), feats.alias("f")).select(
-            "id", F.col("f.sig").alias("sig"), F.col("f.shingles").alias("shingles")
+            "id", F.col("f.bhash").alias("bhash"), F.col("f.shingles").alias("shingles")
         )
     else:
         shingled = df.select(
@@ -261,36 +328,41 @@ def minhash_lsh_pairs(
             minhash_signature(text_col, num_hashes, shingle_n, seed).alias("sig"),
         )
     shingled = shingled.filter(F.size("shingles") > 0)
-    # materialize signatures once — the candidate self-join would otherwise
+    # materialize features once — the candidate self-join would otherwise
     # recompute the (expensive) shingle+minhash projection on both sides
     shingled = _persist(shingled)
 
     # band keys only (id + 8-byte hash) ride through the explode and the
     # candidate join — shingle arrays would inflate the shuffle ~16×;
     # they're re-attached to the (small) candidate pair set afterwards
-    banded = shingled.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bhash"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bhash")
-    # the candidate self-join reads banded twice; persist so the
-    # 16-band hash projection (interpreted HOFs) runs once per row
-    banded = _persist(banded)
+    if impl == "arrow":
+        banded = shingled.select(
+            "id", F.posexplode("bhash").alias("band", "bhash")
+        )
+    else:
+        banded = shingled.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                F.transform(
+                                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("bhash"),
+                    ),
+                )
+            ).alias("bk"),
+        ).select("id", "bk.band", "bk.bhash")
+        # the candidate self-join reads banded twice; persist so the
+        # 16-band hash projection (interpreted HOFs) runs once per row
+        banded = _persist(banded)
 
     left = banded.alias("l")
     right = banded.alias("r")
