@@ -88,7 +88,11 @@ def connected_components(
     prev_sig = None
     converged = False
     for _ in range(max_iter):
-        cur = _canon(_small_star(_large_star(cur))).localCheckpoint(eager=True)
+        # lazy checkpoint: the signature aggregate right below is the
+        # round's one action — it materializes the checkpoint AND reads
+        # the convergence signature in a single job (eager=True would
+        # run a second job per round just to materialize)
+        cur = _canon(_small_star(_large_star(cur))).localCheckpoint(eager=False)
         n, h = cur.agg(
             F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
         ).first()
