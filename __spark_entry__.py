@@ -427,20 +427,25 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def q_percentiles(spark, sf):
-    """Exact interpolated percentiles per group (Spark `percentile` ==
-    DuckDB `quantile_cont`). One array-percentile aggregate — a single
-    sorted buffer per group — instead of four independent ones. When a
-    single group's values outgrow one reducer, switch to
-    `operators/quantiles.exact_quantiles` (histogram refinement — same
-    results, combinable stages; see its differential test)."""
+    """Exact interpolated percentiles per group (== DuckDB
+    `quantile_cont`) via `operators/quantiles.exact_quantiles` —
+    histogram refinement with every stage combinable. The built-in
+    `F.percentile` array aggregate buffers every group value on one
+    reducer (3 tasks hold the whole table at 100 TB); the histogram
+    plan's shuffle is O(groups × bins) and its differential test proves
+    value equality with the built-in."""
+    from revtron_utils_spark.operators.quantiles import exact_quantiles
+
     li = _t(spark, sf, "lineitem")
-    pcts = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75, 0.99]))
-    return li.groupBy("l_returnflag").agg(pcts.alias("_p")).select(
+    q = exact_quantiles(
+        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.99], by=["l_returnflag"]
+    )
+    return q.select(
         "l_returnflag",
-        F.round(F.col("_p")[0], 2).alias("p25"),
-        F.round(F.col("_p")[1], 2).alias("p50"),
-        F.round(F.col("_p")[2], 2).alias("p75"),
-        F.round(F.col("_p")[3], 2).alias("p99"),
+        F.round(F.col("p25"), 2).alias("p25"),
+        F.round(F.col("p50"), 2).alias("p50"),
+        F.round(F.col("p75"), 2).alias("p75"),
+        F.round(F.col("p99"), 2).alias("p99"),
     )
 
 

@@ -7,23 +7,29 @@ group on one reducer — a hot group OOMs at 100 TB. A window
 group sorts on one task). This operator keeps every stage combinable
 and skew-free:
 
-1. **stats pass** — per-group ``count/min/max`` (map-side combinable);
-2. **histogram pass** — bucket values into K equi-width bins per group,
-   ``groupBy(group, bin).count()`` (combinable; shuffle = O(groups × K));
-   cumulative bin counts locate, for each probability p, the bin holding
-   rank ``h = (n−1)·p`` and its neighbor ``⌈h⌉``;
-3. **extract pass** — only rows in needed bins survive (a broadcast
-   semi-filter); ``row_number`` within (group, bin) — partitions of
-   ~n/K rows, not n — picks the exact ranked values, which interpolate
-   to ``v_lo + (h−⌊h⌋)·(v_hi−v_lo)``.
+1. **histogram pass** — bucket values by a *data-independent monotone*
+   key ``floor(k · sign(v) · ln(1+|v|))`` (no min/max pre-pass needed —
+   any monotone binning locates ranks), then
+   ``groupBy(group, bin).agg(count, min, max)`` (map-side combinable;
+   shuffle = O(groups × occupied bins)). Cumulative counts give n per
+   group and, for each probability p, the bin holding rank
+   ``h = (n−1)·p`` and its neighbor ``⌈h⌉``. A bin whose min == max
+   resolves its ranks immediately (ties — the common heavy-bin case).
+2. **refinement loop** (only when needed bins are still heavy) — re-bin
+   each heavy bin equi-width over its *observed* [min, max] with the
+   same combinable aggregate; every round divides candidate rows by
+   ~``refine_bins`` and collapses tied bins, so rounds are
+   O(log_{refine_bins} n). Filters on the value column push down to the
+   scan.
+3. **extract pass** — once ≤ ``collect_cap`` candidate rows remain,
+   collect them and pick the exact ranked values driver-side; they
+   interpolate to ``v_lo + (h−⌊h⌋)·(v_hi−v_lo)``.
 
-Matches ANSI ``quantile_cont`` / Spark ``percentile`` exactly. Driver
-state is O(groups × K) bin counts — ``by`` must be low-cardinality
-(profiling dimensions), which is also the regime where the built-in
-aggregate is most dangerous. Caveat: a bin stuffed with duplicates of a
-single value still extracts quickly (ties share ranks); adversarial
-many-distinct-values-in-one-bin data would need a second refinement
-round, not implemented.
+Matches ANSI ``quantile_cont`` / Spark ``percentile`` exactly
+(differential test in tests/test_quantiles.py). Driver state is
+O(groups × occupied bins) — ``by`` must be low-cardinality (profiling
+dimensions), which is also the regime where the built-in aggregate is
+most dangerous.
 """
 
 from __future__ import annotations
@@ -31,8 +37,39 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _log_bin(col: Column, bins_per_efold: int) -> Column:
+    # monotone double→long: sign(v)·ln(1+|v|) preserves order over all
+    # reals (0 → bin 0); scale then floor to an integer bin id
+    return F.floor(
+        F.lit(float(bins_per_efold)) * F.signum(col) * F.log1p(F.abs(col))
+    ).cast("long")
+
+
+def _width_bin(col: Column, lo: float, hi: float, nbins: int) -> Column:
+    # equi-width sub-bin over the OBSERVED [lo, hi] of a parent bin;
+    # pure float expression, so membership re-evaluates identically in
+    # later passes (exactness depends on that determinism)
+    w = (hi - lo) / nbins
+    return F.least(
+        F.lit(nbins - 1), F.floor((col - F.lit(lo)) / F.lit(w))
+    ).cast("long")
+
+
+class _Seg:
+    """A candidate value range: a conjunction of deterministic bin
+    predicates, its row count, observed [lo, hi], and the in-segment
+    ranks still wanted as (prob_idx, side, local_rank)."""
+
+    __slots__ = ("gkey", "pred", "count", "lo", "hi", "wants")
+
+    def __init__(self, gkey, pred, count, lo, hi, wants):
+        self.gkey, self.pred = gkey, pred
+        self.count, self.lo, self.hi = count, lo, hi
+        self.wants = wants
 
 
 def exact_quantiles(
@@ -41,7 +78,10 @@ def exact_quantiles(
     probs: Sequence[float],
     by: Sequence[str] = (),
     out_prefix: str = "p",
-    num_bins: int = 4096,
+    bins_per_efold: int = 512,
+    collect_cap: int = 1_000_000,
+    refine_bins: int = 4096,
+    max_refine: int = 8,
 ) -> DataFrame:
     """Interpolated quantiles of ``value_col`` per ``by`` group.
 
@@ -57,19 +97,21 @@ def exact_quantiles(
     vals = df.filter(F.col(value_col).isNotNull()).select(
         *by, F.col(value_col).cast("double").alias("_v")
     )
+    bin0 = _log_bin(F.col("_v"), bins_per_efold)
 
-    # pass 1+2 fused: histogram needs min/max first, so two aggregates —
-    # both fully map-side combinable, no wide rows anywhere
-    stats = (
-        vals.groupBy(*by)
+    # pass 1: one combinable aggregation gives n per group (sum of
+    # counts), the rank→bin mapping, and per-bin value bounds
+    hist = (
+        vals.withColumn("_bin", bin0)
+        .groupBy(*by, "_bin")
         .agg(
-            F.count(F.lit(1)).alias("_n"),
+            F.count(F.lit(1)).alias("_c"),
             F.min("_v").alias("_lo"),
             F.max("_v").alias("_hi"),
         )
+        .collect()
     )
-    stats_rows = stats.collect()
-    if not stats_rows:
+    if not hist:
         fields = ", ".join(f"{n} double" for n in names)
         schema = (
             ", ".join(f"{c} {_ddl_type(df, c)}" for c in by) + ", " if by else ""
@@ -77,84 +119,152 @@ def exact_quantiles(
         return spark.createDataFrame([], schema)
 
     skey = lambda r: tuple(r[c] for c in by)  # noqa: E731
-    ginfo = {
-        skey(r): (r["_n"], r["_lo"], r["_hi"], max((r["_hi"] - r["_lo"]) / num_bins, 0.0))
-        for r in stats_rows
-    }
-
-    # rebuild the broadcast side from the ALREADY-COLLECTED rows —
-    # broadcasting the uncached `stats` plan would re-run the full
-    # group-stats scan over the input a second (and third) time
-    stats_b = F.broadcast(spark.createDataFrame(stats_rows, stats.schema))
-    binned = vals.join(stats_b, on=by) if by else vals.crossJoin(stats_b)
-    bin_expr = F.when(
-        F.col("_hi") > F.col("_lo"),
-        F.least(
-            F.lit(num_bins - 1),
-            F.floor((F.col("_v") - F.col("_lo")) / ((F.col("_hi") - F.col("_lo")) / num_bins)),
-        ),
-    ).otherwise(F.lit(0))
-    hist = (
-        binned.withColumn("_bin", bin_expr.cast("long"))
-        .groupBy(*by, "_bin")
-        .count()
-        .collect()
-    )
-
-    # driver: cumulative counts per group → rank → owning bin + in-bin offset
-    by_group: dict[tuple, list[tuple[int, int]]] = {}
+    by_group: dict[tuple, list] = {}
     for r in hist:
-        by_group.setdefault(skey(r), []).append((r["_bin"], r["count"]))
+        by_group.setdefault(skey(r), []).append(
+            (r["_bin"], r["_c"], r["_lo"], r["_hi"])
+        )
 
-    # needed[(gkey, bin)] -> list of (prob_idx, side, in_bin_rank)
-    needed: dict[tuple, list[tuple[int, str, int]]] = {}
+    # locate each rank's owning bin; resolve single-valued bins now
+    vals_at: dict[tuple, float] = {}  # (gkey, pi, side) -> value
     fracs: dict[tuple, float] = {}
+    segs: list[_Seg] = []
     for gkey, bins in by_group.items():
         bins.sort()
-        n = ginfo[gkey][0]
-        cum = []
-        below = 0
-        for b, c in bins:
-            cum.append((b, below, c))
+        n = sum(c for _, c, _, _ in bins)
+        cum, below = [], 0
+        for b, c, lo, hi in bins:
+            cum.append((b, below, c, lo, hi))
             below += c
+        pending: dict[int, list] = {}  # bin -> wants
+        binfo = {b: (c, lo, hi) for b, _, c, lo, hi in cum}
         for pi, p in enumerate(probs):
             h = (n - 1) * p
             fracs[(gkey, pi)] = h - math.floor(h)
             for side, rank in (("lo", math.floor(h)), ("hi", math.ceil(h))):
-                for b, start, c in cum:
+                for b, start, c, lo, hi in cum:
                     if start <= rank < start + c:
-                        needed.setdefault((gkey, b), []).append(
-                            (pi, side, rank - start)
-                        )
+                        if lo == hi:  # tied bin — value known already
+                            vals_at[(gkey, pi, side)] = lo
+                        else:
+                            pending.setdefault(b, []).append(
+                                (pi, side, rank - start)
+                            )
                         break
+        for b, wants in pending.items():
+            c, lo, hi = binfo[b]
+            segs.append(_Seg(gkey, [("log", b)], c, lo, hi, wants))
 
-    # pass 3: extract the ranked values from only the needed bins
-    spec_rows = [
-        (*gkey, b, pi, side, in_rank)
-        for (gkey, b), wants in needed.items()
-        for (pi, side, in_rank) in wants
-    ]
-    spec_schema = (
-        ", ".join(f"{c} {_ddl_type(df, c)}" for c in by)
-        + (", " if by else "")
-        + "_bin long, _pi int, _side string, _inrank long"
-    )
-    spec = spark.createDataFrame(spec_rows, spec_schema)
+    group_pred = {
+        gkey: [
+            F.col(c).eqNullSafe(F.lit(v)) for c, v in zip(by, gkey)
+        ]
+        for gkey in by_group
+    }
 
-    w = Window.partitionBy(*by, "_bin").orderBy(F.col("_v").asc())
-    bin_vals = (
-        binned.withColumn("_bin", bin_expr.cast("long"))
-        .join(
-            F.broadcast(spec.select(*by, "_bin").distinct()), on=[*by, "_bin"]
+    def seg_cond(s: _Seg) -> Column:
+        # evaluated against frames that carry a precomputed `_bin0`
+        # column, so the log1p/floor tree is built (and codegen'd) once
+        # instead of once per segment in the when-chain
+        cond = F.lit(True)
+        for p in group_pred[s.gkey]:
+            cond = cond & p
+        for kind, *args in s.pred:
+            if kind == "log":
+                cond = cond & (F.col("_bin0") == F.lit(args[0]))
+            else:  # ("width", lo, hi, nbins, sub)
+                lo, hi, nbins, sub = args
+                cond = cond & (
+                    _width_bin(F.col("_v"), lo, hi, nbins) == F.lit(sub)
+                )
+        return cond
+
+    # refinement loop: re-bin heavy candidate segments equi-width over
+    # their observed bounds until the survivors fit in one collect
+    rounds = 0
+    while segs and sum(s.count for s in segs) > collect_cap and rounds < max_refine:
+        rounds += 1
+        conds = [seg_cond(s) for s in segs]
+        seg_id = F.when(conds[0], 0)
+        for i, c in enumerate(conds[1:], start=1):
+            seg_id = seg_id.when(c, i)
+        sub_expr = None
+        for i, s in enumerate(segs):
+            e = _width_bin(F.col("_v"), s.lo, s.hi, refine_bins)
+            sub_expr = F.when(F.col("_seg") == i, e) if sub_expr is None else sub_expr.when(F.col("_seg") == i, e)
+        cand = (
+            vals.withColumn("_bin0", bin0)
+            .withColumn("_seg", seg_id)
+            .filter(F.col("_seg").isNotNull())
+            .withColumn("_sub", sub_expr)
         )
-        .select(*by, "_bin", "_v")
-        .withColumn("_inrank", F.row_number().over(w) - 1)
-    )
-    picked = bin_vals.join(F.broadcast(spec), on=[*by, "_bin", "_inrank"]).collect()
+        sub_hist = (
+            cand.groupBy("_seg", "_sub")
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.min("_v").alias("_lo"),
+                F.max("_v").alias("_hi"),
+            )
+            .collect()
+        )
+        per_seg: dict[int, list] = {}
+        for r in sub_hist:
+            per_seg.setdefault(r["_seg"], []).append(
+                (r["_sub"], r["_c"], r["_lo"], r["_hi"])
+            )
+        new_segs: list[_Seg] = []
+        for i, s in enumerate(segs):
+            subs = sorted(per_seg.get(i, []))
+            cum, below = [], 0
+            for sb, c, lo, hi in subs:
+                cum.append((sb, below, c, lo, hi))
+                below += c
+            pending: dict[int, list] = {}
+            sinfo = {sb: (c, lo, hi) for sb, _, c, lo, hi in cum}
+            for pi, side, rank in s.wants:
+                for sb, start, c, lo, hi in cum:
+                    if start <= rank < start + c:
+                        if lo == hi:
+                            vals_at[(s.gkey, pi, side)] = lo
+                        else:
+                            pending.setdefault(sb, []).append(
+                                (pi, side, rank - start)
+                            )
+                        break
+            for sb, wants in pending.items():
+                c, lo, hi = sinfo[sb]
+                new_segs.append(
+                    _Seg(
+                        s.gkey,
+                        s.pred + [("width", s.lo, s.hi, refine_bins, sb)],
+                        c,
+                        lo,
+                        hi,
+                        wants,
+                    )
+                )
+        segs = new_segs
 
-    vals_at: dict[tuple, float] = {}
-    for r in picked:
-        vals_at[(skey(r), r["_pi"], r["_side"])] = r["_v"]
+    # extract pass: collect the surviving candidate rows, rank driver-side
+    if segs:
+        conds = [seg_cond(s) for s in segs]
+        seg_id = F.when(conds[0], 0)
+        for i, c in enumerate(conds[1:], start=1):
+            seg_id = seg_id.when(c, i)
+        picked = (
+            vals.withColumn("_bin0", bin0)
+            .withColumn("_seg", seg_id)
+            .filter(F.col("_seg").isNotNull())
+            .select("_seg", "_v")
+            .collect()
+        )
+        rows_per_seg: dict[int, list] = {}
+        for r in picked:
+            rows_per_seg.setdefault(r["_seg"], []).append(r["_v"])
+        for i, s in enumerate(segs):
+            vs = sorted(rows_per_seg.get(i, []))
+            for pi, side, rank in s.wants:
+                vals_at[(s.gkey, pi, side)] = vs[rank]
 
     out_rows = []
     for gkey in by_group:

@@ -64,3 +64,33 @@ def test_fractional_interpolation(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     out = exact_quantiles(df, "v", [0.5], by=["g"]).collect()[0]
     assert out["p50"] == pytest.approx(30.0, abs=1e-12)
+
+
+def test_forced_refinement(spark):
+    # narrow-range values all land in ONE level-0 log bin (the worst
+    # case for data-independent binning); a tiny collect_cap with few
+    # refine bins forces several equi-width refinement rounds
+    rng = random.Random(3)
+    rows = [("g", 1000.0 + rng.random()) for _ in range(2000)] + [
+        ("h", rng.uniform(-1, 1)) for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    mine = exact_quantiles(
+        df, "v", PROBS, by=["g"], collect_cap=8, refine_bins=16, max_refine=20
+    )
+    names = [f"p{100 * p:g}".replace(".", "_") for p in PROBS]
+    ref = df.groupBy("g").agg(F.percentile("v", F.lit(PROBS)).alias("p"))
+    mine_map = {r["g"]: [r[n] for n in names] for r in mine.collect()}
+    ref_map = {r["g"]: list(r["p"]) for r in ref.collect()}
+    assert mine_map.keys() == ref_map.keys()
+    for k, exp in ref_map.items():
+        assert all(abs(a - b) < 1e-9 for a, b in zip(mine_map[k], exp)), k
+
+
+def test_refinement_tied_heavy_bin(spark):
+    # a heavy bin that is one repeated value must resolve via the
+    # min==max short-circuit, never via a giant collect
+    rows = [("g", 3.14)] * 5000 + [("g", 2.0), ("g", 100.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = exact_quantiles(df, "v", [0.5], by=["g"], collect_cap=10).collect()[0]
+    assert out["p50"] == pytest.approx(3.14, abs=1e-12)
