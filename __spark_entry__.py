@@ -1576,6 +1576,19 @@ WHERE list_inner_product(a.ev, b.ev)
 """
 
 
+def q_cosine_neardup_lsh(spark, sf):
+    """The 100-TB plan for embedding near-dup: banded random-hyperplane
+    LSH (8 bands × 4 planes) bounds candidate pairs to same-bucket
+    vectors instead of the O(n²) all-pairs matmul the exact gate query
+    uses. Deterministic (fixed seed) but recall < 1, so rows-only here;
+    the recall floor vs the exact pair set is asserted in
+    tests/test_dedup_similarity.py::test_neardup_lsh_bench_recall."""
+    emb = _t(spark, sf, "embeddings")
+    return DD.embedding_neardup_pairs(
+        emb, threshold=0.4, lsh_planes=4, lsh_bands=8
+    )
+
+
 def q_label_centroids(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return (
@@ -2925,6 +2938,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "ivf_ann": (q_ivf_ann, None),
+    "cosine_neardup_lsh": (q_cosine_neardup_lsh, None),
     "multimodal_features": (q_multimodal_features, None),
     "frame_sampling": (q_frame_sampling, None),
     "streaming_sessionize": (q_streaming_sessionize, None),

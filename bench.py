@@ -44,6 +44,7 @@ HEADLINE = [
     "simhash_pairs",
     "cosine_topk",
     "cosine_neardup",
+    "cosine_neardup_lsh",
     "percentiles",
     "curation_pipeline",
     "dedup_clusters",

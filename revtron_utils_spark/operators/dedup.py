@@ -668,6 +668,36 @@ def ngram_jaccard_pairs(
 # -------------------------------------------------------- embedding near-dup
 
 
+def _hyperplane_band_keys(planes_int, per_band: int, bands: int):
+    """One Arrow pass: all hyperplane dots as a single int64 matmul per
+    batch, sign bits packed into one long key per band. The per-row cost
+    is (dim × bands·per_band) multiplies in vectorized numpy instead of
+    bands·per_band interpreted `aggregate(zip_with(...))` expression
+    trees over the corpus."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    M = np.array(planes_int, dtype=np.int64).T  # (dim, bands·per_band)
+    weights = (np.int64(1) << np.arange(per_band, dtype=np.int64))
+
+    def keys(qs):
+        if qs.empty:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.int64) for v in qs])
+        bits = ((V @ M) >= 0).astype(np.int64)  # (n, bands·per_band)
+        keys_mat = np.stack(
+            [
+                bits[:, b * per_band : (b + 1) * per_band] @ weights
+                for b in range(bands)
+            ],
+            axis=1,
+        )  # (n, bands)
+        return pd.Series(list(keys_mat))
+
+    return pandas_udf(keys, "array<long>")
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -675,18 +705,24 @@ def embedding_neardup_pairs(
     block_cols: Sequence[str] = (),
     threshold: float = 0.95,
     lsh_planes: int | None = None,
+    lsh_bands: int = 1,
     seed: int = 42,
     use_arrow: bool = True,
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column.
 
     With ``block_cols``: exact within blocks. With ``lsh_planes=k``:
-    random-hyperplane sign buckets — only vectors in the same bucket are
-    compared (recall < 1, the scale path). Cosine is computed on
-    quantized vectors so results are deterministic and oracle-exact;
-    ``use_arrow`` routes the per-pair dot product through the vectorized
-    Pandas UDF (bit-identical output, ~30× faster on large pair sets —
-    see ``vectors.pair_dot_arrow``).
+    random-hyperplane sign buckets of k planes — only vectors in the
+    same bucket are compared (recall < 1, the scale path). With
+    ``lsh_bands=b`` > 1: b independent bands of k planes each, candidate
+    if ANY band's bucket matches (the classic OR-of-bands construction —
+    per-pair collision 1−(1−p^k)^b for p = 1−θ/π, so recall is tunable
+    where a single k-plane signature of equal selectivity would be
+    ~p^k ≈ 0). Cosine is computed on quantized vectors so results are
+    deterministic and oracle-exact; ``use_arrow`` routes the per-pair
+    dot product through the vectorized Pandas UDF (bit-identical
+    output, ~30× faster on large pair sets — see
+    ``vectors.pair_dot_arrow``).
     """
     q = VX.quantize(vec_col)
     # precompute each row's norm once — per-pair work is then a single
@@ -727,28 +763,25 @@ def embedding_neardup_pairs(
             )
         rng = random.Random(seed)
         dim = len(first[0])
-        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(lsh_planes)]
-        sig = F.concat_ws(
-            "",
-            *[
-                F.when(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("q"),
-                            F.array(*[F.lit(w) for w in plane]),
-                            lambda x, w: x * w,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    >= 0,
-                    F.lit("1"),
-                ).otherwise(F.lit("0"))
-                for plane in planes
-            ],
-        )
-        base = base.withColumn("bucket", sig)
-        extra_key = ["bucket"]
+        # integer-quantized hyperplanes: sign(q·plane) in exact int64
+        # arithmetic (|q|·|w|·dim « 2^63), so band keys are deterministic
+        # across platforms/BLAS builds
+        planes_i = [
+            [int(round(rng.gauss(0, 1) * 1_000_000)) for _ in range(dim)]
+            for _ in range(lsh_planes * lsh_bands)
+        ]
+        keys_udf = _hyperplane_band_keys(planes_i, lsh_planes, lsh_bands)
+        base = base.filter(F.col("q").isNotNull())
+        if lsh_bands == 1:
+            base = base.withColumn("bucket", keys_udf(F.col("q"))[0])
+            extra_key = ["bucket"]
+        else:
+            # one row per (vector, band); the join key carries the band
+            # index so bucket keys only match within the same band
+            base = base.select(
+                "*", F.posexplode(keys_udf(F.col("q"))).alias("band_b", "bucket")
+            )
+            extra_key = ["band_b", "bucket"]
 
     # small corpora arrive as one parquet file → one partition → a
     # 1-task nested-loop join. Spread the streamed side across the
@@ -763,7 +796,7 @@ def embedding_neardup_pairs(
     else:
         dot = VX.int_dot(F.col("l.q"), F.col("r.q"))
     sim = dot / (F.col("l.nrm") * F.col("r.nrm"))
-    return (
+    out = (
         l.join(r, cond)
         .withColumn("cosine", sim)
         .filter(F.col("cosine") >= threshold)
@@ -773,3 +806,8 @@ def embedding_neardup_pairs(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+    if lsh_planes and lsh_bands > 1:
+        # a pair agreeing on several bands verifies once per band —
+        # collapse to one row (cosine is identical across duplicates)
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out

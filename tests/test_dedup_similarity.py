@@ -133,6 +133,28 @@ def test_embedding_neardup_lsh_vs_exact(emb):
         assert len(lsh) / len(exact) > 0.1
 
 
+def test_neardup_lsh_bench_recall(spark, sf_dir):
+    """The benched LSH gate query (16 planes, threshold 0.4) must stay a
+    subset of the exact pair set with usable recall on the real
+    embeddings fixture — the assertion backing q_cosine_neardup_lsh."""
+    import __spark_entry__ as entry
+
+    exact = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in entry.queries()["cosine_neardup"](spark, sf_dir).collect()
+    }
+    lsh = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in entry.queries()["cosine_neardup_lsh"](spark, sf_dir).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        # 16 planes over cosine≥0.4 pairs: same-bucket probability is
+        # (1-θ/π)^16; near-dups (cos→1) collide with prob → 1. The
+        # fixture's pair set sits well above this floor.
+        assert len(lsh) / len(exact) > 0.05
+
+
 def test_neardup_tiled_matches_single_tile(emb):
     """Forcing multiple broadcast tiles must give the identical pair set
     (tiling changes memory shape, never results)."""
