@@ -14,9 +14,11 @@ Algorithm: alternating **large-star / small-star** (Kiveris et al.,
 DataFrame joins + partial-aggregating ``groupBy``s. Converges in
 O(log^2 n) rounds on any graph (typically 2-4 on dedup graphs, whose
 components are small and dense). Each round is two shuffles on the node
-id; ``localCheckpoint`` truncates lineage so the plan doesn't grow with
-iterations (swap for ``checkpoint`` + a checkpoint dir on a real
-cluster).
+id; a checkpoint truncates lineage so the plan doesn't grow with
+iterations. By default that is ``localCheckpoint`` (executor-local
+blocks — fine on local[*]); pass ``checkpoint_dir`` to use reliable
+``checkpoint`` storage instead, which survives executor loss mid-loop
+on a real cluster.
 """
 
 from __future__ import annotations
@@ -64,6 +66,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str | None = None,
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Label every node with the minimum node id of its connected
     component. Returns ``(node, component)``.
@@ -72,17 +75,31 @@ def connected_components(
     optionally supplies the full vertex set so isolated vertices appear
     in the output with ``component == node``.
 
+    ``checkpoint_dir``: when set, per-round lineage cuts use reliable
+    ``checkpoint`` storage rooted there (HDFS/S3 path on a cluster)
+    instead of ``localCheckpoint`` — executor loss mid-loop then replays
+    from the checkpoint instead of killing the job.
+
     Convergence is detected by a (count, xor-of-hashes) checksum of the
     canonical edge set — one cheap aggregate per round instead of a full
     set comparison.
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _cut(df: DataFrame, eager: bool) -> DataFrame:
+            return df.checkpoint(eager=eager)
+
+    else:
+
+        def _cut(df: DataFrame, eager: bool) -> DataFrame:
+            return df.localCheckpoint(eager=eager)
+
     # materialize the edge input ONCE: it is referenced by the canonical
     # edge set, the endpoint universe, and the final isolated-node
     # anti-join — without this an expensive upstream (e.g. a pair-mining
     # self-join) would be recomputed at every reference
-    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=True
-    )
+    e0 = _cut(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")), True)
     endpoints = e0.select("u").unionByName(e0.select(F.col("v").alias("u"))).distinct()
     cur = _canon(e0)
     prev_sig = None
@@ -92,7 +109,7 @@ def connected_components(
         # round's one action — it materializes the checkpoint AND reads
         # the convergence signature in a single job (eager=True would
         # run a second job per round just to materialize)
-        cur = _canon(_small_star(_large_star(cur))).localCheckpoint(eager=False)
+        cur = _cut(_canon(_small_star(_large_star(cur))), False)
         n, h = cur.agg(
             F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
         ).first()

@@ -282,3 +282,25 @@ def test_hash_ops_reject_string_ids(spark):
         C.hash_sample(df, "k", 0.5)
     with pytest.raises(TypeError, match="integral"):
         C.hash_split(df, "k", {"x": 1.0})
+
+
+def test_cc_reliable_checkpoint_identical_labels(spark, tmp_path):
+    # checkpoint_dir switches per-round lineage cuts to reliable
+    # checkpoint() storage (the real-cluster path, where an executor
+    # loss must not kill the loop); labels must be identical to the
+    # localCheckpoint default, and checkpoint files must actually land
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    base = {r.node: r.component for r in connected_components(df).collect()}
+    ckdir = str(tmp_path / "cc_ck")
+    reliable = {
+        r.node: r.component
+        for r in connected_components(df, checkpoint_dir=ckdir).collect()
+    }
+    assert reliable == base
+    import os
+
+    assert any(files for _, _, files in os.walk(ckdir)), "no checkpoint written"
