@@ -164,8 +164,9 @@ class Engine:
         source pushes projections/filters server-side; supply
         ``partition_column`` + bounds for partition-parallel reads (the
         JDBC analog of our REST id-partitioning). Requires the JDBC
-        driver jar on the classpath — not present in this container, so
-        this wires options only."""
+        driver jar on the classpath; exercised live against embedded
+        Derby (ships with Spark) in
+        ``tests/test_engine.py::test_jdbc_roundtrip``."""
         opts = {"url": url, "dbtable": dbtable or table_name, **options}
         if partition_column:
             opts.update(

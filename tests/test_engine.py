@@ -408,3 +408,66 @@ def test_create_table_refuses_to_shadow_attached(engine):
 
     with pytest.raises(ValueError, match="shadow"):
         engine.create_table("customer", [ColumnModel("c_custkey", "bigint")])
+
+
+def test_jdbc_roundtrip(engine, spark, tmp_path):
+    """Live JDBC execution against embedded Derby (ships with Spark) —
+    the reference's primary transport is a SQLAlchemy engine URL
+    (reference revtron/database/main.py:39-49); attach_jdbc is its Spark
+    analog. Round-trips a write, a read, predicate pushdown into the
+    JDBC scan, and a partition-parallel read."""
+    url = f"jdbc:derby:{tmp_path}/jdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = spark.createDataFrame(
+        [(i, f"n{i}", i * 1.5) for i in range(20)], "id int, name string, val double"
+    )
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "items")
+        .option("driver", driver)
+        .option("createTableColumnTypes", "id INT, name VARCHAR(64), val DOUBLE")
+        .mode("overwrite")
+        .save()
+    )
+
+    engine.attach_jdbc("items", url, driver=driver)
+    got = engine.get_table("items")
+    assert got.count() == 20
+    assert {r.name for r in got.filter("id < 3").collect()} == {"n0", "n1", "n2"}
+
+    # predicate pushdown: the filter must reach the JDBC scan (executed
+    # server-side), not run as a post-scan Spark Filter
+    from revtron_utils_spark.plans.audit import formatted_plan
+
+    flt = engine.get_table("items").filter("id >= 10")
+    plan = formatted_plan(flt)
+    assert "PushedFilters" in plan and "GreaterThanOrEqual" in plan, plan[:2000]
+    assert flt.count() == 10
+
+    # partition-parallel read: bounds split the scan into N JDBC queries
+    engine.attach_jdbc(
+        "items_p",
+        url,
+        dbtable="items",
+        partition_column="id",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=20,
+        driver=driver,
+    )
+    dp = engine.get_table("items_p")
+    assert dp.rdd.getNumPartitions() == 4
+    assert dp.count() == 20
+
+    # write-through via engine: append more rows over JDBC, read back
+    extra = spark.createDataFrame([(100, "x", 0.5)], "id int, name string, val double")
+    (
+        extra.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "items")
+        .option("driver", driver)
+        .mode("append")
+        .save()
+    )
+    assert engine.get_table("items").count() == 21
