@@ -2484,15 +2484,19 @@ def q_frame_sampling(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
-    """Binary-column plumbing demo: documents encoded as opaque binary
-    payloads with typed metadata, features extracted via mapInPandas
-    (the decode step is a deterministic stand-in — see
-    revtron_utils_spark/multimodal.py)."""
-    from revtron_utils_spark.multimodal import attach_binary_payload, extract_features
+    """Binary image columns end-to-end with a REAL decode: every doc gets
+    a deterministic 24-bit BMP payload, decoded inside the Arrow batch
+    iterator (numpy-only BMP parser) into genuine per-channel pixel
+    means + luma stats — see revtron_utils_spark/multimodal.py."""
+    from revtron_utils_spark.multimodal import attach_image_payload, image_stats
 
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
-    binary = attach_binary_payload(docs, "text")
-    return extract_features(binary).select("doc_id", "byte_len", "feat_hash")
+    docs = _t(spark, sf, "documents").select("doc_id")
+    stats = image_stats(attach_image_payload(docs))
+    return stats.select(
+        "doc_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("luma_std", 4).alias("luma_std"),
+    )
 
 
 def q_mincost_q2(spark, sf):

@@ -4,18 +4,23 @@ columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 The Spark-side architecture is real and tested — schema contract,
 partition-preserving batch iteration, bounded batch sizes
 (``spark.sql.execution.arrow.maxRecordsPerBatch``), no driver collect.
-The actual media decode is STUBBED: this container has no image/audio
-libraries, so ``decode_image`` raises ``NotImplementedError`` and the
-feature extractor uses a deterministic byte-level stand-in. Swapping the
-stub for PIL/librosa/ffmpeg changes only the inside of the pandas
-function — the distributed plumbing is identical.
+Image decode is REAL for the two classic dependency-free formats:
+uncompressed 24-bit BMP (bottom-up and top-down) and binary PPM (P6),
+parsed with numpy only — ``decode_image``/``encode_bmp`` round-trip
+bit-exactly and ``image_stats`` computes genuine pixel statistics
+end-to-end. Formats that need an imaging library (JPEG/PNG/audio/video)
+raise ``ValueError`` from the same entry point; plugging PIL/librosa in
+changes only the inside of the pandas function — the distributed
+plumbing is identical.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -42,11 +47,89 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real image decode — requires an imaging library not present in
-    this container. The pipeline around it is fully functional; plug in
-    PIL here on a real cluster."""
-    raise NotImplementedError("image decode requires PIL/opencv; not available in this container")
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to an ``(H, W, 3)`` uint8 RGB array.
+
+    Dependency-free real decoders: uncompressed 24-bit BMP (``BM``
+    magic; BI_RGB, bottom-up or top-down, 4-byte row padding) and binary
+    PPM (``P6`` magic, maxval 255, ``#`` comments). Other formats raise
+    ``ValueError`` — swap in PIL here for JPEG/PNG on a real cluster."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    raise ValueError(
+        f"unsupported image format (magic {payload[:2]!r}): only BMP/PPM "
+        "decode without an imaging library"
+    )
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={compression})")
+    top_down = height < 0
+    h = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    px = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h, offset=data_offset)
+    rows = px.reshape(h, row_bytes)[:, : width * 3].reshape(h, width, 3)
+    if not top_down:
+        rows = rows[::-1]  # stored bottom-up
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    # header: P6 <width> <height> <maxval> in ASCII with # comments,
+    # then a single whitespace byte, then raw RGB triples
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace after maxval
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    px = np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
+    return px.reshape(height, width, 3).copy()
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an ``(H, W, 3)`` uint8 RGB array as a 24-bit BI_RGB BMP
+    (bottom-up, rows padded to 4 bytes) — the exact inverse of
+    ``_decode_bmp``; used to build test fixtures with no imaging lib."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # RGB→BGR, bottom-up
+    raw = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raw), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raw), 2835, 2835, 0, 0)
+    return header + dib + raw
+
+
+def synth_image(seed: int, width: int = 16, height: int = 16) -> np.ndarray:
+    """Deterministic synthetic RGB image for a numeric id: channel-wise
+    affine gradients mod 256 — cheap, unique per id, exactly
+    reproducible anywhere (used to give the text-only fixtures a real
+    image column)."""
+    y, x = np.mgrid[0:height, 0:width]
+    r = (x * 7 + y * 13 + seed * 31) % 256
+    g = (x * 3 + y * 5 + seed * 17) % 256
+    b = (x * 11 + y * 2 + seed * 7) % 256
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
 def _fake_features(payload: bytes, dim: int = 8) -> list[float]:
@@ -67,6 +150,77 @@ def attach_binary_payload(df: DataFrame, text_col: str, id_col: str = "doc_id") 
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
     )
+
+
+def attach_image_payload(
+    df: DataFrame, id_col: str = "doc_id", width: int = 16, height: int = 16
+) -> DataFrame:
+    """Give each row a real BMP image payload (deterministic per id) with
+    typed metadata — the fixture adapter for pipelines whose real input
+    is ``spark.read.format('binaryFile')`` over an image bucket."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        encode_bmp(synth_image(int(i), width, height)) for i in ids
+                    ],
+                    "media_type": "image/bmp",
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("luma_mean", T.DoubleType(), True),
+        T.StructField("luma_std", T.DoubleType(), True),
+    ]
+)
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """REAL pixel statistics over binary image payloads: decode (BMP/PPM)
+    inside the Arrow batch iterator and reduce each image to per-channel
+    means plus Rec.601 luma mean/std. Undecodable payloads yield null
+    stats rather than failing the task (bad files are data, not bugs, at
+    100 TB)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "luma_mean", "luma_std")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    px = decode_image(bytes(payload))
+                except (ValueError, IndexError, struct.error):
+                    for k in ("width", "height", "mean_r", "mean_g", "mean_b", "luma_mean", "luma_std"):
+                        out[k].append(None)
+                    continue
+                f = px.astype(np.float64)
+                luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+                out["width"].append(px.shape[1])
+                out["height"].append(px.shape[0])
+                out["mean_r"].append(float(f[:, :, 0].mean()))
+                out["mean_g"].append(float(f[:, :, 1].mean()))
+                out["mean_b"].append(float(f[:, :, 2].mean()))
+                out["luma_mean"].append(float(luma.mean()))
+                out["luma_std"].append(float(luma.std()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
 
 def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:

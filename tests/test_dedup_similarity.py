@@ -242,8 +242,71 @@ def test_multimodal_plumbing(docs, spark):
     assert {(f.doc_id, f.feat_hash) for f in feats} == {(f.doc_id, f.feat_hash) for f in feats2}
     frames = sample_frames(binary, every_nth=2).collect()
     assert frames and all(fr.frame_idx % 2 == 0 for fr in frames)
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG....")
+
+
+def test_bmp_roundtrip_and_ppm_decode():
+    import numpy as np
+
+    from revtron_utils_spark.multimodal import decode_image, encode_bmp, synth_image
+
+    # widths 5/6/7 exercise every 4-byte row-padding case; roundtrip
+    # must be bit-exact
+    for w in (5, 6, 7, 16):
+        px = synth_image(seed=w, width=w, height=3)
+        assert np.array_equal(decode_image(encode_bmp(px)), px)
+
+    # top-down BMP (negative height) decodes to the same pixels
+    px = synth_image(seed=1, width=4, height=2)
+    bu = bytearray(encode_bmp(px))
+    import struct as st
+
+    raw = bu[54:]
+    row_bytes = len(raw) // 2
+    flipped = raw[row_bytes:] + raw[:row_bytes]  # reorder rows for top-down
+    st.pack_into("<i", bu, 22, -2)
+    bu[54:] = flipped
+    assert np.array_equal(decode_image(bytes(bu)), px)
+
+    # binary PPM with a header comment
+    ppm = b"P6\n# a comment\n2 2\n255\n" + bytes(range(12))
+    got = decode_image(ppm)
+    assert got.shape == (2, 2, 3) and got[0, 0, 0] == 0 and got[1, 1, 2] == 11
+
+
+def test_image_stats_real_pixels(spark):
+    import numpy as np
+
+    from revtron_utils_spark.multimodal import (
+        attach_image_payload,
+        image_stats,
+        synth_image,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    rows = {r.doc_id: r for r in image_stats(attach_image_payload(ids)).collect()}
+    assert len(rows) == 12
+    for i in range(12):
+        px = synth_image(i).astype(np.float64)
+        luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        r = rows[i]
+        assert (r.width, r.height) == (16, 16)
+        assert abs(r.mean_r - px[:, :, 0].mean()) < 1e-9
+        assert abs(r.luma_std - luma.std()) < 1e-9
+
+    # undecodable payloads must yield null stats, not task failures
+    from pyspark.sql import functions as F
+
+    bad = spark.createDataFrame([(99,)], "doc_id long").select(
+        "doc_id",
+        F.lit(b"\x89PNG garbage").alias("payload"),
+        F.lit("image/png").alias("media_type"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+    )
+    out = image_stats(bad).collect()[0]
+    assert out.doc_id == 99 and out.mean_r is None and out.width is None
 
 
 def test_text_functions_edges(spark):
