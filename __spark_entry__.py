@@ -1236,10 +1236,18 @@ def q_streaming_sessionize(spark, sf):
     )
     # one deterministic staging dir per (process, sf): wiped before each
     # run so repeated invocations (pytest sweep, driver gate, dev loops)
-    # don't accumulate full parquet copies of events under /tmp
-    tag = hashlib.md5(sf.encode()).hexdigest()[:10]
+    # don't accumulate full parquet copies of events under /tmp — the
+    # pid component keeps concurrent processes (e.g. pytest sweep +
+    # driver gate on the same sf) from rmtree-ing each other mid-run
+    import os as _os
+
+    tag = hashlib.md5(f"{_os.getpid()}:{sf}".encode()).hexdigest()[:10]
     tmp = f"{tempfile.gettempdir()}/drv_stream_sess_{tag}"
     shutil.rmtree(tmp, ignore_errors=True)
+    # pid-tagged dirs outlive same-pid reruns but not the process
+    import atexit
+
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     src = f"{tmp}/src"
     ev.write.mode("overwrite").parquet(src)
     q = sessionize_stream(
@@ -2181,6 +2189,45 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_skew_stress(spark, sf):
+    """Deliberate hot-key stress: the top-3 event types collapse into one
+    'hot' group (~60% of the table), then the salted two-stage aggregate
+    spreads that group's reduce work across 32 salt shards. Oracle = the
+    direct aggregate (salting is result-identical by construction; the
+    plan split is asserted in tests/test_skew.py). value sums use cents
+    (int64) so both engines reduce in exact integer arithmetic."""
+    from revtron_utils_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf, "events").withColumn(
+        "hot_key",
+        F.when(
+            F.col("event_type").isin("view", "click", "signup"), F.lit("hot")
+        ).otherwise(F.col("event_type")),
+    ).withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+    out = salted_agg(
+        ev,
+        ["hot_key"],
+        {"n": "count(event_id)", "cents": "sum(cents)", "mx": "max(cents)"},
+        salt=32,
+    )
+    return out.select(
+        "hot_key",
+        F.col("n").cast("long").alias("n"),
+        F.col("cents").cast("long").alias("cents"),
+        F.col("mx").cast("long").alias("mx"),
+    )
+
+
+SQL_SKEW_STRESS = """
+SELECT CASE WHEN event_type IN ('view','click','signup') THEN 'hot'
+            ELSE event_type END AS hot_key,
+       CAST(COUNT(event_id) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS mx
+FROM events GROUP BY 1
+"""
+
+
 def q_nation_volume_q7(spark, sf):
     """TPC-H Q7 shape: bilateral trade volume — supplier nation ×
     customer nation revenue for a nation pair, by ship year. Two
@@ -2917,6 +2964,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "salted_agg": (q_salted_agg, SQL_SALTED_AGG),
+    "skew_stress": (q_skew_stress, SQL_SKEW_STRESS),
     "mincost_q2": (q_mincost_q2, SQL_MINCOST_Q2),
     "nation_volume_q7": (q_nation_volume_q7, SQL_NATION_VOLUME_Q7),
     "market_share_q8": (q_market_share_q8, SQL_MARKET_SHARE_Q8),

@@ -54,6 +54,7 @@ HEADLINE = [
     "decontaminate",
     "train_test_split",
     "correlated_avg",
+    "skew_stress",
     "fuzzy_pairs",
     "rollup_maintenance",
     "sketch_rollup",

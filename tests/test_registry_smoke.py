@@ -22,10 +22,19 @@ _ALL = sorted(entry_mod.queries())
 
 @pytest.mark.parametrize("name", _ALL)
 def test_query_executes(spark, name):
-    df = entry_mod.queries()[name](spark, SF_DIR)
-    # full execution without driver-side transfer, like the bench sink
-    df.write.mode("overwrite").format("noop").save()
-    assert df.columns, f"{name}: empty schema"
+    try:
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        # full execution without driver-side transfer, like the bench sink
+        df.write.mode("overwrite").format("noop").save()
+        assert df.columns, f"{name}: empty schema"
+    finally:
+        # same per-query hygiene as bench.py: frames persisted inside
+        # dedup/graph operators must not accumulate across the ~100-case
+        # session-scoped sweep
+        from revtron_utils_spark.operators.dedup import release_caches
+
+        release_caches()
+        spark.catalog.clearCache()
 
 
 def test_oracle_sql_parses():

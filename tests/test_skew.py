@@ -81,3 +81,50 @@ def test_salted_agg_rejects_nondecomposable(engine):
 
     with pytest.raises(ValueError):
         salted_agg(engine.get_table("events"), ["event_type"], {"a": "avg(value)"})
+
+
+def test_skew_stress_plan_splits_hot_group(spark, sf_dir):
+    """The benched skew query must actually produce the two-stage salted
+    plan: a first aggregate keyed on (group, __salt) — 32 reduce shards
+    for the hot group — then a final aggregate on the group alone. The
+    plain aggregate plan has one grouping exchange; salting adds one."""
+    import __spark_entry__ as entry
+    from revtron_utils_spark.plans.audit import PlanFacts
+
+    df = entry.queries()["skew_stress"](spark, sf_dir)
+    facts = PlanFacts.of(df)
+    # partial stage keyed by the salt column is in the physical plan
+    assert "__salt" in facts.text, facts.text[:2000]
+
+    # plain form of the same aggregate, for plan comparison
+    from revtron_utils_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "hot_key",
+        F.when(
+            F.col("event_type").isin("view", "click", "signup"), F.lit("hot")
+        ).otherwise(F.col("event_type")),
+    )
+    plain = ev.groupBy("hot_key").agg(F.count(F.lit(1)).alias("n"))
+    plain_x = PlanFacts.of(plain).exchanges
+    # exactly one extra shuffle stage: hashpartitioning(hot_key, __salt)
+    # before the final hashpartitioning(hot_key). (formatted plans list
+    # each operator twice, so counts compare 2:1 between the forms)
+    assert facts.exchanges == 2 * plain_x, facts.text[:2000]
+
+    # result identity with the direct aggregate (the oracle's contract)
+    direct = {
+        r.hot_key: (r.n, r.cents, r.mx)
+        for r in ev.withColumn(
+            "cents", F.round(F.col("value") * 100).cast("long")
+        )
+        .groupBy("hot_key")
+        .agg(
+            F.count("event_id").alias("n"),
+            F.sum("cents").alias("cents"),
+            F.max("cents").alias("mx"),
+        )
+        .collect()
+    }
+    got = {r.hot_key: (r.n, r.cents, r.mx) for r in df.collect()}
+    assert got == direct

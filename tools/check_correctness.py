@@ -50,6 +50,11 @@ def value_hash(rows, columns):
 
 def main():
     args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
     only = [a for a in args if "/" not in a]
 
@@ -61,6 +66,7 @@ def main():
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -72,6 +78,7 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: spark error: {str(e).splitlines()[0][:160]}")
             failures.append(name)
+            results[name] = {"err": f"spark: {str(e).splitlines()[0][:200]}"}
             continue
         finally:
             # frames persisted inside operators must not pile up across
@@ -81,6 +88,7 @@ def main():
             release_caches()
             spark.catalog.clearCache()
         if name not in oracles:
+            results[name] = {"mode": "rows_only", "spark_rows": len(srows), "err": None}
             print(f"ok?   {name}: rows-only check, {len(srows)} rows ({time.time()-t0:.1f}s)")
             if len(srows) == 0 and name not in ("cosine_neardup",):
                 print(f"      WARNING: 0 rows from rows-only query")
@@ -92,6 +100,7 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e).splitlines()[0][:160]}")
             failures.append(name)
+            results[name] = {"err": f"duckdb: {str(e).splitlines()[0][:200]}"}
             continue
         problems = []
         if sorted(scols) != sorted(dcols):
@@ -108,6 +117,14 @@ def main():
                 diff_d = list(dset - sset)[:3]
                 problems.append(f"  spark-only: {diff_s}")
                 problems.append(f"  duck-only:  {diff_d}")
+        results[name] = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": sorted(scols) == sorted(dcols),
+            "hash_match": not any("hash" in p for p in problems),
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": None,
+        }
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems[:1]))
             for p in problems[1:]:
@@ -117,6 +134,12 @@ def main():
             print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "queries": results}, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
     sys.exit(1 if failures else 0)
 
 
