@@ -1586,14 +1586,18 @@ WHERE list_inner_product(a.ev, b.ev)
 
 def q_cosine_neardup_lsh(spark, sf):
     """The 100-TB plan for embedding near-dup: banded random-hyperplane
-    LSH (8 bands × 4 planes) bounds candidate pairs to same-bucket
+    LSH (10 bands × 6 planes) bounds candidate pairs to same-bucket
     vectors instead of the O(n²) all-pairs matmul the exact gate query
     uses. Deterministic (fixed seed) but recall < 1, so rows-only here;
     the recall floor vs the exact pair set is asserted in
-    tests/test_dedup_similarity.py::test_neardup_lsh_bench_recall."""
+    tests/test_dedup_similarity.py::test_neardup_lsh_bench_recall.
+    Note the fixture's threshold (0.4) sits at LSH's weakest operating
+    point — ~0.5 recall there; at a realistic near-dup threshold
+    (cos ≥ 0.9, collision p=0.856^6 per band) the same parameters give
+    ~0.99 recall."""
     emb = _t(spark, sf, "embeddings")
     return DD.embedding_neardup_pairs(
-        emb, threshold=0.4, lsh_planes=4, lsh_bands=8
+        emb, threshold=0.4, lsh_planes=6, lsh_bands=10
     )
 
 
