@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Scale-curve rehearsal for the dedup/LSH family (SCALE.md evidence).
+
+The driver fixtures stop at sf0.1 (5k documents / 2k embeddings / 20k
+parts), which can't distinguish an O(n) pair miner from an O(n²) one.
+This script synthesizes fixtures with the same generative character at
+1× / ~3.2× / 10× the sf0.1 row counts (vocab-sampled token text with
+planted exact + near duplicates at fixed rates, clustered embeddings
+with planted near-copies, adjective-noun part names), runs the
+expensive registry queries at each size, and fits the scaling exponent
+alpha in t ~ n^alpha by least squares over log-log points.
+
+Caveats recorded alongside the numbers: at these absolute sizes every
+query carries a fixed overhead floor (plan compile + job scheduling,
+~0.5-1 s), which biases alpha DOWN for fast queries; pair queries whose
+output grows ~n² (all-pairs over planted dup rates) carry a verify-join
+term that grows with the PAIR count, not the row count.
+
+Usage: python tools/scale_study.py [--sizes 5000,15811,50000] [--out /tmp/scale_study]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import random
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+QUERIES = [
+    "dedup_exact",
+    "minhash_pairs",
+    "simhash_pairs",
+    "dedup_clusters",
+    "fuzzy_pairs",
+    "cosine_neardup",
+    "cosine_neardup_lsh",
+    "decontaminate",
+]
+
+_SYL = "ba be bi bo bu ka ke ki ko ku la le li lo lu ma me mi mo mu".split()
+NOUN_BASE = "ring bolt screw washer gear axle cam rod".split()
+
+
+def _word(rng: random.Random, n_syl: int) -> str:
+    return "".join(rng.choice(_SYL) for _ in range(n_syl))
+
+
+def make_fixtures(out_dir: Path, n_docs: int, seed: int = 42) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(seed)
+    nprng = np.random.default_rng(seed)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    # --- documents: vocab token text, 2% exact dups, 5% near dups ----
+    vocab = (
+        "batch part spark line column order small sort fast value scan hash "
+        "slow group agg filter query big key window row table stream merge "
+        "data join shuffle plan stage task codegen arrow pandas broadcast"
+    ).split()
+    texts: list[str] = []
+    for i in range(n_docs):
+        r = rng.random()
+        if i > 10 and r < 0.02:  # exact duplicate of an earlier doc
+            texts.append(texts[rng.randrange(i)])
+        elif i > 10 and r < 0.07:  # near duplicate: mutate 3 tokens
+            toks = texts[rng.randrange(i)].split()
+            for _ in range(3):
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            texts.append(" ".join(toks))
+        else:
+            texts.append(" ".join(rng.choice(vocab) for _ in range(50)))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": texts,
+            "lang": [rng.choice(["en", "zh", "de", "fr"]) for _ in range(n_docs)],
+            "source": [f"src{rng.randrange(8)}" for _ in range(n_docs)],
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(docs, out_dir / "documents.parquet")
+
+    # --- embeddings: isotropic vectors (random 64-dim cos ≈ 0 ± 0.12,
+    # so pairs above 0.4 are essentially only the planted 2% of
+    # near-copies — the sparse-pair regime of the driver fixture, which
+    # keeps the verified-pair count LINEAR in n) -----------------------
+    n_emb = max(2, int(n_docs * 0.4))
+    vecs = nprng.normal(0, 1, (n_emb, 64))
+    labels = nprng.integers(0, 10, n_emb)
+    n_planted = n_emb // 50
+    for i in range(n_planted):  # near-copy an earlier vector
+        src = int(nprng.integers(0, n_emb - n_planted))
+        vecs[n_emb - n_planted + i] = vecs[src] + nprng.normal(0, 0.01, 64)
+    emb = pa.table(
+        {
+            "vec_id": pa.array(range(n_emb), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([int(x) for x in labels], pa.int32()),
+        }
+    )
+    pq.write_table(emb, out_dir / "embeddings.parquet")
+
+    # --- part: adjective-noun names (fuzzy blocks on the noun). Name
+    # diversity scales WITH n (√s more nouns × √s more adjectives →
+    # constant ~312 rows/name like sf0.1's 64 names / 20k rows), so the
+    # study measures operator scaling at constant value density instead
+    # of quadratic output explosion from a fixed name pool -------------
+    n_part = n_docs * 4
+    scale = max(1.0, n_docs / 5000)
+    n_nouns = max(8, int(8 * math.sqrt(scale)))
+    n_adjs = max(8, int(8 * math.sqrt(scale)))
+    nouns = list(NOUN_BASE) + [_word(rng, 3) for _ in range(n_nouns - len(NOUN_BASE))]
+    adjs = [_word(rng, rng.randrange(2, 5)) for _ in range(n_adjs)]
+    names = [f"{rng.choice(adjs)} {rng.choice(nouns)}" for _ in range(n_part)]
+    part = pa.table(
+        {
+            "p_partkey": pa.array(range(n_part), pa.int64()),
+            "p_name": names,
+        }
+    )
+    pq.write_table(part, out_dir / "part.parquet")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="5000,15811,50000")
+    ap.add_argument("--out", default="/tmp/scale_study")
+    ap.add_argument("--queries", default=",".join(QUERIES))
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+    names = args.queries.split(",")
+
+    import __spark_entry__ as entry_mod
+    from revtron_utils_spark.session import get_spark
+
+    for n in sizes:
+        d = Path(args.out) / f"n{n}"
+        if not (d / "documents.parquet").exists():
+            print(f"generating fixtures n={n} ...", file=sys.stderr)
+            make_fixtures(d, n)
+
+    spark = get_spark(app_name="scale-study")
+    # session + Arrow-worker warmup, as in bench.py
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("double")
+    def _warm(s):
+        return s
+
+    spark.range(256).repartition(64).select(_warm(col("id").cast("double"))).collect()
+
+    queries = entry_mod.queries()
+    # one untimed pass at the smallest size: plan compile + codegen for
+    # each query shape happens here, not inside the first timed point
+    warm_dir = str(Path(args.out) / f"n{sizes[0]}")
+    for q in names:
+        queries[q](spark, warm_dir).write.mode("overwrite").format("noop").save()
+        from revtron_utils_spark.operators.dedup import release_caches
+
+        release_caches()
+        spark.catalog.clearCache()
+
+    times: dict[str, dict[int, float]] = {q: {} for q in names}
+    rows: dict[str, dict[int, int]] = {q: {} for q in names}
+    for n in sizes:
+        sf_dir = str(Path(args.out) / f"n{n}")
+        for q in names:
+            t0 = time.perf_counter()
+            df = queries[q](spark, sf_dir)
+            cnt = df.count()
+            times[q][n] = round(time.perf_counter() - t0, 3)
+            rows[q][n] = cnt
+            from revtron_utils_spark.operators.dedup import release_caches
+
+            release_caches()
+            spark.catalog.clearCache()
+            print(f"n={n} {q}: {times[q][n]}s ({cnt} rows)", file=sys.stderr)
+
+    out = {}
+    for q in names:
+        xs = [math.log(n) for n in sizes]
+        ys = [math.log(max(times[q][n], 1e-3)) for n in sizes]
+        mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+        alpha = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        n1, n2 = sizes[-2], sizes[-1]
+        tail = math.log(times[q][n2] / times[q][n1]) / math.log(n2 / n1)
+        out[q] = {
+            "times": times[q],
+            "rows": rows[q],
+            "alpha": round(alpha, 2),
+            # slope over the two largest sizes — least polluted by the
+            # fixed per-query overhead floor
+            "alpha_tail": round(tail, 2),
+        }
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
