@@ -14,10 +14,19 @@ from revtron_utils_spark.operators.graph import cluster_dedup, connected_compone
 
 
 def _cc_dict(spark, edges, **kw):
+    """Run BOTH implementations — driver union-find fast path (default
+    for small edge lists) and the distributed star-contraction loop
+    (driver_threshold=0) — and assert they agree before returning."""
     df = spark.createDataFrame(edges, ["src", "dst"])
-    return {
+    fast = {
         r.node: r.component for r in connected_components(df, **kw).collect()
     }
+    loop = {
+        r.node: r.component
+        for r in connected_components(df, driver_threshold=0, **kw).collect()
+    }
+    assert fast == loop, "fast-path vs distributed-loop label mismatch"
+    return fast
 
 
 def test_cc_chain_merges_transitively(spark):
@@ -296,9 +305,14 @@ def test_cc_reliable_checkpoint_identical_labels(spark, tmp_path):
     df = spark.createDataFrame(edges, ["src", "dst"])
     base = {r.node: r.component for r in connected_components(df).collect()}
     ckdir = str(tmp_path / "cc_ck")
+    # driver_threshold=0 forces the iterative loop — otherwise this
+    # small graph would take the union-find fast path and never write
+    # a checkpoint at all
     reliable = {
         r.node: r.component
-        for r in connected_components(df, checkpoint_dir=ckdir).collect()
+        for r in connected_components(
+            df, checkpoint_dir=ckdir, driver_threshold=0
+        ).collect()
     }
     assert reliable == base
     import os
