@@ -1225,7 +1225,6 @@ def q_streaming_sessionize(spark, sf):
     over the events table, returning the closed sessions from the
     memory sink. Rows-only (the closed-session set depends on the final
     watermark, which SQL can't express)."""
-    import hashlib
     import shutil
     import tempfile
 
@@ -1234,19 +1233,35 @@ def q_streaming_sessionize(spark, sf):
     ev = _t(spark, sf, "events").select(
         F.col("user_id").cast("long").alias("user_id"), F.col("ts").cast("timestamp").alias("ts")
     )
-    # one deterministic staging dir per (process, sf): wiped before each
-    # run so repeated invocations (pytest sweep, driver gate, dev loops)
+    # one deterministic staging dir per process: wiped before each run
+    # so repeated invocations (pytest sweep, driver gate, dev loops)
     # don't accumulate full parquet copies of events under /tmp — the
-    # pid component keeps concurrent processes (e.g. pytest sweep +
-    # driver gate on the same sf) from rmtree-ing each other mid-run
-    import os as _os
-
-    tag = hashlib.md5(f"{_os.getpid()}:{sf}".encode()).hexdigest()[:10]
-    tmp = f"{tempfile.gettempdir()}/drv_stream_sess_{tag}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    # pid-tagged dirs outlive same-pid reruns but not the process
+    # pid suffix keeps concurrent processes (e.g. pytest sweep + driver
+    # gate) from rmtree-ing each other mid-run; within a process,
+    # invocations are serial (awaitTermination returns before this
+    # function does), so wipe-and-rewrite is safe
     import atexit
+    import os as _os
+    from pathlib import Path as _Path
 
+    base = _Path(tempfile.gettempdir())
+    tmp = str(base / f"drv_stream_sess_{_os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    # reap staging dirs left by DEAD processes (SIGKILL/OOM skips
+    # atexit): a pid-suffixed dir whose process is gone is garbage
+    for stale in base.glob("drv_stream_sess_*"):
+        try:
+            pid = int(stale.name.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        if pid == _os.getpid():
+            continue
+        try:
+            _os.kill(pid, 0)  # raises if no such process
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # someone else's live process
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     src = f"{tmp}/src"
     ev.write.mode("overwrite").parquet(src)

@@ -204,8 +204,10 @@ def image_stats(df: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 out["doc_id"].append(doc_id)
                 try:
+                    if payload is None:
+                        raise ValueError("null payload")
                     px = decode_image(bytes(payload))
-                except (ValueError, IndexError, struct.error):
+                except (ValueError, IndexError, TypeError, struct.error):
                     for k in ("width", "height", "mean_r", "mean_g", "mean_b", "luma_mean", "luma_std"):
                         out[k].append(None)
                     continue

@@ -681,19 +681,39 @@ def _hyperplane_band_keys(planes_int, per_band: int, bands: int):
     M = np.array(planes_int, dtype=np.int64).T  # (dim, bands·per_band)
     weights = (np.int64(1) << np.arange(per_band, dtype=np.int64))
 
+    dim = M.shape[0]
+
     def keys(qs):
         if qs.empty:
             return pd.Series([], dtype=object)
-        V = np.stack([np.asarray(v, dtype=np.int64) for v in qs])
-        bits = ((V @ M) >= 0).astype(np.int64)  # (n, bands·per_band)
-        keys_mat = np.stack(
-            [
-                bits[:, b * per_band : (b + 1) * per_band] @ weights
-                for b in range(bands)
-            ],
-            axis=1,
-        )  # (n, bands)
-        return pd.Series(list(keys_mat))
+        # malformed vectors (wrong dim, null/NaN elements) get an EMPTY
+        # key list — posexplode then emits no candidate rows for them,
+        # so one bad embedding degrades to "never pairs" instead of
+        # failing the task (bad rows are data, not bugs, at 100 TB)
+        rows, ok_idx = [], []
+        for i, v in enumerate(qs):
+            try:
+                a = np.asarray(v, dtype=np.int64)
+            except (TypeError, ValueError, OverflowError):
+                continue
+            if a.shape != (dim,):
+                continue
+            rows.append(a)
+            ok_idx.append(i)
+        out = [[] for _ in range(len(qs))]
+        if rows:
+            V = np.stack(rows)
+            bits = ((V @ M) >= 0).astype(np.int64)  # (ok, bands·per_band)
+            keys_mat = np.stack(
+                [
+                    bits[:, b * per_band : (b + 1) * per_band] @ weights
+                    for b in range(bands)
+                ],
+                axis=1,
+            )  # (ok, bands)
+            for j, i in enumerate(ok_idx):
+                out[i] = keys_mat[j]
+        return pd.Series(out)
 
     return pandas_udf(keys, "array<long>")
 

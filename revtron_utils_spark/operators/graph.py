@@ -159,11 +159,15 @@ def connected_components(
     cur = _canon(e0)
 
     if driver_threshold:
-        sample = cur.limit(driver_threshold + 1).collect()
-        if len(sample) <= driver_threshold:
-            return _driver_union_find(
-                e0, sample, endpoints, nodes, node_col
-            )
+        # gate on the RAW edge count first — counting the checkpointed
+        # e0 is shuffle-free, while probing the canonical set directly
+        # would run _canon's full distinct over a possibly-huge edge
+        # list only to discard it. raw ≥ canonical, so raw ≤ k proves
+        # the canonical set fits; heavily-duplicated big edge lists
+        # just miss the fast path and take the loop, which is correct.
+        if e0.count() <= driver_threshold:
+            sample = cur.collect()
+            return _driver_union_find(e0, sample, endpoints, nodes, node_col)
 
     prev_sig = None
     converged = False

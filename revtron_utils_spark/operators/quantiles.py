@@ -19,14 +19,18 @@ and skew-free:
    each heavy bin equi-width over its *observed* [min, max] with the
    same combinable aggregate; every round divides candidate rows by
    ~``refine_bins`` and collapses tied bins, so rounds are
-   O(log_{refine_bins} n). Filters on the value column push down to the
-   scan.
+   O(log_{refine_bins} n). Each pass prefilters on the PLAIN value
+   column to the live segments' [min lo, max hi] envelope — a predicate
+   that reaches the parquet scan (row-group min/max skipping), unlike
+   the computed bin conditions.
 3. **extract pass** — once ≤ ``collect_cap`` candidate rows remain,
    collect them and pick the exact ranked values driver-side; they
    interpolate to ``v_lo + (h−⌊h⌋)·(v_hi−v_lo)``.
 
-Matches ANSI ``quantile_cont`` / Spark ``percentile`` exactly
-(differential test in tests/test_quantiles.py). Driver state is
+Matches ANSI ``quantile_cont`` / Spark ``percentile`` exactly —
+including NaN/±inf inputs, which take sentinel bins ordered the way
+Spark sorts doubles (−inf < finite < +inf < NaN); differential tests in
+tests/test_quantiles.py. Driver state is
 O(groups × occupied bins) — ``by`` must be low-cardinality (profiling
 dimensions), which is also the regime where the built-in aggregate is
 most dangerous.
@@ -41,12 +45,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# sentinel bins for the IEEE specials, ordered the way Spark sorts
+# doubles: -inf < finite < +inf < NaN. Any finite log bin satisfies
+# |floor(k·ln(1+|v|))| < k·710 « 2^60, so the sentinels never collide.
+_BIN_NINF = -(2**62)
+_BIN_PINF = 2**61
+_BIN_NAN = 2**62
+
+
 def _log_bin(col: Column, bins_per_efold: int) -> Column:
     # monotone double→long: sign(v)·ln(1+|v|) preserves order over all
-    # reals (0 → bin 0); scale then floor to an integer bin id
-    return F.floor(
-        F.lit(float(bins_per_efold)) * F.signum(col) * F.log1p(F.abs(col))
-    ).cast("long")
+    # reals (0 → bin 0); scale then floor to an integer bin id. NaN and
+    # ±inf go to sentinel bins matching Spark's double sort order (NaN
+    # greatest) — floor(NaN)→0 would otherwise silently count NaNs as
+    # mid-order values.
+    return (
+        F.when(F.isnan(col), F.lit(_BIN_NAN))
+        .when(col == F.lit(float("inf")), F.lit(_BIN_PINF))
+        .when(col == F.lit(float("-inf")), F.lit(_BIN_NINF))
+        .otherwise(
+            F.floor(
+                F.lit(float(bins_per_efold)) * F.signum(col) * F.log1p(F.abs(col))
+            ).cast("long")
+        )
+    )
 
 
 def _width_bin(col: Column, lo: float, hi: float, nbins: int) -> Column:
@@ -144,7 +166,9 @@ def exact_quantiles(
             for side, rank in (("lo", math.floor(h)), ("hi", math.ceil(h))):
                 for b, start, c, lo, hi in cum:
                     if start <= rank < start + c:
-                        if lo == hi:  # tied bin — value known already
+                        if b == _BIN_NAN:  # NaNs sort greatest, as Spark
+                            vals_at[(gkey, pi, side)] = float("nan")
+                        elif lo == hi:  # tied bin — value known already
                             vals_at[(gkey, pi, side)] = lo
                         else:
                             pending.setdefault(b, []).append(
@@ -179,6 +203,18 @@ def exact_quantiles(
                 )
         return cond
 
+    def _range_prefilter(live: list[_Seg]):
+        # coarse plain-column range over all live segments: every
+        # candidate row lies inside its segment's observed [lo, hi], so
+        # filtering to the union envelope first is a safe superset that
+        # DOES reach the scan (parquet row-group min/max skipping) —
+        # unlike the computed bin predicates, which cannot push down
+        glo = min(s.lo for s in live)
+        ghi = max(s.hi for s in live)
+        return vals.filter(
+            (F.col("_v") >= F.lit(glo)) & (F.col("_v") <= F.lit(ghi))
+        )
+
     # refinement loop: re-bin heavy candidate segments equi-width over
     # their observed bounds until the survivors fit in one collect
     rounds = 0
@@ -193,7 +229,8 @@ def exact_quantiles(
             e = _width_bin(F.col("_v"), s.lo, s.hi, refine_bins)
             sub_expr = F.when(F.col("_seg") == i, e) if sub_expr is None else sub_expr.when(F.col("_seg") == i, e)
         cand = (
-            vals.withColumn("_bin0", bin0)
+            _range_prefilter(segs)
+            .withColumn("_bin0", bin0)
             .withColumn("_seg", seg_id)
             .filter(F.col("_seg").isNotNull())
             .withColumn("_sub", sub_expr)
@@ -252,7 +289,8 @@ def exact_quantiles(
         for i, c in enumerate(conds[1:], start=1):
             seg_id = seg_id.when(c, i)
         picked = (
-            vals.withColumn("_bin0", bin0)
+            _range_prefilter(segs)
+            .withColumn("_bin0", bin0)
             .withColumn("_seg", seg_id)
             .filter(F.col("_seg").isNotNull())
             .select("_seg", "_v")
@@ -273,7 +311,9 @@ def exact_quantiles(
             v_lo = vals_at[(gkey, pi, "lo")]
             v_hi = vals_at[(gkey, pi, "hi")]
             fr = fracs[(gkey, pi)]
-            rec.append(v_lo + fr * (v_hi - v_lo))
+            # equal endpoints return directly: ±inf − ±inf is NaN, so
+            # the interpolation formula would corrupt exact hits
+            rec.append(v_lo if v_lo == v_hi else v_lo + fr * (v_hi - v_lo))
         out_rows.append(tuple(rec))
     out_schema = (
         ", ".join(f"{c} {_ddl_type(df, c)}" for c in by)

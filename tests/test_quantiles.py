@@ -94,3 +94,30 @@ def test_refinement_tied_heavy_bin(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     out = exact_quantiles(df, "v", [0.5], by=["g"], collect_cap=10).collect()[0]
     assert out["p50"] == pytest.approx(3.14, abs=1e-12)
+
+
+def test_nan_and_infinity_ordering(spark):
+    # Spark sorts doubles -inf < finite < +inf < NaN and the built-in
+    # percentile includes NaN at the top; sentinel bins must reproduce
+    # that exactly (floor(NaN)->0 would count NaNs as mid-order values)
+    import math as m
+
+    rows = [("g", v) for v in (1.0, 2.0, 3.0, float("nan"))]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = exact_quantiles(df, "v", [0.0, 0.5, 1.0], by=["g"]).collect()[0]
+    ref = df.groupBy("g").agg(
+        F.percentile("v", F.lit([0.0, 0.5, 1.0])).alias("p")
+    ).collect()[0]["p"]
+    assert out["p0"] == ref[0] == 1.0
+    assert out["p50"] == ref[1] == 2.5
+    assert m.isnan(out["p100"]) and m.isnan(ref[2])
+
+    rows = [("g", v) for v in (float("-inf"), 0.0, 5.0, float("inf"))]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = exact_quantiles(df, "v", [0.0, 0.5, 1.0], by=["g"]).collect()[0]
+    ref = df.groupBy("g").agg(
+        F.percentile("v", F.lit([0.0, 0.5, 1.0])).alias("p")
+    ).collect()[0]["p"]
+    assert out["p0"] == ref[0] == float("-inf")
+    assert out["p50"] == ref[1] == 2.5
+    assert out["p100"] == ref[2] == float("inf")

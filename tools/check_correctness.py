@@ -53,6 +53,8 @@ def main():
     json_path = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("--json requires a path argument")
         json_path = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
@@ -117,10 +119,18 @@ def main():
                 diff_d = list(dset - sset)[:3]
                 problems.append(f"  spark-only: {diff_s}")
                 problems.append(f"  duck-only:  {diff_d}")
+        rows_ok = len(srows) == len(drows)
+        schema_ok = sorted(scols) == sorted(dcols)
         results[name] = {
-            "rows_match": len(srows) == len(drows),
-            "schema_match": sorted(scols) == sorted(dcols),
-            "hash_match": not any("hash" in p for p in problems),
+            "rows_match": rows_ok,
+            "schema_match": schema_ok,
+            # null (not true) when a rows/schema mismatch short-circuited
+            # the hash comparison — hashes were never compared then
+            "hash_match": (
+                not any("hash" in p for p in problems)
+                if rows_ok and schema_ok
+                else None
+            ),
             "spark_rows": len(srows),
             "oracle_rows": len(drows),
             "err": None,

@@ -137,7 +137,9 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/scale_study")
     ap.add_argument("--queries", default=",".join(QUERIES))
     args = ap.parse_args()
-    sizes = [int(s) for s in args.sizes.split(",")]
+    sizes = sorted({int(s) for s in args.sizes.split(",")})
+    if len(sizes) < 2:
+        ap.error("--sizes needs at least two distinct sizes to fit a slope")
     names = args.queries.split(",")
 
     import __spark_entry__ as entry_mod
