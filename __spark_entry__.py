@@ -2390,6 +2390,36 @@ FROM orders JOIN (
 """
 
 
+def q_revenue_q6(spark, sf):
+    """TPC-H Q6 shape: forecast-revenue-change — pure filter + global
+    sum, the canonical pushdown benchmark (every predicate reaches the
+    parquet scan; no shuffle at all beyond the single partial/final
+    aggregate). Revenue is summed in exact integer cents×basis-points so
+    both engines reduce order-independently."""
+    li = _t(spark, sf, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    bp = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(cents * bp).cast("long").alias("revenue_e4"))
+    )
+
+
+SQL_REVENUE_Q6 = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
 def q_disjunctive_q19(spark, sf):
     """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
     both join sides — exercises Catalyst's disjunction handling (common
@@ -2998,6 +3028,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "promo_share_q14": (q_promo_share_q14, SQL_PROMO_SHARE_Q14),
     "having_q18": (q_having_q18, SQL_HAVING_Q18),
     "disjunctive_q19": (q_disjunctive_q19, SQL_DISJUNCTIVE_Q19),
+    "revenue_q6": (q_revenue_q6, SQL_REVENUE_Q6),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),

@@ -72,6 +72,7 @@ HEADLINE = [
     "returned_q10",
     "having_q18",
     "disjunctive_q19",
+    "revenue_q6",
     "session_agg",
 ]
 
