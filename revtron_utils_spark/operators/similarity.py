@@ -147,6 +147,72 @@ class IVFIndex:
             .drop("__q", "__sims")
         )
 
+    @staticmethod
+    def _fit_centroids(
+        sample: DataFrame,
+        vec_col: str,
+        n_clusters: int,
+        seed: int,
+        max_train: int = 50_000,
+        iters: int = 20,
+    ) -> list[list[float]]:
+        """Deterministic k-means++/Lloyd on a bounded driver sample —
+        the standard IVF coarse-quantizer recipe (an approximate
+        quantizer only needs a representative sample, and a numpy Lloyd
+        on ≤50k vectors is milliseconds where a distributed MLlib fit
+        pays multi-second job scheduling per iteration)."""
+        import numpy as np
+
+        rows = sample.select(vec_col).limit(max_train).collect()
+        X = np.array([r[0] for r in rows], dtype=np.float64)
+        # spherical k-means: probe/search rank by COSINE, so the coarse
+        # quantizer must cluster direction, not magnitude — normalize
+        # rows and euclidean Lloyd becomes cosine clustering
+        # (|x−c|² = 2 − 2cos on the unit sphere)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        X = X / np.where(norms == 0, 1.0, norms)
+        k = min(n_clusters, len(X))
+        Xn = (X**2).sum(axis=1)[:, None]
+
+        def one_fit(rng):
+            # k-means++ seeding
+            centers = [X[rng.integers(len(X))]]
+            d2 = ((X - centers[0]) ** 2).sum(axis=1)
+            for _ in range(1, k):
+                probs = d2 / d2.sum() if d2.sum() > 0 else None
+                idx = rng.choice(len(X), p=probs)
+                centers.append(X[idx])
+                d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(axis=1))
+            C = np.stack(centers)
+            for _ in range(iters):
+                # nearest center (euclidean, matching MLlib); |x−c|² =
+                # |x|² + |c|² − 2x·c keeps the temp at (n, k), not
+                # (n, k, dim)
+                d = Xn + (C**2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+                assign = d.argmin(axis=1)
+                newC = np.stack(
+                    [
+                        X[assign == j].mean(axis=0) if (assign == j).any() else C[j]
+                        for j in range(k)
+                    ]
+                )
+                if np.allclose(newC, C):
+                    break
+                C = newC
+            inertia = float(
+                (Xn + (C**2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)).min(axis=1).sum()
+            )
+            return inertia, C
+
+        # a few deterministic restarts, keep the lowest within-cluster
+        # SSE — k-means++ variance across seeds is the whole ballgame
+        # for probe recall, and restarts are milliseconds at ≤50k rows
+        best = min(
+            (one_fit(np.random.default_rng(seed + r)) for r in range(4)),
+            key=lambda t: t[0],
+        )
+        return [list(map(float, c)) for c in best[1]]
+
     @classmethod
     def build(
         cls,
@@ -157,16 +223,12 @@ class IVFIndex:
         sample_fraction: float = 1.0,
         seed: int = 42,
     ) -> "IVFIndex":
-        """Train centroids on a sample (driver-side KMeans via Spark ML),
-        assign every vector JVM-side, write partitioned by cluster."""
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
+        """Train centroids on a bounded driver sample (numpy k-means++ /
+        Lloyd), assign every vector JVM-side, write partitioned by
+        cluster."""
         spark = df.sparkSession
         sample = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed)
-        train = sample.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-        model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
-        centroids = [list(map(float, c)) for c in model.clusterCenters()]
+        centroids = cls._fit_centroids(sample, vec_col, n_clusters, seed)
 
         assigned = cls._assign_clusters(df, centroids, vec_col)
         assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(index_path)

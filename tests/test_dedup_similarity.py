@@ -215,15 +215,37 @@ def test_cosine_topk_self_is_first(emb):
 
 
 def test_ivf_recall_vs_brute_force(emb, tmp_path):
+    # fixture embeddings are near-isotropic (top-10 cosines ~0.3 spread
+    # over every label), so the honest fixture assertion is exactness at
+    # full probe; partial-probe recall is tested below on data with real
+    # cluster structure, the regime IVF exists for
     q = emb.orderBy("vec_id").first()
     brute = [r.vec_id for r in SIM.cosine_topk(emb, q.embedding, k=10).collect()]
     index = SIM.IVFIndex.build(emb, str(tmp_path / "ivf"), n_clusters=8)
-    # full probe = exact
     full = [r.vec_id for r in index.search(q.embedding, k=10, nprobe=8).collect()]
     assert full == brute
-    # partial probe: recall degrades gracefully, stays useful
-    part = [r.vec_id for r in index.search(q.embedding, k=10, nprobe=2).collect()]
-    assert len(set(part) & set(brute)) >= 5
+
+
+def test_ivf_partial_probe_recall_on_clustered_data(spark, tmp_path):
+    """Planted cluster structure: 8 well-separated direction clusters;
+    a query's true neighbors share its cluster, so probing 2 of 8 cells
+    must recover nearly all of the brute-force top-k."""
+    import random
+
+    rng = random.Random(5)
+    centers = [[rng.gauss(0, 1) for _ in range(32)] for _ in range(8)]
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(60):
+            rows.append((vid, [x + rng.gauss(0, 0.15) for x in c], ci))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = rows[0][1]
+    brute = [r.vec_id for r in SIM.cosine_topk(df, q, k=10).collect()]
+    index = SIM.IVFIndex.build(df, str(tmp_path / "ivfc"), n_clusters=8)
+    part = [r.vec_id for r in index.search(q, k=10, nprobe=2).collect()]
+    assert len(set(part) & set(brute)) >= 9
 
 
 def test_ivf_index_save_load(emb, tmp_path):
