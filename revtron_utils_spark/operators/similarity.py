@@ -163,6 +163,13 @@ class IVFIndex:
         pays multi-second job scheduling per iteration)."""
         import numpy as np
 
+        # bound the driver sample RANDOMLY — limit() would take a
+        # head-of-data slice, which on a sorted/label-partitioned corpus
+        # trains every centroid inside one region of the space
+        n_rows = sample.count()
+        if n_rows > max_train:
+            frac = min(1.0, (max_train * 1.1) / n_rows)
+            sample = sample.sample(fraction=frac, seed=seed)
         rows = sample.select(vec_col).limit(max_train).collect()
         X = np.array([r[0] for r in rows], dtype=np.float64)
         # spherical k-means: probe/search rank by COSINE, so the coarse
@@ -196,6 +203,12 @@ class IVFIndex:
                         for j in range(k)
                     ]
                 )
+                # renormalize: the 2−2cos identity needs BOTH sides
+                # unit-norm, and a mean of unit vectors is not — without
+                # this, training assigns by a metric that disagrees with
+                # the cosine used at serve time
+                cn = np.linalg.norm(newC, axis=1, keepdims=True)
+                newC = newC / np.where(cn == 0, 1.0, cn)
                 if np.allclose(newC, C):
                     break
                 C = newC
