@@ -113,13 +113,21 @@ def live_server():
 
 @pytest.fixture()
 def closed_port() -> int:
-    # bind-then-close: connecting to this port refuses, which is the
-    # "production login host unreachable" case for host fallback
+    # a port that refuses connections = the "production login host
+    # unreachable" case for host fallback. Port 1 (tcpmux, privileged)
+    # is never bound in this container — a bind-then-close ephemeral
+    # port was flaky here because the full test suite's many Spark/py4j
+    # sockets can recycle the freed port between fixture and request.
     s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
+    s.settimeout(1)
+    try:
+        s.connect(("127.0.0.1", 1))
+        pytest.skip("something is listening on port 1 in this environment")
+    except (ConnectionRefusedError, OSError):
+        pass
+    finally:
+        s.close()
+    return 1
 
 
 def test_socket_auth_fallback_pagination_reauth(live_server, closed_port, monkeypatch):
