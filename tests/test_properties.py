@@ -353,3 +353,45 @@ def test_upsert_merge_many_matches_iterated_random(spark, batches, own):
         it = upsert_merge(it, d, ["k"], overwrite_with_null=own)
     assert folded.exceptAll(it).count() == 0
     assert it.exceptAll(folded).count() == 0
+
+
+# ---- exact_quantiles differential property --------------------------------
+
+_QVALS = st.lists(
+    st.one_of(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        st.sampled_from([0.0, 1.0, -1.0, 7.5, 1000.0001, 1000.0002]),
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=_QVALS, probs=st.lists(st.floats(0.0, 1.0), min_size=1, max_size=3))
+def test_exact_quantiles_differential(spark, vals, probs):
+    """Any value distribution (ties, near-ties, negatives, constants)
+    and any probability list must match the built-in percentile to
+    1e-9 — including with a tiny collect cap that forces the
+    refinement loop."""
+    from pyspark.sql import functions as F
+
+    from revtron_utils_spark.operators.quantiles import exact_quantiles
+
+    probs = sorted(set(round(p, 6) for p in probs))
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    names = [f"p{100 * p:g}".replace(".", "_") for p in probs]
+    mine = exact_quantiles(
+        df, "v", probs, by=["g"], collect_cap=4, refine_bins=8, max_refine=30
+    ).collect()[0]
+    ref = (
+        df.groupBy("g")
+        .agg(F.percentile("v", F.lit(list(probs))).alias("p"))
+        .collect()[0]["p"]
+    )
+    for n, want in zip(names, ref):
+        assert abs(mine[n] - want) < 1e-9, (vals, probs, n, mine[n], want)

@@ -269,3 +269,25 @@ def test_soft_delete_newest_event_wins(spark):
     )
     got = {r.k: r.name for r in out.collect()}
     assert got == {1: "alive-again"}  # 1 survives via newest event; 2 deleted
+
+
+def test_streaming_staging_reaper(spark):
+    """A staging dir left by a DEAD process (SIGKILL skips atexit) must
+    be reaped by the next streaming_sessionize invocation; the live
+    process's own dir must survive the sweep."""
+    import pathlib
+    import subprocess
+    import tempfile
+
+    import __spark_entry__ as entry
+
+    p = subprocess.Popen(["sleep", "0"])
+    p.wait()
+    base = pathlib.Path(tempfile.gettempdir())
+    stale = base / f"drv_stream_sess_{p.pid}"
+    stale.mkdir(exist_ok=True)
+    (stale / "junk").write_text("leftover parquet stand-in")
+
+    n = entry.queries()["streaming_sessionize"](spark, "/root/testdata/sf0.001").count()
+    assert n >= 0
+    assert not stale.exists(), "dead-pid staging dir was not reaped"
