@@ -1,8 +1,8 @@
 """Deduplication operators for training-data pipelines, designed
 shuffle-minimal for 100 TB inputs:
 
-* **exact_dedup** — one hash shuffle on the fingerprint (window
-  row_number), no join.
+* **exact_dedup** — one map-side-combined hash aggregate on the
+  fingerprint (min_by survivor row), no join, no sort.
 * **minhash_lsh_pairs / minhash_lsh_dedup** — shingle → k minhashes →
   b bands; candidate pairs come from a self-equi-join on (band,
   band_hash) — the only shuffle is on band hashes, never an all-pairs
@@ -74,15 +74,20 @@ def exact_dedup(
     keep: str = "min",
 ) -> DataFrame:
     """Keep one row per normalized-text fingerprint (lowest/highest id).
-    Single shuffle on the 128-bit fingerprint; at 100 TB the fingerprint
-    (16 bytes) shuffles instead of the document body."""
+
+    Implemented as ``min_by(struct(*), id)`` per fingerprint — a hash
+    aggregate with MAP-SIDE COMBINE, so each mapper pre-reduces to one
+    row per distinct fingerprint before the wire and no sort happens
+    anywhere. (A ``row_number() over (partition by fp)`` window gets the
+    same answer but shuffles EVERY input row and sorts each partition —
+    at 100 TB that's the whole corpus through the wire vs one survivor
+    per mapper-local duplicate group.)"""
     fp = TX.fingerprint(text_col)
-    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
-    w = W.partitionBy(fp).orderBy(order)
+    pick = F.min_by if keep == "min" else F.max_by
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        df.groupBy(fp.alias("__fp"))
+        .agg(pick(F.struct(*df.columns), F.col(id_col)).alias("__row"))
+        .select("__row.*")
     )
 
 
