@@ -2925,6 +2925,29 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
 """
 
 
+_BM25_TERMS = ["spark", "join", "stream"]
+
+
+def q_bm25_topk(spark, sf):
+    """BM25 top-k document retrieval (log-free rational-idf variant so
+    the floating-point ranking is hash-comparable vs DuckDB). The
+    selective term filter runs before the tf shuffle; the per-query df
+    table is broadcast; top-k is TakeOrderedAndProject."""
+    from revtron_utils_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=15)
+
+
+def _sql_bm25() -> str:
+    from revtron_utils_spark.operators.retrieval import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS, k=15)
+
+
+SQL_BM25_TOPK = _sql_bm25()
+
+
 # --------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
@@ -3033,6 +3056,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "rest_extract": (q_rest_extract, SQL_REST_EXTRACT),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     # rows-only (probabilistic / iterative / UDF-backed — no SQL oracle)
     "rest_writeback": (q_rest_writeback, None),
     "sketch_rollup": (q_sketch_rollup, None),

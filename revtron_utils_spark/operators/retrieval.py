@@ -1,0 +1,182 @@
+"""Lexical retrieval over a document corpus: BM25 scoring and top-k
+search, Spark-first.
+
+The reference has no text-retrieval surface (its query layer is
+SQL/SOQL generation, ``/root/reference/revtron/database/main.py``); this
+is part of the LLM-data-pipeline extension layer — ranking quality
+filtering ("keep docs relevant to X"), dataset search, and
+decontamination triage all reduce to scoring documents against a small
+term set.
+
+100 TB posture
+--------------
+- One pruned scan of ``(id, text)``; tokenization and per-token rows are
+  a narrow ``explode`` projection (whole-stage codegen, no Python).
+- The selective ``term IN (query)`` filter runs BEFORE the tf shuffle,
+  so the only wide exchange is over documents that contain a query term.
+- Document frequencies for the query terms are ≤ ``len(terms)`` rows —
+  broadcast by construction.
+- Per-document summation is a fixed-order chain of per-term columns
+  (conditional aggregation), not an order-nondeterministic ``SUM`` —
+  bit-identical across engines, which is what lets the DuckDB oracle
+  hash-match a floating-point ranking function.
+- Top-k compiles to ``TakeOrderedAndProject`` (per-partition heaps,
+  O(k) driver memory).
+
+The scoring function is a **log-free BM25 variant**: the classic
+``idf = ln((N - df + 0.5)/(df + 0.5) + 1)`` is replaced by the rational
+``(N - df + 0.5)/(df + 0.5)``. ``ln`` is not correctly rounded across
+libms (JVM vs DuckDB can differ in the last ulp), so the canonical form
+can't be hash-compared across engines; the rational form preserves the
+per-term ordering (x ↦ ln(1+x) is monotone) and keeps every operation
+IEEE-correctly-rounded, hence bit-reproducible. The term-frequency
+saturation component is standard BM25: ``tf·(k1+1) / (tf + k1·(1 − b +
+b·dl/avgdl))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from revtron_utils_spark.functions.text import tokens
+
+
+def _corpus_stats(docs: DataFrame, text_col: str) -> tuple[int, float]:
+    """(N, avgdl) in one tiny aggregate — two scalars to the driver."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(tokens(text_col))).alias("total_tokens"),
+    ).first()
+    n = int(row["n"])
+    avgdl = float(row["total_tokens"] or 0) / n if n else 0.0
+    return n, avgdl
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Score every document containing ≥1 query term; returns
+    ``(id_col, bm25)``. Documents with no query term are absent (their
+    score is 0) — at corpus scale that absence IS the pruning.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    n, avgdl = _corpus_stats(docs, text_col)
+    if n == 0 or avgdl == 0.0:
+        return docs.select(F.col(id_col)).limit(0).withColumn("bm25", F.lit(0.0))
+
+    toks = docs.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("dl"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).select(id_col, "dl", F.lower("tok").alias("term"))
+    # Selective filter BEFORE the shuffle: only query-term tokens reach
+    # the tf aggregation.
+    qt = toks.filter(F.col("term").isin(terms))
+    tf = qt.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = qt.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+
+    scored = tf.join(F.broadcast(df_), "term")
+    # All operands double, every op correctly rounded, parenthesization
+    # fixed — mirrored token-for-token by the SQL oracle.
+    idf = (F.lit(float(n)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    sat = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.lit(avgdl)))
+    )
+    scored = scored.withColumn("contrib", idf * sat)
+
+    # Fixed-order per-term summation: one conditional-max column per
+    # query term (each (doc, term) row is unique post-tf), added in
+    # sorted-term order. Order-deterministic => engine-reproducible.
+    per_term = [
+        F.max(F.when(F.col("term") == t, F.col("contrib"))).alias(f"_c{i}")
+        for i, t in enumerate(terms)
+    ]
+    agg = scored.groupBy(id_col).agg(*per_term)
+    total: Column = F.coalesce(F.col("_c0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        total = total + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+    return agg.select(F.col(id_col), F.round(total, round_to).alias("bm25"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for the query, deterministically tie-broken by id.
+    Compiles to ``TakeOrderedAndProject`` — no full sort at any scale."""
+    scores = bm25_scores(
+        docs, query_terms, id_col=id_col, text_col=text_col, k1=k1, b=b
+    )
+    return scores.orderBy(F.col("bm25").desc(), F.col(id_col)).limit(k)
+
+
+def bm25_oracle_sql(
+    query_terms: list[str],
+    k: int | None = None,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> str:
+    """DuckDB SQL mirroring :func:`bm25_scores` operation-for-operation
+    (same tokenization, same rational idf, same fixed-order summation,
+    same float literals via ``repr``), so value hashes match bit-exactly.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    k1p1, one_b = repr(k1 + 1.0), repr(1.0 - b)
+    contribs = " + ".join(
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN contrib END), 0.0)" for t in terms
+    )
+    sql = f"""
+WITH tk AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(trim({text_col}), '\\s+'), x -> x <> '') AS toks
+  FROM {table}
+), corpus AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM tk
+), toks AS (
+  SELECT {id_col}, len(toks) AS dl, lower(unnest(toks)) AS term FROM tk
+), qt AS (
+  SELECT * FROM toks WHERE term IN ({in_list})
+), tf AS (
+  SELECT {id_col}, dl, term, CAST(COUNT(*) AS BIGINT) AS tf FROM qt GROUP BY 1, 2, 3
+), dfq AS (
+  SELECT term, CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS df FROM qt GROUP BY 1
+), scored AS (
+  SELECT tf.{id_col}, tf.term,
+         ((corpus.n - dfq.df + 0.5) / (dfq.df + 0.5))
+         * ((tf.tf * CAST({k1p1} AS DOUBLE))
+            / (tf.tf + CAST({k1!r} AS DOUBLE)
+               * (CAST({one_b} AS DOUBLE)
+                  + CAST({b!r} AS DOUBLE) * (tf.dl / corpus.avgdl)))) AS contrib
+  FROM tf JOIN dfq USING (term) CROSS JOIN corpus
+)
+SELECT {id_col}, ROUND({contribs}, {round_to}) AS bm25
+FROM scored GROUP BY {id_col}
+"""
+    if k is not None:
+        sql += f"ORDER BY bm25 DESC, {id_col} LIMIT {k}\n"
+    return sql

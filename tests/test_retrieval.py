@@ -1,0 +1,73 @@
+"""BM25 retrieval: hand-computed scores, ranking invariants, and the
+fixture-corpus top-k path."""
+
+from __future__ import annotations
+
+import pytest
+
+from revtron_utils_spark.operators.retrieval import bm25_scores, bm25_topk
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry apple"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_bm25_hand_computed(tiny):
+    # N=3, avgdl=3; df(apple)=2 -> idf=0.6
+    # d1: tf=2, dl=3 -> 0.6 * 4.4/3.2 = 0.825
+    # d3: tf=1, dl=4 -> 0.6 * 2.2/2.5 = 0.528
+    rows = {r["doc_id"]: r["bm25"] for r in bm25_scores(tiny, ["apple"]).collect()}
+    assert set(rows) == {1, 3}  # d2 has no query term => absent
+    assert rows[1] == pytest.approx(0.825, abs=1e-9)
+    assert rows[3] == pytest.approx(0.528, abs=1e-9)
+
+
+def test_bm25_multi_term_is_fixed_order_sum(tiny):
+    single = {
+        t: {r["doc_id"]: r["bm25"] for r in bm25_scores(tiny, [t]).collect()}
+        for t in ("apple", "cherry")
+    }
+    both = {r["doc_id"]: r["bm25"] for r in bm25_scores(tiny, ["apple", "cherry"]).collect()}
+    for d in both:
+        expect = single["apple"].get(d, 0.0) + single["cherry"].get(d, 0.0)
+        assert both[d] == pytest.approx(expect, abs=1e-6)
+
+
+def test_bm25_topk_order_and_tiebreak(tiny):
+    got = bm25_topk(tiny, ["apple", "banana", "cherry"], k=3).collect()
+    scores = [r["bm25"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+    # ties (if any) broken by ascending doc_id
+    for a, b in zip(got, got[1:]):
+        if a["bm25"] == b["bm25"]:
+            assert a["doc_id"] < b["doc_id"]
+
+
+def test_bm25_rejects_empty_query(tiny):
+    with pytest.raises(ValueError):
+        bm25_scores(tiny, [])
+
+
+def test_bm25_case_insensitive(spark):
+    df = spark.createDataFrame([(1, "Apple APPLE"), (2, "pear")], "doc_id long, text string")
+    rows = bm25_scores(df, ["aPpLe"]).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_bm25_fixture_topk(spark, sf_dir):
+    from revtron_utils_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = bm25_topk(docs, ["spark", "join", "stream"], k=15).collect()
+    assert len(out) == 15
+    assert all(r["bm25"] > 0 for r in out)
+    scores = [r["bm25"] for r in out]
+    assert scores == sorted(scores, reverse=True)
