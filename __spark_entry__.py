@@ -2948,6 +2948,26 @@ def _sql_bm25() -> str:
 SQL_BM25_TOPK = _sql_bm25()
 
 
+def q_dup_spans(spark, sf):
+    """Exact duplicate-substring mining (Lee-et-al-style substring dedup
+    via k-gram posting lists): maximal token spans whose every 5-gram
+    repeats corpus-wide. Wide exchanges are keyed on the gram only;
+    the islands merge windows by document (bounded partitions)."""
+    from revtron_utils_spark.operators.substring import duplicate_spans
+
+    docs = _t(spark, sf, "documents")
+    return duplicate_spans(docs, k=5)
+
+
+def _sql_dup_spans() -> str:
+    from revtron_utils_spark.operators.substring import duplicate_spans_oracle_sql
+
+    return duplicate_spans_oracle_sql(k=5)
+
+
+SQL_DUP_SPANS = _sql_dup_spans()
+
+
 # --------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
@@ -3057,6 +3077,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "rest_extract": (q_rest_extract, SQL_REST_EXTRACT),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     # rows-only (probabilistic / iterative / UDF-backed — no SQL oracle)
     "rest_writeback": (q_rest_writeback, None),
     "sketch_rollup": (q_sketch_rollup, None),
