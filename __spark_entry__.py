@@ -2968,6 +2968,51 @@ def _sql_dup_spans() -> str:
 SQL_DUP_SPANS = _sql_dup_spans()
 
 
+_MIXTURE = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q_mixture_sample(spark, sf):
+    """Domain-mixture sampling: largest corpus matching a 50/30/20
+    source mixture with no domain oversampled — per-domain deterministic
+    hash thresholds derived from one O(domains) count aggregate."""
+    from revtron_utils_spark.operators.curation import mixture_sample
+
+    docs = _t(spark, sf, "documents")
+    return mixture_sample(docs, "doc_id", "source", _MIXTURE).select("doc_id", "source")
+
+
+def _sql_mixture() -> str:
+    # Mirrors mixture_proportion_rates op-for-op: the oracle recomputes
+    # per-domain counts, T = min(n/p), and floor(((p*T)/n)*M) in the
+    # same correctly-rounded double arithmetic.
+    from revtron_utils_spark.operators.curation import HASH_MOD
+
+    total = sum(_MIXTURE.values())
+    vals = ", ".join(
+        f"('{s}', CAST({p / total!r} AS DOUBLE))" for s, p in _MIXTURE.items()
+    )
+    b = _sql_bucket("doc_id")
+    return f"""
+WITH p(dom, p) AS (VALUES {vals}),
+n AS (
+  SELECT source AS dom, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+  WHERE source IN (SELECT dom FROM p) GROUP BY 1
+),
+np AS (SELECT n.dom, n.n, p.p FROM n JOIN p USING (dom)),
+t AS (SELECT MIN(n / p) AS t FROM np),
+thr AS (
+  SELECT dom, CAST(FLOOR(((p * t.t) / n) * {HASH_MOD}) AS BIGINT) AS thr
+  FROM np CROSS JOIN t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr ON d.source = thr.dom
+WHERE {b} < thr.thr
+"""
+
+
+SQL_MIXTURE_SAMPLE = _sql_mixture()
+
+
 # --------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
@@ -3078,6 +3123,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rest_extract": (q_rest_extract, SQL_REST_EXTRACT),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     # rows-only (probabilistic / iterative / UDF-backed — no SQL oracle)
     "rest_writeback": (q_rest_writeback, None),
     "sketch_rollup": (q_sketch_rollup, None),

@@ -284,6 +284,62 @@ def decontaminate(
     return train.join(contaminated, id_col, "left_anti")
 
 
+def mixture_proportion_rates(
+    counts: dict[str, int], proportions: dict[str, float]
+) -> dict[str, int]:
+    """Per-domain keep-thresholds realizing a target mixture.
+
+    Given available counts ``n_s`` and target proportions ``p_s``, the
+    largest total ``T`` with no domain oversampled is
+    ``T = min_s n_s / p̂_s`` (``p̂`` = normalized proportions); each
+    domain keeps rate ``p̂_s·T/n_s`` (= 1 for the binding domain).
+    Returns ``{domain: int(rate·HASH_MOD)}`` — plain correctly-rounded
+    double arithmetic so an engine-side oracle reproduces the exact
+    thresholds from the same counts."""
+    if not proportions:
+        raise ValueError("proportions must be non-empty")
+    total_p = sum(proportions.values())
+    norm = {s: p / total_p for s, p in proportions.items()}
+    missing = [s for s in norm if counts.get(s, 0) <= 0]
+    if missing:
+        raise ValueError(f"no rows available for domains {missing}")
+    t = min(counts[s] / norm[s] for s in norm)
+    return {s: int(((norm[s] * t) / counts[s]) * HASH_MOD) for s in norm}
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    proportions: dict[str, float],
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling — the pretraining
+    data-composition primitive ("60% web, 30% code, 10% books"): take
+    the largest corpus matching the target mixture without oversampling
+    any domain, by per-domain hash-threshold rates. Domains outside
+    ``proportions`` are dropped.
+
+    One tiny aggregate collects O(domains) counts to the driver; the
+    sample itself is a pure scan with a CASE threshold — no shuffle of
+    the kept data, stable row membership under corpus growth of other
+    domains (a row's fate depends only on its id, its domain's count,
+    and the binding domain)."""
+    _require_integral_id(df, id_col)
+    counts = {
+        r["d"]: r["n"]
+        for r in df.filter(F.col(domain_col).isin(list(proportions)))
+        .groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    thresholds = mixture_proportion_rates(counts, proportions)
+    thr = F.lit(None).cast("long")
+    for dom, t in sorted(thresholds.items()):
+        thr = F.when(F.col(domain_col) == dom, F.lit(t)).otherwise(thr)
+    return df.filter(id_hash(id_col, seed) < thr)
+
+
 def weighted_hash_sample(
     df: DataFrame,
     id_col: str,

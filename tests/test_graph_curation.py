@@ -318,3 +318,63 @@ def test_cc_reliable_checkpoint_identical_labels(spark, tmp_path):
     import os
 
     assert any(files for _, _, files in os.walk(ckdir)), "no checkpoint written"
+
+
+def test_mixture_sample_binding_domain_fully_kept(spark):
+    from revtron_utils_spark.operators.curation import mixture_sample
+
+    # A: 400 rows at p=0.1, B: 100 rows at p=0.9 -> B binds (T=100/0.9),
+    # B keeps everything, A keeps ~11 rows (p_A*T ≈ 11.1)
+    rows = [(i, "A") for i in range(400)] + [(1000 + i, "B") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    out = mixture_sample(df, "id", "dom", {"A": 0.1, "B": 0.9}).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["dom"], 0)
+        by_dom[r["dom"]] += 1
+    assert by_dom["B"] == 100
+    assert 5 <= by_dom["A"] <= 20  # ~11 expected, hash-sample variance
+
+
+def test_mixture_sample_drops_unlisted_domains(spark):
+    from revtron_utils_spark.operators.curation import mixture_sample
+
+    rows = [(i, "A") for i in range(50)] + [(100 + i, "C") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    out = mixture_sample(df, "id", "dom", {"A": 1.0}).collect()
+    assert {r["dom"] for r in out} == {"A"}
+    assert len(out) == 50  # single listed domain binds itself -> rate 1
+
+
+def test_mixture_sample_missing_domain_raises(spark):
+    from revtron_utils_spark.operators.curation import mixture_sample
+
+    df = spark.createDataFrame([(1, "A")], "id long, dom string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no rows available"):
+        mixture_sample(df, "id", "dom", {"A": 0.5, "ZZZ": 0.5})
+
+
+def test_mixture_sample_deterministic(spark):
+    from revtron_utils_spark.operators.curation import mixture_sample
+
+    rows = [(i, "A" if i % 3 else "B") for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    a = sorted(r["id"] for r in mixture_sample(df, "id", "dom", {"A": 0.4, "B": 0.6}).collect())
+    b = sorted(r["id"] for r in mixture_sample(df, "id", "dom", {"A": 0.4, "B": 0.6}).collect())
+    assert a == b
+
+
+def test_mixture_proportion_rates_math():
+    from revtron_utils_spark.operators.curation import (
+        HASH_MOD,
+        mixture_proportion_rates,
+    )
+
+    thr = mixture_proportion_rates({"A": 400, "B": 100}, {"A": 0.1, "B": 0.9})
+    # T = min(400/0.1, 100/0.9) = 111.11; rate_B ~= 1.0 (binding domain,
+    # up to one ulp of double round-trip), rate_A = 0.02777...
+    assert HASH_MOD - 2 <= thr["B"] <= HASH_MOD
+    t = min(400 / 0.1, 100 / 0.9)
+    assert thr["A"] == int(((0.1 * t) / 400) * HASH_MOD)
