@@ -73,3 +73,48 @@ def test_date_window_prunes_with_pushed_range(engine):
     facts = PlanFacts.of(df)
     # the ts range must reach the scan for row-group pruning
     assert any("ts" in p for p in facts.pushed_filters) or "ts" in facts.text
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
+    """Spark's runtime bloom-filter (AQE runtime filtering) prunes the
+    fact side of a shuffle join with a bloom filter built from the
+    selective side — at 100 TB this is the difference between scanning
+    all of lineitem and scanning the ~1/5 that can match. Default
+    thresholds (creation side <= 10MB scanned, application side >= 10GB)
+    target real clusters; the test lowers the application-side floor so
+    the sf-fixture join qualifies, and asserts our plans are ELIGIBLE
+    (equi-join on a raw column, selective filter on the creation side)."""
+    from revtron_utils_spark.io import read_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = read_table(spark, sf_dir, "lineitem")
+        od = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        text = PlanFacts.of(j).text
+        assert "might_contain" in text, text[:3000]
+        assert "bloom_filter_agg" in text, text[:3000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
