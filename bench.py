@@ -74,6 +74,9 @@ HEADLINE = [
     "disjunctive_q19",
     "revenue_q6",
     "session_agg",
+    "bm25_topk",
+    "dup_spans",
+    "mixture_sample",
 ]
 
 
