@@ -3013,6 +3013,58 @@ WHERE {b} < thr.thr
 SQL_MIXTURE_SAMPLE = _sql_mixture()
 
 
+def q_cap_per_domain(spark, sf):
+    """At most 10 docs per source by deterministic hash rank — exact
+    window semantics, computed via a lossless per-domain hash-threshold
+    prefilter so no hot domain is ever sorted whole in one task."""
+    from revtron_utils_spark.operators.curation import cap_per_domain
+
+    docs = _t(spark, sf, "documents")
+    return cap_per_domain(docs, "doc_id", "source", n=10).select("doc_id", "source")
+
+
+def _sql_cap() -> str:
+    b = _sql_bucket("doc_id")
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY {b} ASC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 10
+"""
+
+
+SQL_CAP_PER_DOMAIN = _sql_cap()
+
+
+def q_token_budget(spark, sf):
+    """Fill a 500-token budget per source in deterministic hash order
+    (inclusive running sum) — 'give me N tokens per domain',
+    reproducibly."""
+    from revtron_utils_spark.operators.curation import take_token_budget
+
+    docs = _t(spark, sf, "documents")
+    return take_token_budget(docs, "doc_id", "source", budget=500).select(
+        "doc_id", "source"
+    )
+
+
+def _sql_token_budget() -> str:
+    b = _sql_bucket("doc_id")
+    return rf"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         SUM(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')))
+           OVER (PARTITION BY source ORDER BY {b} ASC, doc_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS run
+  FROM documents
+) WHERE run <= 500
+"""
+
+
+SQL_TOKEN_BUDGET = _sql_token_budget()
+
+
 # --------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
@@ -3124,6 +3176,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "cap_per_domain": (q_cap_per_domain, SQL_CAP_PER_DOMAIN),
+    "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
     # rows-only (probabilistic / iterative / UDF-backed — no SQL oracle)
     "rest_writeback": (q_rest_writeback, None),
     "sketch_rollup": (q_sketch_rollup, None),

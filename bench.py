@@ -77,6 +77,8 @@ HEADLINE = [
     "bm25_topk",
     "dup_spans",
     "mixture_sample",
+    "cap_per_domain",
+    "token_budget",
 ]
 
 

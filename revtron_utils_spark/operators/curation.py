@@ -284,6 +284,104 @@ def decontaminate(
     return train.join(contaminated, id_col, "left_anti")
 
 
+def cap_per_domain(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    n: int,
+    seed: int = 0,
+    margin: float = 2.0,
+) -> DataFrame:
+    """Keep at most ``n`` rows per domain, deterministically chosen by
+    hash rank — the "no single source dominates the corpus" cap.
+
+    Result is EXACTLY the ``row_number() OVER (PARTITION BY domain
+    ORDER BY hash, id) <= n`` answer, but computed scale-safely: ranking
+    a hot domain directly would sort the whole domain in one task, so a
+    per-domain hash-threshold prefilter (rate ``margin·n/count``) first
+    cuts each domain to ~``margin·n`` candidate rows, and only the
+    candidates are ranked. The prefilter is lossless whenever a domain
+    retains ≥ min(n, count) survivors — the global n smallest buckets
+    all sit below the threshold — and a per-domain survivor check
+    escalates any hash-variance shortfall back to rate 1, so the output
+    never depends on ``margin``. Two O(domains) driver aggregates."""
+    _require_integral_id(df, id_col)
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    counts = {
+        r["d"]: r["c"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    rates = {d: min(1.0, margin * n / c) for d, c in counts.items()}
+
+    def _prefilter(rs: dict[str, float]) -> DataFrame:
+        bucket = id_hash(id_col, seed)
+        thr = F.lit(0).cast("long")
+        for d, rate in sorted(rs.items()):
+            t = HASH_MOD if rate >= 1.0 else int(rate * HASH_MOD)
+            thr = F.when(F.col(domain_col) == d, F.lit(t)).otherwise(thr)
+        return df.filter(bucket < thr)
+
+    cand = _prefilter(rates)
+    if any(r < 1.0 for r in rates.values()):
+        surv = {
+            r["d"]: r["c"]
+            for r in cand.groupBy(F.col(domain_col).alias("d"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        short = [
+            d
+            for d, rate in rates.items()
+            if rate < 1.0 and surv.get(d, 0) < min(n, counts[d])
+        ]
+        if short:
+            cand = _prefilter({**rates, **{d: 1.0 for d in short}})
+    w = W.partitionBy(domain_col).orderBy(
+        id_hash(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def take_token_budget(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    budget: int,
+    text_col: str = "text",
+    token_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Fill a per-domain token budget: walk each domain's rows in
+    deterministic hash order and keep rows while the running token total
+    (inclusive) stays ≤ ``budget`` — "give me ~1B tokens per source",
+    reproducibly. Pass ``token_col`` for precomputed counts, else
+    whitespace ``token_count(text_col)`` is used.
+
+    One window shuffle partitioned by domain; for domains far larger
+    than the budget, prefilter first (e.g. ``cap_per_domain`` with
+    ``n ≈ budget/avg_tokens·margin``) so the sort stays bounded."""
+    from revtron_utils_spark.functions.text import token_count
+
+    _require_integral_id(df, id_col)
+    tok = F.col(token_col) if token_col else token_count(text_col)
+    w = W.partitionBy(domain_col).orderBy(
+        id_hash(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    run = F.sum(tok.cast("long")).over(w.rowsBetween(W.unboundedPreceding, 0))
+    return (
+        df.withColumn("_run", run)
+        .filter(F.col("_run") <= budget)
+        .drop("_run")
+    )
+
+
 def mixture_proportion_rates(
     counts: dict[str, int], proportions: dict[str, float]
 ) -> dict[str, int]:

@@ -378,3 +378,58 @@ def test_mixture_proportion_rates_math():
     assert HASH_MOD - 2 <= thr["B"] <= HASH_MOD
     t = min(400 / 0.1, 100 / 0.9)
     assert thr["A"] == int(((0.1 * t) / 400) * HASH_MOD)
+
+
+def test_cap_per_domain_exact_and_margin_independent(spark):
+    from pyspark.sql import Window as W
+    from revtron_utils_spark.operators.curation import cap_per_domain, id_hash
+
+    rows = [(i, "big") for i in range(500)] + [(1000 + i, "small") for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    # plain-window reference (what the oracle computes)
+    w = W.partitionBy("dom").orderBy(id_hash("id").asc(), F.col("id").asc())
+    ref = sorted(
+        (r["id"], r["dom"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .collect()
+    )
+    for margin in (1.05, 2.0, 50.0):
+        got = sorted(
+            (r["id"], r["dom"])
+            for r in cap_per_domain(df, "id", "dom", n=10, margin=margin).collect()
+        )
+        assert got == ref, f"margin={margin}"
+    by_dom = {}
+    for _, d in ref:
+        by_dom[d] = by_dom.get(d, 0) + 1
+    assert by_dom == {"big": 10, "small": 4}  # min(n, domain size)
+
+
+def test_take_token_budget_inclusive_running_sum(spark):
+    from revtron_utils_spark.operators.curation import id_hash, take_token_budget
+
+    rows = [(i, "A", "one two three") for i in range(20)]  # 3 tokens each
+    df = spark.createDataFrame(rows, "id long, dom string, text string")
+    out = take_token_budget(df, "id", "dom", budget=10)
+    # 3 docs fit (9 tokens); the 4th would reach 12 > 10
+    assert out.count() == 3
+    # kept rows are exactly the 3 smallest by hash order
+    order = sorted(
+        (r["b"], r["id"])
+        for r in df.select("id", id_hash("id").alias("b")).collect()
+    )
+    expect = {i for _, i in order[:3]}
+    assert {r["id"] for r in out.collect()} == expect
+
+
+def test_take_token_budget_precomputed_token_col(spark):
+    from revtron_utils_spark.operators.curation import take_token_budget
+
+    rows = [(1, "A", 600), (2, "A", 300), (3, "A", 300), (4, "B", 1000)]
+    df = spark.createDataFrame(rows, "id long, dom string, ntok int")
+    out = take_token_budget(df, "id", "dom", budget=900, token_col="ntok")
+    got = {r["id"] for r in out.collect()}
+    # per-domain: A keeps rows until 900 inclusive in hash order; B's
+    # single 1000-token row exceeds the budget outright
+    assert 4 not in got and got  # B dropped, some of A kept
