@@ -3065,6 +3065,19 @@ SELECT doc_id, source FROM (
 SQL_TOKEN_BUDGET = _sql_token_budget()
 
 
+def q_quantile_rollup(spark, sf):
+    """Mergeable quantile-sketch maintenance: fold three event batches
+    through per-(group, log-bin) partials and read p50/p95 estimates —
+    the incremental percentile refresh that replaces rescanning history
+    at 100 TB. Rows-only gate (ln-based binning isn't cross-engine
+    hashable); merge==recompute and the error bound are pytest-proven."""
+    from revtron_utils_spark.operators.rollup import maintain_quantile_rollup
+
+    ev = _t(spark, sf, "events")
+    batches = [ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i) for i in range(3)]
+    return maintain_quantile_rollup(batches, ["event_type"], "value", [0.5, 0.95])
+
+
 # --------------------------------------------------------------------------
 
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
@@ -3181,6 +3194,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     # rows-only (probabilistic / iterative / UDF-backed — no SQL oracle)
     "rest_writeback": (q_rest_writeback, None),
     "sketch_rollup": (q_sketch_rollup, None),
+    "quantile_rollup": (q_quantile_rollup, None),
     "approx_distinct": (q_approx_distinct, None),
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),

@@ -19,7 +19,9 @@ rollup row and merges like any sum.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # summary columns maintained per (group, metric)
@@ -138,3 +140,110 @@ def sketch_rollup_estimate(state: DataFrame, group_cols: list[str]) -> DataFrame
         F.hll_sketch_estimate("dk_sketch").alias("approx_distinct"),
         F.col("n"),
     )
+
+
+# ---------------------------------------------------------------- quantiles
+
+
+def quantile_rollup_partial(
+    df: DataFrame, group_cols: list[str], value_col: str, bins_per_efold: int = 64
+) -> DataFrame:
+    """One batch's mergeable quantile state: per-``(group, qbin)`` count
+    and observed value bounds, binned by the same data-independent
+    monotone log key as ``operators/quantiles.py`` (sentinel bins for
+    NaN/±inf). Plain rows — no opaque blob — so the merge is arithmetic
+    and the state is queryable/auditable with ordinary SQL. State size:
+    O(groups × occupied bins); ~64 bins per e-fold keeps relative read
+    error under ~1.6% across the full double range."""
+    from revtron_utils_spark.operators.quantiles import _log_bin
+
+    v = F.col(value_col)
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols, _log_bin(v.cast("double"), bins_per_efold).alias("qbin"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(v.cast("double")).alias("lo"),
+            F.max(v.cast("double")).alias("hi"),
+        )
+    )
+
+
+def quantile_rollup_merge(
+    state: DataFrame, partial: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge two quantile states: counts add, bounds fold — one
+    map-side-combinable aggregate over the unioned rows. Exactly equals
+    the partial of the unioned raw batches (the differential test
+    asserts bit-equality), so maintenance never drifts from recompute."""
+    both = state.unionByName(partial)
+    return both.groupBy(*group_cols, "qbin").agg(
+        F.sum("cnt").alias("cnt"),
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+    )
+
+
+def quantile_rollup_estimate(
+    state: DataFrame, group_cols: list[str], probs: Sequence[float]
+) -> DataFrame:
+    """Per-group quantile estimates from the maintained histogram —
+    fully distributed (windows over O(bins) rows per group, a broadcast
+    of the probe list; no driver collect).
+
+    For rank ``h = (n−1)·p`` the covering bin is found by cumulative
+    count; within a bin the value interpolates linearly between the
+    observed [lo, hi] (exact when the bin is tied, lo == hi). Error is
+    bounded by the covering bin's width — ≤ (e^{1/bins_per_efold} − 1)
+    relative for finite values. Output: group cols + ``p`` +
+    ``quantile_est``."""
+    from pyspark.sql import Window as W
+
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    spark = state.sparkSession
+    probs_df = spark.createDataFrame([(float(p),) for p in probs], "p double")
+
+    wg = W.partitionBy(*group_cols)
+    wc = wg.orderBy("qbin").rowsBetween(W.unboundedPreceding, 0)
+    bins = state.withColumn("n", F.sum("cnt").over(wg)).withColumn(
+        "cum", F.sum("cnt").over(wc)
+    )
+    j = bins.crossJoin(F.broadcast(probs_df))
+    h = (F.col("n") - 1) * F.col("p")
+    before = F.col("cum") - F.col("cnt")
+
+    def rank_value(r: Column) -> Column:
+        covers = (before <= r) & (r < F.col("cum"))
+        frac = (r - before + F.lit(0.5)) / F.col("cnt")
+        interp = F.when(
+            F.col("lo") == F.col("hi"), F.col("lo")
+        ).otherwise(F.col("lo") + frac * (F.col("hi") - F.col("lo")))
+        return F.when(covers, interp)
+
+    agg = j.groupBy(*group_cols, "p").agg(
+        F.max(rank_value(F.floor(h))).alias("v_lo"),
+        F.max(rank_value(F.ceil(h))).alias("v_hi"),
+        F.first(h).alias("h"),
+    )
+    q = F.col("v_lo") + (F.col("h") - F.floor("h")) * (F.col("v_hi") - F.col("v_lo"))
+    return agg.select(*group_cols, "p", q.alias("quantile_est"))
+
+
+def maintain_quantile_rollup(
+    batches: list[DataFrame],
+    group_cols: list[str],
+    value_col: str,
+    probs: Sequence[float],
+    bins_per_efold: int = 64,
+) -> DataFrame:
+    """Fold batches through partial→merge and read the estimates — the
+    incremental path a 100 TB sync uses instead of re-scanning history
+    for every percentile refresh."""
+    assert batches, "maintain_quantile_rollup needs at least one batch"
+    state = quantile_rollup_partial(batches[0], group_cols, value_col, bins_per_efold)
+    for b in batches[1:]:
+        state = quantile_rollup_merge(
+            state, quantile_rollup_partial(b, group_cols, value_col, bins_per_efold), group_cols
+        )
+    return quantile_rollup_estimate(state, group_cols, probs)

@@ -145,3 +145,65 @@ def test_fuzzy_join_left_outer_keeps_unmatched(spark):
     assert rows[2] == (None, None)     # same block, too far -> kept, null
     assert rows[3] == (None, None)     # no block match -> kept, null
     assert len(rows) == 3
+
+
+# --------------------------------------------------- quantile rollup
+
+
+def test_quantile_rollup_merge_equals_recompute(spark):
+    import random
+
+    from revtron_utils_spark.operators.rollup import (
+        quantile_rollup_merge,
+        quantile_rollup_partial,
+    )
+
+    rng = random.Random(5)
+    rows = [(("x" if i % 3 else "y"), rng.gauss(50, 20)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    b1, b2 = df.filter("v < 45"), df.filter("v >= 45")
+    merged = quantile_rollup_merge(
+        quantile_rollup_partial(b1, ["g"], "v"),
+        quantile_rollup_partial(b2, ["g"], "v"),
+        ["g"],
+    )
+    direct = quantile_rollup_partial(df, ["g"], "v")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_quantile_rollup_estimate_error_bound(spark):
+    import math
+    import random
+
+    from revtron_utils_spark.operators.rollup import maintain_quantile_rollup
+
+    rng = random.Random(17)
+    rows = [("g", rng.lognormvariate(1, 1.2)) for _ in range(30000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    batches = [df.filter(f"pmod(hash(v), 3) = {i}") for i in range(3)]
+    probs = [0.25, 0.5, 0.9, 0.99]
+    est = {
+        r["p"]: r["quantile_est"]
+        for r in maintain_quantile_rollup(batches, ["g"], "v", probs).collect()
+    }
+    exact = df.groupBy("g").agg(F.percentile("v", F.lit(probs)).alias("q")).first()["q"]
+    # documented bound: relative error <= e^(1/bins_per_efold) - 1 per
+    # covering bin edge; allow 2x slack for the two-rank interpolation
+    bound = 2 * (math.exp(1 / 64) - 1)
+    for p, ex in zip(probs, exact):
+        assert abs(est[p] - ex) / abs(ex) <= bound, (p, est[p], ex)
+
+
+def test_quantile_rollup_tied_bin_exact(spark):
+    from revtron_utils_spark.operators.rollup import (
+        quantile_rollup_estimate,
+        quantile_rollup_partial,
+    )
+
+    # constant-heavy data: the covering bin is tied -> exact median
+    rows = [("g", 5.0)] * 100 + [("g", 500.0)] * 10
+    df = spark.createDataFrame(rows, "g string, v double")
+    state = quantile_rollup_partial(df, ["g"], "v")
+    est = quantile_rollup_estimate(state, ["g"], [0.5]).first()["quantile_est"]
+    assert est == 5.0
