@@ -2595,6 +2595,23 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_audio_stats(spark, sf):
+    """Binary audio columns end-to-end with a REAL decode: every doc
+    gets a deterministic 16-bit PCM WAV payload, parsed inside the
+    Arrow batch iterator (struct+numpy RIFF reader) into genuine
+    duration / RMS / peak / zero-crossing-rate signal stats — see
+    revtron_utils_spark/multimodal.py (audio section)."""
+    from revtron_utils_spark.multimodal import attach_audio_payload, audio_stats
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    stats = audio_stats(attach_audio_payload(docs))
+    return stats.select(
+        "doc_id", "sample_rate", "n_samples",
+        F.round("rms", 4).alias("rms"),
+        F.round("zero_cross_rate", 4).alias("zero_cross_rate"),
+    )
+
+
 def q_mincost_q2(spark, sf):
     """TPC-H Q2 shape: min-cost supplier per part (correlated MIN
     subquery decorrelated into agg + equality join). The fixture has no
@@ -3201,6 +3218,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ivf_ann": (q_ivf_ann, None),
     "cosine_neardup_lsh": (q_cosine_neardup_lsh, None),
     "multimodal_features": (q_multimodal_features, None),
+    "audio_stats": (q_audio_stats, None),
     "frame_sampling": (q_frame_sampling, None),
     "streaming_sessionize": (q_streaming_sessionize, None),
 }

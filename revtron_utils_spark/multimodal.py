@@ -273,3 +273,131 @@ def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
         ]
     )
     return df.mapInPandas(batches, schema)
+
+
+# ------------------------------------------------------------------ audio
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE payload to ``(samples, sample_rate)`` —
+    dependency-free (struct + numpy). Supported: PCM (format 1) 16-bit
+    mono/stereo, the dominant uncompressed interchange format; samples
+    return as float64 in [-1, 1], stereo averaged to mono. Compressed
+    formats raise ``ValueError`` — swap in soundfile/librosa here on a
+    real cluster; the distributed plumbing is identical."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload (magic {payload[:4]!r})")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (fmt={audio_fmt}, bits={bits})")
+    raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    if channels > 1:
+        raw = raw[: len(raw) - len(raw) % channels].reshape(-1, channels).mean(axis=1)
+    return raw.astype(np.float64) / 32768.0, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Inverse of ``decode_wav`` for mono float [-1, 1] input — 16-bit
+    PCM RIFF/WAVE; used to build test fixtures with no audio lib."""
+    pcm = np.clip(samples * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16,
+        1, 1, rate, rate * 2, 2, 16, b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def synth_audio(seed: int, n_samples: int = 2000, rate: int = 8000) -> np.ndarray:
+    """Deterministic per-id mono tone (frequency and phase derived from
+    the id) — gives text-only fixtures a real audio column."""
+    t = np.arange(n_samples, dtype=np.float64) / rate
+    freq = 200.0 + (seed % 32) * 25.0
+    return 0.5 * np.sin(2 * np.pi * freq * t + (seed % 7))
+
+
+def attach_audio_payload(
+    df: DataFrame, id_col: str = "doc_id", n_samples: int = 2000, rate: int = 8000
+) -> DataFrame:
+    """Give each row a real 16-bit PCM WAV payload (deterministic per
+    id) with typed metadata, via the same Arrow ``mapInPandas`` contract
+    as the image adapter."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        encode_wav(synth_audio(int(i), n_samples, rate), rate)
+                        for i in ids
+                    ],
+                    "media_type": "audio/wav",
+                    "width": np.int32(n_samples),
+                    "height": np.int32(rate),
+                }
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("zero_cross_rate", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """REAL signal statistics over binary WAV payloads: decode 16-bit
+    PCM inside the Arrow batch iterator and reduce each clip to
+    duration, RMS, peak, and zero-crossing rate (the classic cheap
+    speech/music discriminator). Undecodable payloads yield null stats
+    rather than failing the task."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("doc_id", "sample_rate", "n_samples", "duration_s", "rms", "peak", "zero_cross_rate")
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    samples, rate = decode_wav(bytes(payload))
+                    if len(samples) == 0:
+                        raise ValueError("empty audio")
+                except (ValueError, IndexError, TypeError, struct.error):
+                    for k in cols[1:]:
+                        out[k].append(None)
+                    continue
+                out["sample_rate"].append(np.int32(rate))
+                out["n_samples"].append(len(samples))
+                out["duration_s"].append(len(samples) / rate)
+                out["rms"].append(float(np.sqrt(np.mean(samples**2))))
+                out["peak"].append(float(np.abs(samples).max()))
+                out["zero_cross_rate"].append(
+                    float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, AUDIO_STATS_SCHEMA)

@@ -430,3 +430,56 @@ def test_empty_documents_tokenize_to_zero(spark):
     assert got[1][0] == 0 and got[2][0] == 0 and got[3][0] == 2
     # empty docs get the all-zero simhash, not a shared phantom-token hash
     assert got[1][1] == 0 and got[2][1] == 0
+
+
+def test_wav_roundtrip_and_stereo_downmix():
+    import struct as st
+
+    import numpy as np
+
+    from revtron_utils_spark.multimodal import decode_wav, encode_wav, synth_audio
+
+    s = synth_audio(7, n_samples=1500, rate=4000)
+    got, rate = decode_wav(encode_wav(s, 4000))
+    assert rate == 4000 and len(got) == 1500
+    assert float(np.abs(got - s).max()) < 1.0 / 32768 + 1e-9  # 16-bit quantization
+
+    # stereo L = -R downmixes to (near) silence
+    pcm = np.clip(np.stack([s, -s], axis=1) * 32768, -32768, 32767).astype("<i2").tobytes()
+    hdr = st.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE", b"fmt ", 16, 1, 2, 4000, 4000 * 4, 4, 16,
+        b"data", len(pcm),
+    )
+    mono, _ = decode_wav(hdr + pcm)
+    assert float(np.abs(mono).max()) <= 1.0 / 32768 + 1e-9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"OggS....")
+
+
+def test_audio_stats_real_signal(spark):
+    import numpy as np
+
+    from revtron_utils_spark.multimodal import (
+        attach_audio_payload,
+        audio_stats,
+        synth_audio,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    rows = {r.doc_id: r for r in audio_stats(attach_audio_payload(ids)).collect()}
+    assert len(rows) == 8
+    for i in range(8):
+        s = synth_audio(i)
+        r = rows[i]
+        assert r.sample_rate == 8000 and r.n_samples == 2000
+        assert abs(r.duration_s - 0.25) < 1e-12
+        # 0.5-amplitude sine: RMS ~ 0.5/sqrt(2), peak ~ 0.5
+        assert abs(r.rms - float(np.sqrt(np.mean(s**2)))) < 1e-3
+        assert abs(r.peak - 0.5) < 0.01
+        # zero-crossing rate tracks 2*f/rate for a tone of frequency f
+        freq = 200.0 + (i % 32) * 25.0
+        assert abs(r.zero_cross_rate - 2 * freq / 8000) < 0.02
