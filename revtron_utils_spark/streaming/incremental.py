@@ -273,6 +273,59 @@ def stream_rollup(
     return writer.start()
 
 
+def stream_quantile_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    state_path: str,
+    group_cols: list[str],
+    value_col: str,
+    bins_per_efold: int = 64,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming percentile maintenance: each micro-batch folds into the
+    mergeable per-(group, log-bin) histogram state of
+    ``operators.rollup.quantile_rollup_*`` — p50/p99 stay current
+    without ever re-reading history, the streaming answer to "track
+    latency quantiles over an unbounded event stream". Same
+    crash-safe state flip and at-least-once caveat as
+    :func:`stream_rollup`."""
+    import shutil
+    from pathlib import Path
+
+    from ..operators.rollup import quantile_rollup_merge, quantile_rollup_partial
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .load(source_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        part = quantile_rollup_partial(batch_df, group_cols, value_col, bins_per_efold)
+        if Path(state_path).exists():
+            state = spark.read.parquet(state_path)
+            merged = quantile_rollup_merge(state, part, group_cols)
+        else:
+            merged = part
+        tmp = state_path.rstrip("/") + "__tmp"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = state_path.rstrip("/") + "__old"
+        if Path(old).exists():
+            shutil.rmtree(old)
+        if Path(state_path).exists():
+            Path(state_path).rename(old)
+        Path(tmp).rename(state_path)
+        if Path(old).exists():
+            shutil.rmtree(old)
+
+    writer = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def stream_merge_versioned(
     spark: SparkSession,
     source_dir: str,

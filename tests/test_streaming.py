@@ -291,3 +291,51 @@ def test_streaming_staging_reaper(spark):
     n = entry.queries()["streaming_sessionize"](spark, "/root/testdata/sf0.001").count()
     assert n >= 0
     assert not stale.exists(), "dead-pid staging dir was not reaped"
+
+
+def test_stream_quantile_rollup_matches_batch(spark, tmp_path):
+    from revtron_utils_spark.io import read_table
+    from revtron_utils_spark.operators.rollup import (
+        quantile_rollup_estimate,
+        quantile_rollup_partial,
+    )
+    from revtron_utils_spark.streaming.incremental import stream_quantile_rollup
+    from tests.conftest import SF_DIR
+
+    ev = read_table(spark, SF_DIR, "events").select("event_type", "value")
+    src = str(tmp_path / "qsrc")
+    for i in range(3):
+        ev.filter(F.pmod(F.hash("value"), F.lit(3)) == i).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{i}")
+    merged_src = str(tmp_path / "qall")
+    for i in range(3):
+        spark.read.parquet(f"{src}/b{i}").write.mode("append").parquet(merged_src)
+
+    state = str(tmp_path / "qstate")
+    q = stream_quantile_rollup(
+        spark,
+        merged_src,
+        ev.schema,
+        state,
+        ["event_type"],
+        "value",
+        checkpoint_dir=str(tmp_path / "qck"),
+    )
+    q.awaitTermination(180)
+
+    # the streamed state must equal the one-shot partial over ALL events
+    # (merge is exact), hence identical quantile estimates
+    streamed = spark.read.parquet(state)
+    direct = quantile_rollup_partial(ev, ["event_type"], "value")
+    assert streamed.exceptAll(direct).count() == 0
+    assert direct.exceptAll(streamed).count() == 0
+    got = {
+        (r["event_type"], r["p"]): r["quantile_est"]
+        for r in quantile_rollup_estimate(streamed, ["event_type"], [0.5, 0.95]).collect()
+    }
+    want = {
+        (r["event_type"], r["p"]): r["quantile_est"]
+        for r in quantile_rollup_estimate(direct, ["event_type"], [0.5, 0.95]).collect()
+    }
+    assert got == want and got
