@@ -91,3 +91,59 @@ def test_fixture_corpus_spans_cover_known_duplicates(spark, sf_dir):
     ).first()
     assert agg["n"] > 0
     assert agg["longest"] >= 5
+
+
+# ------------------------------------------------ hypothesis differential
+
+
+def _py_duplicate_spans(docs: list[tuple[int, str]], k: int, min_count: int = 2):
+    """Pure-python reference: gram counting + per-doc islands merge."""
+    from collections import Counter
+
+    grams: list[tuple[int, int, tuple[str, ...]]] = []
+    counts: Counter = Counter()
+    for doc_id, text in docs:
+        toks = text.split()
+        for i in range(len(toks) - k + 1):
+            g = tuple(toks[i : i + k])
+            grams.append((doc_id, i, g))
+            counts[g] += 1
+    spans = []
+    hits: dict[int, list[int]] = {}
+    for doc_id, pos, g in grams:
+        if counts[g] >= min_count:
+            hits.setdefault(doc_id, []).append(pos)
+    for doc_id, poss in hits.items():
+        poss.sort()
+        start, end = poss[0], poss[0] + k - 1
+        for p in poss[1:]:
+            if p <= end + 1:
+                end = max(end, p + k - 1)
+            else:
+                spans.append((doc_id, start, end, end - start + 1))
+                start, end = p, p + k - 1
+        spans.append((doc_id, start, end, end - start + 1))
+    return sorted(spans)
+
+
+def test_duplicate_spans_hypothesis_differential(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    # tiny alphabet forces heavy gram collisions; short docs force the
+    # n<k empty path; k in 2..4 exercises overlap/adjacency merging
+    doc = st.lists(st.sampled_from("a b c".split()), min_size=0, max_size=18).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=8)
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(texts=corpus, k=st.integers(min_value=2, max_value=4))
+    def run(texts, k):
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+            for r in duplicate_spans(df, k=k).collect()
+        )
+        assert got == _py_duplicate_spans(rows, k)
+
+    run()
