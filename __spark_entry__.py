@@ -2612,6 +2612,21 @@ def q_audio_stats(spark, sf):
     )
 
 
+def q_text_neardup_hashed(spark, sf):
+    """End-to-end model-free text near-dup: documents are embedded with
+    the hashing-trick TF featurizer (pure codegen, no model, no
+    Python), then fed to the SAME embedding near-dup machinery used for
+    real embeddings — the text→vector→similarity loop closed natively.
+    Rows-only (xxhash64 bucketing is not DuckDB-reproducible); the
+    pair semantics are covered by the near-dup recall tests."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", VX.hashed_tf_embedding("text", 64).alias("embedding")
+    )
+    return DD.embedding_neardup_pairs(
+        docs, vec_col="embedding", id_col="doc_id", threshold=0.95
+    )
+
+
 def q_mincost_q2(spark, sf):
     """TPC-H Q2 shape: min-cost supplier per part (correlated MIN
     subquery decorrelated into agg + equality join). The fixture has no
@@ -3219,6 +3234,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cosine_neardup_lsh": (q_cosine_neardup_lsh, None),
     "multimodal_features": (q_multimodal_features, None),
     "audio_stats": (q_audio_stats, None),
+    "text_neardup_hashed": (q_text_neardup_hashed, None),
     "frame_sampling": (q_frame_sampling, None),
     "streaming_sessionize": (q_streaming_sessionize, None),
 }

@@ -87,3 +87,36 @@ def pair_dot_arrow() -> "Column":
         return pd.Series(np.einsum("ij,ij->i", A, B))
 
     return pandas_udf(_dot, "double")
+
+
+def hashed_tf_embedding(
+    text_col: Column | str, dim: int = 64, l2_normalize: bool = True
+) -> Column:
+    """Hashing-trick document embedding (``array<double>`` of ``dim``):
+    each token hashes to a bucket (``xxhash64 mod dim``) and the vector
+    counts bucket hits — the classic model-free text featurizer that
+    turns raw text into a vector the similarity/ANN family can consume
+    (cosine near-dup over text with no pretrained model on the cluster).
+
+    Pure codegen'd column expression — tokenization, hashing, the
+    O(tokens) scatter-add (one ``aggregate`` over a mutable bucket via
+    ``transform``), and the L2 normalization all stay JVM-side; no
+    shuffle, no Python. Cost O(tokens · dim) comparisons per doc — keep
+    ``dim`` ≤ a few hundred (at larger dims switch to the explode +
+    pivot aggregation, which trades a shuffle for linearity)."""
+    from revtron_utils_spark.functions.text import tokens
+
+    toks = tokens(text_col) if isinstance(text_col, str) else tokens(text_col)
+    buckets = F.transform(toks, lambda t: F.pmod(F.xxhash64(F.lower(t)), F.lit(dim)))
+    zero = F.array_repeat(F.lit(0.0), dim)
+    counts = F.aggregate(
+        buckets,
+        zero,
+        lambda acc, b: F.transform(
+            acc, lambda v, i: v + F.when(b == i.cast("bigint"), 1.0).otherwise(0.0)
+        ),
+    )
+    if not l2_normalize:
+        return counts
+    nrm = F.sqrt(F.aggregate(counts, F.lit(0.0), lambda a, v: a + v * v))
+    return F.when(nrm > 0, F.transform(counts, lambda v: v / nrm)).otherwise(counts)

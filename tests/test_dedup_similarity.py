@@ -483,3 +483,57 @@ def test_audio_stats_real_signal(spark):
         # zero-crossing rate tracks 2*f/rate for a tone of frequency f
         freq = 200.0 + (i % 32) * 25.0
         assert abs(r.zero_cross_rate - 2 * freq / 8000) < 0.02
+
+
+def test_hashed_tf_embedding_properties(spark):
+    import math
+
+    from revtron_utils_spark.functions.vectors import cosine, hashed_tf_embedding
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark join stream spark"),
+            (2, "spark join stream table"),
+            (3, "Spark JOIN stream spark"),  # case-insensitive == doc 1
+            (4, "entirely unrelated vocabulary tokens"),
+            (5, ""),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["e"] for r in df.select("id", hashed_tf_embedding("text", 32).alias("e")).collect()}
+    for i in (1, 2, 3, 4):
+        assert abs(math.sqrt(sum(v * v for v in out[i])) - 1.0) < 1e-9
+    assert out[5] == [0.0] * 32  # empty doc: zero vector, not NaN
+    assert out[1] == out[3]  # case-insensitive hashing
+    nonzero = df.filter("id < 5")  # plain cosine divides by the norm; the
+    # empty doc's zero vector would raise under ANSI — real callers go
+    # through embedding_neardup_pairs, which guards zero norms
+    sims = {
+        (r["a"], r["b"]): r["c"]
+        for r in nonzero.select("id", hashed_tf_embedding("text", 32).alias("e"))
+        .alias("x")
+        .crossJoin(nonzero.select("id", hashed_tf_embedding("text", 32).alias("e")).alias("y"))
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"), cosine("x.e", "y.e").alias("c"))
+        .collect()
+    }
+    assert sims[(1, 2)] > 0.85            # near-dup text -> high cosine
+    assert abs(sims[(1, 4)]) < 0.35       # unrelated -> low (hash collisions only)
+
+
+def test_text_neardup_hashed_end_to_end(spark):
+    from revtron_utils_spark.functions.vectors import hashed_tf_embedding
+    from revtron_utils_spark.operators.dedup import embedding_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(1, base), (2, base + " extra"), (3, "completely different text about spark shuffles")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = df.select("doc_id", hashed_tf_embedding("text", 64).alias("embedding"))
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            emb, vec_col="embedding", id_col="doc_id", threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
