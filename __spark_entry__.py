@@ -2612,6 +2612,24 @@ def q_audio_stats(spark, sf):
     )
 
 
+def q_dedup_index_probe(spark, sf):
+    """Incremental dedup: probe a NEW 20% batch against the band-postings
+    index of the other 80% — per-batch cost O(batch), never O(corpus);
+    the test suite proves the probe's pair set equals the full-corpus
+    sweep restricted to new docs. Rows-only (LSH candidates aren't
+    SQL-expressible)."""
+    from revtron_utils_spark.operators.dedup_index import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    postings, features = build_minhash_index(old)
+    return probe_minhash_index(new, postings, features)
+
+
 def q_text_neardup_hashed(spark, sf):
     """End-to-end model-free text near-dup: documents are embedded with
     the hashing-trick TF featurizer (pure codegen, no model, no
@@ -3235,6 +3253,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "multimodal_features": (q_multimodal_features, None),
     "audio_stats": (q_audio_stats, None),
     "text_neardup_hashed": (q_text_neardup_hashed, None),
+    "dedup_index_probe": (q_dedup_index_probe, None),
     "frame_sampling": (q_frame_sampling, None),
     "streaming_sessionize": (q_streaming_sessionize, None),
 }
