@@ -106,7 +106,10 @@ def probe_minhash_index(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    all_feats = features.unionByName(new_feats).dropDuplicates(["id"])
+    # if a new doc re-submits an already-indexed id, the NEW text wins
+    # deterministically (anti-join + union, not an arbitrary
+    # dropDuplicates pick)
+    all_feats = features.join(new_feats, "id", "left_anti").unionByName(new_feats)
     cand = (
         all_feats.withColumnRenamed("id", "id_a")
         .withColumnRenamed("shingles", "sh_a")

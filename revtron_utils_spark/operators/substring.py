@@ -131,7 +131,11 @@ def strip_duplicate_spans(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
     )
     toks = docs.join(per_doc, id_col, "left").withColumn("_toks", tokens(text_col))
-    idx = F.sequence(F.lit(0), F.greatest(F.size("_toks") - 1, F.lit(-1)))
+    # sequence(0, -1) DESCENDS in Spark — guard the empty-doc case to an
+    # empty index array instead of a phantom [0, -1]
+    idx = F.when(
+        F.size("_toks") > 0, F.sequence(F.lit(0), F.size("_toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     kept = F.filter(
         F.arrays_zip(F.col("_toks").alias("tok"), idx.alias("i")),
         lambda z: ~F.exists(

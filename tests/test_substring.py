@@ -147,3 +147,13 @@ def test_duplicate_spans_hypothesis_differential(spark):
         assert got == _py_duplicate_spans(rows, k)
 
     run()
+
+
+def test_strip_handles_empty_and_null_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y z w x y z w"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["clean_text"] for r in strip_duplicate_spans(docs, k=4).collect()}
+    assert out[1] == ""  # whole doc is a duplicated span (internal repeat)
+    assert out[2] == "" and out[3] == ""
