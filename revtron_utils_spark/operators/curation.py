@@ -272,12 +272,18 @@ def decontaminate(
     """
     from revtron_utils_spark.functions.text import word_ngrams
 
-    ev_grams = (
-        eval_df.select(F.explode(word_ngrams(text_col, ngram_n)).alias("g")).distinct()
-    )
-    tr_grams = train.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, ngram_n)).alias("g")
-    )
+    # join on 8-byte xxhash64 gram keys, not the k-token strings: the
+    # broadcast set and the train-side explode shrink ~10×. Same
+    # precedent as the n-gram-Jaccard posting join (dedup.py) — a
+    # cross-side collision (≈2⁻⁶⁴ per pair) could only over-remove one
+    # training doc, and deterministically so.
+    def grams(df: DataFrame):
+        return F.explode(
+            F.transform(word_ngrams(text_col, ngram_n), lambda s: F.xxhash64(s))
+        )
+
+    ev_grams = eval_df.select(grams(eval_df).alias("g")).distinct()
+    tr_grams = train.select(F.col(id_col), grams(train).alias("g"))
     contaminated = (
         tr_grams.join(F.broadcast(ev_grams), "g", "left_semi").select(id_col).distinct()
     )
