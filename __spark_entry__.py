@@ -3115,6 +3115,46 @@ SELECT doc_id, source FROM (
 SQL_TOKEN_BUDGET = _sql_token_budget()
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_steps(spark, sf):
+    """Ordered-funnel conversion (view → click → purchase): per-user
+    strictly-increasing min-chain, one user-key agg + join per step —
+    never a per-user event array (power users OOM that plan at scale)."""
+    from revtron_utils_spark.operators.funnel import funnel_counts
+
+    ev = _t(spark, sf, "events")
+    return funnel_counts(ev, _FUNNEL_STEPS)
+
+
+def _sql_funnel() -> str:
+    from revtron_utils_spark.operators.funnel import funnel_oracle_sql
+
+    return funnel_oracle_sql(_FUNNEL_STEPS)
+
+
+SQL_FUNNEL_STEPS = _sql_funnel()
+
+
+def q_cohort_retention(spark, sf):
+    """Weekly cohort-retention triangle over first-activity cohorts —
+    two map-side-combinable aggregates + one user-key join."""
+    from revtron_utils_spark.operators.funnel import cohort_retention
+
+    ev = _t(spark, sf, "events")
+    return cohort_retention(ev, period_days=7)
+
+
+def _sql_cohort() -> str:
+    from revtron_utils_spark.operators.funnel import cohort_retention_oracle_sql
+
+    return cohort_retention_oracle_sql(period_days=7)
+
+
+SQL_COHORT_RETENTION = _sql_cohort()
+
+
 def q_quantile_rollup(spark, sf):
     """Mergeable quantile-sketch maintenance: fold three event batches
     through per-(group, log-bin) partials and read p50/p95 estimates —
@@ -3241,6 +3281,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "cap_per_domain": (q_cap_per_domain, SQL_CAP_PER_DOMAIN),
     "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
+    "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     # rows-only (probabilistic / iterative / UDF-backed — no SQL oracle)
     "rest_writeback": (q_rest_writeback, None),
     "sketch_rollup": (q_sketch_rollup, None),

@@ -1,0 +1,151 @@
+"""Event-sequence analytics over the events table: ordered funnels and
+cohort retention — the two classic warehouse patterns a product/ETL
+pipeline runs daily (the reference's consumers do this in Postgres on
+the extracted tables; here they're first-class distributed operators).
+
+Scale shape: every stage is a map-side-combinable aggregate or an
+equi-join on the user key. The step chain re-joins the events table
+once per funnel step (steps are short; each join is user-key
+co-partitioned and AQE reuses the exchange), never materializing
+per-user event arrays — the collect_list-per-user formulation OOMs on
+power users at 100 TB, this one cannot. Retention is two aggregates
+and one join, all keyed on user/cohort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user earliest STRICTLY-ORDERED completion time of each step:
+    ``(user_col, t_0 … t_{n-1})``, where ``t_i`` is the earliest
+    ``steps[i]`` event AFTER ``t_{i-1}`` (null if the chain breaks).
+    Users who never reach step 0 are absent."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_0"))
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(cur.select(user_col, f"t_{i-1}"), user_col)
+            .filter(F.col(ts_col) > F.col(f"t_{i-1}"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{i}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    return cur
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Funnel summary ``(step, event_type, users)``: how many users
+    complete each ordered prefix. ``users`` is non-increasing by
+    construction (each ``t_i`` requires ``t_{i-1}``)."""
+    times = funnel_times(events, steps, user_col, type_col, ts_col)
+    counts = times.agg(
+        *[F.count(f"t_{i}").alias(f"c_{i}") for i in range(len(steps))]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("step"),
+                F.lit(s).alias("event_type"),
+                F.col(f"c_{i}").alias("users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(pairs).alias("r")).select("r.step", "r.event_type", "r.users")
+
+
+def funnel_oracle_sql(
+    steps: list[str],
+    table: str = "events",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB mirror of :func:`funnel_counts` — the same strictly-
+    ordered min-chain, engine-neutral integer counts."""
+    ctes = [
+        f"s0 AS (SELECT {user_col}, MIN({ts_col}) AS t FROM {table} "
+        f"WHERE {type_col} = '{steps[0]}' GROUP BY 1)"
+    ]
+    for i, s in enumerate(steps[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.{user_col}, MIN(e.{ts_col}) AS t FROM {table} e "
+            f"JOIN s{i-1} p USING ({user_col}) "
+            f"WHERE e.{type_col} = '{s}' AND e.{ts_col} > p.t GROUP BY 1)"
+        )
+    selects = [
+        f"SELECT CAST({i} AS INTEGER) AS step, '{s}' AS event_type, "
+        f"CAST((SELECT COUNT(*) FROM s{i}) AS BIGINT) AS users"
+        for i, s in enumerate(steps)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention triangle ``(cohort_day, offset, users)``: users
+    grouped by first-activity day (truncated), counted as retained in
+    each later ``period_days`` bucket they show activity in. Two
+    aggregates + one user-key join; offsets are integer day arithmetic
+    (engine-neutral)."""
+    day = F.to_date(ts_col)
+    first = events.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    active = events.select(F.col(user_col), day.alias("d")).distinct()
+    return (
+        active.join(first, user_col)
+        .withColumn(
+            "offset",
+            F.floor(F.datediff("d", "cohort_day") / period_days).cast("int"),
+        )
+        .select(user_col, "cohort_day", "offset")
+        .distinct()
+        .groupBy("cohort_day", "offset")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )
+
+
+def cohort_retention_oracle_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> str:
+    return f"""
+WITH first AS (
+  SELECT {user_col}, MIN(CAST({ts_col} AS DATE)) AS cohort_day
+  FROM {table} GROUP BY 1
+), active AS (
+  SELECT DISTINCT {user_col}, CAST({ts_col} AS DATE) AS d FROM {table}
+), marked AS (
+  SELECT DISTINCT a.{user_col}, f.cohort_day,
+         CAST(FLOOR(date_diff('day', f.cohort_day, a.d) / {period_days}) AS INTEGER) AS "offset"
+  FROM active a JOIN first f USING ({user_col})
+)
+SELECT cohort_day, "offset", CAST(COUNT(*) AS BIGINT) AS users
+FROM marked GROUP BY 1, 2
+"""

@@ -1,0 +1,81 @@
+"""Funnel and cohort-retention operators: hand-built sequences and
+ordering invariants."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from revtron_utils_spark.operators.funnel import (
+    cohort_retention,
+    funnel_counts,
+    funnel_times,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+
+def test_funnel_strict_ordering(spark):
+    t = lambda d, h=0: datetime(2024, 1, d, h)
+    rows = [
+        # user 1: full ordered funnel
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        # user 2: purchase BEFORE click -> chain breaks at purchase
+        (2, "view", t(1)), (2, "purchase", t(2)), (2, "click", t(3)),
+        # user 3: click without view -> never enters the funnel
+        (3, "click", t(1)), (3, "purchase", t(2)),
+        # user 4: view only
+        (4, "view", t(5)),
+    ]
+    got = {
+        r["step"]: r["users"]
+        for r in funnel_counts(_ev(spark, rows), ["view", "click", "purchase"]).collect()
+    }
+    assert got == {0: 3, 1: 2, 2: 1}
+
+
+def test_funnel_times_earliest_chain(spark):
+    t = lambda d: datetime(2024, 1, d)
+    rows = [
+        (1, "view", t(1)), (1, "view", t(4)),
+        (1, "click", t(2)), (1, "click", t(6)),
+        (1, "purchase", t(5)),
+    ]
+    r = funnel_times(_ev(spark, rows), ["view", "click", "purchase"]).first()
+    # earliest view (d1) -> earliest click after it (d2) -> earliest
+    # purchase after THAT (d5); the d4 view must not reset the chain
+    assert r["t_0"] == t(1) and r["t_1"] == t(2) and r["t_2"] == t(5)
+
+
+def test_funnel_counts_non_increasing_on_fixture(spark, sf_dir):
+    from revtron_utils_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    rows = sorted(
+        funnel_counts(ev, ["view", "click", "purchase"]).collect(),
+        key=lambda r: r["step"],
+    )
+    users = [r["users"] for r in rows]
+    assert users == sorted(users, reverse=True)
+    assert users[0] > 0
+
+
+def test_cohort_retention_triangle(spark):
+    t = lambda d: datetime(2024, 1, d)
+    rows = [
+        (1, "view", t(1)), (1, "view", t(8)),   # cohort d1, offsets 0 and 1
+        (2, "view", t(1)),                       # cohort d1, offset 0 only
+        (3, "view", t(9)), (3, "view", t(9)),    # cohort d9, offset 0 (dedup)
+    ]
+    got = {
+        (str(r["cohort_day"]), r["offset"]): r["users"]
+        for r in cohort_retention(_ev(spark, rows), period_days=7).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-09", 0): 1,
+    }
