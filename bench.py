@@ -79,6 +79,8 @@ HEADLINE = [
     "mixture_sample",
     "cap_per_domain",
     "token_budget",
+    "funnel_steps",
+    "cohort_retention",
 ]
 
 
