@@ -28,24 +28,39 @@ def funnel_times(
     """Per-user earliest STRICTLY-ORDERED completion time of each step:
     ``(user_col, t_0 … t_{n-1})``, where ``t_i`` is the earliest
     ``steps[i]`` event AFTER ``t_{i-1}`` (null if the chain breaks).
-    Users who never reach step 0 are absent."""
+    Users who never reach step 0 are absent.
+
+    Plan shape: ONE shuffle. The obvious per-step join chain references
+    its own prefix twice per level, planning 2^(n−1) copies of the
+    events subtree; instead the chain is computed as layered running
+    minima over a single ``(user, RANGE ≤ ts)`` window — ``cand_i`` is
+    the row's ts when it's a ``steps[i]`` event strictly after the
+    frame's best prefix completion ``run_{i-1}`` (a RANGE frame, so
+    equal-ts ties resolve deterministically and the strict ``>`` holds
+    exactly). All n window layers share one sort; the final per-user
+    min-aggregate reuses the window's hash partitioning — the events
+    scan (pruned to funnel types) happens once at any n."""
     if not steps:
         raise ValueError("steps must be non-empty")
-    cur = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(user_col)
-        .agg(F.min(ts_col).alias("t_0"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col)
+        .rangeBetween(Window.unboundedPreceding, 0)
     )
-    for i, step in enumerate(steps[1:], start=1):
-        nxt = (
-            events.filter(F.col(type_col) == step)
-            .join(cur.select(user_col, f"t_{i-1}"), user_col)
-            .filter(F.col(ts_col) > F.col(f"t_{i-1}"))
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias(f"t_{i}"))
-        )
-        cur = cur.join(nxt, user_col, "left")
-    return cur
+    cur = events.filter(F.col(type_col).isin(steps)).select(user_col, type_col, ts_col)
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if i > 0:
+            cond = cond & (F.col(ts_col) > F.col(f"_run_{i-1}"))
+        cur = cur.withColumn(f"_cand_{i}", F.when(cond, F.col(ts_col)))
+        if i < len(steps) - 1:
+            cur = cur.withColumn(f"_run_{i}", F.min(f"_cand_{i}").over(w))
+    out = cur.groupBy(user_col).agg(
+        *[F.min(f"_cand_{i}").alias(f"t_{i}") for i in range(len(steps))]
+    )
+    return out.filter(F.col("t_0").isNotNull())
 
 
 def funnel_counts(
