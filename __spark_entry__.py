@@ -3155,6 +3155,26 @@ def _sql_cohort() -> str:
 SQL_COHORT_RETENTION = _sql_cohort()
 
 
+def q_rolling_wau(spark, sf):
+    """Rolling 7-day active users per day — each (user, day) activity
+    contributes to the window_days days it covers (bounded generator),
+    then one distinct+count: linear in activity, no per-day window
+    rescan, no range self-join."""
+    from revtron_utils_spark.operators.funnel import rolling_active_users
+
+    ev = _t(spark, sf, "events")
+    return rolling_active_users(ev, window_days=7)
+
+
+def _sql_wau() -> str:
+    from revtron_utils_spark.operators.funnel import rolling_active_users_oracle_sql
+
+    return rolling_active_users_oracle_sql(window_days=7)
+
+
+SQL_ROLLING_WAU = _sql_wau()
+
+
 def q_quantile_rollup(spark, sf):
     """Mergeable quantile-sketch maintenance: fold three event batches
     through per-(group, log-bin) partials and read p50/p95 estimates —
@@ -3283,6 +3303,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "rolling_wau": (q_rolling_wau, SQL_ROLLING_WAU),
     # rows-only (probabilistic / iterative / UDF-backed — no SQL oracle)
     "rest_writeback": (q_rest_writeback, None),
     "sketch_rollup": (q_sketch_rollup, None),

@@ -81,6 +81,7 @@ HEADLINE = [
     "token_budget",
     "funnel_steps",
     "cohort_retention",
+    "rolling_wau",
 ]
 
 

@@ -164,3 +164,64 @@ WITH first AS (
 SELECT cohort_day, "offset", CAST(COUNT(*) AS BIGINT) AS users
 FROM marked GROUP BY 1, 2
 """
+
+
+def rolling_active_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling N-day active users per day (DAU at ``window_days=1``,
+    WAU at 7, MAU at 30): ``(day, active_users)`` for every day in the
+    data's [min, max] range.
+
+    The naive per-day sliding COUNT(DISTINCT) re-scans the window for
+    every day; instead each distinct ``(user, day)`` activity row
+    contributes itself to the ``window_days`` days it keeps the user
+    active for (a bounded generator — rows × window_days), then one
+    distinct + count. Linear in activity, no range self-join, no
+    per-day rescan; the only driver scalars are the two date bounds."""
+    day = F.to_date(ts_col)
+    active = events.select(F.col(user_col), day.alias("d")).distinct()
+    bounds = active.agg(F.min("d").alias("mn"), F.max("d").alias("mx")).first()
+    if bounds["mn"] is None:
+        return active.select(
+            F.col("d").alias("day"), F.lit(0).cast("bigint").alias("active_users")
+        ).limit(0)
+    expanded = active.select(
+        user_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(window_days - 1)),
+                lambda o: F.date_add("d", o),
+            )
+        ).alias("day"),
+    ).filter(F.col("day") <= F.lit(bounds["mx"]))
+    return (
+        expanded.distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+def rolling_active_users_oracle_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> str:
+    return f"""
+WITH active AS (
+  SELECT DISTINCT {user_col}, CAST({ts_col} AS DATE) AS d FROM {table}
+), bounds AS (
+  SELECT MAX(d) AS mx FROM active
+), expanded AS (
+  SELECT DISTINCT {user_col}, d + CAST(t.o AS INTEGER) AS day
+  FROM active CROSS JOIN generate_series(0, {window_days - 1}) t(o)
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS active_users
+FROM expanded
+WHERE day <= (SELECT mx FROM bounds)
+GROUP BY day
+"""

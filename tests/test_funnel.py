@@ -79,3 +79,45 @@ def test_cohort_retention_triangle(spark):
         ("2024-01-01", 1): 1,
         ("2024-01-09", 0): 1,
     }
+
+
+def test_rolling_active_users_hand_computed(spark):
+    from revtron_utils_spark.operators.funnel import rolling_active_users
+
+    t = lambda d: datetime(2024, 1, d)
+    rows = [
+        (1, "view", t(1)),
+        (1, "view", t(1)),   # same-day dup must not double count
+        (2, "view", t(3)),
+        (1, "view", t(10)),
+    ]
+    got = {
+        str(r["day"]): r["active_users"]
+        for r in rolling_active_users(_ev(spark, rows), window_days=3).collect()
+    }
+    # user1 d1 covers days 1-3; user2 d3 covers 3-5; user1 d10 covers 10
+    # (11-12 trimmed past the max observed day)
+    assert got == {
+        "2024-01-01": 1, "2024-01-02": 1, "2024-01-03": 2,
+        "2024-01-04": 1, "2024-01-05": 1, "2024-01-10": 1,
+    }
+
+
+def test_rolling_dau_equals_daily_distinct(spark, sf_dir):
+    from revtron_utils_spark.io import read_table
+    from revtron_utils_spark.operators.funnel import rolling_active_users
+
+    ev = read_table(spark, sf_dir, "events")
+    dau = {
+        str(r["day"]): r["active_users"]
+        for r in rolling_active_users(ev, window_days=1).collect()
+    }
+    direct = {
+        str(r["day"]): r["n"]
+        for r in ev.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert dau == direct
