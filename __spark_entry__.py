@@ -3175,6 +3175,25 @@ def _sql_wau() -> str:
 SQL_ROLLING_WAU = _sql_wau()
 
 
+def q_funnel_within(spark, sf):
+    """Deadline-bound funnel: view → click → purchase, each later step
+    within 3 days of the user's first view — same single-shuffle window
+    chain, one extra deadline predicate."""
+    from revtron_utils_spark.operators.funnel import funnel_counts
+
+    ev = _t(spark, sf, "events")
+    return funnel_counts(ev, _FUNNEL_STEPS, within_days=3)
+
+
+def _sql_funnel_within() -> str:
+    from revtron_utils_spark.operators.funnel import funnel_oracle_sql
+
+    return funnel_oracle_sql(_FUNNEL_STEPS, within_days=3)
+
+
+SQL_FUNNEL_WITHIN = _sql_funnel_within()
+
+
 def q_quantile_rollup(spark, sf):
     """Mergeable quantile-sketch maintenance: fold three event batches
     through per-(group, log-bin) partials and read p50/p95 estimates —
@@ -3304,6 +3323,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "rolling_wau": (q_rolling_wau, SQL_ROLLING_WAU),
+    "funnel_within": (q_funnel_within, SQL_FUNNEL_WITHIN),
     # rows-only (probabilistic / iterative / UDF-backed — no SQL oracle)
     "rest_writeback": (q_rest_writeback, None),
     "sketch_rollup": (q_sketch_rollup, None),

@@ -24,11 +24,14 @@ def funnel_times(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    within_days: int | None = None,
 ) -> DataFrame:
     """Per-user earliest STRICTLY-ORDERED completion time of each step:
     ``(user_col, t_0 … t_{n-1})``, where ``t_i`` is the earliest
     ``steps[i]`` event AFTER ``t_{i-1}`` (null if the chain breaks).
-    Users who never reach step 0 are absent.
+    Users who never reach step 0 are absent. ``within_days`` adds the
+    standard whole-funnel deadline: steps 1…n−1 must complete within
+    that many days of the user's step-0 time.
 
     Plan shape: ONE shuffle. The obvious per-step join chain references
     its own prefix twice per level, planning 2^(n−1) copies of the
@@ -54,6 +57,13 @@ def funnel_times(
         cond = F.col(type_col) == step
         if i > 0:
             cond = cond & (F.col(ts_col) > F.col(f"_run_{i-1}"))
+            if within_days is not None:
+                # whole-funnel deadline: every later step must land
+                # within `within_days` of the user's step-0 time
+                cond = cond & (
+                    F.col(ts_col)
+                    <= F.col("_run_0") + F.expr(f"INTERVAL {int(within_days)} DAYS")
+                )
         cur = cur.withColumn(f"_cand_{i}", F.when(cond, F.col(ts_col)))
         if i < len(steps) - 1:
             cur = cur.withColumn(f"_run_{i}", F.min(f"_cand_{i}").over(w))
@@ -69,11 +79,12 @@ def funnel_counts(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    within_days: int | None = None,
 ) -> DataFrame:
     """Funnel summary ``(step, event_type, users)``: how many users
     complete each ordered prefix. ``users`` is non-increasing by
     construction (each ``t_i`` requires ``t_{i-1}``)."""
-    times = funnel_times(events, steps, user_col, type_col, ts_col)
+    times = funnel_times(events, steps, user_col, type_col, ts_col, within_days)
     counts = times.agg(
         *[F.count(f"t_{i}").alias(f"c_{i}") for i in range(len(steps))]
     )
@@ -96,6 +107,7 @@ def funnel_oracle_sql(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    within_days: int | None = None,
 ) -> str:
     """DuckDB mirror of :func:`funnel_counts` — the same strictly-
     ordered min-chain, engine-neutral integer counts."""
@@ -104,10 +116,16 @@ def funnel_oracle_sql(
         f"WHERE {type_col} = '{steps[0]}' GROUP BY 1)"
     ]
     for i, s in enumerate(steps[1:], start=1):
+        deadline_join, deadline = "", ""
+        if within_days is not None:
+            deadline_join = f"JOIN s0 s0d USING ({user_col}) "
+            deadline = (
+                f" AND e.{ts_col} <= s0d.t + INTERVAL {int(within_days)} DAY"
+            )
         ctes.append(
             f"s{i} AS (SELECT e.{user_col}, MIN(e.{ts_col}) AS t FROM {table} e "
-            f"JOIN s{i-1} p USING ({user_col}) "
-            f"WHERE e.{type_col} = '{s}' AND e.{ts_col} > p.t GROUP BY 1)"
+            f"JOIN s{i-1} p USING ({user_col}) {deadline_join}"
+            f"WHERE e.{type_col} = '{s}' AND e.{ts_col} > p.t{deadline} GROUP BY 1)"
         )
     selects = [
         f"SELECT CAST({i} AS INTEGER) AS step, '{s}' AS event_type, "

@@ -121,3 +121,21 @@ def test_rolling_dau_equals_daily_distinct(spark, sf_dir):
         .collect()
     }
     assert dau == direct
+
+
+def test_funnel_within_deadline(spark):
+    t = lambda d: datetime(2024, 1, d)
+    rows = [
+        # user 1 completes in 2 days (inside a 3-day deadline)
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        # user 2's purchase lands 9 days after the first view
+        (2, "view", t(1)), (2, "click", t(2)), (2, "purchase", t(10)),
+    ]
+    ev = _ev(spark, rows)
+    loose = {r["step"]: r["users"] for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()}
+    tight = {
+        r["step"]: r["users"]
+        for r in funnel_counts(ev, ["view", "click", "purchase"], within_days=3).collect()
+    }
+    assert loose == {0: 2, 1: 2, 2: 2}
+    assert tight == {0: 2, 1: 2, 2: 1}  # user 2's purchase missed the deadline
