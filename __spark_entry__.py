@@ -3194,6 +3194,44 @@ def _sql_funnel_within() -> str:
 SQL_FUNNEL_WITHIN = _sql_funnel_within()
 
 
+def q_attribution_last_touch(spark, sf):
+    """Last-touch attribution: each purchase credits the latest
+    preceding view/click — the as-of join applied to marketing
+    attribution (same single-shuffle union+window form). Tied touch
+    timestamps dedupe to min(event_type) in both engines."""
+    from revtron_utils_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    touch = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", F.col("ts").alias("touch_ts"))
+        .agg(F.min("event_type").alias("touch_type"))
+        .withColumn("touch_ts2", F.col("touch_ts"))
+    )
+    j = asof_join(p, touch, on="user_id", left_ts="ts", right_ts="touch_ts")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.unix_micros("touch_ts2_r").alias("touch_us"),
+        F.col("touch_type_r").alias("touch_type"),
+    )
+
+
+SQL_ATTRIBUTION = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, ts AS touch_ts, MIN(event_type) AS touch_type
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+       epoch_us(t.touch_ts) AS touch_us, t.touch_type
+FROM p ASOF LEFT JOIN t ON p.user_id = t.user_id AND p.ts >= t.touch_ts
+"""
+
+
 def q_quantile_rollup(spark, sf):
     """Mergeable quantile-sketch maintenance: fold three event batches
     through per-(group, log-bin) partials and read p50/p95 estimates —
@@ -3324,6 +3362,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "rolling_wau": (q_rolling_wau, SQL_ROLLING_WAU),
     "funnel_within": (q_funnel_within, SQL_FUNNEL_WITHIN),
+    "attribution_last_touch": (q_attribution_last_touch, SQL_ATTRIBUTION),
     # rows-only (probabilistic / iterative / UDF-backed — no SQL oracle)
     "rest_writeback": (q_rest_writeback, None),
     "sketch_rollup": (q_sketch_rollup, None),
