@@ -363,6 +363,7 @@ def take_token_budget(
     text_col: str = "text",
     token_col: str | None = None,
     seed: int = 0,
+    margin: float = 2.0,
 ) -> DataFrame:
     """Fill a per-domain token budget: walk each domain's rows in
     deterministic hash order and keep rows while the running token total
@@ -370,21 +371,62 @@ def take_token_budget(
     reproducibly. Pass ``token_col`` for precomputed counts, else
     whitespace ``token_count(text_col)`` is used.
 
-    One window shuffle partitioned by domain; for domains far larger
-    than the budget, prefilter first (e.g. ``cap_per_domain`` with
-    ``n ≈ budget/avg_tokens·margin``) so the sort stays bounded."""
+    Scale-safe like :func:`cap_per_domain`: ranking a hot domain whole
+    would sort it in one task, so a per-domain hash-threshold prefilter
+    (rate ``margin·budget/total_tokens``) first cuts each domain to
+    ~``margin·budget`` candidate tokens. The prefilter is lossless
+    because survivors ARE the hash-order prefix: whenever a domain's
+    surviving token sum still covers the budget, the budget-filling
+    prefix is contained in it — and a survivor-sum check escalates any
+    domain where hash variance undercut the margin back to rate 1, so
+    the output never depends on ``margin``. Two O(domains) driver
+    aggregates, then one window over the bounded candidates."""
     from revtron_utils_spark.functions.text import token_count
 
     _require_integral_id(df, id_col)
-    tok = F.col(token_col) if token_col else token_count(text_col)
+    tok = (F.col(token_col) if token_col else token_count(text_col)).cast("long")
+    tagged = df.withColumn("_tok", tok)
+    totals = {
+        r["d"]: r["t"]
+        for r in tagged.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.sum("_tok").alias("t"))
+        .collect()
+    }
+    rates = {
+        d: min(1.0, margin * budget / t) if t else 1.0 for d, t in totals.items()
+    }
+
+    def _prefilter(rs: dict[str, float]) -> DataFrame:
+        bucket = id_hash(id_col, seed)
+        thr = F.lit(0).cast("long")
+        for d, rate in sorted(rs.items()):
+            t = HASH_MOD if rate >= 1.0 else int(rate * HASH_MOD)
+            thr = F.when(F.col(domain_col) == d, F.lit(t)).otherwise(thr)
+        return tagged.filter(bucket < thr)
+
+    cand = _prefilter(rates)
+    if any(r < 1.0 for r in rates.values()):
+        surv = {
+            r["d"]: r["t"]
+            for r in cand.groupBy(F.col(domain_col).alias("d"))
+            .agg(F.sum("_tok").alias("t"))
+            .collect()
+        }
+        short = [
+            d
+            for d, rate in rates.items()
+            if rate < 1.0 and surv.get(d, 0) < min(budget, totals[d])
+        ]
+        if short:
+            cand = _prefilter({**rates, **{d: 1.0 for d in short}})
     w = W.partitionBy(domain_col).orderBy(
         id_hash(id_col, seed).asc(), F.col(id_col).asc()
     )
-    run = F.sum(tok.cast("long")).over(w.rowsBetween(W.unboundedPreceding, 0))
+    run = F.sum("_tok").over(w.rowsBetween(W.unboundedPreceding, 0))
     return (
-        df.withColumn("_run", run)
+        cand.withColumn("_run", run)
         .filter(F.col("_run") <= budget)
-        .drop("_run")
+        .drop("_run", "_tok")
     )
 
 

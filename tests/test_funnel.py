@@ -139,3 +139,66 @@ def test_funnel_within_deadline(spark):
     }
     assert loose == {0: 2, 1: 2, 2: 2}
     assert tight == {0: 2, 1: 2, 2: 1}  # user 2's purchase missed the deadline
+
+
+# ------------------------------------------------ hypothesis differential
+
+
+def _py_funnel_times(rows, steps, within_days=None):
+    """Pure-python strict min-chain reference: t_0 = earliest step-0
+    event; t_i = earliest step-i event with ts > t_{i-1} (and within
+    the optional whole-funnel deadline from t_0)."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    by_user = defaultdict(list)
+    for u, ty, ts in rows:
+        by_user[u].append((ts, ty))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        chain = []
+        for i, step in enumerate(steps):
+            prev = chain[i - 1] if i else None
+            if i and prev is None:
+                chain.append(None)
+                continue
+            best = None
+            for ts, ty in evs:
+                if ty != step:
+                    continue
+                if i and ts <= prev:
+                    continue
+                if i and within_days is not None and ts > chain[0] + timedelta(days=within_days):
+                    continue
+                best = ts
+                break  # evs sorted: first hit is the earliest
+            chain.append(best)
+        if chain[0] is not None:
+            out[u] = tuple(chain)
+    return out
+
+
+def test_funnel_hypothesis_differential(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    types = ["a", "b", "c"]
+    event = st.tuples(
+        st.integers(min_value=1, max_value=4),           # few users
+        st.sampled_from(types),
+        st.integers(min_value=1, max_value=12),          # coarse ts -> many ties
+    ).map(lambda t: (t[0], t[1], datetime(2024, 1, t[2], t[0] % 3)))
+    corpus = st.lists(event, min_size=1, max_size=25)
+
+    @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(rows=corpus, within=st.sampled_from([None, 2, 5]))
+    def run(rows, within):
+        df = _ev(spark, rows)
+        got = {
+            r["user_id"]: (r["t_0"], r["t_1"], r["t_2"])
+            for r in funnel_times(df, types, within_days=within).collect()
+        }
+        assert got == _py_funnel_times(rows, types, within)
+
+    run()

@@ -433,3 +433,27 @@ def test_take_token_budget_precomputed_token_col(spark):
     # per-domain: A keeps rows until 900 inclusive in hash order; B's
     # single 1000-token row exceeds the budget outright
     assert 4 not in got and got  # B dropped, some of A kept
+
+
+def test_take_token_budget_margin_independent(spark):
+    from revtron_utils_spark.operators.curation import take_token_budget
+
+    # hot domain with far more tokens than the budget; small domain under it
+    rows = [(i, "hot", 40) for i in range(400)] + [(1000 + i, "small", 40) for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, dom string, ntok int")
+    ref = None
+    for margin in (1.05, 2.0, 100.0):
+        got = sorted(
+            (r["id"], r["dom"])
+            for r in take_token_budget(
+                df, "id", "dom", budget=400, token_col="ntok", margin=margin
+            ).collect()
+        )
+        if ref is None:
+            ref = got
+        assert got == ref, f"margin={margin}"
+    by_dom = {}
+    for _, d in ref:
+        by_dom[d] = by_dom.get(d, 0) + 1
+    assert by_dom["hot"] == 10   # 10 x 40 = 400 tokens, exactly the budget
+    assert by_dom["small"] == 3  # whole small domain fits
