@@ -194,12 +194,18 @@ def rolling_active_users(
     WAU at 7, MAU at 30): ``(day, active_users)`` for every day in the
     data's [min, max] range.
 
-    The naive per-day sliding COUNT(DISTINCT) re-scans the window for
-    every day; instead each distinct ``(user, day)`` activity row
-    contributes itself to the ``window_days`` days it keeps the user
-    active for (a bounded generator — rows × window_days), then one
-    distinct + count. Linear in activity, no range self-join, no
-    per-day rescan; the only driver scalars are the two date bounds."""
+    Sweep-line plan, O(activity) at ANY window size: the naive
+    "explode each activity day into the window_days it covers" blows
+    rows up ×window_days (×30 for MAU), and a per-day sliding
+    COUNT(DISTINCT) re-scans the window per day. Instead each user's
+    coverage intervals ``[d, d+w−1]`` are merged per user (an islands
+    window — partitions bounded by a user's activity), each merged
+    interval emits a +1/−1 delta at its start/end+1, and a running sum
+    over the (tiny, calendar-bounded) day spine turns deltas into
+    counts. The one unpartitioned window runs over #days rows — a few
+    thousand for a decade — not over activity."""
+    from pyspark.sql import Window
+
     day = F.to_date(ts_col)
     active = events.select(F.col(user_col), day.alias("d")).distinct()
     bounds = active.agg(F.min("d").alias("mn"), F.max("d").alias("mx")).first()
@@ -207,19 +213,41 @@ def rolling_active_users(
         return active.select(
             F.col("d").alias("day"), F.lit(0).cast("bigint").alias("active_users")
         ).limit(0)
-    expanded = active.select(
-        user_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(window_days - 1)),
-                lambda o: F.date_add("d", o),
-            )
-        ).alias("day"),
-    ).filter(F.col("day") <= F.lit(bounds["mx"]))
-    return (
-        expanded.distinct()
+
+    w_isl = Window.partitionBy(user_col).orderBy("d")
+    end = F.date_add("d", window_days - 1)
+    prev_end = F.max(end).over(w_isl.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        active.withColumn(
+            "_brk",
+            F.when(F.col("d") <= F.date_add(F.coalesce(prev_end, F.lit("1900-01-01").cast("date")), 1), 0).otherwise(1),
+        )
+        .withColumn("_isl", F.sum("_brk").over(w_isl.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(user_col, "_isl")
+        .agg(F.min("d").alias("start"), F.date_add(F.max("d"), window_days - 1).alias("end"))
+    )
+    deltas = (
+        islands.select(F.col("start").alias("day"), F.lit(1).alias("delta"))
+        .unionByName(
+            islands.select(F.date_add("end", 1).alias("day"), F.lit(-1).alias("delta"))
+        )
         .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("active_users"))
+        .agg(F.sum("delta").alias("delta"))
+    )
+    spine = (
+        active.sparkSession.range(1)
+        .select(
+            F.explode(
+                F.sequence(F.lit(bounds["mn"]), F.lit(bounds["mx"]))
+            ).alias("day")
+        )
+    )
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(deltas, "day", "left")
+        .withColumn("active_users", F.sum(F.coalesce("delta", F.lit(0))).over(w_days))
+        .filter(F.col("active_users") > 0)
+        .select("day", F.col("active_users").cast("bigint").alias("active_users"))
     )
 
 
