@@ -2583,7 +2583,11 @@ def q_multimodal_features(spark, sf):
     """Binary image columns end-to-end with a REAL decode: every doc gets
     a deterministic 24-bit BMP payload, decoded inside the Arrow batch
     iterator (numpy-only BMP parser) into genuine per-channel pixel
-    means + luma stats — see revtron_utils_spark/multimodal.py."""
+    means + luma stats — see revtron_utils_spark/multimodal.py.
+    Hash-verified: the BMP roundtrip is bit-exact, so the oracle
+    recomputes the same pixel statistics from the synth-image affine
+    formula in pure SQL (round-4 absorbs numpy-pairwise vs
+    SQL-sequential summation, ~1e-13 apart over 256 values)."""
     from revtron_utils_spark.multimodal import attach_image_payload, image_stats
 
     docs = _t(spark, sf, "documents").select("doc_id")
@@ -2593,6 +2597,23 @@ def q_multimodal_features(spark, sf):
         F.round("mean_r", 4).alias("mean_r"),
         F.round("luma_std", 4).alias("luma_std"),
     )
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH px AS (
+  SELECT d.doc_id, x.x, y.y,
+         CAST((x.x*7 + y.y*13 + d.doc_id*31) % 256 AS DOUBLE) AS r,
+         CAST((x.x*3 + y.y*5 + d.doc_id*17) % 256 AS DOUBLE) AS g,
+         CAST((x.x*11 + y.y*2 + d.doc_id*7) % 256 AS DOUBLE) AS b
+  FROM documents d
+  CROSS JOIN generate_series(0, 15) x(x)
+  CROSS JOIN generate_series(0, 15) y(y)
+)
+SELECT doc_id, CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       ROUND(AVG(r), 4) AS mean_r,
+       ROUND(STDDEV_POP(0.299*r + 0.587*g + 0.114*b), 4) AS luma_std
+FROM px GROUP BY doc_id
+"""
 
 
 def q_audio_stats(spark, sf):
@@ -3372,7 +3393,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "simhash_pairs": (q_simhash_pairs, None),
     "ivf_ann": (q_ivf_ann, None),
     "cosine_neardup_lsh": (q_cosine_neardup_lsh, None),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "audio_stats": (q_audio_stats, None),
     "text_neardup_hashed": (q_text_neardup_hashed, None),
     "dedup_index_probe": (q_dedup_index_probe, None),
