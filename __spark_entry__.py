@@ -2570,13 +2570,27 @@ def q_rest_writeback(spark, sf):
 
 
 def q_frame_sampling(spark, sf):
-    """Multimodal frame-sampling plumbing (rows-only): every-nth-frame
-    expansion per binary payload via Arrow-batched mapInPandas; the
-    decode is a deterministic stand-in (see multimodal.py)."""
+    """Multimodal frame-sampling plumbing: every-nth-frame expansion per
+    binary payload via Arrow-batched mapInPandas; the decode is a
+    deterministic stand-in (see multimodal.py). Hash-verified: the
+    frame-hash preimage (payload | frame idx) stays valid UTF-8 for
+    text payloads, so DuckDB's sha256 recomputes the same values."""
     from revtron_utils_spark.multimodal import attach_binary_payload, sample_frames
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     return sample_frames(attach_binary_payload(docs, "text"), every_nth=5)
+
+
+SQL_FRAME_SAMPLING = """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, octet_length(encode(text)) // 100 + 1, 5)) AS fi
+  FROM documents
+)
+SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+       substr(sha256(text || '|' || CAST(fi AS VARCHAR)), 1, 16) AS frame_hash
+FROM f
+"""
 
 
 def q_multimodal_features(spark, sf):
@@ -3397,7 +3411,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "audio_stats": (q_audio_stats, None),
     "text_neardup_hashed": (q_text_neardup_hashed, None),
     "dedup_index_probe": (q_dedup_index_probe, None),
-    "frame_sampling": (q_frame_sampling, None),
+    "frame_sampling": (q_frame_sampling, SQL_FRAME_SAMPLING),
     "streaming_sessionize": (q_streaming_sessionize, None),
 }
 

@@ -258,10 +258,14 @@ def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
-                n_frames = (len(r["payload"]) if r["payload"] is not None else 0) // 100 + 1
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                n_frames = len(payload) // 100 + 1
                 for idx in range(0, n_frames, every_nth):
+                    # frame "content" hash = sha256(payload | frame idx);
+                    # the separator form keeps the preimage valid UTF-8
+                    # for text payloads, so a SQL oracle can recompute it
                     rows.append((r["doc_id"], idx, hashlib.sha256(
-                        (r["payload"] or b"") + idx.to_bytes(4, "big")
+                        payload + b"|" + str(idx).encode()
                     ).hexdigest()[:16]))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_hash"])
 
