@@ -110,6 +110,35 @@ def make_fixtures(out_dir: Path, n_docs: int, seed: int = 42) -> None:
     )
     pq.write_table(emb, out_dir / "embeddings.parquet")
 
+    # --- events: zipf-ish users over a 30-day range (funnel/retention/
+    # WAU/attribution family). Same naive timestamp[us] layout as the
+    # driver fixture so the NTZ-normalization path is exercised. -------
+    n_events = n_docs * 20
+    n_users = max(5, n_docs // 3)
+    # skewed user activity: a few power users, a long tail
+    u_weights = 1.0 / np.arange(1, n_users + 1) ** 0.8
+    u_weights /= u_weights.sum()
+    users = nprng.choice(n_users, size=n_events, p=u_weights)
+    ts_us = np.sort(
+        nprng.integers(0, 30 * 86400 * 1_000_000, size=n_events, dtype=np.int64)
+    ) + np.int64(1704067200) * 1_000_000  # 2024-01-01 epoch
+    types = nprng.choice(
+        ["view", "click", "signup", "purchase", "error"],
+        size=n_events,
+        p=[0.4, 0.25, 0.1, 0.15, 0.1],
+    )
+    events = pa.table(
+        {
+            "event_id": pa.array(range(n_events), pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "user_id": pa.array([int(u) for u in users], pa.int64()),
+            "event_type": pa.array([str(t) for t in types]),
+            "value": pa.array(nprng.uniform(0, 100, n_events), pa.float64()),
+            "props": pa.array(["{}"] * n_events),
+        }
+    )
+    pq.write_table(events, out_dir / "events.parquet")
+
     # --- part: adjective-noun names (fuzzy blocks on the noun). Name
     # diversity scales WITH n (√s more nouns × √s more adjectives →
     # constant ~312 rows/name like sf0.1's 64 names / 20k rows), so the
