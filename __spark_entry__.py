@@ -1616,6 +1616,66 @@ def q_cosine_neardup_lsh(spark, sf):
     )
 
 
+def q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023) with deterministic sign-LSH
+    clustering: cluster id = sign pattern of 6 fixed integer hyperplane
+    dot products over the quantized embedding, then drop any vector with
+    a smaller-id same-cluster neighbor at cosine ≥ 0.4 (the fixture's
+    near-dup operating point, as in `cosine_neardup`). Quantized-int
+    arithmetic makes clustering and similarity bit-equal to the DuckDB
+    oracle, so the whole kept/dropped labeling hash-verifies."""
+    from revtron_utils_spark.operators import semdedup as SD
+
+    emb = _t(spark, sf, "embeddings")
+    return SD.semantic_dedup(emb, threshold=0.4, planes=4, dim=64).orderBy("vec_id")
+
+
+def _semdedup_plane_sql(j: int) -> str:
+    return (
+        "list_transform(range(0, 64), d -> CAST((("
+        f"{j} * 131 + d + 7) * 2654435761) % 1000003 - 501001 AS DOUBLE))"
+    )
+
+
+SQL_SEMDEDUP = f"""
+WITH e AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
+c AS (
+  SELECT vec_id, ev,
+    ({" + ".join(
+        f"(CASE WHEN list_inner_product(ev, {_semdedup_plane_sql(j)}) >= 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(4)
+    )}) AS cluster_id
+  FROM e
+),
+d AS (
+  SELECT DISTINCT a.vec_id
+  FROM c a JOIN c b ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+  WHERE list_inner_product(a.ev, b.ev)
+        / (SQRT(list_inner_product(a.ev, a.ev)) * SQRT(list_inner_product(b.ev, b.ev))) >= 0.4
+)
+SELECT c.vec_id, CAST(c.cluster_id AS BIGINT) AS cluster_id,
+       (d.vec_id IS NULL) AS kept
+FROM c LEFT JOIN d ON c.vec_id = d.vec_id
+ORDER BY c.vec_id
+"""
+
+
+def q_semdedup_kmeans(spark, sf):
+    """The SemDeDup paper's own clustering: spherical k-means (the IVF
+    coarse quantizer) instead of sign-LSH. Iterative Lloyd fit is
+    genuinely non-SQL, so rows-only here; parity with the hash-verified
+    LSH variant is asserted differentially in
+    tests/test_semdedup.py (identical-vector duplicates dropped by
+    both, recall floor vs the exact ε-neighborhood)."""
+    from revtron_utils_spark.operators import semdedup as SD
+
+    emb = _t(spark, sf, "embeddings")
+    return SD.semantic_dedup_kmeans(
+        emb, threshold=0.4, n_clusters=16, seed=7
+    ).orderBy("vec_id")
+
+
 def q_label_centroids(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return (
@@ -3386,6 +3446,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "revenue_q6": (q_revenue_q6, SQL_REVENUE_Q6),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "semdedup_kmeans": (q_semdedup_kmeans, None),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "rest_extract": (q_rest_extract, SQL_REST_EXTRACT),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),

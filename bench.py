@@ -45,6 +45,7 @@ HEADLINE = [
     "cosine_topk",
     "cosine_neardup",
     "cosine_neardup_lsh",
+    "semdedup",
     "percentiles",
     "curation_pipeline",
     "dedup_clusters",

@@ -1,0 +1,157 @@
+"""Semantic deduplication (SemDeDup) over embedding columns.
+
+The published recipe (Abbas et al., "SemDeDup: Data-efficient learning
+at web-scale through semantic deduplication", arXiv:2303.09540):
+cluster the corpus embeddings, then inside each cluster drop every item
+whose cosine similarity to another cluster member exceeds a threshold,
+keeping one representative per near-duplicate neighborhood. Unlike
+MinHash (lexical overlap) this removes *paraphrase*-level duplicates.
+
+Two clusterings are provided:
+
+* **semantic_dedup** — deterministic sign-LSH clustering: the cluster id
+  is the sign pattern of ``planes`` fixed pseudo-random hyperplane dot
+  products, computed in quantized-integer arithmetic so the assignment
+  (and therefore the whole result) is bit-reproducible across engines —
+  this is the oracle-checkable variant. ``planes`` controls the expected
+  cluster population (``n / 2^planes``); raise it as the corpus grows so
+  the within-cluster O(c²) verification stays bounded.
+* **semantic_dedup_kmeans** — the paper's spherical-k-means clustering,
+  reusing the IVF coarse quantizer (`similarity.IVFIndex`). Better
+  cluster balance on real corpora; deterministic for a fixed seed but
+  not SQL-expressible, so it is differentially tested against the LSH
+  variant rather than oracle-hashed.
+
+Drop policy: an item is dropped iff some *smaller-id* member of its
+cluster is within ``threshold`` cosine — one join pass, no sequential
+greedy chain, matching the common "keep lowest-id per ε-neighborhood"
+SemDeDup implementation. Survivor count is deterministic.
+
+100-TB posture: the only shuffle is the self-equi-join on ``cluster_id``
+(plus one exchange to broadcast nothing — both sides are the same frame,
+hash-partitioned once). Pairwise verification is confined to clusters;
+cost is Σ c_i² which the operator bounds by construction (2^planes
+buckets, or k-means k). All arithmetic is codegen'd column expressions —
+no Python in the hot path, no driver collect (the k-means fit samples a
+bounded 50k-row training set, per the IVF recipe).
+
+Reference parity: the reference repo has no embedding operators — this
+belongs to the LLM-data-pipeline extension surface the build brief
+mandates alongside `/root/reference/revtron` coverage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vectors as VX
+
+# Pseudo-random hyperplane entries: Knuth multiplicative constant over a
+# prime modulus, shifted to be (roughly) zero-mean. Must match the
+# DuckDB oracle formula exactly — change in both places or neither.
+_PLANE_MULT = 2654435761
+_PLANE_MOD = 1_000_003
+_PLANE_SHIFT = 501_001
+
+
+def _plane(j: int, dim: int) -> list[int]:
+    """Deterministic integer hyperplane #j (entries in ±~5e5)."""
+    return [
+        ((j * 131 + d + 7) * _PLANE_MULT) % _PLANE_MOD - _PLANE_SHIFT
+        for d in range(dim)
+    ]
+
+
+def sign_lsh_cluster(qvec: Column, dim: int, planes: int = 6) -> Column:
+    """Cluster id in [0, 2^planes): bit j is the sign of the dot product
+    with fixed hyperplane j. ``qvec`` must be a quantized vector
+    (`vectors.quantize`) so every dot product is an exact integer —
+    products ≤ 2e6·5e5 and 64-term sums stay far below 2^53, hence
+    bit-equal in any engine and any summation order."""
+    cluster = F.lit(0).cast("long")
+    for j in range(planes):
+        plane = F.array(*[F.lit(v) for v in _plane(j, dim)])
+        d = F.aggregate(
+            F.zip_with(qvec, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cluster = cluster + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return cluster
+
+
+def _mark_dropped(
+    clustered: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Given (id, _qv, cluster_id), return (id, cluster_id, kept) where
+    kept=false iff a smaller-id same-cluster member is within
+    ``threshold`` cosine."""
+    a = clustered.alias("a")
+    b = clustered.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .where(VX.int_cosine(F.col("a._qv"), F.col("b._qv")) >= F.lit(threshold))
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("kept", F.lit(False))
+    )
+    return (
+        clustered.select(id_col, "cluster_id")
+        .join(dropped, on=id_col, how="left")
+        .withColumn("kept", F.coalesce(F.col("kept"), F.lit(True)))
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    planes: int = 6,
+    dim: int | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup with deterministic sign-LSH clustering. Returns one row
+    per input row: (id_col, cluster_id, kept). Filter ``kept`` to get
+    the deduplicated corpus.
+
+    Caveat shared with every LSH clustering: near-duplicates that land
+    on opposite sides of a hyperplane are not compared (recall < 1 vs
+    the O(n²) exact pass; the probability a duplicate pair splits is
+    ≤ planes·θ/π for angle θ). The k-means variant has the same property
+    per the SemDeDup paper; tests assert a recall floor vs the exact
+    all-pairs neighborhood."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    qdf = emb.select(
+        F.col(id_col), VX.quantize(vec_col, scale).alias("_qv")
+    ).withColumn("cluster_id", sign_lsh_cluster(F.col("_qv"), dim, planes))
+    return _mark_dropped(qdf, id_col, threshold)
+
+
+def semantic_dedup_kmeans(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    n_clusters: int = 16,
+    seed: int = 7,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup with the paper's spherical-k-means clustering (reuses the
+    IVF coarse quantizer). Same output contract as `semantic_dedup`."""
+    from .similarity import IVFIndex
+
+    centroids = IVFIndex._fit_centroids(emb, vec_col, n_clusters, seed)
+    assigned = IVFIndex._assign_clusters(emb, centroids, vec_col)
+    qdf = assigned.select(
+        F.col(id_col),
+        VX.quantize(vec_col, scale).alias("_qv"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+    return _mark_dropped(qdf, id_col, threshold)
