@@ -1520,6 +1520,86 @@ FROM s
 """
 
 
+def q_quality_classifier(spark, sf):
+    """Hashed-feature linear classifier (fastText-style hashing trick):
+    token → poly-hash bucket → deterministic integer weight; doc score =
+    mean weight, keep = positive integer numerator. All-int arithmetic
+    inside codegen makes the score hash-verify against the DuckDB
+    list_reduce oracle."""
+    from revtron_utils_spark.functions import classifier as CL
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        CL.hashed_linear_score("text", dim=4096, seed=0).alias("score"),
+        (CL.hashed_linear_score_num("text", dim=4096, seed=0) > 0).alias("keep"),
+    )
+
+
+_TOKHASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(lower(tk), ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 31 + b) % 1000000007)"
+)
+
+SQL_QUALITY_CLASSIFIER = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, len(toks) AS n,
+         COALESCE(list_sum(list_transform(toks, tk ->
+           (({_TOKHASH_SQL} % 4096 + 1) * 2654435761) % 2000001 - 1000000
+         )), 0) AS sw
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE ROUND(CAST(sw AS DOUBLE) / (n * 1000000.0), 6) END AS score,
+       (sw > 0) AS keep
+FROM s
+"""
+
+
+def q_gopher_filters(spark, sf):
+    """Gopher heuristic quality rules (Rae et al. 2021, App. A1.1) as
+    exact integer comparisons — word-count bounds, mean-word-length
+    bounds via 3n<=Σlen<=10n, >=80% alphabetic words, <=10% symbol
+    words, >=2 stopword hits."""
+    from revtron_utils_spark.functions import classifier as CL
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", CL.gopher_quality_flags("text").alias("g")
+    ).select("doc_id", "g.*")
+
+
+SQL_GOPHER_FILTERS = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, len(toks) AS n,
+         COALESCE(list_sum(list_transform(toks, tk -> CAST(length(tk) AS BIGINT))), 0) AS sum_len,
+         len(list_filter(toks, tk -> regexp_matches(tk, '[a-zA-Z]'))) AS n_alpha,
+         len(list_filter(toks, tk -> starts_with(tk, '#') OR contains(tk, '...'))) AS n_sym,
+         len(list_filter(toks, tk -> lower(tk) IN ('the','be','to','of','and','that','have','with'))) AS n_stop
+  FROM t
+)
+SELECT doc_id,
+       (n >= 20 AND n <= 100000) AS word_count_ok,
+       (sum_len >= 3 * n AND sum_len <= 10 * n) AS mean_word_len_ok,
+       (n_alpha * 5 >= n * 4) AS alpha_ratio_ok,
+       (n_sym * 10 <= n) AS symbol_ratio_ok,
+       (n_stop >= 2) AS stopword_ok,
+       ((n >= 20 AND n <= 100000) AND (sum_len >= 3 * n AND sum_len <= 10 * n)
+        AND (n_alpha * 5 >= n * 4) AND (n_sym * 10 <= n) AND (n_stop >= 2)) AS pass_all
+FROM s
+"""
+
+
 def q_rolling_fingerprint(spark, sf):
     docs = _t(spark, sf, "documents")
     return docs.select("doc_id", TX.rolling_hash("text").cast("long").alias("rhash"))
@@ -3408,6 +3488,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
+    "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
+    "gopher_filters": (q_gopher_filters, SQL_GOPHER_FILTERS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),

@@ -40,6 +40,8 @@ HEADLINE = [
     "dedup_exact",
     "token_stats",
     "text_quality",
+    "quality_classifier",
+    "gopher_filters",
     "minhash_pairs",
     "simhash_pairs",
     "cosine_topk",
