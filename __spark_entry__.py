@@ -1696,6 +1696,57 @@ def q_cosine_neardup_lsh(spark, sf):
     )
 
 
+def q_minhash_pairs_poly(spark, sf):
+    """MinHash-LSH with the engine-reproducible polynomial hash family
+    (`dedup.minhash_poly_pairs`): the DuckDB oracle re-implements the
+    ENTIRE pipeline — shingle poly-hashes, 32 affine permutations, 8-band
+    keys, candidate equi-join, exact-Jaccard verification — so the full
+    LSH path hash-verifies, not just its exact tail (the xxhash/Arrow
+    `minhash_pairs` twin remains the throughput path, rows-only)."""
+    docs = _t(spark, sf, "documents")
+    return DD.minhash_poly_pairs(
+        docs, num_hashes=32, bands=8, shingle_n=3, jaccard_threshold=0.3
+    )
+
+
+_SHINGLE_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(lower(s), ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 31 + b) % 1000000007)"
+)
+
+SQL_MINHASH_PAIRS_POLY = rf"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents
+), shg AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM t
+), f AS (SELECT * FROM shg WHERE len(sh) > 0),
+h AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {_SHINGLE_HASH_SQL}) AS h0 FROM f
+), sig AS (
+  SELECT doc_id, list_transform(range(0, 32), i ->
+     list_min(list_transform(h0, x -> ((2*i+1)*x + (9176*i*i + 11)) % 1000000007))) AS sig
+  FROM h
+), banded AS (
+  SELECT doc_id, band, array_to_string(sig[(band*4+1):(band*4+4)], ',') AS bkey
+  FROM sig, range(0, 8) AS r(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+FROM cand c JOIN f x ON c.id_a = x.doc_id JOIN f y ON c.id_b = y.doc_id
+WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.3
+"""
+
+
 def q_semdedup(spark, sf):
     """SemDeDup (Abbas et al. 2023) with deterministic sign-LSH
     clustering: cluster id = sign pattern of 6 fixed integer hyperplane
@@ -3528,6 +3579,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "revenue_q6": (q_revenue_q6, SQL_REVENUE_Q6),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
+    "minhash_pairs_poly": (q_minhash_pairs_poly, SQL_MINHASH_PAIRS_POLY),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "semdedup_kmeans": (q_semdedup_kmeans, None),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),

@@ -43,6 +43,7 @@ HEADLINE = [
     "quality_classifier",
     "gopher_filters",
     "minhash_pairs",
+    "minhash_pairs_poly",
     "simhash_pairs",
     "cosine_topk",
     "cosine_neardup",

@@ -417,6 +417,119 @@ def minhash_lsh_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
+POLY_MOD = 1_000_000_007
+POLY_BASE = 31
+
+
+def _poly_hash(s: Column) -> Column:
+    """Per-string polynomial rolling hash over lowercased character
+    codes — the cross-engine-exact hash family (same fold as
+    `text.rolling_hash`; a DuckDB ``list_reduce`` reproduces it
+    bit-for-bit, unlike ``xxhash64``)."""
+    chars = F.filter(F.split(F.lower(s), "(?!^)"), lambda ch: ch != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * POLY_BASE + F.ascii(ch)) % POLY_MOD,
+    )
+
+
+def minhash_poly_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.3,
+) -> DataFrame:
+    """MinHash-LSH pairs with an engine-reproducible hash family: shingle
+    base hash is the polynomial rolling hash, permutation ``i`` is
+    ``((2i+1)·h + (9176·i² + 11)) mod 1e9+7`` — every signature value,
+    band key, candidate pair, and verified Jaccard is bit-equal to an
+    independent DuckDB implementation of the same pipeline, which is what
+    lets the whole LSH path (not just its exact-Jaccard tail) be
+    hash-verified in the oracle gate.
+
+    Same physical plan as `minhash_lsh_pairs`: narrow (id, band, key)
+    projection through the candidate self-equi-join — shuffle is
+    O(rows × bands), never O(rows²) — then exact-Jaccard verification on
+    the (small, broadcast) candidate set only. The xxhash/Arrow variant
+    stays the throughput path; this one is its correctness twin (ANSI
+    note: max intermediate is 65·1e9 ≪ 2^63)."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(TX.word_ngrams(text_col, shingle_n)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    base = shingled.withColumn("_h0", F.transform("shingles", _poly_hash))
+    sigs = base.select(
+        "id",
+        "shingles",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("_h0"),
+                    lambda h: ((2 * i + 1) * h + (i * i * 9176 + 11)) % POLY_MOD,
+                )
+            ),
+        ).alias("sig"),
+    )
+    sigs = _persist(sigs)
+
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("sig"), b * r + 1, r),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bkey")
+
+    left, right = banded.alias("l"), banded.alias("r")
+    cand_ids = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = sigs.select("id", "shingles")
+    cand = (
+        sh.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("shingles", "sh_a")
+        .join(F.broadcast(cand_ids), "id_a")
+        .join(
+            sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"),
+            "id_b",
+        )
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def _neardup_matmul(
     base: DataFrame, threshold: float, tile_rows: int = 1_000_000
 ) -> DataFrame:

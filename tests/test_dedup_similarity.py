@@ -537,3 +537,29 @@ def test_text_neardup_hashed_end_to_end(spark):
     }
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_minhash_poly_finds_planted_near_dups(docs):
+    planted = _with_near_copies(docs)
+    pairs = DD.minhash_poly_pairs(planted, "text", "doc_id", jaccard_threshold=0.5)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    want = {(r.doc_id, r.doc_id + 100000) for r in docs.collect()}
+    recall = len(found & want) / len(want)
+    assert recall > 0.9, f"poly minhash recall {recall}"
+    assert pairs.agg(F.min("jaccard")).first()[0] >= 0.5
+
+
+def test_minhash_poly_deterministic_and_exact_jaccard(docs):
+    planted = _with_near_copies(docs).limit(40)
+    p1 = sorted(map(tuple, DD.minhash_poly_pairs(planted, "text", "doc_id").collect()))
+    p2 = sorted(map(tuple, DD.minhash_poly_pairs(planted, "text", "doc_id").collect()))
+    assert p1 == p2
+    sh = {
+        r.doc_id: set(r.s)
+        for r in planted.select(
+            "doc_id", F.array_distinct(TX.word_ngrams("text", 3)).alias("s")
+        ).collect()
+    }
+    for (id_a, id_b, jac) in p1[:20]:
+        a, b = sh[id_a], sh[id_b]
+        assert abs(jac - len(a & b) / len(a | b)) < 1e-6
