@@ -436,25 +436,32 @@ def q_percentiles(spark, sf):
     value equality with the built-in."""
     from revtron_utils_spark.operators.quantiles import exact_quantiles
 
-    li = _t(spark, sf, "lineitem")
-    q = exact_quantiles(
-        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.99], by=["l_returnflag"]
+    li = _t(spark, sf, "lineitem").withColumn(
+        # quantile over integer CENTS: bin bounds and the rank
+        # interpolation (frac ∈ {0,.25,.5,.75} × integer spans) are then
+        # all exactly representable doubles, so the pre-rounding value is
+        # bit-identical to DuckDB's quantile_cont — dollars interpolation
+        # differs by an ulp between engines and flips ROUND at .x5
+        # boundaries (observed at sf0.001: p75 81364.2 vs 81364.3)
+        "_cents",
+        F.round(F.col("l_extendedprice") * 100).cast("long"),
     )
+    q = exact_quantiles(li, "_cents", [0.25, 0.5, 0.75, 0.99], by=["l_returnflag"])
     return q.select(
         "l_returnflag",
-        F.round(F.col("p25"), 2).alias("p25"),
-        F.round(F.col("p50"), 2).alias("p50"),
-        F.round(F.col("p75"), 2).alias("p75"),
-        F.round(F.col("p99"), 2).alias("p99"),
+        F.round(F.col("p25") / 100, 2).alias("p25"),
+        F.round(F.col("p50") / 100, 2).alias("p50"),
+        F.round(F.col("p75") / 100, 2).alias("p75"),
+        F.round(F.col("p99") / 100, 2).alias("p99"),
     )
 
 
 SQL_PERCENTILES = """
 SELECT l_returnflag,
-       ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 2) AS p25,
-       ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 2) AS p50,
-       ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 2) AS p75,
-       ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 2) AS p99
+       ROUND(QUANTILE_CONT(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) / 100, 2) AS p25,
+       ROUND(QUANTILE_CONT(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) / 100, 2) AS p50,
+       ROUND(QUANTILE_CONT(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) / 100, 2) AS p75,
+       ROUND(QUANTILE_CONT(CAST(round(l_extendedprice * 100) AS BIGINT), 0.99) / 100, 2) AS p99
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -1744,6 +1751,47 @@ SELECT c.id_a, c.id_b,
 FROM cand c JOIN f x ON c.id_a = x.doc_id JOIN f y ON c.id_b = y.doc_id
 WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
       / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.3
+"""
+
+
+def q_simhash_pairs_poly(spark, sf):
+    """SimHash near-dup pairs with the engine-reproducible poly hash
+    family and a 60-bit hash (`dedup.simhash_poly_pairs`): the oracle
+    re-implements hash, pigeonhole banding, and Hamming verification —
+    the whole SimHash path hash-verifies (the xxhash/Arrow
+    `simhash_pairs` twin stays the throughput path, rows-only)."""
+    docs = _t(spark, sf, "documents")
+    return DD.simhash_poly_pairs(docs, max_hamming=3)
+
+
+_SIMHASH_TOKHASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(lower(tk), ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 31 + b) % 1000000007)"
+)
+
+SQL_SIMHASH_PAIRS_POLY = rf"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, list_transform(list_distinct(toks), tk -> {_SIMHASH_TOKHASH_SQL}) AS hs
+  FROM t WHERE len(toks) > 0
+), sim AS (
+  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), i ->
+    CASE WHEN CAST(list_sum(list_transform(hs, hv ->
+          CASE WHEN ((hv*(2*i+1) + 9176*i*i + 11) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
+         THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sh
+  FROM h
+), chunked AS (
+  SELECT doc_id, sh, chunk, (sh >> (chunk * 15)) & 32767 AS ckey
+  FROM sim, range(0, 4) AS r(chunk)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM chunked a JOIN chunked b
+  ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
 """
 
 
@@ -3580,6 +3628,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "minhash_pairs_poly": (q_minhash_pairs_poly, SQL_MINHASH_PAIRS_POLY),
+    "simhash_pairs_poly": (q_simhash_pairs_poly, SQL_SIMHASH_PAIRS_POLY),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "semdedup_kmeans": (q_semdedup_kmeans, None),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),

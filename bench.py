@@ -45,6 +45,7 @@ HEADLINE = [
     "minhash_pairs",
     "minhash_pairs_poly",
     "simhash_pairs",
+    "simhash_pairs_poly",
     "cosine_topk",
     "cosine_neardup",
     "cosine_neardup_lsh",

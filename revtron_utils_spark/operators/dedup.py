@@ -716,6 +716,90 @@ def simhash_pairs(
     )
 
 
+def simhash_poly(col: Column | str, bits: int = 60) -> Column:
+    """SimHash over whitespace tokens using the engine-reproducible
+    polynomial hash family: token bit ``i`` is the parity of the affine
+    re-hash ``((h·(2i+1) + 9176·i² + 11) mod 1e9+7)`` of the token's
+    poly-hash ``h``. 60 bits (not 64) keeps the packed value positive so
+    the chunking arithmetic (`>>`/`&`) has identical semantics in every
+    engine — no two's-complement sign bit to reason about."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.array_distinct(TX.tokens(c))
+    h0 = F.transform(toks, _poly_hash)
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    votes = F.aggregate(
+        h0,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                bit_idx,
+                lambda i: F.when(
+                    ((h * (2 * i + 1) + i * i * 9176 + 11) % POLY_MOD) % 2 == 1, 1
+                ).otherwise(-1),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    bit_vals = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    contrib = F.zip_with(
+        votes, bit_vals, lambda v, b: F.when(v > 0, b).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(contrib, F.lit(0).cast("long"), lambda a, b: a + b)
+
+
+def simhash_poly_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """`simhash_pairs` with the cross-engine-exact poly hash family and a
+    60-bit hash: pigeonhole banding on 4 × 15-bit chunks (Hamming ≤ 3 ⇒
+    some chunk equal), Hamming verified join-local. Bit-equal to the
+    DuckDB oracle end-to-end (hash, banding, verification) — the
+    correctness twin of the xxhash/Arrow throughput path."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("4-chunk banding guarantees recall only for Hamming <= 3")
+    hashed = df.filter(F.size(TX.tokens(text_col)) > 0).select(
+        F.col(id_col).alias("id"), simhash_poly(text_col).alias("sh")
+    )
+    hashed = _persist(hashed)
+    chunked = hashed.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("sh"), i * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("ckey"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sh", "c.chunk", "c.ckey")
+    l, r = chunked.alias("l"), chunked.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ckey") == F.col("r.ckey"))
+            & (F.col("l.id") < F.col("r.id"))
+            & (TX.hamming64(F.col("l.sh"), F.col("r.sh")) <= max_hamming),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            TX.hamming64(F.col("l.sh"), F.col("r.sh")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 # ------------------------------------------------------------ n-gram Jaccard
 
 

@@ -563,3 +563,17 @@ def test_minhash_poly_deterministic_and_exact_jaccard(docs):
     for (id_a, id_b, jac) in p1[:20]:
         a, b = sh[id_a], sh[id_b]
         assert abs(jac - len(a & b) / len(a | b)) < 1e-6
+
+
+def test_simhash_poly_pairs_plants_and_verifies(docs):
+    planted = _with_near_copies(docs)
+    pairs = DD.simhash_poly_pairs(planted, "text", "doc_id", max_hamming=3)
+    rows = pairs.collect()
+    found = {(r.id_a, r.id_b) for r in rows}
+    want = {(r.doc_id, r.doc_id + 100000) for r in docs.collect()}
+    recall = len(found & want) / len(want)
+    assert recall > 0.5, f"simhash poly recall {recall}"
+    assert all(0 <= r.hamming <= 3 for r in rows)
+    # determinism
+    rows2 = DD.simhash_poly_pairs(planted, "text", "doc_id", max_hamming=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
