@@ -1527,6 +1527,23 @@ FROM s
 """
 
 
+def q_bpe_learned(spark, sf):
+    """Distributed BPE training (`operators/bpe.py`): 16 merge rounds
+    learned on the documents corpus via per-round combinable pair-count
+    aggregations over the distinct-word frequency table. Iterative →
+    genuinely non-SQL (rows-only); exactness vs a pure-Python reference
+    implementation (merge table, tie-breaks, overlap semantics,
+    encodings) is proven in tests/test_bpe.py."""
+    from revtron_utils_spark.operators import bpe as B
+
+    docs = _t(spark, sf, "documents")
+    merges = B.bpe_train(docs, num_merges=16)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
+
+
 def q_quality_classifier(spark, sf):
     """Hashed-feature linear classifier (fastText-style hashing trick):
     token → poly-hash bucket → deterministic integer weight; doc score =
@@ -3587,6 +3604,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
+    "bpe_learned": (q_bpe_learned, None),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "gopher_filters": (q_gopher_filters, SQL_GOPHER_FILTERS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
