@@ -1527,6 +1527,66 @@ FROM s
 """
 
 
+def q_ngram_counts(spark, sf):
+    """Corpus word-3gram frequency table with a min-count floor
+    (`retrieval.ngram_counts`) — one explode + one map-side-combined
+    aggregate; the tail never leaves the executors."""
+    from revtron_utils_spark.operators.retrieval import ngram_counts
+
+    docs = _t(spark, sf, "documents")
+    return ngram_counts(docs, n=3, min_count=3)
+
+
+SQL_NGRAM_COUNTS = r"""
+WITH t AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents
+), g AS (
+  SELECT unnest(CASE WHEN len(toks) >= 3
+    THEN list_transform(range(1, len(toks) - 1),
+                        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+    ELSE CAST([] AS VARCHAR[]) END) AS ngram
+  FROM t
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY ngram HAVING count(*) >= 3
+"""
+
+
+def q_rarity_scores(spark, sf):
+    """Per-doc mean inverse document frequency (log-free surprisal
+    proxy, `retrieval.rarity_scores`): per-token idf quantized to an
+    integer so the per-doc sum is order-independent and the rounded
+    mean hash-matches DuckDB exactly."""
+    from revtron_utils_spark.operators.retrieval import rarity_scores
+
+    docs = _t(spark, sf, "documents")
+    return rarity_scores(docs)
+
+
+SQL_RARITY_SCORES = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), t -> t != ''),
+                        tk -> lower(tk)) AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM t
+), dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term
+), idf AS (
+  SELECT term,
+         CAST(round((SELECT count(*) FROM documents) * 1000000.0 / df) AS BIGINT) AS idf_int
+  FROM dfreq
+)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(idf.idf_int) / (count(*) * 1000000.0), 6) AS rarity
+FROM tok JOIN idf USING (term)
+GROUP BY tok.doc_id
+"""
+
+
 def q_bpe_learned(spark, sf):
     """Distributed BPE training (`operators/bpe.py`): 16 merge rounds
     learned on the documents corpus via per-round combinable pair-count
@@ -3604,6 +3664,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
+    "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
+    "rarity_scores": (q_rarity_scores, SQL_RARITY_SCORES),
     "bpe_learned": (q_bpe_learned, None),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "gopher_filters": (q_gopher_filters, SQL_GOPHER_FILTERS),

@@ -42,6 +42,8 @@ HEADLINE = [
     "text_quality",
     "quality_classifier",
     "gopher_filters",
+    "ngram_counts",
+    "rarity_scores",
     "minhash_pairs",
     "minhash_pairs_poly",
     "simhash_pairs",

@@ -184,3 +184,69 @@ FROM scored GROUP BY {id_col}
     if k is not None:
         sql += f"ORDER BY bm25 DESC, {id_col} LIMIT {k}\n"
     return sql
+
+
+def ngram_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level word n-gram frequency table (the "count all 5-grams
+    in the crawl" job): one explode projection + one map-side-combined
+    hash aggregate — the shuffle carries only (ngram, partial count),
+    and the ``min_count`` filter keeps the long tail from ever being
+    returned. Output: (ngram, n_occurrences)."""
+    from ..functions import text as TX
+
+    return (
+        docs.select(F.explode(TX.word_ngrams(text_col, n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
+def rarity_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document rarity: the mean inverse document frequency of its
+    tokens — the log-free cousin of a unigram-LM surprisal filter (rare
+    vocabulary ⇒ high score). Exactness trick: per-token idf is
+    quantized to an INTEGER (``round(scale·N/df)``) so the per-document
+    sum is order-independent and the final rounded mean hash-matches the
+    DuckDB oracle bit-for-bit.
+
+    Plan: one narrow token explode; document frequencies aggregate
+    map-side; the df table is vocabulary-sized — broadcast onto the
+    token stream, so the only wide shuffle is the per-document
+    re-aggregation. Output: (id_col, n_tokens, rarity)."""
+    from ..functions import text as TX
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.transform(TX.tokens(text_col), F.lower)).alias("term"),
+    )
+    n_docs = docs.count()
+    df_tab = (
+        toks.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "idf_int", F.round(F.lit(float(n_docs) * scale) / F.col("df")).cast("long")
+        )
+    )
+    return (
+        toks.join(F.broadcast(df_tab.select("term", "idf_int")), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("idf_int") / (F.count(F.lit(1)) * F.lit(float(scale))), 6
+            ).alias("rarity"),
+        )
+    )
