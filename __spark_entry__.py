@@ -1587,6 +1587,57 @@ GROUP BY tok.doc_id
 """
 
 
+_TOKHASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split(lower(tk), ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 31 + b) % 1000000007)"
+)
+
+
+def q_quantile_filter(spark, sf):
+    """Keep the top half of every source domain by classifier score
+    (`curation.filter_by_score_quantile`): per-group threshold from the
+    combinable exact-quantile histogram (no per-group sort, hot domains
+    can't single-task), broadcast back, filter. Integer scores make the
+    quantile threshold engine-exact."""
+    from revtron_utils_spark.functions import classifier as CL
+    from revtron_utils_spark.operators.curation import filter_by_score_quantile
+
+    docs = _t(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "source", CL.hashed_linear_score_num("text").alias("score_num")
+    )
+    # finer initial log-bins resolve integer scores without refinement
+    # rounds (each refinement is a driver-latency job at fixture scale)
+    return filter_by_score_quantile(
+        scored,
+        "score_num",
+        keep_frac=0.5,
+        by=["source"],
+        quantiles_kwargs={"bins_per_efold": 4096},
+    )
+
+
+SQL_QUANTILE_FILTER = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, source,
+         COALESCE(list_sum(list_transform(toks, tk ->
+           (({_TOKHASH_SQL} % 4096 + 1) * 2654435761) % 2000001 - 1000000
+         )), 0) AS score_num
+  FROM t
+), q AS (
+  SELECT source, QUANTILE_CONT(score_num, 0.5) AS thr FROM s GROUP BY source
+)
+SELECT s.doc_id, s.source, CAST(s.score_num AS BIGINT) AS score_num
+FROM s JOIN q USING (source)
+WHERE s.score_num >= q.thr
+"""
+
+
 def q_bpe_learned(spark, sf):
     """Distributed BPE training (`operators/bpe.py`): 16 merge rounds
     learned on the documents corpus via per-round combinable pair-count
@@ -1619,12 +1670,6 @@ def q_quality_classifier(spark, sf):
         (CL.hashed_linear_score_num("text", dim=4096, seed=0) > 0).alias("keep"),
     )
 
-
-_TOKHASH_SQL = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(string_split(lower(tk), ''), c -> CAST(ascii(c) AS BIGINT))), "
-    "(a, b) -> (a * 31 + b) % 1000000007)"
-)
 
 SQL_QUALITY_CLASSIFIER = rf"""
 WITH t AS (
@@ -3666,6 +3711,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
     "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
     "rarity_scores": (q_rarity_scores, SQL_RARITY_SCORES),
+    "quantile_filter": (q_quantile_filter, SQL_QUANTILE_FILTER),
     "bpe_learned": (q_bpe_learned, None),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "gopher_filters": (q_gopher_filters, SQL_GOPHER_FILTERS),

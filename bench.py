@@ -44,6 +44,7 @@ HEADLINE = [
     "gopher_filters",
     "ngram_counts",
     "rarity_scores",
+    "quantile_filter",
     "minhash_pairs",
     "minhash_pairs_poly",
     "simhash_pairs",

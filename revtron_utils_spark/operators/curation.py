@@ -500,3 +500,45 @@ def weighted_hash_sample(
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     thr = (w * HASH_MOD).cast("long")
     return df.filter(id_hash(id_col, seed) < thr)
+
+
+def filter_by_score_quantile(
+    df: DataFrame,
+    score_col: str,
+    keep_frac: float = 0.5,
+    by: Sequence[str] = (),
+    quantiles_kwargs: dict | None = None,
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of rows by ``score_col`` within each
+    ``by`` group — the percentile-based quality filter (e.g. "keep the
+    best half of every domain by classifier score").
+
+    Scale plan: the naive form is a per-group ``percent_rank`` window —
+    a full sort of every group, single-task for a hot domain. This
+    instead computes the per-group threshold with
+    `quantiles.exact_quantiles` (combinable histogram refinement, no
+    per-group sort), broadcasts the tiny (group → threshold) table back,
+    and filters — one narrow shuffle for the histogram, zero sorts.
+    With INTEGER scores the threshold comparison is engine-exact
+    (`quantile_cont` interpolation over ints is exactly representable),
+    which is what lets the filter hash-verify against a DuckDB oracle.
+    """
+    from .dedup import _persist
+    from .quantiles import exact_quantiles
+
+    # the quantile histogram + refinement + the final filter each
+    # re-scan df; when the score is an expensive expression (classifier
+    # over tokens) that recompute dominates — persist once, released by
+    # dedup.release_caches() like every other operator intermediate
+    df = _persist(df)
+    by = list(by)
+    p = 1.0 - keep_frac
+    name = f"p{100 * p:g}".replace(".", "_")
+    qs = exact_quantiles(
+        df, score_col, [p], by=by, **(quantiles_kwargs or {})
+    ).select(*by, F.col(name).alias("_thr"))
+    if by:
+        out = df.join(F.broadcast(qs), by)
+    else:
+        out = df.crossJoin(F.broadcast(qs))
+    return out.filter(F.col(score_col) >= F.col("_thr")).drop("_thr")

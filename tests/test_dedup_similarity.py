@@ -577,3 +577,10 @@ def test_simhash_poly_pairs_plants_and_verifies(docs):
     # determinism
     rows2 = DD.simhash_poly_pairs(planted, "text", "doc_id", max_hamming=3).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_minhash_poly_arrow_expr_parity(docs):
+    sub = docs.limit(120)
+    a = sorted(map(tuple, DD.minhash_poly_pairs(sub, impl="arrow").collect()))
+    e = sorted(map(tuple, DD.minhash_poly_pairs(sub, impl="expr").collect()))
+    assert a == e
