@@ -446,7 +446,16 @@ def q_percentiles(spark, sf):
         "_cents",
         F.round(F.col("l_extendedprice") * 100).cast("long"),
     )
-    q = exact_quantiles(li, "_cents", [0.25, 0.5, 0.75, 0.99], by=["l_returnflag"])
+    q = exact_quantiles(
+        li,
+        "_cents",
+        [0.25, 0.5, 0.75, 0.99],
+        by=["l_returnflag"],
+        # integer cents need finer initial log-bins than dollars — at 512
+        # bins/efold the wider integer spacing leaves multi-valued
+        # quantile bins and pays 2-3 extra refinement driver-rounds
+        bins_per_efold=2048,
+    )
     return q.select(
         "l_returnflag",
         F.round(F.col("p25") / 100, 2).alias("p25"),
@@ -1635,6 +1644,47 @@ WITH t AS (
 SELECT s.doc_id, s.source, CAST(s.score_num AS BIGINT) AS score_num
 FROM s JOIN q USING (source)
 WHERE s.score_num >= q.thr
+"""
+
+
+def q_importance_weights(spark, sf):
+    """DSIR-style importance weights toward the lang='en' subset
+    (`curation.importance_weights`): hashed-unigram Laplace-smoothed
+    probability ratios, integer-quantized per token so per-doc sums are
+    order-independent — the whole weighting hash-verifies."""
+    from revtron_utils_spark.operators.curation import importance_weights
+
+    docs = _t(spark, sf, "documents")
+    return importance_weights(docs, target=F.col("lang") == "en")
+
+
+SQL_IMPORTANCE_WEIGHTS = r"""
+WITH t AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'), t -> t != ''),
+                        tk -> lower(tk)) AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, is_t, unnest(toks) AS term FROM t
+), bkt AS (
+  SELECT doc_id, is_t,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(lower(term), ''), c -> CAST(ascii(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) % 4096 AS b
+  FROM tok
+), counts AS (
+  SELECT b, count(*) AS cr, count(*) FILTER (is_t) AS ct FROM bkt GROUP BY b
+), tots AS (
+  SELECT CAST(sum(cr) + 4096 AS DOUBLE) AS traw, CAST(sum(ct) + 4096 AS DOUBLE) AS ttgt
+  FROM counts
+), w AS (
+  SELECT b, CAST(round((((ct + 1) * traw) / ((cr + 1) * ttgt)) * 1000000) AS BIGINT) AS r_int
+  FROM counts, tots
+)
+SELECT bkt.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(w.r_int) / (count(*) * 1000000.0), 6) AS weight
+FROM bkt JOIN w USING (b)
+GROUP BY bkt.doc_id
 """
 
 
@@ -3712,6 +3762,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ngram_counts": (q_ngram_counts, SQL_NGRAM_COUNTS),
     "rarity_scores": (q_rarity_scores, SQL_RARITY_SCORES),
     "quantile_filter": (q_quantile_filter, SQL_QUANTILE_FILTER),
+    "importance_weights": (q_importance_weights, SQL_IMPORTANCE_WEIGHTS),
     "bpe_learned": (q_bpe_learned, None),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "gopher_filters": (q_gopher_filters, SQL_GOPHER_FILTERS),

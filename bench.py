@@ -45,6 +45,7 @@ HEADLINE = [
     "ngram_counts",
     "rarity_scores",
     "quantile_filter",
+    "importance_weights",
     "minhash_pairs",
     "minhash_pairs_poly",
     "simhash_pairs",

@@ -542,3 +542,61 @@ def filter_by_score_quantile(
     else:
         out = df.crossJoin(F.broadcast(qs))
     return out.filter(F.col(score_col) >= F.col("_thr")).drop("_thr")
+
+
+def importance_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 4096,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al., "Data selection for
+    language models via importance resampling", NeurIPS 2023): score
+    each document by how much its hashed-unigram distribution resembles
+    the ``target`` subset vs the whole corpus, for importance
+    resampling of a raw corpus toward a target domain.
+
+    This is the repo's log-free rational variant (the BM25 precedent):
+    instead of the paper's sum of log probability ratios, the per-token
+    Laplace-smoothed probability ratio ``p_target(b)/p_raw(b)`` is
+    quantized to an integer (``round(scale·r)``), and the document
+    weight is the mean ratio — every per-token value is a fixed-order
+    scalar expression (deterministic IEEE), the per-document sum is an
+    integer sum (order-independent), so the whole weighting
+    hash-verifies against a DuckDB oracle.
+
+    Plan: one token explode; bucket counts aggregate map-side into a
+    table of ≤ ``dim`` rows (broadcast by construction, with the two
+    total-count scalars folded in); one broadcast join back onto the
+    token stream; one per-document re-aggregation. No sort, no Python.
+    Output: (id_col, n_tokens, weight)."""
+    from ..functions import classifier as CL
+    from ..functions import text as TX
+
+    toks = df.select(
+        F.col(id_col),
+        target.alias("_is_target"),
+        F.explode(F.transform(TX.tokens(text_col), F.lower)).alias("_term"),
+    ).withColumn("_b", CL.hashed_bucket(F.col("_term"), dim))
+    counts = toks.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cr"),
+        F.count_if(F.col("_is_target")).alias("_ct"),
+    )
+    tot = counts.agg(F.sum("_cr").alias("tr"), F.sum("_ct").alias("tt")).first()
+    t_raw, t_tgt = float(tot.tr + dim), float(tot.tt + dim)
+    ratio = ((F.col("_ct") + 1) * F.lit(t_raw)) / ((F.col("_cr") + 1) * F.lit(t_tgt))
+    bucket_w = counts.select(
+        "_b", F.round(ratio * scale).cast("long").alias("_r_int")
+    )
+    return (
+        toks.join(F.broadcast(bucket_w), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("_r_int") / (F.count(F.lit(1)) * F.lit(float(scale))), 6
+            ).alias("weight"),
+        )
+    )

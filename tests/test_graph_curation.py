@@ -457,3 +457,25 @@ def test_take_token_budget_margin_independent(spark):
         by_dom[d] = by_dom.get(d, 0) + 1
     assert by_dom["hot"] == 10   # 10 x 40 = 400 tokens, exactly the budget
     assert by_dom["small"] == 3  # whole small domain fits
+
+
+def test_importance_weights_favor_target_distribution(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from revtron_utils_spark.operators.curation import importance_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = importance_weights(docs, target=F.col("lang") == "en")
+    joined = w.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r.lang: r.mw
+        for r in joined.groupBy("lang").agg(F.avg("weight").alias("mw")).collect()
+    }
+    # English docs must look more target-like than any other language
+    assert all(means["en"] > v for k, v in means.items() if k != "en"), means
+    # weights are importance ratios around 1: sane range, no blowups
+    mn, mx = w.agg(F.min("weight"), F.max("weight")).first()
+    assert 0.0 < mn and mx < 100.0
+    # deterministic
+    a = sorted(map(tuple, w.collect()))
+    b = sorted(map(tuple, importance_weights(docs, target=F.col("lang") == "en").collect()))
+    assert a == b
