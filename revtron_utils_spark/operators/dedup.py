@@ -835,11 +835,55 @@ def simhash_poly(col: Column | str, bits: int = 60) -> Column:
     return F.aggregate(contrib, F.lit(0).cast("long"), lambda a, b: a + b)
 
 
+def simhash_poly_arrow(bits: int = 60):
+    """Arrow-vectorized twin of `simhash_poly` — same hash DEFINITION
+    (per-token poly hash of the lowercased token over RAW-distinct
+    tokens, parity of affine re-hashes as bit votes), bit-identical
+    output; one numpy matrix reduction per document instead of a
+    bits×tokens interpreted expression."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = POLY_MOD
+    A = np.arange(bits, dtype=np.int64)[None, :] * 2 + 1
+    B = (np.arange(bits, dtype=np.int64)[None, :] ** 2) * 9176 + 11
+    bitvals = (np.int64(1) << np.arange(bits, dtype=np.int64))
+
+    def sh(texts):
+        cache: dict = {}
+
+        def tok_h(t):
+            v = cache.get(t)
+            if v is None:
+                v = 0
+                for ch in t.lower():
+                    v = (v * 31 + ord(ch)) % P
+                cache[t] = v
+            return v
+
+        out = []
+        for t in texts:
+            toks = set((t or "").split())
+            if not toks:
+                out.append(0)
+                continue
+            h = np.fromiter(
+                (tok_h(w) for w in toks), dtype=np.int64, count=len(toks)
+            )
+            votes = (((h[:, None] * A + B) % P) % 2 * 2 - 1).sum(axis=0)
+            out.append(int(bitvals[votes > 0].sum()))
+        return pd.Series(out)
+
+    return pandas_udf(sh, "long")
+
+
 def simhash_poly_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    impl: str = "arrow",
 ) -> DataFrame:
     """`simhash_pairs` with the cross-engine-exact poly hash family and a
     60-bit hash: pigeonhole banding on 4 × 15-bit chunks (Hamming ≤ 3 ⇒
@@ -848,8 +892,13 @@ def simhash_poly_pairs(
     correctness twin of the xxhash/Arrow throughput path."""
     if not 0 <= max_hamming <= 3:
         raise ValueError("4-chunk banding guarantees recall only for Hamming <= 3")
+    sh_col = (
+        simhash_poly_arrow()(F.col(text_col))
+        if impl == "arrow"
+        else simhash_poly(text_col)
+    )
     hashed = df.filter(F.size(TX.tokens(text_col)) > 0).select(
-        F.col(id_col).alias("id"), simhash_poly(text_col).alias("sh")
+        F.col(id_col).alias("id"), sh_col.alias("sh")
     )
     hashed = _persist(hashed)
     chunked = hashed.select(

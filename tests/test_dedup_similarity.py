@@ -584,3 +584,10 @@ def test_minhash_poly_arrow_expr_parity(docs):
     a = sorted(map(tuple, DD.minhash_poly_pairs(sub, impl="arrow").collect()))
     e = sorted(map(tuple, DD.minhash_poly_pairs(sub, impl="expr").collect()))
     assert a == e
+
+
+def test_simhash_poly_arrow_expr_parity(docs):
+    sub = docs.limit(120)
+    a = sorted(map(tuple, DD.simhash_poly_pairs(sub, impl="arrow").collect()))
+    e = sorted(map(tuple, DD.simhash_poly_pairs(sub, impl="expr").collect()))
+    assert a == e
