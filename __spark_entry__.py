@@ -1688,6 +1688,88 @@ GROUP BY bkt.doc_id
 """
 
 
+def _sql_bucket(id_expr: str, seed: int = 0) -> str:
+    from revtron_utils_spark.operators.curation import HASH_MOD, _seed_mult
+
+    return (
+        f"((((({id_expr}) % {HASH_MOD}) + {HASH_MOD}) % {HASH_MOD}"
+        f" * {_seed_mult(seed)} + {int(seed) % HASH_MOD}) % {HASH_MOD})"
+    )
+
+
+def q_deterministic_shuffle(spark, sf):
+    """Reproducible global training order
+    (`curation.deterministic_shuffle`): two-pass distributed rank over
+    (id_hash, id) — range repartition + local rank + partition offsets,
+    never a single-task global window."""
+    from revtron_utils_spark.operators.curation import deterministic_shuffle
+
+    docs = _t(spark, sf, "documents")
+    return deterministic_shuffle(docs, "doc_id", seed=7).select(
+        "doc_id", "shuffle_rank"
+    )
+
+
+SQL_DETERMINISTIC_SHUFFLE = (
+    f"SELECT doc_id, CAST(row_number() OVER (ORDER BY {_sql_bucket('doc_id', 7)}, doc_id) - 1 "
+    "AS BIGINT) AS shuffle_rank FROM documents"
+)
+
+
+def q_leakage_safe_split(spark, sf):
+    """Near-dup-cluster-aware train/val/test split
+    (`curation.leakage_safe_split`): split by hash of the connected-
+    component representative of the n-gram-Jaccard pair graph — a doc
+    and its paraphrase always share a split (no eval leakage)."""
+    from revtron_utils_spark.operators.curation import leakage_safe_split
+
+    docs = _t(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=("lang", "source"), shingle_n=3, threshold=0.2
+    )
+    out = leakage_safe_split(docs, pairs, "doc_id", _SPLIT_W, seed=0)
+    return out.select("doc_id", "component", "split")
+
+
+def _sql_component_split_expr() -> str:
+    from revtron_utils_spark.operators.curation import HASH_MOD
+
+    b = _sql_bucket("component")
+    t_train = int(0.8 * HASH_MOD)
+    t_val = int(0.9 * HASH_MOD)
+    return (
+        f"CASE WHEN {b} < {t_train} THEN 'train' "
+        f"WHEN {b} < {t_val} THEN 'val' ELSE 'test' END"
+    )
+
+
+SQL_LEAKAGE_SAFE_SPLIT = rf"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+           ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM (SELECT doc_id, lang, source, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+), f AS (SELECT * FROM t WHERE len(sh) > 0),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM f a JOIN f b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+), comp AS (
+  SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+)
+SELECT doc_id, component, {_sql_component_split_expr()} AS split FROM comp
+"""
+
+
 def q_bpe_learned(spark, sf):
     """Distributed BPE training (`operators/bpe.py`): 16 merge rounds
     learned on the documents corpus via per-round combinable pair-count
@@ -2094,15 +2176,6 @@ def q_train_test_split(spark, sf):
 
     docs = _t(spark, sf, "documents").select("doc_id")
     return CU.hash_split(docs, "doc_id", _SPLIT_W)
-
-
-def _sql_bucket(id_expr: str, seed: int = 0) -> str:
-    from revtron_utils_spark.operators.curation import HASH_MOD, _seed_mult
-
-    return (
-        f"((((({id_expr}) % {HASH_MOD}) + {HASH_MOD}) % {HASH_MOD}"
-        f" * {_seed_mult(seed)} + {int(seed) % HASH_MOD}) % {HASH_MOD})"
-    )
 
 
 def _sql_split_expr() -> str:
@@ -3763,6 +3836,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rarity_scores": (q_rarity_scores, SQL_RARITY_SCORES),
     "quantile_filter": (q_quantile_filter, SQL_QUANTILE_FILTER),
     "importance_weights": (q_importance_weights, SQL_IMPORTANCE_WEIGHTS),
+    "deterministic_shuffle": (q_deterministic_shuffle, SQL_DETERMINISTIC_SHUFFLE),
+    "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
     "bpe_learned": (q_bpe_learned, None),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "gopher_filters": (q_gopher_filters, SQL_GOPHER_FILTERS),

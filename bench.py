@@ -46,6 +46,8 @@ HEADLINE = [
     "rarity_scores",
     "quantile_filter",
     "importance_weights",
+    "deterministic_shuffle",
+    "leakage_safe_split",
     "minhash_pairs",
     "minhash_pairs_poly",
     "simhash_pairs",

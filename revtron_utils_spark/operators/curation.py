@@ -600,3 +600,74 @@ def importance_weights(
             ).alias("weight"),
         )
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    rank_col: str = "shuffle_rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Reproducible global training order: rank every row by
+    ``(id_hash(id, seed), id)`` — the deterministic, engine-portable
+    version of "shuffle the corpus before training" (same order every
+    run, any cluster size, and the DuckDB oracle reproduces it).
+
+    Scale plan: a bare ``row_number()`` with no PARTITION BY collapses
+    to ONE task. Instead: range-repartition on the sort key (each
+    partition owns a disjoint key range), rank locally per partition,
+    then add per-partition offsets from a partition-count pass — the
+    classic two-pass distributed rank; the only driver state is one
+    count per partition. The rank is independent of the partitioning
+    itself (the key (hash, id) is a strict total order)."""
+    _require_integral_id(df, id_col)
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    keyed = df.withColumn("_sk", id_hash(id_col, seed)).repartitionByRange(
+        n, F.col("_sk"), F.col(id_col)
+    )
+    tmp = keyed.withColumn("_pid", F.spark_partition_id())
+    from .dedup import _persist
+
+    tmp = _persist(tmp)
+    counts = sorted((r["_pid"], r["cnt"]) for r in
+                    tmp.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect())
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    offs = spark.createDataFrame(offsets, "_pid int, _off long")
+    wloc = W.partitionBy("_pid").orderBy(F.col("_sk").asc(), F.col(id_col).asc())
+    return (
+        tmp.join(F.broadcast(offs), "_pid")
+        .withColumn(rank_col, (F.row_number().over(wloc) - 1 + F.col("_off")).cast("long"))
+        .drop("_sk", "_pid", "_off")
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 0,
+    src: str = "id_a",
+    dst: str = "id_b",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that never separates near-duplicates:
+    rows are split by the hash of their DEDUP-CLUSTER representative
+    (connected components over the near-dup pair graph), so a document
+    and its paraphrase can't land in train and test — the standard
+    guard against eval leakage through duplicates.
+
+    Composition of two existing scale paths: distributed connected
+    components (large-star/small-star, O(log² n) rounds) + the pure-
+    projection hash split keyed on the component id."""
+    from .graph import connected_components
+
+    comp = connected_components(
+        pairs, src=src, dst=dst, nodes=df.select(F.col(id_col)), node_col=id_col
+    ).select(F.col("node").alias(id_col), "component")
+    return hash_split(df.join(comp, id_col), "component", weights, seed, split_col)

@@ -479,3 +479,54 @@ def test_importance_weights_favor_target_distribution(spark, sf_dir):
     a = sorted(map(tuple, w.collect()))
     b = sorted(map(tuple, importance_weights(docs, target=F.col("lang") == "en").collect()))
     assert a == b
+
+
+def test_deterministic_shuffle_is_permutation_and_stable(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from revtron_utils_spark.operators.curation import deterministic_shuffle
+    from revtron_utils_spark.operators.dedup import release_caches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    out = deterministic_shuffle(docs, "doc_id", seed=3, partitions=7)
+    rows = {r.doc_id: r.shuffle_rank for r in out.select("doc_id", "shuffle_rank").collect()}
+    release_caches()
+    assert sorted(rows.values()) == list(range(n))  # exact permutation
+    # independent of partition count, stable across runs
+    out2 = deterministic_shuffle(docs, "doc_id", seed=3, partitions=13)
+    rows2 = {r.doc_id: r.shuffle_rank for r in out2.select("doc_id", "shuffle_rank").collect()}
+    release_caches()
+    assert rows == rows2
+    # a different seed is a different permutation
+    out3 = deterministic_shuffle(docs, "doc_id", seed=4, partitions=7)
+    rows3 = {r.doc_id: r.shuffle_rank for r in out3.select("doc_id", "shuffle_rank").collect()}
+    release_caches()
+    assert rows != rows3
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
+    import pyspark.sql.functions as F
+    from revtron_utils_spark.operators.curation import leakage_safe_split
+    from revtron_utils_spark.operators.dedup import ngram_jaccard_pairs
+    from revtron_utils_spark.operators.dedup import release_caches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang", "source")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=("lang", "source"), shingle_n=3, threshold=0.2
+    )
+    out = leakage_safe_split(docs, pairs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # every component maps to exactly one split; no doc lost
+    agg = out.groupBy("component").agg(F.count_distinct("split").alias("k")).collect()
+    release_caches()
+    assert all(r.k == 1 for r in agg)
+    assert out.count() == docs.count()
+    # paired docs share a split
+    viol = (
+        pairs.alias("p")
+        .join(out.alias("x"), F.col("p.id_a") == F.col("x.doc_id"))
+        .join(out.alias("y"), F.col("p.id_b") == F.col("y.doc_id"))
+        .where(F.col("x.split") != F.col("y.split"))
+        .count()
+    )
+    release_caches()
+    assert viol == 0
