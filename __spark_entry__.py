@@ -3149,6 +3149,63 @@ def q_dedup_index_probe(spark, sf):
     return probe_minhash_index(new, postings, features)
 
 
+def q_dedup_index_probe_poly(spark, sf):
+    """`dedup_index_probe` with the engine-reproducible poly hash family
+    (hash_family='poly'): the DuckDB oracle re-implements the index
+    build (band postings over the 80%), the batch probe (new×corpus ∪
+    new×new candidates), and the Jaccard verification — the incremental
+    dedup path itself is hash-verified, not just rows-counted."""
+    from revtron_utils_spark.operators.dedup_index import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    postings, features = build_minhash_index(
+        old, num_hashes=32, bands=8, hash_family="poly"
+    )
+    return probe_minhash_index(
+        new, postings, features, jaccard_threshold=0.3,
+        num_hashes=32, bands=8, hash_family="poly",
+    )
+
+
+SQL_DEDUP_INDEX_PROBE_POLY = rf"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents
+), shg AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM t
+), f AS (SELECT * FROM shg WHERE len(sh) > 0),
+h AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {_SHINGLE_HASH_SQL}) AS h0 FROM f
+), sig AS (
+  SELECT doc_id, list_transform(range(0, 32), i ->
+     list_min(list_transform(h0, x -> ((2*i+1)*x + (9176*i*i + 11)) % 1000000007))) AS sig
+  FROM h
+), banded AS (
+  SELECT doc_id, band, array_to_string(sig[(band*4+1):(band*4+4)], ',') AS bkey
+  FROM sig, range(0, 8) AS r(band)
+), cand AS (
+  SELECT DISTINCT LEAST(n.doc_id, o.doc_id) AS id_a, GREATEST(n.doc_id, o.doc_id) AS id_b
+  FROM banded n JOIN banded o
+    ON n.band = o.band AND n.bkey = o.bkey AND n.doc_id != o.doc_id
+  WHERE n.doc_id % 5 = 0
+)
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+FROM cand c JOIN f x ON c.id_a = x.doc_id JOIN f y ON c.id_b = y.doc_id
+WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.3
+"""
+
+
 def q_text_neardup_hashed(spark, sf):
     """End-to-end model-free text near-dup: documents are embedded with
     the hashing-trick TF featurizer (pure codegen, no model, no
@@ -3880,6 +3937,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "minhash_pairs_poly": (q_minhash_pairs_poly, SQL_MINHASH_PAIRS_POLY),
+    "dedup_index_probe_poly": (q_dedup_index_probe_poly, SQL_DEDUP_INDEX_PROBE_POLY),
     "simhash_pairs_poly": (q_simhash_pairs_poly, SQL_SIMHASH_PAIRS_POLY),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "semdedup_kmeans": (q_semdedup_kmeans, None),

@@ -31,20 +31,33 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from revtron_utils_spark.operators.dedup import minhash_banded_arrow
+from revtron_utils_spark.operators.dedup import (
+    minhash_banded_arrow,
+    minhash_poly_features_arrow,
+)
 
-_DEFAULTS = dict(num_hashes=64, bands=16, shingle_n=3, seed=42)
+_DEFAULTS = dict(num_hashes=64, bands=16, shingle_n=3, seed=42, hash_family="crc32")
 
 
 def _featurize(
     df: DataFrame, text_col: str, id_col: str, p: dict
 ) -> DataFrame:
-    feats = minhash_banded_arrow(p["num_hashes"], p["bands"], p["shingle_n"], p["seed"])(
-        F.col(text_col)
-    )
+    if p.get("hash_family") == "poly":
+        # engine-reproducible family: band keys become strings, and the
+        # whole index+probe pipeline gains a DuckDB oracle twin (the
+        # seed is unused — the poly permutations are fixed)
+        feats = minhash_poly_features_arrow(
+            p["num_hashes"], p["bands"], p["shingle_n"]
+        )(F.col(text_col))
+        key = "f.bkeys"
+    else:
+        feats = minhash_banded_arrow(
+            p["num_hashes"], p["bands"], p["shingle_n"], p["seed"]
+        )(F.col(text_col))
+        key = "f.bhash"
     return (
         df.select(F.col(id_col).cast("long").alias("id"), feats.alias("f"))
-        .select("id", F.col("f.bhash").alias("bhash"), F.col("f.shingles").alias("shingles"))
+        .select("id", F.col(key).alias("bhash"), F.col("f.shingles").alias("shingles"))
         .filter(F.size("shingles") > 0)
     )
 

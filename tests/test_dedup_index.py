@@ -76,3 +76,29 @@ def test_append_with_different_params_refuses(corpus, tmp_path):
     write_minhash_index(corpus.limit(50), path, bands=16)
     with pytest.raises(ValueError, match="refusing append"):
         write_minhash_index(corpus.limit(50), path, mode="append", bands=8)
+
+
+def test_poly_probe_equals_full_sweep_restricted(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from revtron_utils_spark.operators import dedup as DD
+    from revtron_utils_spark.operators.dedup_index import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    p = dict(num_hashes=32, bands=8, hash_family="poly")
+    postings, features = build_minhash_index(old, **p)
+    probe = probe_minhash_index(new, postings, features, jaccard_threshold=0.3, **p)
+    got = {(r.id_a, r.id_b) for r in probe.collect()}
+    full = DD.minhash_poly_pairs(docs, num_hashes=32, bands=8, jaccard_threshold=0.3)
+    want = {
+        (r.id_a, r.id_b)
+        for r in full.collect()
+        if r.id_a % 5 == 0 or r.id_b % 5 == 0
+    }
+    DD.release_caches()
+    assert got == want
