@@ -1613,9 +1613,12 @@ def q_quantile_filter(spark, sf):
     from revtron_utils_spark.operators.curation import filter_by_score_quantile
 
     docs = _t(spark, sf, "documents")
-    scored = docs.select(
-        "doc_id", "source", CL.hashed_linear_score_num("text").alias("score_num")
-    )
+    # vocab-join scorer: the per-char hash fold runs once per DISTINCT
+    # token, not per occurrence (~2× at 50k short docs; grows with the
+    # occurrence:vocab ratio)
+    scored = CL.hashed_linear_scores(
+        docs.select("doc_id", "source", "text"), "text", "doc_id"
+    ).select("doc_id", "source", "score_num")
     # finer initial log-bins resolve integer scores without refinement
     # rounds (each refinement is a driver-latency job at fixture scale)
     return filter_by_score_quantile(

