@@ -3224,6 +3224,52 @@ def q_text_neardup_hashed(spark, sf):
     )
 
 
+def q_text_neardup_poly(spark, sf):
+    """`text_neardup_hashed` with the engine-reproducible poly bucket
+    (`hashed_tf_embedding(hash_family='poly')`): the DuckDB oracle
+    recomputes the hashing-trick embedding (per-bucket token counts →
+    l2 normalize → 1e-6 quantize) and the all-pairs cosine — the full
+    text→vector→near-dup loop hash-verifies."""
+    docs = (
+        _t(spark, sf, "documents")
+        .filter(F.size(TX.tokens("text")) > 0)
+        .select(
+            "doc_id",
+            VX.hashed_tf_embedding("text", 64, hash_family="poly").alias("embedding"),
+        )
+    )
+    return DD.embedding_neardup_pairs(
+        docs, vec_col="embedding", id_col="doc_id", threshold=0.95
+    )
+
+
+_TFEMB_SQL = rf"""
+  SELECT doc_id,
+         list_transform(range(0, 64), d -> CAST(len(list_filter(hb, x -> x = d)) AS DOUBLE)) AS cnts
+  FROM (
+    SELECT doc_id,
+           list_transform(list_filter(string_split_regex(trim(text), '\s+'), t -> t != ''),
+                          tk -> {_TOKHASH_SQL} % 64) AS hb
+    FROM documents
+  ) WHERE len(hb) > 0
+"""
+
+SQL_TEXT_NEARDUP_POLY = rf"""
+WITH c AS ({_TFEMB_SQL}),
+e AS (
+  SELECT doc_id,
+         list_transform(c.cnts, x -> round(x / SQRT(list_inner_product(c.cnts, c.cnts)) * 1000000)) AS ev
+  FROM c
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(list_inner_product(a.ev, b.ev)
+             / (SQRT(list_inner_product(a.ev, a.ev)) * SQRT(list_inner_product(b.ev, b.ev))), 6) AS cosine
+FROM e a JOIN e b ON a.doc_id < b.doc_id
+WHERE list_inner_product(a.ev, b.ev)
+      / (SQRT(list_inner_product(a.ev, a.ev)) * SQRT(list_inner_product(b.ev, b.ev))) >= 0.95
+"""
+
+
 def q_mincost_q2(spark, sf):
     """TPC-H Q2 shape: min-cost supplier per part (correlated MIN
     subquery decorrelated into agg + equality join). The fixture has no
@@ -3943,6 +3989,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_index_probe_poly": (q_dedup_index_probe_poly, SQL_DEDUP_INDEX_PROBE_POLY),
     "simhash_pairs_poly": (q_simhash_pairs_poly, SQL_SIMHASH_PAIRS_POLY),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "text_neardup_poly": (q_text_neardup_poly, SQL_TEXT_NEARDUP_POLY),
     "semdedup_kmeans": (q_semdedup_kmeans, None),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "rest_extract": (q_rest_extract, SQL_REST_EXTRACT),

@@ -90,7 +90,10 @@ def pair_dot_arrow() -> "Column":
 
 
 def hashed_tf_embedding(
-    text_col: Column | str, dim: int = 64, l2_normalize: bool = True
+    text_col: Column | str,
+    dim: int = 64,
+    l2_normalize: bool = True,
+    hash_family: str = "xxhash",
 ) -> Column:
     """Hashing-trick document embedding (``array<double>`` of ``dim``):
     each token hashes to a bucket (``xxhash64 mod dim``) and the vector
@@ -103,11 +106,20 @@ def hashed_tf_embedding(
     ``transform``), and the L2 normalization all stay JVM-side; no
     shuffle, no Python. Cost O(tokens · dim) comparisons per doc — keep
     ``dim`` ≤ a few hundred (at larger dims switch to the explode +
-    pivot aggregation, which trades a shuffle for linearity)."""
+    pivot aggregation, which trades a shuffle for linearity).
+
+    ``hash_family='poly'`` buckets via the polynomial rolling hash
+    instead of xxhash64 — slower per token but reproducible in any
+    engine, which upgrades downstream text-near-dup results from
+    rows-only to hash-verifiable against a DuckDB oracle."""
+    from revtron_utils_spark.functions.classifier import token_poly_hash
     from revtron_utils_spark.functions.text import tokens
 
     toks = tokens(text_col) if isinstance(text_col, str) else tokens(text_col)
-    buckets = F.transform(toks, lambda t: F.pmod(F.xxhash64(F.lower(t)), F.lit(dim)))
+    if hash_family == "poly":
+        buckets = F.transform(toks, lambda t: token_poly_hash(t) % dim)
+    else:
+        buckets = F.transform(toks, lambda t: F.pmod(F.xxhash64(F.lower(t)), F.lit(dim)))
     zero = F.array_repeat(F.lit(0.0), dim)
     counts = F.aggregate(
         buckets,
