@@ -35,6 +35,10 @@ def _handler(state: _State):
 
         def _json(self, code: int, body: dict | None):
             payload = b"" if body is None else json.dumps(body).encode()
+            # log BEFORE responding: the handler runs in a server worker
+            # thread, so a log-after-write races the client's next
+            # assertion (observed as a missing 204 under full-suite load)
+            state.log.append((self.command, self.path.split("?")[0], code))
             self.send_response(code)
             if payload:
                 self.send_header("Content-Type", "application/json")
@@ -43,7 +47,6 @@ def _handler(state: _State):
                 self.send_header("Content-Length", "0")
             self.end_headers()
             self.wfile.write(payload)
-            state.log.append((self.command, self.path.split("?")[0], code))
 
         def _authed(self) -> bool:
             return (
