@@ -119,6 +119,11 @@ def exact_quantiles(
     vals = df.filter(F.col(value_col).isNotNull()).select(
         *by, F.col(value_col).cast("double").alias("_v")
     )
+    # every pass (histogram, refinement rounds, final extract) scans
+    # this narrow projection; persist so the source is read once — the
+    # result is assembled driver-side, so unpersisting before return is
+    # safe (the returned frame has no lineage into vals)
+    vals = vals.persist()
     bin0 = _log_bin(F.col("_v"), bins_per_efold)
 
     # pass 1: one combinable aggregation gives n per group (sum of
@@ -134,6 +139,7 @@ def exact_quantiles(
         .collect()
     )
     if not hist:
+        vals.unpersist()
         fields = ", ".join(f"{n} double" for n in names)
         schema = (
             ", ".join(f"{c} {_ddl_type(df, c)}" for c in by) + ", " if by else ""
@@ -320,6 +326,7 @@ def exact_quantiles(
         + (", " if by else "")
         + ", ".join(f"{n} double" for n in names)
     )
+    vals.unpersist()
     return spark.createDataFrame(out_rows, out_schema)
 
 
