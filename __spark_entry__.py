@@ -3117,6 +3117,48 @@ FROM px GROUP BY doc_id
 """
 
 
+def q_image_resize(spark, sf):
+    """REAL image resize end-to-end: deterministic BMP payloads →
+    nearest-neighbor 16×16 → 8×8 (`multimodal.resize_images`, integer
+    index map ``src = (dst·in)//out``) → re-encode → decode again for
+    pixel stats. Hash-verified: the oracle recomputes the resized
+    pixels from the synth-image affine formula at the gathered source
+    coordinates (src = 2·dst for this shape) in pure SQL."""
+    from revtron_utils_spark.multimodal import (
+        attach_image_payload,
+        image_stats,
+        resize_images,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    resized = resize_images(attach_image_payload(docs), 8, 8)
+    stats = image_stats(resized)
+    return stats.select(
+        "doc_id", "width", "height",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_b", 4).alias("mean_b"),
+        F.round("luma_std", 4).alias("luma_std"),
+    )
+
+
+SQL_IMAGE_RESIZE = """
+WITH px AS (
+  SELECT d.doc_id, x.x, y.y,
+         CAST(((2*x.x)*7 + (2*y.y)*13 + d.doc_id*31) % 256 AS DOUBLE) AS r,
+         CAST(((2*x.x)*3 + (2*y.y)*5 + d.doc_id*17) % 256 AS DOUBLE) AS g,
+         CAST(((2*x.x)*11 + (2*y.y)*2 + d.doc_id*7) % 256 AS DOUBLE) AS b
+  FROM documents d
+  CROSS JOIN generate_series(0, 7) x(x)
+  CROSS JOIN generate_series(0, 7) y(y)
+)
+SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       ROUND(AVG(r), 4) AS mean_r,
+       ROUND(AVG(b), 4) AS mean_b,
+       ROUND(STDDEV_POP(0.299*r + 0.587*g + 0.114*b), 4) AS luma_std
+FROM px GROUP BY doc_id
+"""
+
+
 def q_audio_stats(spark, sf):
     """Binary audio columns end-to-end with a REAL decode: every doc
     gets a deterministic 16-bit PCM WAV payload, parsed inside the
@@ -4013,6 +4055,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ivf_ann": (q_ivf_ann, None),
     "cosine_neardup_lsh": (q_cosine_neardup_lsh, None),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "audio_stats": (q_audio_stats, None),
     "text_neardup_hashed": (q_text_neardup_hashed, None),
     "dedup_index_probe": (q_dedup_index_probe, None),

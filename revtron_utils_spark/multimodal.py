@@ -405,3 +405,45 @@ def audio_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL nearest-neighbor resize over binary image payloads: decode
+    (BMP/PPM) inside the Arrow batch iterator, gather with the integer
+    index map ``src = (dst * in_size) // out_size`` (pure int floor —
+    bit-reproducible anywhere, no filtering kernel to disagree about),
+    re-encode BMP. Undecodable payloads pass through with null payload
+    rather than failing the task. Schema matches the input media schema
+    so resize stages compose with decode/stats/frame-sample."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, widths, heights = [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    px = decode_image(bytes(payload))
+                except (ValueError, IndexError, TypeError, struct.error):
+                    payloads.append(None)
+                    widths.append(None)
+                    heights.append(None)
+                    continue
+                h, w, _ = px.shape
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = px[ys[:, None], xs[None, :], :]
+                payloads.append(encode_bmp(resized))
+                widths.append(out_w)
+                heights.append(out_h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": "image/bmp",
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, MEDIA_SCHEMA)

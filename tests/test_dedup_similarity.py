@@ -591,3 +591,26 @@ def test_simhash_poly_arrow_expr_parity(docs):
     a = sorted(map(tuple, DD.simhash_poly_pairs(sub, impl="arrow").collect()))
     e = sorted(map(tuple, DD.simhash_poly_pairs(sub, impl="expr").collect()))
     assert a == e
+
+
+def test_resize_images_real_pixels(spark):
+    import numpy as np
+
+    from revtron_utils_spark import multimodal as MM
+
+    docs = spark.range(5).withColumnRenamed("id", "doc_id")
+    resized = MM.resize_images(MM.attach_image_payload(docs), 8, 8)
+    rows = {r.doc_id: r for r in resized.collect()}
+    for i in range(5):
+        r = rows[i]
+        assert (r.width, r.height) == (8, 8)
+        px = MM.decode_image(bytes(r.payload))
+        want = MM.synth_image(i, 16, 16)[::2, ::2, :]
+        assert np.array_equal(px, want), f"doc {i}"
+    # undecodable payload degrades to null, not a task failure
+    import pyspark.sql.functions as F
+    bad = MM.attach_image_payload(docs.limit(1)).withColumn(
+        "payload", F.lit(b"not a bmp")
+    )
+    out = MM.resize_images(bad, 8, 8).collect()
+    assert out[0].payload is None and out[0].width is None
