@@ -339,3 +339,40 @@ def test_stream_quantile_rollup_matches_batch(spark, tmp_path):
         for r in quantile_rollup_estimate(direct, ["event_type"], [0.5, 0.95]).collect()
     }
     assert got == want and got
+
+
+def test_streaming_quality_filter_matches_batch(spark, tmp_path):
+    """The classifier + Gopher expressions are stateless column
+    expressions, so they must run unchanged under Structured Streaming
+    — prove it end-to-end: stream the documents through the scorer with
+    availableNow and compare against the batch result."""
+    from pyspark.sql import functions as F
+
+    from revtron_utils_spark.functions import classifier as CL
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.write.mode("overwrite").parquet(src)
+
+    def score(df):
+        return df.select(
+            "doc_id",
+            CL.hashed_linear_score("text").alias("score"),
+            F.col("text").isNotNull().alias("_x"),
+            CL.gopher_quality_flags("text").getField("pass_all").alias("pass_all"),
+        ).drop("_x")
+
+    out = str(tmp_path / "out")
+    q = (
+        score(spark.readStream.schema(docs.schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, score(docs).collect()))
+    assert got == want
