@@ -48,6 +48,7 @@ HEADLINE = [
     "importance_weights",
     "deterministic_shuffle",
     "leakage_safe_split",
+    "image_resize",
     "minhash_pairs",
     "minhash_pairs_poly",
     "simhash_pairs",
