@@ -124,3 +124,40 @@ def test_bpe_encode_roundtrip_text(small_docs):
         .count()
     )
     assert bad == 0
+
+
+def test_bpe_train_hypothesis_differential(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    # tiny alphabet forces merge ties (the lexicographic tie-break is
+    # the subtle part); repeated chars ("aaa") exercise the overlap fold
+    word = st.text(alphabet="ab", min_size=1, max_size=5)
+    corpus = st.lists(
+        st.lists(word, min_size=1, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpus=corpus)
+    def run(corpus):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+        )
+        wc = _word_counts_from(corpus)
+        assert B.bpe_train(df, num_merges=6) == _ref_train(wc, num_merges=6)
+
+    run()
+
+
+def _word_counts_from(corpus: list[str]) -> dict[str, int]:
+    c: Counter = Counter()
+    for t in corpus:
+        for w in t.lower().split():
+            c[w] += 1
+    return dict(c)
