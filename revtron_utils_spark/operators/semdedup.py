@@ -129,9 +129,10 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.85,
-    planes: int = 6,
+    planes: int | str = "auto",
     dim: int | None = None,
     scale: int = 1_000_000,
+    target_cluster_rows: int = 1_000,
 ) -> DataFrame:
     """SemDeDup with deterministic sign-LSH clustering. Returns one row
     per input row: (id_col, cluster_id, kept). Filter ``kept`` to get
@@ -142,7 +143,21 @@ def semantic_dedup(
     the O(n²) exact pass; the probability a duplicate pair splits is
     ≤ planes·θ/π for angle θ). The k-means variant has the same property
     per the SemDeDup paper; tests assert a recall floor vs the exact
-    all-pairs neighborhood."""
+    all-pairs neighborhood.
+
+    ``planes='auto'`` (the 100-TB default) sizes the clustering to the
+    corpus: ``ceil(log2(n / target_cluster_rows))`` hyperplanes keep the
+    expected cluster population near ``target_cluster_rows``, so the
+    within-cluster O(c²) verification stays bounded as the corpus grows
+    — a FIXED plane count would let cluster sizes (and pair counts)
+    scale linearly with n. Costs one count() job; pass an int to pin
+    the clustering (as the oracle gate query does, for reproducibility
+    across scale factors)."""
+    if planes == "auto":
+        import math
+
+        n = emb.count()
+        planes = max(1, math.ceil(math.log2(max(2, n / target_cluster_rows))))
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     qdf = emb.select(

@@ -77,3 +77,25 @@ def test_semdedup_cluster_ids_bounded(emb):
     out = SD.semantic_dedup(emb, threshold=TAU, planes=4)
     mx = out.agg(F.max("cluster_id"), F.min("cluster_id")).first()
     assert 0 <= mx[1] and mx[0] < 16
+
+
+def test_semdedup_auto_planes_bounds_clusters(emb, spark):
+    # inflate the corpus 8x under new ids: auto mode must pick more
+    # planes than it would for the base corpus, keeping E[cluster size]
+    # near the target instead of letting clusters grow with n
+    import pyspark.sql.functions as F
+
+    big = emb
+    for i in range(1, 8):
+        big = big.unionByName(
+            emb.select((F.col("vec_id") + 10_000_000 * i).alias("vec_id"), "embedding", "label")
+        )
+    out_small = SD.semantic_dedup(emb, threshold=0.99, target_cluster_rows=100)
+    out_big = SD.semantic_dedup(big, threshold=0.99, target_cluster_rows=100)
+    k_small = out_small.agg(F.max("cluster_id")).first()[0]
+    k_big = out_big.agg(F.max("cluster_id")).first()[0]
+    assert k_big > k_small  # more planes → larger cluster-id space
+    # expected population stays near target: mean cluster size under 4x target
+    n_big = big.count()
+    n_clusters = out_big.select("cluster_id").distinct().count()
+    assert n_big / n_clusters < 400
