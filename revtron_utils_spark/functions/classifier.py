@@ -167,8 +167,10 @@ def hashed_linear_scores(
         .distinct()
         .withColumn("_w", pseudo_weight(hashed_bucket(F.col("_term"), dim), seed))
     )
+    # no broadcast hint: vocabulary is unbounded at corpus scale — AQE
+    # broadcasts when it fits, shuffle-joins on the term key otherwise
     sums = (
-        toks.join(F.broadcast(vocab), "_term")
+        toks.join(vocab, "_term")
         .groupBy(id_col)
         .agg(F.sum("_w").alias(out_col))
     )

@@ -592,7 +592,10 @@ def importance_weights(
         .distinct()
         .withColumn("_b", CL.hashed_bucket(F.col("_term"), dim))
     )
-    toks = toks.join(F.broadcast(vocab), "_term")
+    # NO broadcast hint: the vocabulary is Heaps-law small relative to
+    # occurrences but still unbounded at 100 TB — let AQE broadcast it
+    # when it fits and shuffle-join on the term key when it doesn't
+    toks = toks.join(vocab, "_term")
     counts = toks.groupBy("_b").agg(
         F.count(F.lit(1)).alias("_cr"),
         F.count_if(F.col("_is_target")).alias("_ct"),

@@ -241,7 +241,9 @@ def rarity_scores(
         )
     )
     return (
-        toks.join(F.broadcast(df_tab.select("term", "idf_int")), "term")
+        # no broadcast hint: the df table is vocabulary-sized (unbounded
+        # at 100 TB) — AQE picks broadcast only when it actually fits
+        toks.join(df_tab.select("term", "idf_int"), "term")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
