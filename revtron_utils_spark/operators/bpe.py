@@ -182,7 +182,7 @@ def bpe_encode(
 ) -> DataFrame:
     """Encode documents with a learned merge table: distinct words are
     encoded once in an Arrow-batched Pandas UDF, then the word→pieces
-    map joins back (broadcast — the piece vocabulary is small) and
+    map joins back (AQE picks broadcast when the vocabulary fits) and
     pieces reassemble in token order. Output: (id_col, out_col
     array<string>)."""
     import pandas as pd
@@ -205,7 +205,9 @@ def bpe_encode(
     toks = df.select(F.col(id_col), F.posexplode(tok).alias("pos", "word"))
     words = toks.select("word").distinct().withColumn("pieces", _enc(F.col("word")))
     return (
-        toks.join(F.broadcast(words), "word")
+        # no broadcast hint: the word->pieces map is vocabulary-sized
+        # (unbounded at 100 TB) -- AQE broadcasts it only when it fits
+        toks.join(words, "word")
         .groupBy(id_col)
         .agg(
             F.flatten(
