@@ -23,8 +23,8 @@ but distributes each round:
 
 Encoding goes the other way around the same small-table trick: encode
 each **distinct** word once (Arrow-batched Pandas UDF running the
-standard rank-based merge loop), then broadcast-join the word→pieces
-map back onto the corpus and reassemble in token order — the 100-TB
+standard rank-based merge loop), then join the word→pieces map back
+onto the corpus (AQE broadcasts it when it fits) and reassemble in token order — the 100-TB
 corpus is never touched by Python.
 
 Training is iterative and hence not SQL-expressible (rows-only in the
