@@ -1993,7 +1993,7 @@ h AS (
   SELECT doc_id, sh, list_transform(sh, s -> {_SHINGLE_HASH_SQL}) AS h0 FROM f
 ), sig AS (
   SELECT doc_id, list_transform(range(0, 32), i ->
-     list_min(list_transform(h0, x -> ((2*i+1)*x + (9176*i*i + 11)) % 1000000007))) AS sig
+     list_min(list_transform(h0, x -> ((((2*i+1)*2654435761) % 1000000007) * x + (9176*i*i + 11)) % 1000000007))) AS sig
   FROM h
 ), banded AS (
   SELECT doc_id, band, array_to_string(sig[(band*4+1):(band*4+4)], ',') AS bkey
@@ -2037,7 +2037,7 @@ WITH t AS (
 ), sim AS (
   SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), i ->
     CASE WHEN CAST(list_sum(list_transform(hs, hv ->
-          CASE WHEN ((hv*(2*i+1) + 9176*i*i + 11) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
+          CASE WHEN ((hv * (((2*i+1)*2654435761) % 1000000007) + 9176*i*i + 11) % 1000000007) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
          THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sh
   FROM h
 ), chunked AS (
@@ -3231,7 +3231,7 @@ h AS (
   SELECT doc_id, sh, list_transform(sh, s -> {_SHINGLE_HASH_SQL}) AS h0 FROM f
 ), sig AS (
   SELECT doc_id, list_transform(range(0, 32), i ->
-     list_min(list_transform(h0, x -> ((2*i+1)*x + (9176*i*i + 11)) % 1000000007))) AS sig
+     list_min(list_transform(h0, x -> ((((2*i+1)*2654435761) % 1000000007) * x + (9176*i*i + 11)) % 1000000007))) AS sig
   FROM h
 ), banded AS (
   SELECT doc_id, band, array_to_string(sig[(band*4+1):(band*4+4)], ',') AS bkey

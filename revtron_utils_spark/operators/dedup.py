@@ -455,10 +455,16 @@ def minhash_poly_features_arrow(num_hashes: int = 32, bands: int = 8, shingle_n:
     assert num_hashes % bands == 0
     r = num_hashes // bands
     P = POLY_MOD
-    A = np.arange(num_hashes, dtype=np.int64)[:, None] * 2 + 1
+    A = ((np.arange(num_hashes, dtype=np.int64)[:, None] * 2 + 1) * 2654435761) % P
     B = (np.arange(num_hashes, dtype=np.int64)[:, None] ** 2) * 9176 + 11
 
     def feats(texts):
+        import re
+
+        # Java/RE2 \s is ASCII-only; Python str.split() splits on ALL
+        # Unicode whitespace (NBSP, U+3000, ...), which would diverge
+        # from the expr twin, the TX.tokens prefilter, and the oracle
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
         tok_cache: dict = {}
 
         def tok_h(t):
@@ -478,7 +484,7 @@ def minhash_poly_features_arrow(num_hashes: int = 32, bands: int = 8, shingle_n:
 
         bkeys_out, sh_out = [], []
         for t in texts:
-            toks = (t or "").split()
+            toks = [w for w in ws.split(t or "") if w]
             n = len(toks)
             if n < shingle_n:
                 bkeys_out.append([])
@@ -521,7 +527,10 @@ def minhash_poly_pairs(
 ) -> DataFrame:
     """MinHash-LSH pairs with an engine-reproducible hash family: shingle
     base hash is the polynomial rolling hash, permutation ``i`` is
-    ``((2i+1)·h + (9176·i² + 11)) mod 1e9+7`` — every signature value,
+    ``(a_i·h + (9176·i² + 11)) mod 1e9+7`` with ``a_i = ((2i+1)·
+    2654435761) mod p`` — a LARGE multiplier so the product always
+    wraps the modulus (a small ``2i+1`` leaves low-i permutations
+    order-correlated with the identity, defeating banding) — every signature value,
     band key, candidate pair, and verified Jaccard is bit-equal to an
     independent DuckDB implementation of the same pipeline, which is what
     lets the whole LSH path (not just its exact-Jaccard tail) be
@@ -534,7 +543,8 @@ def minhash_poly_pairs(
     computes the identical hashes in one Arrow pass
     (`minhash_poly_features_arrow`, ~20× at corpus scale);
     ``impl='expr'`` is the pure-codegen path (ANSI note: max
-    intermediate is 65·1e9 ≪ 2^63). Both are bit-equal to the oracle."""
+    intermediate is a_i·h < 1e18 < 2^63). Both are bit-equal to the
+    oracle."""
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
 
@@ -565,7 +575,7 @@ def minhash_poly_pairs(
                 lambda i: F.array_min(
                     F.transform(
                         F.col("_h0"),
-                        lambda h: ((2 * i + 1) * h + (i * i * 9176 + 11)) % POLY_MOD,
+                        lambda h: ((((2 * i + 1) * 2654435761) % POLY_MOD) * h + (i * i * 9176 + 11)) % POLY_MOD,
                     )
                 ),
             ).alias("sig"),
@@ -811,8 +821,14 @@ def simhash_pairs(
 def simhash_poly(col: Column | str, bits: int = 60) -> Column:
     """SimHash over whitespace tokens using the engine-reproducible
     polynomial hash family: token bit ``i`` is the parity of the affine
-    re-hash ``((h·(2i+1) + 9176·i² + 11) mod 1e9+7)`` of the token's
-    poly-hash ``h``. 60 bits (not 64) keeps the packed value positive so
+    re-hash ``((h·a_i + 9176·i² + 11) mod 1e9+7)`` of the token's
+    poly-hash ``h``, with ``a_i = ((2i+1)·2654435761) mod p``. The
+    large multiplier forces the product to wrap the modulus for every
+    token — with a small ``2i+1`` the affine value often stays below p,
+    making the parity CONSTANT across bits (parity(h)+1): every token
+    votes all-zeros or all-ones and the whole corpus collapses into two
+    simhash buckets. Caught by a single-char-token probe; the oracle
+    shared the degeneracy, so hash-verification alone never saw it. 60 bits (not 64) keeps the packed value positive so
     the chunking arithmetic (`>>`/`&`) has identical semantics in every
     engine — no two's-complement sign bit to reason about."""
     c = F.col(col) if isinstance(col, str) else col
@@ -827,7 +843,7 @@ def simhash_poly(col: Column | str, bits: int = 60) -> Column:
             F.transform(
                 bit_idx,
                 lambda i: F.when(
-                    ((h * (2 * i + 1) + i * i * 9176 + 11) % POLY_MOD) % 2 == 1, 1
+                    ((h * (((2 * i + 1) * 2654435761) % POLY_MOD) + i * i * 9176 + 11) % POLY_MOD) % 2 == 1, 1
                 ).otherwise(-1),
             ),
             lambda a, b: a + b,
@@ -851,11 +867,16 @@ def simhash_poly_arrow(bits: int = 60):
     from pyspark.sql.functions import pandas_udf
 
     P = POLY_MOD
-    A = np.arange(bits, dtype=np.int64)[None, :] * 2 + 1
+    A = ((np.arange(bits, dtype=np.int64)[None, :] * 2 + 1) * 2654435761) % P
     B = (np.arange(bits, dtype=np.int64)[None, :] ** 2) * 9176 + 11
     bitvals = (np.int64(1) << np.arange(bits, dtype=np.int64))
 
     def sh(texts):
+        import re
+
+        # ASCII-only whitespace, matching the expr twin / TX.tokens /
+        # the oracle (Python .split() would split Unicode spaces too)
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
         cache: dict = {}
 
         def tok_h(t):
@@ -869,7 +890,7 @@ def simhash_poly_arrow(bits: int = 60):
 
         out = []
         for t in texts:
-            toks = set((t or "").split())
+            toks = set(w for w in ws.split(t or "") if w)
             if not toks:
                 out.append(0)
                 continue

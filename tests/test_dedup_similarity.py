@@ -614,3 +614,38 @@ def test_resize_images_real_pixels(spark):
     )
     out = MM.resize_images(bad, 8, 8).collect()
     assert out[0].payload is None and out[0].width is None
+
+
+def test_simhash_poly_bits_not_degenerate(spark):
+    """Regression: with a small affine multiplier the re-hash rarely
+    wrapped the modulus, so every token's bit pattern was constant
+    (parity(h)) and the whole corpus collapsed into two simhash
+    buckets — single-char-token docs all hashed to 0. The large-mult
+    family must spread bits."""
+    rows = [(i, " ".join(chr(97 + (i + j) % 26) for j in range(6))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hashes = [r.sh for r in df.select(DD.simhash_poly("text").alias("sh")).collect()]
+    assert 0 not in hashes
+    assert len(set(hashes)) > 15  # distinct docs ⇒ distinct-ish hashes
+    # bit occupancy: across docs, many different bits must be set
+    seen_bits = set()
+    for h in hashes:
+        seen_bits |= {i for i in range(60) if (h >> i) & 1}
+    assert len(seen_bits) > 30
+
+
+def test_minhash_poly_permutations_decorrelated(spark):
+    """Regression: permutation a_i = 2i+1 never wraps for i=0 (identity)
+    and rarely for small i, so all signature rows ranked shingles almost
+    identically and banding degenerated. With the large multiplier,
+    different permutations must pick different argmin shingles."""
+    import numpy as np
+
+    P = DD.POLY_MOD
+    # emulate the arrow path directly: 200 random-ish shingle hashes
+    rng = np.random.default_rng(7)
+    h = rng.integers(1, P, size=200, dtype=np.int64)
+    A = ((np.arange(32, dtype=np.int64)[:, None] * 2 + 1) * 2654435761) % P
+    B = (np.arange(32, dtype=np.int64)[:, None] ** 2) * 9176 + 11
+    argmins = ((A * h + B) % P).argmin(axis=1)
+    assert len(set(argmins.tolist())) > 16, "permutations pick the same shingle"
