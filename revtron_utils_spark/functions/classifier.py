@@ -159,8 +159,12 @@ def hashed_linear_scores(
 
     from . import text as TX
 
-    toks = df.select(
-        F.col(id_col), F.explode(TX.tokens(text_col)).alias("_term")
+    from revtron_utils_spark.operators.dedup import _persist
+
+    # scanned twice (vocab distinct + the scoring join) — persist so
+    # the corpus tokenizes once; released via dedup.release_caches()
+    toks = _persist(
+        df.select(F.col(id_col), F.explode(TX.tokens(text_col)).alias("_term"))
     )
     vocab = (
         toks.select("_term")

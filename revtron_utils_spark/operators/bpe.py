@@ -123,6 +123,10 @@ def bpe_train(
     ).select("sym", "wcount")
     vocab = vocab.persist()
     merges: list[tuple[str, str]] = []
+    prev = None  # released only AFTER the next round's action has
+    # materialized the new vocab — unpersisting before that first action
+    # dropped the cache while the new frame was still lazy, so every
+    # round recomputed its whole lineage back to the corpus scan
     try:
         for round_no in range(num_merges):
             best = (
@@ -135,11 +139,16 @@ def bpe_train(
                 .limit(1)
                 .collect()
             )
+            # the collect above ran through vocab.persist() — vocab's
+            # blocks are cached now, prev's are no longer needed
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not best or best[0]["c"] < min_pair_count:
                 break
             left, right = best[0]["left"], best[0]["right"]
             merges.append((left, right))
-            old = vocab
+            prev = vocab
             vocab = vocab.select(
                 _merge_fold(F.col("sym"), left, right).alias("sym"), "wcount"
             )
@@ -150,9 +159,10 @@ def bpe_train(
                     vocab.checkpoint() if checkpoint_dir else vocab.localCheckpoint()
                 )
             vocab = vocab.persist()
-            old.unpersist()
     finally:
         vocab.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 

@@ -601,7 +601,10 @@ def importance_weights(
         F.count_if(F.col("_is_target")).alias("_ct"),
     )
     tot = counts.agg(F.sum("_cr").alias("tr"), F.sum("_ct").alias("tt")).first()
-    t_raw, t_tgt = float(tot.tr + dim), float(tot.tt + dim)
+    # a token-less corpus aggregates to NULL totals; Laplace smoothing
+    # alone (the +dim) then defines the ratios
+    t_raw = float((tot.tr or 0) + dim)
+    t_tgt = float((tot.tt or 0) + dim)
     ratio = ((F.col("_ct") + 1) * F.lit(t_raw)) / ((F.col("_cr") + 1) * F.lit(t_tgt))
     bucket_w = counts.select(
         "_b", F.round(ratio * scale).cast("long").alias("_r_int")

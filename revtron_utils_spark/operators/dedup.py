@@ -417,21 +417,13 @@ def minhash_lsh_dedup(
     return df.join(losers, id_col, "left_anti")
 
 
-POLY_MOD = 1_000_000_007
-POLY_BASE = 31
-
-
-def _poly_hash(s: Column) -> Column:
-    """Per-string polynomial rolling hash over lowercased character
-    codes — the cross-engine-exact hash family (same fold as
-    `text.rolling_hash`; a DuckDB ``list_reduce`` reproduces it
-    bit-for-bit, unlike ``xxhash64``)."""
-    chars = F.filter(F.split(F.lower(s), "(?!^)"), lambda ch: ch != "")
-    return F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * POLY_BASE + F.ascii(ch)) % POLY_MOD,
-    )
+# The cross-engine-exact hash family lives in functions/classifier.py
+# (single source of truth for the fold and its constants — a second
+# copy here once drifted a hand-maintained "must match" comment apart).
+from ..functions.classifier import (  # noqa: E402
+    POLY_MOD,
+    token_poly_hash as _poly_hash,
+)
 
 
 def minhash_poly_features_arrow(num_hashes: int = 32, bands: int = 8, shingle_n: int = 3):

@@ -160,7 +160,10 @@ def write_minhash_index(
     p = {**_DEFAULTS, **params}
     meta_path = Path(path) / "_meta.json"
     if mode == "append" and meta_path.exists():
-        stored = json.loads(meta_path.read_text())
+        # backfill keys added to _DEFAULTS after the index was written
+        # (e.g. hash_family) — an old meta without the key was built
+        # with the then-default, so it is compatible with it
+        stored = {**_DEFAULTS, **json.loads(meta_path.read_text())}
         if stored != p:
             raise ValueError(
                 f"index at {path} was built with {stored}, refusing append with {p}"
@@ -184,7 +187,7 @@ def probe_minhash_index_path(
     meta (never from the caller — parameter drift is the classic silent
     recall killer)."""
     spark = SparkSession.getActiveSession() or new_df.sparkSession
-    p = json.loads((Path(path) / "_meta.json").read_text())
+    p = {**_DEFAULTS, **json.loads((Path(path) / "_meta.json").read_text())}
     postings = spark.read.parquet(str(Path(path) / "postings"))
     features = spark.read.parquet(str(Path(path) / "features"))
     return probe_minhash_index(

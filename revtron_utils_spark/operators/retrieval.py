@@ -225,10 +225,16 @@ def rarity_scores(
     token stream, so the only wide shuffle is the per-document
     re-aggregation. Output: (id_col, n_tokens, rarity)."""
     from ..functions import text as TX
+    from .dedup import _persist
 
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.transform(TX.tokens(text_col), F.lower)).alias("term"),
+    # the token projection feeds both the df aggregate and the final
+    # per-doc join — persist so the corpus tokenizes once (released via
+    # dedup.release_caches(), like every operator intermediate)
+    toks = _persist(
+        docs.select(
+            F.col(id_col),
+            F.explode(F.transform(TX.tokens(text_col), F.lower)).alias("term"),
+        )
     )
     n_docs = docs.count()
     df_tab = (

@@ -159,7 +159,14 @@ def semantic_dedup(
         n = emb.count()
         planes = max(1, math.ceil(math.log2(max(2, n / target_cluster_rows))))
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        first = emb.select(vec_col).first()
+        if first is None:  # empty corpus: nothing to cluster or drop
+            return emb.select(
+                F.col(id_col),
+                F.lit(0).cast("long").alias("cluster_id"),
+                F.lit(True).alias("kept"),
+            )
+        dim = len(first[0])
     qdf = emb.select(
         F.col(id_col), VX.quantize(vec_col, scale).alias("_qv")
     ).withColumn("cluster_id", sign_lsh_cluster(F.col("_qv"), dim, planes))

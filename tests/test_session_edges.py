@@ -82,3 +82,40 @@ def test_minhash_poly_short_docs_no_shingles(spark):
     for impl in ("arrow", "expr"):
         assert DD.minhash_poly_pairs(df, impl=impl).count() == 0
         DD.release_caches()
+
+
+def test_semdedup_empty_frame(spark):
+    from revtron_utils_spark.operators import semdedup as SD
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert SD.semantic_dedup(empty).count() == 0
+
+
+def test_importance_weights_tokenless_corpus(spark):
+    import pyspark.sql.functions as F
+
+    from revtron_utils_spark.operators.curation import importance_weights
+    from revtron_utils_spark.operators.dedup import release_caches
+
+    df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    out = importance_weights(df, target=F.lit(True)).collect()
+    release_caches()
+    assert out == []  # no tokens -> no scored docs, no crash
+
+
+def test_dedup_index_append_accepts_pre_hashfamily_meta(spark, tmp_path):
+    import json
+
+    from revtron_utils_spark.operators.dedup_index import write_minhash_index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(30)
+    path = str(tmp_path / "idx")
+    write_minhash_index(docs, path, mode="overwrite")
+    # simulate an index written before hash_family existed
+    meta = tmp_path / "idx" / "_meta.json"
+    m = json.loads(meta.read_text())
+    m.pop("hash_family")
+    meta.write_text(json.dumps(m))
+    write_minhash_index(docs, path, mode="append")  # must not raise
