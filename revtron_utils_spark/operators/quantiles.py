@@ -76,6 +76,13 @@ def _width_bin(col: Column, lo: float, hi: float, nbins: int) -> Column:
     # pure float expression, so membership re-evaluates identically in
     # later passes (exactness depends on that determinism)
     w = (hi - lo) / nbins
+    if not math.isfinite(w) or w <= 0.0:
+        # degenerate span: adjacent/subnormal doubles underflow w to 0
+        # (ANSI divide-by-zero), a ±huge span overflows hi−lo to inf
+        # (inf/inf → NaN → ANSI cast error). One sub-bin is still a
+        # valid deterministic binning — the round just makes no progress
+        # on this segment, which ``max_refine`` already bounds.
+        return F.lit(0).cast("long")
     return F.least(
         F.lit(nbins - 1), F.floor((col - F.lit(lo)) / F.lit(w))
     ).cast("long")

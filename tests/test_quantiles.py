@@ -121,3 +121,35 @@ def test_nan_and_infinity_ordering(spark):
     assert out["p0"] == ref[0] == float("-inf")
     assert out["p50"] == ref[1] == 2.5
     assert out["p100"] == ref[2] == float("inf")
+
+
+def test_degenerate_refinement_spans(spark):
+    # sub-binning a segment whose observed span is degenerate must not
+    # divide by zero (adjacent subnormal doubles: (hi-lo)/nbins
+    # underflows to 0.0) nor cast NaN to long (±1e308 span: hi-lo
+    # overflows to inf, inf/inf = NaN). Both fall back to a single
+    # deterministic sub-bin; max_refine bounds the stalled rounds.
+    import math as m
+
+    tiny = 5e-324  # adjacent doubles around 0: span underflows
+    rows = [("g", v) for v in (0.0, tiny, 2 * tiny, 3 * tiny)] * 3
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = exact_quantiles(
+        df, "v", [0.5], by=["g"], collect_cap=2, max_refine=2
+    ).collect()[0]
+    ref = df.groupBy("g").agg(
+        F.percentile("v", F.lit(0.5)).alias("p")
+    ).collect()[0]["p"]
+    assert out["p50"] == ref
+
+    huge = 1.0e308  # hi - lo overflows to inf
+    rows = [("g", v) for v in (-huge, -1.0, 1.0, huge)] * 3
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = exact_quantiles(
+        df, "v", [0.25, 0.5], by=["g"], collect_cap=2, max_refine=2
+    ).collect()[0]
+    ref = df.groupBy("g").agg(
+        F.percentile("v", F.lit([0.25, 0.5])).alias("p")
+    ).collect()[0]["p"]
+    assert out["p25"] == ref[0] and out["p50"] == ref[1]
+    assert m.isfinite(out["p50"])
