@@ -1691,6 +1691,83 @@ GROUP BY bkt.doc_id
 """
 
 
+def q_lm_score(spark, sf):
+    """CCNet-style n-gram LM fluency scoring (`lm.ngram_lm_score`):
+    stupid-backoff trigram probabilities (count floor 2 on orders 2-3),
+    log-free rational form — per-position scores quantize to integers,
+    the mean is one IEEE division, so the WHOLE model (training counts
+    + backoff cascade) hash-verifies against the DuckDB oracle."""
+    from revtron_utils_spark.operators.lm import ngram_lm_score
+
+    docs = _t(spark, sf, "documents")
+    return ngram_lm_score(docs, n=3, min_count=2)
+
+
+# alpha backoff penalties: computed in Python and injected as literals
+# into BOTH engines (0.4**2 is 0.16000000000000003 — the exact double
+# matters for bit-equality)
+_LM_A1 = repr(0.4)
+_LM_A2 = repr(0.4**2)
+
+SQL_LM_SCORE = rf"""
+WITH t AS (
+  SELECT doc_id, list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x != ''),
+                                tk -> lower(tk)) AS ws
+  FROM documents
+), cnt1 AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(ws) AS gram FROM t) GROUP BY gram
+), cnt2 AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(CASE WHEN len(ws) >= 2
+      THEN list_transform(range(1, len(ws)), i -> concat_ws(' ', ws[i], ws[i+1]))
+      ELSE CAST([] AS VARCHAR[]) END) AS gram FROM t
+  ) GROUP BY gram HAVING count(*) >= 2
+), cnt3 AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(CASE WHEN len(ws) >= 3
+      THEN list_transform(range(1, len(ws) - 1), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
+      ELSE CAST([] AS VARCHAR[]) END) AS gram FROM t
+  ) GROUP BY gram HAVING count(*) >= 2
+), tots AS (
+  SELECT CAST(sum(c) + count(*) AS DOUBLE) AS tv FROM cnt1
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS i, ws FROM t
+), feat AS (
+  SELECT doc_id,
+         ws[i] AS w1,
+         CASE WHEN i >= 2 THEN concat_ws(' ', ws[i-1], ws[i]) END AS w2,
+         CASE WHEN i >= 3 THEN concat_ws(' ', ws[i-2], ws[i-1], ws[i]) END AS w3,
+         CASE WHEN i >= 2 THEN ws[i-1] END AS p2,
+         CASE WHEN i >= 3 THEN concat_ws(' ', ws[i-2], ws[i-1]) END AS p3
+  FROM pos
+), looked AS (
+  SELECT f.doc_id, f.w2, f.w3,
+         c1.c AS c1, c2.c AS c2, c3.c AS c3, pc2.c AS cd2, pc3.c AS cd3
+  FROM feat f
+  LEFT JOIN cnt1 c1 ON c1.gram = f.w1
+  LEFT JOIN cnt2 c2 ON c2.gram = f.w2
+  LEFT JOIN cnt3 c3 ON c3.gram = f.w3
+  LEFT JOIN cnt1 pc2 ON pc2.gram = f.p2
+  LEFT JOIN cnt2 pc3 ON pc3.gram = f.p3
+), scored AS (
+  SELECT doc_id,
+    CAST(round((CASE
+      WHEN w3 IS NOT NULL AND c3 IS NOT NULL THEN CAST(c3 AS DOUBLE) / cd3
+      WHEN w3 IS NOT NULL AND c2 IS NOT NULL THEN (CAST(c2 AS DOUBLE) / cd2) * {_LM_A1}
+      WHEN w3 IS NOT NULL THEN ((COALESCE(c1, 0) + 1) / (SELECT tv FROM tots)) * {_LM_A2}
+      WHEN w2 IS NOT NULL AND c2 IS NOT NULL THEN CAST(c2 AS DOUBLE) / cd2
+      WHEN w2 IS NOT NULL THEN ((COALESCE(c1, 0) + 1) / (SELECT tv FROM tots)) * {_LM_A1}
+      ELSE (COALESCE(c1, 0) + 1) / (SELECT tv FROM tots)
+    END) * 1000000.0) AS BIGINT) AS s_int
+  FROM looked
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(s_int) AS DOUBLE) / (count(*) * 1000000.0) AS lm_score
+FROM scored GROUP BY doc_id
+"""
+
+
 def _sql_bucket(id_expr: str, seed: int = 0) -> str:
     from revtron_utils_spark.operators.curation import HASH_MOD, _seed_mult
 
@@ -3984,6 +4061,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rarity_scores": (q_rarity_scores, SQL_RARITY_SCORES),
     "quantile_filter": (q_quantile_filter, SQL_QUANTILE_FILTER),
     "importance_weights": (q_importance_weights, SQL_IMPORTANCE_WEIGHTS),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
     "deterministic_shuffle": (q_deterministic_shuffle, SQL_DETERMINISTIC_SHUFFLE),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
     "bpe_learned": (q_bpe_learned, None),

@@ -46,6 +46,7 @@ HEADLINE = [
     "rarity_scores",
     "quantile_filter",
     "importance_weights",
+    "lm_score",
     "deterministic_shuffle",
     "leakage_safe_split",
     "image_resize",

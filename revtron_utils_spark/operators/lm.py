@@ -1,0 +1,247 @@
+"""N-gram language-model fluency scoring — the CCNet-style "perplexity
+filter" (Wenzek et al. 2020) with stupid-backoff smoothing (Brants et
+al. 2007, "Large Language Models in Machine Translation"), Spark-first
+and engine-exact.
+
+A KenLM perplexity filter is the canonical web-corpus quality gate:
+score every document by how probable its token stream is under an
+n-gram LM trained on a trusted corpus, then keep the low-perplexity
+tail. This is the repo's log-free rational variant (the BM25 /
+rarity / DSIR precedent): instead of summing log-probabilities, each
+position's stupid-backoff score
+
+    S(w_i | w_{i-n+1..i-1}) = count(ngram)/count(prefix)      if seen
+                              alpha * S(w_i | shorter context) else
+    S(w_i)                  = (count(w_i) + 1) / (T + V)      (Laplace)
+
+is a fixed-order chain of integer-valued-double divisions and
+multiplications by the alpha literal — deterministic IEEE arithmetic,
+no ``ln`` (not correctly rounded across libms). Each position's score
+is quantized to an integer (``round(scale * S)``), the per-document
+sum is an order-independent integer sum, and the mean is one IEEE
+division of exactly-representable integers (deliberately un-ROUNDed —
+see the comment at the aggregate), so it hash-matches a DuckDB oracle
+bit-for-bit. A document's score is the
+mean per-token probability — the arithmetic-mean cousin of inverse
+perplexity (higher = more fluent), monotone enough for threshold
+filtering, which is all the pipeline does with it.
+
+Positions at the document start back off structurally (no alpha
+penalty): position 0 scores with the unigram model, position 1 with
+the bigram, matching how stupid backoff treats truncated contexts.
+
+100 TB posture
+--------------
+- Tokenization and the per-position gram/prefix columns are one narrow
+  codegen'd projection: ``n-1`` shifted-slice ``zip_with`` passes (the
+  ``word_ngrams`` trick — O(n) array ops per document, not one
+  allocation per shingle), null-padded and ``arrays_zip``-ed so a
+  single ``posexplode`` yields every order's gram AND its backoff
+  prefix per token position. No Python anywhere.
+- Count tables aggregate map-side (shuffle = (gram, partial count));
+  they are vocabulary-sized, not corpus-sized. No broadcast hint — AQE
+  broadcasts the lookups when they fit and falls back to gram-keyed
+  shuffle joins when a 100 TB trigram table doesn't.
+- ``min_count`` prunes rare higher-order grams BEFORE the join (the
+  standard LM count floor). Pruning numerator and denominator tables
+  with the same floor preserves the prefix property (count(prefix) >=
+  count(ngram) >= floor), so the backoff cascade never divides by an
+  absent prefix — and the oracle applies the same floor, so pruned
+  scoring stays hash-exact.
+- Train/score separation: pass ``lm_docs`` to train counts on a
+  trusted corpus (the Wikipedia side of CCNet) and score the crawl.
+
+No analog in the reference (its query surface is SQL/SOQL generation,
+``/root/reference/revtron/database/main.py``); this is part of the
+LLM-data-pipeline extension layer alongside rarity_scores (idf
+surprisal) and importance_weights (DSIR domain ratios) — this one is
+the sequence-model member of that family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _lower_tokens(text_col: str):
+    from ..functions import text as TX
+
+    return F.transform(TX.tokens(text_col), F.lower)
+
+
+def _order_grams(toks, k: int):
+    """Array of k-gram strings ending at positions k-1..m-1 (length
+    m-k+1), via the shifted-slice zip_with composition."""
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    out = F.slice(toks, 1, m)
+    for j in range(2, k + 1):
+        out = F.zip_with(
+            out, F.slice(toks, j, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return out
+
+
+def _null_pad(arr, pad: int):
+    # prepend `pad` NULL elements so element i of the padded array is
+    # the gram ENDING at token position i (early positions have no
+    # such gram -> NULL)
+    if pad == 0:
+        return arr
+    pads = F.array(*[F.lit(None).cast("string") for _ in range(pad)])
+    return F.concat(pads, arr)
+
+
+def ngram_counts_table(
+    docs: DataFrame, text_col: str, k: int, min_count: int = 1
+) -> DataFrame:
+    """Corpus k-gram counts (gram, c): one explode + one map-side
+    combinable aggregate; ``min_count`` floors the long tail before it
+    is ever joined."""
+    cnt = (
+        docs.select(F.explode(_order_grams(_lower_tokens(text_col), k)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if min_count > 1:
+        cnt = cnt.filter(F.col("c") >= min_count)
+    return cnt
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm_docs: DataFrame | None = None,
+    n: int = 3,
+    alpha: float = 0.4,
+    min_count: int = 1,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-document stupid-backoff n-gram LM fluency.
+
+    Output: (id_col, n_tokens, lm_score) — ``lm_score`` is the mean of
+    per-position quantized backoff probabilities (higher = more fluent
+    under the LM corpus). Token-less documents have no
+    positions and are omitted, like every token-join scorer here.
+    """
+    if n < 2:
+        raise ValueError("ngram_lm_score needs n >= 2 (got n=%d)" % n)
+    from .dedup import _persist
+
+    corpus = lm_docs if lm_docs is not None else docs
+
+    # --- count tables, orders 1..n, trained on the LM corpus.
+    # unigrams stay unfloored: they are the Laplace base case and must
+    # cover the corpus vocabulary.
+    counts = {
+        k: _persist(
+            ngram_counts_table(corpus, text_col, k, min_count if k > 1 else 1)
+        )
+        for k in range(1, n + 1)
+    }
+    tot = counts[1].agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
+    ).first()
+    t_plus_v = float((tot.t or 0) + (tot.v or 0))
+    if t_plus_v == 0.0:
+        # empty LM corpus: Laplace over an empty vocabulary is
+        # undefined; score nothing rather than divide by zero
+        spark = docs.sparkSession
+        id_type = dict(zip(docs.schema.names, docs.schema.fields))[
+            id_col
+        ].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"{id_col} {id_type}, n_tokens bigint, lm_score double"
+        )
+
+    # --- one narrow projection: per position i, the gram of every
+    # order ending at i plus its backoff prefix (the (k-1)-gram ending
+    # at i-1), null-padded into alignment and exploded once. Tokenize
+    # into a named column first so the regex split runs once per doc.
+    tok_docs = docs.select(F.col(id_col), _lower_tokens(text_col).alias("_ws"))
+    toks = F.col("_ws")
+    m = F.size(toks)
+    cols = {"g1": _null_pad(_order_grams(toks, 1), 0)}
+    for k in range(2, n + 1):
+        cols[f"g{k}"] = _null_pad(_order_grams(toks, k), k - 1)
+        # prefix of the order-k gram = (k-1)-gram ending at i-1
+        prev = _order_grams(toks, k - 1)
+        cols[f"d{k}"] = _null_pad(F.slice(prev, 1, F.greatest(m - (k - 1), F.lit(0))), k - 1)
+    pos = (
+        tok_docs.select(
+            F.col(id_col),
+            F.posexplode(F.arrays_zip(*[v.alias(k) for k, v in cols.items()])).alias(
+                "_i", "_g"
+            ),
+        )
+        .select(id_col, *[F.col(f"_g.{k}").alias(k) for k in cols])
+        # arrays_zip pads to the LONGEST input: docs with fewer than
+        # n-1 tokens zip past their token count, yielding phantom
+        # positions whose g1 is NULL — real tokens never are
+        .filter(F.col("g1").isNotNull())
+    )
+
+    # --- count lookups: left joins against vocabulary-sized tables
+    # (no broadcast hint — AQE broadcasts when they fit). Seen grams
+    # resolve to BIGINT counts, unseen/absent to NULL.
+    pos = pos.join(counts[1].withColumnRenamed("gram", "g1").withColumnRenamed("c", "c1"), "g1", "left")
+    for k in range(2, n + 1):
+        pos = pos.join(
+            counts[k]
+            .withColumnRenamed("gram", f"g{k}")
+            .withColumnRenamed("c", f"c{k}"),
+            f"g{k}",
+            "left",
+        )
+        pos = pos.join(
+            counts[k - 1]
+            .withColumnRenamed("gram", f"d{k}")
+            .withColumnRenamed("c", f"cd{k}"),
+            f"d{k}",
+            "left",
+        )
+
+    # --- fixed-order backoff cascade. Highest AVAILABLE order first
+    # (truncated doc-start contexts back off structurally, no alpha);
+    # each unseen step multiplies by the alpha literal. c{k} non-null
+    # implies cd{k} non-null (the prefix property, preserved under the
+    # shared min_count floor), so no guarded division ever sees NULL/0.
+    base1 = (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(1)) / F.lit(t_plus_v)
+    score = None
+    for avail in range(n, 0, -1):  # highest order available at this position
+        # penalty accumulates per backoff step below `avail`
+        expr = None
+        for k in range(avail, 1, -1):
+            step = F.col(f"c{k}") / F.col(f"cd{k}")
+            pen = alpha ** (avail - k)
+            step = step * F.lit(pen) if avail != k else step
+            cond = F.col(f"c{k}").isNotNull()
+            expr = F.when(cond, step) if expr is None else expr.when(cond, step)
+        base = base1 * F.lit(alpha ** (avail - 1)) if avail > 1 else base1
+        expr = base if expr is None else expr.otherwise(base)
+        if avail == n:
+            gate = F.col(f"g{n}").isNotNull()
+        elif avail == 1:
+            gate = F.lit(True)
+        else:
+            gate = F.col(f"g{avail}").isNotNull()
+        score = F.when(gate, expr) if score is None else score.when(gate, expr)
+
+    # NO final ROUND: sum_int/(n·scale) divides two exactly-representable
+    # integers in one correctly-rounded IEEE op — identical bits in any
+    # engine. A ROUND(x, 6) here would sit on an exact decimal half for
+    # many token counts (any 2-token doc with an odd sum ends in
+    # ...xxxxx5), where Spark (shortest-repr BigDecimal) and DuckDB
+    # (numeric) can legitimately disagree.
+    out = (
+        pos.withColumn("_s_int", F.round(score * F.lit(float(scale))).cast("long"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("_s_int") / (F.count(F.lit(1)) * F.lit(float(scale)))).alias(
+                "lm_score"
+            ),
+        )
+    )
+    return out

@@ -1,0 +1,128 @@
+"""Differential tests for the stupid-backoff n-gram LM scorer
+(`operators/lm.py`) against a pure-Python reference — the same
+strategy as the BPE suite: an independent reimplementation of the
+model, compared value-for-value."""
+
+from __future__ import annotations
+
+import decimal
+from collections import Counter
+
+import pytest
+
+from revtron_utils_spark.operators.lm import ngram_lm_score
+
+SCALE = 1_000_000
+
+
+def _ref_scores(docs, n=3, alpha=0.4, min_count=1, lm_docs=None):
+    """Pure-Python stupid backoff with HALF_UP quantization (Spark and
+    DuckDB both round half up; Python's built-in round is banker's)."""
+    toksd = {i: t.lower().split() for i, t in docs}
+    corpus = lm_docs if lm_docs is not None else docs
+    cnt = {k: Counter() for k in range(1, n + 1)}
+    for _, t in corpus:
+        ws = t.lower().split()
+        for k in range(1, n + 1):
+            for j in range(len(ws) - k + 1):
+                cnt[k][" ".join(ws[j : j + k])] += 1
+    for k in range(2, n + 1):
+        cnt[k] = Counter({g: c for g, c in cnt[k].items() if c >= min_count})
+    T, V = sum(cnt[1].values()), len(cnt[1])
+
+    def S(ws, i):
+        avail = min(i + 1, n)
+        for k in range(avail, 1, -1):
+            g = " ".join(ws[i - k + 1 : i + 1])
+            d = " ".join(ws[i - k + 1 : i])
+            if cnt[k][g] > 0:
+                return (cnt[k][g] / cnt[k - 1][d]) * (alpha ** (avail - k))
+        return ((cnt[1][ws[i]] + 1) / (T + V)) * (alpha ** (avail - 1))
+
+    out = {}
+    for i, _ in docs:
+        ws = toksd[i]
+        if not ws:
+            continue
+        s = sum(
+            int(
+                decimal.Decimal(SCALE * S(ws, p)).quantize(
+                    0, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+            for p in range(len(ws))
+        )
+        out[i] = (len(ws), s / (len(ws) * SCALE))
+    return out
+
+
+CORPUS = [
+    ("a", "the cat sat on the mat"),
+    ("b", "the cat sat"),
+    ("c", "zebra quark"),
+    ("d", "the"),
+    ("e", ""),
+    ("f", "the cat sat on the mat the cat sat"),
+    ("g", "ON the MAT the cat sat"),  # case folding
+    ("h", "a a a a"),  # self-overlapping grams
+]
+
+
+def _collect(df):
+    return {r[0]: (r[1], r[2]) for r in df.collect()}
+
+
+@pytest.mark.parametrize("n", [2, 3, 4])
+def test_matches_python_reference(spark, n):
+    df = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    got = _collect(ngram_lm_score(df, n=n))
+    assert got == _ref_scores(CORPUS, n=n)
+
+
+def test_min_count_floor(spark):
+    # the floor prunes singleton bigrams/trigrams -> those positions
+    # back off; unigrams stay complete (Laplace base). The shared floor
+    # preserves the prefix property, so no NULL/0 division anywhere.
+    df = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    got = _collect(ngram_lm_score(df, n=3, min_count=2))
+    assert got == _ref_scores(CORPUS, n=3, min_count=2)
+    # pruning must change scores for docs whose grams were floored away
+    unpruned = _collect(ngram_lm_score(df, n=3))
+    assert got != unpruned
+
+
+def test_separate_lm_corpus(spark):
+    # train on the fluent half, score everything: unseen scoring vocab
+    # exercises the Laplace-unseen path (count 0 -> 1/(T+V))
+    lm = [d for d in CORPUS if d[0] in ("a", "b", "f")]
+    df = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    lm_df = spark.createDataFrame(lm, "doc_id string, text string")
+    got = _collect(ngram_lm_score(df, lm_docs=lm_df, n=3))
+    assert got == _ref_scores(CORPUS, n=3, lm_docs=lm)
+    # fluent (in-domain) docs must outscore the unseen-vocab doc
+    assert got["a"][1] > got["c"][1]
+
+
+def test_empty_inputs(spark):
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    out = ngram_lm_score(empty, n=3)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["doc_id", "n_tokens", "lm_score"]
+    # empty LM corpus scoring a non-empty frame: no vocabulary, no rows
+    df = spark.createDataFrame(CORPUS[:2], "doc_id string, text string")
+    assert ngram_lm_score(df, lm_docs=empty, n=3).collect() == []
+
+
+def test_n_below_two_rejected(spark):
+    df = spark.createDataFrame(CORPUS[:1], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        ngram_lm_score(df, n=1)
+
+
+def test_scores_bounded_and_fluency_ordering(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    got = _collect(ngram_lm_score(df, n=3))
+    for _, (_, s) in got.items():
+        assert 0.0 < s <= 1.0
+    # a repeated fluent sentence scores near the top; random vocab low
+    assert got["f"][1] > got["c"][1]
