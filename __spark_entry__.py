@@ -1709,7 +1709,10 @@ def q_lm_score(spark, sf):
 _LM_A1 = repr(0.4)
 _LM_A2 = repr(0.4**2)
 
-SQL_LM_SCORE = rf"""
+# shared CTE prefix: tokenization, count tables (floor 2 on orders
+# 2-3), Laplace totals, per-position gram/prefix features, count
+# lookups, and the quantized backoff score per position
+_LM_CTES = rf"""
 WITH t AS (
   SELECT doc_id, list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x != ''),
                                 tk -> lower(tk)) AS ws
@@ -1761,11 +1764,62 @@ WITH t AS (
       ELSE (COALESCE(c1, 0) + 1) / (SELECT tv FROM tots)
     END) * 1000000.0) AS BIGINT) AS s_int
   FROM looked
-)
+)"""
+
+SQL_LM_SCORE = (
+    _LM_CTES
+    + """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(SUM(s_int) AS DOUBLE) / (count(*) * 1000000.0) AS lm_score
 FROM scored GROUP BY doc_id
 """
+)
+
+
+def q_perplexity_filter(spark, sf):
+    """The CCNet pipeline end-to-end: LM-score every document
+    (`lm.ngram_lm_score` with the exact integer sum), rank in integer
+    milli-units ((sum*1000) div n_tokens — integer division is
+    engine-exact; the double mean's ROUND is not), keep the top half
+    of every language by the combinable exact-quantile threshold
+    (`curation.filter_by_score_quantile` — no per-group sort)."""
+    from revtron_utils_spark.operators.curation import filter_by_score_quantile
+    from revtron_utils_spark.operators.lm import ngram_lm_score
+
+    docs = _t(spark, sf, "documents")
+    scored = ngram_lm_score(docs, n=3, min_count=2, include_sum=True)
+    ranked = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.expr("(score_sum_int * 1000) div n_tokens").alias("lm_milli"),
+    )
+    return filter_by_score_quantile(
+        ranked,
+        "lm_milli",
+        keep_frac=0.5,
+        by=["lang"],
+        quantiles_kwargs={"bins_per_efold": 4096},
+    )
+
+
+SQL_PERPLEXITY_FILTER = (
+    _LM_CTES
+    + """
+, doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(s_int) AS BIGINT) AS s_sum
+  FROM scored GROUP BY doc_id
+), ranked AS (
+  SELECT d.doc_id, dd.lang, CAST((d.s_sum * 1000) // d.n_tokens AS BIGINT) AS lm_milli
+  FROM doc d JOIN documents dd USING (doc_id)
+), q AS (
+  SELECT lang, QUANTILE_CONT(lm_milli, 0.5) AS thr FROM ranked GROUP BY lang
+)
+SELECT r.doc_id, r.lang, r.lm_milli
+FROM ranked r JOIN q USING (lang)
+WHERE r.lm_milli >= q.thr
+"""
+)
 
 
 def _sql_bucket(id_expr: str, seed: int = 0) -> str:
@@ -4062,6 +4116,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "quantile_filter": (q_quantile_filter, SQL_QUANTILE_FILTER),
     "importance_weights": (q_importance_weights, SQL_IMPORTANCE_WEIGHTS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "perplexity_filter": (q_perplexity_filter, SQL_PERPLEXITY_FILTER),
     "deterministic_shuffle": (q_deterministic_shuffle, SQL_DETERMINISTIC_SHUFFLE),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
     "bpe_learned": (q_bpe_learned, None),

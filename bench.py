@@ -47,6 +47,7 @@ HEADLINE = [
     "quantile_filter",
     "importance_weights",
     "lm_score",
+    "perplexity_filter",
     "deterministic_shuffle",
     "leakage_safe_split",
     "image_resize",

