@@ -2474,6 +2474,35 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM contaminate
 """
 
 
+def q_embedding_decontaminate(spark, sf):
+    """Semantic eval-leakage guard (`curation.embedding_decontaminate`):
+    drop training embeddings within cosine 0.35 of any eval embedding
+    (every 41st vector). Eval side broadcasts; the corpus passes once
+    through a broadcast nested-loop ANTI join — no corpus shuffle.
+    (0.35 because the fixture's embedding space is diffuse — max
+    cross-split cosine ≈0.45; production thresholds sit near 0.9.)"""
+    from revtron_utils_spark.operators.curation import embedding_decontaminate
+
+    emb = _t(spark, sf, "embeddings")
+    eval_df = emb.filter(F.col("vec_id") % 41 == 0)
+    train = emb.filter(F.col("vec_id") % 41 != 0)
+    return embedding_decontaminate(train, eval_df, threshold=0.35).select(
+        "vec_id", "label"
+    )
+
+
+SQL_EMBEDDING_DECONTAMINATE = f"""
+WITH e AS (SELECT vec_id, label, {_QUANT} AS qv FROM embeddings),
+ev AS (SELECT qv AS eq, SQRT(list_inner_product(qv, qv)) AS enrm FROM e WHERE vec_id % 41 = 0),
+tr AS (SELECT vec_id, label, qv, SQRT(list_inner_product(qv, qv)) AS tnrm FROM e WHERE vec_id % 41 != 0),
+bad AS (
+  SELECT DISTINCT t.vec_id FROM tr t, ev
+  WHERE ROUND(list_inner_product(t.qv, ev.eq) / (t.tnrm * ev.enrm), 6) >= 0.35
+)
+SELECT vec_id, label FROM tr WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+"""
+
+
 def q_correlated_avg(spark, sf):
     """TPC-H Q17 shape: small-quantity orders vs the per-part average —
     the correlated scalar subquery, decorrelated into a grouped join
@@ -4130,6 +4159,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "pii_scan": (q_pii_scan, SQL_PII_SCAN),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "embedding_decontaminate": (q_embedding_decontaminate, SQL_EMBEDDING_DECONTAMINATE),
     "correlated_avg": (q_correlated_avg, SQL_CORRELATED_AVG),
     "rollup_maintenance": (q_rollup_maintenance, SQL_ROLLUP_MAINTENANCE),
     "fuzzy_pairs": (q_fuzzy_pairs, SQL_FUZZY_PAIRS),

@@ -48,6 +48,7 @@ HEADLINE = [
     "importance_weights",
     "lm_score",
     "perplexity_filter",
+    "embedding_decontaminate",
     "deterministic_shuffle",
     "leakage_safe_split",
     "image_resize",

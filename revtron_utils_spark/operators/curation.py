@@ -290,6 +290,50 @@ def decontaminate(
     return train.join(contaminated, id_col, "left_anti")
 
 
+def embedding_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Semantic eval-leakage guard: drop training rows whose embedding
+    lies within cosine ``threshold`` of ANY eval embedding — catches
+    the paraphrased benchmark copies that n-gram `decontaminate` (exact
+    token overlap) misses.
+
+    Plan shape: the eval side is small by nature (benchmarks are
+    thousands-to-millions of rows, never corpus-scale), so it
+    broadcasts and the whole guard is ONE scan of the training
+    embeddings through a broadcast nested-loop ANTI join — no shuffle
+    of the corpus at all, and the anti join short-circuits a row on
+    its first contaminated match. Compute is N_train x N_eval dot
+    products (the honest brute-force sweep); when the eval set is
+    genuinely large, pre-bucket both sides with the hyperplane-LSH
+    signatures in `dedup.embedding_neardup_pairs` instead.
+
+    Exactness: quantized-integer dots, one sqrt/div each, cosine
+    ROUNDed to 6 before the threshold compare — the repo's proven
+    engine-exact cosine (`functions/vectors.py`), so the kept set
+    hash-verifies against a DuckDB oracle.
+    """
+    from ..functions import vectors as VX
+
+    ev = F.broadcast(
+        eval_df.select(VX.quantize(vec_col, scale).alias("_eq")).withColumn(
+            "_enrm", F.sqrt(VX.int_dot(F.col("_eq"), F.col("_eq")))
+        )
+    )
+    tr = train.withColumn("_tq", VX.quantize(vec_col, scale)).withColumn(
+        "_tnrm", F.sqrt(VX.int_dot(F.col("_tq"), F.col("_tq")))
+    )
+    cos = F.round(
+        VX.int_dot(F.col("_tq"), F.col("_eq")) / (F.col("_tnrm") * F.col("_enrm")),
+        6,
+    )
+    return tr.join(ev, cos >= F.lit(threshold), "left_anti").drop("_tq", "_tnrm")
+
+
 def cap_per_domain(
     df: DataFrame,
     id_col: str,

@@ -220,6 +220,31 @@ def test_decontaminate_short_docs_survive(spark):
     assert C.decontaminate(train, eval_df, ngram_n=8).count() == 1
 
 
+def test_embedding_decontaminate(spark):
+    # near-copy of an eval vector is dropped; the orthogonal-ish
+    # survivor and the anti-correlated one stay; eval side never leaks
+    # into the output
+    train = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),        # exact copy of eval -> dropped
+            (2, [0.99, 0.1, 0.0]),       # near copy -> dropped
+            (3, [0.0, 1.0, 0.0]),        # orthogonal -> kept
+            (4, [-1.0, 0.0, 0.0]),       # anti-correlated -> kept
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = C.embedding_decontaminate(train, eval_df, threshold=0.95)
+    assert sorted(r.vec_id for r in out.collect()) == [3, 4]
+    # helper columns are dropped; original schema survives
+    assert out.columns == ["vec_id", "embedding"]
+    # empty eval set removes nothing
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert C.embedding_decontaminate(train, empty, threshold=0.5).count() == 4
+
+
 def test_top_ngram_stats_and_dup_ratio(spark):
     from revtron_utils_spark.functions.text import dup_token_ratio, top_ngram_stats
 

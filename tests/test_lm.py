@@ -161,3 +161,34 @@ def test_perplexity_filter_composition(spark, sf_dir):
         by_lang.setdefault(r.lang, []).append(r.lm_milli)
     for lang, vals in by_lang.items():
         assert min(vals) >= 0
+
+
+def test_lm_hypothesis_differential(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    # tiny alphabet maximizes gram collisions (the backoff cascade's
+    # interesting region); single-char words and repeats ("a a a")
+    # exercise overlapping grams and count floors
+    word = st.text(alphabet="abA ", min_size=1, max_size=4).map(
+        lambda s: s.replace(" ", "")
+    )
+    corpus = st.lists(
+        st.lists(word, min_size=0, max_size=7).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpus=corpus, n=st.sampled_from([2, 3]), mc=st.sampled_from([1, 2]))
+    def run(corpus, n, mc):
+        docs = [(str(i), t) for i, t in enumerate(corpus)]
+        df = spark.createDataFrame(docs, "doc_id string, text string")
+        got = _collect(ngram_lm_score(df, n=n, min_count=mc))
+        assert got == _ref_scores(docs, n=n, min_count=mc)
+
+    run()
