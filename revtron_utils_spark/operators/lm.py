@@ -67,7 +67,14 @@ from pyspark.sql import functions as F
 def _lower_tokens(text_col: str):
     from ..functions import text as TX
 
-    return F.transform(TX.tokens(text_col), F.lower)
+    # lower the whole STRING, then split: one codegen'd pass. The
+    # transform(tokens, lower) form lowers per element through an
+    # interpreted higher-order function — measured ~1.6 s per corpus
+    # pass at sf0.1, 8x the split itself. Equivalent: no Unicode case
+    # mapping produces or removes whitespace, so token boundaries are
+    # identical.
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return TX.tokens(F.lower(c))
 
 
 def _order_grams(toks, k: int):
@@ -90,6 +97,41 @@ def _null_pad(arr, pad: int):
         return arr
     pads = F.array(*[F.lit(None).cast("string") for _ in range(pad)])
     return F.concat(pads, arr)
+
+
+def _position_frame(
+    docs: DataFrame, text_col: str, id_col: str, n: int, with_prefixes: bool
+) -> DataFrame:
+    """One row per token position i with the gram of every order 1..n
+    ending at i (``g1..gn``; NULL when i < k-1) and, when
+    ``with_prefixes``, each order's backoff prefix (``d2..dn`` — the
+    (k-1)-gram ending at i-1). One tokenization, n-1 shifted-slice
+    zip passes, a single posexplode."""
+    tok_docs = docs.select(F.col(id_col), _lower_tokens(text_col).alias("_ws"))
+    toks = F.col("_ws")
+    m = F.size(toks)
+    cols = {"g1": _order_grams(toks, 1)}
+    for k in range(2, n + 1):
+        cols[f"g{k}"] = _null_pad(_order_grams(toks, k), k - 1)
+        if with_prefixes:
+            # prefix of the order-k gram = (k-1)-gram ending at i-1
+            prev = _order_grams(toks, k - 1)
+            cols[f"d{k}"] = _null_pad(
+                F.slice(prev, 1, F.greatest(m - (k - 1), F.lit(0))), k - 1
+            )
+    return (
+        tok_docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.arrays_zip(*[v.alias(k) for k, v in cols.items()])
+            ).alias("_i", "_g"),
+        )
+        .select(id_col, *[F.col(f"_g.{k}").alias(k) for k in cols])
+        # arrays_zip pads to the LONGEST input: docs with fewer than
+        # n-1 tokens zip past their token count, yielding phantom
+        # positions whose g1 is NULL — real tokens never are
+        .filter(F.col("g1").isNotNull())
+    )
 
 
 def ngram_counts_table(
@@ -135,17 +177,35 @@ def ngram_lm_score(
         raise ValueError("ngram_lm_score needs n >= 2 (got n=%d)" % n)
     from .dedup import _persist
 
-    corpus = lm_docs if lm_docs is not None else docs
+    # --- one narrow projection: per position i, the gram of every
+    # order ending at i (plus, on the scoring side, its backoff prefix
+    # — the (k-1)-gram ending at i-1), null-padded into alignment and
+    # exploded once. PERSISTED: the count tables for every order derive
+    # from this same frame (a k-gram occurrence ends at exactly one
+    # position), so the corpus tokenizes and builds grams ONCE — the
+    # per-order word_ngrams rebuild was 3.5x the whole query's cost
+    # (interpreted zip_with per element, once per order).
+    pos = _persist(_position_frame(docs, text_col, id_col, n, with_prefixes=True))
+    cpos = (
+        pos
+        if lm_docs is None
+        else _persist(_position_frame(lm_docs, text_col, id_col, n, with_prefixes=False))
+    )
 
-    # --- count tables, orders 1..n, trained on the LM corpus.
-    # unigrams stay unfloored: they are the Laplace base case and must
+    # --- count tables, orders 1..n, trained on the LM corpus: one tiny
+    # map-side-combinable aggregate each over the cached positions.
+    # Unigrams stay unfloored: they are the Laplace base case and must
     # cover the corpus vocabulary.
-    counts = {
-        k: _persist(
-            ngram_counts_table(corpus, text_col, k, min_count if k > 1 else 1)
+    counts = {}
+    for k in range(1, n + 1):
+        c = (
+            cpos.filter(F.col(f"g{k}").isNotNull())
+            .groupBy(F.col(f"g{k}").alias("gram"))
+            .agg(F.count(F.lit(1)).alias("c"))
         )
-        for k in range(1, n + 1)
-    }
+        if k > 1 and min_count > 1:
+            c = c.filter(F.col("c") >= min_count)
+        counts[k] = _persist(c)
     tot = counts[1].agg(
         F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
     ).first()
@@ -161,33 +221,6 @@ def ngram_lm_score(
         if include_sum:
             schema += ", score_sum_int bigint"
         return spark.createDataFrame([], schema)
-
-    # --- one narrow projection: per position i, the gram of every
-    # order ending at i plus its backoff prefix (the (k-1)-gram ending
-    # at i-1), null-padded into alignment and exploded once. Tokenize
-    # into a named column first so the regex split runs once per doc.
-    tok_docs = docs.select(F.col(id_col), _lower_tokens(text_col).alias("_ws"))
-    toks = F.col("_ws")
-    m = F.size(toks)
-    cols = {"g1": _null_pad(_order_grams(toks, 1), 0)}
-    for k in range(2, n + 1):
-        cols[f"g{k}"] = _null_pad(_order_grams(toks, k), k - 1)
-        # prefix of the order-k gram = (k-1)-gram ending at i-1
-        prev = _order_grams(toks, k - 1)
-        cols[f"d{k}"] = _null_pad(F.slice(prev, 1, F.greatest(m - (k - 1), F.lit(0))), k - 1)
-    pos = (
-        tok_docs.select(
-            F.col(id_col),
-            F.posexplode(F.arrays_zip(*[v.alias(k) for k, v in cols.items()])).alias(
-                "_i", "_g"
-            ),
-        )
-        .select(id_col, *[F.col(f"_g.{k}").alias(k) for k in cols])
-        # arrays_zip pads to the LONGEST input: docs with fewer than
-        # n-1 tokens zip past their token count, yielding phantom
-        # positions whose g1 is NULL — real tokens never are
-        .filter(F.col("g1").isNotNull())
-    )
 
     # --- count lookups: left joins against vocabulary-sized tables
     # (no broadcast hint — AQE broadcasts when they fit). Seen grams

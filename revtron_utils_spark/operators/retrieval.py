@@ -233,7 +233,11 @@ def rarity_scores(
     toks = _persist(
         docs.select(
             F.col(id_col),
-            F.explode(F.transform(TX.tokens(text_col), F.lower)).alias("term"),
+            # lower-then-split (one codegen'd pass) — the per-element
+            # transform(tokens, lower) runs interpreted, ~1.6 s/pass at
+            # sf0.1; token boundaries are identical (no case mapping
+            # touches whitespace)
+            F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("term"),
         )
     )
     n_docs = docs.count()
