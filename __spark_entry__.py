@@ -1712,25 +1712,29 @@ _LM_A2 = repr(0.4**2)
 # shared CTE prefix: tokenization, count tables (floor 2 on orders
 # 2-3), Laplace totals, per-position gram/prefix features, count
 # lookups, and the quantized backoff score per position
-_LM_CTES = rf"""
+def _lm_ctes(train_where: str = "") -> str:
+    """LM oracle CTE prefix; ``train_where`` restricts the TRAINING
+    corpus (count tables + Laplace totals) while scoring stays over all
+    documents — the lm_docs separation."""
+    return rf"""
 WITH t AS (
-  SELECT doc_id, list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x != ''),
+  SELECT doc_id, lang, list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x != ''),
                                 tk -> lower(tk)) AS ws
   FROM documents
 ), cnt1 AS (
   SELECT gram, CAST(count(*) AS BIGINT) AS c
-  FROM (SELECT unnest(ws) AS gram FROM t) GROUP BY gram
+  FROM (SELECT unnest(ws) AS gram FROM t {train_where}) GROUP BY gram
 ), cnt2 AS (
   SELECT gram, CAST(count(*) AS BIGINT) AS c FROM (
     SELECT unnest(CASE WHEN len(ws) >= 2
       THEN list_transform(range(1, len(ws)), i -> concat_ws(' ', ws[i], ws[i+1]))
-      ELSE CAST([] AS VARCHAR[]) END) AS gram FROM t
+      ELSE CAST([] AS VARCHAR[]) END) AS gram FROM t {train_where}
   ) GROUP BY gram HAVING count(*) >= 2
 ), cnt3 AS (
   SELECT gram, CAST(count(*) AS BIGINT) AS c FROM (
     SELECT unnest(CASE WHEN len(ws) >= 3
       THEN list_transform(range(1, len(ws) - 1), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))
-      ELSE CAST([] AS VARCHAR[]) END) AS gram FROM t
+      ELSE CAST([] AS VARCHAR[]) END) AS gram FROM t {train_where}
   ) GROUP BY gram HAVING count(*) >= 2
 ), tots AS (
   SELECT CAST(sum(c) + count(*) AS DOUBLE) AS tv FROM cnt1
@@ -1766,6 +1770,15 @@ WITH t AS (
   FROM looked
 )"""
 
+
+_LM_CTES = _lm_ctes()
+
+_LM_FINAL = """
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(s_int) AS DOUBLE) / (count(*) * 1000000.0) AS lm_score
+FROM scored GROUP BY doc_id
+"""
+
 SQL_LM_SCORE = (
     _LM_CTES
     + """
@@ -1774,6 +1787,21 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
 FROM scored GROUP BY doc_id
 """
 )
+
+
+def q_lm_crossdomain(spark, sf):
+    """The actual CCNet arrangement: the LM is TRAINED on a trusted
+    subset (lang='en') and scores the whole corpus — out-of-domain
+    documents route through the Laplace-unseen path
+    (`lm.ngram_lm_score(lm_docs=...)`)."""
+    from revtron_utils_spark.operators.lm import ngram_lm_score
+
+    docs = _t(spark, sf, "documents")
+    lm = docs.filter(F.col("lang") == "en")
+    return ngram_lm_score(docs, lm_docs=lm, n=3, min_count=2)
+
+
+SQL_LM_CROSSDOMAIN = _lm_ctes("WHERE lang = 'en'") + _LM_FINAL
 
 
 def q_perplexity_filter(spark, sf):
@@ -4146,6 +4174,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "importance_weights": (q_importance_weights, SQL_IMPORTANCE_WEIGHTS),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "perplexity_filter": (q_perplexity_filter, SQL_PERPLEXITY_FILTER),
+    "lm_crossdomain": (q_lm_crossdomain, SQL_LM_CROSSDOMAIN),
     "deterministic_shuffle": (q_deterministic_shuffle, SQL_DETERMINISTIC_SHUFFLE),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
     "bpe_learned": (q_bpe_learned, None),
