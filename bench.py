@@ -126,6 +126,13 @@ def main() -> None:
     from revtron_utils_spark.io import read_table
 
     read_table(spark, sf_dir, "region").write.mode("overwrite").format("noop").save()
+    # ...and the in-memory columnar cache: the session's FIRST
+    # CachedBatch build pays ~2s of one-time codegen/JIT (measured at
+    # sf0.1 — a 270k-row persist cost 2.9s first, 0.5s after) that
+    # would otherwise be charged to whichever query persists first
+    _wc = spark.range(100_000).selectExpr("cast(id as string) s", "id").persist()
+    _wc.count()
+    _wc.unpersist()
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
