@@ -1773,20 +1773,19 @@ WITH t AS (
 
 _LM_CTES = _lm_ctes()
 
+# WHERE s_int IS NOT NULL: with a non-empty training corpus every
+# branch of the score CASE is defined, so nothing is filtered; with an
+# EMPTY one (train_where matches no docs) tv is NULL, every s_int is
+# NULL, and the guard makes the oracle return zero rows — matching
+# ngram_lm_score's documented empty-corpus frame instead of emitting
+# every doc with a NULL score.
 _LM_FINAL = """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(SUM(s_int) AS DOUBLE) / (count(*) * 1000000.0) AS lm_score
-FROM scored GROUP BY doc_id
+FROM scored WHERE s_int IS NOT NULL GROUP BY doc_id
 """
 
-SQL_LM_SCORE = (
-    _LM_CTES
-    + """
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(SUM(s_int) AS DOUBLE) / (count(*) * 1000000.0) AS lm_score
-FROM scored GROUP BY doc_id
-"""
-)
+SQL_LM_SCORE = _LM_CTES + _LM_FINAL
 
 
 def q_lm_crossdomain(spark, sf):
@@ -1836,7 +1835,7 @@ SQL_PERPLEXITY_FILTER = (
 , doc AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          CAST(SUM(s_int) AS BIGINT) AS s_sum
-  FROM scored GROUP BY doc_id
+  FROM scored WHERE s_int IS NOT NULL GROUP BY doc_id
 ), ranked AS (
   SELECT d.doc_id, dd.lang, CAST((d.s_sum * 1000) // d.n_tokens AS BIGINT) AS lm_milli
   FROM doc d JOIN documents dd USING (doc_id)

@@ -58,23 +58,24 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
-def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Word-level n-grams as space-joined strings; empty array when the
-    document has fewer than ``n`` tokens.
-
-    Built by zipping ``n`` shifted slices of the token array (``n-1``
-    ``zip_with`` passes) instead of a per-position ``slice``+``concat``
-    transform: higher-order functions are interpreted per element in
-    Spark, so the shifted-slice form — O(n) array ops per document
-    rather than one allocation per shingle — measures ~6× faster at
-    fixture scale and scales with total token count, not token count ×
-    shingle width."""
-    toks = tokens(col)
+def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """Word n-grams (space-joined) over a pre-built token array: the
+    shifted-slice ``zip_with`` composition — ``n-1`` passes of O(total
+    tokens) array ops instead of one allocation per shingle (a
+    per-position ``slice``+``concat`` transform measures ~6× slower;
+    higher-order functions run interpreted per element). Shared by
+    ``word_ngrams`` and the LM position frame (`operators/lm.py`)."""
     m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     out = F.slice(toks, 1, m)
     for k in range(2, n + 1):
         out = F.zip_with(out, F.slice(toks, k, m), lambda a, b: F.concat(a, F.lit(" "), b))
     return out
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Word-level n-grams as space-joined strings; empty array when the
+    document has fewer than ``n`` tokens."""
+    return word_ngrams_from_tokens(tokens(col), n)
 
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:

@@ -327,8 +327,17 @@ def embedding_decontaminate(
     tr = train.withColumn("_tq", VX.quantize(vec_col, scale)).withColumn(
         "_tnrm", F.sqrt(VX.int_dot(F.col("_tq"), F.col("_tq")))
     )
+    # try_divide: a zero-norm embedding (all elements quantize to 0 —
+    # zero-padded or failed-upstream rows) has undefined cosine; plain
+    # division raises DIVIDE_BY_ZERO under Spark 4's default ANSI mode
+    # and kills the query. NULL cosine fails the threshold, so
+    # zero-norm rows neither contaminate nor get dropped — matching
+    # DuckDB's NULL-division semantics in the oracle.
     cos = F.round(
-        VX.int_dot(F.col("_tq"), F.col("_eq")) / (F.col("_tnrm") * F.col("_enrm")),
+        F.try_divide(
+            VX.int_dot(F.col("_tq"), F.col("_eq")),
+            F.col("_tnrm") * F.col("_enrm"),
+        ),
         6,
     )
     return tr.join(ev, cos >= F.lit(threshold), "left_anti").drop("_tq", "_tnrm")

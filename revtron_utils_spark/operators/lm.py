@@ -79,14 +79,11 @@ def _lower_tokens(text_col: str):
 
 def _order_grams(toks, k: int):
     """Array of k-gram strings ending at positions k-1..m-1 (length
-    m-k+1), via the shifted-slice zip_with composition."""
-    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
-    out = F.slice(toks, 1, m)
-    for j in range(2, k + 1):
-        out = F.zip_with(
-            out, F.slice(toks, j, m), lambda a, b: F.concat(a, F.lit(" "), b)
-        )
-    return out
+    m-k+1) — the shared shifted-slice composition from
+    ``functions.text.word_ngrams_from_tokens``."""
+    from ..functions import text as TX
+
+    return TX.word_ngrams_from_tokens(toks, k)
 
 
 def _null_pad(arr, pad: int):
@@ -132,22 +129,6 @@ def _position_frame(
         # positions whose g1 is NULL — real tokens never are
         .filter(F.col("g1").isNotNull())
     )
-
-
-def ngram_counts_table(
-    docs: DataFrame, text_col: str, k: int, min_count: int = 1
-) -> DataFrame:
-    """Corpus k-gram counts (gram, c): one explode + one map-side
-    combinable aggregate; ``min_count`` floors the long tail before it
-    is ever joined."""
-    cnt = (
-        docs.select(F.explode(_order_grams(_lower_tokens(text_col), k)).alias("gram"))
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    if min_count > 1:
-        cnt = cnt.filter(F.col("c") >= min_count)
-    return cnt
 
 
 def ngram_lm_score(

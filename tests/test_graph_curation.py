@@ -243,6 +243,18 @@ def test_embedding_decontaminate(spark):
     # empty eval set removes nothing
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert C.embedding_decontaminate(train, empty, threshold=0.5).count() == 4
+    # zero-norm embeddings (all elements quantize to 0) have undefined
+    # cosine: they must neither crash (ANSI DIVIDE_BY_ZERO) nor be
+    # dropped, on either side of the join
+    zn = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [1e-9, -1e-9])],
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [(9, [1.0, 0.0]), (10, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    kept = sorted(r.vec_id for r in C.embedding_decontaminate(zn, ev, threshold=0.9).collect())
+    assert kept == [2, 3]
 
 
 def test_top_ngram_stats_and_dup_ratio(spark):
