@@ -1803,6 +1803,87 @@ def q_lm_crossdomain(spark, sf):
 SQL_LM_CROSSDOMAIN = _lm_ctes("WHERE lang = 'en'") + _LM_FINAL
 
 
+def q_kneser_ney(spark, sf):
+    """Interpolated Kneser-Ney trigram fluency (`lm.kneser_ney_score`)
+    — the KenLM smoothing family as engine-exact rational arithmetic:
+    token counts AND the five continuation-count tables all derive
+    from one persisted position frame; absolute discount D=0.75."""
+    from revtron_utils_spark.operators.lm import kneser_ney_score
+
+    docs = _t(spark, sf, "documents")
+    return kneser_ney_score(docs)
+
+
+SQL_KNESER_NEY = r"""
+WITH t AS (
+  SELECT doc_id, list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x != ''),
+                                tk -> lower(tk)) AS ws
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS i, ws FROM t
+), feat AS (
+  SELECT doc_id,
+         ws[i] AS w1,
+         CASE WHEN i >= 2 THEN concat_ws(' ', ws[i-1], ws[i]) END AS w2,
+         CASE WHEN i >= 3 THEN concat_ws(' ', ws[i-2], ws[i-1], ws[i]) END AS w3,
+         CASE WHEN i >= 2 THEN ws[i-1] END AS p2,
+         CASE WHEN i >= 3 THEN concat_ws(' ', ws[i-2], ws[i-1]) END AS p3
+  FROM pos
+), cnt2 AS (
+  SELECT w2 AS k, CAST(count(*) AS BIGINT) AS c2uv FROM feat WHERE w2 IS NOT NULL GROUP BY w2
+), cnt3 AS (
+  SELECT w3 AS k, CAST(count(*) AS BIGINT) AS c3 FROM feat WHERE w3 IS NOT NULL GROUP BY w3
+), tri AS (
+  SELECT DISTINCT w3, w2, p2, p3, w1 FROM feat WHERE w3 IS NOT NULL
+), bi AS (
+  SELECT DISTINCT w2, w1 FROM feat WHERE w2 IS NOT NULL
+), kn_n1p2 AS (
+  SELECT w2 AS k, CAST(count(*) AS BIGINT) AS n1p2 FROM tri GROUP BY w2
+), kn_mid AS (
+  SELECT p2 AS k, CAST(count(*) AS BIGINT) AS n1mid,
+         CAST(count(DISTINCT w1) AS BIGINT) AS n1fmid
+  FROM tri GROUP BY p2
+), kn_n1f2 AS (
+  SELECT p3 AS k, CAST(count(*) AS BIGINT) AS n1f2 FROM tri GROUP BY p3
+), kn_n1p1 AS (
+  SELECT w1 AS k, CAST(count(*) AS BIGINT) AS n1p1 FROM bi GROUP BY w1
+), tots AS (
+  SELECT CAST((SELECT count(DISTINCT w2) FROM feat) + (SELECT count(DISTINCT w1) FROM feat) AS DOUBLE) AS bv
+), looked AS (
+  SELECT f.doc_id, f.w2, f.w3,
+         a.n1p1, m.n1mid, m.n1fmid, b2.n1p2, cc.c2uv, ff.n1f2, c3.c3
+  FROM feat f
+  LEFT JOIN kn_n1p1 a ON a.k = f.w1
+  LEFT JOIN kn_mid m ON m.k = f.p2
+  LEFT JOIN kn_n1p2 b2 ON b2.k = f.w2
+  LEFT JOIN cnt2 cc ON cc.k = f.p3
+  LEFT JOIN kn_n1f2 ff ON ff.k = f.p3
+  LEFT JOIN cnt3 c3 ON c3.k = f.w3
+), s1 AS (
+  SELECT *, (COALESCE(n1p1, 0) + 1) / (SELECT bv FROM tots) AS p1c FROM looked
+), s2 AS (
+  SELECT *, CASE WHEN n1mid IS NOT NULL
+    THEN (GREATEST(COALESCE(n1p2, 0) - 0.75, 0.0) / n1mid) + (((0.75 * n1fmid) / n1mid) * p1c)
+    ELSE p1c END AS p2c
+  FROM s1
+), s3 AS (
+  SELECT *, CASE WHEN c2uv IS NOT NULL
+    THEN (GREATEST(COALESCE(c3, 0) - 0.75, 0.0) / c2uv) + (((0.75 * COALESCE(n1f2, 0)) / c2uv) * p2c)
+    ELSE p2c END AS p3c
+  FROM s2
+), scored AS (
+  SELECT doc_id,
+    CAST(round((CASE WHEN w3 IS NOT NULL THEN p3c
+                     WHEN w2 IS NOT NULL THEN p2c
+                     ELSE p1c END) * 1000000.0) AS BIGINT) AS s_int
+  FROM s3
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(s_int) AS DOUBLE) / (count(*) * 1000000.0) AS kn_score
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_perplexity_filter(spark, sf):
     """The CCNet pipeline end-to-end: LM-score every document
     (`lm.ngram_lm_score` with the exact integer sum), rank in integer
@@ -4174,6 +4255,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "perplexity_filter": (q_perplexity_filter, SQL_PERPLEXITY_FILTER),
     "lm_crossdomain": (q_lm_crossdomain, SQL_LM_CROSSDOMAIN),
+    "kneser_ney": (q_kneser_ney, SQL_KNESER_NEY),
     "deterministic_shuffle": (q_deterministic_shuffle, SQL_DETERMINISTIC_SHUFFLE),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
     "bpe_learned": (q_bpe_learned, None),

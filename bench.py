@@ -47,6 +47,7 @@ HEADLINE = [
     "quantile_filter",
     "importance_weights",
     "lm_score",
+    "kneser_ney",
     "perplexity_filter",
     "embedding_decontaminate",
     "deterministic_shuffle",

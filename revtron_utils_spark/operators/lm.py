@@ -269,3 +269,160 @@ def ngram_lm_score(
         .agg(*aggs)
     )
     return out
+
+
+def kneser_ney_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm_docs: DataFrame | None = None,
+    discount: float = 0.75,
+    scale: int = 1_000_000,
+    include_sum: bool = False,
+) -> DataFrame:
+    """Per-document fluency under an interpolated Kneser-Ney trigram LM
+    (Kneser & Ney 1995; Chen & Goodman 1999) — the smoothing family
+    KenLM implements, i.e. the de-facto CCNet/cc_net quality filter.
+
+    Interpolated KN with a single absolute discount D:
+
+        p3(w|u,v) = max(c(uvw)-D, 0)/c(uv) + D*N1+(uv.)/c(uv) * p2(w|v)
+        p2(w|v)   = max(N1+(.vw)-D, 0)/N1+(.v.)
+                    + D*N1+f(v)/N1+(.v.) * p1(w)
+        p1(w)     = (N1+(.w) + 1) / (B + V)
+
+    where c(.) are token counts, N1+(uv.) = distinct continuations of
+    the context, N1+(.vw) = distinct left contexts of the bigram
+    (the continuation counts that make KN the right smoother: "York" is
+    frequent but follows almost only "New"), N1+(.v.) = trigram types
+    with middle v, N1+f(v) = distinct followers of v within trigram
+    types, N1+(.w) = distinct predecessors of w, B/V = bigram/unigram
+    type counts. The unigram is the continuation distribution with a
+    +1/+V guard so unseen scoring tokens keep nonzero mass (documented
+    deviation from the textbook form, same role as the stupid-backoff
+    Laplace base). Unseen contexts fall through to the next-lower
+    distribution; truncated doc-start contexts score with p2/p1.
+
+    Engine-exactness (the repo's log-free discipline): every statistic
+    is an integer aggregate; each probability is a FIXED-ORDER chain of
+    integer-valued-double subtract/divide/multiply with the ``D``
+    literal; per-position scores quantize to integers and the document
+    mean is one IEEE division — the whole model (type tables included)
+    hash-verifies against a DuckDB oracle.
+
+    100 TB posture: ALL statistics — token counts AND the five
+    continuation-count tables — are direct aggregates over the one
+    persisted position frame (a trigram type is a distinct ``g3``
+    value, and the g3 string determines its decomposition, so every
+    continuation count is a grouped ``count_distinct(g3)`` — no
+    materialized type tables, no extra shuffles), so the corpus
+    tokenizes once; stat tables are vocabulary-sized, joined without
+    hints (AQE broadcasts while they fit); one doc-keyed aggregate.
+    """
+    from .dedup import _persist
+
+    pos = _persist(_position_frame(docs, text_col, id_col, 3, with_prefixes=True))
+    cpos = (
+        pos
+        if lm_docs is None
+        else _persist(_position_frame(lm_docs, text_col, id_col, 3, with_prefixes=True))
+    )
+
+    tripos = cpos.filter(F.col("g3").isNotNull())
+    bipos = cpos.filter(F.col("g2").isNotNull())
+    c2 = bipos.groupBy(F.col("g2").alias("k")).agg(
+        F.count(F.lit(1)).alias("c2uv")
+    )
+    c3 = tripos.groupBy(F.col("g3").alias("k")).agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    # continuation counts: distinct trigram types = distinct g3; the
+    # gram string determines (u, v, w), so grouping positions by a
+    # component and count_distinct(g3) counts types exactly
+    n1_pred2 = tripos.groupBy(F.col("g2").alias("k")).agg(
+        F.count_distinct(F.col("g3")).alias("n1p2")
+    )
+    mid = tripos.groupBy(F.col("d2").alias("k")).agg(
+        F.count_distinct(F.col("g3")).alias("n1mid"),
+        F.count_distinct(F.col("g1")).alias("n1fmid"),
+    )
+    n1_follow2 = tripos.groupBy(F.col("d3").alias("k")).agg(
+        F.count_distinct(F.col("g3")).alias("n1f2")
+    )
+    n1_pred1 = bipos.groupBy(F.col("g1").alias("k")).agg(
+        F.count_distinct(F.col("g2")).alias("n1p1")
+    )
+
+    scalars = cpos.agg(
+        F.count_distinct(F.col("g2")).alias("b"),
+        F.count_distinct(F.col("g1")).alias("v"),
+    ).first()
+    b_plus_v = float((scalars.b or 0) + (scalars.v or 0))
+    if b_plus_v == 0.0:
+        spark = docs.sparkSession
+        id_type = dict(zip(docs.schema.names, docs.schema.fields))[
+            id_col
+        ].dataType.simpleString()
+        schema = f"{id_col} {id_type}, n_tokens bigint, kn_score double"
+        if include_sum:
+            schema += ", score_sum_int bigint"
+        return spark.createDataFrame([], schema)
+
+    def lk(table, key, *outs):
+        t = table.withColumnRenamed("k", key)
+        return t.select(key, *outs)
+
+    # the two d3-keyed lookups merge into one table (any trigram
+    # context uv is a seen bigram, so c2's keys cover n1_follow2's):
+    # five broadcast joins instead of six
+    ctx = c2.join(n1_follow2, "k", "left")
+    p = (
+        pos.join(lk(n1_pred1, "g1", "n1p1"), "g1", "left")
+        .join(lk(mid, "d2", "n1mid", "n1fmid"), "d2", "left")
+        .join(lk(n1_pred2, "g2", "n1p2"), "g2", "left")
+        .join(lk(ctx, "d3", "c2uv", "n1f2"), "d3", "left")
+        .join(lk(c3, "g3", "c3"), "g3", "left")
+    )
+
+    D = float(discount)
+    p1c = (F.coalesce(F.col("n1p1"), F.lit(0)) + F.lit(1)) / F.lit(b_plus_v)
+    p2c = F.when(
+        F.col("n1mid").isNotNull(),
+        (
+            F.greatest(
+                F.coalesce(F.col("n1p2"), F.lit(0)) - F.lit(D), F.lit(0.0)
+            )
+            / F.col("n1mid")
+        )
+        + (((F.lit(D) * F.col("n1fmid")) / F.col("n1mid")) * p1c),
+    ).otherwise(p1c)
+    p3c = F.when(
+        F.col("c2uv").isNotNull(),
+        (
+            F.greatest(F.coalesce(F.col("c3"), F.lit(0)) - F.lit(D), F.lit(0.0))
+            / F.col("c2uv")
+        )
+        + (
+            ((F.lit(D) * F.coalesce(F.col("n1f2"), F.lit(0))) / F.col("c2uv"))
+            * p2c
+        ),
+    ).otherwise(p2c)
+    score = (
+        F.when(F.col("g3").isNotNull(), p3c)
+        .when(F.col("g2").isNotNull(), p2c)
+        .otherwise(p1c)
+    )
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum("_s_int") / (F.count(F.lit(1)) * F.lit(float(scale)))).alias(
+            "kn_score"
+        ),
+    ]
+    if include_sum:
+        aggs.append(F.sum("_s_int").alias("score_sum_int"))
+    return (
+        p.withColumn("_s_int", F.round(score * F.lit(float(scale))).cast("long"))
+        .groupBy(id_col)
+        .agg(*aggs)
+    )

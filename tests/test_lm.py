@@ -192,3 +192,119 @@ def test_lm_hypothesis_differential(spark):
         assert got == _ref_scores(docs, n=n, min_count=mc)
 
     run()
+
+
+# ---------------------------------------------------------------- KN
+
+
+def _ref_kn(docs, lm_docs=None, D=0.75):
+    """Independent interpolated-KN trigram reference (continuation
+    counts per Chen & Goodman), HALF_UP quantization."""
+    corpus = lm_docs if lm_docs is not None else docs
+    c2, c3 = Counter(), Counter()
+    tri, bi = set(), set()
+    uni = set()
+    for _, t in corpus:
+        ws = t.lower().split()
+        uni.update(ws)
+        for j in range(len(ws) - 1):
+            c2[(ws[j], ws[j + 1])] += 1
+            bi.add((ws[j], ws[j + 1]))
+        for j in range(len(ws) - 2):
+            c3[(ws[j], ws[j + 1], ws[j + 2])] += 1
+            tri.add((ws[j], ws[j + 1], ws[j + 2]))
+    n1p1 = Counter(w for _, w in bi)                 # distinct predecessors
+    n1p2 = Counter((v, w) for _, v, w in tri)        # distinct left ctx of vw
+    n1mid = Counter(v for _, v, _ in tri)            # trigram types with middle v
+    n1fmid = Counter()                               # distinct followers of middle v
+    for v, ws_ in Counter((v, w) for _, v, w in tri).keys():
+        n1fmid[v] += 1
+    n1f2 = Counter((u, v) for u, v, _ in tri)        # distinct continuations of uv
+    B, V = len(bi), len(uni)
+
+    def p1(w):
+        return (n1p1[w] + 1) / (B + V)
+
+    def p2(w, v):
+        if n1mid[v] == 0:
+            return p1(w)
+        return max(n1p2[(v, w)] - D, 0.0) / n1mid[v] + ((D * n1fmid[v]) / n1mid[v]) * p1(w)
+
+    def p3(w, u, v):
+        if c2[(u, v)] == 0:
+            return p2(w, v)
+        return max(c3[(u, v, w)] - D, 0.0) / c2[(u, v)] + (
+            (D * n1f2[(u, v)]) / c2[(u, v)]
+        ) * p2(w, v)
+
+    out = {}
+    for i, t in docs:
+        ws = t.lower().split()
+        if not ws:
+            continue
+        s = 0
+        for p in range(len(ws)):
+            if p == 0:
+                val = p1(ws[0])
+            elif p == 1:
+                val = p2(ws[1], ws[0])
+            else:
+                val = p3(ws[p], ws[p - 2], ws[p - 1])
+            s += int(
+                decimal.Decimal(SCALE * val).quantize(
+                    0, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+        out[i] = (len(ws), s / (len(ws) * SCALE))
+    return out
+
+
+def test_kn_matches_python_reference(spark):
+    from revtron_utils_spark.operators.lm import kneser_ney_score
+
+    df = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    got = _collect(kneser_ney_score(df))
+    assert got == _ref_kn(CORPUS)
+
+
+def test_kn_separate_corpus_and_empty(spark):
+    from revtron_utils_spark.operators.lm import kneser_ney_score
+
+    lm = [d for d in CORPUS if d[0] in ("a", "b", "f")]
+    df = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    lm_df = spark.createDataFrame(lm, "doc_id string, text string")
+    got = _collect(kneser_ney_score(df, lm_docs=lm_df))
+    assert got == _ref_kn(CORPUS, lm_docs=lm)
+    assert got["a"][1] > got["c"][1]  # in-domain outscores unseen vocab
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    out = kneser_ney_score(df, lm_docs=empty)
+    assert out.collect() == []
+    assert out.schema.fieldNames() == ["doc_id", "n_tokens", "kn_score"]
+
+
+def test_kn_hypothesis_differential(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from revtron_utils_spark.operators.lm import kneser_ney_score
+
+    word = st.text(alphabet="ab", min_size=1, max_size=3)
+    corpus = st.lists(
+        st.lists(word, min_size=0, max_size=7).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpus=corpus)
+    def run(corpus):
+        docs = [(str(i), t) for i, t in enumerate(corpus)]
+        df = spark.createDataFrame(docs, "doc_id string, text string")
+        got = _collect(kneser_ney_score(df))
+        assert got == _ref_kn(docs)
+
+    run()
