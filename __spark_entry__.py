@@ -2029,6 +2029,22 @@ def q_bpe_learned(spark, sf):
     )
 
 
+def q_unigram_lm_learned(spark, sf):
+    """SentencePiece-style unigram tokenizer training
+    (`operators/unigram.py`): seed substrings → Viterbi-EM rounds over
+    the distinct-word table (Arrow UDF + combinable usage aggregate) →
+    prune to vocab. Iterative → genuinely non-SQL (rows-only);
+    exactness vs a pure-Python reference (seed, Viterbi tie-breaks,
+    EM counts, prune order, encodings) in tests/test_unigram.py."""
+    from revtron_utils_spark.operators.unigram import unigram_train
+
+    docs = _t(spark, sf, "documents")
+    pieces = unigram_train(docs, vocab_size=80, seed_keep=200, rounds=2)
+    return spark.createDataFrame(
+        [(p, float(pr)) for p, pr in pieces], "piece string, prob double"
+    )
+
+
 def q_quality_classifier(spark, sf):
     """Hashed-feature linear classifier (fastText-style hashing trick):
     token → poly-hash bucket → deterministic integer weight; doc score =
@@ -4259,6 +4275,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "deterministic_shuffle": (q_deterministic_shuffle, SQL_DETERMINISTIC_SHUFFLE),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
     "bpe_learned": (q_bpe_learned, None),
+    "unigram_lm_learned": (q_unigram_lm_learned, None),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "gopher_filters": (q_gopher_filters, SQL_GOPHER_FILTERS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
