@@ -242,6 +242,12 @@ def rolling_active_users(
             ).alias("day")
         )
     )
+    # deliberately unpartitioned window (Spark warns): the running
+    # total runs over the CALENDAR-DAY spine, whose cardinality is the
+    # date range of the data (~365 rows/year — bounded regardless of
+    # corpus size), after the distributed heavy stages (distinct
+    # users, islands, deltas) have reduced everything to one delta row
+    # per day. A single task over that spine is the right plan.
     w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return (
         spine.join(deltas, "day", "left")
