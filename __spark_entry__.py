@@ -1829,10 +1829,15 @@ WITH t AS (
          CASE WHEN i >= 2 THEN ws[i-1] END AS p2,
          CASE WHEN i >= 3 THEN concat_ws(' ', ws[i-2], ws[i-1]) END AS p3
   FROM pos
-), cnt2 AS (
-  SELECT w2 AS k, CAST(count(*) AS BIGINT) AS c2uv FROM feat WHERE w2 IS NOT NULL GROUP BY w2
 ), cnt3 AS (
   SELECT w3 AS k, CAST(count(*) AS BIGINT) AS c3 FROM feat WHERE w3 IS NOT NULL GROUP BY w3
+), kn_ctx AS (
+  -- c(uv.) is the CONTEXT count (trigram occurrences grouped by their
+  -- first two words), not the raw bigram count: a bigram seen only
+  -- doc-finally is no context and falls through to p2
+  SELECT p3 AS k, CAST(count(*) AS BIGINT) AS c2uv,
+         CAST(count(DISTINCT w3) AS BIGINT) AS n1f2
+  FROM feat WHERE w3 IS NOT NULL GROUP BY p3
 ), tri AS (
   SELECT DISTINCT w3, w2, p2, p3, w1 FROM feat WHERE w3 IS NOT NULL
 ), bi AS (
@@ -1843,21 +1848,18 @@ WITH t AS (
   SELECT p2 AS k, CAST(count(*) AS BIGINT) AS n1mid,
          CAST(count(DISTINCT w1) AS BIGINT) AS n1fmid
   FROM tri GROUP BY p2
-), kn_n1f2 AS (
-  SELECT p3 AS k, CAST(count(*) AS BIGINT) AS n1f2 FROM tri GROUP BY p3
 ), kn_n1p1 AS (
   SELECT w1 AS k, CAST(count(*) AS BIGINT) AS n1p1 FROM bi GROUP BY w1
 ), tots AS (
   SELECT CAST((SELECT count(DISTINCT w2) FROM feat) + (SELECT count(DISTINCT w1) FROM feat) AS DOUBLE) AS bv
 ), looked AS (
   SELECT f.doc_id, f.w2, f.w3,
-         a.n1p1, m.n1mid, m.n1fmid, b2.n1p2, cc.c2uv, ff.n1f2, c3.c3
+         a.n1p1, m.n1mid, m.n1fmid, b2.n1p2, cc.c2uv, cc.n1f2, c3.c3
   FROM feat f
   LEFT JOIN kn_n1p1 a ON a.k = f.w1
   LEFT JOIN kn_mid m ON m.k = f.p2
   LEFT JOIN kn_n1p2 b2 ON b2.k = f.w2
-  LEFT JOIN cnt2 cc ON cc.k = f.p3
-  LEFT JOIN kn_n1f2 ff ON ff.k = f.p3
+  LEFT JOIN kn_ctx cc ON cc.k = f.p3
   LEFT JOIN cnt3 c3 ON c3.k = f.w3
 ), s1 AS (
   SELECT *, (COALESCE(n1p1, 0) + 1) / (SELECT bv FROM tots) AS p1c FROM looked

@@ -131,6 +131,20 @@ def _position_frame(
     )
 
 
+def _empty_scores(
+    docs: DataFrame, id_col: str, score_col: str, include_sum: bool
+) -> DataFrame:
+    """Empty result frame with the scorer's schema — the documented
+    empty-LM-corpus behavior (no vocabulary, nothing scoreable)."""
+    id_type = dict(zip(docs.schema.names, docs.schema.fields))[
+        id_col
+    ].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_tokens bigint, {score_col} double"
+    if include_sum:
+        schema += ", score_sum_int bigint"
+    return docs.sparkSession.createDataFrame([], schema)
+
+
 def ngram_lm_score(
     docs: DataFrame,
     text_col: str = "text",
@@ -194,14 +208,7 @@ def ngram_lm_score(
     if t_plus_v == 0.0:
         # empty LM corpus: Laplace over an empty vocabulary is
         # undefined; score nothing rather than divide by zero
-        spark = docs.sparkSession
-        id_type = dict(zip(docs.schema.names, docs.schema.fields))[
-            id_col
-        ].dataType.simpleString()
-        schema = f"{id_col} {id_type}, n_tokens bigint, lm_score double"
-        if include_sum:
-            schema += ", score_sum_int bigint"
-        return spark.createDataFrame([], schema)
+        return _empty_scores(docs, id_col, "lm_score", include_sum)
 
     # --- count lookups: left joins against vocabulary-sized tables
     # (no broadcast hint — AQE broadcasts when they fit). Seen grams
@@ -286,18 +293,23 @@ def kneser_ney_score(
 
     Interpolated KN with a single absolute discount D:
 
-        p3(w|u,v) = max(c(uvw)-D, 0)/c(uv) + D*N1+(uv.)/c(uv) * p2(w|v)
+        p3(w|u,v) = max(c(uvw)-D, 0)/c(uv.) + D*N1+(uv.)/c(uv.) * p2(w|v)
         p2(w|v)   = max(N1+(.vw)-D, 0)/N1+(.v.)
                     + D*N1+f(v)/N1+(.v.) * p1(w)
         p1(w)     = (N1+(.w) + 1) / (B + V)
 
-    where c(.) are token counts, N1+(uv.) = distinct continuations of
-    the context, N1+(.vw) = distinct left contexts of the bigram
-    (the continuation counts that make KN the right smoother: "York" is
-    frequent but follows almost only "New"), N1+(.v.) = trigram types
-    with middle v, N1+f(v) = distinct followers of v within trigram
-    types, N1+(.w) = distinct predecessors of w, B/V = bigram/unigram
-    type counts. The unigram is the continuation distribution with a
+    where c(uv.) = sum_w c(uvw) is the CONTEXT count — trigram
+    occurrences, not the raw bigram count: a bigram seen only
+    document-finally never acts as a context, so it falls through to
+    p2 instead of assigning an attested-but-never-continued context
+    probability 0 (below gibberish), and the discounted mass
+    normalizes exactly (sum_w p3 = 1 for every seen context) —
+    N1+(uv.) = distinct continuations of the context, N1+(.vw) =
+    distinct left contexts of the bigram (the continuation counts that
+    make KN the right smoother: "York" is frequent but follows almost
+    only "New"), N1+(.v.) = trigram types with middle v, N1+f(v) =
+    distinct followers of v within trigram types, N1+(.w) = distinct
+    predecessors of w, B/V = bigram/unigram type counts. The unigram is the continuation distribution with a
     +1/+V guard so unseen scoring tokens keep nonzero mass (documented
     deviation from the textbook form, same role as the stupid-backoff
     Laplace base). Unseen contexts fall through to the next-lower
@@ -330,9 +342,6 @@ def kneser_ney_score(
 
     tripos = cpos.filter(F.col("g3").isNotNull())
     bipos = cpos.filter(F.col("g2").isNotNull())
-    c2 = bipos.groupBy(F.col("g2").alias("k")).agg(
-        F.count(F.lit(1)).alias("c2uv")
-    )
     c3 = tripos.groupBy(F.col("g3").alias("k")).agg(
         F.count(F.lit(1)).alias("c3")
     )
@@ -346,8 +355,12 @@ def kneser_ney_score(
         F.count_distinct(F.col("g3")).alias("n1mid"),
         F.count_distinct(F.col("g1")).alias("n1fmid"),
     )
-    n1_follow2 = tripos.groupBy(F.col("d3").alias("k")).agg(
-        F.count_distinct(F.col("g3")).alias("n1f2")
+    # the context count c(uv.) and N1+(uv.) come from ONE aggregation
+    # over trigram positions keyed by the context — count(*) is the
+    # trigram-occurrence (context) count, NOT the raw bigram count
+    ctx = tripos.groupBy(F.col("d3").alias("k")).agg(
+        F.count(F.lit(1)).alias("c2uv"),
+        F.count_distinct(F.col("g3")).alias("n1f2"),
     )
     n1_pred1 = bipos.groupBy(F.col("g1").alias("k")).agg(
         F.count_distinct(F.col("g2")).alias("n1p1")
@@ -359,23 +372,12 @@ def kneser_ney_score(
     ).first()
     b_plus_v = float((scalars.b or 0) + (scalars.v or 0))
     if b_plus_v == 0.0:
-        spark = docs.sparkSession
-        id_type = dict(zip(docs.schema.names, docs.schema.fields))[
-            id_col
-        ].dataType.simpleString()
-        schema = f"{id_col} {id_type}, n_tokens bigint, kn_score double"
-        if include_sum:
-            schema += ", score_sum_int bigint"
-        return spark.createDataFrame([], schema)
+        return _empty_scores(docs, id_col, "kn_score", include_sum)
 
     def lk(table, key, *outs):
         t = table.withColumnRenamed("k", key)
         return t.select(key, *outs)
 
-    # the two d3-keyed lookups merge into one table (any trigram
-    # context uv is a seen bigram, so c2's keys cover n1_follow2's):
-    # five broadcast joins instead of six
-    ctx = c2.join(n1_follow2, "k", "left")
     p = (
         pos.join(lk(n1_pred1, "g1", "n1p1"), "g1", "left")
         .join(lk(mid, "d2", "n1mid", "n1fmid"), "d2", "left")

@@ -88,7 +88,6 @@ def viterbi_pieces(word: str, logp: dict[str, float], max_len: int) -> list[str]
 def _seed_counts(words: DataFrame, max_len: int) -> DataFrame:
     """(piece, count) for every substring of length 1..max_len, each
     occurrence weighted by the word's corpus frequency."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<string>")
@@ -146,7 +145,6 @@ def unigram_train(
             logp = {p: math.log(c / total) for p, c in vocab.items() if c > 0}
             b_logp = spark.sparkContext.broadcast(logp)
 
-            import pandas as pd
             from pyspark.sql.functions import pandas_udf
 
             @pandas_udf("array<string>")
@@ -160,6 +158,7 @@ def unigram_train(
                 .agg(F.sum("wcount").alias("c"))
                 .collect()
             )
+            b_logp.unpersist()  # this round's dict is dead once collected
             counts = {r["piece"]: int(r["c"]) for r in used}
             # segmentation output is always a subset of the vocabulary
             # (every corpus character is seeded and survives pruning),
@@ -186,19 +185,25 @@ def unigram_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "pieces",
-    max_len: int = 4,
+    max_len: int | None = None,
     lowercase: bool = True,
 ) -> DataFrame:
     """Segment documents with a learned vocabulary: each DISTINCT word
     is segmented once (Arrow UDF), the word→pieces map joins back, and
-    pieces reassemble in token order — the bpe_encode pattern."""
-    import pandas as pd
+    pieces reassemble in token order — the bpe_encode pattern.
+
+    ``max_len`` defaults to the longest learned piece — a fixed
+    default smaller than the training window would silently make the
+    longer pieces unreachable (everything still round-trips via
+    shorter pieces, so nothing would error)."""
     from pyspark.sql.functions import pandas_udf
 
     from ..functions import text as TX
 
     spark = df.sparkSession
     logp = {p: math.log(pr) for p, pr in pieces if pr > 0}
+    if max_len is None:
+        max_len = max((len(p) for p in logp), default=1)
     b_logp = spark.sparkContext.broadcast(logp)
 
     @pandas_udf("array<string>")

@@ -199,19 +199,21 @@ def test_lm_hypothesis_differential(spark):
 
 def _ref_kn(docs, lm_docs=None, D=0.75):
     """Independent interpolated-KN trigram reference (continuation
-    counts per Chen & Goodman), HALF_UP quantization."""
+    counts per Chen & Goodman), HALF_UP quantization. The context
+    count c(uv.) is the trigram-occurrence sum, NOT the raw bigram
+    count — a doc-final-only bigram is not a context."""
     corpus = lm_docs if lm_docs is not None else docs
-    c2, c3 = Counter(), Counter()
+    cc, c3 = Counter(), Counter()
     tri, bi = set(), set()
     uni = set()
     for _, t in corpus:
         ws = t.lower().split()
         uni.update(ws)
         for j in range(len(ws) - 1):
-            c2[(ws[j], ws[j + 1])] += 1
             bi.add((ws[j], ws[j + 1]))
         for j in range(len(ws) - 2):
             c3[(ws[j], ws[j + 1], ws[j + 2])] += 1
+            cc[(ws[j], ws[j + 1])] += 1
             tri.add((ws[j], ws[j + 1], ws[j + 2]))
     n1p1 = Counter(w for _, w in bi)                 # distinct predecessors
     n1p2 = Counter((v, w) for _, v, w in tri)        # distinct left ctx of vw
@@ -231,10 +233,10 @@ def _ref_kn(docs, lm_docs=None, D=0.75):
         return max(n1p2[(v, w)] - D, 0.0) / n1mid[v] + ((D * n1fmid[v]) / n1mid[v]) * p1(w)
 
     def p3(w, u, v):
-        if c2[(u, v)] == 0:
+        if cc[(u, v)] == 0:
             return p2(w, v)
-        return max(c3[(u, v, w)] - D, 0.0) / c2[(u, v)] + (
-            (D * n1f2[(u, v)]) / c2[(u, v)]
+        return max(c3[(u, v, w)] - D, 0.0) / cc[(u, v)] + (
+            (D * n1f2[(u, v)]) / cc[(u, v)]
         ) * p2(w, v)
 
     out = {}
@@ -308,3 +310,21 @@ def test_kn_hypothesis_differential(spark):
         assert got == _ref_kn(docs)
 
     run()
+
+
+def test_kn_doc_final_context_backs_off(spark):
+    # "x y" is attested ONLY document-finally: it never acts as a
+    # trigram context, so scoring "x y z" must fall through to p2 for
+    # z, not assign probability 0 (below gibberish). Regression for
+    # the context-count-vs-bigram-count defect.
+    from revtron_utils_spark.operators.lm import kneser_ney_score
+
+    lm = [("t", "x y")]
+    score_docs = [("s1", "x y z"), ("s2", "q r z")]
+    df = spark.createDataFrame(score_docs, "doc_id string, text string")
+    lm_df = spark.createDataFrame(lm, "doc_id string, text string")
+    got = _collect(kneser_ney_score(df, lm_docs=lm_df))
+    assert got == _ref_kn(score_docs, lm_docs=lm)
+    # the attested-context doc must not score below the gibberish doc
+    assert got["s1"][1] >= got["s2"][1]
+    assert got["s1"][1] > 0
