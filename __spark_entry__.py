@@ -2047,6 +2047,20 @@ def q_unigram_lm_learned(spark, sf):
     )
 
 
+def q_unigram_tokens(spark, sf):
+    """Real learned-tokenizer encoding through the gate (vs the
+    `bpe_tokens` regex proxy): train a small unigram vocabulary, then
+    segment every document — distinct-word Arrow Viterbi + map join
+    back. Iterative dependency → rows-only."""
+    from revtron_utils_spark.operators.unigram import unigram_encode, unigram_train
+
+    docs = _t(spark, sf, "documents")
+    pieces = unigram_train(docs, vocab_size=60, seed_keep=150, rounds=1)
+    return unigram_encode(docs, pieces).select(
+        "doc_id", F.size("pieces").cast("long").alias("n_pieces")
+    )
+
+
 def q_quality_classifier(spark, sf):
     """Hashed-feature linear classifier (fastText-style hashing trick):
     token → poly-hash bucket → deterministic integer weight; doc score =
@@ -4278,6 +4292,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
     "bpe_learned": (q_bpe_learned, None),
     "unigram_lm_learned": (q_unigram_lm_learned, None),
+    "unigram_tokens": (q_unigram_tokens, None),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "gopher_filters": (q_gopher_filters, SQL_GOPHER_FILTERS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
