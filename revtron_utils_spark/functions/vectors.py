@@ -57,8 +57,13 @@ def int_dot(qa: Column, qb: Column) -> Column:
 def int_cosine(qa: Column, qb: Column) -> Column:
     """Deterministic cosine over quantized vectors: exact integer dot and
     norms, one correctly-rounded sqrt/div each — bit-identical across
-    engines."""
-    return int_dot(qa, qb) / (F.sqrt(int_dot(qa, qa)) * F.sqrt(int_dot(qb, qb)))
+    engines. try_divide: a zero-norm vector (all elements quantize to
+    0) has undefined cosine — NULL fails any threshold/ranking instead
+    of raising DIVIDE_BY_ZERO under ANSI mode, matching DuckDB's NULL
+    division."""
+    return F.try_divide(
+        int_dot(qa, qb), F.sqrt(int_dot(qa, qa)) * F.sqrt(int_dot(qb, qb))
+    )
 
 
 def pair_dot_arrow() -> "Column":

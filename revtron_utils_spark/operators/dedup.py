@@ -1171,7 +1171,9 @@ def embedding_neardup_pairs(
         dot = VX.pair_dot_arrow()(F.col("l.q"), F.col("r.q"))
     else:
         dot = VX.int_dot(F.col("l.q"), F.col("r.q"))
-    sim = dot / (F.col("l.nrm") * F.col("r.nrm"))
+    # try_divide: a zero-norm embedding has undefined cosine — NULL
+    # fails the threshold (kept un-deduped) instead of ANSI-crashing
+    sim = F.try_divide(dot, F.col("l.nrm") * F.col("r.nrm"))
     out = (
         l.join(r, cond)
         .withColumn("cosine", sim)

@@ -109,8 +109,12 @@ def _mark_dropped(
             & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
         )
         .where(
-            pair_dot(F.col("a._qv"), F.col("b._qv"))
-            / (F.col("a._nrm") * F.col("b._nrm"))
+            # try_divide: zero-norm rows have undefined similarity ->
+            # NULL fails the threshold instead of ANSI-crashing
+            F.try_divide(
+                pair_dot(F.col("a._qv"), F.col("b._qv")),
+                F.col("a._nrm") * F.col("b._nrm"),
+            )
             >= F.lit(threshold)
         )
         .select(F.col(f"a.{id_col}").alias(id_col))

@@ -54,7 +54,11 @@ def cosine_topk(
         qnorm = math.sqrt(sum(x * x for x in qints))
         qv = F.array(*[F.lit(float(x)) for x in qints])
         rowq = VX.quantize(vec_col)
-        sim = VX.int_dot(rowq, qv) / (F.sqrt(VX.int_dot(rowq, rowq)) * F.lit(qnorm))
+        # try_divide: zero-norm rows yield NULL cosine (sorts after all
+        # real scores) instead of an ANSI DIVIDE_BY_ZERO
+        sim = F.try_divide(
+            VX.int_dot(rowq, qv), F.sqrt(VX.int_dot(rowq, rowq)) * F.lit(qnorm)
+        )
     else:
         qv = _query_vec_col(query_vec, False)
         sim = VX.cosine(F.col(vec_col), qv)
@@ -98,7 +102,13 @@ def knn_join(
         cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
     joined = l.join(r, cond).withColumn(
         "cosine",
-        F.round(VX.int_dot(F.col("lq"), F.col("rq")) / (F.col("lnrm") * F.col("rnrm")), 6),
+        F.round(
+            F.try_divide(
+                VX.int_dot(F.col("lq"), F.col("rq")),
+                F.col("lnrm") * F.col("rnrm"),
+            ),
+            6,
+        ),
     )
     w = W.partitionBy("lid").orderBy(F.col("cosine").desc(), F.col("rid").asc())
     return (

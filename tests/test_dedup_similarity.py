@@ -649,3 +649,26 @@ def test_minhash_poly_permutations_decorrelated(spark):
     B = (np.arange(32, dtype=np.int64)[:, None] ** 2) * 9176 + 11
     argmins = ((A * h + B) % P).argmin(axis=1)
     assert len(set(argmins.tolist())) > 16, "permutations pick the same shingle"
+
+
+def test_zero_norm_embeddings_do_not_crash(spark):
+    # zero-norm vectors (all elements quantize to 0) have undefined
+    # cosine; every JVM-side cosine path must yield NULL (kept out of
+    # thresholds/rankings) instead of raising ANSI DIVIDE_BY_ZERO
+    from revtron_utils_spark.operators.dedup import embedding_neardup_pairs
+    from revtron_utils_spark.operators.semdedup import semantic_dedup
+    from revtron_utils_spark.operators.similarity import cosine_topk, knn_join
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.9, 0.1]), (4, [1e-9, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    top = cosine_topk(df, [1.0, 0.0], k=10).collect()
+    real = [r for r in top if r.cosine is not None]
+    assert {r.vec_id for r in real} == {1, 3}
+    pairs = embedding_neardup_pairs(df, threshold=0.5).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 3)}
+    kn = knn_join(df, df, k=2).collect()
+    assert kn  # no crash; zero-norm rows rank after real scores
+    sd = semantic_dedup(df, threshold=0.5, planes=2)
+    assert sd.count() == 4  # every row labeled, none dropped by NULL sim
