@@ -2440,6 +2440,88 @@ SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
 """
 
 
+def q_pagerank(spark, sf):
+    """Integer-arithmetic PageRank over the bipartite customer↔supplier
+    interaction graph (distinct trade pairs from orders⋈lineitem, both
+    directions). Fixed 5 power iterations in exact int64 arithmetic —
+    the oracle unrolls the identical recurrence as chained CTEs, so the
+    gate is hash-exact despite PageRank being an iterative algorithm."""
+    from revtron_utils_spark.operators.graph import pagerank
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pair.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iterations=5)
+
+
+def _sql_pagerank() -> str:
+    from revtron_utils_spark.operators.graph import pagerank_oracle_sql
+
+    edges = (
+        "SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " UNION "
+        "SELECT l_suppkey * 2 + 1, o_custkey * 2"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    )
+    return pagerank_oracle_sql(edges, iterations=5)
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+
+def q_triangle_counts(spark, sf):
+    """Per-doc triangle counts over the unigram-Jaccard similarity graph
+    (threshold 0.4, blocked by lang/source) — the structural dedup-QA
+    signal: near-dup cliques triangle densely, chained false-positive
+    paths don't. Degree-oriented wedge enumeration (Suri-Vassilvitskii);
+    the oracle counts the same triangles with the naive a<b<c 3-way
+    join, which the orientation provably agrees with."""
+    from revtron_utils_spark.operators.graph import triangle_counts
+
+    docs = _t(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        docs, "text", "doc_id", block_cols=("lang", "source"), shingle_n=1, threshold=0.4
+    )
+    return triangle_counts(pairs, src="id_a", dst="id_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+
+
+SQL_TRIANGLE_COUNTS = r"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS sh
+  FROM documents
+), f AS (SELECT * FROM t WHERE len(sh) > 0),
+pairs AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM f a JOIN f b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4
+), tri AS (
+  SELECT x.u AS a, x.v AS b, y.v AS c
+  FROM pairs x JOIN pairs y ON x.u = y.u AND x.v < y.v
+  JOIN pairs z ON z.u = x.v AND z.v = y.v
+), corners AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, COUNT(*) AS triangles FROM corners GROUP BY doc_id
+"""
+
+
 _SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -4297,6 +4379,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "gopher_filters": (q_gopher_filters, SQL_GOPHER_FILTERS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "pagerank": (q_pagerank, SQL_PAGERANK),
+    "triangle_counts": (q_triangle_counts, SQL_TRIANGLE_COUNTS),
     "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),

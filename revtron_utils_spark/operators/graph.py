@@ -227,3 +227,242 @@ def cluster_dedup(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def _lineage_cutter(spark, checkpoint_dir):
+    """Per-round lineage cut: reliable ``checkpoint`` when a directory is
+    given (survives executor loss on a cluster), ``localCheckpoint``
+    otherwise (fine on local[*])."""
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _cut(df: DataFrame, eager: bool = True) -> DataFrame:
+            return df.checkpoint(eager=eager)
+
+    else:
+
+        def _cut(df: DataFrame, eager: bool = True) -> DataFrame:
+            return df.localCheckpoint(eager=eager)
+
+    return _cut
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**9,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Integer-arithmetic PageRank: ``(node, rank_int)`` after a fixed
+    number of power iterations.
+
+    The reference has no graph surface (``/root/reference/revtron/database/
+    main.py`` is SQL generation); this is the LLM-pipeline extension —
+    link-graph authority scoring is a standard corpus-quality signal
+    (seed-page distance / Common-Crawl-style harvest ranking).
+
+    Every operation is exact 64-bit integer arithmetic so the result is
+    bit-identical in any engine (the DuckDB oracle unrolls the same
+    iterations as chained CTEs):
+
+    - ranks start at ``scale`` per node (total mass ``N*scale``),
+    - an edge's contribution is ``rank div outdeg`` (integer division —
+      Spark ``div`` and DuckDB ``//`` agree on non-negatives),
+    - dangling mass (nodes with no out-edges) is redistributed evenly as
+      ``dangling_sum div N``,
+    - the update is ``((den-num)*scale) div den
+      + (num*(contribs + dangling_share)) div den``.
+
+    Integer division leaks ≤1 rank unit per node per round — a
+    deterministic, ranking-preserving variant of the float recurrence
+    (relative error ≤ N/scale).
+
+    100 TB posture: the loop is ``iterations`` shuffles on the node id;
+    the degree-annotated edge list is computed once and persisted; the
+    per-round dangling total is a 1-row aggregate cross-joined back
+    (never collected); lineage is cut per round (reliable checkpoint
+    with ``checkpoint_dir``).  ``scale`` is auto-clamped so
+    ``N * scale * damping_num`` stays below 2^62 — at trillion-node
+    graphs precision degrades gracefully instead of overflowing ANSI
+    int64 arithmetic.
+    """
+    spark = edges.sparkSession
+    _cut = _lineage_cutter(spark, checkpoint_dir)
+
+    e = _cut(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes.persist()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_int", F.lit(0).cast("bigint"))
+    scale = min(scale, (2**62) // (n * damping_num))
+    base = ((damping_den - damping_num) * scale) // damping_den
+
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
+    ed = e.join(deg, e.src == deg.node).select("src", "dst", "outdeg")
+    ed.persist()
+
+    ranks = nodes.withColumn("rank_int", F.lit(scale).cast("bigint"))
+    for _ in range(iterations):
+        contribs = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(F.col("dst"), F.expr("rank_int div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = (
+            ranks.join(deg, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank_int"), F.lit(0)).alias("dang"))
+            .select(F.expr(f"dang div {n}").alias("dang_share"))
+        )
+        ranks = _cut(
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * (coalesce(contrib, 0) + dang_share))"
+                        f" div {damping_den}"
+                    )
+                ).alias("rank_int"),
+            )
+        )
+    nodes.unpersist()
+    ed.unpersist()
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    *,
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**9,
+) -> str:
+    """DuckDB SQL mirroring :func:`pagerank` operation-for-operation:
+    the power iterations are unrolled as chained CTEs (standard SQL
+    forbids aggregation over a recursive reference), every op is the
+    same int64 expression, so value hashes match bit-exactly.
+
+    ``edges_sql`` is a SELECT producing ``(src, dst)``.  The caller must
+    keep ``N * scale * damping_num < 2^62`` (the Spark side auto-clamps;
+    at oracle scales the default never clamps).
+    """
+    base = f"CAST({((damping_den - damping_num) * scale) // damping_den} AS BIGINT)"
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_int FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"r{i - 1}"
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(r.rank_int // d.outdeg) AS contrib"
+            f" FROM e JOIN {p} r ON e.src = r.node"
+            f" JOIN deg d ON e.src = d.node GROUP BY 1)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT COALESCE(SUM(r.rank_int), 0)"
+            f" // (SELECT n FROM nn) AS dang_share"
+            f" FROM {p} r LEFT JOIN deg d ON r.node = d.node"
+            f" WHERE d.node IS NULL)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node, {base}"
+            f" + (CAST({damping_num} AS BIGINT) * (COALESCE(c.contrib, 0)"
+            f" + (SELECT dang_share FROM d{i}))) // {damping_den} AS rank_int"
+            f" FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, rank_int FROM r{iterations}"
+    )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph:
+    ``(node, triangles)``, one row per node that participates in ≥1
+    triangle.
+
+    Algorithm (Suri & Vassilvitskii, "Counting Triangles and the Curse
+    of the Last Reducer", WWW'11): orient every edge from the
+    lower-(degree, id) endpoint to the higher, enumerate wedges by
+    self-joining the oriented list on the pivot, and close each wedge
+    with a semi-check join back into the oriented edges. Orientation
+    bounds every node's out-degree by O(sqrt(m)), so the wedge join's
+    fan-out — the quadratic hazard in naive triangle counting — is
+    bounded by arboricity, not by the max hub degree. Three shuffles
+    total; no Python.
+
+    The result is orientation-invariant (each triangle is produced
+    exactly once and credited to all three corners), which is what lets
+    the DuckDB oracle use the simple ``a < b < c`` 3-way join and still
+    hash-match.
+    """
+    u, v = F.col("u"), F.col("v")
+    canon = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(u != v)
+        .distinct()
+    )
+    canon.persist()
+    deg = (
+        canon.select(u.alias("node"))
+        .unionByName(canon.select(v.alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient lower-(deg, id) -> higher-(deg, id)
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ann = canon.join(du, "u").join(dv, "v")
+    fwd = F.struct(F.col("du").alias("d"), u.alias("n")) < F.struct(
+        F.col("dv").alias("d"), v.alias("n")
+    )
+    ku = F.struct(F.col("du").alias("d"), u.alias("n"))
+    kv = F.struct(F.col("dv").alias("d"), v.alias("n"))
+    oriented = ann.select(
+        F.when(fwd, u).otherwise(v).alias("a"),
+        F.when(fwd, v).otherwise(u).alias("b"),
+        F.when(fwd, kv).otherwise(ku).alias("kb"),
+    )
+    oriented.persist()
+    # wedges a->b, a->c enumerated once each ((deg,id)-order b < c);
+    # the closing oriented edge between b and c is then exactly b->c
+    e1 = oriented.select(F.col("a"), F.col("b"), F.col("kb"))
+    e2 = oriented.select(F.col("a"), F.col("b").alias("c"), F.col("kb").alias("kc"))
+    wedges = e1.join(e2, "a").filter(F.col("kb") < F.col("kc")).select("a", "b", "c")
+    closer = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tri = wedges.join(closer, ["b", "c"], "left_semi")
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    out = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    canon.unpersist()
+    oriented.unpersist()
+    return out

@@ -567,3 +567,109 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_dir):
     )
     release_caches()
     assert viol == 0
+
+
+# ------------------------------------------------------- pagerank
+
+
+def _py_pagerank(edges, iterations=5, num=85, den=100, scale=10**9):
+    """Pure-Python twin of operators.graph.pagerank's integer recurrence."""
+    e = sorted(set(edges))
+    nodes = sorted({x for p in e for x in p})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = ((den - num) * scale) // den
+    r = {x: scale for x in nodes}
+    for _ in range(iterations):
+        contrib = {x: 0 for x in nodes}
+        for s, d in e:
+            contrib[d] += r[s] // outdeg[s]
+        dang = sum(r[x] for x in nodes if x not in outdeg) // n
+        r = {x: base + (num * (contrib[x] + dang)) // den for x in nodes}
+    return r
+
+
+def test_pagerank_matches_python_reference_with_dangling(spark):
+    from revtron_utils_spark.operators.graph import pagerank
+
+    # 1->2, 1->3, 2->3, 3 dangling, 4<->5 separate cycle
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (5, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank_int for r in pagerank(df).collect()}
+    assert got == _py_pagerank(edges)
+    # within its component the dangling sink accumulated the most mass
+    assert got[3] > got[2] > got[1]
+
+
+def test_pagerank_random_graph_and_duplicate_edges(spark):
+    import random
+
+    from revtron_utils_spark.operators.graph import pagerank
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(120)]
+    edges = [(s, d) for s, d in edges if s != d]
+    # feed duplicates on the Spark side; the operator dedups internally
+    df = spark.createDataFrame(edges + edges[:10], ["src", "dst"])
+    got = {r.node: r.rank_int for r in pagerank(df, iterations=4).collect()}
+    assert got == _py_pagerank(edges, iterations=4)
+
+
+def test_pagerank_oracle_sql_matches_spark(spark, tmp_path):
+    import duckdb
+
+    from revtron_utils_spark.operators.graph import pagerank, pagerank_oracle_sql
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = sorted(
+        (r.node, r.rank_int) for r in pagerank(df, iterations=3).collect()
+    )
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    sql = pagerank_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", iterations=3
+    )
+    want = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    assert got == want
+
+
+# ------------------------------------------------- triangle counts
+
+
+def test_triangle_counts_toy_graphs(spark):
+    from revtron_utils_spark.operators.graph import triangle_counts
+
+    # K4 on {1..4}: every node is in C(3,2)=3 triangles; node 5 hangs off
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    df = spark.createDataFrame(k4 + [(4, 5)], ["src", "dst"])
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from revtron_utils_spark.operators.graph import triangle_counts
+
+    rng = random.Random(3)
+    edges = {
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.randrange(20), rng.randrange(20)) for _ in range(80)
+        )
+        if a != b
+    }
+    adj = set(edges)
+    want = {}
+    for a, b, c in itertools.combinations(sorted({x for p in edges for x in p}), 3):
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj:
+            for x in (a, b, c):
+                want[x] = want.get(x, 0) + 1
+    # duplicate + reversed edges must not change counts
+    noisy = list(edges) + [(b, a) for a, b in list(edges)[:15]]
+    df = spark.createDataFrame(noisy, ["src", "dst"])
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == want
