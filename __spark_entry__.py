@@ -4047,6 +4047,54 @@ def _sql_bm25() -> str:
 SQL_BM25_TOPK = _sql_bm25()
 
 
+def q_hybrid_search(spark, sf):
+    """Hybrid RAG retrieval: BM25 top-50 and cosine top-50 fused by
+    integer reciprocal-rank fusion (scale div (60+rank) — ordering-
+    equivalent to 1/(60+rank), exactly summable, hence hash-comparable).
+    Both legs are TakeOrderedAndProject top-ks, so fusion touches ≤100
+    rows regardless of corpus size."""
+    from revtron_utils_spark.operators.retrieval import hybrid_topk
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    min_id = emb.agg(F.min("vec_id")).first()[0]
+    qvec = emb.filter(F.col("vec_id") == min_id).select("embedding").first()[0]
+    return hybrid_topk(docs, emb, _BM25_TERMS, qvec, k_each=50, topn=15)
+
+
+def _sql_hybrid() -> str:
+    from revtron_utils_spark.operators.retrieval import bm25_oracle_sql
+
+    bm = bm25_oracle_sql(_BM25_TERMS, k=50)
+    return f"""
+WITH bm AS (SELECT * FROM ({bm})),
+bmr AS (SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+        FROM bm),
+cs AS (SELECT * FROM (
+  WITH q AS (SELECT {_QUANT} AS qv FROM embeddings
+             WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+  e AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings)
+  SELECT e.vec_id,
+         ROUND(list_inner_product(e.ev, q.qv)
+               / (SQRT(list_inner_product(e.ev, e.ev))
+                  * SQRT(list_inner_product(q.qv, q.qv))), 6) AS cosine
+  FROM e, q ORDER BY cosine DESC NULLS LAST, vec_id LIMIT 50)),
+csr AS (SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC NULLS LAST, vec_id) AS cos_rank
+        FROM cs),
+j AS (SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id, b.bm25_rank, c.cos_rank
+      FROM bmr b FULL OUTER JOIN csr c ON b.doc_id = c.doc_id)
+SELECT doc_id, bm25_rank, cos_rank,
+       COALESCE(1000000000000 // (60 + bm25_rank), 0)
+       + COALESCE(1000000000000 // (60 + cos_rank), 0) AS rrf_int
+FROM j ORDER BY rrf_int DESC, doc_id LIMIT 15
+"""
+
+
+SQL_HYBRID_SEARCH = _sql_hybrid()
+
+
 def q_dup_spans(spark, sf):
     """Exact duplicate-substring mining (Lee-et-al-style substring dedup
     via k-gram posting lists): maximal token spans whose every 5-gram
@@ -4380,6 +4428,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
     "triangle_counts": (q_triangle_counts, SQL_TRIANGLE_COUNTS),
     "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

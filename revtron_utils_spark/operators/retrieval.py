@@ -262,3 +262,111 @@ def rarity_scores(
             ).alias("rarity"),
         )
     )
+
+
+def _rank_topk(scored: DataFrame, score_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, rank) for the top-k rows by (score desc, id asc). The global
+    sort compiles to TakeOrderedAndProject (per-partition heaps), so only
+    k rows ever reach the driver-side single partition where row_number
+    assigns positions — the window never sees the full corpus."""
+    from pyspark.sql import Window as W
+
+    top = scored.orderBy(F.col(score_col).desc(), F.col(id_col)).limit(k)
+    w = W.orderBy(F.col(score_col).desc(), F.col(id_col))
+    return top.select(F.col(id_col), F.row_number().over(w).alias("rank"))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    *,
+    k: int = 60,
+    scale: int = 10**12,
+    topn: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) over any number
+    of ``(id, rank)`` lists: ``score(d) = Σ_lists scale div (k + rank)``.
+
+    The classic ``1/(k+r)`` floats are replaced by the integer quotient
+    ``scale div (k+r)`` — same ordering for any two rank multisets when
+    ``scale`` is large vs ``k + max_rank`` (distinct quotients stay
+    distinct), and integer sums are order-independent and engine-exact,
+    so a fused ranking can be hash-compared against a SQL oracle.
+
+    Output: ``(id_col, rrf_int)`` sorted by fused score desc, id asc."""
+    from functools import reduce
+
+    contribs = [
+        r.select(F.col(id_col), F.expr(f"{scale} div ({k} + rank)").alias("c"))
+        for r in rankings
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), contribs)
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("rrf_int"))
+        .orderBy(F.col("rrf_int").desc(), F.col(id_col))
+    )
+    return fused.limit(topn) if topn is not None else fused
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: list[str],
+    query_vec,
+    *,
+    k_each: int = 50,
+    topn: int = 10,
+    rrf_k: int = 60,
+    scale: int = 10**12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: BM25 top-``k_each`` and cosine
+    top-``k_each`` fused by integer reciprocal-rank fusion. The RAG
+    retrieval shape — sparse recall catches exact terminology, dense
+    recall catches paraphrase; RRF needs no score calibration between
+    the two (ranks only).
+
+    100 TB posture: each leg is its own TakeOrderedAndProject top-k over
+    a pruned scan (BM25's term filter before the tf shuffle; the cosine
+    leg one narrow map), so the fusion join touches 2·k_each rows total
+    — effectively free at any corpus size. Output:
+    ``(id_col, bm25_rank, cos_rank, rrf_int)`` — NULL rank means the doc
+    was absent from that leg's top-k."""
+    from .similarity import cosine_topk
+
+    lex = _rank_topk(
+        bm25_scores(docs, query_terms, id_col=id_col, text_col=text_col, k1=k1, b=b),
+        "bm25",
+        id_col,
+        k_each,
+    ).withColumnRenamed("rank", "bm25_rank")
+    sem = (
+        _rank_topk(
+            cosine_topk(emb, query_vec, k_each, vec_col=vec_col, id_col=vec_id_col),
+            "cosine",
+            vec_id_col,
+            k_each,
+        )
+        .withColumnRenamed("rank", "cos_rank")
+        .withColumnRenamed(vec_id_col, id_col)
+    )
+    j = lex.join(sem, id_col, "full_outer")
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        F.expr(f"{scale} div ({rrf_k} + {c})"), F.lit(0)
+    )
+    return (
+        j.select(
+            id_col,
+            "bm25_rank",
+            "cos_rank",
+            (contrib("bm25_rank") + contrib("cos_rank")).alias("rrf_int"),
+        )
+        .orderBy(F.col("rrf_int").desc(), F.col(id_col))
+        .limit(topn)
+    )

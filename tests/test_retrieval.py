@@ -71,3 +71,64 @@ def test_bm25_fixture_topk(spark, sf_dir):
     assert all(r["bm25"] > 0 for r in out)
     scores = [r["bm25"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+# ------------------------------------------------------- RRF fusion
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from revtron_utils_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (1, 2), (4, 3)], "doc_id long, rank int")
+    got = {r.doc_id: r.rrf_int for r in rrf_fuse([a, b], k=60).collect()}
+    s = 10**12
+    assert got == {
+        1: s // 61 + s // 62,
+        2: s // 62,
+        3: s // 63 + s // 61,
+        4: s // 63,
+    }
+
+
+def test_rrf_fuse_order_and_topn(spark):
+    from revtron_utils_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(i, i) for i in range(1, 8)], "doc_id long, rank int")
+    out = rrf_fuse([a], topn=3).collect()
+    assert [r.doc_id for r in out] == [1, 2, 3]
+
+
+def test_hybrid_topk_both_legs_beat_single(spark):
+    from revtron_utils_spark.operators.retrieval import hybrid_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana"),
+            (2, "apple apple apple"),
+            (3, "pear plum quince"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.9, 0.1]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = hybrid_topk(docs, emb, ["apple"], [1.0, 0.0], k_each=3, topn=3).collect()
+    by_id = {r.doc_id: r for r in out}
+    # doc 1 appears in both legs (has "apple", similar vector) -> top
+    assert out[0].doc_id == 1
+    assert by_id[1].bm25_rank is not None and by_id[1].cos_rank is not None
+    # doc 3 misses the lexical leg -> NULL bm25_rank, present cos_rank
+    assert by_id[3].bm25_rank is None and by_id[3].cos_rank is not None
+    # fused score is exactly the sum of the integer contributions
+    s = 10**12
+    for r in out:
+        want = (s // (60 + r.bm25_rank) if r.bm25_rank else 0) + (
+            s // (60 + r.cos_rank) if r.cos_rank else 0
+        )
+        assert r.rrf_int == want
