@@ -4095,6 +4095,27 @@ FROM j ORDER BY rrf_int DESC, doc_id LIMIT 15
 SQL_HYBRID_SEARCH = _sql_hybrid()
 
 
+def q_collocations(spark, sf):
+    """Corpus collocation mining: adjacent-bigram PMI lift over the
+    lowercased token stream. Log-free rational PMI as a fixed-order
+    double chain over exactly-representable integer counts — engine
+    bit-exact (the BM25 precedent). min_count prunes the tail before
+    the vocabulary joins."""
+    from revtron_utils_spark.operators.retrieval import collocations
+
+    docs = _t(spark, sf, "documents")
+    return collocations(docs, min_count=5)
+
+
+def _sql_collocations() -> str:
+    from revtron_utils_spark.operators.retrieval import collocations_oracle_sql
+
+    return collocations_oracle_sql(min_count=5)
+
+
+SQL_COLLOCATIONS = _sql_collocations()
+
+
 def q_dup_spans(spark, sf):
     """Exact duplicate-substring mining (Lee-et-al-style substring dedup
     via k-gram posting lists): maximal token spans whose every 5-gram
@@ -4429,6 +4450,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
+    "collocations": (q_collocations, SQL_COLLOCATIONS),
     "triangle_counts": (q_triangle_counts, SQL_TRIANGLE_COUNTS),
     "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

@@ -370,3 +370,117 @@ def hybrid_topk(
         .orderBy(F.col("rrf_int").desc(), F.col(id_col))
         .limit(topn)
     )
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Corpus collocation mining: adjacent-bigram PMI lift,
+    ``(w1, w2, n_pair, lift)`` for every bigram seen ≥ ``min_count``
+    times. ``lift = p(w1,w2) / (p(w1)·p(w2))`` — the log-free PMI
+    (x ↦ ln x is monotone, so the ranking is the PMI ranking), computed
+    as the fixed-parenthesization double chain
+    ``((((n_pair · N_uni) · N_uni) / N_bi) / c1) / c2``. Every operand
+    is an exactly-representable integer and every op is IEEE
+    correctly-rounded, so the DuckDB oracle reproduces it bit-for-bit
+    (the BM25 precedent).
+
+    100 TB posture: two narrow explode projections (unigram stream,
+    zipped-bigram stream) feeding map-side-combined counts; the
+    ``min_count`` filter prunes the long tail before the unigram joins;
+    the corpus totals are a broadcast 1-row cross join, never a driver
+    round-trip inside the plan."""
+    from ..functions.text import tokens
+
+    toks = docs.select(tokens(F.lower(F.col(text_col))).alias("t"))
+    toks.persist()
+    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    uni.persist()
+    totals = uni.agg(F.sum("c").alias("n_uni"))
+    m = F.greatest(F.size("t") - 1, F.lit(0))
+    bi = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, m).alias("w1"), F.slice("t", 2, m).alias("w2")
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    n_bi = toks.select(m.alias("m")).agg(F.sum("m").alias("n_bi"))
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    out = (
+        bi.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.col("n_uni")
+                * F.col("n_uni")
+                / F.col("n_bi")
+                / F.col("c1")
+                / F.col("c2"),
+                round_to,
+            ).alias("lift"),
+        )
+    )
+    toks.unpersist()
+    uni.unpersist()
+    return out
+
+
+def collocations_oracle_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    min_count: int = 5,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`collocations` — same tokenization (split on
+    raw text, lowercase tokens), same counts, same fixed-order double
+    chain."""
+    return rf"""
+WITH tk AS (
+  SELECT list_transform(list_filter(string_split_regex(trim({text_col}), '\s+'),
+                                    x -> x <> ''),
+                        t -> lower(t)) AS t
+  FROM {table}
+), uni AS (
+  SELECT unnest(t) AS w FROM tk
+), uc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY w
+), totals AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uc
+), nb AS (
+  SELECT CAST(SUM(greatest(len(t) - 1, 0)) AS BIGINT) AS n_bi FROM tk
+), bi AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM tk, UNNEST(range(1, len(t))) AS r(i)
+), bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM bi GROUP BY w1, w2 HAVING COUNT(*) >= {min_count}
+)
+SELECT bc.w1, bc.w2, bc.n_pair,
+       ROUND(CAST(bc.n_pair AS DOUBLE) * totals.n_uni * totals.n_uni
+             / nb.n_bi / a.c / b.c, {round_to}) AS lift
+FROM bc
+JOIN uc a ON bc.w1 = a.w
+JOIN uc b ON bc.w2 = b.w
+CROSS JOIN totals CROSS JOIN nb
+"""

@@ -132,3 +132,32 @@ def test_hybrid_topk_both_legs_beat_single(spark):
             s // (60 + r.cos_rank) if r.cos_rank else 0
         )
         assert r.rrf_int == want
+
+
+# ---------------------------------------------------- collocations
+
+
+def test_collocations_hand_computed(spark):
+    from revtron_utils_spark.operators.retrieval import collocations
+
+    # corpus: "a b" x3 and "a c" x1 -> bigrams: (a,b)x3, (a,c)x1
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")],
+        "doc_id long, text string",
+    )
+    got = {(r.w1, r.w2): (r.n_pair, r.lift) for r in collocations(docs, min_count=1).collect()}
+    # N_uni=8, N_bi=4, c(a)=4, c(b)=3, c(c)=1
+    assert got[("a", "b")] == (3, round(3.0 * 8 * 8 / 4 / 4 / 3, 6))
+    assert got[("a", "c")] == (1, round(1.0 * 8 * 8 / 4 / 4 / 1, 6))
+
+
+def test_collocations_min_count_and_case(spark):
+    from revtron_utils_spark.operators.retrieval import collocations
+
+    docs = spark.createDataFrame(
+        [(1, "New York"), (2, "new york"), (3, "old town")],
+        "doc_id long, text string",
+    )
+    got = {(r.w1, r.w2): r.n_pair for r in collocations(docs, min_count=2).collect()}
+    # case-folded: "new york" appears twice; "old town" filtered by min_count
+    assert got == {("new", "york"): 2}
