@@ -3386,6 +3386,24 @@ def q_ivf_ann(spark, sf):
     return index.search(qvec, k=10, nprobe=8)
 
 
+def q_pq_ann(spark, sf):
+    """Product-quantization ANN: spherical PQ codebooks (8 subspaces ×
+    64 codes, deterministic sampled k-means++), Arrow-vectorized encode,
+    JVM-unrolled ADC shortlist, exact quantized-cosine re-rank of the
+    50 survivors — the IVFPQ-refine production shape. Codebook training
+    is iterative numpy → no SQL oracle (rows-only gate); the pipeline's
+    equality with brute-force top-k on this corpus and its recall floor
+    are asserted in tests/test_pq.py."""
+    from revtron_utils_spark.operators.pq import PQIndex
+
+    emb = _t(spark, sf, "embeddings")
+    min_id = emb.agg(F.min("vec_id")).first()[0]
+    qvec = emb.filter(F.col("vec_id") == min_id).select("embedding").first()[0]
+    index = PQIndex.train(emb, m=8, k=64, seed=42)
+    enc = index.encode(emb)
+    return index.rerank_topk(enc, list(qvec), k=10, shortlist=50)
+
+
 def _fake_sf_client(spark, sf, limit_rows=5000):
     """Salesforce-compatible client over an in-memory backend seeded
     deterministically from the events fixture (S9-S19 demo without a
@@ -4451,6 +4469,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
+    "pq_ann": (q_pq_ann, None),
     "triangle_counts": (q_triangle_counts, SQL_TRIANGLE_COUNTS),
     "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

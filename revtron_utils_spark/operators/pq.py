@@ -1,0 +1,229 @@
+"""Product-quantization ANN: the memory-footprint scale path for
+similarity search over massive embedding tables.
+
+The reference has no vector surface (its query layer is SQL/SOQL
+generation, ``/root/reference/revtron/database/main.py``); this extends
+the repo's similarity family (brute-force ``cosine_topk``, bucketed
+``IVFIndex``) with the technique that makes billion-vector search fit in
+memory at all: each d-dim float vector is split into ``m`` subvectors and
+each subvector replaced by the id of its nearest centroid from a
+per-subspace codebook (Jégou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI'11). A 64-dim float32 vector (256 bytes) becomes
+``m`` = 8 single-byte codes — a 32× compression — and query-time scoring
+is ``m`` table lookups per vector instead of ``d`` multiplies
+(asymmetric distance computation, ADC).
+
+100 TB posture
+--------------
+- Codebook training is a bounded random driver sample + numpy Lloyd —
+  the standard recipe (Faiss trains on ≤1M samples regardless of corpus
+  size); the full corpus is never collected.
+- Encoding is one Arrow-vectorized ``pandas_udf`` pass (numpy argmin per
+  subspace over the whole batch), embarrassingly parallel, no shuffle.
+- The encoded table is what you persist: 100 TB of raw vectors become
+  ~3 TB of codes, which is what makes re-ranking pipelines (PQ shortlist
+  → exact re-rank of survivors) feasible.
+- ADC scoring is pure JVM: the per-query lookup table is ``m·k`` double
+  literals unrolled into a fixed-order sum (whole-stage codegen — no
+  interpreted higher-order functions, no Python in the scoring path),
+  and top-k compiles to ``TakeOrderedAndProject``.
+- Composes with ``IVFIndex``: coarse-quantize into partitions, PQ-encode
+  residuals within each — the classic IVF-PQ layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class PQIndex:
+    """Trained product quantizer: ``codebooks[j]`` is the k×subdim
+    centroid table for subspace ``j``."""
+
+    def __init__(self, codebooks, dim: int, normalize: bool = True):
+        self.codebooks = codebooks  # list[m] of list[k] of list[subdim]
+        self.m = len(codebooks)
+        self.k = len(codebooks[0])
+        self.dim = dim
+        self.subdim = dim // self.m
+        # spherical PQ: vectors are L2-normalized before sub-splitting, so
+        # ADC's squared-L2 ordering equals the cosine ordering
+        # (|x−q|² = 2 − 2cos on the unit sphere) — aligned with the rest
+        # of the similarity family, which ranks by cosine
+        self.normalize = normalize
+
+    # ------------------------------------------------------------ train
+    @staticmethod
+    def train(
+        df: DataFrame,
+        vec_col: str = "embedding",
+        *,
+        m: int = 8,
+        k: int = 16,
+        seed: int = 42,
+        iters: int = 15,
+        max_train: int = 50_000,
+        normalize: bool = True,
+    ) -> "PQIndex":
+        """Fit per-subspace codebooks with deterministic k-means++/Lloyd
+        on a bounded random sample (see module docstring for why a
+        sample is the correct posture, not a distributed fit)."""
+        import numpy as np
+
+        n_rows = df.count()
+        sample = df
+        if n_rows > max_train:
+            frac = min(1.0, (max_train * 1.1) / n_rows)
+            sample = df.sample(fraction=frac, seed=seed)
+        rows = sample.select(vec_col).limit(max_train).collect()
+        X = np.array([r[0] for r in rows], dtype=np.float64)
+        if normalize:
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            X = X / np.where(norms == 0, 1.0, norms)
+        dim = X.shape[1]
+        if dim % m != 0:
+            raise ValueError(f"vector dim {dim} not divisible by m={m}")
+        sub = dim // m
+        codebooks = []
+        for j in range(m):
+            Xj = X[:, j * sub : (j + 1) * sub]
+            rng = np.random.default_rng(seed * 1_000_003 + j)
+            kj = min(k, len(Xj))
+            # k-means++ seeding
+            centers = [Xj[rng.integers(len(Xj))]]
+            d2 = ((Xj - centers[0]) ** 2).sum(axis=1)
+            for _ in range(1, kj):
+                tot = d2.sum()
+                idx = rng.choice(len(Xj), p=d2 / tot) if tot > 0 else rng.integers(len(Xj))
+                centers.append(Xj[idx])
+                d2 = np.minimum(d2, ((Xj - centers[-1]) ** 2).sum(axis=1))
+            C = np.stack(centers)
+            Xn = (Xj**2).sum(axis=1)[:, None]
+            for _ in range(iters):
+                d = Xn + (C**2).sum(axis=1)[None, :] - 2.0 * (Xj @ C.T)
+                assign = d.argmin(axis=1)
+                C = np.stack(
+                    [
+                        Xj[assign == c].mean(axis=0) if (assign == c).any() else C[c]
+                        for c in range(kj)
+                    ]
+                )
+            codebooks.append([[float(v) for v in row] for row in C])
+        return PQIndex(codebooks, dim, normalize=normalize)
+
+    # ----------------------------------------------------------- encode
+    def encode(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        code_col: str = "pq_codes",
+    ) -> DataFrame:
+        """Append ``code_col``: array<int> of length ``m`` — each entry
+        the nearest codebook row for that subspace. One Arrow batch pass,
+        numpy-vectorized, no shuffle."""
+        import numpy as np
+        from pyspark.sql.functions import pandas_udf
+
+        CB = [np.array(cb, dtype=np.float64) for cb in self.codebooks]
+        m, sub, normalize = self.m, self.subdim, self.normalize
+
+        # hint-free signature (module uses `from __future__ import annotations`)
+        def enc(vecs):
+            import pandas as pd
+
+            out = []
+            for batch_start in range(0, len(vecs), 8192):
+                chunk = vecs.iloc[batch_start : batch_start + 8192]
+                X = np.array([np.asarray(v, dtype=np.float64) for v in chunk])
+                if len(X) == 0:
+                    continue
+                if normalize:
+                    norms = np.linalg.norm(X, axis=1, keepdims=True)
+                    X = X / np.where(norms == 0, 1.0, norms)
+                codes = np.empty((len(X), m), dtype=np.int32)
+                for j in range(m):
+                    Xj = X[:, j * sub : (j + 1) * sub]
+                    C = CB[j]
+                    d = (
+                        (Xj**2).sum(axis=1)[:, None]
+                        + (C**2).sum(axis=1)[None, :]
+                        - 2.0 * (Xj @ C.T)
+                    )
+                    codes[:, j] = d.argmin(axis=1)
+                out.extend(codes.tolist())
+            return pd.Series(out)
+
+        return df.withColumn(code_col, pandas_udf(enc, "array<int>")(F.col(vec_col)))
+
+    # ------------------------------------------------------------- topk
+    def adc_distance(self, query_vec, code_col: str = "pq_codes") -> Column:
+        """Asymmetric squared-L2 distance column: per-subspace lookup
+        tables built driver-side from the query, unrolled into a
+        fixed-order sum of ``m`` array-literal lookups — whole-stage
+        codegen, no Python, no interpreted HOFs in the scoring path."""
+        import numpy as np
+
+        q = np.asarray(query_vec, dtype=np.float64)
+        if q.shape[0] != self.dim:
+            raise ValueError(f"query dim {q.shape[0]} != index dim {self.dim}")
+        if self.normalize:
+            n = np.linalg.norm(q)
+            if n > 0:
+                q = q / n
+        sub = self.subdim
+        terms = []
+        for j in range(self.m):
+            qj = q[j * sub : (j + 1) * sub]
+            C = np.array(self.codebooks[j], dtype=np.float64)
+            lut = ((C - qj[None, :]) ** 2).sum(axis=1)
+            arr = F.array(*[F.lit(float(v)) for v in lut])
+            terms.append(F.element_at(arr, F.col(code_col).getItem(j) + 1))
+        dist = terms[0]
+        for t in terms[1:]:
+            dist = dist + t
+        return dist
+
+    def topk(
+        self,
+        encoded: DataFrame,
+        query_vec,
+        k: int = 10,
+        id_col: str = "vec_id",
+        code_col: str = "pq_codes",
+    ) -> DataFrame:
+        """Top-k by ADC distance (ascending), ties broken by id —
+        ``TakeOrderedAndProject`` at any corpus size. Returns
+        ``(id_col, approx_dist)``."""
+        return (
+            encoded.select(
+                F.col(id_col),
+                F.round(self.adc_distance(query_vec, code_col), 6).alias("approx_dist"),
+            )
+            .orderBy(F.col("approx_dist").asc(), F.col(id_col))
+            .limit(k)
+        )
+
+    def rerank_topk(
+        self,
+        encoded: DataFrame,
+        query_vec,
+        k: int = 10,
+        shortlist: int = 50,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        code_col: str = "pq_codes",
+    ) -> DataFrame:
+        """The production retrieval shape: PQ-ADC shortlist (cheap scan
+        over codes) → exact quantized-cosine re-rank of the ``shortlist``
+        survivors. The exact arithmetic only ever touches ``shortlist``
+        rows, so the expensive part is O(shortlist·d) regardless of
+        corpus size; with an adequate shortlist the output equals exact
+        brute-force top-k (recall-tested). Returns ``(id_col, cosine)``."""
+        from .similarity import cosine_topk
+
+        ids = self.topk(encoded, query_vec, shortlist, id_col, code_col).select(id_col)
+        survivors = encoded.join(F.broadcast(ids), id_col, "left_semi").select(
+            id_col, vec_col
+        )
+        return cosine_topk(survivors, list(query_vec), k, vec_col=vec_col, id_col=id_col)
