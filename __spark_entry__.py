@@ -2696,6 +2696,69 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM contaminate
 """
 
 
+def q_decontaminate_bloom(spark, sf):
+    """Bloom-filter decontamination (`curation.decontaminate_bloom`) —
+    the 100-TB path where the exact eval-gram set outgrows a broadcast:
+    eval 8-grams fold into a fixed 32 KiB bitmap, the train scan probes
+    4 bit positions per gram JVM-side. Position hashing uses the
+    engine-reproducible poly family with fixed params, so the oracle
+    models the bitmap as a distinct position set and reproduces the
+    kept/dropped partition exactly, false positives included."""
+    from revtron_utils_spark.operators.curation import decontaminate_bloom
+
+    docs = _t(spark, sf, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate_bloom(train, eval_df).select("doc_id")
+
+
+def _sql_decontaminate_bloom() -> str:
+    from revtron_utils_spark.operators.curation import BLOOM_P, BLOOM_PARAMS
+
+    mbits = 1 << 18
+    gram_hash = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 1000000007)"
+    )
+    pos = [f"((h * {a} + {b}) % {BLOOM_P}) % {mbits}" for a, b in BLOOM_PARAMS]
+    ev_pos = "\nUNION ALL\n".join(
+        f"  SELECT {p} AS p FROM gh WHERE doc_id % 97 = 0" for p in pos
+    )
+    probes = "\n    AND ".join(f"{p} IN (SELECT p FROM evpos)" for p in pos)
+    return rf"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 8
+           THEN list_transform(range(1, len(toks) - 6),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                               toks[i+4], toks[i+5], toks[i+6], toks[i+7]))
+           ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM tk
+), gh AS (
+  SELECT doc_id, {gram_hash} AS h FROM grams
+), evpos AS (
+  SELECT DISTINCT p FROM (
+{ev_pos}
+  )
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM gh
+  WHERE doc_id % 97 != 0
+    AND {probes}
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 97 != 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+SQL_DECONTAMINATE_BLOOM = _sql_decontaminate_bloom()
+
+
 def q_embedding_decontaminate(spark, sf):
     """Semantic eval-leakage guard (`curation.embedding_decontaminate`):
     drop training embeddings within cosine 0.35 of any eval embedding
@@ -4470,6 +4533,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
     "pq_ann": (q_pq_ann, None),
+    "decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE_BLOOM),
     "triangle_counts": (q_triangle_counts, SQL_TRIANGLE_COUNTS),
     "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

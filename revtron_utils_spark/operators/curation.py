@@ -747,3 +747,115 @@ def leakage_safe_split(
         pairs, src=src, dst=dst, nodes=df.select(F.col(id_col)), node_col=id_col
     ).select(F.col("node").alias(id_col), "component")
     return hash_split(df.join(comp, id_col), "component", weights, seed, split_col)
+
+
+# deterministic (multiplier, offset) pairs for the Bloom position
+# family: p_i = ((h·A_i + B_i) mod 2³¹−1) mod mbits. Fixed constants —
+# not runtime-random — so the filter (and its false positives) is
+# bit-reproducible across engines and runs.
+BLOOM_P = (1 << 31) - 1
+BLOOM_PARAMS = [
+    (906_060_861, 123_456_791),
+    (1_579_024_075, 987_654_323),
+    (481_207_017, 192_837_465),
+    (1_106_571_841, 564_738_291),
+]
+
+
+def _gram_poly_hash(gram: Column) -> Column:
+    """Polynomial rolling hash of the raw gram string (spaces included)
+    — the engine-reproducible hash family ((acc·31 + ascii) mod 1e9+7),
+    bit-equal to a DuckDB ``list_reduce`` fold."""
+    chars = F.filter(F.split(gram, "(?!^)"), lambda ch: ch != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % HASH_MOD,
+    )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 8,
+    mbits: int = 1 << 18,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter n-gram decontamination — the 100 TB path where the
+    exact eval-gram set outgrows a broadcast.
+
+    :func:`decontaminate` broadcasts the distinct eval-gram hash set;
+    with a large eval suite that set is unbounded. Here the eval grams
+    are folded into an ``mbits``-bit Bloom bitmap (``mbits/8`` bytes —
+    32 KiB at the default — regardless of eval size), the bitmap rides
+    one broadcast row, and the train scan probes ``num_hashes`` bit
+    positions per gram entirely JVM-side (``bit_get`` on the bitmap
+    words). False positives over-remove training docs — the fail-safe
+    direction for leakage control — at the textbook rate
+    ``(set_bits/mbits)^num_hashes``, and deterministically so: position
+    hashing uses the engine-reproducible polynomial family with fixed
+    ``BLOOM_PARAMS``, so an oracle that models the bitmap as a distinct
+    position set reproduces the exact kept/dropped partition, false
+    positives included.
+
+    Plan: eval side → gram positions → distinct → ``mbits/64`` bitmap
+    words assembled driver-side (bounded: ≤4096 longs) and re-broadcast;
+    train side scans once, no shuffle except the contaminated-id
+    distinct."""
+    from revtron_utils_spark.functions.text import word_ngrams
+
+    if num_hashes > len(BLOOM_PARAMS):
+        raise ValueError(f"num_hashes > {len(BLOOM_PARAMS)} not supported")
+    words = mbits // 64
+
+    def gram_hashes(df: DataFrame):
+        # explode through an aliased array first (generators can't nest
+        # inside the hash expression; aliasing also keeps the Generate
+        # from re-evaluating the n-gram build per output row)
+        return (
+            df.select(F.col(id_col), word_ngrams(text_col, ngram_n).alias("_grams"))
+            .select(id_col, F.explode("_grams").alias("g"))
+            .select(id_col, _gram_poly_hash(F.col("g")).alias("h"))
+        )
+
+    def pos(i: int) -> Column:
+        a, b = BLOOM_PARAMS[i]
+        return ((F.col("h") * a + b) % BLOOM_P) % mbits
+
+    ev = gram_hashes(eval_df)
+    ev_pos = ev.select(
+        F.explode(F.array(*[pos(i) for i in range(num_hashes)])).alias("p")
+    ).distinct()
+    # assemble the bitmap: 64-bit words via bit_or of shifted bits; the
+    # word list is bounded by mbits/64, so the driver round-trip is a
+    # fixed few KiB however large the eval corpus is
+    word_rows = (
+        ev_pos.select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * words
+    for r in word_rows:
+        bitmap[r["w"]] = r["bits"]
+    spark = train.sparkSession
+    bloom = spark.createDataFrame([(bitmap,)], "bloom array<bigint>")
+
+    tr = gram_hashes(train)
+    hit = F.lit(True)
+    for i in range(num_hashes):
+        p = pos(i)
+        word = F.element_at(F.col("bloom"), (p / F.lit(64)).cast("int") + 1)
+        hit = hit & (F.getbit(word, (p % 64).cast("int")) == 1)
+    contaminated = (
+        tr.crossJoin(F.broadcast(bloom))
+        .filter(hit)
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(contaminated, id_col, "left_anti")

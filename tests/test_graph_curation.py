@@ -673,3 +673,54 @@ def test_triangle_counts_matches_bruteforce(spark):
     df = spark.createDataFrame(noisy, ["src", "dst"])
     got = {r.node: r.triangles for r in triangle_counts(df).collect()}
     assert got == want
+
+
+# ------------------------------------------- bloom decontamination
+
+
+def test_decontaminate_bloom_matches_exact_at_default_size(spark, sf_dir):
+    from revtron_utils_spark.io import read_table
+    from revtron_utils_spark.operators.curation import decontaminate, decontaminate_bloom
+
+    docs = read_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    kept_b = {r.doc_id for r in decontaminate_bloom(tr, ev).select("doc_id").collect()}
+    kept_e = {r.doc_id for r in decontaminate(tr, ev).select("doc_id").collect()}
+    # at 2^18 bits the theoretical FP mass here is ~1e-9 per gram:
+    # the bloom result must equal the exact broadcast-set result
+    assert kept_b == kept_e
+
+
+def test_decontaminate_bloom_fp_is_failsafe_and_deterministic(spark):
+    from revtron_utils_spark.operators.curation import decontaminate, decontaminate_bloom
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(10))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    ev = docs.filter(F.col("doc_id") >= 35)
+    tr = docs.filter(F.col("doc_id") < 35)
+    # 64-bit bloom: saturated, so false positives are certain
+    kept_tiny = {
+        r.doc_id
+        for r in decontaminate_bloom(tr, ev, mbits=64).select("doc_id").collect()
+    }
+    kept_exact = {r.doc_id for r in decontaminate(tr, ev).select("doc_id").collect()}
+    # fail-safe: FPs only ever over-remove (kept set shrinks, never grows)
+    assert kept_tiny <= kept_exact
+    assert len(kept_tiny) < len(kept_exact)
+    # deterministic: the same saturated filter drops the same docs
+    again = {
+        r.doc_id
+        for r in decontaminate_bloom(tr, ev, mbits=64).select("doc_id").collect()
+    }
+    assert again == kept_tiny
+
+
+def test_decontaminate_bloom_rejects_too_many_hashes(spark):
+    from revtron_utils_spark.operators.curation import decontaminate_bloom
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        decontaminate_bloom(docs, docs, num_hashes=9)
