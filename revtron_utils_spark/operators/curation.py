@@ -808,6 +808,8 @@ def decontaminate_bloom(
 
     if num_hashes > len(BLOOM_PARAMS):
         raise ValueError(f"num_hashes > {len(BLOOM_PARAMS)} not supported")
+    if mbits <= 0 or mbits % 64 != 0:
+        raise ValueError(f"mbits must be a positive multiple of 64, got {mbits}")
     words = mbits // 64
 
     def gram_hashes(df: DataFrame):

@@ -139,16 +139,7 @@ def connected_components(
     canonical edge set — one cheap aggregate per round instead of a full
     set comparison.
     """
-    if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-
-        def _cut(df: DataFrame, eager: bool) -> DataFrame:
-            return df.checkpoint(eager=eager)
-
-    else:
-
-        def _cut(df: DataFrame, eager: bool) -> DataFrame:
-            return df.localCheckpoint(eager=eager)
+    _cut = _lineage_cutter(edges.sparkSession, checkpoint_dir)
 
     # materialize the edge input ONCE: it is referenced by the canonical
     # edge set, the endpoint universe, and the final isolated-node
@@ -306,7 +297,18 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_int", F.lit(0).cast("bigint"))
-    scale = min(scale, (2**62) // (n * damping_num))
+    safe_scale = (2**62) // (n * damping_num)
+    if safe_scale < scale:
+        import warnings
+
+        warnings.warn(
+            f"pagerank: scale clamped {scale} -> {safe_scale} to keep "
+            f"N*scale*damping inside int64; an external oracle using the "
+            f"unclamped scale will not match — pass scale<={safe_scale} "
+            "explicitly on both sides",
+            stacklevel=2,
+        )
+        scale = safe_scale
     base = ((damping_den - damping_num) * scale) // damping_den
 
     deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
@@ -419,8 +421,10 @@ def triangle_counts(
     the DuckDB oracle use the simple ``a < b < c`` 3-way join and still
     hash-match.
     """
+    from .dedup import _persist
+
     u, v = F.col("u"), F.col("v")
-    canon = (
+    canon = _persist(
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
             F.least(F.col(src), F.col(dst)).alias("v"),
@@ -428,7 +432,6 @@ def triangle_counts(
         .filter(u != v)
         .distinct()
     )
-    canon.persist()
     deg = (
         canon.select(u.alias("node"))
         .unionByName(canon.select(v.alias("node")))
@@ -444,12 +447,13 @@ def triangle_counts(
     )
     ku = F.struct(F.col("du").alias("d"), u.alias("n"))
     kv = F.struct(F.col("dv").alias("d"), v.alias("n"))
-    oriented = ann.select(
-        F.when(fwd, u).otherwise(v).alias("a"),
-        F.when(fwd, v).otherwise(u).alias("b"),
-        F.when(fwd, kv).otherwise(ku).alias("kb"),
+    oriented = _persist(
+        ann.select(
+            F.when(fwd, u).otherwise(v).alias("a"),
+            F.when(fwd, v).otherwise(u).alias("b"),
+            F.when(fwd, kv).otherwise(ku).alias("kb"),
+        )
     )
-    oriented.persist()
     # wedges a->b, a->c enumerated once each ((deg,id)-order b < c);
     # the closing oriented edge between b and c is then exactly b->c
     e1 = oriented.select(F.col("a"), F.col("b"), F.col("kb"))
@@ -462,7 +466,8 @@ def triangle_counts(
         .unionByName(tri.select(F.col("b").alias("node")))
         .unionByName(tri.select(F.col("c").alias("node")))
     )
-    out = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
-    canon.unpersist()
-    oriented.unpersist()
-    return out
+    # persisted intermediates are registered with dedup._persist and
+    # released by the caller via dedup.release_caches() — the returned
+    # frame is lazy, so an eager unpersist here would cancel the caches
+    # before any action ever used them
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))

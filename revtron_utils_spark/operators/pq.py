@@ -59,6 +59,7 @@ class PQIndex:
         df: DataFrame,
         vec_col: str = "embedding",
         *,
+        id_col: str = "vec_id",
         m: int = 8,
         k: int = 16,
         seed: int = 42,
@@ -68,7 +69,11 @@ class PQIndex:
     ) -> "PQIndex":
         """Fit per-subspace codebooks with deterministic k-means++/Lloyd
         on a bounded random sample (see module docstring for why a
-        sample is the correct posture, not a distributed fit)."""
+        sample is the correct posture, not a distributed fit).
+
+        The sample is ordered by ``id_col`` before the ``limit`` — a bare
+        ``limit`` takes whichever partitions answer first, which would
+        make the "deterministic" codebooks depend on cluster layout."""
         import numpy as np
 
         n_rows = df.count()
@@ -76,8 +81,8 @@ class PQIndex:
         if n_rows > max_train:
             frac = min(1.0, (max_train * 1.1) / n_rows)
             sample = df.sample(fraction=frac, seed=seed)
-        rows = sample.select(vec_col).limit(max_train).collect()
-        X = np.array([r[0] for r in rows], dtype=np.float64)
+        rows = sample.select(id_col, vec_col).orderBy(id_col).limit(max_train).collect()
+        X = np.array([r[1] for r in rows], dtype=np.float64)
         if normalize:
             norms = np.linalg.norm(X, axis=1, keepdims=True)
             X = X / np.where(norms == 0, 1.0, norms)

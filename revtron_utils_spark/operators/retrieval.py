@@ -276,6 +276,14 @@ def _rank_topk(scored: DataFrame, score_col: str, id_col: str, k: int) -> DataFr
     return top.select(F.col(id_col), F.row_number().over(w).alias("rank"))
 
 
+def _rrf_contrib(rank_col: str, k: int, scale: int) -> Column:
+    """Integer RRF contribution ``scale div (k + rank)``; NULL rank
+    (absent from that list) contributes 0. Single definition shared by
+    :func:`rrf_fuse` and :func:`hybrid_topk` so the fusion arithmetic
+    cannot drift between the generic and the two-leg path."""
+    return F.coalesce(F.expr(f"{scale} div ({k} + {rank_col})"), F.lit(0))
+
+
 def rrf_fuse(
     rankings: list[DataFrame],
     id_col: str = "doc_id",
@@ -297,7 +305,7 @@ def rrf_fuse(
     from functools import reduce
 
     contribs = [
-        r.select(F.col(id_col), F.expr(f"{scale} div ({k} + rank)").alias("c"))
+        r.select(F.col(id_col), _rrf_contrib("rank", k, scale).alias("c"))
         for r in rankings
     ]
     fused = (
@@ -357,15 +365,15 @@ def hybrid_topk(
         .withColumnRenamed(vec_id_col, id_col)
     )
     j = lex.join(sem, id_col, "full_outer")
-    contrib = lambda c: F.coalesce(  # noqa: E731
-        F.expr(f"{scale} div ({rrf_k} + {c})"), F.lit(0)
-    )
     return (
         j.select(
             id_col,
             "bm25_rank",
             "cos_rank",
-            (contrib("bm25_rank") + contrib("cos_rank")).alias("rrf_int"),
+            (
+                _rrf_contrib("bm25_rank", rrf_k, scale)
+                + _rrf_contrib("cos_rank", rrf_k, scale)
+            ).alias("rrf_int"),
         )
         .orderBy(F.col("rrf_int").desc(), F.col(id_col))
         .limit(topn)
@@ -395,13 +403,17 @@ def collocations(
     the corpus totals are a broadcast 1-row cross join, never a driver
     round-trip inside the plan."""
     from ..functions.text import tokens
+    from .dedup import _persist
 
-    toks = docs.select(tokens(F.lower(F.col(text_col))).alias("t"))
-    toks.persist()
-    uni = toks.select(F.explode("t").alias("w")).groupBy("w").agg(
-        F.count(F.lit(1)).alias("c")
+    # registered with dedup._persist, released by the caller via
+    # dedup.release_caches() — the returned frame is lazy, so eager
+    # unpersists here would cancel the caches before first use
+    toks = _persist(docs.select(tokens(F.lower(F.col(text_col))).alias("t")))
+    uni = _persist(
+        toks.select(F.explode("t").alias("w")).groupBy("w").agg(
+            F.count(F.lit(1)).alias("c")
+        )
     )
-    uni.persist()
     totals = uni.agg(F.sum("c").alias("n_uni"))
     m = F.greatest(F.size("t") - 1, F.lit(0))
     bi = (
@@ -440,8 +452,6 @@ def collocations(
             ).alias("lift"),
         )
     )
-    toks.unpersist()
-    uni.unpersist()
     return out
 
 

@@ -724,3 +724,12 @@ def test_decontaminate_bloom_rejects_too_many_hashes(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         decontaminate_bloom(docs, docs, num_hashes=9)
+
+
+def test_decontaminate_bloom_rejects_bad_mbits(spark):
+    from revtron_utils_spark.operators.curation import decontaminate_bloom
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for bad in (0, 32, 100, -64):
+        with pytest.raises(ValueError):
+            decontaminate_bloom(docs, docs, mbits=bad)
