@@ -98,6 +98,12 @@ HEADLINE = [
     "funnel_steps",
     "cohort_retention",
     "rolling_wau",
+    "pagerank",
+    "triangle_counts",
+    "hybrid_search",
+    "collocations",
+    "pq_ann",
+    "decontaminate_bloom",
 ]
 
 

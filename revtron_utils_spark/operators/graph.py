@@ -315,6 +315,12 @@ def pagerank(
     ed = e.join(deg, e.src == deg.node).select("src", "dst", "outdeg")
     ed.persist()
 
+    # probe ONCE for dangling nodes (no out-edges): when there are none
+    # — e.g. any symmetrized graph — every per-iteration dangling
+    # aggregate (two jobs each) collapses to a constant 0
+    dangling_nodes = nodes.join(deg, "node", "left_anti")
+    has_dangling = bool(dangling_nodes.limit(1).count())
+
     ranks = nodes.withColumn("rank_int", F.lit(scale).cast("bigint"))
     for _ in range(iterations):
         contribs = (
@@ -323,23 +329,27 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        dangling = (
-            ranks.join(deg, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank_int"), F.lit(0)).alias("dang"))
-            .select(F.expr(f"dang div {n}").alias("dang_share"))
-        )
+        new_ranks = nodes.join(contribs, nodes.node == contribs.dst, "left")
+        if has_dangling:
+            dangling = (
+                ranks.join(deg, "node", "left_anti")
+                .agg(F.coalesce(F.sum("rank_int"), F.lit(0)).alias("dang"))
+                .select(F.expr(f"dang div {n}").alias("dang_share"))
+            )
+            new_ranks = new_ranks.crossJoin(F.broadcast(dangling))
+            dang_share = F.col("dang_share")
+        else:
+            dang_share = F.lit(0)
         ranks = _cut(
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
+            new_ranks.select(
                 "node",
                 (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_num} * (coalesce(contrib, 0) + dang_share))"
-                        f" div {damping_den}"
-                    )
-                ).alias("rank_int"),
+                    F.lit(damping_num)
+                    * (F.coalesce(F.col("contrib"), F.lit(0)) + dang_share)
+                ).alias("_raw"),
+            ).select(
+                "node",
+                F.expr(f"{base} + _raw div {damping_den}").alias("rank_int"),
             )
         )
     nodes.unpersist()
