@@ -774,6 +774,59 @@ def _gram_poly_hash(gram: Column) -> Column:
     )
 
 
+def _gram_poly_hashes_arrow(ngram_n: int):
+    """Arrow-vectorized twin of :func:`_gram_poly_hash` over all word
+    ``ngram_n``-grams of a text: per-token hashes are cached per batch
+    (Heaps-law small vocabulary) and composed into gram hashes with the
+    rolling-hash identity ``h(s·' '·t) = ((h(s)·31+32)·31^len(t) +
+    h(t)) mod p`` — O(1) arithmetic per gram instead of an interpreted
+    per-character fold (the minhash_poly_features_arrow precedent,
+    proven bit-equal to the expression path). ~10× on corpus passes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = HASH_MOD
+
+    # hint-free signature (module uses `from __future__ import annotations`)
+    def gh(texts):
+        import re
+
+        # Java/RE2 \s is ASCII-only; Python str.split() splits on ALL
+        # Unicode whitespace — use the ASCII class to match TX.tokens
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        tok_cache: dict = {}
+
+        def tok_h(t):
+            v = tok_cache.get(t)
+            if v is None:
+                h = 0
+                for ch in t:
+                    h = (h * 31 + ord(ch)) % P
+                v = (h, pow(31, len(t), P))
+                tok_cache[t] = v
+            return v
+
+        out = []
+        for t in texts:
+            toks = [w for w in ws.split(t or "") if w]
+            n = len(toks)
+            if n < ngram_n:
+                out.append([])
+                continue
+            hp = [tok_h(w) for w in toks]
+            ht = np.fromiter((v[0] for v in hp), dtype=np.int64, count=n)
+            pw = np.fromiter((v[1] for v in hp), dtype=np.int64, count=n)
+            h = ht[: n - ngram_n + 1]
+            for j in range(1, ngram_n):
+                seg = slice(j, n - ngram_n + 1 + j)
+                h = ((h * 31 + 32) % P * pw[seg] + ht[seg]) % P
+            out.append(h.tolist())
+        return pd.Series(out)
+
+    return pandas_udf(gh, "array<long>")
+
+
 def decontaminate_bloom(
     train: DataFrame,
     eval_df: DataFrame,
@@ -782,6 +835,7 @@ def decontaminate_bloom(
     ngram_n: int = 8,
     mbits: int = 1 << 18,
     num_hashes: int = 4,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Bloom-filter n-gram decontamination — the 100 TB path where the
     exact eval-gram set outgrows a broadcast.
@@ -812,15 +866,27 @@ def decontaminate_bloom(
         raise ValueError(f"mbits must be a positive multiple of 64, got {mbits}")
     words = mbits // 64
 
-    def gram_hashes(df: DataFrame):
-        # explode through an aliased array first (generators can't nest
-        # inside the hash expression; aliasing also keeps the Generate
-        # from re-evaluating the n-gram build per output row)
-        return (
-            df.select(F.col(id_col), word_ngrams(text_col, ngram_n).alias("_grams"))
-            .select(id_col, F.explode("_grams").alias("g"))
-            .select(id_col, _gram_poly_hash(F.col("g")).alias("h"))
-        )
+    if use_arrow:
+        arrow_gh = _gram_poly_hashes_arrow(ngram_n)
+
+        def gram_hashes(df: DataFrame):
+            return df.select(
+                F.col(id_col), arrow_gh(F.col(text_col)).alias("_hs")
+            ).select(id_col, F.explode("_hs").alias("h"))
+
+    else:
+
+        def gram_hashes(df: DataFrame):
+            # explode through an aliased array first (generators can't
+            # nest inside the hash expression; aliasing also keeps the
+            # Generate from re-evaluating the n-gram build per row)
+            return (
+                df.select(
+                    F.col(id_col), word_ngrams(text_col, ngram_n).alias("_grams")
+                )
+                .select(id_col, F.explode("_grams").alias("g"))
+                .select(id_col, _gram_poly_hash(F.col("g")).alias("h"))
+            )
 
     def pos(i: int) -> Column:
         a, b = BLOOM_PARAMS[i]

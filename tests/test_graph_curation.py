@@ -733,3 +733,18 @@ def test_decontaminate_bloom_rejects_bad_mbits(spark):
     for bad in (0, 32, 100, -64):
         with pytest.raises(ValueError):
             decontaminate_bloom(docs, docs, mbits=bad)
+
+
+def test_decontaminate_bloom_arrow_expr_parity(spark, sf_dir):
+    from revtron_utils_spark.io import read_table
+    from revtron_utils_spark.operators.curation import decontaminate_bloom
+
+    docs = read_table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    tr = docs.filter(F.col("doc_id") % 97 != 0)
+    arrow = {r.doc_id for r in decontaminate_bloom(tr, ev).select("doc_id").collect()}
+    expr = {
+        r.doc_id
+        for r in decontaminate_bloom(tr, ev, use_arrow=False).select("doc_id").collect()
+    }
+    assert arrow == expr

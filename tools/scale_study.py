@@ -144,6 +144,34 @@ def make_fixtures(out_dir: Path, n_docs: int, seed: int = 42) -> None:
     # constant ~312 rows/name like sf0.1's 64 names / 20k rows), so the
     # study measures operator scaling at constant value density instead
     # of quadratic output explosion from a fixed name pool -------------
+    # --- orders/lineitem: the bipartite customer↔supplier trade graph
+    # for pagerank. Customers/suppliers scale with n, lineitems at 4n —
+    # the distinct trade-pair space (n/10 × n/50) grows faster than the
+    # lineitem count, so the edge list stays in the linear (unsaturated)
+    # regime at every study size ---------------------------------------
+    n_cust, n_supp = max(10, n_docs // 10), max(5, n_docs // 50)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(range(n_docs), pa.int64()),
+            "o_custkey": pa.array(
+                [rng.randrange(n_cust) for _ in range(n_docs)], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(orders, out_dir / "orders.parquet")
+    n_li = n_docs * 4
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(
+                [rng.randrange(n_docs) for _ in range(n_li)], pa.int64()
+            ),
+            "l_suppkey": pa.array(
+                [rng.randrange(n_supp) for _ in range(n_li)], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(lineitem, out_dir / "lineitem.parquet")
+
     n_part = n_docs * 4
     scale = max(1.0, n_docs / 5000)
     n_nouns = max(8, int(8 * math.sqrt(scale)))
@@ -176,7 +204,9 @@ def main() -> None:
 
     for n in sizes:
         d = Path(args.out) / f"n{n}"
-        if not (d / "documents.parquet").exists():
+        # lineitem.parquet is the newest fixture — its absence means the
+        # directory predates the trade-graph tables and must regenerate
+        if not (d / "documents.parquet").exists() or not (d / "lineitem.parquet").exists():
             print(f"generating fixtures n={n} ...", file=sys.stderr)
             make_fixtures(d, n)
 
