@@ -2480,6 +2480,53 @@ def _sql_pagerank() -> str:
 SQL_PAGERANK = _sql_pagerank()
 
 
+def q_pagerank_seeded(spark, sf):
+    """Personalized PageRank: teleport (and dangling) mass restricted to
+    a trusted seed set — every 10th customer — the Common-Crawl
+    harvest-rank shape (authority relative to trusted seed domains).
+    Same exact-integer recurrence, hash-verified via the seeded oracle
+    CTE chain."""
+    from revtron_utils_spark.operators.graph import pagerank
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pair.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pair.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        o.filter(F.col("o_custkey") % 10 == 0)
+        .select((F.col("o_custkey") * 2).alias("node"))
+        .distinct()
+    )
+    return pagerank(edges, iterations=5, seeds=seeds)
+
+
+def _sql_pagerank_seeded() -> str:
+    from revtron_utils_spark.operators.graph import pagerank_oracle_sql
+
+    edges = (
+        "SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+        " UNION "
+        "SELECT l_suppkey * 2 + 1, o_custkey * 2"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    )
+    return pagerank_oracle_sql(
+        edges, iterations=5, seed_pred="node % 2 = 0 AND (node // 2) % 10 = 0"
+    )
+
+
+SQL_PAGERANK_SEEDED = _sql_pagerank_seeded()
+
+
 def q_triangle_counts(spark, sf):
     """Per-doc triangle counts over the unigram-Jaccard similarity graph
     (threshold 0.4, blocked by lang/source) — the structural dedup-QA
@@ -4530,6 +4577,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
+    "pagerank_seeded": (q_pagerank_seeded, SQL_PAGERANK_SEEDED),
     "hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
     "pq_ann": (q_pq_ann, None),

@@ -248,9 +248,19 @@ def pagerank(
     damping_den: int = 100,
     scale: int = 10**9,
     checkpoint_dir: str | None = None,
+    seeds: DataFrame | None = None,
+    seed_col: str | None = None,
 ) -> DataFrame:
     """Integer-arithmetic PageRank: ``(node, rank_int)`` after a fixed
     number of power iterations.
+
+    With ``seeds`` this is *personalized* PageRank: the teleport mass
+    (and the dangling mass) is redistributed only to the seed set
+    instead of uniformly — the seed-proximity authority signal
+    (Common-Crawl harvest ranking against trusted seed domains). The
+    per-iteration teleport total is identical to the uniform case
+    (``(1−d)·N·scale``), split evenly over the seeds in the same
+    integer arithmetic.
 
     The reference has no graph surface (``/root/reference/revtron/database/
     main.py`` is SQL generation); this is the LLM-pipeline extension —
@@ -311,6 +321,23 @@ def pagerank(
         scale = safe_scale
     base = ((damping_den - damping_num) * scale) // damping_den
 
+    seed_flags = None
+    n_seeds = 0
+    if seeds is not None:
+        sc_ = seed_col or seeds.columns[0]
+        seed_flags = (
+            seeds.select(F.col(sc_).alias("node"))
+            .distinct()
+            .join(nodes, "node", "left_semi")
+            .withColumn("_seed", F.lit(True))
+        )
+        seed_flags.persist()
+        n_seeds = seed_flags.count()
+        if n_seeds == 0:
+            raise ValueError("pagerank: seed set is empty (or disjoint from the graph)")
+        # same total teleport mass as the uniform case, split over seeds
+        base_seed = ((damping_den - damping_num) * scale * n) // damping_den // n_seeds
+
     deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
     ed = e.join(deg, e.src == deg.node).select("src", "dst", "outdeg")
     ed.persist()
@@ -331,29 +358,40 @@ def pagerank(
         )
         new_ranks = nodes.join(contribs, nodes.node == contribs.dst, "left")
         if has_dangling:
+            div_by = n_seeds if seed_flags is not None else n
             dangling = (
                 ranks.join(deg, "node", "left_anti")
                 .agg(F.coalesce(F.sum("rank_int"), F.lit(0)).alias("dang"))
-                .select(F.expr(f"dang div {n}").alias("dang_share"))
+                .select(F.expr(f"dang div {div_by}").alias("dang_share"))
             )
             new_ranks = new_ranks.crossJoin(F.broadcast(dangling))
             dang_share = F.col("dang_share")
         else:
             dang_share = F.lit(0)
+        if seed_flags is not None:
+            new_ranks = new_ranks.join(F.broadcast(seed_flags), "node", "left")
+            is_seed = F.coalesce(F.col("_seed"), F.lit(False))
+            base_col = F.when(is_seed, F.lit(base_seed)).otherwise(F.lit(0))
+            dang_share = F.when(is_seed, dang_share).otherwise(F.lit(0))
+        else:
+            base_col = F.lit(base)
         ranks = _cut(
             new_ranks.select(
                 "node",
+                base_col.alias("_base"),
                 (
                     F.lit(damping_num)
                     * (F.coalesce(F.col("contrib"), F.lit(0)) + dang_share)
                 ).alias("_raw"),
             ).select(
                 "node",
-                F.expr(f"{base} + _raw div {damping_den}").alias("rank_int"),
+                F.expr(f"_base + _raw div {damping_den}").alias("rank_int"),
             )
         )
     nodes.unpersist()
     ed.unpersist()
+    if seed_flags is not None:
+        seed_flags.unpersist()
     return ranks
 
 
@@ -364,6 +402,7 @@ def pagerank_oracle_sql(
     damping_num: int = 85,
     damping_den: int = 100,
     scale: int = 10**9,
+    seed_pred: str | None = None,
 ) -> str:
     """DuckDB SQL mirroring :func:`pagerank` operation-for-operation:
     the power iterations are unrolled as chained CTEs (standard SQL
@@ -373,6 +412,10 @@ def pagerank_oracle_sql(
     ``edges_sql`` is a SELECT producing ``(src, dst)``.  The caller must
     keep ``N * scale * damping_num < 2^62`` (the Spark side auto-clamps;
     at oracle scales the default never clamps).
+
+    ``seed_pred``: SQL boolean over the bare identifier ``node`` —
+    mirrors the Spark side's ``seeds`` DataFrame (personalized PageRank:
+    teleport + dangling mass to seeds only).
     """
     base = f"CAST({((damping_den - damping_num) * scale) // damping_den} AS BIGINT)"
     parts = [
@@ -382,24 +425,47 @@ def pagerank_oracle_sql(
         "deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1)",
         f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_int FROM nodes)",
     ]
+    if seed_pred is not None:
+        dnm = damping_den - damping_num
+        parts.append(f"sc AS (SELECT COUNT(*) AS s FROM nodes WHERE {seed_pred})")
+        # same two-step integer division the Spark driver computes:
+        # ((den-num)*scale*n) // den // n_seeds
+        base_expr = (
+            f"CASE WHEN {seed_pred} THEN "
+            f"CAST({dnm * scale} AS BIGINT) * (SELECT n FROM nn)"
+            f" // {damping_den} // (SELECT s FROM sc) ELSE 0 END"
+        )
+        dang_div = "(SELECT s FROM sc)"
+    else:
+        base_expr = base
+        dang_div = "(SELECT n FROM nn)"
     for i in range(1, iterations + 1):
         p = f"r{i - 1}"
         parts.append(
-            f"c{i} AS (SELECT e.dst AS node, SUM(r.rank_int // d.outdeg) AS contrib"
+            f"c{i} AS (SELECT e.dst AS cnode, SUM(r.rank_int // d.outdeg) AS contrib"
             f" FROM e JOIN {p} r ON e.src = r.node"
             f" JOIN deg d ON e.src = d.node GROUP BY 1)"
         )
         parts.append(
             f"d{i} AS (SELECT COALESCE(SUM(r.rank_int), 0)"
-            f" // (SELECT n FROM nn) AS dang_share"
+            f" // {dang_div} AS dang_share"
             f" FROM {p} r LEFT JOIN deg d ON r.node = d.node"
             f" WHERE d.node IS NULL)"
         )
+        if seed_pred is not None:
+            dang_term = (
+                f"CASE WHEN {seed_pred} THEN (SELECT dang_share FROM d{i})"
+                f" ELSE 0 END"
+            )
+        else:
+            dang_term = f"(SELECT dang_share FROM d{i})"
+        # c's key is aliased cnode so the bare identifier `node` inside
+        # seed_pred/base_expr resolves unambiguously to nodes.node
         parts.append(
-            f"r{i} AS (SELECT n.node, {base}"
+            f"r{i} AS (SELECT n.node, {base_expr}"
             f" + (CAST({damping_num} AS BIGINT) * (COALESCE(c.contrib, 0)"
-            f" + (SELECT dang_share FROM d{i}))) // {damping_den} AS rank_int"
-            f" FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"
+            f" + {dang_term})) // {damping_den} AS rank_int"
+            f" FROM nodes n LEFT JOIN c{i} c ON n.node = c.cnode)"
         )
     return (
         ",\n".join(parts)

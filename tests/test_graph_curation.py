@@ -748,3 +748,71 @@ def test_decontaminate_bloom_arrow_expr_parity(spark, sf_dir):
         for r in decontaminate_bloom(tr, ev, use_arrow=False).select("doc_id").collect()
     }
     assert arrow == expr
+
+
+def _py_ppr(edges, seeds, iterations=5, num=85, den=100, scale=10**9):
+    """Pure-Python twin of personalized pagerank's integer recurrence."""
+    e = sorted(set(edges))
+    nodes = sorted({x for p in e for x in p})
+    n, seeds = len(nodes), sorted(set(seeds) & set(nodes))
+    s = len(seeds)
+    outdeg = {}
+    for a, _ in e:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    base_seed = ((den - num) * scale * n) // den // s
+    r = {x: scale for x in nodes}
+    for _ in range(iterations):
+        contrib = {x: 0 for x in nodes}
+        for a, b in e:
+            contrib[b] += r[a] // outdeg[a]
+        dang = sum(r[x] for x in nodes if x not in outdeg) // s
+        r = {
+            x: (base_seed if x in seeds else 0)
+            + (num * (contrib[x] + (dang if x in seeds else 0))) // den
+            for x in nodes
+        }
+    return r
+
+
+def test_personalized_pagerank_matches_python_and_oracle(spark):
+    import duckdb
+
+    from revtron_utils_spark.operators.graph import pagerank, pagerank_oracle_sql
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (6, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,), (4,)], ["node"])
+    got = {
+        r.node: r.rank_int
+        for r in pagerank(df, iterations=4, seeds=seeds).collect()
+    }
+    assert got == _py_ppr(edges, [1, 4], iterations=4)
+    vals = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = pagerank_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)",
+        iterations=4,
+        seed_pred="node IN (1, 4)",
+    )
+    want = dict(duckdb.sql(sql).fetchall())
+    assert got == want
+    # mass concentrates near the seeds: both seeds outrank the
+    # never-teleported sink-free node 6
+    assert got[1] > got[6] and got[4] > got[6]
+
+
+def test_personalized_pagerank_empty_seed_raises(spark):
+    from revtron_utils_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    seeds = spark.createDataFrame([(99,)], ["node"])  # disjoint from graph
+    with pytest.raises(ValueError):
+        pagerank(df, seeds=seeds)
+
+
+def test_uniform_pagerank_unchanged_by_seed_param_absence(spark):
+    from revtron_utils_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 1), (2, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank_int for r in pagerank(df, iterations=3).collect()}
+    assert got == _py_pagerank(edges, iterations=3)
