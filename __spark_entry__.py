@@ -1235,6 +1235,40 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
 
+def _stream_staging(tag: str) -> str:
+    """One deterministic staging dir per (tag, process): wiped before
+    each run so repeated invocations (pytest sweep, driver gate, dev
+    loops) don't accumulate parquet copies under /tmp — the pid suffix
+    keeps concurrent processes from rmtree-ing each other mid-run;
+    within a process, invocations are serial (awaitTermination returns
+    before the caller does), so wipe-and-rewrite is safe. Staging dirs
+    left by DEAD processes (SIGKILL/OOM skips atexit) are reaped."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+    from pathlib import Path as _Path
+
+    base = _Path(tempfile.gettempdir())
+    tmp = str(base / f"{tag}_{_os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    for stale in base.glob(f"{tag}_*"):
+        try:
+            pid = int(stale.name.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        if pid == _os.getpid():
+            continue
+        try:
+            _os.kill(pid, 0)  # raises if no such process
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # someone else's live process
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    return tmp
+
+
 def q_streaming_sessionize(spark, sf):
     """End-to-end Structured Streaming in the driver gate: the
     applyInPandasWithState sessionizer run to completion (availableNow)
@@ -1249,36 +1283,7 @@ def q_streaming_sessionize(spark, sf):
     ev = _t(spark, sf, "events").select(
         F.col("user_id").cast("long").alias("user_id"), F.col("ts").cast("timestamp").alias("ts")
     )
-    # one deterministic staging dir per process: wiped before each run
-    # so repeated invocations (pytest sweep, driver gate, dev loops)
-    # don't accumulate full parquet copies of events under /tmp — the
-    # pid suffix keeps concurrent processes (e.g. pytest sweep + driver
-    # gate) from rmtree-ing each other mid-run; within a process,
-    # invocations are serial (awaitTermination returns before this
-    # function does), so wipe-and-rewrite is safe
-    import atexit
-    import os as _os
-    from pathlib import Path as _Path
-
-    base = _Path(tempfile.gettempdir())
-    tmp = str(base / f"drv_stream_sess_{_os.getpid()}")
-    shutil.rmtree(tmp, ignore_errors=True)
-    # reap staging dirs left by DEAD processes (SIGKILL/OOM skips
-    # atexit): a pid-suffixed dir whose process is gone is garbage
-    for stale in base.glob("drv_stream_sess_*"):
-        try:
-            pid = int(stale.name.rsplit("_", 1)[1])
-        except ValueError:
-            continue
-        if pid == _os.getpid():
-            continue
-        try:
-            _os.kill(pid, 0)  # raises if no such process
-        except ProcessLookupError:
-            shutil.rmtree(stale, ignore_errors=True)
-        except PermissionError:
-            pass  # someone else's live process
-    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    tmp = _stream_staging("drv_stream_sess")
     src = f"{tmp}/src"
     ev.write.mode("overwrite").parquet(src)
     q = sessionize_stream(
@@ -1295,6 +1300,50 @@ def q_streaming_sessionize(spark, sf):
     return spark.table("drv_stream_sessions").select(
         "user_id", "session_start", "session_end", "n_events"
     )
+
+
+def q_streaming_interval_join(spark, sf):
+    """Stream-stream interval join run to completion: click events
+    matched to same-user purchases within 1 hour, both sides
+    watermarked (the time-range conjunct is what lets Spark expire the
+    join state). Rows-only: the streamed row set can depend on
+    watermark-driven late drops across micro-batches, which SQL can't
+    express; the batch-equivalence differential lives in
+    tests/test_streaming.py."""
+    from revtron_utils_spark.streaming.join import stream_interval_join
+
+    ev = _t(spark, sf, "events").select(
+        "event_id", F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"), "event_type",
+    )
+    tmp = _stream_staging("drv_stream_ij")
+    clicks_dir, buys_dir = f"{tmp}/clicks", f"{tmp}/buys"
+    # coalesce(1): one file per side => availableNow plans one batch, so
+    # nothing is ever late relative to the final watermark
+    ev.filter(F.col("event_type") == "click").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(clicks_dir)
+    ev.filter(F.col("event_type") == "purchase").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(buys_dir)
+    schema = ev.schema
+    clicks = spark.readStream.schema(schema).parquet(clicks_dir)
+    buys = spark.readStream.schema(schema).parquet(buys_dir)
+    joined = stream_interval_join(
+        clicks, buys, "user_id", max_delay="1 hour", watermark="2 hours"
+    ).select("user_id", "l_event_id", "r_event_id", "l_ts", "r_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("drv_stream_ij")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ck")
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming_interval_join: availableNow stream exceeded 600s")
+    return spark.table("drv_stream_ij")
 
 
 def q_range_join(spark, sf):
@@ -4582,6 +4631,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "collocations": (q_collocations, SQL_COLLOCATIONS),
     "pq_ann": (q_pq_ann, None),
     "decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE_BLOOM),
+    "streaming_interval_join": (q_streaming_interval_join, None),
     "triangle_counts": (q_triangle_counts, SQL_TRIANGLE_COUNTS),
     "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

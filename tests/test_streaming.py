@@ -376,3 +376,75 @@ def test_streaming_quality_filter_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, score(docs).collect()))
     assert got == want
+
+
+# ------------------------------------------ stream-stream interval join
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """The streamed interval join (availableNow, watermarked both sides)
+    must produce exactly the batch interval join of the same inputs."""
+    from revtron_utils_spark.io import read_table
+    from revtron_utils_spark.streaming.join import stream_interval_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    buys_b = ev.filter(F.col("event_type") == "purchase")
+    want = sorted(
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in stream_interval_join(
+            clicks_b, buys_b, "user_id", max_delay="1 hour", watermark="2 hours"
+        ).collect()
+    )
+
+    cdir, bdir = str(tmp_path / "c"), str(tmp_path / "b")
+    clicks_b.coalesce(1).write.parquet(cdir)
+    buys_b.coalesce(1).write.parquet(bdir)
+    joined = stream_interval_join(
+        spark.readStream.schema(ev.schema).parquet(cdir),
+        spark.readStream.schema(ev.schema).parquet(bdir),
+        "user_id",
+        max_delay="1 hour",
+        watermark="2 hours",
+    ).select("user_id", "l_event_id", "r_event_id")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = sorted(
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stream_interval_join_window_semantics(spark):
+    """Hand-built streams: in-window pair joins, out-of-window and
+    wrong-key pairs don't; right event strictly before left doesn't."""
+    from revtron_utils_spark.streaming.join import stream_interval_join
+
+    l = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:00")],
+        "user_id long, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    r = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:30:00"),  # in window
+            (1, "2024-01-01 12:00:00"),  # too late (> 1h)
+            (1, "2024-01-01 09:59:00"),  # before the left event
+            (3, "2024-01-01 10:30:00"),  # wrong key
+        ],
+        "user_id long, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    got = stream_interval_join(l, r, "user_id", max_delay="1 hour").collect()
+    assert len(got) == 1
+    assert got[0].user_id == 1 and str(got[0].r_ts) == "2024-01-01 10:30:00"
