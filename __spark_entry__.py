@@ -4272,6 +4272,64 @@ FROM j ORDER BY rrf_int DESC, doc_id LIMIT 15
 SQL_HYBRID_SEARCH = _sql_hybrid()
 
 
+def q_cms_counts(spark, sf):
+    """Count-Min sketch frequency rollup (`rollup.cms_build/estimate`):
+    the corpus token distribution folded into a 4×256 sparse sketch,
+    then point-queried for every distinct token. Unlike library sketch
+    binaries, the construction is exact integer arithmetic over the
+    cross-engine poly hash family — the oracle reproduces every cell
+    and every collision, so even the sketch's OVERestimates hash-match
+    bit-for-bit."""
+    from revtron_utils_spark.operators import rollup as RU
+
+    docs = _t(spark, sf, "documents")
+    toks = docs.select(F.explode(TX.tokens("text")).alias("term"))
+    sketch = RU.cms_build(toks, "term", width=256, depth=4)
+    keys = toks.distinct()
+    return RU.cms_estimate(sketch, keys, "term", width=256, depth=4)
+
+
+def _sql_cms_counts() -> str:
+    from revtron_utils_spark.operators.rollup import CMS_P, CMS_PARAMS
+
+    width, depth = 256, 4
+    poly = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(term, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        "(x, y) -> (x * 31 + y) % 1000000007)"
+    )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT {i} AS row, ((h * {a} + {b}) % {CMS_P}) % {width} AS bucket FROM h"
+        for i, (a, b) in enumerate(CMS_PARAMS[:depth])
+    )
+    joins = "\n".join(
+        f"LEFT JOIN cells c{i} ON c{i}.row = {i}"
+        f" AND c{i}.bucket = ((k.h * {a} + {b}) % {CMS_P}) % {width}"
+        for i, (a, b) in enumerate(CMS_PARAMS[:depth])
+    )
+    least = ", ".join(f"COALESCE(c{i}.cnt, 0)" for i in range(depth))
+    return rf"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
+  FROM documents
+), h AS (
+  SELECT term, {poly} AS h FROM tok
+), cells AS (
+  SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    {unions}
+  ) GROUP BY 1, 2
+), keys AS (
+  SELECT DISTINCT term, h FROM h
+)
+SELECT k.term, least({least}) AS est
+FROM keys k
+{joins}
+"""
+
+
+SQL_CMS_COUNTS = _sql_cms_counts()
+
+
 def q_collocations(spark, sf):
     """Corpus collocation mining: adjacent-bigram PMI lift over the
     lowercased token stream. Log-free rational PMI as a fixed-order
@@ -4629,6 +4687,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "pagerank_seeded": (q_pagerank_seeded, SQL_PAGERANK_SEEDED),
     "hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
+    "cms_counts": (q_cms_counts, SQL_CMS_COUNTS),
     "pq_ann": (q_pq_ann, None),
     "decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE_BLOOM),
     "streaming_interval_join": (q_streaming_interval_join, None),

@@ -142,6 +142,110 @@ def sketch_rollup_estimate(state: DataFrame, group_cols: list[str]) -> DataFrame
     )
 
 
+# --------------------------------------------------------- count-min sketch
+
+# fixed affine rows for the CMS bucket family — the same
+# engine-reproducible construction as the Bloom positions
+# (curation.BLOOM_PARAMS): row_i(key) = ((poly(key)·a_i + b_i) mod
+# 2³¹−1) mod width. Fixed constants, so the sketch — and every
+# collision in it — is bit-reproducible across engines.
+CMS_P = (1 << 31) - 1
+CMS_PARAMS = [
+    (1_207_959_797, 2_038_074_743),
+    (905_502_933, 1_294_969_543),
+    (1_626_271_463, 367_902_151),
+    (784_926_617, 1_993_050_509),
+]
+
+
+def _cms_poly_hash(key) -> Column:
+    """Raw-string polynomial hash ((acc·31 + ascii) mod 1e9+7) — the
+    cross-engine family; same fold as curation's gram hash."""
+    chars = F.filter(F.split(key, "(?!^)"), lambda ch: ch != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % 1_000_000_007,
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan '05) of the ``key_col``
+    frequency distribution, as a SPARSE ``(row, bucket, cnt)`` frame —
+    ``depth·width`` cells max, however many trillions of input rows.
+
+    The mergeable-frequency counterpart to the HLL distinct rollup: two
+    sketches merge by cell-wise addition (:func:`cms_merge`), so
+    per-batch sketches maintain a running frequency table without ever
+    re-reading history — and a 4×1024 sketch answers "how often does
+    any key occur" within ``ε·N`` (ε = e/width) using 32 KB, where the
+    exact answer needs a full vocabulary table.
+
+    Unlike library sketch binaries (engine-specific, rows-only
+    checkable), this construction is exact integer arithmetic over the
+    cross-engine polynomial hash family — a SQL oracle reproduces every
+    cell and every collision bit-for-bit."""
+    if depth > len(CMS_PARAMS):
+        raise ValueError(f"depth > {len(CMS_PARAMS)} not supported")
+    hashed = df.select(_cms_poly_hash(F.col(key_col)).alias("h"))
+    rows = [
+        hashed.select(
+            F.lit(i).alias("row"),
+            (((F.col("h") * a + b) % CMS_P) % width).alias("bucket"),
+        )
+        for i, (a, b) in enumerate(CMS_PARAMS[:depth])
+    ]
+    from functools import reduce
+
+    allrows = reduce(lambda x, y: x.unionByName(y), rows)
+    return allrows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(sketches: Sequence[DataFrame]) -> DataFrame:
+    """Cell-wise sum of sparse sketches (same width/depth)."""
+    from functools import reduce
+
+    allcells = reduce(lambda x, y: x.unionByName(y), sketches)
+    return allcells.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: the estimate is
+    the MIN over the ``depth`` cells a key hashes to (absent cell = 0).
+    Guarantees est ≥ true count, with overshoot ≤ ε·N w.h.p. The sketch
+    is ≤ depth·width cells — broadcast by construction, so the lookup
+    is a map-side join however many keys are probed."""
+    probes = keys.select(
+        F.col(key_col), _cms_poly_hash(F.col(key_col)).alias("h")
+    )
+    ests = []
+    for i, (a, b) in enumerate(CMS_PARAMS[:depth]):
+        cell = sketch.filter(F.col("row") == i).select(
+            F.col("bucket").alias("_b"), F.col("cnt").alias(f"_c{i}")
+        )
+        probes = probes.join(
+            F.broadcast(cell),
+            (((F.col("h") * a + b) % CMS_P) % width) == F.col("_b"),
+            "left",
+        ).drop("_b")
+        ests.append(F.coalesce(F.col(f"_c{i}"), F.lit(0)))
+    est = F.least(*ests) if len(ests) > 1 else ests[0]
+    return probes.select(F.col(key_col), est.alias("est"))
+
+
 # ---------------------------------------------------------------- quantiles
 
 

@@ -207,3 +207,65 @@ def test_quantile_rollup_tied_bin_exact(spark):
     state = quantile_rollup_partial(df, ["g"], "v")
     est = quantile_rollup_estimate(state, ["g"], [0.5]).first()["quantile_est"]
     assert est == 5.0
+
+
+# ------------------------------------------------------ count-min sketch
+
+
+def test_cms_estimate_dominates_truth_and_is_exact_when_wide(spark):
+    from pyspark.sql import functions as F
+
+    from revtron_utils_spark.operators import rollup as RU
+
+    data = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5 + [("d",)] * 1
+    df = spark.createDataFrame(data, ["k"])
+    true = {"a": 50, "b": 30, "c": 5, "d": 1}
+    # wide sketch: 4 keys in 1024 buckets -> no collisions, est == truth
+    sk = RU.cms_build(df, "k", width=1024, depth=4)
+    est = {
+        r.k: r.est
+        for r in RU.cms_estimate(sk, df.distinct(), "k", width=1024, depth=4).collect()
+    }
+    assert est == true
+    # saturated sketch (width 2): collisions certain, but the CMS
+    # guarantee holds — estimates only ever OVERcount
+    sk2 = RU.cms_build(df, "k", width=2, depth=2)
+    est2 = {
+        r.k: r.est
+        for r in RU.cms_estimate(sk2, df.distinct(), "k", width=2, depth=2).collect()
+    }
+    assert all(est2[k] >= v for k, v in true.items())
+    # deterministic: same saturated sketch, same collisions
+    est2b = {
+        r.k: r.est
+        for r in RU.cms_estimate(
+            RU.cms_build(df, "k", width=2, depth=2), df.distinct(), "k", width=2, depth=2
+        ).collect()
+    }
+    assert est2 == est2b
+
+
+def test_cms_merge_equals_full_build(spark):
+    from pyspark.sql import functions as F
+
+    from revtron_utils_spark.operators import rollup as RU
+
+    df = spark.range(0, 500).select(F.concat(F.lit("k"), (F.col("id") % 37)).alias("k"))
+    # split by hash parity, sketch each half, merge
+    lo = df.filter(F.crc32("k") % 2 == 0)
+    hi = df.filter(F.crc32("k") % 2 == 1)
+    merged = RU.cms_merge([RU.cms_build(lo, "k"), RU.cms_build(hi, "k")])
+    full = RU.cms_build(df, "k")
+    m = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    f = {(r.row, r.bucket): r.cnt for r in full.collect()}
+    assert m == f
+
+
+def test_cms_depth_validation(spark):
+    from revtron_utils_spark.operators import rollup as RU
+
+    df = spark.createDataFrame([("x",)], ["k"])
+    import pytest
+
+    with pytest.raises(ValueError):
+        RU.cms_build(df, "k", depth=99)
