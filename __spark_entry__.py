@@ -4272,6 +4272,37 @@ FROM j ORDER BY rrf_int DESC, doc_id LIMIT 15
 SQL_HYBRID_SEARCH = _sql_hybrid()
 
 
+def q_approx_distinct_poly(spark, sf):
+    """Engine-exact HyperLogLog (`rollup.hll_poly_distinct`): distinct
+    event_ids per event_type through a poly-hash HLL whose whole
+    estimate — integer rho ranks, dyadic-exact harmonic sum, shared α
+    literal — is bit-reproducible, so the sketch hash-matches the
+    DuckDB oracle (the DataSketches twin `sketch_rollup` stays
+    rows-only). p=4 keeps the fixture's per-group cardinality (~200 at
+    sf0.001) above the ~2.5·m raw-estimate bias floor; accuracy is
+    asserted separately in tests at p=8 with 5k keys."""
+    from revtron_utils_spark.operators.rollup import hll_poly_distinct
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.col("event_id").cast("string").alias("eid")
+    )
+    return hll_poly_distinct(ev, ["event_type"], "eid", p=4)
+
+
+def _sql_approx_distinct_poly() -> str:
+    from revtron_utils_spark.operators.rollup import hll_poly_oracle_sql
+
+    return hll_poly_oracle_sql(
+        ["event_type"],
+        "eid",
+        "(SELECT event_type, CAST(event_id AS VARCHAR) AS eid FROM events)",
+        p=4,
+    )
+
+
+SQL_APPROX_DISTINCT_POLY = _sql_approx_distinct_poly()
+
+
 def q_cms_counts(spark, sf):
     """Count-Min sketch frequency rollup (`rollup.cms_build/estimate`):
     the corpus token distribution folded into a 4×256 sparse sketch,
@@ -4688,6 +4719,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "hybrid_search": (q_hybrid_search, SQL_HYBRID_SEARCH),
     "collocations": (q_collocations, SQL_COLLOCATIONS),
     "cms_counts": (q_cms_counts, SQL_CMS_COUNTS),
+    "approx_distinct_poly": (q_approx_distinct_poly, SQL_APPROX_DISTINCT_POLY),
     "pq_ann": (q_pq_ann, None),
     "decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE_BLOOM),
     "streaming_interval_join": (q_streaming_interval_join, None),

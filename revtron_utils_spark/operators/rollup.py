@@ -246,6 +246,172 @@ def cms_estimate(
     return probes.select(F.col(key_col), est.alias("est"))
 
 
+# ------------------------------------------------------ engine-exact HLL
+
+def _mulmod32(col: Column, c: int) -> Column:
+    """``(col · c) mod 2³²`` without int64 overflow (ANSI mode): split
+    the 32-bit operand into 16-bit halves — ``h·c = h₁·c·2¹⁶ + h₀·c``
+    and ``(x·2¹⁶) mod 2³² = (x mod 2¹⁶)·2¹⁶`` keep every intermediate
+    under 2⁴⁸. Pure +,·,% on non-negatives: bit-equal in any engine."""
+    h1 = (col / F.lit(65536)).cast("long")
+    h0 = col % 65536
+    return (h0 * c + ((h1 * c) % 65536) * 65536) % 4294967296
+
+
+def _fmix32(col: Column) -> Column:
+    """murmur3's 32-bit finalizer over engine-exact ops — xor, integer
+    division by 2^k (= the shifts, on non-negatives), and the split
+    multiply above. The polynomial hash alone has no avalanche in its
+    high bits (affine images of sequential keys stay structured, which
+    biased the HLL max-statistic ~30%); fmix32 restores it and the
+    estimate lands inside the theoretical ±1.04/√m band."""
+    h = col.bitwiseXOR((col / F.lit(65536)).cast("long"))
+    h = _mulmod32(h, 0x85EBCA6B)
+    h = h.bitwiseXOR((h / F.lit(8192)).cast("long"))
+    h = _mulmod32(h, 0xC2B2AE35)
+    return h.bitwiseXOR((h / F.lit(65536)).cast("long"))
+
+
+def _fmix32_sql_steps() -> list[str]:
+    """DuckDB twin of :func:`_fmix32` as per-step expressions over a
+    column named ``h`` — the oracle chains them through CTEs (inlining
+    the whole pipeline into one expression would repeat each step
+    twice per level: exponential SQL)."""
+
+    def mulmod(c: int) -> str:
+        return (
+            f"((h % 65536) * {c}"
+            f" + (((h // 65536) * {c}) % 65536) * 65536) % 4294967296"
+        )
+
+    return [
+        "xor(h, h // 65536)",
+        mulmod(0x85EBCA6B),
+        "xor(h, h // 8192)",
+        mulmod(0xC2B2AE35),
+        "xor(h, h // 65536)",
+    ]
+
+
+HLL_HASH_BITS = 32  # fmix32 output spans the full 32-bit domain
+
+
+def hll_poly_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    p: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """HyperLogLog distinct estimate per group — engine-exact.
+
+    The DataSketches HLL rollup (:func:`sketch_rollup_partial`) is the
+    production path but its sketch binary is engine-specific, so its
+    gate is rows-only. This twin makes the whole estimate
+    hash-comparable against a SQL oracle:
+
+    - h = fmix32(poly(key)) — the murmur3 finalizer in engine-exact
+      arithmetic (the raw polynomial hash has no high-bit avalanche and
+      biased the max-statistic ~30%); bucket = h mod 2^p, w = h div 2^p,
+    - rho = leading-zero rank of w in ``32-p`` bits, computed with pure
+      integer/string ops (``length(bin(w))`` — no cross-libm ``log2``),
+    - per-bucket MAX(rho) (duplicates can't change a max — no dedup
+      pass needed, and two sketches merge by the same max),
+    - the harmonic-mean denominator Σ 2^−M_j is a sum of DYADIC
+      rationals (each a multiple of 2^−23, total < 2^p), so every
+      partial sum is exactly representable: the float sum is
+      order-independent and bit-identical in any engine,
+    - raw estimate α_m·m² / Σ, no small-range correction (that needs
+      ``ln``, which is not cross-libm exact; the raw estimate is the
+      deterministic, comparable quantity — document the bias below
+      ~2.5·m where linear counting would normally kick in).
+
+    Output: ``(*group_cols, n_buckets, approx_distinct)``.
+    """
+    m = 1 << p
+    wbits = HLL_HASH_BITS - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    amm = alpha * m * m  # embedded as the same literal in the oracle
+    mixed = df.select(
+        *group_cols, _fmix32(_cms_poly_hash(F.col(key_col))).alias("h")
+    )
+    rows = mixed.select(
+        *group_cols,
+        (F.col("h") % m).alias("b"),
+        # h div 2^p: h and m are non-negative, so the double divide +
+        # truncating cast equals integer division (h < 2^32 ≪ 2^52)
+        (F.col("h") / F.lit(m)).cast("long").alias("w"),
+    )
+    # rho: leading-zero rank of w within wbits bits; bin(w) length gives
+    # floor(log2)+1 with integers/strings only
+    rho = F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - (F.length(F.expr("bin(w)")) - 1)
+    )
+    buckets = (
+        rows.select(*group_cols, "b", rho.alias("rho"))
+        .groupBy(*group_cols, "b")
+        .agg(F.max("rho").alias("M"))
+    )
+    per_group = buckets.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.expr("1.0 / shiftleft(CAST(1 AS BIGINT), CAST(M AS INT))")).alias("_s"),
+    )
+    denom = (F.lit(m) - F.col("n_buckets")) + F.col("_s")
+    return per_group.select(
+        *group_cols,
+        "n_buckets",
+        F.round(F.lit(amm) / denom, round_to).alias("approx_distinct"),
+    )
+
+
+def hll_poly_oracle_sql(
+    group_cols: list[str],
+    key_col: str,
+    table: str,
+    p: int = 8,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`hll_poly_distinct` — same hash, same
+    integer rho, same dyadic-exact harmonic sum, same α literal."""
+    m = 1 << p
+    wbits = HLL_HASH_BITS - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    amm = repr(alpha * m * m)
+    gc = ", ".join(group_cols)
+    poly = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({key_col}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        "(x, y) -> (x * 31 + y) % 1000000007)"
+    )
+    mix_ctes = ",\n".join(
+        f"f{i} AS (SELECT {gc}, {step} AS h FROM f{i - 1})"
+        for i, step in enumerate(_fmix32_sql_steps(), start=1)
+    )
+    n_mix = len(_fmix32_sql_steps())
+    return f"""
+WITH f0 AS (
+  SELECT {gc}, {poly} AS h FROM {table}
+),
+{mix_ctes},
+h AS (SELECT * FROM f{n_mix}), rw AS (
+  SELECT {gc}, h % {m} AS b, h // {m} AS w FROM h
+), buckets AS (
+  SELECT {gc}, b,
+         MAX(CASE WHEN w = 0 THEN {wbits + 1}
+             ELSE {wbits} - (length(bin(w)) - 1) END) AS M
+  FROM rw GROUP BY {gc}, b
+), g AS (
+  SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         SUM(1.0 / (CAST(1 AS BIGINT) << CAST(M AS INT))) AS s
+  FROM buckets GROUP BY {gc}
+)
+SELECT {gc}, n_buckets,
+       ROUND(CAST({amm} AS DOUBLE) / (({m} - n_buckets) + s), {round_to})
+         AS approx_distinct
+FROM g
+"""
+
+
 # ---------------------------------------------------------------- quantiles
 
 

@@ -269,3 +269,46 @@ def test_cms_depth_validation(spark):
 
     with pytest.raises(ValueError):
         RU.cms_build(df, "k", depth=99)
+
+
+# ------------------------------------------------------ engine-exact HLL
+
+
+def test_hll_poly_accuracy_at_scale(spark):
+    from pyspark.sql import functions as F
+
+    from revtron_utils_spark.operators.rollup import hll_poly_distinct
+
+    # 5000 distinct keys, p=8 (m=256): raw HLL error ~1.04/sqrt(m) ≈ 6.5%
+    df = spark.range(0, 5000).select(
+        F.lit("g").alias("grp"), F.concat(F.lit("key_"), F.col("id")).alias("k")
+    )
+    row = hll_poly_distinct(df, ["grp"], "k", p=8).collect()[0]
+    assert abs(row.approx_distinct - 5000) / 5000 < 0.15
+    # duplicates cannot change the estimate (max-based buckets)
+    dup = df.unionByName(df)
+    row2 = hll_poly_distinct(dup, ["grp"], "k", p=8).collect()[0]
+    assert row2.approx_distinct == row.approx_distinct
+
+
+def test_hll_poly_matches_duckdb_oracle(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from revtron_utils_spark.operators.rollup import (
+        hll_poly_distinct,
+        hll_poly_oracle_sql,
+    )
+
+    df = spark.range(0, 800).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.concat(F.lit("u"), (F.col("id") % 311)).alias("k"),
+    )
+    got = sorted(map(tuple, hll_poly_distinct(df, ["grp"], "k", p=5).collect()))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW t AS SELECT CAST(range % 3 AS VARCHAR) AS grp,"
+        " 'u' || CAST(range % 311 AS VARCHAR) AS k FROM range(800)"
+    )
+    want = sorted(map(tuple, con.sql(hll_poly_oracle_sql(["grp"], "k", "t", p=5)).fetchall()))
+    assert got == want
