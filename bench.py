@@ -104,6 +104,8 @@ HEADLINE = [
     "collocations",
     "pq_ann",
     "decontaminate_bloom",
+    "cms_counts",
+    "approx_distinct_poly",
 ]
 
 
