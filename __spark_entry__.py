@@ -1275,9 +1275,6 @@ def q_streaming_sessionize(spark, sf):
     over the events table, returning the closed sessions from the
     memory sink. Rows-only (the closed-session set depends on the final
     watermark, which SQL can't express)."""
-    import shutil
-    import tempfile
-
     from revtron_utils_spark.streaming.sessionize import sessionize_stream
 
     ev = _t(spark, sf, "events").select(
@@ -4323,12 +4320,10 @@ def q_cms_counts(spark, sf):
 def _sql_cms_counts() -> str:
     from revtron_utils_spark.operators.rollup import CMS_P, CMS_PARAMS
 
+    from revtron_utils_spark.functions.polyhash import poly_hash_sql
+
     width, depth = 256, 4
-    poly = (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(string_split(term, ''), c -> CAST(ascii(c) AS BIGINT))), "
-        "(x, y) -> (x * 31 + y) % 1000000007)"
-    )
+    poly = poly_hash_sql("term")
     unions = "\n    UNION ALL ".join(
         f"SELECT {i} AS row, ((h * {a} + {b}) % {CMS_P}) % {width} AS bucket FROM h"
         for i, (a, b) in enumerate(CMS_PARAMS[:depth])

@@ -762,16 +762,9 @@ BLOOM_PARAMS = [
 ]
 
 
-def _gram_poly_hash(gram: Column) -> Column:
-    """Polynomial rolling hash of the raw gram string (spaces included)
-    — the engine-reproducible hash family ((acc·31 + ascii) mod 1e9+7),
-    bit-equal to a DuckDB ``list_reduce`` fold."""
-    chars = F.filter(F.split(gram, "(?!^)"), lambda ch: ch != "")
-    return F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * 31 + F.ascii(ch)) % HASH_MOD,
-    )
+# the cross-engine string hash (one definition for the whole repo —
+# functions/polyhash.py); kept under the historical local name
+from ..functions.polyhash import poly_hash_str as _gram_poly_hash  # noqa: E402
 
 
 def _gram_poly_hashes_arrow(ngram_n: int):

@@ -369,7 +369,10 @@ def pagerank(
         else:
             dang_share = F.lit(0)
         if seed_flags is not None:
-            new_ranks = new_ranks.join(F.broadcast(seed_flags), "node", "left")
+            # no broadcast hint: a seed set can be any fraction of the
+            # node set (the gate seeds every 10th customer) — AQE picks
+            # broadcast only when the flags actually fit
+            new_ranks = new_ranks.join(seed_flags, "node", "left")
             is_seed = F.coalesce(F.col("_seed"), F.lit(False))
             base_col = F.when(is_seed, F.lit(base_seed)).otherwise(F.lit(0))
             dang_share = F.when(is_seed, dang_share).otherwise(F.lit(0))

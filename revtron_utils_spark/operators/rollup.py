@@ -149,6 +149,13 @@ def sketch_rollup_estimate(state: DataFrame, group_cols: list[str]) -> DataFrame
 # (curation.BLOOM_PARAMS): row_i(key) = ((poly(key)·a_i + b_i) mod
 # 2³¹−1) mod width. Fixed constants, so the sketch — and every
 # collision in it — is bit-reproducible across engines.
+def _cms_validate(width: int, depth: int) -> None:
+    if not 0 < depth <= len(CMS_PARAMS):
+        raise ValueError(f"depth must be in 1..{len(CMS_PARAMS)}, got {depth}")
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
+
+
 CMS_P = (1 << 31) - 1
 CMS_PARAMS = [
     (1_207_959_797, 2_038_074_743),
@@ -158,15 +165,9 @@ CMS_PARAMS = [
 ]
 
 
-def _cms_poly_hash(key) -> Column:
-    """Raw-string polynomial hash ((acc·31 + ascii) mod 1e9+7) — the
-    cross-engine family; same fold as curation's gram hash."""
-    chars = F.filter(F.split(key, "(?!^)"), lambda ch: ch != "")
-    return F.aggregate(
-        chars,
-        F.lit(0).cast("long"),
-        lambda acc, ch: (acc * 31 + F.ascii(ch)) % 1_000_000_007,
-    )
+# the cross-engine string hash (one definition for the whole repo —
+# functions/polyhash.py)
+from ..functions.polyhash import poly_hash_str as _cms_poly_hash  # noqa: E402
 
 
 def cms_build(
@@ -191,8 +192,7 @@ def cms_build(
     checkable), this construction is exact integer arithmetic over the
     cross-engine polynomial hash family — a SQL oracle reproduces every
     cell and every collision bit-for-bit."""
-    if depth > len(CMS_PARAMS):
-        raise ValueError(f"depth > {len(CMS_PARAMS)} not supported")
+    _cms_validate(width, depth)
     hashed = df.select(_cms_poly_hash(F.col(key_col)).alias("h"))
     rows = [
         hashed.select(
@@ -228,6 +228,14 @@ def cms_estimate(
     Guarantees est ≥ true count, with overshoot ≤ ε·N w.h.p. The sketch
     is ≤ depth·width cells — broadcast by construction, so the lookup
     is a map-side join however many keys are probed."""
+    from .dedup import _persist
+
+    _cms_validate(width, depth)
+    # the sketch is a lazy plan whose build already scans the input
+    # `depth` times; without pinning it, each per-row broadcast filter
+    # below would re-run the whole build (depth² input passes). It is
+    # ≤ depth·width cells — released via dedup.release_caches().
+    sketch = _persist(sketch)
     probes = keys.select(
         F.col(key_col), _cms_poly_hash(F.col(key_col)).alias("h")
     )
@@ -328,6 +336,8 @@ def hll_poly_distinct(
 
     Output: ``(*group_cols, n_buckets, approx_distinct)``.
     """
+    if not 0 < p < HLL_HASH_BITS:
+        raise ValueError(f"p must be in 1..{HLL_HASH_BITS - 1}, got {p}")
     m = 1 << p
     wbits = HLL_HASH_BITS - p
     alpha = 0.7213 / (1.0 + 1.079 / m)
@@ -354,7 +364,13 @@ def hll_poly_distinct(
     )
     per_group = buckets.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_buckets"),
-        F.sum(F.expr("1.0 / shiftleft(CAST(1 AS BIGINT), CAST(M AS INT))")).alias("_s"),
+        # CAST(1 AS DOUBLE), not the literal 1.0: both engines parse 1.0
+        # as DECIMAL, and Spark's DECIMAL division ROUNDS 2^-M for
+        # M >= 23 — which would break the dyadic-exactness invariant for
+        # any bucket reaching rho >= 23 (~10M+ distinct keys per group)
+        F.sum(
+            F.expr("CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS BIGINT), CAST(M AS INT))")
+        ).alias("_s"),
     )
     denom = (F.lit(m) - F.col("n_buckets")) + F.col("_s")
     return per_group.select(
@@ -377,12 +393,10 @@ def hll_poly_oracle_sql(
     wbits = HLL_HASH_BITS - p
     alpha = 0.7213 / (1.0 + 1.079 / m)
     amm = repr(alpha * m * m)
+    from ..functions.polyhash import poly_hash_sql
+
     gc = ", ".join(group_cols)
-    poly = (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(string_split({key_col}, ''), c -> CAST(ascii(c) AS BIGINT))), "
-        "(x, y) -> (x * 31 + y) % 1000000007)"
-    )
+    poly = poly_hash_sql(key_col)
     mix_ctes = ",\n".join(
         f"f{i} AS (SELECT {gc}, {step} AS h FROM f{i - 1})"
         for i, step in enumerate(_fmix32_sql_steps(), start=1)
@@ -402,7 +416,7 @@ h AS (SELECT * FROM f{n_mix}), rw AS (
   FROM rw GROUP BY {gc}, b
 ), g AS (
   SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS n_buckets,
-         SUM(1.0 / (CAST(1 AS BIGINT) << CAST(M AS INT))) AS s
+         SUM(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << CAST(M AS INT))) AS s
   FROM buckets GROUP BY {gc}
 )
 SELECT {gc}, n_buckets,

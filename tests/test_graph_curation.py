@@ -816,3 +816,32 @@ def test_uniform_pagerank_unchanged_by_seed_param_absence(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r.node: r.rank_int for r in pagerank(df, iterations=3).collect()}
     assert got == _py_pagerank(edges, iterations=3)
+
+
+def test_personalized_pagerank_with_dangling_nodes(spark):
+    """The seeded-dangling redistribution path (dangling mass div
+    n_seeds, credited to seeds only): previously only reachable on
+    graphs no gate or test produced."""
+    import duckdb
+
+    from revtron_utils_spark.operators.graph import pagerank, pagerank_oracle_sql
+
+    # 3 and 5 are dangling (no out-edges); seeds = {1, 5}
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (2, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,), (5,)], ["node"])
+    got = {
+        r.node: r.rank_int
+        for r in pagerank(df, iterations=4, seeds=seeds).collect()
+    }
+    assert got == _py_ppr(edges, [1, 5], iterations=4)
+    vals = ", ".join(f"({a}, {b})" for a, b in edges)
+    sql = pagerank_oracle_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)",
+        iterations=4,
+        seed_pred="node IN (1, 5)",
+    )
+    assert got == dict(duckdb.sql(sql).fetchall())
+    # the dangling mass teleports to seeds only: non-seed dangling node
+    # 3 keeps draining, seed 5 (also dangling) accumulates
+    assert got[5] > got[3]
