@@ -336,12 +336,22 @@ def hll_poly_distinct(
 
     Output: ``(*group_cols, n_buckets, approx_distinct)``.
     """
+    return hll_poly_estimate(
+        hll_poly_partial(df, group_cols, key_col, p), group_cols, p, round_to
+    )
+
+
+def hll_poly_partial(
+    df: DataFrame, group_cols: list[str], key_col: str, p: int = 8
+) -> DataFrame:
+    """Per-group HLL register table ``(*group_cols, b, M)`` — the sparse
+    mergeable state (≤ 2^p rows per group). Two partials merge by
+    per-bucket MAX (:func:`hll_poly_merge`), same as the sketch itself
+    absorbs duplicates."""
     if not 0 < p < HLL_HASH_BITS:
         raise ValueError(f"p must be in 1..{HLL_HASH_BITS - 1}, got {p}")
     m = 1 << p
     wbits = HLL_HASH_BITS - p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    amm = alpha * m * m  # embedded as the same literal in the oracle
     mixed = df.select(
         *group_cols, _fmix32(_cms_poly_hash(F.col(key_col))).alias("h")
     )
@@ -357,11 +367,38 @@ def hll_poly_distinct(
     rho = F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
         F.lit(wbits) - (F.length(F.expr("bin(w)")) - 1)
     )
-    buckets = (
+    return (
         rows.select(*group_cols, "b", rho.alias("rho"))
         .groupBy(*group_cols, "b")
         .agg(F.max("rho").alias("M"))
     )
+
+
+def hll_poly_merge(
+    state: DataFrame, partial: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Union two register tables, keeping the per-bucket max."""
+    return (
+        state.unionByName(partial)
+        .groupBy(*group_cols, "b")
+        .agg(F.max("M").alias("M"))
+    )
+
+
+def hll_poly_estimate(
+    buckets: DataFrame,
+    group_cols: list[str],
+    p: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Read out ``(*group_cols, n_buckets, approx_distinct)`` from a
+    register table built by :func:`hll_poly_partial` / merged by
+    :func:`hll_poly_merge`."""
+    if not 0 < p < HLL_HASH_BITS:
+        raise ValueError(f"p must be in 1..{HLL_HASH_BITS - 1}, got {p}")
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    amm = alpha * m * m  # embedded as the same literal in the oracle
     per_group = buckets.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_buckets"),
         # CAST(1 AS DOUBLE), not the literal 1.0: both engines parse 1.0

@@ -312,3 +312,40 @@ def test_hll_poly_matches_duckdb_oracle(spark):
     )
     want = sorted(map(tuple, con.sql(hll_poly_oracle_sql(["grp"], "k", "t", p=5)).fetchall()))
     assert got == want
+
+
+def test_hll_poly_merge_equals_full_build(spark):
+    from pyspark.sql import functions as F
+
+    from revtron_utils_spark.operators.rollup import (
+        hll_poly_distinct,
+        hll_poly_estimate,
+        hll_poly_merge,
+        hll_poly_partial,
+    )
+
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 2).cast("string").alias("grp"),
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+    )
+    lo = df.filter(F.crc32("k") % 2 == 0)
+    hi = df.filter(F.crc32("k") % 2 == 1)
+    merged = hll_poly_merge(
+        hll_poly_partial(lo, ["grp"], "k", p=6),
+        hll_poly_partial(hi, ["grp"], "k", p=6),
+        ["grp"],
+    )
+    got = sorted(map(tuple, hll_poly_estimate(merged, ["grp"], p=6).collect()))
+    want = sorted(map(tuple, hll_poly_distinct(df, ["grp"], "k", p=6).collect()))
+    assert got == want
+
+
+def test_hll_poly_p_validation(spark):
+    import pytest
+
+    from revtron_utils_spark.operators.rollup import hll_poly_distinct
+
+    df = spark.createDataFrame([("g", "x")], ["grp", "k"])
+    for bad in (0, 32, 40, -1):
+        with pytest.raises(ValueError):
+            hll_poly_distinct(df, ["grp"], "k", p=bad)
