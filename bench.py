@@ -184,7 +184,7 @@ def main() -> None:
             _release()
 
     total = round(sum(timings.values()), 3)
-    out = {
+    detail = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
@@ -196,9 +196,28 @@ def main() -> None:
     if errors:
         # value covers only the surviving queries — flag it so a broken
         # query can't masquerade as a round-over-round speedup
-        out["errors"] = errors
-        out["incomplete"] = True
-    print(json.dumps(out))
+        detail["errors"] = errors
+        detail["incomplete"] = True
+    # Per-query detail goes to a file AND an early stdout line; the LAST
+    # stdout line is a compact summary that survives any fixed-size tail
+    # capture (round 4's 84-entry dicts outgrew the driver's tail buffer
+    # and the official number was lost to truncation).
+    Path(__file__).resolve().parent.joinpath("BENCH_DETAIL.json").write_text(
+        json.dumps(detail, indent=2) + "\n"
+    )
+    print(json.dumps(detail))
+    summary = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "value_warm": detail["value_warm"],
+        "n_queries": len(timings),
+        "sf": sf,
+    }
+    if errors:
+        summary["errors"] = {k: v[:80] for k, v in errors.items()}
+        summary["incomplete"] = True
+    print(json.dumps(summary))
     if errors:
         sys.exit(2)
 
