@@ -2328,6 +2328,37 @@ WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
 """
 
 
+def q_minhash_pairs_capped(spark, sf):
+    """`minhash_pairs_poly` with the degenerate-bucket cap engaged
+    (`max_bucket=2`, sample mode): buckets larger than two members keep
+    only their two smallest ids, bounding the candidate self-join at
+    O(max_bucket²) per bucket — the defense against boilerplate clone
+    classes that AQE (which only splits shuffle partitions) cannot
+    provide. The cap itself is hash-verified: the oracle applies the
+    identical bound as a QUALIFY row_number() over the band buckets, so
+    both engines drop the same postings and miss the same pairs."""
+    docs = _t(spark, sf, "documents")
+    return DD.minhash_poly_pairs(
+        docs,
+        num_hashes=32,
+        bands=8,
+        shingle_n=3,
+        jaccard_threshold=0.3,
+        max_bucket=2,
+        hot_bucket_mode="sample",
+    )
+
+
+SQL_MINHASH_PAIRS_CAPPED = SQL_MINHASH_PAIRS_POLY.replace(
+    """  FROM sig, range(0, 8) AS r(band)
+), cand AS (""",
+    """  FROM sig, range(0, 8) AS r(band)
+  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= 2
+), cand AS (""",
+)
+assert SQL_MINHASH_PAIRS_CAPPED != SQL_MINHASH_PAIRS_POLY
+
+
 def q_simhash_pairs_poly(spark, sf):
     """SimHash near-dup pairs with the engine-reproducible poly hash
     family and a 60-bit hash (`dedup.simhash_poly_pairs`): the oracle
@@ -3501,7 +3532,10 @@ def q_minhash_pairs(spark, sf):
     """MinHash-LSH near-dup candidates over planted near-duplicates
     (documents with their last tokens dropped). Probabilistic hashing →
     no SQL oracle; validated by tests/test_dedup.py against exact
-    Jaccard."""
+    Jaccard. Runs with the production degenerate-bucket bound engaged
+    (`max_bucket=1000` — generous enough never to bite on this corpus,
+    but the knob every 100-TB run must set; its semantics are
+    hash-verified by `minhash_pairs_capped`)."""
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     toks = TX.tokens("text")
     mutated = docs.select(
@@ -3509,7 +3543,8 @@ def q_minhash_pairs(spark, sf):
         F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(1)))).alias("text"),
     )
     return DD.minhash_lsh_pairs(
-        docs.unionByName(mutated), "text", "doc_id", jaccard_threshold=0.5
+        docs.unionByName(mutated), "text", "doc_id", jaccard_threshold=0.5,
+        max_bucket=1000,
     )
 
 
@@ -4757,6 +4792,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "minhash_pairs_poly": (q_minhash_pairs_poly, SQL_MINHASH_PAIRS_POLY),
+    "minhash_pairs_capped": (q_minhash_pairs_capped, SQL_MINHASH_PAIRS_CAPPED),
     "dedup_index_probe_poly": (q_dedup_index_probe_poly, SQL_DEDUP_INDEX_PROBE_POLY),
     "simhash_pairs_poly": (q_simhash_pairs_poly, SQL_SIMHASH_PAIRS_POLY),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),

@@ -295,6 +295,62 @@ def minhash_banded_arrow(
     return pandas_udf(feats, "bhash: array<long>, shingles: array<string>")
 
 
+def _cap_hot_buckets(
+    banded: DataFrame,
+    key_cols: Sequence[str],
+    max_bucket: int | None,
+    mode: str = "drop",
+    id_col: str = "id",
+) -> DataFrame:
+    """Bound the LSH candidate join against degenerate buckets.
+
+    AQE skew handling splits oversized *shuffle partitions*; it cannot
+    stop a single (band, bucket-hash) group of B rows from materializing
+    O(B²) candidate pairs in the self-join — millions of empty or
+    boilerplate documents all land in one bucket and the join explodes.
+    The standard mitigation is a frequency cap on the posting lists:
+
+    - ``mode='drop'``: remove every bucket with more than ``max_bucket``
+      members. Recall accounting: a pair is lost only if *every* band
+      bucket it shares is hot — near-identical docs share all bands, so
+      a >max_bucket clone class loses its intra-class pairs (which is
+      usually the point: such classes are better handled by exact dedup
+      first, and the survivors are boilerplate).
+    - ``mode='sample'``: keep the ``max_bucket`` smallest ids per hot
+      bucket (deterministic, SQL-reproducible), so every hot bucket
+      still yields up to max_bucket² candidate pairs linking its
+      retained representatives — downstream connected-components can
+      then collapse the class through those hubs.
+
+    The hot-bucket key set is at most rows/max_bucket and in practice a
+    handful of degenerate keys; AQE broadcasts the anti-join side at
+    runtime. ``max_bucket=None`` is the exact, uncapped behavior."""
+    if max_bucket is None:
+        return banded
+    keys = list(key_cols)
+    hot = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket)
+        .select(*keys)
+    )
+    cold = banded.join(hot, keys, "left_anti")
+    if mode == "drop":
+        return cold
+    if mode != "sample":
+        raise ValueError(f"unknown hot-bucket mode {mode!r}")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    kept = (
+        banded.join(hot, keys, "left_semi")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_bucket)
+        .drop("_rk")
+    )
+    return cold.unionByName(kept.select(*banded.columns))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -305,6 +361,8 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.7,
     seed: int = 42,
     impl: str = "arrow",
+    max_bucket: int | None = None,
+    hot_bucket_mode: str = "drop",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding, verified with
     exact shingle-set Jaccard. Returns (id_a, id_b, jaccard) with
@@ -312,7 +370,9 @@ def minhash_lsh_pairs(
 
     Scale path: signature is a narrow projection; candidates come from a
     groupable equi-join on (band, band_hash) — shuffle volume is
-    O(rows × bands × 8 bytes), not O(rows²). AQE handles hot buckets.
+    O(rows × bands × 8 bytes), not O(rows²). ``max_bucket`` bounds the
+    worst case: see :func:`_cap_hot_buckets` for the degenerate-bucket
+    failure mode AQE cannot fix and the drop/sample recall accounting.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
@@ -369,6 +429,7 @@ def minhash_lsh_pairs(
         # 16-band hash projection (interpreted HOFs) runs once per row
         banded = _persist(banded)
 
+    banded = _cap_hot_buckets(banded, ["band", "bhash"], max_bucket, hot_bucket_mode)
     left = banded.alias("l")
     right = banded.alias("r")
     cand_ids = (
@@ -516,6 +577,8 @@ def minhash_poly_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.3,
     impl: str = "arrow",
+    max_bucket: int | None = None,
+    hot_bucket_mode: str = "drop",
 ) -> DataFrame:
     """MinHash-LSH pairs with an engine-reproducible hash family: shingle
     base hash is the polynomial rolling hash, permutation ``i`` is
@@ -593,6 +656,10 @@ def minhash_poly_pairs(
             ).alias("bk"),
         ).select("id", "bk.band", "bk.bkey")
 
+    # degenerate-bucket bound; with the poly family the cap itself is
+    # SQL-reproducible (QUALIFY count(*) OVER (PARTITION BY band, bkey)
+    # <= max_bucket in the oracle), so a capped run stays hash-verifiable
+    banded = _cap_hot_buckets(banded, ["band", "bkey"], max_bucket, hot_bucket_mode)
     left, right = banded.alias("l"), banded.alias("r")
     cand_ids = (
         left.join(
@@ -964,6 +1031,7 @@ def ngram_jaccard_pairs(
     block_cols: Sequence[str] = (),
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard pairs, optionally blocked on equality
     columns (e.g. ``lang``) to bound the pair space. Without blocking this
@@ -980,9 +1048,14 @@ def ngram_jaccard_pairs(
     ships every multi-KB shingle array into every one of its n²/2
     pairs). ``|a ∪ b| = |a| + |b| − |a ∩ b|`` closes the math. xxhash64
     collisions (~n²/2⁶⁴ per pair) are negligible against the exact
-    oracle. Known caveat at scale: a degenerate ultra-common shingle
-    inflates Σdf² — standard mitigation is prefix filtering or a df cap
-    on the posting lists (kept exact here)."""
+    oracle. A degenerate ultra-common shingle inflates Σdf² — ``max_df``
+    applies the standard posting-list frequency cap: shingles appearing
+    in more than ``max_df`` documents (per block) are dropped from the
+    postings before the pair join. Document sizes ``n_sh`` keep the full
+    shingle set, so a capped run UNDERESTIMATES the intersection for
+    pairs sharing a dropped shingle — jaccard only shrinks, i.e. the cap
+    trades bounded recall loss for a Σdf² bound, never false positives.
+    ``max_df=None`` is exact."""
     base = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
@@ -998,6 +1071,7 @@ def ngram_jaccard_pairs(
             F.explode(F.transform("sh_str", lambda s: F.xxhash64(s))).alias("g"),
         )
     )
+    posts = _cap_hot_buckets(posts, [*block_cols, "g"], max_df, "drop")
     l, r = posts.alias("l"), posts.alias("r")
     cond = (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id"))
     for c in block_cols:

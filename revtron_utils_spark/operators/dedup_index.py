@@ -32,11 +32,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from revtron_utils_spark.operators.dedup import (
+    _cap_hot_buckets,
     minhash_banded_arrow,
     minhash_poly_features_arrow,
 )
 
 _DEFAULTS = dict(num_hashes=64, bands=16, shingle_n=3, seed=42, hash_family="crc32")
+
+# Frozen backfill for _meta.json files written before a parameter key
+# existed: such an index was built with the value pinned HERE at the
+# time the key was introduced — never with the live _DEFAULTS, whose
+# values may change later (backfilling from the live dict would make an
+# old index silently validate against today's default: exactly the
+# parameter drift the strict meta compare exists to prevent).
+_META_BACKFILL = dict(
+    num_hashes=64, bands=16, shingle_n=3, seed=42, hash_family="crc32"
+)
+
+
+def _load_meta(stored: dict) -> dict:
+    unknown = set(stored) - set(_META_BACKFILL)
+    if unknown:
+        raise ValueError(f"index meta has keys with no pinned backfill: {unknown}")
+    return {**_META_BACKFILL, **stored}
 
 
 def _featurize(
@@ -89,13 +107,23 @@ def probe_minhash_index(
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.7,
     include_new_new: bool = True,
+    max_bucket: int | None = None,
+    hot_bucket_mode: str = "drop",
     **params,
 ) -> DataFrame:
     """Verified near-dup pairs touching the NEW batch:
     ``(id_a, id_b, jaccard)`` with ``id_a < id_b``, where at least one
     side is a new document. The corpus side is only ever touched through
     the (band, bhash) equi-join and the candidate-id semi-join — no
-    corpus self-join, no corpus re-featurization."""
+    corpus self-join, no corpus re-featurization.
+
+    ``max_bucket`` is a PROBE-TIME knob, deliberately not part of the
+    index meta: it bounds the candidate join against degenerate
+    (band, bhash) buckets (boilerplate clone classes) without changing
+    what the index stores — see ``dedup._cap_hot_buckets`` for the
+    drop/sample recall accounting. Capping the target side alone bounds
+    the join: a new posting meeting a capped bucket matches at most
+    ``max_bucket`` retained corpus rows."""
     p = {**_DEFAULTS, **params}
     new_base = _featurize(new_df, text_col, id_col, p)
     new_posts = new_base.select("id", F.posexplode("bhash").alias("band", "bhash")).select(
@@ -105,6 +133,7 @@ def probe_minhash_index(
 
     # candidates: new×corpus always; new×new within the batch optionally
     target = postings.unionByName(new_posts) if include_new_new else postings
+    target = _cap_hot_buckets(target, ["band", "bhash"], max_bucket, hot_bucket_mode)
     cand_ids = (
         new_posts.alias("n")
         .join(
@@ -160,10 +189,9 @@ def write_minhash_index(
     p = {**_DEFAULTS, **params}
     meta_path = Path(path) / "_meta.json"
     if mode == "append" and meta_path.exists():
-        # backfill keys added to _DEFAULTS after the index was written
-        # (e.g. hash_family) — an old meta without the key was built
-        # with the then-default, so it is compatible with it
-        stored = {**_DEFAULTS, **json.loads(meta_path.read_text())}
+        # backfill keys added after the index was written (e.g.
+        # hash_family) from the FROZEN table — see _META_BACKFILL
+        stored = _load_meta(json.loads(meta_path.read_text()))
         if stored != p:
             raise ValueError(
                 f"index at {path} was built with {stored}, refusing append with {p}"
@@ -182,12 +210,15 @@ def probe_minhash_index_path(
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.7,
     include_new_new: bool = True,
+    max_bucket: int | None = None,
+    hot_bucket_mode: str = "drop",
 ) -> DataFrame:
     """Probe a materialized index; LSH parameters come from the stored
     meta (never from the caller — parameter drift is the classic silent
-    recall killer)."""
+    recall killer). ``max_bucket`` stays caller-side: it is a join-time
+    bound, not a signature parameter."""
     spark = SparkSession.getActiveSession() or new_df.sparkSession
-    p = {**_DEFAULTS, **json.loads((Path(path) / "_meta.json").read_text())}
+    p = _load_meta(json.loads((Path(path) / "_meta.json").read_text()))
     postings = spark.read.parquet(str(Path(path) / "postings"))
     features = spark.read.parquet(str(Path(path) / "features"))
     return probe_minhash_index(
@@ -198,5 +229,7 @@ def probe_minhash_index_path(
         id_col,
         jaccard_threshold,
         include_new_new,
+        max_bucket,
+        hot_bucket_mode,
         **p,
     )

@@ -672,3 +672,102 @@ def test_zero_norm_embeddings_do_not_crash(spark):
     assert kn  # no crash; zero-norm rows rank after real scores
     sd = semantic_dedup(df, threshold=0.5, planes=2)
     assert sd.count() == 4  # every row labeled, none dropped by NULL sim
+
+
+# ----------------------------------------------------------- hot-bucket cap
+
+
+@pytest.fixture(scope="module")
+def clone_corpus(spark):
+    """10k byte-identical docs (one degenerate LSH bucket per band) plus
+    one genuinely near-duplicate pair in its own cold bucket."""
+    boiler = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("lorem ipsum dolor sit amet consectetur adipiscing elit").alias("text"),
+    )
+    pair = spark.createDataFrame(
+        [
+            (100_001, "the quick brown fox jumps over the lazy dog tonight"),
+            (100_002, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    return boiler.unionByName(pair)
+
+
+def test_hot_bucket_drop_bounds_clone_pairs(clone_corpus):
+    # uncapped this would materialize ~5e7 candidate pairs per band; the
+    # cap must remove the degenerate bucket while the cold near-dup pair
+    # in an untouched bucket is still found (recall loss is confined to
+    # the hot buckets)
+    pairs = DD.minhash_lsh_pairs(
+        clone_corpus, "text", "doc_id", jaccard_threshold=0.3, max_bucket=100
+    ).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id_a"], pairs[0]["id_b"]) == (100_001, 100_002)
+
+
+def test_hot_bucket_sample_keeps_bounded_representatives(clone_corpus):
+    # sample mode retains the max_bucket smallest ids per hot bucket, so
+    # the clone class still yields exactly C(8,2) hub pairs (enough for
+    # connected-components to collapse it) plus the cold pair
+    pairs = DD.minhash_lsh_pairs(
+        clone_corpus,
+        "text",
+        "doc_id",
+        jaccard_threshold=0.3,
+        max_bucket=8,
+        hot_bucket_mode="sample",
+    ).collect()
+    clone_pairs = [p for p in pairs if p["id_b"] <= 10_000]
+    assert len(clone_pairs) == 8 * 7 // 2
+    assert {p["id_a"] for p in clone_pairs} | {p["id_b"] for p in clone_pairs} == set(
+        range(8)
+    )
+    assert any((p["id_a"], p["id_b"]) == (100_001, 100_002) for p in pairs)
+
+
+def test_hot_bucket_cap_poly_family(clone_corpus):
+    pairs = DD.minhash_poly_pairs(
+        clone_corpus, "text", "doc_id", jaccard_threshold=0.3, max_bucket=100
+    ).collect()
+    assert len(pairs) == 1
+
+
+def test_ngram_max_df_only_shrinks_jaccard(docs):
+    planted = _with_near_copies(docs.limit(40))
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(planted, threshold=0.1).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(planted, threshold=0.1, max_df=3).collect()
+    }
+    # df-cap drops postings only: intersections (and thus jaccard) can
+    # only shrink — no new pairs, no inflated scores
+    assert set(capped) <= set(exact)
+    assert all(capped[k] <= exact[k] + 1e-9 for k in capped)
+
+
+def test_dedup_index_probe_hot_bucket_cap(spark, clone_corpus):
+    from revtron_utils_spark.operators import dedup_index as DI
+
+    corpus = clone_corpus.filter(F.col("doc_id") < 100_000)
+    postings, features = DI.build_minhash_index(corpus)
+    postings = postings.cache()
+    features = features.cache()
+    new_batch = spark.createDataFrame(
+        [(200_001, "lorem ipsum dolor sit amet consectetur adipiscing elit")],
+        "doc_id long, text string",
+    )
+    capped = DI.probe_minhash_index(
+        new_batch, postings, features, jaccard_threshold=0.5, max_bucket=16,
+        hot_bucket_mode="sample",
+    )
+    # the new clone meets only the 16 retained representatives, not all 10k
+    assert capped.count() == 16
+    dropped = DI.probe_minhash_index(
+        new_batch, postings, features, jaccard_threshold=0.5, max_bucket=16
+    )
+    assert dropped.count() == 0
