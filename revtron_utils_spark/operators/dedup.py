@@ -692,17 +692,25 @@ def minhash_poly_pairs(
 
 
 def _neardup_matmul(
-    base: DataFrame, threshold: float, tile_rows: int = 1_000_000
+    base: DataFrame, threshold: float, tile_rows: int = 65_536
 ) -> DataFrame:
-    """All-pairs cosine ≥ threshold via broadcast matrix + per-partition
-    BLAS matmul. ``base`` columns: id, q (quantized array), nrm.
+    """All-pairs cosine ≥ threshold via executor-side tile joins + BLAS
+    matmul. ``base`` columns: id, q (quantized array), nrm.
 
-    Corpora larger than ``tile_rows`` are processed as broadcast TILES
-    (hash-sliced on id): each tile is collected, broadcast, matmul'd
-    against the full distributed corpus, and the per-tile results
-    unioned — driver and executor memory stay bounded by one tile
-    (~tile_rows × dim × 8 B) regardless of corpus size, at the cost of
-    scanning the left side once per tile."""
+    Physical shape: the corpus is hash-sliced into K = ceil(n /
+    tile_rows) chunks (never fewer than 8, so small corpora still fan
+    out); each chunk is packed into ONE row of aligned arrays (ids,
+    vectors, norms) by a groupBy, and a tiny K·(K+1)/2-row chunk-pair
+    index (metadata only — two ints per row) is joined against the
+    packed frame twice, so every unordered chunk pair lands on an
+    executor as a single row carrying both payloads. A mapInPandas then
+    runs the tile matmul (inner 1024-row slices bound the sim matrix)
+    and emits only the surviving pairs. Exact all-pairs work is
+    inherently O(n²) — the LSH variant is the 100-TB path — but the
+    corpus now moves executor→executor through the pair join's shuffle
+    (O(K·n) volume, same as any replicated join) instead of transiting
+    the DRIVER tile-by-tile via collect()+broadcast, which serialized
+    the whole table through one process's memory and bandwidth."""
     import math
 
     import numpy as np
@@ -715,7 +723,9 @@ def _neardup_matmul(
     n = base.count()
     if n == 0:
         return spark.createDataFrame([], out_empty_schema)
-    n_tiles = max(1, math.ceil(n / tile_rows))
+    # enough chunks that the K(K+1)/2 pair tasks cover the cluster even
+    # when one tile would hold the whole corpus
+    n_chunks = max(math.ceil(n / tile_rows), 8)
 
     out_schema = T.StructType(
         [
@@ -724,51 +734,77 @@ def _neardup_matmul(
             T.StructField("cosine", T.DoubleType(), True),
         ]
     )
-    par = spark.sparkContext.defaultParallelism
-    if n_tiles > 1:
-        base = _persist(base)
-
-    results = []
-    for t in range(n_tiles):
-        tile_df = (
-            base
-            if n_tiles == 1
-            else base.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(n_tiles)) == t)
+    # one collect_list of structs (then split) keeps ids/vecs/norms
+    # aligned by construction
+    packed = (
+        base.select(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n_chunks)).alias("ck"),
+            F.struct("id", "q", "nrm").alias("r"),
         )
-        rows = tile_df.select("id", "q", "nrm").collect()
-        if not rows:
-            continue
-        ids = np.array([r["id"] for r in rows], dtype=np.int64)
-        R = np.stack([np.asarray(r["q"], dtype=np.float64) for r in rows])
-        nrm = np.array([r["nrm"] for r in rows], dtype=np.float64)
-        bc = spark.sparkContext.broadcast((ids, R, nrm))
+        .groupBy("ck")
+        .agg(F.collect_list("r").alias("rows"))
+        .select(
+            "ck",
+            F.transform("rows", lambda r: r["id"]).alias("ids"),
+            F.transform("rows", lambda r: r["q"]).alias("vs"),
+            F.transform("rows", lambda r: r["nrm"]).alias("ns"),
+        )
+    )
+    pair_idx = spark.createDataFrame(
+        [(i, j) for i in range(n_chunks) for j in range(i, n_chunks)],
+        "ci int, cj int",
+    )
+    joined = (
+        pair_idx.join(
+            packed.select(
+                F.col("ck").alias("ci"),
+                F.col("ids").alias("ids_a"),
+                F.col("vs").alias("vs_a"),
+                F.col("ns").alias("ns_a"),
+            ),
+            "ci",
+        )
+        .join(
+            packed.select(
+                F.col("ck").alias("cj"),
+                F.col("ids").alias("ids_b"),
+                F.col("vs").alias("vs_b"),
+                F.col("ns").alias("ns_b"),
+            ),
+            "cj",
+        )
+        # one heavy row per task: the matmul is the unit of work
+        .repartition(n_chunks * (n_chunks + 1) // 2, "ci", "cj")
+    )
 
-        def gen(batches, _bc=bc):
-            b_ids, b_R, b_nrm = _bc.value
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                l_ids = pdf["id"].to_numpy(dtype=np.int64)
-                L = np.stack(pdf["q"].values)
-                l_nrm = pdf["nrm"].to_numpy(dtype=np.float64)
-                for lo in range(0, len(l_ids), 1024):  # bound the sim tile
+    def gen(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ia_all = np.asarray(row.ids_a, dtype=np.int64)
+                ib_all = np.asarray(row.ids_b, dtype=np.int64)
+                A = np.stack([np.asarray(v, dtype=np.float64) for v in row.vs_a])
+                B = np.stack([np.asarray(v, dtype=np.float64) for v in row.vs_b])
+                na = np.asarray(row.ns_a, dtype=np.float64)
+                nb = np.asarray(row.ns_b, dtype=np.float64)
+                diagonal = row.ci == row.cj
+                for lo in range(0, len(ia_all), 1024):  # bound the sim tile
                     sl = slice(lo, lo + 1024)
-                    sims = (L[sl] @ b_R.T) / (l_nrm[sl][:, None] * b_nrm[None, :])
+                    sims = (A[sl] @ B.T) / (na[sl][:, None] * nb[None, :])
                     ii, jj = np.nonzero(sims >= threshold)
                     if len(ii) == 0:
                         continue
-                    ia = l_ids[sl][ii]
-                    ib = b_ids[jj]
-                    keep = ia < ib
-                    yield pd.DataFrame(
-                        {"id_a": ia[keep], "id_b": ib[keep], "cosine": sims[ii, jj][keep]}
-                    )
+                    ia = ia_all[sl][ii]
+                    ib = ib_all[jj]
+                    if diagonal:
+                        keep = ia < ib
+                        ia, ib, cs = ia[keep], ib[keep], sims[ii, jj][keep]
+                    else:
+                        cs = sims[ii, jj]
+                        ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+                    if len(ia):
+                        yield pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
 
-        results.append(base.repartition(par).mapInPandas(gen, out_schema))
-
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
+    out = joined.mapInPandas(gen, out_schema)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1185,13 +1221,12 @@ def embedding_neardup_pairs(
         "byte", "short", "int", "integer", "bigint", "long"
     )
     if use_arrow and not block_cols and not lsh_planes and id_integral:
-        # exact all-pairs: broadcast the corpus as one numpy matrix and
-        # matmul per partition — each vector ships ONCE (per task), not
-        # once per pair; 2M candidate pairs become a handful of BLAS
-        # calls. Quantized ints keep every product/sum exact (< 2^53), so
+        # exact all-pairs: executor-side chunk-pair joins + BLAS matmul
+        # — each vector ships once per chunk pair (never through the
+        # driver); 2M candidate pairs become a handful of BLAS calls.
+        # Quantized ints keep every product/sum exact (< 2^53), so
         # results stay bit-identical to the expression path and the
-        # oracle. At 100 TB the same shape tiles the broadcast side into
-        # chunks; the per-partition loop below is already chunked.
+        # oracle. See _neardup_matmul for the 100-TB tiling shape.
         return _neardup_matmul(base, threshold)
     extra_key: list[str] = []
     if lsh_planes:
