@@ -2200,6 +2200,93 @@ FROM t
 """
 
 
+def q_html_extract(spark, sf):
+    """HTML → main-text extraction (`functions/html.py`): synthetic HTML
+    is built around each document (head/style/script, a nav bar, an h1,
+    the body paragraph, a too-short paragraph, a link-dense paragraph,
+    a footer — plus comments and entities), then the extractor must
+    recover exactly the h1 and body text: boilerplate elements dropped,
+    blocks segmented on block-level tags, short and link-dense blocks
+    filtered (2·anchors ≤ words), entities decoded. Runs the Arrow twin
+    (the corpus-scale path); the DuckDB oracle re-implements the entire
+    regex chain in RE2, so expression path, Arrow path, and oracle are
+    bit-identical."""
+    from revtron_utils_spark.functions.html import html_extract
+
+    docs = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '</title><style>p{margin:0}</style><script>var x=1&amp;2;</script>'
+            '</head><body><!-- generated fixture --><nav><a href="/">home</a> '
+            '<a href="/about">about</a></nav><div id="main"><h1>Source '
+        ),
+        F.col("source"),
+        F.lit(" &amp; lang "),
+        F.col("lang"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            '</p><p>too short</p><p><a href="/x">one</a> <a href="/y">two</a> '
+            "three</p></div><footer>&copy; 2024 example.com</footer></body></html>"
+        ),
+    )
+    base = docs.select("doc_id", html.alias("html"))
+    return html_extract(base, "html", impl="arrow").select("doc_id", "main_text")
+
+
+def _sql_html_extract() -> str:
+    from revtron_utils_spark.functions.html import BLOCK_SPLIT, DROP_ELEMENTS, ENTITIES
+
+    clean = "html"
+    clean = f"regexp_replace({clean}, '(?s)<!--.*?-->', ' ', 'g')"
+    for tag in DROP_ELEMENTS:
+        clean = (
+            f"regexp_replace({clean}, "
+            rf"'(?is)<{tag}(?:\s[^>]*)?>.*?</{tag}\s*>', ' ', 'g')"
+        )
+
+    def text_of(b: str) -> str:
+        t = rf"regexp_replace({b}, '(?s)<[^>]*>', ' ', 'g')"
+        for ent, rep in ENTITIES:
+            rep_sql = rep.replace("'", "''")
+            t = f"replace({t}, '{ent}', '{rep_sql}')"
+        return rf"trim(regexp_replace({t}, '\s+', ' ', 'g'))"
+
+    words = f"len(string_split({text_of('b')}, ' '))"
+    anchors = r"(len(string_split_regex(b, '(?i)<a[\s>]')) - 1)"
+    cond = f"{text_of('b')} <> '' AND {words} >= 3 AND 2 * {anchors} <= {words}"
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><style>p{{margin:0}}</style><script>var x=1&amp;2;</script>'
+         || '</head><body><!-- generated fixture --><nav><a href="/">home</a> '
+         || '<a href="/about">about</a></nav><div id="main"><h1>Source '
+         || source || ' &amp; lang ' || lang || '</h1><p>' || text
+         || '</p><p>too short</p><p><a href="/x">one</a> <a href="/y">two</a> '
+         || 'three</p></div><footer>&copy; 2024 example.com</footer></body></html>'
+         AS html
+  FROM documents
+), c AS (
+  SELECT doc_id, {clean} AS cleaned FROM h
+), blk AS (
+  SELECT doc_id, string_split_regex(cleaned, '{BLOCK_SPLIT}') AS blocks FROM c
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           list_filter(blocks, b -> {cond}),
+           b -> {text_of('b')}
+         ), ' ') AS main_text
+FROM blk
+"""
+
+
+SQL_HTML_EXTRACT = _sql_html_extract()
+
+
 def q_ngram_jaccard(spark, sf):
     docs = _t(spark, sf, "documents")
     return DD.ngram_jaccard_pairs(
@@ -4825,6 +4912,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "minhash_pairs_poly": (q_minhash_pairs_poly, SQL_MINHASH_PAIRS_POLY),
     "minhash_pairs_capped": (q_minhash_pairs_capped, SQL_MINHASH_PAIRS_CAPPED),
+    "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
     "dedup_index_probe_poly": (q_dedup_index_probe_poly, SQL_DEDUP_INDEX_PROBE_POLY),
     "simhash_pairs_poly": (q_simhash_pairs_poly, SQL_SIMHASH_PAIRS_POLY),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),

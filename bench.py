@@ -106,6 +106,8 @@ HEADLINE = [
     "decontaminate_bloom",
     "cms_counts",
     "approx_distinct_poly",
+    "minhash_pairs_capped",
+    "html_extract",
 ]
 
 
