@@ -418,14 +418,18 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads, widths, heights = [], [], []
+            payloads, mtypes, widths, heights = [], [], [], []
             for payload in pdf["payload"]:
                 try:
                     if payload is None:
                         raise ValueError("null payload")
                     px = decode_image(bytes(payload))
                 except (ValueError, IndexError, TypeError, struct.error):
+                    # NULL media_type marks the decode failure — labeling
+                    # the row 'image/bmp' would make failures
+                    # indistinguishable from successfully resized BMPs
                     payloads.append(None)
+                    mtypes.append(None)
                     widths.append(None)
                     heights.append(None)
                     continue
@@ -434,13 +438,14 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 xs = (np.arange(out_w) * w) // out_w
                 resized = px[ys[:, None], xs[None, :], :]
                 payloads.append(encode_bmp(resized))
+                mtypes.append("image/bmp")
                 widths.append(out_w)
                 heights.append(out_h)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": payloads,
-                    "media_type": "image/bmp",
+                    "media_type": mtypes,
                     "width": pd.array(widths, dtype="Int32"),
                     "height": pd.array(heights, dtype="Int32"),
                 }

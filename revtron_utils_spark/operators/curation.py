@@ -577,7 +577,7 @@ def filter_by_score_quantile(
     which is what lets the filter hash-verify against a DuckDB oracle.
     """
     from .dedup import _persist
-    from .quantiles import exact_quantiles
+    from .quantiles import exact_quantiles, quantile_col_names
 
     # the quantile histogram + refinement + the final filter each
     # re-scan df; when the score is an expensive expression (classifier
@@ -586,10 +586,14 @@ def filter_by_score_quantile(
     df = _persist(df)
     by = list(by)
     p = 1.0 - keep_frac
-    name = f"p{100 * p:g}".replace(".", "_")
-    qs = exact_quantiles(
-        df, score_col, [p], by=by, **(quantiles_kwargs or {})
-    ).select(*by, F.col(name).alias("_thr"))
+    qk = dict(quantiles_kwargs or {})
+    # derive the threshold column name through the same helper
+    # exact_quantiles uses (honoring a caller-supplied out_prefix), so
+    # the .select below can never drift from the generated naming
+    name = quantile_col_names([p], qk.get("out_prefix", "p"))[0]
+    qs = exact_quantiles(df, score_col, [p], by=by, **qk).select(
+        *by, F.col(name).alias("_thr")
+    )
     if by:
         out = df.join(F.broadcast(qs), by)
     else:

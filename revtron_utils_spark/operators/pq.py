@@ -71,16 +71,22 @@ class PQIndex:
         on a bounded random sample (see module docstring for why a
         sample is the correct posture, not a distributed fit).
 
-        The sample is ordered by ``id_col`` before the ``limit`` — a bare
-        ``limit`` takes whichever partitions answer first, which would
-        make the "deterministic" codebooks depend on cluster layout."""
+        The sample is selected from data VALUES, not partition layout:
+        rows are ranked by a seeded hash of ``id_col`` and the smallest
+        ``max_train`` win (``df.sample`` is per-partition Bernoulli, so
+        its output — and therefore the codebooks — would change with
+        partitioning and cluster size despite the fixed seed). The final
+        ``orderBy(id_col)`` pins the row order the k-means++ RNG walks."""
         import numpy as np
 
         n_rows = df.count()
         sample = df
         if n_rows > max_train:
-            frac = min(1.0, (max_train * 1.1) / n_rows)
-            sample = df.sample(fraction=frac, seed=seed)
+            sample = (
+                df.orderBy(
+                    F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.col(id_col)
+                ).limit(max_train)
+            )
         rows = sample.select(id_col, vec_col).orderBy(id_col).limit(max_train).collect()
         X = np.array([r[1] for r in rows], dtype=np.float64)
         if normalize:

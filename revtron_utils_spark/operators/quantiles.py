@@ -101,6 +101,15 @@ class _Seg:
         self.wants = wants
 
 
+def quantile_col_names(probs: Sequence[float], out_prefix: str = "p") -> list[str]:
+    """The output column names :func:`exact_quantiles` generates for
+    ``probs`` — the single source of truth, so callers that need to
+    select a quantile column afterwards (e.g.
+    ``curation.filter_by_score_quantile``) can never drift from the
+    naming scheme."""
+    return [f"{out_prefix}{100 * float(p):g}".replace(".", "_") for p in probs]
+
+
 def exact_quantiles(
     df: DataFrame,
     value_col: str,
@@ -120,7 +129,7 @@ def exact_quantiles(
     """
     by = list(by)
     probs = [float(p) for p in probs]
-    names = [f"{out_prefix}{100 * p:g}".replace(".", "_") for p in probs]
+    names = quantile_col_names(probs, out_prefix)
     spark = df.sparkSession
 
     vals = df.filter(F.col(value_col).isNotNull()).select(

@@ -326,9 +326,13 @@ def hll_poly_distinct(
     - per-bucket MAX(rho) (duplicates can't change a max — no dedup
       pass needed, and two sketches merge by the same max),
     - the harmonic-mean denominator Σ 2^−M_j is a sum of DYADIC
-      rationals (each a multiple of 2^−23, total < 2^p), so every
-      partial sum is exactly representable: the float sum is
-      order-independent and bit-identical in any engine,
+      rationals: rho reaches ``(32-p)+1``, so each term is a multiple
+      of 2^−(HLL_HASH_BITS−p+1) (2^−25 at the default p=8) and there
+      are ≤ 2^p terms — every partial sum needs at most
+      p + (32−p) + 1 = 33 mantissa bits ≪ 53, so it is exactly
+      representable: the float sum is order-independent and
+      bit-identical in any engine (this mantissa budget is what the
+      CAST(1 AS DOUBLE) division guard below protects),
     - raw estimate α_m·m² / Σ, no small-range correction (that needs
       ``ln``, which is not cross-libm exact; the raw estimate is the
       deterministic, comparable quantity — document the bias below

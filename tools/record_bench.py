@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Append a parsed bench result to the BENCH_HISTORY table in
+BASELINE.md, so round-over-round drift (host or code) is
+machine-attributable without manual A/B archaeology.
+
+Reads either a BENCH_r{N}.json driver artifact (uses its `tail` /
+`parsed` fields) or the BENCH_DETAIL.json that bench.py writes, plus
+the current commit, and appends one markdown row:
+
+| label | commit | sf | n_queries | cold (s) | warm (s) |
+
+Usage:
+    python bench.py && python tools/record_bench.py --label r5-closing
+    python tools/record_bench.py --from BENCH_r04.json --label r4-driver
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+MARKER = "## BENCH_HISTORY"
+HEADER = (
+    "| label | commit | sf | n_queries | cold (s) | warm (s) |\n"
+    "| --- | --- | --- | --- | --- | --- |\n"
+)
+
+
+def _parse_source(path: Path) -> dict:
+    raw = json.loads(path.read_text())
+    # driver artifact: {"tail": "...", "parsed": {...}|null}
+    if "tail" in raw:
+        if raw.get("parsed"):
+            return raw["parsed"]
+        # reconstruct from the tail: take the LAST complete JSON object
+        candidates = re.findall(r"\{[^{}]*\}(?=\s*$)", raw["tail"])
+        for c in reversed(candidates):
+            try:
+                return json.loads(c)
+            except json.JSONDecodeError:
+                continue
+        raise SystemExit(f"{path}: neither parsed nor a parseable tail line")
+    return raw
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--from", dest="src", default=str(ROOT / "BENCH_DETAIL.json"))
+    ap.add_argument("--label", required=True)
+    args = ap.parse_args()
+
+    d = _parse_source(Path(args.src))
+    commit = subprocess.run(
+        ["git", "-C", str(ROOT), "rev-parse", "--short", "HEAD"],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.strip()
+    n_q = d.get("n_queries") or len(d.get("queries", {}))
+    row = (
+        f"| {args.label} | {commit} | {d.get('sf')} | {n_q} "
+        f"| {d.get('value')} | {d.get('value_warm', '')} |\n"
+    )
+
+    baseline = ROOT / "BASELINE.md"
+    text = baseline.read_text()
+    if MARKER not in text:
+        text += (
+            f"\n{MARKER}\n\nPer-round parsed bench totals (appended by "
+            "tools/record_bench.py; cold is the headline metric, warm the "
+            "steady-state pass):\n\n" + HEADER
+        )
+    if not text.endswith("\n"):
+        text += "\n"
+    baseline.write_text(text + row)
+    print(f"appended to BASELINE.md: {row}", end="", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -160,6 +160,7 @@ def make_fixtures(out_dir: Path, n_docs: int, seed: int = 42) -> None:
     )
     pq.write_table(orders, out_dir / "orders.parquet")
     n_li = n_docs * 4
+    n_part = n_docs * 4
     lineitem = pa.table(
         {
             "l_orderkey": pa.array(
@@ -168,11 +169,15 @@ def make_fixtures(out_dir: Path, n_docs: int, seed: int = 42) -> None:
             "l_suppkey": pa.array(
                 [rng.randrange(n_supp) for _ in range(n_li)], pa.int64()
             ),
+            # part pool scales with n (as in TPC-H), so the co-purchase
+            # graph stays in the sparse regime: ~4 items/order, a part
+            # recurs in ~4 orders — edge count linear in lineitem
+            "l_partkey": pa.array(
+                [rng.randrange(n_part) for _ in range(n_li)], pa.int64()
+            ),
         }
     )
     pq.write_table(lineitem, out_dir / "lineitem.parquet")
-
-    n_part = n_docs * 4
     scale = max(1.0, n_docs / 5000)
     n_nouns = max(8, int(8 * math.sqrt(scale)))
     n_adjs = max(8, int(8 * math.sqrt(scale)))
@@ -193,6 +198,13 @@ def main() -> None:
     ap.add_argument("--sizes", default="5000,15811,50000")
     ap.add_argument("--out", default="/tmp/scale_study")
     ap.add_argument("--queries", default=",".join(QUERIES))
+    ap.add_argument(
+        "--noop",
+        action="store_true",
+        help="materialize with the noop sink instead of count() — "
+        "required for narrow map-only queries (count() lets Catalyst "
+        "prune the computed columns, timing a bare row scan)",
+    )
     args = ap.parse_args()
     sizes = sorted({int(s) for s in args.sizes.split(",")})
     if len(sizes) < 2:
@@ -204,9 +216,17 @@ def main() -> None:
 
     for n in sizes:
         d = Path(args.out) / f"n{n}"
-        # lineitem.parquet is the newest fixture — its absence means the
-        # directory predates the trade-graph tables and must regenerate
-        if not (d / "documents.parquet").exists() or not (d / "lineitem.parquet").exists():
+        # l_partkey is the newest fixture column — its absence means the
+        # directory predates the co-purchase graph and must regenerate
+        def _stale(d: Path) -> bool:
+            li = d / "lineitem.parquet"
+            if not (d / "documents.parquet").exists() or not li.exists():
+                return True
+            import pyarrow.parquet as _pq
+
+            return "l_partkey" not in _pq.read_schema(li).names
+
+        if _stale(d):
             print(f"generating fixtures n={n} ...", file=sys.stderr)
             make_fixtures(d, n)
 
@@ -240,7 +260,11 @@ def main() -> None:
         for q in names:
             t0 = time.perf_counter()
             df = queries[q](spark, sf_dir)
-            cnt = df.count()
+            if args.noop:
+                df.write.mode("overwrite").format("noop").save()
+                cnt = -1
+            else:
+                cnt = df.count()
             times[q][n] = round(time.perf_counter() - t0, 3)
             rows[q][n] = cnt
             from revtron_utils_spark.operators.dedup import release_caches
