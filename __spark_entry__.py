@@ -2415,6 +2415,57 @@ WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
 """
 
 
+def q_line_dedup(spark, sf):
+    """CCNet-style cross-corpus paragraph dedup (`dedup.paragraph_dedup`):
+    every doc is rebuilt as three paragraphs — its first 10 tokens, a
+    boilerplate line shared by ALL docs, and the remainder — and the
+    operator must keep each distinct normalized paragraph only at its
+    globally-first (doc_id, pos) occurrence, so the boilerplate
+    survives in exactly one document. Hash-gated: md5 paragraph keys
+    and the keep-first rule are engine-exact."""
+    docs = _t(spark, sf, "documents")
+    toks = TX.tokens("text")
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.concat_ws(" ", F.slice(toks, 1, 10)),
+            F.lit("\nsubscribe to our newsletter today\n"),
+            F.concat_ws(" ", F.slice(toks, 11, F.greatest(F.size(toks) - 10, F.lit(1)))),
+        ).alias("text"),
+    )
+    return DD.paragraph_dedup(built, "text", "doc_id")
+
+
+SQL_LINE_DEDUP = r"""
+WITH built AS (
+  SELECT doc_id,
+         -- array_to_string([]) is NULL in DuckDB (concat_ws is '' in
+         -- Spark); coalesce so 10-token docs don't NULL out
+         coalesce(array_to_string(toks[1:10], ' '), '') || chr(10)
+         || 'subscribe to our newsletter today' || chr(10)
+         || coalesce(array_to_string(toks[11:len(toks)], ' '), '') AS text
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+        FROM documents)
+), ls AS (
+  SELECT doc_id,
+         unnest(range(len(string_split(text, chr(10))))) AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM built
+), norm AS (
+  SELECT doc_id, pos, line,
+         md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g'))) AS key
+  FROM ls
+  WHERE trim(regexp_replace(lower(line), '\s+', ' ', 'g')) <> ''
+), kept AS (
+  SELECT doc_id, pos, line FROM norm
+  QUALIFY row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) = 1
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+FROM kept GROUP BY doc_id
+"""
+
+
 def q_minhash_pairs_capped(spark, sf):
     """`minhash_pairs_poly` with the degenerate-bucket cap engaged
     (`max_bucket=2`, sample mode): buckets larger than two members keep
@@ -3562,6 +3613,52 @@ FROM orders JOIN (
   SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
   FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
 ) ON o_orderkey = l_orderkey
+"""
+
+
+def q_avg_qty_q17(spark, sf):
+    """TPC-H Q17 shape: small-quantity-order revenue — the canonical
+    correlated scalar subquery (`l_quantity < 0.2·avg(l_quantity) per
+    part`), decorrelated into a per-part aggregate + re-join, which is
+    exactly the plan Catalyst's DecorrelateInnerQuery produces. The
+    0.2·avg comparison runs in integers (5·q·n < Σq, quantities
+    quantized ×100) and revenue sums in exact cents, so the single
+    output row hash-matches DuckDB bit-for-bit (completes the 22/22
+    TPC-H shape inventory)."""
+    li = _t(spark, sf, "lineitem")
+    pt = _t(spark, sf, "part").filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 15)
+    )
+    qi = F.col("l_quantity") * 100
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qi.cast("long")).alias("sum_q"),
+        F.count(F.lit(1)).alias("n_q"),
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    joined = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(per_part, li.l_partkey == per_part.pk)
+        .filter(qi.cast("long") * 5 * F.col("n_q") < F.col("sum_q"))
+    )
+    return joined.agg(
+        (F.sum(cents) / F.lit(700.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_AVG_QTY_Q17 = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity * 100 AS BIGINT)) AS sum_q,
+         COUNT(*) AS n_q
+  FROM lineitem GROUP BY 1
+)
+SELECT SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 700.0 AS avg_yearly,
+       COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#13' AND p_size <= 15
+JOIN per_part ON l_partkey = pk
+WHERE CAST(l_quantity * 100 AS BIGINT) * 5 * n_q < sum_q
 """
 
 
@@ -4913,6 +5010,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_pairs_poly": (q_minhash_pairs_poly, SQL_MINHASH_PAIRS_POLY),
     "minhash_pairs_capped": (q_minhash_pairs_capped, SQL_MINHASH_PAIRS_CAPPED),
     "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
+    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "avg_qty_q17": (q_avg_qty_q17, SQL_AVG_QTY_Q17),
     "dedup_index_probe_poly": (q_dedup_index_probe_poly, SQL_DEDUP_INDEX_PROBE_POLY),
     "simhash_pairs_poly": (q_simhash_pairs_poly, SQL_SIMHASH_PAIRS_POLY),
     "semdedup": (q_semdedup, SQL_SEMDEDUP),

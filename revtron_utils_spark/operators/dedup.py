@@ -691,6 +691,63 @@ def minhash_poly_pairs(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style cross-corpus paragraph deduplication (Wenzek et al.
+    2020): split each document on ``sep``, normalize each paragraph
+    (lowercase, collapse whitespace), and keep only the GLOBALLY FIRST
+    occurrence of every distinct normalized paragraph — the smallest
+    (doc_id, position) — then reassemble documents from their surviving
+    paragraphs in order. Boilerplate repeated across pages (cookie
+    banners, nav text, licenses) collapses to one copy corpus-wide.
+
+    Shape at scale: paragraphs are keyed by md5(normalized) — an
+    8-byte-ish key instead of the paragraph body — so the first-
+    occurrence aggregate and the keep join shuffle keys + positions,
+    never text; reassembly is one groupBy per document with an
+    array_sort (documents are bounded, so the per-group sort is too).
+    Documents whose every paragraph was seen earlier disappear from the
+    output (their text would be empty).
+
+    Returns (id_col, text_col) with the deduplicated text."""
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+    ).withColumn(
+        "_key",
+        F.md5(F.trim(F.regexp_replace(F.lower("_line"), r"\s+", " "))),
+    )
+    # drop paragraphs that normalize to nothing — they carry no content
+    # and would dedup all blank lines corpus-wide
+    lines = lines.filter(
+        F.trim(F.regexp_replace(F.lower("_line"), r"\s+", " ")) != ""
+    )
+    lines = _persist(lines)
+    firsts = lines.groupBy("_key").agg(
+        F.min(F.struct("_id", "_pos")).alias("_first")
+    )
+    kept = lines.join(firsts, "_key").filter(
+        (F.col("_id") == F.col("_first._id")) & (F.col("_pos") == F.col("_first._pos"))
+    )
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                sep,
+            ).alias(text_col)
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def _neardup_matmul(
     base: DataFrame, threshold: float, tile_rows: int = 65_536
 ) -> DataFrame:

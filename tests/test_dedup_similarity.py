@@ -771,3 +771,29 @@ def test_dedup_index_probe_hot_bucket_cap(spark, clone_corpus):
         new_batch, postings, features, jaccard_threshold=0.5, max_bucket=16
     )
     assert dropped.count() == 0
+
+
+def test_paragraph_dedup_keeps_global_first(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "unique alpha text\nshared boiler line\nmore unique words"),
+            (2, "second doc opening\nShared  BOILER   line\nanother tail here"),
+            (3, "shared boiler line"),  # all paragraphs are dups -> doc vanishes
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in DD.paragraph_dedup(df).collect()}
+    # doc 1 keeps everything (first occurrence of the boiler)
+    assert out[1] == "unique alpha text\nshared boiler line\nmore unique words"
+    # doc 2 loses the boiler despite different case/whitespace (normalized key)
+    assert out[2] == "second doc opening\nanother tail here"
+    # doc 3 had nothing left
+    assert 3 not in out
+
+
+def test_paragraph_dedup_drops_blank_lines(spark):
+    df = spark.createDataFrame(
+        [(1, "first real line\n\n   \nsecond real line")], "doc_id long, text string"
+    )
+    out = DD.paragraph_dedup(df).collect()[0]["text"]
+    assert out == "first real line\nsecond real line"
