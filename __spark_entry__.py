@@ -1343,6 +1343,48 @@ def q_streaming_interval_join(spark, sf):
     return spark.table("drv_stream_ij")
 
 
+def q_streaming_dedup(spark, sf):
+    """Streaming exact dedup run to completion: the events table with a
+    planted 1-in-10 duplicate replay streamed through
+    `incremental.stream_dedup` (dropDuplicatesWithinWatermark) — the
+    exactly-once-ingest building block. Emitting only the key makes the
+    streamed result deterministic, so unlike the other streaming gates
+    this one HASH-verifies: the oracle is the distinct key set of the
+    planted input."""
+    from revtron_utils_spark.streaming.incremental import stream_dedup
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+    dups = ev.filter(F.col("event_id") % 10 == 0)
+    planted = ev.unionByName(dups)
+    tmp = _stream_staging("drv_stream_dd")
+    src = f"{tmp}/src"
+    planted.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(planted.schema).parquet(src)
+    q = (
+        stream_dedup(stream, ["event_id"], ts_col="ts")
+        .select("event_id")
+        .writeStream.format("memory")
+        .queryName("drv_stream_dd")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ck")
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming_dedup: availableNow stream exceeded 600s")
+    return spark.table("drv_stream_dd")
+
+
+SQL_STREAMING_DEDUP = """
+SELECT event_id FROM events
+"""
+
+
 def q_range_join(spark, sf):
     """Range (interval containment) join via bucketized equi-join."""
     from revtron_utils_spark.operators.asof import interval_join
@@ -2413,6 +2455,171 @@ FROM cand c JOIN f x ON c.id_a = x.doc_id JOIN f y ON c.id_b = y.doc_id
 WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
       / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.3
 """
+
+
+def q_warc_extract(spark, sf):
+    """WARC ingest front end (`sources/warc.py`): each doc is wrapped
+    into a two-record WARC file (a request record with an empty body
+    and a response record carrying the text), and the parser must
+    explode records and recover WARC-Type, target URI, Content-Length,
+    and the payload (fingerprinted with md5). Hash-gated: the oracle
+    re-implements the version-line split and header regexes in RE2."""
+    from revtron_utils_spark.sources.warc import parse_warc_records
+
+    docs = _t(spark, sf, "documents")
+    crlf = "\r\n"
+    uri = F.concat(
+        F.lit("http://ex-"), F.col("source"), F.lit(".com/"),
+        F.col("doc_id").cast("string"),
+    )
+    warc = F.concat(
+        F.lit(f"WARC/1.0{crlf}WARC-Type: request{crlf}WARC-Target-URI: "),
+        uri,
+        F.lit(f"{crlf}Content-Length: 0{crlf}{crlf}{crlf}{crlf}"),
+        F.lit(f"WARC/1.0{crlf}WARC-Type: response{crlf}WARC-Target-URI: "),
+        uri,
+        F.lit(f"{crlf}Content-Length: "),
+        F.col("n_chars").cast("string"),
+        F.lit(f"{crlf}{crlf}"),
+        F.col("text"),
+        F.lit(f"{crlf}{crlf}"),
+    )
+    base = docs.select("doc_id", warc.alias("warc"))
+    parsed = parse_warc_records(base, "warc", "doc_id")
+    return parsed.select(
+        "doc_id",
+        "rec_idx",
+        "warc_type",
+        "target_uri",
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
+        F.length("payload").alias("payload_len"),
+    )
+
+
+SQL_WARC_EXTRACT = r"""
+WITH w AS (
+  SELECT doc_id,
+         'WARC/1.0' || E'\r\n' || 'WARC-Type: request' || E'\r\n'
+         || 'WARC-Target-URI: http://ex-' || source || '.com/' || CAST(doc_id AS VARCHAR)
+         || E'\r\n' || 'Content-Length: 0' || E'\r\n\r\n\r\n\r\n'
+         || 'WARC/1.0' || E'\r\n' || 'WARC-Type: response' || E'\r\n'
+         || 'WARC-Target-URI: http://ex-' || source || '.com/' || CAST(doc_id AS VARCHAR)
+         || E'\r\n' || 'Content-Length: ' || CAST(n_chars AS VARCHAR)
+         || E'\r\n\r\n' || text || E'\r\n\r\n' AS warc
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         unnest(range(len(string_split_regex(warc, 'WARC/1\.0\r\n')))) AS rec_idx,
+         unnest(string_split_regex(warc, 'WARC/1\.0\r\n')) AS rec
+  FROM w
+), f AS (SELECT * FROM r WHERE rec <> '')
+SELECT doc_id, rec_idx,
+       regexp_extract(rec, '(?i)WARC-Type: ([^\r\n]+)', 1) AS warc_type,
+       regexp_extract(rec, '(?i)WARC-Target-URI: ([^\r\n]+)', 1) AS target_uri,
+       TRY_CAST(regexp_extract(rec, '(?is)Content-Length: ([0-9]+)', 1) AS BIGINT)
+         AS content_length,
+       md5(regexp_replace(regexp_extract(rec, '(?s)\r\n\r\n(.*)$', 1),
+                          '(\r\n)+$', '')) AS payload_md5,
+       len(regexp_replace(regexp_extract(rec, '(?s)\r\n\r\n(.*)$', 1),
+                          '(\r\n)+$', '')) AS payload_len
+FROM f
+"""
+
+
+def q_url_normalize(spark, sf):
+    """URL provenance stage (`functions/url.py`): parse + canonicalize
+    synthetic per-doc URLs (three variants: https with default port +
+    tracking params + fragment + ccSLD host; http on a nonstandard port
+    that must survive; a scheme-less string that must yield NULLs) and
+    extract the registered domain. Pure regexp/array codegen — zero
+    shuffle; the DuckDB oracle reproduces every field bit-for-bit."""
+    from revtron_utils_spark.functions.url import registered_domain, url_normalize
+
+    docs = _t(spark, sf, "documents")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example-"),
+                F.col("source"),
+                F.lit(".CO.UK:443/Path/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?utm_source=feed&zeta=1&alpha=2#section"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("http://cdn.Example"),
+                F.col("source"),
+                F.lit(".com:8080"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("not a url "), F.col("doc_id").cast("string")))
+    )
+    base = docs.select("doc_id", url.alias("url"))
+    return base.select(
+        "doc_id",
+        url_normalize("url").alias("norm_url"),
+        registered_domain("url").alias("domain"),
+    )
+
+
+def _sql_url_normalize() -> str:
+    from revtron_utils_spark.functions.url import _CC_SLD, _TRACKING_RE, _URL_RE
+
+    # NB: regexp_extract group semantics (non-participating group -> '')
+    # match between Spark and DuckDB; coalesce guards DuckDB's NULL
+    # array_to_string([]) where Spark's array_join gives ''
+    g = lambda i: f"regexp_extract(url, '{_URL_RE}', {i})"  # noqa: E731
+    cc = ", ".join(f"'{d}'" for d in _CC_SLD)
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Example-' || source
+                || '.CO.UK:443/Path/' || CAST(doc_id AS VARCHAR)
+                || '?utm_source=feed&zeta=1&alpha=2#section'
+           WHEN doc_id % 3 = 1 THEN 'http://cdn.Example' || source || '.com:8080'
+           ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+         END AS url
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         lower({g(1)}) AS scheme, lower({g(2)}) AS host, {g(3)} AS port,
+         {g(4)} AS path, {g(5)} AS query, {g(1)} AS raw_scheme
+  FROM u
+), q AS (
+  SELECT *, coalesce(array_to_string(list_sort(
+           list_filter(string_split(query, '&'),
+                       x -> x <> '' AND NOT regexp_matches(x, '{_TRACKING_RE}'))
+         ), '&'), '') AS cq,
+         string_split(host, '.') AS labels
+  FROM p
+)
+SELECT doc_id,
+       CASE WHEN raw_scheme = '' THEN NULL ELSE
+         scheme || '://' || host
+         || CASE WHEN port <> ''
+                  AND NOT (scheme = 'http' AND port = '80')
+                  AND NOT (scheme = 'https' AND port = '443')
+                 THEN ':' || port ELSE '' END
+         || CASE WHEN path = '' THEN '/' ELSE path END
+         || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END
+       END AS norm_url,
+       CASE WHEN raw_scheme = '' THEN NULL ELSE
+         CASE WHEN len(labels) >= 3
+                   AND array_to_string(labels[greatest(len(labels)-1, 1):len(labels)], '.') IN ({cc})
+              THEN array_to_string(labels[greatest(len(labels)-2, 1):len(labels)], '.')
+              ELSE array_to_string(labels[greatest(len(labels)-1, 1):len(labels)], '.')
+         END
+       END AS domain
+FROM q
+"""
+
+
+SQL_URL_NORMALIZE = _sql_url_normalize()
 
 
 def q_line_dedup(spark, sf):
@@ -5011,6 +5218,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_pairs_capped": (q_minhash_pairs_capped, SQL_MINHASH_PAIRS_CAPPED),
     "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "url_normalize": (q_url_normalize, SQL_URL_NORMALIZE),
+    "warc_extract": (q_warc_extract, SQL_WARC_EXTRACT),
+    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "avg_qty_q17": (q_avg_qty_q17, SQL_AVG_QTY_Q17),
     "dedup_index_probe_poly": (q_dedup_index_probe_poly, SQL_DEDUP_INDEX_PROBE_POLY),
     "simhash_pairs_poly": (q_simhash_pairs_poly, SQL_SIMHASH_PAIRS_POLY),
