@@ -2513,17 +2513,22 @@ WITH w AS (
          unnest(range(len(string_split_regex(warc, 'WARC/1\.0\r\n')))) AS rec_idx,
          unnest(string_split_regex(warc, 'WARC/1\.0\r\n')) AS rec
   FROM w
-), f AS (SELECT * FROM r WHERE rec <> '')
+), f AS (SELECT * FROM r WHERE rec <> ''),
+hd AS (
+  SELECT doc_id, rec_idx,
+         regexp_extract(rec, '(?s)^(.*?)\r\n\r\n', 1) AS headers,
+         regexp_replace(regexp_extract(rec, '(?s)\r\n\r\n(.*)$', 1),
+                        '(\r\n)+$', '') AS payload
+  FROM f
+)
 SELECT doc_id, rec_idx,
-       regexp_extract(rec, '(?i)WARC-Type: ([^\r\n]+)', 1) AS warc_type,
-       regexp_extract(rec, '(?i)WARC-Target-URI: ([^\r\n]+)', 1) AS target_uri,
-       TRY_CAST(regexp_extract(rec, '(?is)Content-Length: ([0-9]+)', 1) AS BIGINT)
+       regexp_extract(headers, '(?im)^WARC-Type: ([^\r\n]+)', 1) AS warc_type,
+       regexp_extract(headers, '(?im)^WARC-Target-URI: ([^\r\n]+)', 1) AS target_uri,
+       TRY_CAST(regexp_extract(headers, '(?im)^Content-Length: ([0-9]+)', 1) AS BIGINT)
          AS content_length,
-       md5(regexp_replace(regexp_extract(rec, '(?s)\r\n\r\n(.*)$', 1),
-                          '(\r\n)+$', '')) AS payload_md5,
-       len(regexp_replace(regexp_extract(rec, '(?s)\r\n\r\n(.*)$', 1),
-                          '(\r\n)+$', '')) AS payload_len
-FROM f
+       md5(payload) AS payload_md5,
+       len(payload) AS payload_len
+FROM hd
 """
 
 

@@ -108,6 +108,10 @@ HEADLINE = [
     "approx_distinct_poly",
     "minhash_pairs_capped",
     "html_extract",
+    "line_dedup",
+    "url_normalize",
+    "warc_extract",
+    "avg_qty_q17",
 ]
 
 

@@ -158,7 +158,10 @@ def main_text_arrow(min_words: int = 3):
                 t = inline.sub(" ", b)
                 for ent, rep in ENTITIES:
                     t = t.replace(ent, rep)
-                t = ws.sub(" ", t).strip()
+                # strip SPACES only: str.strip() would also strip
+                # Unicode whitespace (NBSP, …) that Java/RE2 \s+ and
+                # trim() leave alone, breaking expr/arrow bit-equality
+                t = ws.sub(" ", t).strip(" ")
                 if not t:
                     continue
                 words = t.count(" ") + 1

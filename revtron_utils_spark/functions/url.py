@@ -22,7 +22,10 @@ from pyspark.sql import functions as F
 # scheme://host[:port][/path][?query][#fragment]
 _URL_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/:?#]*)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
 
-_TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref|igshid)="
+_TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid)="
+# NB: bare `ref` is deliberately NOT treated as tracking — many sites
+# use ?ref= semantically (branch/section selection), and dropping it
+# would merge genuinely different resources into one dedup key
 
 # common two-level public suffixes where the registered domain needs
 # THREE labels (approximation of the public-suffix list; the full list

@@ -714,17 +714,21 @@ def paragraph_dedup(
     output (their text would be empty).
 
     Returns (id_col, text_col) with the deduplicated text."""
+    # \Q…\E so sep is a LITERAL separator (F.split takes a regex; a bare
+    # '|' or '.' would shred every document)
     lines = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
-    ).withColumn(
-        "_key",
-        F.md5(F.trim(F.regexp_replace(F.lower("_line"), r"\s+", " "))),
-    )
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
+            "_pos", "_line"
+        ),
+    ).withColumn("_norm", F.trim(F.regexp_replace(F.lower("_line"), r"\s+", " ")))
     # drop paragraphs that normalize to nothing — they carry no content
-    # and would dedup all blank lines corpus-wide
-    lines = lines.filter(
-        F.trim(F.regexp_replace(F.lower("_line"), r"\s+", " ")) != ""
+    # and would dedup all blank lines corpus-wide; normalize ONCE, then
+    # key the survivors
+    lines = (
+        lines.filter(F.col("_norm") != "")
+        .withColumn("_key", F.md5("_norm"))
+        .drop("_norm")
     )
     lines = _persist(lines)
     firsts = lines.groupBy("_key").agg(
@@ -777,6 +781,9 @@ def _neardup_matmul(
 
     spark = base.sparkSession
     out_empty_schema = "id_a bigint, id_b bigint, cosine double"
+    # the count (chunk sizing) and the packed aggregation both scan the
+    # quantize+norm projection — persist so it computes once
+    base = _persist(base)
     n = base.count()
     if n == 0:
         return spark.createDataFrame([], out_empty_schema)

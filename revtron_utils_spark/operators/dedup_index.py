@@ -124,8 +124,13 @@ def probe_minhash_index(
     drop/sample recall accounting. Capping the target side alone bounds
     the join: a new posting meeting a capped bucket matches at most
     ``max_bucket`` retained corpus rows."""
+    from revtron_utils_spark.operators.dedup import _persist
+
     p = {**_DEFAULTS, **params}
-    new_base = _featurize(new_df, text_col, id_col, p)
+    # the Arrow featurization of the new batch feeds the bucket-size
+    # aggregate (when capped), the candidate join, and the verification
+    # side — persist so the pandas-UDF pass runs once, not 3-4 times
+    new_base = _persist(_featurize(new_df, text_col, id_col, p))
     new_posts = new_base.select("id", F.posexplode("bhash").alias("band", "bhash")).select(
         "band", "bhash", "id"
     )

@@ -26,7 +26,8 @@ _BODY = r"(?s)\r\n\r\n(.*)$"
 
 
 def _header(headers, name: str):
-    return F.regexp_extract(headers, rf"(?i){name}: ([^\r\n]+)", 1)
+    # anchored at line start so 'X-WARC-Type:' etc. can never match
+    return F.regexp_extract(headers, rf"(?im)^{name}: ([^\r\n]+)", 1)
 
 
 def parse_warc_records(
@@ -45,14 +46,17 @@ def parse_warc_records(
     payload = F.regexp_replace(
         F.regexp_extract(F.col("rec"), _BODY, 1), r"(\r\n)+$", ""
     )
+    # Content-Length must come from the WARC HEADER block, never the
+    # payload — HTTP response payloads routinely carry their own
+    # 'Content-Length:' header, which an unscoped search would return
+    clen = _header(headers, "Content-Length")
     return exploded.select(
         id_col,
         "rec_idx",
         _header(headers, "WARC-Type").alias("warc_type"),
         _header(headers, "WARC-Target-URI").alias("target_uri"),
-        F.expr(
-            "try_cast(regexp_extract(rec, '(?is)Content-Length: ([0-9]+)', 1) "
-            "as bigint)"
-        ).alias("content_length"),
+        F.when(clen.rlike(r"^[0-9]+$"), clen.cast("bigint"))
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("content_length"),
         payload.alias("payload"),
     )

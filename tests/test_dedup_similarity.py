@@ -797,3 +797,15 @@ def test_paragraph_dedup_drops_blank_lines(spark):
     )
     out = DD.paragraph_dedup(df).collect()[0]["text"]
     assert out == "first real line\nsecond real line"
+
+
+def test_paragraph_dedup_literal_separator(spark):
+    # sep is a LITERAL, not a regex: '|' must not shred the text
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma|shared chunk here|delta words three"),
+         (2, "shared chunk here|other unique tail")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in DD.paragraph_dedup(df, sep="|").collect()}
+    assert out[1] == "alpha beta gamma|shared chunk here|delta words three"
+    assert out[2] == "other unique tail"

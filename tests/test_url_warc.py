@@ -121,3 +121,27 @@ def test_parse_warc_multiline_payload(spark):
     df = spark.createDataFrame([(1, doc)], "doc_id long, warc string")
     rows = parse_warc_records(df).collect()
     assert rows[0]["payload"] == body
+
+
+def test_warc_content_length_ignores_payload_http_headers(spark):
+    # HTTP response payloads carry their own Content-Length; the WARC
+    # field must come from the WARC header block only (NULL if absent)
+    doc = _warc(
+        [
+            (
+                ["WARC-Type: response", "WARC-Target-URI: http://e.com/3"],
+                f"HTTP/1.1 200 OK{CRLF}Content-Length: 999{CRLF}{CRLF}<p>x</p>",
+            ),
+            (
+                # prefixed header names must not match the anchored regex
+                ["WARC-Type: response", "X-WARC-Type: bogus",
+                 "X-Content-Length: 5", "Content-Length: 7"],
+                "payload",
+            ),
+        ]
+    )
+    df = spark.createDataFrame([(1, doc)], "doc_id long, warc string")
+    rows = parse_warc_records(df).orderBy("rec_idx").collect()
+    assert rows[0]["content_length"] is None
+    assert rows[1]["content_length"] == 7
+    assert rows[1]["warc_type"] == "response"

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import re
 import subprocess
 import sys
 from pathlib import Path
@@ -37,13 +36,19 @@ def _parse_source(path: Path) -> dict:
     if "tail" in raw:
         if raw.get("parsed"):
             return raw["parsed"]
-        # reconstruct from the tail: take the LAST complete JSON object
-        candidates = re.findall(r"\{[^{}]*\}(?=\s*$)", raw["tail"])
-        for c in reversed(candidates):
+        # reconstruct from the tail: the last stdout line that parses
+        # as a JSON object with the bench metric (line-based json.loads
+        # — a brace regex can't handle nested objects like `errors`)
+        for line in reversed(raw["tail"].splitlines()):
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
             try:
-                return json.loads(c)
+                obj = json.loads(line)
             except json.JSONDecodeError:
                 continue
+            if isinstance(obj, dict) and "metric" in obj:
+                return obj
         raise SystemExit(f"{path}: neither parsed nor a parseable tail line")
     return raw
 
