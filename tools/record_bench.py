@@ -57,10 +57,16 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--from", dest="src", default=str(ROOT / "BENCH_DETAIL.json"))
     ap.add_argument("--label", required=True)
+    ap.add_argument(
+        "--commit",
+        default=None,
+        help="commit to attribute (default: current HEAD). Use for "
+        "backfilling historical driver artifacts, where HEAD would lie.",
+    )
     args = ap.parse_args()
 
     d = _parse_source(Path(args.src))
-    commit = subprocess.run(
+    commit = args.commit or subprocess.run(
         ["git", "-C", str(ROOT), "rev-parse", "--short", "HEAD"],
         capture_output=True,
         text=True,
