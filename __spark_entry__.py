@@ -4763,6 +4763,50 @@ def _sql_approx_distinct_poly() -> str:
 SQL_APPROX_DISTINCT_POLY = _sql_approx_distinct_poly()
 
 
+def q_kmv_distinct(spark, sf):
+    """KMV (k-minimum-values) distinct sketch (`operators/kmv.py`):
+    distinct customers per order priority via the k=64 smallest
+    fmix32(poly) hashes. Unlike HLL this synopsis also supports set
+    INTERSECTION estimation (see `kmv_intersect`); the adaptive
+    prefilter bounds the shuffle to ~slack·k hashes per group while a
+    deterministic rescue pass keeps the k-minima exact, so the whole
+    estimate hash-matches the oracle's direct computation."""
+    from revtron_utils_spark.operators.kmv import kmv_distinct
+
+    return kmv_distinct(_t(spark, sf, "orders"), ["o_orderpriority"], "o_custkey", k=64)
+
+
+def _sql_kmv_distinct() -> str:
+    from revtron_utils_spark.operators.kmv import kmv_distinct_oracle_sql
+
+    return kmv_distinct_oracle_sql("orders", ["o_orderpriority"], "o_custkey", k=64)
+
+
+SQL_KMV_DISTINCT = _sql_kmv_distinct()
+
+
+def q_kmv_intersect(spark, sf):
+    """KMV set-expression estimation — the capability HLL lacks: for
+    every pair of order priorities, estimated union / intersection /
+    Jaccard of their customer sets from k=64 sketches (combined k-min
+    list + agreement fraction rho, Beyer et al. SIGMOD'07). Single
+    integer-exact IEEE divisions make the estimates bit-reproducible,
+    so the oracle re-implements the full pipeline and hashes match."""
+    from revtron_utils_spark.operators.kmv import kmv_overlap_pairs, kmv_partial
+
+    st = kmv_partial(_t(spark, sf, "orders"), ["o_orderpriority"], "o_custkey", k=64)
+    return kmv_overlap_pairs(st, "o_orderpriority", k=64)
+
+
+def _sql_kmv_intersect() -> str:
+    from revtron_utils_spark.operators.kmv import kmv_overlap_oracle_sql
+
+    return kmv_overlap_oracle_sql("orders", "o_orderpriority", "o_custkey", k=64)
+
+
+SQL_KMV_INTERSECT = _sql_kmv_intersect()
+
+
 def q_cms_counts(spark, sf):
     """Count-Min sketch frequency rollup (`rollup.cms_build/estimate`):
     the corpus token distribution folded into a 4×256 sparse sketch,
@@ -5178,6 +5222,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "collocations": (q_collocations, SQL_COLLOCATIONS),
     "cms_counts": (q_cms_counts, SQL_CMS_COUNTS),
     "approx_distinct_poly": (q_approx_distinct_poly, SQL_APPROX_DISTINCT_POLY),
+    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "kmv_intersect": (q_kmv_intersect, SQL_KMV_INTERSECT),
     "pq_ann": (q_pq_ann, None),
     "decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE_BLOOM),
     "streaming_interval_join": (q_streaming_interval_join, None),
