@@ -2355,6 +2355,68 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 """
 
 
+def q_ngram_containment(spark, sf):
+    """Asymmetric containment near-dup (`dedup.ngram_containment_pairs`):
+    detects documents ENGULFED by others — |A∩B|/|A| ≈ 1 while Jaccard
+    stays tiny, the quote/boilerplate-subsumption case the symmetric
+    measures miss. The query plants real subsumption: every ≥30-token
+    document contributes an excerpt (first third of its words, id
+    +1,000,000), and the posting-list join must recover each excerpt as
+    contained in its parent at ≥0.9 — same inverted-index physical
+    shape as `ngram_jaccard` (8-byte keys through the pair shuffle)."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "lang", "source", F.trim(F.col("text")).alias("text")
+    )
+    toks = F.split(F.col("text"), r"\s+")
+    excerpts = docs.where(F.size(toks) >= 30).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        "source",
+        F.array_join(
+            F.slice(toks, F.lit(1), F.greatest(F.lit(5), (F.size(toks) / 3).cast("int"))),
+            " ",
+        ).alias("text"),
+    )
+    return DD.ngram_containment_pairs(
+        docs.unionByName(excerpts),
+        "text",
+        "doc_id",
+        block_cols=("lang", "source"),
+        shingle_n=3,
+        threshold=0.9,
+    )
+
+
+SQL_NGRAM_CONTAINMENT = r"""
+WITH d AS (
+  SELECT doc_id, lang, source, trim(text) AS text FROM documents
+), tk AS (
+  SELECT doc_id, lang, source, text, string_split_regex(text, '\s+') AS toks FROM d
+), ex AS (
+  SELECT doc_id + 1000000 AS doc_id, lang, source,
+         array_to_string(list_slice(toks, 1, GREATEST(5, len(toks) // 3)), ' ') AS text
+  FROM tk WHERE len(toks) >= 30
+), u AS (
+  SELECT doc_id, lang, source, text FROM d
+  UNION ALL SELECT doc_id, lang, source, text FROM ex
+), t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+           ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM (SELECT doc_id, lang, source, string_split_regex(trim(text), '\s+') AS toks FROM u)
+), f AS (SELECT * FROM t WHERE len(sh) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) AS containment_a,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6) AS containment_b
+FROM f a JOIN f b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE GREATEST(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh),
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh)) >= 0.9
+"""
+
+
 def q_cosine_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     min_id = emb.agg(F.min("vec_id")).first()[0]
@@ -5215,6 +5277,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "gopher_filters": (q_gopher_filters, SQL_GOPHER_FILTERS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ngram_containment": (q_ngram_containment, SQL_NGRAM_CONTAINMENT),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "pagerank_seeded": (q_pagerank_seeded, SQL_PAGERANK_SEEDED),

@@ -1156,6 +1156,26 @@ def ngram_jaccard_pairs(
     pairs sharing a dropped shingle — jaccard only shrinks, i.e. the cap
     trades bounded recall loss for a Σdf² bound, never false positives.
     ``max_df=None`` is exact."""
+    pairs = _ngram_pair_counts(df, text_col, id_col, block_cols, shingle_n, max_df)
+    jac = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _ngram_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: Sequence[str],
+    shingle_n: int,
+    max_df: int | None,
+) -> DataFrame:
+    """Shared inverted-index core of the exact set-similarity joins:
+    ``(id_a, id_b, n_a, n_b, c)`` for every pair sharing ≥1 shingle
+    (see :func:`ngram_jaccard_pairs` for the physical-shape rationale)."""
     base = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
@@ -1177,7 +1197,7 @@ def ngram_jaccard_pairs(
     for c in block_cols:
         cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
     inter = F.count(F.lit(1))
-    pairs = (
+    return (
         l.join(r, cond)
         .groupBy(
             F.col("l.id").alias("id_a"),
@@ -1187,11 +1207,45 @@ def ngram_jaccard_pairs(
         )
         .agg(inter.alias("c"))
     )
-    jac = F.col("c") / (F.col("n_a") + F.col("n_b") - F.col("c"))
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: Sequence[str] = (),
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: pairs where one document's shingle set is
+    (mostly) contained in the other's — ``containment(A→B) =
+    |A∩B| / |A|`` (Broder's containment measure). Jaccard misses
+    subsumption: a paragraph quoted inside a 100× longer page has
+    Jaccard ≈ 0.01 but containment ≈ 1.0, and quote/boilerplate
+    inclusion is exactly what corpus curation needs to find (keep the
+    superset, drop the engulfed copy).
+
+    Same inverted-index posting join and Σdf² bound as
+    :func:`ngram_jaccard_pairs` (the ``c/n`` divisions are single
+    exactly-rounded IEEE ops, so the output is oracle-hashable);
+    emits ``(id_a, id_b, containment_a, containment_b)`` with
+    ``id_a < id_b`` for every pair whose LARGER directed containment
+    clears ``threshold``. With ``max_df`` the intersection only
+    shrinks — bounded recall loss, never false positives."""
+    pairs = _ngram_pair_counts(df, text_col, id_col, block_cols, shingle_n, max_df)
+    ca = F.col("c") / F.col("n_a")
+    cb = F.col("c") / F.col("n_b")
     return (
-        pairs.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        pairs.withColumn("containment_a", ca)
+        .withColumn("containment_b", cb)
+        .filter(F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("containment_a", 6).alias("containment_a"),
+            F.round("containment_b", 6).alias("containment_b"),
+        )
     )
 
 

@@ -118,6 +118,51 @@ def test_ngram_jaccard_blocked(docs, spark, sf_dir):
         assert r.id_a < r.id_b and 0.05 <= r.jaccard <= 1.0
 
 
+def test_ngram_containment_asymmetry(spark):
+    """An excerpt engulfed by a long doc: containment ≈ 1 on the
+    excerpt side while Jaccard stays below any dedup threshold."""
+    words = [f"w{i}" for i in range(120)]
+    long_doc = " ".join(words)
+    excerpt = " ".join(words[:12])  # 10 of the long doc's 118 shingles
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, excerpt), (3, "totally unrelated text here")],
+        "doc_id: long, text: string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r
+        for r in DD.ngram_containment_pairs(
+            df, "text", "doc_id", shingle_n=3, threshold=0.9
+        ).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    r = pairs[(1, 2)]
+    assert r.containment_b == 1.0  # excerpt fully inside the long doc
+    assert r.containment_a < 0.1  # asymmetric: the long doc is not inside the excerpt
+    jac = DD.ngram_jaccard_pairs(df, "text", "doc_id", shingle_n=3, threshold=0.05).collect()
+    assert all(row.jaccard < 0.2 for row in jac)  # jaccard alone would miss it
+
+
+def test_ngram_containment_max_df_only_shrinks(spark, sf_dir):
+    from revtron_utils_spark.io import read_table
+
+    full = read_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b): (r.containment_a, r.containment_b)
+        for r in DD.ngram_containment_pairs(
+            full, block_cols=("lang",), threshold=0.5
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): (r.containment_a, r.containment_b)
+        for r in DD.ngram_containment_pairs(
+            full, block_cols=("lang",), threshold=0.5, max_df=20
+        ).collect()
+    }
+    assert set(capped) <= set(exact)  # the cap can only drop pairs…
+    for k, (ca, cb) in capped.items():
+        assert ca <= exact[k][0] and cb <= exact[k][1]  # …and shrink scores
+
+
 def test_embedding_neardup_lsh_vs_exact(emb):
     exact = {
         (r.id_a, r.id_b)
