@@ -465,6 +465,60 @@ def q_percentiles(spark, sf):
     )
 
 
+def q_robust_stats(spark, sf):
+    """Outlier-robust location stats (`quantiles.robust_stats`):
+    winsorized/trimmed means clipped at the interpolated p5/p95 and the
+    MAD, per return flag — the heavy-tail-safe statistics corpus
+    filtering uses instead of mean/stddev. All distributed sums run in
+    exact integer cents; thresholds come from the same histogram-
+    refinement quantiles the `percentiles` gate proves equal to
+    quantile_cont, so the whole row hash-matches the oracle."""
+    from revtron_utils_spark.operators.quantiles import robust_stats
+
+    li = _t(spark, sf, "lineitem").withColumn(
+        "_cents", F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
+    r = robust_stats(li, "_cents", by=["l_returnflag"], lo=0.05, hi=0.95)
+    return r.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("mean") / 100, 2).alias("mean"),
+        F.round(F.col("winsor_mean") / 100, 2).alias("winsor_mean"),
+        F.round(F.col("trimmed_mean") / 100, 2).alias("trimmed_mean"),
+        F.round(F.col("mad") / 100, 2).alias("mad"),
+    )
+
+
+SQL_ROBUST_STATS = """
+WITH c AS (
+  SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+  FROM lineitem
+), thr AS (
+  SELECT g, quantile_cont(x, 0.05) AS lo, quantile_cont(x, 0.5) AS med,
+         quantile_cont(x, 0.95) AS hi
+  FROM c GROUP BY g
+), agg AS (
+  SELECT c.g AS g, COUNT(*) AS n, SUM(x) AS s,
+         SUM(CASE WHEN x >= lo AND x <= hi THEN x ELSE 0 END) AS s_in,
+         SUM(CASE WHEN x >= lo AND x <= hi THEN 1 ELSE 0 END) AS n_in,
+         SUM(CASE WHEN x < lo THEN 1 ELSE 0 END) AS n_lo,
+         SUM(CASE WHEN x > hi THEN 1 ELSE 0 END) AS n_hi,
+         ANY_VALUE(lo) AS lo, ANY_VALUE(hi) AS hi
+  FROM c JOIN thr ON c.g = thr.g GROUP BY c.g
+), mad AS (
+  SELECT c.g AS g,
+         quantile_cont(abs(x * 2 - CAST(round(med * 2) AS BIGINT)), 0.5) / 2 AS mad
+  FROM c JOIN thr ON c.g = thr.g GROUP BY c.g
+)
+SELECT a.g AS l_returnflag, a.n AS n,
+       ROUND(ROUND(CAST(a.s AS DOUBLE) / a.n, 6) / 100, 2) AS mean,
+       ROUND(ROUND((CAST(a.s_in AS DOUBLE) + a.n_lo * a.lo + a.n_hi * a.hi) / a.n, 6) / 100, 2) AS winsor_mean,
+       ROUND(ROUND(CAST(a.s_in AS DOUBLE) / a.n_in, 6) / 100, 2) AS trimmed_mean,
+       ROUND(ROUND(m.mad, 6) / 100, 2) AS mad
+FROM agg a JOIN mad m ON a.g = m.g
+"""
+
+
 SQL_PERCENTILES = """
 SELECT l_returnflag,
        ROUND(QUANTILE_CONT(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) / 100, 2) AS p25,
@@ -5218,6 +5272,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "distinct_counts": (q_distinct_counts, SQL_DISTINCT_COUNTS),
     "stats_moments": (q_stats_moments, SQL_STATS_MOMENTS),
     "percentiles": (q_percentiles, SQL_PERCENTILES),
+    "robust_stats": (q_robust_stats, SQL_ROBUST_STATS),
     "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "unpivot": (q_unpivot, SQL_UNPIVOT),

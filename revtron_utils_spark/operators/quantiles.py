@@ -348,3 +348,107 @@ def exact_quantiles(
 
 def _ddl_type(df: DataFrame, col: str) -> str:
     return dict(zip(df.schema.names, df.schema.fields))[col].dataType.simpleString()
+
+
+def robust_stats(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    lo: float = 0.05,
+    hi: float = 0.95,
+    bins_per_efold: int = 2048,
+    round_to: int = 6,
+) -> DataFrame:
+    """Outlier-robust location statistics per group: plain mean,
+    winsorized mean (values clipped to the [lo, hi] interpolated
+    quantiles), trimmed mean (values outside dropped), and the MAD
+    (median absolute deviation from the median) — the standard heavy-
+    tail-safe alternatives to mean/stddev for quality-score and length
+    filtering over scraped corpora (a handful of pathological documents
+    move a mean arbitrarily; they move the MAD not at all).
+
+    ``value_col`` must be INTEGRAL (e.g. prices in cents, lengths in
+    tokens): every distributed sum is then an exact ``long`` (order-
+    independent), interpolated thresholds from :func:`exact_quantiles`
+    are bit-equal to ``quantile_cont``, and the remaining float math is
+    a fixed short expression of exactly-rounded IEEE ops — so the whole
+    output is deterministic and hash-comparable against a SQL oracle.
+    The p50 interpolation fraction is dyadic (0 or ½), so ``2·median``
+    is an exact integer and the MAD deviations ``|2x − 2·med|`` stay in
+    exact integer half-units.
+
+    Physical shape: one quantile pass (histogram refinement, O(groups ×
+    bins) shuffles), one broadcast of the O(groups) thresholds, one
+    map-side-combined aggregate for the sums, and a second quantile
+    pass over the integer deviations for the MAD. Nothing buffers a
+    group on one reducer.
+
+    Returns ``(*by, n, mean, winsor_mean, trimmed_mean, mad)``.
+    """
+    by = list(by)
+    dt = _ddl_type(df, value_col)
+    if dt not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise ValueError(
+            f"robust_stats needs an integral value column for exact "
+            f"cross-engine sums; got {value_col}: {dt} (scale to cents "
+            "or token counts first)"
+        )
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *by, F.col(value_col).cast("long").alias("_x")
+    )
+    base = base.persist()
+    lo_n, med_n, hi_n = quantile_col_names([lo, 0.5, hi])
+    q = exact_quantiles(
+        base, "_x", [lo, 0.5, hi], by=by, bins_per_efold=bins_per_efold
+    )
+    thr = q.select(
+        *by,
+        F.col(lo_n).alias("_lo"),
+        F.col(med_n).alias("_med"),
+        F.col(hi_n).alias("_hi"),
+    )
+    j = base.join(F.broadcast(thr), by) if by else base.crossJoin(F.broadcast(thr))
+    x = F.col("_x")
+    inside = (x >= F.col("_lo")) & (x <= F.col("_hi"))
+    agg = j.groupBy(*by).agg(
+        F.count(x).alias("n"),
+        F.sum(x).alias("_s"),
+        F.sum(F.when(inside, x).otherwise(F.lit(0))).alias("_s_in"),
+        F.sum(F.when(inside, 1).otherwise(0)).alias("_n_in"),
+        F.sum(F.when(x < F.col("_lo"), 1).otherwise(0)).alias("_n_lo"),
+        F.sum(F.when(x > F.col("_hi"), 1).otherwise(0)).alias("_n_hi"),
+        F.first("_lo").alias("_lo"),
+        F.first("_hi").alias("_hi"),
+    )
+    # MAD: integer deviations in half-units (2·med is an exact integer)
+    med2 = F.round(F.col("_med") * 2).cast("long")
+    devs = (
+        base.join(F.broadcast(thr.select(*by, med2.alias("_m2"))), by)
+        if by
+        else base.crossJoin(F.broadcast(thr.select(med2.alias("_m2"))))
+    ).select(*by, F.abs(x * 2 - F.col("_m2")).alias("_d"))
+    mad2 = exact_quantiles(devs, "_d", [0.5], by=by, bins_per_efold=bins_per_efold)
+    mad = mad2.select(*by, (F.col(quantile_col_names([0.5])[0]) / 2).alias("_mad"))
+
+    # fixed-order float math — textually mirrored by the oracle:
+    # ((s_in + n_lo·lo) + n_hi·hi) / n
+    winsor = (
+        F.col("_s_in").cast("double")
+        + F.col("_n_lo") * F.col("_lo")
+        + F.col("_n_hi") * F.col("_hi")
+    ) / F.col("n")
+    out = agg.select(
+        *by,
+        "n",
+        F.round(F.col("_s").cast("double") / F.col("n"), round_to).alias("mean"),
+        F.round(winsor, round_to).alias("winsor_mean"),
+        F.round(
+            F.col("_s_in").cast("double") / F.col("_n_in"), round_to
+        ).alias("trimmed_mean"),
+    )
+    res = out.join(F.broadcast(mad), by) if by else out.crossJoin(F.broadcast(mad))
+    base.unpersist()
+    return res.select(
+        *by, "n", "mean", "winsor_mean", "trimmed_mean",
+        F.round(F.col("_mad"), round_to).alias("mad"),
+    )

@@ -153,3 +153,67 @@ def test_degenerate_refinement_spans(spark):
     ).collect()[0]["p"]
     assert out["p25"] == ref[0] and out["p50"] == ref[1]
     assert m.isfinite(out["p50"])
+
+
+def test_robust_stats_outlier_resistance(spark):
+    """A planted extreme outlier drags the mean but leaves the
+    winsorized mean, trimmed mean, and MAD essentially unmoved."""
+    from revtron_utils_spark.operators.quantiles import robust_stats
+
+    base = [(1, v) for v in range(100, 200)]  # uniform 100..199
+    poisoned = base + [(1, 10_000_000)]
+    clean = robust_stats(
+        spark.createDataFrame(base, "g: int, x: long"), "x", by=["g"]
+    ).first()
+    dirty = robust_stats(
+        spark.createDataFrame(poisoned, "g: int, x: long"), "x", by=["g"]
+    ).first()
+    assert dirty["mean"] > 10 * clean["mean"]  # mean is wrecked
+    assert abs(dirty["winsor_mean"] - clean["winsor_mean"]) < 15
+    assert abs(dirty["trimmed_mean"] - clean["trimmed_mean"]) < 5
+    assert abs(dirty["mad"] - clean["mad"]) < 2
+
+
+def test_robust_stats_rejects_float_column(spark):
+    import pytest as _pytest
+
+    from revtron_utils_spark.operators.quantiles import robust_stats
+
+    df = spark.createDataFrame([(1, 1.5)], "g: int, x: double")
+    with _pytest.raises(ValueError, match="integral"):
+        robust_stats(df, "x", by=["g"])
+
+
+def test_robust_stats_matches_python(spark, sf_dir):
+    """Differential vs a pure-python reference on the fixture data."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from revtron_utils_spark.io import read_table
+    from revtron_utils_spark.operators.quantiles import robust_stats
+
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "_cents", F.round(F.col("l_extendedprice") * 100).cast("long")
+    )
+    got = {
+        r["l_returnflag"]: r
+        for r in robust_stats(li, "_cents", by=["l_returnflag"]).collect()
+    }
+    vals = {}
+    for r in li.select("l_returnflag", "_cents").collect():
+        vals.setdefault(r[0], []).append(r[1])
+    for g, xs in vals.items():
+        xs.sort()
+        lo = statistics.quantiles(xs, n=100, method="inclusive")[4]   # p5
+        hi = statistics.quantiles(xs, n=100, method="inclusive")[94]  # p95
+        med = statistics.median(xs)
+        wins = [min(max(x, lo), hi) for x in xs]
+        trim = [x for x in xs if lo <= x <= hi]
+        mad = statistics.median(sorted(abs(x - med) for x in xs))
+        row = got[g]
+        assert row["n"] == len(xs)
+        assert abs(row["mean"] - statistics.mean(xs)) < 0.01
+        assert abs(row["winsor_mean"] - statistics.mean(wins)) < 0.01
+        assert abs(row["trimmed_mean"] - statistics.mean(trim)) < 0.01
+        assert abs(row["mad"] - mad) < 0.01
