@@ -2943,6 +2943,44 @@ GROUP BY label, dim
 """
 
 
+def q_embedding_outliers(spark, sf):
+    """Per-label embedding outliers (`similarity.embedding_outliers`):
+    top-5 vectors farthest from their label centroid via the exact
+    integer identity ‖x−s/n‖²·n² = Σ(n·x−s)² — the mislabel/garbage
+    screen for embedded corpora. O(labels×dims) centroid shuffle,
+    broadcast back, no per-label collection; hash-matches the oracle."""
+    return SIM.embedding_outliers(
+        _t(spark, sf, "embeddings"), "embedding", "vec_id", "label", top_k=5, scale=1000
+    )
+
+
+SQL_EMBEDDING_OUTLIERS = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), nn AS (SELECT label, COUNT(*) AS n FROM q GROUP BY label),
+e AS (SELECT label, vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM q),
+s AS (SELECT label, pos, SUM(v) AS s FROM e GROUP BY label, pos),
+d AS (
+  SELECT e.label, e.vec_id,
+         SUM((nn.n * e.v - s.s) * (nn.n * e.v - s.s)) AS d2n
+  FROM e JOIN s ON e.label = s.label AND e.pos = s.pos
+         JOIN nn ON e.label = nn.label
+  GROUP BY e.label, e.vec_id
+), r AS (
+  SELECT d.label, d.vec_id, d.d2n, nn.n,
+         ROW_NUMBER() OVER (PARTITION BY d.label ORDER BY d.d2n DESC, d.vec_id) AS rk
+  FROM d JOIN nn ON d.label = nn.label
+)
+SELECT label, vec_id, CAST(rk AS INT) AS rank,
+       ROUND(CAST(d2n AS DOUBLE)
+             / CAST(CAST(n * n AS BIGINT) * 1000000 AS DOUBLE), 6) AS dist2
+FROM r WHERE rk <= 5
+"""
+
+
 def q_dedup_clusters(spark, sf):
     """Transitive near-dup clustering: deterministic n-gram-Jaccard pairs
     → distributed connected components (large-star/small-star) → every
@@ -5397,6 +5435,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "text_neardup_poly": (q_text_neardup_poly, SQL_TEXT_NEARDUP_POLY),
     "semdedup_kmeans": (q_semdedup_kmeans, None),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
     "rest_extract": (q_rest_extract, SQL_REST_EXTRACT),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "dup_spans": (q_dup_spans, SQL_DUP_SPANS),

@@ -297,3 +297,77 @@ class IVFIndex:
         probe = ranked[:nprobe]
         df = self.spark.read.parquet(self.index_path).filter(F.col("cluster_id").isin(probe))
         return cosine_topk(df, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def embedding_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    top_k: int = 5,
+    scale: int = 1_000,
+) -> DataFrame:
+    """Per-label embedding outliers: the ``top_k`` vectors farthest
+    (squared Euclidean) from their label's centroid — the standard
+    mislabel/garbage screen before training on an embedded corpus
+    (a crawl page embedded mid-cluster is fine; the farthest tail is
+    where encoding failures and label noise live).
+
+    Engine-exact arithmetic: with quantized integer components ``x`` and
+    per-label component sums ``s`` over ``n`` vectors,
+
+        ‖x − s/n‖² · n² = Σ_d (n·x_d − s_d)²
+
+    is an EXACT int64 (components ≤ ~2·scale, so at scale=1e3 the sum
+    stays under 2^63 up to ~10⁶ vectors/label and 1024 dims); the one
+    division by ``n²·scale²`` at readout is a single exactly-rounded
+    IEEE op, so the reported distances hash-match a SQL oracle.
+
+    Physical shape: one explode → (label, dim) partial-aggregated sum
+    (O(labels × dims) rows), centroid sums broadcast back, one
+    zip_with fold per row (no UDF), then a per-label row_number top-k
+    with id tiebreak. Nothing collects a label's vectors anywhere.
+    """
+    from pyspark.sql import Window
+
+    qv = F.transform(VX.quantize(vec_col, scale), lambda x: x.cast("long"))
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("lab"), qv.alias("qv")
+    ).persist()
+    sums = (
+        base.select("lab", F.posexplode("qv").alias("pos", "v"))
+        .groupBy("lab", "pos")
+        .agg(F.sum("v").alias("s"))
+        .groupBy("lab")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda st: st["s"]
+            ).alias("sarr"),
+        )
+    )
+    n_df = base.groupBy("lab").agg(F.count(F.lit(1)).alias("n"))
+    j = base.join(F.broadcast(sums), "lab").join(F.broadcast(n_df), "lab")
+    d2n = F.aggregate(
+        F.zip_with(
+            "qv",
+            "sarr",
+            lambda x, s: (F.col("n") * x - s) * (F.col("n") * x - s),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = j.select("lab", "id", F.col("n").alias("n"), d2n.alias("_d2n"))
+    w = Window.partitionBy("lab").orderBy(F.col("_d2n").desc(), F.col("id"))
+    denom = (F.col("n") * F.col("n")).cast("long") * F.lit(scale * scale)
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= top_k)
+        .select(
+            F.col("lab").alias(label_col),
+            F.col("id").alias(id_col),
+            F.col("_rk").alias("rank"),
+            F.round(F.col("_d2n").cast("double") / denom.cast("double"), 6).alias(
+                "dist2"
+            ),
+        )
+    )

@@ -854,3 +854,22 @@ def test_paragraph_dedup_literal_separator(spark):
     out = {r["doc_id"]: r["text"] for r in DD.paragraph_dedup(df, sep="|").collect()}
     assert out[1] == "alpha beta gamma|shared chunk here|delta words three"
     assert out[2] == "other unique tail"
+
+
+def test_embedding_outliers_finds_planted_outlier(spark):
+    """A vector far from its label's cluster ranks first; dist2 is the
+    true squared distance to the leave-nothing-out centroid."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(0.5, 0.01, 8)], 0) for i in range(20)]
+    rows.append((99, [float(5.0)] * 8, 0))  # planted far-out vector
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, label: int")
+    out = SIM.embedding_outliers(df, top_k=3, scale=1000).collect()
+    assert out[0].vec_id == 99 and out[0].rank == 1
+    # exact check against numpy at the same quantization
+    q = np.array([[round(v * 1000) for v in r[1]] for r in rows], dtype=np.int64)
+    cent = q.mean(axis=0)
+    d2 = ((q - cent) ** 2).sum(axis=1) / 1_000_000
+    assert abs(out[0].dist2 - d2[-1]) < 1e-3
+    assert len(out) == 3 and [r.rank for r in out] == [1, 2, 3]
