@@ -2409,6 +2409,42 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 """
 
 
+_MOJ_CLEAN = " café’s — naïve ‘quote’ … ½ price übrig"
+_MOJ_BAD = _MOJ_CLEAN.encode("utf-8").decode("cp1252")
+
+
+def q_mojibake_fix(spark, sf):
+    """Encoding repair (`functions/text.fix_mojibake`): the classic
+    'UTF-8 decoded as Windows-1252' corruption (cafÃ© → café, â€” → —)
+    reversed by a fixed 56-sequence literal-replace chain — pure
+    codegen, zero shuffle, the ftfy core case every crawl pipeline
+    needs. The query plants a known-corrupted suffix on every document
+    and emits the repaired text's md5 + how many characters the repair
+    removed; the oracle runs the identical chain, so hashes match."""
+    docs = _t(spark, sf, "documents")
+    corrupted = F.concat(F.col("text"), F.lit(_MOJ_BAD))
+    fixed = TX.fix_mojibake(corrupted)
+    return docs.select(
+        "doc_id",
+        F.md5(fixed.cast("binary")).alias("fixed_md5"),
+        (F.length(corrupted) - F.length(fixed)).alias("n_repaired"),
+    )
+
+
+def _sql_mojibake_fix() -> str:
+    bad = _MOJ_BAD.replace("'", "''")
+    fixed = TX.fix_mojibake_sql("corr")
+    return f"""
+WITH c AS (SELECT doc_id, text || '{bad}' AS corr FROM documents)
+SELECT doc_id, md5({fixed}) AS fixed_md5,
+       CAST(length(corr) - length({fixed}) AS INT) AS n_repaired
+FROM c
+"""
+
+
+SQL_MOJIBAKE_FIX = _sql_mojibake_fix()
+
+
 def q_ngram_containment(spark, sf):
     """Asymmetric containment near-dup (`dedup.ngram_containment_pairs`):
     detects documents ENGULFED by others — |A∩B|/|A| ≈ 1 while Jaccard
@@ -5371,6 +5407,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "gopher_filters": (q_gopher_filters, SQL_GOPHER_FILTERS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ngram_containment": (q_ngram_containment, SQL_NGRAM_CONTAINMENT),
+    "mojibake_fix": (q_mojibake_fix, SQL_MOJIBAKE_FIX),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "pagerank_seeded": (q_pagerank_seeded, SQL_PAGERANK_SEEDED),

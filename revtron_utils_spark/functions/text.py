@@ -245,3 +245,53 @@ def dup_token_ratio(col: Column | str) -> Column:
     return F.lit(1.0) - F.size(F.array_distinct(toks)) / F.greatest(
         F.size(toks), F.lit(1)
     )
+
+
+# ----------------------------------------------------------- mojibake repair
+
+# Characters whose UTF-8 byte sequences are fully representable in
+# cp1252 — i.e. the classic "UTF-8 read as Windows-1252" corruption is
+# reversible by literal string replace (ftfy's core case). Characters
+# whose UTF-8 bytes hit the five cp1252 holes (0x81 0x8D 0x8F 0x90 0x9D
+# — e.g. the right double quote U+201D) can't appear via this decode
+# path and are intentionally absent. Single pass: doubly-encoded text
+# is only peeled one layer (documented, matching one decode mistake).
+MOJIBAKE_CHARS = (
+    " ¡«°±·»¼½¿ÀÇÈÉÊÑÖÜßàáâãäåæçèéêëìíîïñòóôõöùúûüýœ–—‘’“•…€™"
+)
+MOJIBAKE_MAP: dict[str, str] = {
+    c.encode("utf-8").decode("cp1252"): c for c in MOJIBAKE_CHARS
+}
+# longest corrupted sequence first (3-byte UTF-8 before 2-byte), then
+# by target codepoint: a FIXED order shared by the Spark chain, the SQL
+# twin, and the python reference, so all three produce identical text
+MOJIBAKE_ORDER: list[tuple[str, str]] = sorted(
+    MOJIBAKE_MAP.items(), key=lambda kv: (-len(kv[0]), kv[1])
+)
+
+
+def fix_mojibake(col: Column | str) -> Column:
+    """Repair 'UTF-8 bytes decoded as Windows-1252' mojibake (cafÃ© →
+    café, â€” → —) with a fixed chain of literal replaces — pure
+    codegen, no UDF, no shuffle. See MOJIBAKE_CHARS for coverage."""
+    out = F.col(col) if isinstance(col, str) else col
+    for bad, good in MOJIBAKE_ORDER:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+def fix_mojibake_sql(expr: str) -> str:
+    """DuckDB twin of :func:`fix_mojibake` — same replaces, same order."""
+    out = expr
+    for bad, good in MOJIBAKE_ORDER:
+        b = bad.replace("'", "''")
+        g = good.replace("'", "''")
+        out = f"replace({out}, '{b}', '{g}')"
+    return out
+
+
+def fix_mojibake_py(s: str) -> str:
+    """Python reference of the same chain (differential tests)."""
+    for bad, good in MOJIBAKE_ORDER:
+        s = s.replace(bad, good)
+    return s

@@ -102,3 +102,37 @@ def test_html_extract_plan_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "<p>a b c</p>")], "id long, html string")
     plan = H.html_extract(df, "html")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_fix_mojibake_roundtrip(spark):
+    """encode(utf-8)→decode(cp1252)→fix == identity for the covered
+    character set, Spark and python chains agreeing."""
+    from pyspark.sql import functions as F
+
+    from revtron_utils_spark.functions.text import (
+        MOJIBAKE_CHARS,
+        fix_mojibake,
+        fix_mojibake_py,
+    )
+
+    samples = [
+        "plain ascii stays untouched",
+        " café’s — naïve ‘quote’ … ½ price übrig",
+        "señor Ökonomie œuvre «guillemets» 3°±1 ™",
+        MOJIBAKE_CHARS,  # every covered char at once
+    ]
+    rows = [(i, s.encode("utf-8").decode("cp1252")) for i, s in enumerate(samples)]
+    df = spark.createDataFrame(rows, "i: int, bad: string")
+    got = {r.i: r.fixed for r in df.select("i", fix_mojibake("bad").alias("fixed")).collect()}
+    for i, s in enumerate(samples):
+        assert got[i] == s, (i, got[i], s)
+        assert fix_mojibake_py(rows[i][1]) == s
+
+
+def test_fix_mojibake_leaves_legit_text(spark):
+    """Already-correct text containing accented chars is not damaged
+    (no covered char's correct form is itself a mojibake sequence)."""
+    from revtron_utils_spark.functions.text import fix_mojibake_py
+
+    legit = "café naïve ‘quote’ — …"
+    assert fix_mojibake_py(legit) == legit
