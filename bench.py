@@ -112,6 +112,12 @@ HEADLINE = [
     "url_normalize",
     "warc_extract",
     "avg_qty_q17",
+    "kmv_distinct",
+    "kmv_intersect",
+    "ngram_containment",
+    "robust_stats",
+    "embedding_outliers",
+    "mojibake_fix",
 ]
 
 
