@@ -465,6 +465,59 @@ def q_percentiles(spark, sf):
     )
 
 
+def q_grouped_linreg(spark, sf):
+    """Per-group OLS fit (`profile.grouped_linreg`): extended price
+    (cents) regressed on quantity per return flag — slope recovers the
+    average unit price. One map-side-combined aggregate over five
+    moment sums (Σx²/Σxy/Σy² in DECIMAL(38,0) — int64 overflows at
+    ~10⁶ rows of 10⁷-unit values), fixed-order closed-form float math:
+    hash-matches the oracle's HUGEINT-exact twin."""
+    from revtron_utils_spark.operators.profile import grouped_linreg
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return grouped_linreg(li, "qty", "cents", by=["l_returnflag"])
+
+
+def _sql_grouped_linreg() -> str:
+    from revtron_utils_spark.operators.profile import grouped_linreg_oracle_sql
+
+    return grouped_linreg_oracle_sql(
+        "(SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem)",
+        "qty",
+        "cents",
+        by=["l_returnflag"],
+    )
+
+
+SQL_GROUPED_LINREG = _sql_grouped_linreg()
+
+
+def q_contingency_chi2(spark, sf):
+    """Pearson chi-square contribution table
+    (`profile.contingency_chi2`): return flag × line status — the
+    categorical-independence / label-drift screen. One count aggregate
+    plus O(categories) broadcast joins, zero-cell margins included;
+    exact integer counts and a fixed float expression hash-match the
+    oracle."""
+    from revtron_utils_spark.operators.profile import contingency_chi2
+
+    return contingency_chi2(_t(spark, sf, "lineitem"), "l_returnflag", "l_linestatus")
+
+
+def _sql_contingency_chi2() -> str:
+    from revtron_utils_spark.operators.profile import contingency_chi2_oracle_sql
+
+    return contingency_chi2_oracle_sql("lineitem", "l_returnflag", "l_linestatus")
+
+
+SQL_CONTINGENCY_CHI2 = _sql_contingency_chi2()
+
+
 def q_robust_stats(spark, sf):
     """Outlier-robust location stats (`quantiles.robust_stats`):
     winsorized/trimmed means clipped at the interpolated p5/p95 and the
@@ -5347,6 +5400,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "stats_moments": (q_stats_moments, SQL_STATS_MOMENTS),
     "percentiles": (q_percentiles, SQL_PERCENTILES),
     "robust_stats": (q_robust_stats, SQL_ROBUST_STATS),
+    "grouped_linreg": (q_grouped_linreg, SQL_GROUPED_LINREG),
+    "contingency_chi2": (q_contingency_chi2, SQL_CONTINGENCY_CHI2),
     "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "unpivot": (q_unpivot, SQL_UNPIVOT),

@@ -84,3 +84,179 @@ def profile_table(df: DataFrame, approx_distinct: bool = True) -> DataFrame:
         "null_rate double, n_distinct bigint, min double, max double, mean double"
     )
     return spark.createDataFrame(out, schema)
+
+
+def grouped_linreg(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares fit ``y ≈ slope·x + intercept``
+    with ``r2`` — the one-pass closed form over the five moment sums,
+    map-side combined like any hash aggregate (no per-group
+    collection, no second scan).
+
+    Engine-exact determinism: ``x_col``/``y_col`` must be INTEGRAL so
+    the distributed sums are exact integers (Σx² / Σxy / Σy² are summed
+    as DECIMAL(38,0) — int64 would overflow at ~10⁶ rows of 10⁷-unit
+    values; Spark's decimal sum and the oracle's HUGEINT sum are both
+    exact, and both cast to double with one correctly-rounded
+    conversion). The closed-form float math is a fixed expression of
+    exactly-rounded IEEE ops, so results hash-match a SQL oracle.
+
+    Degenerate groups (zero x-variance) return NULL slope/intercept/r2
+    rather than dividing by zero.
+    """
+    by = list(by or [])
+    for c in (x_col, y_col):
+        dt = dict(zip(df.schema.names, [f.dataType.simpleString() for f in df.schema.fields]))[c]
+        if dt not in ("tinyint", "smallint", "int", "bigint", "long"):
+            raise ValueError(
+                f"grouped_linreg needs integral columns for exact sums; got {c}: {dt}"
+            )
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    agg = base.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("_sxx"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("_sxy"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("_syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    syy = F.col("_syy").cast("double")
+    # fixed-order expressions, textually mirrored by the oracle:
+    # cov_n = n·Σxy − Σx·Σy ; varx_n = n·Σxx − Σx·Σx ; vary_n likewise
+    cov_n = nd * sxy - sx * sy
+    varx_n = nd * sxx - sx * sx
+    vary_n = nd * syy - sy * sy
+    slope = cov_n / varx_n
+    intercept = (sy - (cov_n / varx_n) * sx) / nd
+    r2 = (cov_n * cov_n) / (varx_n * vary_n)
+    guard = varx_n > 0
+    return agg.select(
+        *by,
+        "n",
+        F.round(F.when(guard, slope), round_to).alias("slope"),
+        F.round(F.when(guard, intercept), round_to).alias("intercept"),
+        F.round(F.when(guard & (vary_n > 0), r2), round_to).alias("r2"),
+    )
+
+
+def grouped_linreg_oracle_sql(
+    table_expr: str,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`grouped_linreg`: HUGEINT-exact sums, the
+    same fixed-order float expressions."""
+    by = list(by or [])
+    gc = ", ".join(by)
+    gsel = f"{gc}, " if by else ""
+    gby = f"GROUP BY {gc}" if by else ""
+    return f"""
+WITH a AS (
+  SELECT {gsel}CAST(COUNT(*) AS BIGINT) AS n,
+         SUM({x_col}) AS sx, SUM({y_col}) AS sy,
+         SUM({x_col} * {x_col}) AS sxx,
+         SUM({x_col} * {y_col}) AS sxy,
+         SUM({y_col} * {y_col}) AS syy
+  FROM {table_expr}
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+  {gby}
+), d AS (
+  SELECT {gsel}n,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_n,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary_n,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+  FROM a
+)
+SELECT {gsel}n,
+       ROUND(CASE WHEN varx_n > 0 THEN cov_n / varx_n END, {round_to}) AS slope,
+       ROUND(CASE WHEN varx_n > 0
+             THEN (syd - (cov_n / varx_n) * sxd) / CAST(n AS DOUBLE) END, {round_to}) AS intercept,
+       ROUND(CASE WHEN varx_n > 0 AND vary_n > 0
+             THEN (cov_n * cov_n) / (varx_n * vary_n) END, {round_to}) AS r2
+FROM d
+"""
+
+
+def contingency_chi2(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pearson chi-square contribution table for a two-way contingency:
+    observed counts, independence-expected counts ``row_tot·col_tot/N``,
+    and per-cell ``(O−E)²/E`` — the categorical drift/independence
+    screen (e.g. does the label distribution shift across sources?).
+    Summing ``chi2_term`` gives the statistic with
+    ``(rows−1)(cols−1)`` degrees of freedom.
+
+    One count aggregate + two O(categories) broadcast joins; all counts
+    are exact integers and the float math is a fixed expression, so the
+    table hash-matches a SQL oracle. Cells absent from the data (O=0
+    but both margins positive) are included via the margin cross join —
+    their ``(0−E)²/E = E`` contribution is part of the statistic.
+    """
+    base = df.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+    cells = base.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("observed"))
+    rows = base.groupBy(row_col).agg(F.count(F.lit(1)).alias("_rt"))
+    cols = base.groupBy(col_col).agg(F.count(F.lit(1)).alias("_ct"))
+    n = base.agg(F.count(F.lit(1)).alias("_n"))
+    full = (
+        rows.crossJoin(F.broadcast(cols))
+        .join(F.broadcast(cells), [row_col, col_col], "left")
+        .crossJoin(F.broadcast(n))
+        .withColumn("observed", F.coalesce(F.col("observed"), F.lit(0)))
+    )
+    # fixed order: (rt·ct)/n with the numerator an exact int64 product
+    # (rt, ct ≤ n ≤ 3e9 keeps rt·ct < 2^63; cast to double once)
+    expected = (F.col("_rt") * F.col("_ct")).cast("double") / F.col("_n").cast("double")
+    dev = F.col("observed").cast("double") - expected
+    return full.select(
+        row_col,
+        col_col,
+        "observed",
+        F.round(expected, round_to).alias("expected"),
+        F.round(dev * dev / expected, round_to).alias("chi2_term"),
+    )
+
+
+def contingency_chi2_oracle_sql(
+    table_expr: str, row_col: str, col_col: str, round_to: int = 6
+) -> str:
+    """DuckDB twin of :func:`contingency_chi2`."""
+    return f"""
+WITH b AS (
+  SELECT {row_col} AS r, {col_col} AS c FROM {table_expr}
+  WHERE {row_col} IS NOT NULL AND {col_col} IS NOT NULL
+), cells AS (SELECT r, c, CAST(COUNT(*) AS BIGINT) AS observed FROM b GROUP BY r, c),
+rt AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS rtot FROM b GROUP BY r),
+ct AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS ctot FROM b GROUP BY c),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+grid AS (
+  SELECT rt.r, ct.c, COALESCE(cells.observed, 0) AS observed, rt.rtot, ct.ctot, nn.n
+  FROM rt CROSS JOIN ct
+  LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c
+  CROSS JOIN nn
+)
+SELECT r AS {row_col}, c AS {col_col}, observed,
+       ROUND(CAST(rtot * ctot AS DOUBLE) / CAST(n AS DOUBLE), {round_to}) AS expected,
+       ROUND((CAST(observed AS DOUBLE) - CAST(rtot * ctot AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(observed AS DOUBLE) - CAST(rtot * ctot AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(rtot * ctot AS DOUBLE) / CAST(n AS DOUBLE)), {round_to}) AS chi2_term
+FROM grid
+"""

@@ -103,3 +103,67 @@ def test_scd2_merge_null_keys_survive(spark):
     assert (None, "n1", True) in rows
     assert (1, "a", True) in rows
     assert len(rows) == 3
+
+
+def test_grouped_linreg_recovers_planted_line(spark):
+    """y = 3x + 40 exactly ⇒ slope 3, intercept 40, r² = 1."""
+    from revtron_utils_spark.operators.profile import grouped_linreg
+
+    rows = [(1, x, 3 * x + 40) for x in range(1, 200)]
+    df = spark.createDataFrame(rows, "g: int, x: long, y: long")
+    r = grouped_linreg(df, "x", "y", by=["g"]).first()
+    assert r["slope"] == 3.0 and r["intercept"] == 40.0 and r["r2"] == 1.0
+
+
+def test_grouped_linreg_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from revtron_utils_spark.io import read_table
+    from revtron_utils_spark.operators.profile import grouped_linreg
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    got = {r[0]: r for r in grouped_linreg(li, "x", "y", by=["l_returnflag"]).collect()}
+    pts = {}
+    for r in li.collect():
+        pts.setdefault(r[0], []).append((r[1], r[2]))
+    for g, xy in pts.items():
+        x = np.array([p[0] for p in xy], dtype=float)
+        y = np.array([p[1] for p in xy], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(got[g]["slope"] - slope) / abs(slope) < 1e-6
+        assert abs(got[g]["intercept"] - intercept) / max(abs(intercept), 1) < 1e-4
+        r = np.corrcoef(x, y)[0, 1]
+        assert abs(got[g]["r2"] - r * r) < 1e-6
+
+
+def test_grouped_linreg_degenerate_group(spark):
+    """Zero x-variance ⇒ NULL fit, no division error."""
+    from revtron_utils_spark.operators.profile import grouped_linreg
+
+    df = spark.createDataFrame([(1, 5, 10), (1, 5, 20)], "g: int, x: long, y: long")
+    r = grouped_linreg(df, "x", "y", by=["g"]).first()
+    assert r["slope"] is None and r["intercept"] is None and r["r2"] is None
+
+
+def test_contingency_chi2_independent_and_skewed(spark):
+    """A perfectly independent table scores ~0; a diagonal one scores
+    ~N·min(r-1, c-1); zero cells contribute E."""
+    from revtron_utils_spark.operators.profile import contingency_chi2
+
+    indep = [(a, b) for a in "xy" for b in "uv" for _ in range(25)]
+    df = spark.createDataFrame(indep, "r: string, c: string")
+    total = contingency_chi2(df, "r", "c").agg(F.sum("chi2_term")).first()[0]
+    assert abs(total) < 1e-9
+
+    diag = [("x", "u")] * 50 + [("y", "v")] * 50
+    df2 = spark.createDataFrame(diag, "r: string, c: string")
+    rows = contingency_chi2(df2, "r", "c").collect()
+    assert len(rows) == 4  # zero cells present via margins
+    total2 = sum(r["chi2_term"] for r in rows)
+    assert abs(total2 - 100.0) < 1e-6  # phi² = 1 ⇒ chi² = N
+    zero = [r for r in rows if r["observed"] == 0]
+    assert len(zero) == 2 and all(r["chi2_term"] == r["expected"] for r in zero)
