@@ -5323,6 +5323,60 @@ def _sql_funnel_within() -> str:
 SQL_FUNNEL_WITHIN = _sql_funnel_within()
 
 
+def q_attribution_multi_touch(spark, sf):
+    """Position-based + time-decay multi-touch attribution
+    (`funnel.multi_touch_attribution`): every view/click in the 30 days
+    before a purchase earns U-shaped (0.4/0.2-split/0.4) and
+    2^-min(days,20) decay credit; per-channel totals sum rounded shares
+    as DECIMAL (exact, order-independent), so the aggregate
+    hash-matches the oracle. Decay numerators are integer powers of
+    two — zero libm calls anywhere."""
+    from revtron_utils_spark.operators.funnel import multi_touch_attribution
+
+    ev = _t(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    touch = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", F.col("ts").alias("touch_ts"))
+        .agg(F.min("event_type").alias("touch_type"))
+    )
+    return multi_touch_attribution(p, touch)
+
+
+SQL_ATTRIBUTION_MULTI = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS cus FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, epoch_us(ts) AS tus, MIN(event_type) AS ch
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY user_id, epoch_us(ts)
+), j AS (
+  SELECT p.event_id, p.cus, t.tus, t.ch
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND p.cus - t.tus >= 0 AND p.cus - t.tus < 2592000000000
+), w AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY event_id) AS k,
+         ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY tus) AS r,
+         LEAST((cus - tus) // 86400000000, 20) AS d,
+         SUM(CAST(1 AS BIGINT) << CAST(20 - LEAST((cus - tus) // 86400000000, 20) AS INT))
+           OVER (PARTITION BY event_id) AS snum
+  FROM j
+), w2 AS (
+  SELECT ch,
+         CASE WHEN k = 1 THEN CAST(1.0 AS DOUBLE)
+              WHEN k = 2 THEN CAST(0.5 AS DOUBLE)
+              WHEN r = 1 OR r = k THEN CAST(0.4 AS DOUBLE)
+              ELSE CAST(0.2 AS DOUBLE) / (k - 2) END AS wp,
+         CAST((CAST(1 AS BIGINT) << CAST(20 - d AS INT)) AS DOUBLE)
+           / CAST(snum AS DOUBLE) AS wd
+  FROM w
+)
+SELECT ch AS touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       ROUND(CAST(SUM(CAST(ROUND(wp, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS credit_position,
+       ROUND(CAST(SUM(CAST(ROUND(wd, 6) AS DECIMAL(18,6))) AS DOUBLE), 6) AS credit_decay
+FROM w2 GROUP BY ch
+"""
+
+
 def q_attribution_last_touch(spark, sf):
     """Last-touch attribution: each purchase credits the latest
     preceding view/click — the as-of join applied to marketing
@@ -5539,6 +5593,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rolling_wau": (q_rolling_wau, SQL_ROLLING_WAU),
     "funnel_within": (q_funnel_within, SQL_FUNNEL_WITHIN),
     "attribution_last_touch": (q_attribution_last_touch, SQL_ATTRIBUTION),
+    "attribution_multi_touch": (q_attribution_multi_touch, SQL_ATTRIBUTION_MULTI),
     # rows-only (probabilistic / iterative / UDF-backed — no SQL oracle)
     "rest_writeback": (q_rest_writeback, None),
     "sketch_rollup": (q_sketch_rollup, None),

@@ -277,3 +277,92 @@ FROM expanded
 WHERE day <= (SELECT mx FROM bounds)
 GROUP BY day
 """
+
+
+def multi_touch_attribution(
+    conversions: DataFrame,
+    touches: DataFrame,
+    user_col: str = "user_id",
+    conv_id_col: str = "event_id",
+    conv_ts_col: str = "ts",
+    touch_ts_col: str = "touch_ts",
+    channel_col: str = "touch_type",
+    window_days: int = 30,
+    decay_cap_days: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Position-based (U-shaped) and time-decay multi-touch attribution:
+    every touch in the ``window_days`` before a conversion earns a
+    share of that conversion's credit, aggregated per channel — the
+    step past last-touch (`q_attribution_last_touch`) that real
+    marketing analytics runs.
+
+    Weights (standard industry definitions):
+    - position: single touch 1.0; two touches 0.5/0.5; otherwise 0.4
+      first + 0.4 last + 0.2 split evenly across the middle.
+    - time-decay: touch at age d days weighs 2^-min(d, cap) — the
+      per-conversion numerators ``2^(cap-d)`` are exact integers, their
+      window sum is exact, and each share is ONE IEEE division, so the
+      whole computation is deterministic without a single libm call.
+
+    Per-channel totals sum the per-touch shares AFTER rounding to
+    ``round_to``, as DECIMAL — decimal addition is exact and
+    order-independent, which keeps the aggregate hash-comparable
+    across engines (a double sum would depend on partition order).
+
+    Physical shape: one user-keyed join bounded by the time predicate
+    (bucket it with `operators/asof.range_join` at scale), windows
+    partitioned by conversion id (bounded by touches-per-window), one
+    O(channels) final aggregate. Conversions with no in-window touch
+    receive no attribution row (inner join) by definition.
+    """
+    from pyspark.sql import Window
+
+    us_day = 86_400_000_000
+    c = conversions.select(
+        F.col(conv_id_col).alias("_cid"),
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(conv_ts_col)).alias("_cus"),
+    )
+    t = touches.select(
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(touch_ts_col)).alias("_tus"),
+        F.col(channel_col).alias("_ch"),
+    )
+    j = c.join(t, "_u").where(
+        (F.col("_cus") - F.col("_tus") >= 0)
+        & (F.col("_cus") - F.col("_tus") < window_days * us_day)
+    )
+    w = Window.partitionBy("_cid")
+    wo = w.orderBy("_tus")
+    j = (
+        j.withColumn("_k", F.count(F.lit(1)).over(w))
+        .withColumn("_r", F.row_number().over(wo))
+        .withColumn(
+            "_d",
+            F.least(
+                F.expr(f"(_cus - _tus) div {us_day}"), F.lit(decay_cap_days)
+            ).cast("int"),
+        )
+        .withColumn(
+            "_num", F.expr(f"shiftleft(CAST(1 AS BIGINT), {decay_cap_days} - _d)")
+        )
+        .withColumn("_snum", F.sum("_num").over(w))
+    )
+    w_pos = (
+        F.when(F.col("_k") == 1, F.lit(1.0))
+        .when(F.col("_k") == 2, F.lit(0.5))
+        .when((F.col("_r") == 1) | (F.col("_r") == F.col("_k")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("_k") - 2))
+    )
+    w_decay = F.col("_num").cast("double") / F.col("_snum").cast("double")
+    per_touch = j.select(
+        F.col("_ch").alias(channel_col),
+        F.round(w_pos, round_to).cast("decimal(18,6)").alias("_wp"),
+        F.round(w_decay, round_to).cast("decimal(18,6)").alias("_wd"),
+    )
+    return per_touch.groupBy(channel_col).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum("_wp").cast("double"), round_to).alias("credit_position"),
+        F.round(F.sum("_wd").cast("double"), round_to).alias("credit_decay"),
+    )

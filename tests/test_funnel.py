@@ -202,3 +202,61 @@ def test_funnel_hypothesis_differential(spark):
         assert got == _py_funnel_times(rows, types, within)
 
     run()
+
+
+def test_multi_touch_attribution_weights(spark):
+    """Planted journey: weights follow the U-shape and decay
+    definitions exactly, and per-conversion shares sum to 1."""
+    from datetime import datetime, timedelta
+
+    from revtron_utils_spark.operators.funnel import multi_touch_attribution
+
+    t0 = datetime(2024, 1, 31, 12, 0, 0)
+    conv = spark.createDataFrame(
+        [(100, 1, t0)], "event_id: long, user_id: long, ts: timestamp"
+    )
+    # four touches: 10, 5, 2, 0 days before conversion
+    touches = spark.createDataFrame(
+        [
+            (1, t0 - timedelta(days=10), "view"),
+            (1, t0 - timedelta(days=5), "click"),
+            (1, t0 - timedelta(days=2), "view"),
+            (1, t0, "click"),
+        ],
+        "user_id: long, touch_ts: timestamp, touch_type: string",
+    )
+    out = {r.touch_type: r for r in multi_touch_attribution(conv, touches).collect()}
+    # position: first(view)=0.4, last(click)=0.4, two middles 0.1 each
+    assert abs(out["view"].credit_position - 0.5) < 1e-6
+    assert abs(out["click"].credit_position - 0.5) < 1e-6
+    # decay: weights ∝ 2^-10, 2^-5, 2^-2, 2^0 → click gets (2^-5+1)/S
+    s = 2**-10 + 2**-5 + 2**-2 + 1.0
+    assert abs(out["click"].credit_decay - (2**-5 + 1.0) / s) < 1e-5
+    assert abs(out["view"].credit_decay - (2**-10 + 2**-2) / s) < 1e-5
+    assert (
+        abs(out["view"].credit_position + out["click"].credit_position - 1.0) < 1e-6
+    )
+
+
+def test_multi_touch_attribution_window_excludes(spark):
+    """Touches outside the lookback window earn nothing; a conversion
+    with no in-window touch produces no rows."""
+    from datetime import datetime, timedelta
+
+    from revtron_utils_spark.operators.funnel import multi_touch_attribution
+
+    t0 = datetime(2024, 6, 1)
+    conv = spark.createDataFrame(
+        [(1, 1, t0), (2, 2, t0)], "event_id: long, user_id: long, ts: timestamp"
+    )
+    touches = spark.createDataFrame(
+        [
+            (1, t0 - timedelta(days=40), "view"),  # outside 30d window
+            (1, t0 - timedelta(days=1), "click"),  # inside
+        ],
+        "user_id: long, touch_ts: timestamp, touch_type: string",
+    )
+    out = multi_touch_attribution(conv, touches).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.touch_type == "click" and r.credit_position == 1.0 and r.credit_decay == 1.0
