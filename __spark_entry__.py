@@ -5377,6 +5377,74 @@ FROM w2 GROUP BY ch
 """
 
 
+def q_event_transitions(spark, sf):
+    """First-order Markov transition matrix (`funnel.event_transitions`):
+    P(next event type | current) over per-user streams — one lag
+    window + one count aggregate + O(types) margin broadcast; the
+    journey-flow summary behind sankey analytics."""
+    from revtron_utils_spark.operators.funnel import event_transitions
+
+    return event_transitions(_t(spark, sf, "events"))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH p AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS f,
+         event_type AS t
+  FROM events
+), c AS (
+  SELECT f AS from_type, t AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p WHERE f IS NOT NULL GROUP BY f, t
+), m AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / CAST(m.tot AS DOUBLE), 6) AS prob
+FROM c JOIN m ON c.from_type = m.from_type
+"""
+
+
+def q_ab_test(spark, sf):
+    """Welch two-sample test (`funnel.welch_ab_test`): extended price
+    between high/low-discount lineitems per return flag — means,
+    exact-moment-sum variances, and the t statistic, all from ONE
+    map-side-combined pass (Σx² in DECIMAL(38,0)); sqrt is IEEE
+    exactly-rounded, so the readout hash-matches the oracle."""
+    from revtron_utils_spark.operators.funnel import welch_ab_test
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.when(F.col("l_discount") > 0.05, F.lit("hi")).otherwise(F.lit("lo")).alias(
+            "disc_band"
+        ),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return welch_ab_test(li, "cents", "disc_band", by=["l_returnflag"])
+
+
+SQL_AB_TEST = """
+WITH b AS (
+  SELECT l_returnflag AS g,
+         CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS v,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+  FROM lineitem
+), s AS (
+  SELECT g, v, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s, SUM(x * x) AS ss
+  FROM b GROUP BY g, v
+), d AS (
+  SELECT g, v, n,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS var
+  FROM s
+)
+SELECT a.g AS l_returnflag, a.v AS variant_a, b2.v AS variant_b,
+       a.n AS n_a, b2.n AS n_b,
+       ROUND(a.m, 6) AS mean_a, ROUND(b2.m, 6) AS mean_b,
+       ROUND((a.m - b2.m) / sqrt(a.var / a.n + b2.var / b2.n), 6) AS t_stat
+FROM d a JOIN d b2 ON a.g = b2.g AND a.v < b2.v
+"""
+
+
 def q_attribution_last_touch(spark, sf):
     """Last-touch attribution: each purchase credits the latest
     preceding view/click — the as-of join applied to marketing
@@ -5594,6 +5662,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "funnel_within": (q_funnel_within, SQL_FUNNEL_WITHIN),
     "attribution_last_touch": (q_attribution_last_touch, SQL_ATTRIBUTION),
     "attribution_multi_touch": (q_attribution_multi_touch, SQL_ATTRIBUTION_MULTI),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "ab_test": (q_ab_test, SQL_AB_TEST),
     # rows-only (probabilistic / iterative / UDF-backed — no SQL oracle)
     "rest_writeback": (q_rest_writeback, None),
     "sketch_rollup": (q_sketch_rollup, None),

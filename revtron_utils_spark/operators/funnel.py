@@ -366,3 +366,100 @@ def multi_touch_attribution(
         F.round(F.sum("_wp").cast("double"), round_to).alias("credit_position"),
         F.round(F.sum("_wd").cast("double"), round_to).alias("credit_decay"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = "event_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: ``(from_type, to_type, n, prob)`` with ``prob =
+    P(to | from)`` — the behavioral-flow summary (what follows a view?
+    where do sessions die?) behind sankey/journey analytics.
+
+    One lag window per user (ordered by ``ts`` with a deterministic id
+    tiebreak for simultaneous events), one (from, to) count aggregate,
+    row-normalized by a broadcast of the O(types) margins; the single
+    count division is exactly-rounded IEEE, so the matrix
+    hash-matches a SQL oracle."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.withColumn("_prev", F.lag(type_col).over(w))
+        .where(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("from_type"), F.col(type_col).alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    margins = pairs.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (
+        pairs.join(F.broadcast(margins), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("_tot").cast("double"), round_to).alias(
+                "prob"
+            ),
+        )
+    )
+
+
+def welch_ab_test(
+    df: DataFrame,
+    metric_col: str,
+    variant_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Welch test per segment: means, unbiased variances,
+    and the t statistic between the two values of ``variant_col`` —
+    the A/B readout, computed from one map-side-combined pass over
+    exact moment sums (``metric_col`` must be integral; Σx² in
+    DECIMAL(38,0)).  ``t = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)``
+    uses only exactly-rounded IEEE ops (sqrt included), so the output
+    hash-matches a SQL oracle. Exactly two variants per segment are
+    required (asserted by the pivot producing non-null pairs)."""
+    by = list(by or [])
+    dt = dict(zip(df.schema.names, [f.dataType.simpleString() for f in df.schema.fields]))[
+        metric_col
+    ]
+    if dt not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise ValueError(f"welch_ab_test needs an integral metric; got {metric_col}: {dt}")
+    x = F.col(metric_col).cast("long")
+    base = df.filter(x.isNotNull() & F.col(variant_col).isNotNull())
+    agg = base.groupBy(*by, F.col(variant_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    # unbiased variance from exact sums: (n·Σx² − (Σx)²) / (n·(n−1))
+    var = (nd * F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double")) / (
+        nd * (nd - 1)
+    )
+    stats = agg.select(*by, "_v", "n", mean.alias("m"), var.alias("v"))
+    a = stats.alias("a")
+    b = stats.alias("b")
+    cond = F.col("a._v") < F.col("b._v")
+    for c in by:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    t = (F.col("a.m") - F.col("b.m")) / F.sqrt(
+        F.col("a.v") / F.col("a.n") + F.col("b.v") / F.col("b.n")
+    )
+    return a.join(b, cond).select(
+        *[F.col(f"a.{c}").alias(c) for c in by],
+        F.col("a._v").alias("variant_a"),
+        F.col("b._v").alias("variant_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(F.col("a.m"), round_to).alias("mean_a"),
+        F.round(F.col("b.m"), round_to).alias("mean_b"),
+        F.round(t, round_to).alias("t_stat"),
+    )

@@ -260,3 +260,40 @@ def test_multi_touch_attribution_window_excludes(spark):
     assert len(out) == 1
     r = out[0]
     assert r.touch_type == "click" and r.credit_position == 1.0 and r.credit_decay == 1.0
+
+
+def test_event_transitions_rows_normalize(spark, sf_dir):
+    from revtron_utils_spark.io import read_table
+    from revtron_utils_spark.operators.funnel import event_transitions
+
+    ev = read_table(spark, sf_dir, "events")
+    rows = event_transitions(ev).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for f, rs in by_from.items():
+        assert abs(sum(r.prob for r in rs) - 1.0) < 1e-4, f
+        for r in rs:
+            assert 0 < r.prob <= 1 and r.n > 0
+
+
+def test_welch_ab_test_detects_planted_shift(spark):
+    """Variant b shifted by +100 units: t strongly negative (a < b),
+    and the statistic matches scipy-free closed form."""
+    import math
+
+    from revtron_utils_spark.operators.funnel import welch_ab_test
+
+    a = [(1, "a", 1000 + (i % 7)) for i in range(200)]
+    b = [(1, "b", 1100 + (i % 5)) for i in range(150)]
+    df = spark.createDataFrame(a + b, "g: int, v: string, x: long")
+    r = welch_ab_test(df, "x", "v", by=["g"]).first()
+    assert r["variant_a"] == "a" and r["n_a"] == 200 and r["n_b"] == 150
+    xs = [t[2] for t in a]
+    ys = [t[2] for t in b]
+    ma, mb = sum(xs) / len(xs), sum(ys) / len(ys)
+    va = sum((x - ma) ** 2 for x in xs) / (len(xs) - 1)
+    vb = sum((y - mb) ** 2 for y in ys) / (len(ys) - 1)
+    t = (ma - mb) / math.sqrt(va / len(xs) + vb / len(ys))
+    assert abs(r["t_stat"] - t) < 1e-4
+    assert r["t_stat"] < -50  # the shift is unmistakable
