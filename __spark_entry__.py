@@ -2560,6 +2560,77 @@ WHERE GREATEST(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh),
 """
 
 
+def q_ngram_decontaminate(spark, sf):
+    """Similarity-based cross-corpus decontamination
+    (`dedup.ngram_join_pairs`): an eval set (every 11th document,
+    truncated to its first 60% of words — partial/paraphrase-style
+    leakage) joined against the full training corpus, which still
+    contains each eval item's source page; flag eval items
+    ≥0.5-contained in some training doc. Catches what verbatim 8-gram
+    `decontaminate` misses; R-S inverted-index join, 8-byte keys
+    through the shuffle."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "lang", "source", F.trim(F.col("text")).alias("text")
+    )
+    toks = F.split(F.col("text"), r"\s+")
+    eval_set = docs.where((F.col("doc_id") % 11 == 0) & (F.size(toks) >= 20)).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_join(
+            F.slice(
+                toks, F.lit(1), F.greatest(F.lit(5), (F.size(toks) * 3 / 5).cast("int"))
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return DD.ngram_join_pairs(
+        eval_set,
+        docs,
+        block_cols=("lang", "source"),
+        shingle_n=3,
+        threshold=0.5,
+        measure="containment_left",
+    )
+
+
+SQL_NGRAM_DECONTAMINATE = r"""
+WITH d AS (
+  SELECT doc_id, lang, source, trim(text) AS text FROM documents
+), tk AS (
+  SELECT doc_id, lang, source, string_split_regex(text, '\s+') AS toks FROM d
+), ev AS (
+  SELECT doc_id, lang, source,
+         array_to_string(list_slice(toks, 1, GREATEST(5, (len(toks) * 3) // 5)), ' ') AS text
+  FROM tk WHERE doc_id % 11 = 0 AND len(toks) >= 20
+), tr AS (
+  SELECT doc_id, lang, source, text FROM d
+), shl AS (
+  SELECT doc_id, lang, source,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+           ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM (SELECT doc_id, lang, source, string_split_regex(trim(text), '\s+') AS toks FROM ev)
+), shr AS (
+  SELECT doc_id, lang, source,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+           ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM (SELECT doc_id, lang, source, string_split_regex(trim(text), '\s+') AS toks FROM tr)
+), fl AS (SELECT * FROM shl WHERE len(sh) > 0),
+fr AS (SELECT * FROM shr WHERE len(sh) > 0)
+SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+       ROUND(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(l.sh, r.sh))), 6) AS jaccard,
+       ROUND(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) / len(l.sh), 6) AS containment_l,
+       ROUND(CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) / len(r.sh), 6) AS containment_r
+FROM fl l JOIN fr r ON l.lang = r.lang AND l.source = r.source
+WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) / len(l.sh) >= 0.5
+"""
+
+
 def q_cosine_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     min_id = emb.agg(F.min("vec_id")).first()[0]
@@ -5585,6 +5656,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ngram_containment": (q_ngram_containment, SQL_NGRAM_CONTAINMENT),
     "mojibake_fix": (q_mojibake_fix, SQL_MOJIBAKE_FIX),
+    "ngram_decontaminate": (q_ngram_decontaminate, SQL_NGRAM_DECONTAMINATE),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "pagerank": (q_pagerank, SQL_PAGERANK),
     "pagerank_seeded": (q_pagerank_seeded, SQL_PAGERANK_SEEDED),

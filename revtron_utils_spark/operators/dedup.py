@@ -1416,3 +1416,79 @@ def embedding_neardup_pairs(
         # collapse to one row (cosine is identical across duplicates)
         out = out.dropDuplicates(["id_a", "id_b"])
     return out
+
+
+def ngram_join_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: Sequence[str] = (),
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    measure: str = "containment_left",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-corpus exact set-similarity JOIN (R-S, not self-join):
+    for every (left, right) pair sharing ≥1 shingle, Jaccard and both
+    directed containments — the similarity-based decontamination
+    primitive (`curation.decontaminate` catches verbatim 8-gram
+    overlap; this catches paraphrased/partial benchmark leakage where
+    an eval item is mostly-contained in a training doc).
+
+    ``measure`` selects the thresholded column: ``jaccard``,
+    ``containment_left`` (|L∩R| / |L| — how much of the LEFT doc is
+    covered, the decontamination direction), or ``containment_right``.
+    Same inverted-index physical shape as :func:`ngram_jaccard_pairs`:
+    per-side postings of 8-byte shingle hashes, candidate pairs only
+    from the posting equi-join, ``max_df`` capping degenerate shingles
+    on BOTH sides (scores only shrink). Emits
+    ``(id_l, id_r, jaccard, containment_l, containment_r)``.
+    """
+    if measure not in ("jaccard", "containment_left", "containment_right"):
+        raise ValueError(f"unknown measure {measure!r}")
+
+    def posts(df: DataFrame, side: str) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias(f"id_{side}"),
+            *[F.col(c) for c in block_cols],
+            F.array_distinct(TX.word_ngrams(text_col, shingle_n)).alias("sh"),
+        ).filter(F.size("sh") > 0)
+        p = _persist(
+            base.select(
+                f"id_{side}",
+                *block_cols,
+                F.size("sh").alias(f"n_{side}"),
+                F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("g"),
+            )
+        )
+        return _cap_hot_buckets(p, [*block_cols, "g"], max_df, "drop")
+
+    pl, pr = posts(left, "l").alias("l"), posts(right, "r").alias("r")
+    cond = F.col("l.g") == F.col("r.g")
+    for c in block_cols:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    pairs = (
+        pl.join(pr, cond)
+        .groupBy(
+            F.col("l.id_l").alias("id_l"),
+            F.col("r.id_r").alias("id_r"),
+            F.col("l.n_l").alias("n_l"),
+            F.col("r.n_r").alias("n_r"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c") / (F.col("n_l") + F.col("n_r") - F.col("c"))
+    cl = F.col("c") / F.col("n_l")
+    cr = F.col("c") / F.col("n_r")
+    sel = {"jaccard": jac, "containment_left": cl, "containment_right": cr}[measure]
+    return (
+        pairs.filter(sel >= threshold)
+        .select(
+            "id_l",
+            "id_r",
+            F.round(jac, 6).alias("jaccard"),
+            F.round(cl, 6).alias("containment_l"),
+            F.round(cr, 6).alias("containment_r"),
+        )
+    )

@@ -873,3 +873,29 @@ def test_embedding_outliers_finds_planted_outlier(spark):
     d2 = ((q - cent) ** 2).sum(axis=1) / 1_000_000
     assert abs(out[0].dist2 - d2[-1]) < 1e-3
     assert len(out) == 3 and [r.rank for r in out] == [1, 2, 3]
+
+
+def test_ngram_join_cross_corpus(spark):
+    """R-S join: an eval doc contained in a training doc is found with
+    containment_left ≈ 1; unrelated pairs never materialize."""
+    train = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100))), (2, "nothing in common at all here")],
+        "doc_id: long, text: string",
+    )
+    evals = spark.createDataFrame(
+        [(10, " ".join(f"w{i}" for i in range(15))), (11, "some fully disjoint query text")],
+        "doc_id: long, text: string",
+    )
+    rows = DD.ngram_join_pairs(
+        evals, train, threshold=0.9, measure="containment_left"
+    ).collect()
+    assert {(r.id_l, r.id_r) for r in rows} == {(10, 1)}
+    assert rows[0].containment_l == 1.0 and rows[0].jaccard < 0.2
+
+
+def test_ngram_join_measure_validation(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id: long, text: string")
+    with _pytest.raises(ValueError, match="measure"):
+        DD.ngram_join_pairs(df, df, measure="nope")
