@@ -1406,6 +1406,53 @@ def q_streaming_sessionize(spark, sf):
     )
 
 
+def q_streaming_heavy_hitters(spark, sf):
+    """Streaming SpaceSaving top-k run to completion
+    (`streaming/heavy_hitters.py`): per event type, the top-10 users by
+    event count from an O(groups×capacity) bounded-state summary —
+    the streaming answer to "which items are hot right now" that CMS
+    point-queries can't give. Rows-only: summary content depends on
+    micro-batch interleaving within the SpaceSaving error bound (the
+    exact-regime equivalence is asserted in tests/test_streaming.py)."""
+    from pyspark.sql import Window as _W
+
+    from revtron_utils_spark.streaming.heavy_hitters import heavy_hitters_stream
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("user_id").cast("string").alias("user_id"),
+    )
+    tmp = _stream_staging("drv_stream_hh")
+    src = f"{tmp}/src"
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    q = heavy_hitters_stream(
+        spark,
+        src,
+        ev.schema,
+        "event_type",
+        "user_id",
+        capacity=64,
+        k=10,
+        checkpoint_dir=f"{tmp}/ck",
+        queryName="drv_stream_hh",
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming_heavy_hitters: availableNow stream exceeded 600s")
+    t = spark.table("drv_stream_hh")
+    # update-mode memory sink may hold one snapshot per micro-batch:
+    # keep each (group, item)'s final estimate, then re-rank
+    latest = t.groupBy("group", "item").agg(
+        F.max("est").alias("est"), F.min("err").alias("err")
+    )
+    w = _W.partitionBy("group").orderBy(F.col("est").desc(), "item")
+    return (
+        latest.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("group", "item", "est", "err", "rank")
+    )
+
+
 def q_streaming_interval_join(spark, sf):
     """Stream-stream interval join run to completion: click events
     matched to same-user purchases within 1 hour, both sides
@@ -5752,6 +5799,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_index_probe": (q_dedup_index_probe, None),
     "frame_sampling": (q_frame_sampling, SQL_FRAME_SAMPLING),
     "streaming_sessionize": (q_streaming_sessionize, None),
+    "streaming_heavy_hitters": (q_streaming_heavy_hitters, None),
 }
 
 

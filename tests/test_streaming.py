@@ -448,3 +448,78 @@ def test_stream_interval_join_window_semantics(spark):
     got = stream_interval_join(l, r, "user_id", max_delay="1 hour").collect()
     assert len(got) == 1
     assert got[0].user_id == 1 and str(got[0].r_ts) == "2024-01-01 10:30:00"
+
+
+def test_spacesaving_fold_guarantees():
+    """Pure-python SpaceSaving: est bounds hold and a >N/m item is
+    always tracked."""
+    import random
+
+    from revtron_utils_spark.streaming.heavy_hitters import spacesaving_fold
+
+    rng = random.Random(3)
+    # zipf-ish stream: item0 dominates
+    stream = ["hot"] * 400 + [f"i{rng.randrange(200)}" for _ in range(600)]
+    rng.shuffle(stream)
+    summary = spacesaving_fold({}, stream, capacity=32)
+    true = {}
+    for it in stream:
+        true[it] = true.get(it, 0) + 1
+    assert "hot" in summary  # freq 400 > N/m = 1000/32
+    for it, (est, err) in summary.items():
+        t = true.get(it, 0)
+        assert t <= est <= t + err + 1e-9, (it, t, est, err)
+    assert len(summary) <= 32
+
+
+def test_spacesaving_exact_when_capacity_exceeds_distinct():
+    from revtron_utils_spark.streaming.heavy_hitters import spacesaving_fold
+
+    stream = ["a"] * 5 + ["b"] * 3 + ["c"] * 2
+    s = spacesaving_fold({}, stream, capacity=10)
+    assert {k: v[0] for k, v in s.items()} == {"a": 5, "b": 3, "c": 2}
+    assert all(v[1] == 0 for v in s.values())
+
+
+def test_heavy_hitters_stream_end_to_end(spark, sf_dir, tmp_path):
+    """availableNow run over the events table: per-event-type top users
+    match a batch SpaceSaving replay when capacity covers all users
+    (exact regime), and output ranks are well-formed."""
+    from pyspark.sql import functions as F
+
+    from revtron_utils_spark.io import read_table
+    from revtron_utils_spark.streaming.heavy_hitters import heavy_hitters_stream
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("user_id").cast("string").alias("user_id"),
+    )
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    q = heavy_hitters_stream(
+        spark,
+        src,
+        ev.schema,
+        "event_type",
+        "user_id",
+        capacity=100_000,  # exact regime: capacity > distinct users
+        k=5,
+        checkpoint_dir=str(tmp_path / "ck"),
+        queryName="t_hh",
+    )
+    assert q.awaitTermination(300)
+    out = spark.table("t_hh").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.group, {})[r.item] = (r.est, r.err, r.rank)
+    truth = {
+        (r.event_type, r.user_id): r.n
+        for r in ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n")).collect()
+    }
+    top_truth = {}
+    for (g, u), n in truth.items():
+        top_truth.setdefault(g, []).append((-n, u))
+    for g, items in got.items():
+        want = sorted(top_truth[g])[:5]
+        for rank, (negn, u) in enumerate(want, start=1):
+            assert items[u] == (-negn, 0, rank), (g, u, items.get(u))
