@@ -118,6 +118,12 @@ HEADLINE = [
     "robust_stats",
     "embedding_outliers",
     "mojibake_fix",
+    "grouped_linreg",
+    "contingency_chi2",
+    "attribution_multi_touch",
+    "event_transitions",
+    "ab_test",
+    "ngram_decontaminate",
 ]
 
 
