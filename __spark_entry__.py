@@ -3389,6 +3389,66 @@ SELECT part_key, COUNT(*) AS triangles FROM corners GROUP BY part_key
 """
 
 
+def q_label_propagation(spark, sf):
+    """Synchronous label-propagation communities
+    (`graph.label_propagation`) over the same sparse k-nearest-partner
+    co-purchase graph as `triangle_counts`: 3 plurality rounds with
+    smallest-label tie-breaks — deterministic, so the oracle replays
+    the identical rounds as unrolled CTEs. Community granularity sits
+    between connected components and triangles; one node-keyed shuffle
+    per round, lineage cut between rounds."""
+    from pyspark.sql.window import Window
+
+    from revtron_utils_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tiebreak = (
+        F.col("id_a") * F.lit(2654435761) + F.col("id_b") * F.lit(40503)
+    ) % F.lit(999999937)
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("w").desc(), tiebreak.asc(), F.col("id_b")
+    )
+    sparse = (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 10)
+        .select("id_a", "id_b")
+    )
+    return label_propagation(sparse, "id_a", "id_b", iterations=3)
+
+
+def _sql_label_propagation() -> str:
+    from revtron_utils_spark.operators.graph import label_propagation_oracle_sql
+
+    edges = r"""
+SELECT id_a AS a, id_b AS b FROM (
+  SELECT a.l_partkey AS id_a, b.l_partkey AS id_b, COUNT(*) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+QUALIFY row_number() OVER (
+  PARTITION BY id_a
+  ORDER BY w DESC, (id_a * 2654435761 + id_b * 40503) % 999999937, id_b
+) <= 10
+"""
+    return label_propagation_oracle_sql(edges, iterations=3)
+
+
+SQL_LABEL_PROPAGATION = _sql_label_propagation()
+
+
 _SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -5563,6 +5623,41 @@ FROM d a JOIN d b2 ON a.g = b2.g AND a.v < b2.v
 """
 
 
+def q_top_paths(spark, sf):
+    """Most common session journeys (`funnel.top_session_paths`):
+    30-minute-gap sessions rendered as ordered event-type paths
+    (max 10 steps), counted, top-20 — the sankey/journey-mining
+    readout. Bounded per-session collect, map-side-combined path
+    counts, TakeOrdered top-k."""
+    from revtron_utils_spark.operators.funnel import top_session_paths
+
+    return top_session_paths(_t(spark, sf, "events"), k=20)
+
+
+SQL_TOP_PATHS = """
+WITH s AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+              OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s2 AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+), p AS (
+  SELECT user_id, sid,
+         array_to_string(
+           list_slice(array_agg(event_type ORDER BY us, event_id), 1, 10), '>') AS path
+  FROM s2 GROUP BY user_id, sid
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+
 def q_attribution_last_touch(spark, sf):
     """Last-touch attribution: each purchase credits the latest
     preceding view/click — the as-of join applied to marketing
@@ -5717,6 +5812,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE_BLOOM),
     "streaming_interval_join": (q_streaming_interval_join, None),
     "triangle_counts": (q_triangle_counts, SQL_TRIANGLE_COUNTS),
+    "label_propagation": (q_label_propagation, SQL_LABEL_PROPAGATION),
     "train_test_split": (q_train_test_split, SQL_TRAIN_TEST_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
@@ -5783,6 +5879,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "attribution_multi_touch": (q_attribution_multi_touch, SQL_ATTRIBUTION_MULTI),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "ab_test": (q_ab_test, SQL_AB_TEST),
+    "top_paths": (q_top_paths, SQL_TOP_PATHS),
     # rows-only (probabilistic / iterative / UDF-backed — no SQL oracle)
     "rest_writeback": (q_rest_writeback, None),
     "sketch_rollup": (q_sketch_rollup, None),

@@ -463,3 +463,67 @@ def welch_ab_test(
         F.round(F.col("b.m"), round_to).alias("mean_b"),
         F.round(t, round_to).alias("t_stat"),
     )
+
+
+def top_session_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+    k: int = 20,
+    max_len: int = 10,
+    sep: str = ">",
+) -> DataFrame:
+    """Most common session journeys: sessionize per user (lag/cumsum,
+    ``gap_minutes`` inactivity gap), render each session's ordered
+    event-type sequence as a path string (truncated to ``max_len``
+    steps — long sessions share their prefix, the analytically useful
+    part), count identical paths, return the top ``k``.
+
+    The per-session collect is bounded by session length (max_len
+    truncation caps the carried payload), the path count is a
+    map-side-combined aggregate on the path string, and top-k plans as
+    TakeOrdered — no global sort. Ordering inside a session uses
+    (ts, event_id) so simultaneous events are deterministic; ranking
+    ties break on the path string. Fully integer/string arithmetic —
+    hash-comparable against a SQL oracle.
+
+    Returns ``(path, n_sessions)`` ordered by (-n_sessions, path).
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = us - F.lag(us).over(w)
+    new_s = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
+    sid = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    with_sid = events.select(
+        F.col(user_col).alias("_u"),
+        us.alias("_us"),
+        F.col(id_col).alias("_i"),
+        F.col(type_col).alias("_t"),
+        sid.alias("_sid"),
+    )
+    paths = with_sid.groupBy("_u", "_sid").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_us"), F.col("_i"), F.col("_t")))
+                    ),
+                    lambda s: s["_t"],
+                ),
+                1,
+                max_len,
+            ),
+            sep,
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(k)
+    )

@@ -550,3 +550,94 @@ def triangle_counts(
     # frame is lazy, so an eager unpersist here would cancel the caches
     # before any action ever used them
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert, Kumara 2007) over the undirected graph: every node starts
+    with its own id as label; each round it adopts its neighbors'
+    PLURALITY label — after a few rounds labels coalesce inside dense
+    regions, splitting the graph into communities, the granularity
+    between connected components (too coarse: any bridge merges) and
+    triangles (too local).
+
+    Determinism (the published algorithm is famously order-dependent):
+    this variant is fully synchronous — all nodes update from the same
+    previous-round labels — and plurality ties break on the SMALLEST
+    label (``max_by`` over ``(count, −label)``), so a fixed iteration
+    count yields a bit-reproducible labeling that a SQL oracle can
+    replay with unrolled CTEs (count → QUALIFY row_number per node).
+    Isolated nodes keep their own label.
+
+    100 TB posture: per round one neighbor-join shuffle + one
+    (node, label) count aggregate — the same node-keyed shuffle budget
+    as a PageRank iteration; labels frame lineage-cut per round
+    (reliable checkpoint with ``checkpoint_dir``); nothing collects.
+
+    Returns ``(node, label)``; community members share a label.
+    """
+    spark = edges.sparkSession
+    _cut = _lineage_cutter(spark, checkpoint_dir)
+
+    e0 = _cut(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+            F.col(src) != F.col(dst)  # self-loops vote for nobody
+        ),
+        True,
+    )
+    und = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    und = und.persist()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    labels = _cut(labels, True)
+    for _ in range(iterations):
+        nb = und.join(labels, und["b"] == labels["node"]).select(
+            F.col("a"), F.col("label")
+        )
+        counts = nb.groupBy("a", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        new = counts.groupBy("a").agg(
+            F.max_by(
+                F.col("label"), F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+            ).alias("label")
+        )
+        labels = _cut(new.select(F.col("a").alias("node"), "label"), True)
+    und.unpersist()
+    return labels
+
+
+def label_propagation_oracle_sql(
+    edges_sql: str, iterations: int = 4
+) -> str:
+    """DuckDB twin of :func:`label_propagation`: the same synchronous
+    rounds unrolled as chained CTEs over an edge subquery producing
+    columns ``(a, b)``."""
+    parts = [
+        f"e0 AS ({edges_sql})",
+        "und AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM e0 WHERE a <> b"
+        " UNION ALL SELECT b AS a, a AS b FROM e0 WHERE a <> b))",
+        "l0 AS (SELECT DISTINCT a AS node, a AS label FROM und)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"c{i} AS (SELECT und.a, l{i}.label, COUNT(*) AS cnt "
+            f"FROM und JOIN l{i} ON und.b = l{i}.node GROUP BY und.a, l{i}.label)"
+        )
+        parts.append(
+            f"l{i + 1} AS (SELECT a AS node, label FROM c{i} "
+            "QUALIFY row_number() OVER (PARTITION BY a ORDER BY cnt DESC, label ASC) = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT node, label FROM l{iterations}"
+    )

@@ -845,3 +845,70 @@ def test_personalized_pagerank_with_dangling_nodes(spark):
     # the dangling mass teleports to seeds only: non-seed dangling node
     # 3 keeps draining, seed 5 (also dangling) accumulates
     assert got[5] > got[3]
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: LP separates them (CC
+    would merge); labels inside each clique agree."""
+    from revtron_utils_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    bridge = [(3, 10)]
+    edges = spark.createDataFrame(c1 + c2 + bridge, "src: long, dst: long")
+    out = {r.node: r.label for r in label_propagation(edges, iterations=4).collect()}
+    l1 = {out[n] for n in range(4)}
+    l2 = {out[n] for n in range(10, 14)}
+    assert len(l1) == 1 and len(l2) == 1  # each clique coherent
+    assert l1 != l2  # the bridge did not merge the communities
+
+
+def test_label_propagation_matches_python_replay(spark):
+    """Bit-equal to a synchronous python replay with the same
+    (count desc, min label) tie-break."""
+    import random
+
+    from revtron_utils_spark.operators.graph import label_propagation
+
+    rng = random.Random(5)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(60)})
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r.node: r.label for r in label_propagation(df, iterations=3).collect()}
+
+    und = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    labels = {v: v for v in und}
+    for _ in range(3):
+        new = {}
+        for v, nbrs in und.items():
+            counts = {}
+            for u in nbrs:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            new[v] = min(counts, key=lambda l: (-counts[l], l))
+        labels = new
+    assert got == labels
+
+
+def test_top_session_paths_planted(spark):
+    from datetime import datetime, timedelta
+
+    from revtron_utils_spark.operators.funnel import top_session_paths
+
+    t0 = datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for u in range(5):  # five users take the same journey
+        for i, t in enumerate(["view", "click", "purchase"]):
+            rows.append((eid, u, t0 + timedelta(minutes=i), t))
+            eid += 1
+    rows.append((eid, 9, t0, "error"))  # singleton path
+    df = spark.createDataFrame(
+        rows, "event_id: long, user_id: long, ts: timestamp, event_type: string"
+    )
+    out = top_session_paths(df, k=5).collect()
+    assert out[0].path == "view>click>purchase" and out[0].n_sessions == 5
+    assert ("error", 1) in [(r.path, r.n_sessions) for r in out]

@@ -156,11 +156,17 @@ def make_fixtures(out_dir: Path, n_docs: int, seed: int = 42) -> None:
             "o_custkey": pa.array(
                 [rng.randrange(n_cust) for _ in range(n_docs)], pa.int64()
             ),
+            # KMV gate dimension: segment labels with overlapping
+            # customer sets, as in TPC-H order priorities
+            "o_orderpriority": pa.array(
+                [rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-LOW"]) for _ in range(n_docs)]
+            ),
         }
     )
     pq.write_table(orders, out_dir / "orders.parquet")
     n_li = n_docs * 4
     n_part = n_docs * 4
+    qtys = [rng.randrange(1, 51) for _ in range(n_li)]
     lineitem = pa.table(
         {
             "l_orderkey": pa.array(
@@ -174,6 +180,24 @@ def make_fixtures(out_dir: Path, n_docs: int, seed: int = 42) -> None:
             # recurs in ~4 orders — edge count linear in lineitem
             "l_partkey": pa.array(
                 [rng.randrange(n_part) for _ in range(n_li)], pa.int64()
+            ),
+            # robust-stats / linreg / chi2 / ab_test gate columns:
+            # heavy-tailed prices correlated with quantity, categorical
+            # flags, uniform discounts
+            "l_returnflag": pa.array([rng.choice("AANR") for _ in range(n_li)]),
+            "l_linestatus": pa.array([rng.choice("OOF") for _ in range(n_li)]),
+            "l_quantity": pa.array(
+                [float(q) for q in qtys], pa.float64()
+            ),
+            "l_extendedprice": pa.array(
+                [
+                    round(q * (900 + 100 * rng.random()) * (10 if rng.random() < 0.001 else 1), 2)
+                    for q in qtys
+                ],
+                pa.float64(),
+            ),
+            "l_discount": pa.array(
+                [round(rng.randrange(0, 11) / 100, 2) for _ in range(n_li)], pa.float64()
             ),
         }
     )
@@ -224,7 +248,7 @@ def main() -> None:
                 return True
             import pyarrow.parquet as _pq
 
-            return "l_partkey" not in _pq.read_schema(li).names
+            return "l_returnflag" not in _pq.read_schema(li).names
 
         if _stale(d):
             print(f"generating fixtures n={n} ...", file=sys.stderr)
