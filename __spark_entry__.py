@@ -5184,6 +5184,26 @@ def _sql_approx_distinct_poly() -> str:
 SQL_APPROX_DISTINCT_POLY = _sql_approx_distinct_poly()
 
 
+def q_ams_f2(spark, sf):
+    """AMS tug-of-war F2 sketch (`rollup.ams_f2`): per return flag, the
+    estimated self-join size Σf² of the order-key frequency vector —
+    the skew/join-blowup predictor — from 16 exact-integer signed
+    counters (mergeable by addition) in ONE scan. Engine-exact signs
+    (shifted fmix parity) make the estimate hash-match the oracle."""
+    from revtron_utils_spark.operators.rollup import ams_f2
+
+    return ams_f2(_t(spark, sf, "lineitem"), ["l_returnflag"], "l_orderkey", k=16)
+
+
+def _sql_ams_f2() -> str:
+    from revtron_utils_spark.operators.rollup import ams_f2_oracle_sql
+
+    return ams_f2_oracle_sql("lineitem", ["l_returnflag"], "l_orderkey", k=16)
+
+
+SQL_AMS_F2 = _sql_ams_f2()
+
+
 def q_kmv_distinct(spark, sf):
     """KMV (k-minimum-values) distinct sketch (`operators/kmv.py`):
     distinct customers per order priority via the k=64 smallest
@@ -5807,6 +5827,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cms_counts": (q_cms_counts, SQL_CMS_COUNTS),
     "approx_distinct_poly": (q_approx_distinct_poly, SQL_APPROX_DISTINCT_POLY),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "ams_f2": (q_ams_f2, SQL_AMS_F2),
     "kmv_intersect": (q_kmv_intersect, SQL_KMV_INTERSECT),
     "pq_ann": (q_pq_ann, None),
     "decontaminate_bloom": (q_decontaminate_bloom, SQL_DECONTAMINATE_BLOOM),

@@ -167,7 +167,8 @@ CMS_PARAMS = [
 
 # the cross-engine string hash (one definition for the whole repo —
 # functions/polyhash.py)
-from ..functions.polyhash import poly_hash_str as _cms_poly_hash  # noqa: E402
+from ..functions.polyhash import poly_hash_sql, poly_hash_str  # noqa: E402
+_cms_poly_hash = poly_hash_str
 
 
 def cms_build(
@@ -572,3 +573,99 @@ def maintain_quantile_rollup(
             state, quantile_rollup_partial(b, group_cols, value_col, bins_per_efold), group_cols
         )
     return quantile_rollup_estimate(state, group_cols, probs)
+
+
+# ------------------------------------------------------------- AMS F2 sketch
+
+
+def _ams_sign_from_poly(poly: Column, j: int) -> Column:
+    """±1 sign for counter j from the PRE-COMPUTED poly hash: parity of
+    the fmix32 finalizer applied to the hash shifted by a per-counter
+    odd constant — engine-exact integer ops only (the raw poly hash's
+    low bit is just the last character's parity; fmix mixes every
+    character into it). Taking the poly hash as input lets callers
+    evaluate the expensive character fold ONCE per row for all k
+    counters."""
+    h = _fmix32((poly + F.lit(j * 2654435761)) % F.lit(1 << 32))
+    return F.lit(1) - F.lit(2) * (h % 2)
+
+
+def ams_f2_partial(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int = 16
+) -> DataFrame:
+    """AMS/tug-of-war F2 sketch (Alon, Matias, Szegedy, STOC 1996):
+    per group, k signed counters ``c_j = Σ_rows s_j(key)`` whose
+    squared mean estimates the second frequency moment
+    ``F2 = Σ_x f_x²`` — the self-join size, the quantity that predicts
+    join blowup and group skew before you pay for the join.
+    Counters are exact int64 sums (map-side combined, mergeable by
+    plain addition), so the whole estimate is engine-exact.
+    Returns ``(*group_cols, j, c)`` with k rows per group.
+
+    ONE scan, ONE character fold: the poly hash is computed once per
+    row, the k signs derive from it as an array and pos-explode (k
+    unioned scans would read the input k times; k independent sign
+    expressions would fold the key's characters k times)."""
+    rows = df.where(F.col(key_col).isNotNull()).select(
+        *group_cols, poly_hash_str(F.col(key_col).cast("string")).alias("_p")
+    )
+    signs = F.array(*[_ams_sign_from_poly(F.col("_p"), j) for j in range(k)])
+    return (
+        rows.select(*group_cols, F.posexplode(signs).alias("j", "s"))
+        .groupBy(*group_cols, "j")
+        .agg(F.sum("s").alias("c"))
+    )
+
+
+def ams_f2_merge(state: DataFrame, partial: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Counters add: sketch(A ⊎ B) = sketch(A) + sketch(B)."""
+    return (
+        state.unionByName(partial)
+        .groupBy(*group_cols, "j")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def ams_f2_estimate(
+    state: DataFrame, group_cols: list[str], k: int = 16
+) -> DataFrame:
+    """``F2^ = mean_j c_j²`` — integer-exact numerator, one division."""
+    return state.groupBy(*group_cols).agg(
+        (F.sum(F.col("c") * F.col("c")).cast("double") / F.lit(float(k))).alias(
+            "f2_est"
+        )
+    )
+
+
+def ams_f2(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int = 16
+) -> DataFrame:
+    """One-shot grouped F2 estimate; see :func:`ams_f2_partial`."""
+    return ams_f2_estimate(ams_f2_partial(df, group_cols, key_col, k), group_cols, k)
+
+
+def ams_f2_oracle_sql(
+    table: str, group_cols: list[str], key_col: str, k: int = 16
+) -> str:
+    """DuckDB twin: same per-counter shifted fmix chain, same integer
+    counters, same single division."""
+    gc = ", ".join(group_cols)
+    poly = poly_hash_sql(f"CAST({key_col} AS VARCHAR)")
+    branches = []
+    for j in range(k):
+        inner = (
+            f"SELECT {gc}, {j} AS j, (p + {j * 2654435761}) % {1 << 32} AS h FROM base"
+        )
+        for step in _fmix32_sql_steps():
+            inner = f"SELECT {gc}, j, {step} AS h FROM ({inner})"
+        branches.append(f"SELECT {gc}, j, 1 - 2 * (h % 2) AS s FROM ({inner})")
+    un = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {gc}, {poly} AS p FROM {table} WHERE {key_col} IS NOT NULL
+),
+signs AS ({un}),
+ctr AS (SELECT {gc}, j, SUM(s) AS c FROM signs GROUP BY {gc}, j)
+SELECT {gc}, CAST(SUM(c * c) AS DOUBLE) / {float(k)!r} AS f2_est
+FROM ctr GROUP BY {gc}
+"""

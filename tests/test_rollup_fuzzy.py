@@ -349,3 +349,47 @@ def test_hll_poly_p_validation(spark):
     for bad in (0, 32, 40, -1):
         with pytest.raises(ValueError):
             hll_poly_distinct(df, ["grp"], "k", p=bad)
+
+
+def test_ams_f2_estimates_self_join_size(spark, sf_dir):
+    """F2^ lands within the AMS variance band of the true Σf², and the
+    merge law sketch(A)+sketch(B) == sketch(A∪B) holds exactly."""
+    from pyspark.sql import functions as F
+
+    from revtron_utils_spark.io import read_table
+    from revtron_utils_spark.operators.rollup import (
+        ams_f2,
+        ams_f2_estimate,
+        ams_f2_merge,
+        ams_f2_partial,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    est = {r[0]: r["f2_est"] for r in ams_f2(li, ["l_returnflag"], "l_orderkey", k=16).collect()}
+    truth = {
+        r[0]: r[1]
+        for r in li.groupBy("l_returnflag", "l_orderkey")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("f") * F.col("f")).alias("f2"))
+        .collect()
+    }
+    for g, t in truth.items():
+        # var(F2^) = 2(F2² − F4)/k ≤ 2F2²/k → rel σ ≤ √(2/16) ≈ 0.35; 3σ
+        assert abs(est[g] - t) / t < 1.0, (g, est[g], t)
+
+    a = li.where(F.col("l_orderkey") % 2 == 0)
+    b = li.where(F.col("l_orderkey") % 2 == 1)
+    merged = ams_f2_estimate(
+        ams_f2_merge(
+            ams_f2_partial(a, ["l_returnflag"], "l_orderkey", 16),
+            ams_f2_partial(b, ["l_returnflag"], "l_orderkey", 16),
+            ["l_returnflag"],
+        ),
+        ["l_returnflag"],
+        16,
+    )
+    direct = ams_f2(li, ["l_returnflag"], "l_orderkey", 16)
+    m = {r[0]: r["f2_est"] for r in merged.collect()}
+    d = {r[0]: r["f2_est"] for r in direct.collect()}
+    assert m == d
