@@ -5575,6 +5575,47 @@ FROM w2 GROUP BY ch
 """
 
 
+def q_rolling_zscore(spark, sf):
+    """Daily-volume anomaly screen (`profile.rolling_zscore`): each
+    (event_type, day) total scored against its trailing 7 days
+    (current day excluded so an anomaly can't inflate its own
+    baseline). Integer-exact window sums over the calendar-bounded
+    daily table; hash-matches the oracle."""
+    from revtron_utils_spark.operators.profile import rolling_zscore
+
+    return rolling_zscore(
+        _t(spark, sf, "events"), "ts", "value", by=["event_type"], window=7
+    )
+
+
+SQL_ROLLING_ZSCORE = """
+WITH daily AS (
+  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), win AS (
+  SELECT event_type, day_us, x,
+         COUNT(x) OVER w AS n, SUM(x) OVER w AS s,
+         SUM(CAST(x AS HUGEINT) * x) OVER w AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_us
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+), calc AS (
+  SELECT event_type, day_us, x, n,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS var
+  FROM win
+)
+SELECT event_type, day_us,
+       ROUND(CAST(x AS DOUBLE) / 100, 6) AS daily_total,
+       ROUND(CASE WHEN n >= 3 AND var > 0
+             THEN (CAST(x AS DOUBLE) - m) / sqrt(var) END, 6) AS z
+FROM calc
+"""
+
+
 def q_event_transitions(spark, sf):
     """First-order Markov transition matrix (`funnel.event_transitions`):
     P(next event type | current) over per-user streams — one lag
@@ -5901,6 +5942,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "ab_test": (q_ab_test, SQL_AB_TEST),
     "top_paths": (q_top_paths, SQL_TOP_PATHS),
+    "rolling_zscore": (q_rolling_zscore, SQL_ROLLING_ZSCORE),
     # rows-only (probabilistic / iterative / UDF-backed — no SQL oracle)
     "rest_writeback": (q_rest_writeback, None),
     "sketch_rollup": (q_sketch_rollup, None),

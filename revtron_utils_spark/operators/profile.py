@@ -260,3 +260,67 @@ SELECT r AS {row_col}, c AS {col_col}, observed,
              / (CAST(rtot * ctot AS DOUBLE) / CAST(n AS DOUBLE)), {round_to}) AS chi2_term
 FROM grid
 """
+
+
+def rolling_zscore(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    by: list[str] | None = None,
+    window: int = 7,
+    min_history: int = 3,
+    value_scale: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Daily-series anomaly screen: per group, each day's total scored
+    against the TRAILING ``window`` days (excluding the current day —
+    an anomaly must not inflate its own baseline): ``z = (x − μ) /
+    σ``, with μ/σ from the window's exact integer sums. Days with
+    fewer than ``min_history`` prior days get NULL z (cold start).
+
+    The volume/traffic drift alarm every ingestion pipeline runs.
+    Values are quantized to ``1/value_scale`` units so every
+    distributed and window sum is an exact integer (squares summed as
+    DECIMAL(38,0) — a day's scaled total squared overflows int64 at
+    realistic volume); σ uses the unbiased estimator and one
+    exactly-rounded sqrt, so output hash-matches a SQL oracle.
+
+    One shuffle to daily grain (map-side combined), then an
+    O(groups × days) window — the window input is the DAILY table, so
+    its size is calendar-bounded regardless of event volume.
+
+    Returns ``(*by, day_us, daily_total, z)``.
+    """
+    from pyspark.sql import Window
+
+    by = list(by or [])
+    day = F.date_trunc("DAY", F.col(ts_col).cast("timestamp"))
+    q = F.round(F.col(value_col) * value_scale).cast("long")
+    daily = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*by, F.unix_micros(day).alias("day_us"))
+        .agg(F.sum(q).alias("_x"))
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("day_us")
+        .rowsBetween(-window, -1)
+    )
+    n = F.count(F.col("_x")).over(w)
+    s = F.sum(F.col("_x")).over(w)
+    s2 = F.sum((F.col("_x") * F.col("_x")).cast("decimal(38,0)")).over(w)
+    nd = n.cast("double")
+    mean = s.cast("double") / nd
+    # unbiased variance from exact sums: (n·Σx² − (Σx)²) / (n·(n−1))
+    var = (nd * s2.cast("double") - s.cast("double") * s.cast("double")) / (
+        nd * (nd - 1)
+    )
+    z = (F.col("_x").cast("double") - mean) / F.sqrt(var)
+    return daily.select(
+        *by,
+        "day_us",
+        F.round(F.col("_x").cast("double") / value_scale, round_to).alias("daily_total"),
+        F.round(
+            F.when((n >= min_history) & (var > 0), z), round_to
+        ).alias("z"),
+    )

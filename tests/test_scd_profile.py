@@ -167,3 +167,37 @@ def test_contingency_chi2_independent_and_skewed(spark):
     assert abs(total2 - 100.0) < 1e-6  # phi² = 1 ⇒ chi² = N
     zero = [r for r in rows if r["observed"] == 0]
     assert len(zero) == 2 and all(r["chi2_term"] == r["expected"] for r in zero)
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    """30 flat days then a 10× spike: only the spike day clears |z|>3;
+    early cold-start days are NULL."""
+    from datetime import datetime, timedelta
+
+    from revtron_utils_spark.operators.profile import rolling_zscore
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(30):
+        # mildly noisy baseline (a constant one has zero variance, and
+        # the operator deliberately NULLs z rather than divide by it)
+        v = 1000.0 + (d * 7) % 23 if d != 25 else 10000.0
+        # two events per day so the daily grain does real aggregation
+        for part in (v * 0.4, v * 0.6):
+            rows.append((eid, t0 + timedelta(days=d, hours=eid % 12), "load", part))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, event_type: string, value: double"
+    )
+    out = sorted(
+        rolling_zscore(df, "ts", "value", by=["event_type"], window=7).collect(),
+        key=lambda r: r.day_us,
+    )
+    assert out[0].z is None  # first day: no history
+    flagged = [i for i, r in enumerate(out) if r.z is not None and abs(r.z) > 3]
+    assert flagged == [25]
+    assert abs(out[25].daily_total - 10000.0) < 1e-6
+    # the day AFTER the spike is judged against a spike-inflated
+    # baseline but must not itself alert upward
+    assert out[26].z is None or out[26].z < 3
