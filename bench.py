@@ -124,6 +124,10 @@ HEADLINE = [
     "event_transitions",
     "ab_test",
     "ngram_decontaminate",
+    "label_propagation",
+    "top_paths",
+    "ams_f2",
+    "rolling_zscore",
 ]
 
 
