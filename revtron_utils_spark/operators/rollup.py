@@ -578,15 +578,18 @@ def maintain_quantile_rollup(
 # ------------------------------------------------------------- AMS F2 sketch
 
 
-def _ams_sign_from_poly(poly: Column, j: int) -> Column:
+def _ams_sign_from_poly(poly: Column, j: Column | int) -> Column:
     """±1 sign for counter j from the PRE-COMPUTED poly hash: parity of
     the fmix32 finalizer applied to the hash shifted by a per-counter
     odd constant — engine-exact integer ops only (the raw poly hash's
     low bit is just the last character's parity; fmix mixes every
     character into it). Taking the poly hash as input lets callers
     evaluate the expensive character fold ONCE per row for all k
-    counters."""
-    h = _fmix32((poly + F.lit(j * 2654435761)) % F.lit(1 << 32))
+    counters. ``j`` may be a literal or a Column (the counter index
+    materialized by a Generate — see :func:`ams_f2_partial`); either
+    way every intermediate stays under 2⁴⁸, safe for ANSI int64."""
+    jc = F.lit(j) if isinstance(j, int) else j
+    h = _fmix32((poly + jc * F.lit(2654435761)) % F.lit(1 << 32))
     return F.lit(1) - F.lit(2) * (h % 2)
 
 
@@ -602,16 +605,34 @@ def ams_f2_partial(
     plain addition), so the whole estimate is engine-exact.
     Returns ``(*group_cols, j, c)`` with k rows per group.
 
-    ONE scan, ONE character fold: the poly hash is computed once per
-    row, the k signs derive from it as an array and pos-explode (k
-    unioned scans would read the input k times; k independent sign
-    expressions would fold the key's characters k times)."""
+    ONE scan, ONE character fold, ONE fmix chain per output row:
+    the poly hash ``_p`` is computed once per input row, the counter
+    index ``j`` is EXPLODED FIRST (``explode(sequence(0, k-1))``), and
+    the sign is computed from the Generate-materialized ``(_p, j)`` in
+    the projection ABOVE the Generate. Order matters for codegen: an
+    array of k pre-built sign expressions (the round-5 shape) inlines
+    the poly fold into every fmix stage — fmix32 references its input
+    2-3× per stage, so the tree doubles per stage and k·2⁵ copies of
+    the character fold blew the generated method past janino's 64KB
+    limit, silently disabling whole-stage codegen (~100k-node
+    interpreted tree, 138s at sf0.1). With explode-first, ``_p`` is an
+    attribute on the Generate's output, the 2⁵ references are cheap
+    column reads, and the per-row tree is a few hundred arithmetic
+    nodes — compiled. Same answer, same oracle."""
     rows = df.where(F.col(key_col).isNotNull()).select(
         *group_cols, poly_hash_str(F.col(key_col).cast("string")).alias("_p")
     )
-    signs = F.array(*[_ams_sign_from_poly(F.col("_p"), j) for j in range(k)])
+    exploded = rows.select(
+        *group_cols,
+        "_p",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+    )
     return (
-        rows.select(*group_cols, F.posexplode(signs).alias("j", "s"))
+        exploded.select(
+            *group_cols,
+            F.col("j").cast("int").alias("j"),
+            _ams_sign_from_poly(F.col("_p"), F.col("j")).alias("s"),
+        )
         .groupBy(*group_cols, "j")
         .agg(F.sum("s").alias("c"))
     )
