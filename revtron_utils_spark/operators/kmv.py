@@ -107,20 +107,25 @@ def kmv_partial(
     survivors = hashed.join(F.broadcast(thr_df), group_cols).where(
         F.col("_h") <= F.col("_thr")
     )
-    part = (
-        _kmin_agg(survivors, group_cols, k)
-        .join(F.broadcast(thr_df), group_cols)
-        .persist()
+    from .dedup import _persist  # release_caches() reclaims it
+
+    part = _persist(
+        _kmin_agg(survivors, group_cols, k).join(F.broadcast(thr_df), group_cols)
     )
     # exactness guard: a group that kept < k distinct survivors while
     # its threshold was below the hash ceiling may have truncated the
-    # true k-minima — re-aggregate just those groups unfiltered
-    need = part.where(
-        (F.col("_nsurv") < k) & (F.col("_thr") < KMV_M - 1)
+    # true k-minima — re-aggregate those groups unfiltered. Candidates
+    # come from thr_df (one row per non-empty group), NOT from the
+    # survivor aggregate: a group whose EVERY hash exceeds its threshold
+    # yields no survivor row at all, and deriving "need" from survivors
+    # would silently drop it (a thr == M-1 group always survives — its
+    # filter passes everything — so zero survivors implies thr < M-1
+    # and the group belongs in the rescue set).
+    ok = (F.col("_nsurv") >= k) | (F.col("_thr") == KMV_M - 1)
+    good = part.where(ok).select(*group_cols, "kmins")
+    need = thr_df.join(
+        part.where(ok).select(*group_cols), group_cols, "left_anti"
     ).select(*group_cols)
-    good = part.where(
-        ~((F.col("_nsurv") < k) & (F.col("_thr") < KMV_M - 1))
-    ).select(*group_cols, "kmins")
     if need.limit(1).count() == 0:  # O(groups) check on the persisted partial
         return good
     rescued = _kmin_agg(

@@ -76,3 +76,69 @@ class PlanFacts:
         for s in self.read_schemas:
             cols.update(re.findall(r"(\w+):", s))
         return cols
+
+
+# --------------------------------------------------- codegen health
+#
+# Whole-stage codegen can fail SILENTLY at runtime: if janino rejects a
+# generated method (>64KB bytecode) or the compiled method exceeds
+# ``spark.sql.codegen.hugeMethodLimit``, Spark logs a warning and falls
+# back to interpreting the expression tree per row — the answer stays
+# right while the query runs 10-100× slower (round 5's ams_f2: a ~100k-
+# node tree ran interpreted for 138s where the compiled form takes ~3s,
+# and every artifact stayed green). These helpers make that failure a
+# static, assertable plan fact: compile every WholeStageCodegen subtree
+# with janino (no execution) and expose the bytecode stats Spark itself
+# checks before deciding to disable codegen.
+
+HUGE_METHOD_LIMIT = 65535  # janino's per-method bytecode cap; also the
+# default of spark.sql.codegen.hugeMethodLimit — beyond it Spark
+# disables whole-stage codegen for the plan at runtime
+
+
+@dataclass
+class CodegenStats:
+    subtree_head: str
+    max_method_code_size: int
+    max_const_pool_size: int
+
+    @property
+    def healthy(self) -> bool:
+        """False when the generated code failed to compile (janino error
+        → size -1 → runtime silently interprets) or its largest method
+        exceeds the limit (runtime disables codegen for the plan)."""
+        return 0 <= self.max_method_code_size <= HUGE_METHOD_LIMIT
+
+
+def codegen_compile_stats(df: DataFrame) -> list[CodegenStats]:
+    """janino-compile every WholeStageCodegen subtree of ``df``'s plan
+    (via ``QueryExecution.debug.codegenToSeq`` — generation + compile
+    only, nothing executes) and return the bytecode stats.
+
+    The plan must be built with AQE OFF
+    (``spark.sql.adaptive.enabled=false`` at DataFrame-construction
+    time): with AQE on, ``CollapseCodegenStages`` runs per query stage
+    during execution, the pre-execution plan holds no
+    ``WholeStageCodegenExec`` nodes, and this returns ``[]`` — callers
+    should treat an unexpectedly empty result as "not checked", not
+    "healthy"."""
+    seq = df._jdf.queryExecution().debug().codegenToSeq()
+    out: list[CodegenStats] = []
+    for i in range(seq.size()):
+        t = seq.apply(i)
+        stats = t._3()
+        head = t._1().strip().splitlines()[0][:160]
+        out.append(
+            CodegenStats(
+                subtree_head=head,
+                max_method_code_size=stats.maxMethodCodeSize(),
+                max_const_pool_size=stats.maxConstPoolSize(),
+            )
+        )
+    return out
+
+
+def codegen_offenders(df: DataFrame) -> list[CodegenStats]:
+    """The subtrees whose whole-stage codegen would be disabled at
+    runtime. Empty list = every codegen stage compiles under the limit."""
+    return [s for s in codegen_compile_stats(df) if not s.healthy]

@@ -133,3 +133,32 @@ def test_oracle_differential(spark, sf_dir):
         ).fetchall()
     )
     assert s_pairs == o_pairs
+
+
+def test_zero_survivor_groups_not_dropped(spark, sf_dir):
+    """A group whose EVERY hash exceeds its adaptive threshold yields
+    no survivor row; the rescue set must come from the per-group
+    threshold frame, not the survivor aggregate, or the group vanishes
+    from the output entirely (ADVICE r5). With k=2, slack=1 each group's
+    threshold keeps a ~2/D slice of its hashes, so across 200 groups of
+    ~60 keys several groups land in the zero-survivor regime."""
+    rows = [(f"g{i:03d}", f"key_{i}_{j}") for i in range(200) for j in range(60)]
+    df = spark.createDataFrame(rows, ["g", "key"])
+    tight = kmv.kmv_partial(df, ["g"], "key", k=2, prefilter=True, slack=1)
+    direct = kmv.kmv_partial(df, ["g"], "key", k=2, prefilter=False)
+    t = {r["g"]: r["kmins"] for r in tight.collect()}
+    d = {r["g"]: r["kmins"] for r in direct.collect()}
+    assert len(t) == 200, f"groups dropped: {sorted(set(d) - set(t))[:5]}"
+    assert t == d
+
+
+def test_partial_persist_registered_for_release(spark, sf_dir):
+    """kmv_partial's internal persist must be reclaimable through the
+    repo-wide release_caches() convention (ADVICE r5: leak in
+    long-lived drivers)."""
+    from revtron_utils_spark.operators.dedup import release_caches
+
+    release_caches()  # drain anything earlier tests left behind
+    df = _orders(spark, sf_dir)
+    kmv.kmv_partial(df, GC, "o_custkey", k=K, prefilter=True).collect()
+    assert release_caches() >= 1

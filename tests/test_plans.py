@@ -118,3 +118,73 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# --------------------------------------------------- codegen health
+#
+# Whole-stage codegen failure is SILENT at runtime (janino >64KB →
+# warning in the log, interpreted per-row fallback, 10-100× slower,
+# every correctness artifact stays green — round 5's ams_f2). These
+# tests make compile health part of the plan surface: every codegen
+# stage must janino-compile under the huge-method limit, checked
+# statically with AQE off (with AQE on, stages only form at execution).
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _aqe_off(spark):
+    saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved)
+
+
+def test_codegen_health_detects_exponential_expression_tree(spark, sf_dir):
+    """Regression fixture for the round-5 ams_f2 defect: k pre-built
+    sign expressions inline the poly character fold into every fmix32
+    stage, the tree doubles per stage, and janino rejects the >64KB
+    method. The checker must flag this shape (compile stats -1)."""
+    from pyspark.sql import functions as F
+
+    from revtron_utils_spark.io import read_table
+    from revtron_utils_spark.operators.rollup import (
+        _ams_sign_from_poly,
+        poly_hash_str,
+    )
+    from revtron_utils_spark.plans.audit import codegen_offenders
+
+    with _aqe_off(spark):
+        li = read_table(spark, sf_dir, "lineitem")
+        rows = li.where(F.col("l_orderkey").isNotNull()).select(
+            "l_returnflag",
+            poly_hash_str(F.col("l_orderkey").cast("string")).alias("_p"),
+        )
+        signs = F.array(*[_ams_sign_from_poly(F.col("_p"), j) for j in range(16)])
+        old_shape = (
+            rows.select("l_returnflag", F.posexplode(signs).alias("j", "s"))
+            .groupBy("l_returnflag", "j")
+            .agg(F.sum("s").alias("c"))
+        )
+        bad = codegen_offenders(old_shape)
+    assert bad, "checker failed to flag the known-uncompilable shape"
+    assert any(s.max_method_code_size < 0 for s in bad)
+
+
+def test_codegen_health_sketch_family_compiles(spark, sf_dir):
+    """The hash-sketch queries build the deepest arithmetic expression
+    trees in the registry — every one of their codegen stages must
+    compile (non-empty stats, all healthy)."""
+    import __spark_entry__ as m
+
+    from revtron_utils_spark.plans.audit import codegen_compile_stats
+
+    queries = m.queries()
+    with _aqe_off(spark):
+        for name in ("ams_f2", "cms_counts", "approx_distinct_poly", "kmv_distinct"):
+            stats = codegen_compile_stats(queries[name](spark, sf_dir))
+            assert stats, f"{name}: no codegen stages found (AQE leak?)"
+            bad = [s for s in stats if not s.healthy]
+            assert not bad, f"{name}: codegen would be disabled: {bad}"
