@@ -290,6 +290,7 @@ def multi_touch_attribution(
     window_days: int = 30,
     decay_cap_days: int = 20,
     round_to: int = 6,
+    touch_tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Position-based (U-shaped) and time-decay multi-touch attribution:
     every touch in the ``window_days`` before a conversion earns a
@@ -315,6 +316,14 @@ def multi_touch_attribution(
     partitioned by conversion id (bounded by touches-per-window), one
     O(channels) final aggregate. Conversions with no in-window touch
     receive no attribution row (inner join) by definition.
+
+    Determinism: the position window orders by ``(touch_ts, channel
+    [, touch_tiebreak_col])`` — the channel tiebreak alone already makes
+    the per-channel credit sums deterministic (two touches tied on both
+    timestamp AND channel are interchangeable within a channel's sum);
+    pass ``touch_tiebreak_col`` (e.g. a touch id, mirroring
+    ``event_transitions``' tiebreak_col) when per-touch attribution
+    rows must be reproducible too.
     """
     from pyspark.sql import Window
 
@@ -324,17 +333,20 @@ def multi_touch_attribution(
         F.col(user_col).alias("_u"),
         F.unix_micros(F.col(conv_ts_col)).alias("_cus"),
     )
+    tb = [F.col(touch_tiebreak_col).alias("_tb")] if touch_tiebreak_col else []
     t = touches.select(
         F.col(user_col).alias("_u"),
         F.unix_micros(F.col(touch_ts_col)).alias("_tus"),
         F.col(channel_col).alias("_ch"),
+        *tb,
     )
     j = c.join(t, "_u").where(
         (F.col("_cus") - F.col("_tus") >= 0)
         & (F.col("_cus") - F.col("_tus") < window_days * us_day)
     )
     w = Window.partitionBy("_cid")
-    wo = w.orderBy("_tus")
+    order = [F.col("_tus"), F.col("_ch")] + ([F.col("_tb")] if tb else [])
+    wo = w.orderBy(*order)
     j = (
         j.withColumn("_k", F.count(F.lit(1)).over(w))
         .withColumn("_r", F.row_number().over(wo))
@@ -417,14 +429,17 @@ def welch_ab_test(
     by: list[str] | None = None,
     round_to: int = 6,
 ) -> DataFrame:
-    """Two-sample Welch test per segment: means, unbiased variances,
-    and the t statistic between the two values of ``variant_col`` —
-    the A/B readout, computed from one map-side-combined pass over
-    exact moment sums (``metric_col`` must be integral; Σx² in
-    DECIMAL(38,0)).  ``t = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)``
-    uses only exactly-rounded IEEE ops (sqrt included), so the output
-    hash-matches a SQL oracle. Exactly two variants per segment are
-    required (asserted by the pivot producing non-null pairs)."""
+    """Pairwise Welch test per segment: means, unbiased variances,
+    and the t statistic for EVERY unordered variant pair (a < b) of
+    ``variant_col`` — two variants give the classic A/B row, three or
+    more give the C(v,2) pairwise readout — computed from one
+    map-side-combined pass over exact moment sums (``metric_col`` must
+    be integral; Σx² in DECIMAL(38,0)).
+    ``t = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)`` uses only
+    exactly-rounded IEEE ops (sqrt included), so the output
+    hash-matches a SQL oracle. A single-observation variant has no
+    unbiased variance: its ``v`` is NULL (not NaN from a 0/0) and every
+    ``t_stat`` involving it is NULL."""
     by = list(by or [])
     dt = dict(zip(df.schema.names, [f.dataType.simpleString() for f in df.schema.fields]))[
         metric_col
@@ -444,7 +459,11 @@ def welch_ab_test(
     var = (nd * F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double")) / (
         nd * (nd - 1)
     )
-    stats = agg.select(*by, "_v", "n", mean.alias("m"), var.alias("v"))
+    # n=1 → n·(n−1)=0: guard to NULL rather than letting the IEEE 0/0
+    # surface as NaN (NULL propagates cleanly through t below)
+    stats = agg.select(
+        *by, "_v", "n", mean.alias("m"), F.when(nd > 1, var).alias("v")
+    )
     a = stats.alias("a")
     b = stats.alias("b")
     cond = F.col("a._v") < F.col("b._v")

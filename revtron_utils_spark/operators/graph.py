@@ -571,10 +571,13 @@ def label_propagation(
     Determinism (the published algorithm is famously order-dependent):
     this variant is fully synchronous — all nodes update from the same
     previous-round labels — and plurality ties break on the SMALLEST
-    label (``max_by`` over ``(count, −label)``), so a fixed iteration
-    count yields a bit-reproducible labeling that a SQL oracle can
-    replay with unrolled CTEs (count → QUALIFY row_number per node).
-    Isolated nodes keep their own label.
+    label (``min_by`` over the struct ``(−count, label)``, which works
+    for ANY orderable label type, strings included), so a fixed
+    iteration count yields a bit-reproducible labeling that a SQL
+    oracle can replay with unrolled CTEs (count → QUALIFY row_number
+    per node). Nodes with no non-self-loop edge (isolated or
+    self-loop-only — self-loops vote for nobody) keep their own label
+    and are present in the output.
 
     100 TB posture: per round one neighbor-join shuffle + one
     (node, label) count aggregate — the same node-keyed shuffle budget
@@ -586,10 +589,9 @@ def label_propagation(
     spark = edges.sparkSession
     _cut = _lineage_cutter(spark, checkpoint_dir)
 
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e0 = _cut(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
-            F.col(src) != F.col(dst)  # self-loops vote for nobody
-        ),
+        raw.where(F.col("a") != F.col("b")),  # self-loops vote for nobody
         True,
     )
     und = e0.unionByName(
@@ -607,14 +609,29 @@ def label_propagation(
             F.col("a"), F.col("label")
         )
         counts = nb.groupBy("a", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        # smallest label among plurality winners: min_by over the struct
+        # (−count, label) — struct ordering is lexicographic, so this is
+        # max count then min label, and unlike negating the label it
+        # works for string/any-orderable node ids
         new = counts.groupBy("a").agg(
-            F.max_by(
-                F.col("label"), F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+            F.min_by(
+                F.col("label"), F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
             ).alias("label")
         )
         labels = _cut(new.select(F.col("a").alias("node"), "label"), True)
+    # nodes every one of whose edges was a self-loop never enter `und`
+    # (isolated nodes in a node-list sense don't appear in an edge list
+    # at all) — they keep their own label rather than vanishing
+    self_only = (
+        raw.select(F.col("a").alias("node"))
+        .unionByName(raw.select(F.col("b").alias("node")))
+        .distinct()
+        .join(labels, "node", "left_anti")
+        .select("node", F.col("node").alias("label"))
+    )
+    out = labels.unionByName(self_only)
     und.unpersist()
-    return labels
+    return out
 
 
 def label_propagation_oracle_sql(
@@ -638,6 +655,14 @@ def label_propagation_oracle_sql(
             f"l{i + 1} AS (SELECT a AS node, label FROM c{i} "
             "QUALIFY row_number() OVER (PARTITION BY a ORDER BY cnt DESC, label ASC) = 1)"
         )
+    parts.append(
+        "allnodes AS (SELECT DISTINCT node FROM "
+        "(SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0))"
+    )
     return (
-        "WITH " + ",\n".join(parts) + f"\nSELECT node, label FROM l{iterations}"
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, label FROM l{iterations}"
+        + "\nUNION ALL SELECT node, node AS label FROM allnodes"
+        + f" WHERE node NOT IN (SELECT node FROM l{iterations})"
     )

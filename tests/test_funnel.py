@@ -297,3 +297,64 @@ def test_welch_ab_test_detects_planted_shift(spark):
     t = (ma - mb) / math.sqrt(va / len(xs) + vb / len(ys))
     assert abs(r["t_stat"] - t) < 1e-4
     assert r["t_stat"] < -50  # the shift is unmistakable
+
+
+def test_welch_single_observation_variant_yields_null_t(spark):
+    """ADVICE r5: n=1 has no unbiased variance — the 0/0 must surface
+    as NULL, not NaN, and the pairwise row survives with t_stat NULL."""
+    import math
+
+    from revtron_utils_spark.operators.funnel import welch_ab_test
+
+    df = spark.createDataFrame(
+        [("A", 10), ("A", 12), ("A", 14), ("B", 11)], ["variant", "m"]
+    )
+    rows = welch_ab_test(df, "m", "variant").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_b"] == 1
+    assert r["t_stat"] is None or not math.isnan(r["t_stat"])
+    assert r["t_stat"] is None
+
+
+def test_welch_three_variants_pairwise(spark):
+    """Three variants emit the documented C(3,2) pairwise rows."""
+    from revtron_utils_spark.operators.funnel import welch_ab_test
+
+    rows = [(v, 10 + i % 5) for v in ("A", "B", "C") for i in range(20)]
+    df = spark.createDataFrame(rows, ["variant", "m"])
+    out = welch_ab_test(df, "m", "variant").collect()
+    assert {(r["variant_a"], r["variant_b"]) for r in out} == {
+        ("A", "B"), ("A", "C"), ("B", "C")
+    }
+
+
+def test_multi_touch_tiebreak_deterministic(spark):
+    """ADVICE r5: touches tied on timestamp order by channel (plus the
+    optional explicit tiebreak), so per-channel credit is deterministic.
+    Two simultaneous touches on different channels: with k=2 both get
+    0.5 regardless of order; with k=3 and a tied first pair, the
+    channel order decides who is 'first' (0.4) — assert the exact
+    split that (ts, channel) ordering implies."""
+    import datetime as dt
+
+    from revtron_utils_spark.operators.funnel import multi_touch_attribution
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    conv = spark.createDataFrame(
+        [("c1", "u1", dt.datetime(2024, 1, 11))], ["event_id", "user_id", "ts"]
+    )
+    touches = spark.createDataFrame(
+        [
+            ("u1", t0, "click"),   # tied pair: click sorts before view
+            ("u1", t0, "view"),
+            ("u1", dt.datetime(2024, 1, 10, 18, 0, 0), "email"),  # last
+        ],
+        ["user_id", "touch_ts", "touch_type"],
+    )
+    out = {
+        r["touch_type"]: float(r["credit_position"])
+        for r in multi_touch_attribution(conv, touches).collect()
+    }
+    # order: click (first, 0.4), view (middle, 0.2), email (last, 0.4)
+    assert out == {"click": 0.4, "view": 0.2, "email": 0.4}

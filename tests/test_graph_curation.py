@@ -912,3 +912,49 @@ def test_top_session_paths_planted(spark):
     out = top_session_paths(df, k=5).collect()
     assert out[0].path == "view>click>purchase" and out[0].n_sessions == 5
     assert ("error", 1) in [(r.path, r.n_sessions) for r in out]
+
+
+def test_label_propagation_string_ids_and_self_loops(spark):
+    """ADVICE r5: the old (cnt, −label) tie-break negated the label —
+    impossible for string node ids — and self-loop-only nodes vanished.
+    String ids must work, ties must break to the smallest label, and a
+    node whose only edge is a self-loop must keep its own label."""
+    from revtron_utils_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("a", "c"),      # clique 1
+            ("x", "y"), ("y", "z"), ("x", "z"),      # clique 2
+            ("solo", "solo"),                         # self-loop only
+        ],
+        ["src", "dst"],
+    )
+    out = {r.node: r.label for r in label_propagation(edges, iterations=4).collect()}
+    assert out["solo"] == "solo"
+    assert out["a"] == out["b"] == out["c"] == "a"
+    assert out["x"] == out["y"] == out["z"] == "x"
+    assert len(out) == 7
+
+
+def test_label_propagation_oracle_includes_self_loop_nodes(spark):
+    """The unrolled-CTE oracle must replay the same universe as the
+    Spark side: its final union re-adds nodes that never entered the
+    propagation rounds, and every label matches bit-for-bit."""
+    import duckdb
+
+    from revtron_utils_spark.operators.graph import (
+        label_propagation,
+        label_propagation_oracle_sql,
+    )
+
+    pairs = [(1, 2), (2, 3), (1, 3), (5, 6), (7, 7)]
+    sql = label_propagation_oracle_sql(
+        "SELECT * FROM (VALUES " + ", ".join(f"({a}, {b})" for a, b in pairs)
+        + ") t(a, b)",
+        iterations=3,
+    )
+    got = dict(duckdb.sql(sql).fetchall())
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    want = {r.node: r.label for r in label_propagation(edges, iterations=3).collect()}
+    assert got[7] == 7
+    assert got == want
