@@ -5772,6 +5772,358 @@ def q_quantile_rollup(spark, sf):
 
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# end-to-end corpus pipeline (round-6 composition gate)
+# --------------------------------------------------------------------------
+
+
+def q_corpus_pipeline(spark, sf):
+    """End-to-end training-corpus build — the full ingest chain as ONE
+    composed plan, the way a 100 TB run executes it (not stage-by-stage
+    with materialized intermediates):
+
+      WARC parse -> domain blocklist -> HTML main-text extraction ->
+      CCNet paragraph dedup -> Gopher quality gate -> capped MinHash-LSH
+      near-dup removal -> eval-set n-gram decontamination -> source
+      mixture sampling.
+
+    Every stage is the SAME hash-verified operator behind its individual
+    gate (`warc_extract`, `url_normalize`, `html_extract`, `line_dedup`,
+    `gopher_filters`, `minhash_pairs_capped`, `decontaminate`,
+    `mixture_sample`); this query verifies their COMPOSITION — schema
+    handoff, filter pushdown through the chain, no redundant scans.
+    The fixture wraps each document into an HTML page inside a
+    two-record WARC (request + response), with ~1/11 of crawl URIs on a
+    blocklisted ad-tracker domain. The DuckDB oracle replays the whole
+    chain as chained CTEs, so the final (doc_id, source, text_md5)
+    corpus hash-verifies end to end."""
+    from revtron_utils_spark.functions import classifier as CL
+    from revtron_utils_spark.functions.html import html_extract
+    from revtron_utils_spark.functions.url import filter_blocked_domains
+    from revtron_utils_spark.operators.curation import decontaminate, mixture_sample
+    from revtron_utils_spark.sources.warc import parse_warc_records
+
+    docs = _t(spark, sf, "documents")
+    crlf = "\r\n"
+
+    # -- crawl fixture: HTML page (same shape as q_html_extract) inside
+    # a 2-record WARC; ~1/11 of URIs land on a blocklisted tracker host
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '</title><style>p{margin:0}</style><script>var x=1&amp;2;</script>'
+            '</head><body><!-- generated fixture --><nav><a href="/">home</a> '
+            '<a href="/about">about</a></nav><div id="main"><h1>Source '
+        ),
+        F.col("source"),
+        F.lit(" &amp; lang "),
+        F.col("lang"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            '</p><p>too short</p><p><a href="/x">one</a> <a href="/y">two</a> '
+            "three</p></div><footer>&copy; 2024 example.com</footer></body></html>"
+        ),
+    )
+    host = F.when(
+        F.col("doc_id") % 11 == 0, F.lit("ads.tracker-net.com")
+    ).otherwise(F.concat(F.lit("ex-"), F.col("source"), F.lit(".com")))
+    uri = F.concat(F.lit("http://"), host, F.lit("/"), F.col("doc_id").cast("string"))
+    warc = F.concat(
+        F.lit(f"WARC/1.0{crlf}WARC-Type: request{crlf}WARC-Target-URI: "),
+        uri,
+        F.lit(f"{crlf}Content-Length: 0{crlf}{crlf}{crlf}{crlf}"),
+        F.lit(f"WARC/1.0{crlf}WARC-Type: response{crlf}WARC-Target-URI: "),
+        uri,
+        F.lit(f"{crlf}Content-Length: "),
+        F.length(html).cast("string"),
+        F.lit(f"{crlf}{crlf}"),
+        html,
+        F.lit(f"{crlf}{crlf}"),
+    )
+    crawl = docs.select("doc_id", warc.alias("warc"))
+
+    # 1. WARC parse: response payloads + provenance URI
+    resp = (
+        parse_warc_records(crawl, "warc", "doc_id")
+        .where(F.col("warc_type") == "response")
+        .select("doc_id", "target_uri", F.col("payload").alias("html"))
+    )
+    # 2. registered-domain blocklist on the crawl URI (anti-join)
+    blocklist = spark.createDataFrame([("tracker-net.com",)], ["domain"])
+    clean = filter_blocked_domains(resp, "target_uri", blocklist)
+    # 3. HTML -> main text (boilerplate/nav/link-dense blocks dropped)
+    text_df = html_extract(clean, "html", impl="expr").select("doc_id", "main_text")
+    # 4. paragraph-ize (first-10-tokens / shared boilerplate line /
+    # remainder — the line_dedup gate's construction, fed by the
+    # pipeline) + CCNet cross-corpus paragraph dedup
+    toks = TX.tokens("main_text")
+    built = text_df.select(
+        "doc_id",
+        F.concat(
+            F.concat_ws(" ", F.slice(toks, 1, 10)),
+            F.lit("\nsubscribe to our newsletter today\n"),
+            F.concat_ws(" ", F.slice(toks, 11, F.greatest(F.size(toks) - 10, F.lit(1)))),
+        ).alias("text"),
+    )
+    dd = DD.paragraph_dedup(built, "text", "doc_id")
+    # 5. Gopher heuristic quality gate. This is the chain's first fan-out
+    # point — the MinHash signature build, the near-dup anti-join's left
+    # side, and decontamination's gram-explode + anti-join-back all read
+    # the cleaned corpus — so persist it (the "cleaned corpus"
+    # materialization every real pipeline makes) instead of re-running
+    # WARC->HTML->dedup once per branch
+    gq = DD._persist(dd.where(CL.gopher_quality_flags("text").getField("pass_all")))
+    # 6. near-dup removal: capped MinHash-LSH pairs, drop the larger id
+    pairs = DD.minhash_poly_pairs(
+        gq,
+        num_hashes=32,
+        bands=8,
+        shingle_n=3,
+        jaccard_threshold=0.3,
+        max_bucket=2,
+        hot_bucket_mode="sample",
+    )
+    # the near-dup id set is pair-count-sized (tiny); persist IT, not the
+    # joined corpus — downstream reads of `nd` then cost one cached-gq
+    # scan plus a broadcast anti-join instead of a fresh LSH self-join
+    nd_ids = DD._persist(pairs.select(F.col("id_b").alias("doc_id")).distinct())
+    nd = gq.join(nd_ids, "doc_id", "left_anti")
+    # 7. eval-set decontamination: raw eval slice's 8-grams vs the
+    # processed train text
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    dec = decontaminate(nd, eval_df, ngram_n=8)
+    # 8. target source mixture over the survivors. mixture_sample reads
+    # its input twice (the O(domains) count aggregate, then the
+    # threshold scan) — persist the decontaminated corpus so the whole
+    # upstream chain computes ONCE, not once per pass (MEMORY_AND_DISK,
+    # released via the dedup cache registry; at 100 TB this persist is
+    # the survivors frame, a fraction of the raw crawl)
+    survivors = DD._persist(dec.join(docs.select("doc_id", "source"), "doc_id"))
+    final = mixture_sample(survivors, "doc_id", "source", _MIXTURE)
+    return final.select("doc_id", "source", F.md5("text").alias("text_md5"))
+
+
+def _sql_corpus_pipeline() -> str:
+    from revtron_utils_spark.functions.html import BLOCK_SPLIT, DROP_ELEMENTS, ENTITIES
+    from revtron_utils_spark.functions.url import _CC_SLD, _URL_RE
+    from revtron_utils_spark.operators.curation import HASH_MOD
+
+    # --- html-extract chain (same construction as _sql_html_extract)
+    clean = "html"
+    clean = f"regexp_replace({clean}, '(?s)<!--.*?-->', ' ', 'g')"
+    for tag in DROP_ELEMENTS:
+        clean = (
+            f"regexp_replace({clean}, "
+            rf"'(?is)<{tag}(?:\s[^>]*)?>.*?</{tag}\s*>', ' ', 'g')"
+        )
+
+    def text_of(b: str) -> str:
+        t = rf"regexp_replace({b}, '(?s)<[^>]*>', ' ', 'g')"
+        for ent, rep in ENTITIES:
+            rep_sql = rep.replace("'", "''")
+            t = f"replace({t}, '{ent}', '{rep_sql}')"
+        return rf"trim(regexp_replace({t}, '\s+', ' ', 'g'))"
+
+    words = f"len(string_split({text_of('b')}, ' '))"
+    anchors = r"(len(string_split_regex(b, '(?i)<a[\s>]')) - 1)"
+    cond = f"{text_of('b')} <> '' AND {words} >= 3 AND 2 * {anchors} <= {words}"
+
+    # --- registered-domain chain (same construction as _sql_url_normalize)
+    g = lambda i: f"regexp_extract(target_uri, '{_URL_RE}', {i})"  # noqa: E731
+    cc = ", ".join(f"'{d}'" for d in _CC_SLD)
+
+    # --- mixture stage constants
+    total = sum(_MIXTURE.values())
+    vals = ", ".join(
+        f"('{s}', CAST({p / total!r} AS DOUBLE))" for s, p in _MIXTURE.items()
+    )
+    bucket = _sql_bucket("j.doc_id")
+
+    return rf"""
+WITH docs0 AS (SELECT doc_id, source, lang, text FROM documents),
+hsyn AS (
+  SELECT doc_id,
+         'http://' || CASE WHEN doc_id % 11 = 0 THEN 'ads.tracker-net.com'
+                           ELSE 'ex-' || source || '.com' END
+         || '/' || CAST(doc_id AS VARCHAR) AS uri,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><style>p{{margin:0}}</style><script>var x=1&amp;2;</script>'
+         || '</head><body><!-- generated fixture --><nav><a href="/">home</a> '
+         || '<a href="/about">about</a></nav><div id="main"><h1>Source '
+         || source || ' &amp; lang ' || lang || '</h1><p>' || text
+         || '</p><p>too short</p><p><a href="/x">one</a> <a href="/y">two</a> '
+         || 'three</p></div><footer>&copy; 2024 example.com</footer></body></html>'
+         AS page
+  FROM docs0
+), w AS (
+  SELECT doc_id,
+         'WARC/1.0' || E'\r\n' || 'WARC-Type: request' || E'\r\n'
+         || 'WARC-Target-URI: ' || uri || E'\r\n' || 'Content-Length: 0'
+         || E'\r\n\r\n\r\n\r\n'
+         || 'WARC/1.0' || E'\r\n' || 'WARC-Type: response' || E'\r\n'
+         || 'WARC-Target-URI: ' || uri || E'\r\n'
+         || 'Content-Length: ' || CAST(len(page) AS VARCHAR)
+         || E'\r\n\r\n' || page || E'\r\n\r\n' AS warc
+  FROM hsyn
+), recs AS (
+  SELECT doc_id,
+         unnest(string_split_regex(warc, 'WARC/1\.0\r\n')) AS rec
+  FROM w
+), nonempty AS (SELECT * FROM recs WHERE rec <> ''),
+hd AS (
+  SELECT doc_id,
+         regexp_extract(rec, '(?s)^(.*?)\r\n\r\n', 1) AS headers,
+         regexp_replace(regexp_extract(rec, '(?s)\r\n\r\n(.*)$', 1),
+                        '(\r\n)+$', '') AS payload
+  FROM nonempty
+), resp AS (
+  SELECT doc_id,
+         regexp_extract(headers, '(?im)^WARC-Target-URI: ([^\r\n]+)', 1) AS target_uri,
+         payload AS html
+  FROM hd
+  WHERE regexp_extract(headers, '(?im)^WARC-Type: ([^\r\n]+)', 1) = 'response'
+), dom AS (
+  SELECT doc_id, html,
+         CASE WHEN {g(1)} = '' THEN NULL ELSE
+           CASE WHEN len(string_split(lower({g(2)}), '.')) >= 3
+                     AND array_to_string(string_split(lower({g(2)}), '.')[
+                           greatest(len(string_split(lower({g(2)}), '.'))-1, 1):
+                           len(string_split(lower({g(2)}), '.'))], '.') IN ({cc})
+                THEN array_to_string(string_split(lower({g(2)}), '.')[
+                       greatest(len(string_split(lower({g(2)}), '.'))-2, 1):
+                       len(string_split(lower({g(2)}), '.'))], '.')
+                ELSE array_to_string(string_split(lower({g(2)}), '.')[
+                       greatest(len(string_split(lower({g(2)}), '.'))-1, 1):
+                       len(string_split(lower({g(2)}), '.'))], '.')
+           END
+         END AS domain
+  FROM resp
+), allowed AS (
+  SELECT doc_id, html FROM dom WHERE domain IS DISTINCT FROM 'tracker-net.com'
+), clean AS (
+  SELECT doc_id, {clean} AS cleaned FROM allowed
+), blk AS (
+  SELECT doc_id, string_split_regex(cleaned, '{BLOCK_SPLIT}') AS blocks FROM clean
+), xt AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(list_filter(blocks, b -> {cond}), b -> {text_of('b')}),
+           ' ') AS main_text
+  FROM blk
+), built AS (
+  SELECT doc_id,
+         coalesce(array_to_string(toks[1:10], ' '), '') || chr(10)
+         || 'subscribe to our newsletter today' || chr(10)
+         || coalesce(array_to_string(toks[11:len(toks)], ' '), '') AS text
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(main_text), '\s+'), t -> t <> '') AS toks
+        FROM xt)
+), ls AS (
+  SELECT doc_id,
+         unnest(range(len(string_split(text, chr(10))))) AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM built
+), norm AS (
+  SELECT doc_id, pos, line,
+         md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g'))) AS key
+  FROM ls
+  WHERE trim(regexp_replace(lower(line), '\s+', ' ', 'g')) <> ''
+), kept AS (
+  SELECT doc_id, pos, line FROM norm
+  QUALIFY row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) = 1
+), dd AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+), gs AS (
+  SELECT doc_id, text, len(toks) AS n,
+         COALESCE(list_sum(list_transform(toks, tk -> CAST(length(tk) AS BIGINT))), 0) AS sum_len,
+         len(list_filter(toks, tk -> regexp_matches(tk, '[a-zA-Z]'))) AS n_alpha,
+         len(list_filter(toks, tk -> starts_with(tk, '#') OR contains(tk, '...'))) AS n_sym,
+         len(list_filter(toks, tk -> lower(tk) IN ('the','be','to','of','and','that','have','with'))) AS n_stop
+  FROM (SELECT doc_id, text,
+               list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+        FROM dd)
+), gq AS (
+  SELECT doc_id, text FROM gs
+  WHERE (n >= 20 AND n <= 100000) AND (sum_len >= 3 * n AND sum_len <= 10 * n)
+    AND (n_alpha * 5 >= n * 4) AND (n_sym * 10 <= n) AND (n_stop >= 2)
+), mt AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS toks
+  FROM gq
+), shg AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      THEN list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM mt
+), shf AS (SELECT * FROM shg WHERE len(sh) > 0),
+mh AS (
+  SELECT doc_id, sh, list_transform(sh, s -> {_SHINGLE_HASH_SQL}) AS h0 FROM shf
+), sig AS (
+  SELECT doc_id, list_transform(range(0, 32), i ->
+     list_min(list_transform(h0, x -> ((((2*i+1)*2654435761) % 1000000007) * x + (9176*i*i + 11)) % 1000000007))) AS sig
+  FROM mh
+), banded AS (
+  SELECT doc_id, band, array_to_string(sig[(band*4+1):(band*4+4)], ',') AS bkey
+  FROM sig, range(0, 8) AS r(band)
+  QUALIFY row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) <= 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+), neardup AS (
+  SELECT DISTINCT c.id_b
+  FROM cand c JOIN shf x ON c.id_a = x.doc_id JOIN shf y ON c.id_b = y.doc_id
+  WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.3
+), nd AS (
+  SELECT doc_id, text FROM gq WHERE doc_id NOT IN (SELECT id_b FROM neardup)
+), trgrams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 8
+           THEN list_transform(range(1, len(toks) - 6),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                               toks[i+4], toks[i+5], toks[i+6], toks[i+7]))
+           ELSE CAST([] AS VARCHAR[]) END) AS gword
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+        FROM nd)
+), evgrams AS (
+  SELECT DISTINCT
+         unnest(CASE WHEN len(toks) >= 8
+           THEN list_transform(range(1, len(toks) - 6),
+                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                               toks[i+4], toks[i+5], toks[i+6], toks[i+7]))
+           ELSE CAST([] AS VARCHAR[]) END) AS gword
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+        FROM docs0 WHERE doc_id % 97 = 0)
+), contaminated AS (
+  SELECT DISTINCT t.doc_id FROM trgrams t JOIN evgrams e ON t.gword = e.gword
+), dec AS (
+  SELECT doc_id, text FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), j AS (
+  SELECT dec.doc_id, dec.text, d.source FROM dec JOIN docs0 d USING (doc_id)
+), p(dom, p) AS (VALUES {vals}),
+cnt AS (
+  SELECT source AS dom, CAST(COUNT(*) AS BIGINT) AS n FROM j
+  WHERE source IN (SELECT dom FROM p) GROUP BY 1
+),
+np AS (SELECT cnt.dom, cnt.n, p.p FROM cnt JOIN p USING (dom)),
+tmin AS (SELECT MIN(n / p) AS t FROM np),
+thr AS (
+  SELECT dom, CAST(FLOOR(((p * tmin.t) / n) * {HASH_MOD}) AS BIGINT) AS thr
+  FROM np CROSS JOIN tmin
+)
+SELECT j.doc_id, j.source, md5(j.text) AS text_md5
+FROM j JOIN thr ON j.source = thr.dom
+WHERE {bucket} < thr.thr
+"""
+
+
+SQL_CORPUS_PIPELINE = _sql_corpus_pipeline()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -5960,6 +6312,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "frame_sampling": (q_frame_sampling, SQL_FRAME_SAMPLING),
     "streaming_sessionize": (q_streaming_sessionize, None),
     "streaming_heavy_hitters": (q_streaming_heavy_hitters, None),
+    "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
 }
 
 

@@ -128,6 +128,7 @@ HEADLINE = [
     "top_paths",
     "ams_f2",
     "rolling_zscore",
+    "corpus_pipeline",
 ]
 
 

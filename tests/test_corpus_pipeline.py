@@ -1,0 +1,55 @@
+"""End-to-end corpus-pipeline gate (round 6): the composed chain's
+output must respect every stage's contract simultaneously — the
+cross-operator invariants no single-stage gate can check. Value-level
+equality with the chained-CTE oracle is covered by the differential
+harness (tools/check_correctness.py corpus_pipeline)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry_mod
+
+
+@pytest.fixture(scope="module")
+def result(spark, sf_dir):
+    from revtron_utils_spark.operators.dedup import release_caches
+
+    rows = (
+        entry_mod.queries()["corpus_pipeline"](spark, sf_dir)
+        .collect()
+    )
+    release_caches()
+    spark.catalog.clearCache()
+    return rows
+
+
+def test_pipeline_produces_corpus(result):
+    assert len(result) > 0
+
+
+def test_mixture_restricts_sources(result):
+    assert {r["source"] for r in result} <= set(entry_mod._MIXTURE)
+
+
+def test_blocklisted_crawl_uris_dropped(result):
+    # the fixture routes doc_id % 11 == 0 through the blocklisted
+    # tracker domain; none may survive the URL stage
+    assert not [r for r in result if r["doc_id"] % 11 == 0]
+
+
+def test_eval_slice_decontaminated(result):
+    # eval docs share all their own 8-grams with the eval set — the
+    # decontamination stage must have removed every one that reached it
+    assert not [r for r in result if r["doc_id"] % 97 == 0]
+
+
+def test_text_fingerprints_well_formed(result):
+    assert all(
+        r["text_md5"] is not None and len(r["text_md5"]) == 32 for r in result
+    )
