@@ -63,7 +63,11 @@ def make_fixtures(out_dir: Path, n_docs: int, seed: int = 42) -> None:
     vocab = (
         "batch part spark line column order small sort fast value scan hash "
         "slow group agg filter query big key window row table stream merge "
-        "data join shuffle plan stage task codegen arrow pandas broadcast"
+        "data join shuffle plan stage task codegen arrow pandas broadcast "
+        # Gopher-gate stopwords: without them the quality stage of
+        # corpus_pipeline (stopword_ok needs >= 2 hits) rejects every
+        # synthetic doc and the mixture stage has nothing to sample
+        "the be to of and that have with"
     ).split()
     texts: list[str] = []
     for i in range(n_docs):
