@@ -5773,6 +5773,177 @@ def q_quantile_rollup(spark, sf):
 # --------------------------------------------------------------------------
 
 # --------------------------------------------------------------------------
+# CDC application + snapshot reconciliation + k-core (round 6)
+# --------------------------------------------------------------------------
+
+_CDC_BASE_COLS = "o_orderkey, o_custkey, o_orderstatus, o_orderpriority"
+
+
+def _cdc_base(spark, sf):
+    od = _t(spark, sf, "orders")
+    return od.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("price_c"),
+    )
+
+
+def _cdc_changes(base):
+    """Deterministic changelog synthesized from the base snapshot:
+    updates (key % 5 == 0, seq 1: status flip + price bump), deletes
+    (key % 7 == 0, seq 2 — so a key hit by both, key % 35 == 0, resolves
+    to the delete), and inserts of brand-new keys (key % 11 == 0 under
+    key + 10^9, seq 1)."""
+    upd = base.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        "o_orderpriority",
+        (F.col("price_c") + 100).alias("price_c"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "price_c",
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+        (F.col("o_custkey") + 1).alias("o_custkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_orderpriority",
+        (F.col("price_c") + 1).alias("price_c"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    return upd.unionByName(dele).unionByName(ins)
+
+
+def q_cdc_apply(spark, sf):
+    """Changelog application (`operators/cdc.py::cdc_apply`) — the
+    generalized form of the reference's incremental Salesforce→Postgres
+    sync (updated + deleted record propagation,
+    revtron/salesforce/main.py:110-128 applied via database upsert):
+    fold a deterministic synthetic changelog (updates seq 1, deletes
+    seq 2, fresh-key inserts) into the orders snapshot with
+    latest-image-wins semantics; a key hit by both an update and a
+    later delete resolves to the delete. One key-partitioned window —
+    the same shuffle the downstream MERGE needs."""
+    from revtron_utils_spark.operators.cdc import cdc_apply
+
+    base = _cdc_base(spark, sf)
+    return cdc_apply(base, _cdc_changes(base), ["o_orderkey"], "seq")
+
+
+_CDC_BASE_SQL = (
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, "
+    "CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders"
+)
+
+_CDC_CHANGES_SQL = f"""
+SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_orderpriority,
+       price_c + 100 AS price_c, 1 AS seq, 'U' AS op
+FROM ({_CDC_BASE_SQL}) WHERE o_orderkey % 5 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       price_c, 2 AS seq, 'D' AS op
+FROM ({_CDC_BASE_SQL}) WHERE o_orderkey % 7 = 0
+UNION ALL
+SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey + 1 AS o_custkey,
+       'N' AS o_orderstatus, o_orderpriority,
+       price_c + 1 AS price_c, 1 AS seq, 'U' AS op
+FROM ({_CDC_BASE_SQL}) WHERE o_orderkey % 11 = 0
+"""
+
+
+def _sql_cdc_apply() -> str:
+    from revtron_utils_spark.operators.cdc import cdc_apply_oracle_sql
+
+    return cdc_apply_oracle_sql(
+        _CDC_BASE_SQL,
+        _CDC_CHANGES_SQL,
+        ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "o_orderpriority", "price_c"],
+        "seq",
+    )
+
+
+SQL_CDC_APPLY = _sql_cdc_apply()
+
+
+def q_table_diff(spark, sf):
+    """Snapshot reconciliation (`operators/cdc.py::table_diff`) — the
+    post-sync audit: diff the orders snapshot against the CDC-applied
+    result of `q_cdc_apply`, so every status class is populated
+    (added = fresh inserts, removed = deletes, changed = updates with
+    the changed-column list, unchanged = the rest). One co-partitioned
+    full outer join on the key, null-safe per-column compare."""
+    from revtron_utils_spark.operators.cdc import cdc_apply, table_diff
+
+    base = _cdc_base(spark, sf)
+    new = cdc_apply(base, _cdc_changes(base), ["o_orderkey"], "seq")
+    return table_diff(base, new, ["o_orderkey"])
+
+
+def _sql_table_diff() -> str:
+    from revtron_utils_spark.operators.cdc import table_diff_oracle_sql
+
+    new_sql = SQL_CDC_APPLY.rstrip()
+    return table_diff_oracle_sql(
+        _CDC_BASE_SQL,
+        new_sql,
+        ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "o_orderpriority", "price_c"],
+    )
+
+
+SQL_TABLE_DIFF = _sql_table_diff()
+
+
+def q_k_core(spark, sf):
+    """k-core peel (`graph.k_core`): the densest-region extractor over
+    the bipartite customer↔supplier trade graph (distinct order⋈lineitem
+    pairs, supplier ids offset into their own namespace) — iteratively
+    removes nodes with fewer than k=3 trading partners until the 3-core
+    fixpoint. Deterministic (degree-only decisions), fixed synchronous
+    rounds; the oracle unrolls the identical peel as chained CTEs, so
+    the surviving (node, in-core degree) set hash-verifies."""
+    from revtron_utils_spark.operators.graph import k_core
+
+    od = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        od.join(li, od["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    return k_core(edges, k=3, rounds=6)
+
+
+def _sql_k_core() -> str:
+    from revtron_utils_spark.operators.graph import k_core_oracle_sql
+
+    edges = (
+        "SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + 1000000 AS b "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+    )
+    return k_core_oracle_sql(edges, k=3, rounds=6)
+
+
+SQL_K_CORE = _sql_k_core()
+
+
+# --------------------------------------------------------------------------
 # end-to-end corpus pipeline (round-6 composition gate)
 # --------------------------------------------------------------------------
 
@@ -6313,6 +6484,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "streaming_sessionize": (q_streaming_sessionize, None),
     "streaming_heavy_hitters": (q_streaming_heavy_hitters, None),
     "corpus_pipeline": (q_corpus_pipeline, SQL_CORPUS_PIPELINE),
+    "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
+    "table_diff": (q_table_diff, SQL_TABLE_DIFF),
+    "k_core": (q_k_core, SQL_K_CORE),
 }
 
 

@@ -129,6 +129,9 @@ HEADLINE = [
     "ams_f2",
     "rolling_zscore",
     "corpus_pipeline",
+    "cdc_apply",
+    "table_diff",
+    "k_core",
 ]
 
 

@@ -958,3 +958,41 @@ def test_label_propagation_oracle_includes_self_loop_nodes(spark):
     want = {r.node: r.label for r in label_propagation(edges, iterations=3).collect()}
     assert got[7] == 7
     assert got == want
+
+
+def test_k_core_peels_pendants_keeps_clique(spark):
+    """4-clique + pendant chain: the 2-core (and 3-core) is exactly the
+    clique — pendants peel iteratively (6-5 falls only after 5-4 does,
+    so a single-round degree filter would get this wrong)."""
+    from revtron_utils_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (7, 7)],
+        ["src", "dst"],
+    )
+    core2 = {r["node"]: r["degree"] for r in k_core(edges, k=2, rounds=5).collect()}
+    assert core2 == {1: 3, 2: 3, 3: 3, 4: 3}
+    core3 = {r["node"]: r["degree"] for r in k_core(edges, k=3, rounds=5).collect()}
+    assert core3 == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert k_core(edges, k=4, rounds=5).count() == 0
+
+
+def test_k_core_converged_fixpoint(spark):
+    """One extra round on a converged peel is a no-op, and the oracle
+    replays the identical rounds."""
+    import duckdb
+
+    from revtron_utils_spark.operators.graph import k_core, k_core_oracle_sql
+
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 3), (6, 1)]
+    edges = spark.createDataFrame(pairs, ["src", "dst"])
+    a = sorted(map(tuple, k_core(edges, k=2, rounds=4).collect()))
+    b = sorted(map(tuple, k_core(edges, k=2, rounds=5).collect()))
+    assert a == b
+    sql = k_core_oracle_sql(
+        "SELECT * FROM (VALUES " + ", ".join(f"({x}, {y})" for x, y in pairs)
+        + ") t(a, b)",
+        k=2,
+        rounds=4,
+    )
+    assert sorted(duckdb.sql(sql).fetchall()) == a
