@@ -6295,6 +6295,102 @@ WHERE {bucket} < thr.thr
 SQL_CORPUS_PIPELINE = _sql_corpus_pipeline()
 
 
+def q_embedding_pipeline(spark, sf):
+    """End-to-end embedding-corpus pipeline — the vector-side sibling of
+    `corpus_pipeline`, composed as ONE plan from three hash-verified
+    stages: per-label outlier screen (`similarity.embedding_outliers`,
+    drop each label's top-5 farthest-from-centroid vectors) → SemDeDup
+    (`semdedup.semantic_dedup`, sign-LSH clusters + smaller-id-wins
+    cosine ≥ 0.4 within-cluster dedup) → brute-force kNN readout
+    (`similarity.knn_join`, top-4 neighbors incl. self for every
+    vec_id % 50 == 0 query, quantized-int cosine). Every stage uses the
+    engine-exact quantized arithmetic of its standalone gate, so the
+    final (query_id, neighbor_id, rank, cosine) set hash-matches the
+    chained-CTE oracle. At corpus scale the kNN readout swaps for the
+    IVF/PQ path (rows-only gates `ivf_ann`/`pq_ann`); the composition
+    and handoff schema are what this gate pins."""
+    from revtron_utils_spark.operators import semdedup as SD
+
+    emb = _t(spark, sf, "embeddings")
+    # 1. outlier screen (scale=1000, top-5 per label — same operating
+    # point as the `embedding_outliers` gate)
+    out = SIM.embedding_outliers(
+        emb, "embedding", "vec_id", "label", top_k=5, scale=1000
+    )
+    clean = emb.join(out.select("vec_id"), "vec_id", "left_anti")
+    # 2. SemDeDup at the `semdedup` gate's operating point
+    sd = SD.semantic_dedup(clean, threshold=0.4, planes=4, dim=64)
+    kept = clean.join(
+        sd.where(F.col("kept")).select("vec_id"), "vec_id", "left_semi"
+    )
+    # 3. kNN readout over the deduplicated corpus
+    queries = kept.where(F.col("vec_id") % 50 == 0)
+    knn = SIM.knn_join(queries, kept, k=4)
+    return knn.select(
+        F.col("lid").alias("query_id"),
+        F.col("rid").alias("neighbor_id"),
+        "rank",
+        "cosine",
+    )
+
+
+def _sql_embedding_pipeline() -> str:
+    planes = " + ".join(
+        f"(CASE WHEN list_inner_product(ev, {_semdedup_plane_sql(j)}) >= 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(4)
+    )
+    return f"""
+WITH oq AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), onn AS (SELECT label, COUNT(*) AS n FROM oq GROUP BY label),
+oe AS (SELECT label, vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM oq),
+os AS (SELECT label, pos, SUM(v) AS s FROM oe GROUP BY label, pos),
+od AS (
+  SELECT oe.label, oe.vec_id,
+         SUM((onn.n * oe.v - os.s) * (onn.n * oe.v - os.s)) AS d2n
+  FROM oe JOIN os ON oe.label = os.label AND oe.pos = os.pos
+          JOIN onn ON oe.label = onn.label
+  GROUP BY oe.label, oe.vec_id
+), outl AS (
+  SELECT vec_id FROM (
+    SELECT od.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY od.label ORDER BY od.d2n DESC, od.vec_id) AS rk
+    FROM od
+  ) WHERE rk <= 5
+), clean AS (
+  SELECT vec_id, {_QUANT} AS ev FROM embeddings
+  WHERE vec_id NOT IN (SELECT vec_id FROM outl)
+), cl AS (
+  SELECT vec_id, ev, ({planes}) AS cluster_id FROM clean
+), drp AS (
+  SELECT DISTINCT a.vec_id
+  FROM cl a JOIN cl b ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+  WHERE list_inner_product(a.ev, b.ev)
+        / (SQRT(list_inner_product(a.ev, a.ev)) * SQRT(list_inner_product(b.ev, b.ev))) >= 0.4
+), kept AS (
+  SELECT vec_id, ev FROM cl WHERE vec_id NOT IN (SELECT vec_id FROM drp)
+), j AS (
+  SELECT q.vec_id AS query_id, k.vec_id AS neighbor_id,
+         ROUND(list_inner_product(q.ev, k.ev)
+               / (SQRT(list_inner_product(q.ev, q.ev))
+                  * SQRT(list_inner_product(k.ev, k.ev))), 6) AS cosine
+  FROM kept q JOIN kept k ON q.vec_id % 50 = 0
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM j
+) WHERE rn <= 4
+"""
+
+
+SQL_EMBEDDING_PIPELINE = _sql_embedding_pipeline()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -6487,6 +6583,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cdc_apply": (q_cdc_apply, SQL_CDC_APPLY),
     "table_diff": (q_table_diff, SQL_TABLE_DIFF),
     "k_core": (q_k_core, SQL_K_CORE),
+    "embedding_pipeline": (q_embedding_pipeline, SQL_EMBEDDING_PIPELINE),
 }
 
 

@@ -132,6 +132,7 @@ HEADLINE = [
     "cdc_apply",
     "table_diff",
     "k_core",
+    "embedding_pipeline",
 ]
 
 

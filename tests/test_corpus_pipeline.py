@@ -53,3 +53,38 @@ def test_text_fingerprints_well_formed(result):
     assert all(
         r["text_md5"] is not None and len(r["text_md5"]) == 32 for r in result
     )
+
+
+# ------------------------------------------------- embedding pipeline
+
+
+@pytest.fixture(scope="module")
+def emb_result(spark, sf_dir):
+    from revtron_utils_spark.operators.dedup import release_caches
+
+    rows = entry_mod.queries()["embedding_pipeline"](spark, sf_dir).collect()
+    release_caches()
+    spark.catalog.clearCache()
+    return rows
+
+
+def test_embedding_pipeline_rank_structure(emb_result):
+    assert len(emb_result) > 0
+    by_q = {}
+    for r in emb_result:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        # queries are drawn from the kept corpus, so self is rank 1
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["neighbor_id"] == q and top["cosine"] == 1.0
+
+
+def test_embedding_pipeline_queries_are_survivors(emb_result):
+    # every query id obeys the % 50 sampling rule of the fixture
+    assert all(r["query_id"] % 50 == 0 for r in emb_result)
+
+
+def test_embedding_pipeline_cosine_bounds(emb_result):
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in emb_result)
