@@ -90,3 +90,24 @@ def test_table_diff_multi_column_change_sorted(spark):
     row = table_diff(old, new, ["id"]).collect()[0]
     assert row["status"] == "changed"
     assert row["changed_cols"] == ["name", "val"]
+
+
+def test_batchwise_apply_equals_one_shot_for_ordered_batches(spark):
+    """foreachBatch-style application: folding seq-ordered micro-batches
+    one at a time equals applying the full changelog at once (each
+    batch's min seq exceeds the previous batch's max — the normal CDC
+    stream contract; changes always supersede the running snapshot)."""
+    base = _base(spark)
+    b1 = spark.createDataFrame(
+        [(1, "a1", 11, 1, "U"), (2, "b", 20, 2, "D"), (4, "d", 40, 3, "U")],
+        ["id", "name", "val", "seq", "op"],
+    )
+    b2 = spark.createDataFrame(
+        [(1, "a2", 12, 10, "U"), (4, "d", 40, 11, "D"), (3, "c2", 31, 12, "U")],
+        ["id", "name", "val", "seq", "op"],
+    )
+    sequential = cdc_apply(cdc_apply(base, b1, ["id"], "seq"), b2, ["id"], "seq")
+    one_shot = cdc_apply(base, b1.unionByName(b2), ["id"], "seq")
+    assert sorted(map(tuple, sequential.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )

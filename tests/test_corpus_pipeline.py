@@ -88,3 +88,22 @@ def test_embedding_pipeline_queries_are_survivors(emb_result):
 
 def test_embedding_pipeline_cosine_bounds(emb_result):
     assert all(-1.0 <= r["cosine"] <= 1.0 for r in emb_result)
+
+
+def test_pipeline_fanout_points_are_cached(spark, sf_dir):
+    """The chain's fan-out frames (cleaned corpus, near-dup id set,
+    decontaminated survivors) must materialize as InMemoryRelations so
+    multi-read stages cost cache scans, not upstream recomputes — the
+    'no redundant scans between stages' plan property."""
+    from revtron_utils_spark.operators.dedup import _PERSISTED, release_caches
+    from revtron_utils_spark.plans.audit import formatted_plan
+
+    release_caches()
+    df = entry_mod.queries()["corpus_pipeline"](spark, sf_dir)
+    try:
+        assert "InMemoryTableScan" in formatted_plan(df)
+        # gq + nd_ids + survivors (+ minhash signature persists)
+        assert len(_PERSISTED) >= 3
+    finally:
+        release_caches()
+        spark.catalog.clearCache()
