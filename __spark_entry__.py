@@ -6295,6 +6295,27 @@ WHERE {bucket} < thr.thr
 SQL_CORPUS_PIPELINE = _sql_corpus_pipeline()
 
 
+def q_token_diversity(spark, sf):
+    """Lexical-diversity profile (`profile.token_diversity`): per-source
+    type-token ratio and unbiased Gini-Simpson index — log-free (no
+    entropy), so every quantity is an exact integer sum plus one
+    exactly-rounded division and the whole readout hash-matches the
+    oracle. One (source, token) partial-aggregated shuffle + an
+    O(groups) rollup."""
+    from revtron_utils_spark.operators.profile import token_diversity
+
+    return token_diversity(_t(spark, sf, "documents"), ["source"])
+
+
+def _sql_token_diversity() -> str:
+    from revtron_utils_spark.operators.profile import token_diversity_oracle_sql
+
+    return token_diversity_oracle_sql("documents", ["source"])
+
+
+SQL_TOKEN_DIVERSITY = _sql_token_diversity()
+
+
 def q_embedding_pipeline(spark, sf):
     """End-to-end embedding-corpus pipeline — the vector-side sibling of
     `corpus_pipeline`, composed as ONE plan from three hash-verified
@@ -6584,6 +6605,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "table_diff": (q_table_diff, SQL_TABLE_DIFF),
     "k_core": (q_k_core, SQL_K_CORE),
     "embedding_pipeline": (q_embedding_pipeline, SQL_EMBEDDING_PIPELINE),
+    "token_diversity": (q_token_diversity, SQL_TOKEN_DIVERSITY),
 }
 
 

@@ -133,6 +133,7 @@ HEADLINE = [
     "table_diff",
     "k_core",
     "embedding_pipeline",
+    "token_diversity",
 ]
 
 

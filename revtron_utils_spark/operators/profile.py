@@ -324,3 +324,83 @@ def rolling_zscore(
             F.when((n >= min_history) & (var > 0), z), round_to
         ).alias("z"),
     )
+
+
+def token_diversity(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Lexical-diversity profile per group — the corpus-health signal
+    behind "is this domain template spam or real prose":
+
+    - ``n_tokens`` (N), ``n_types`` (V): totals and distinct tokens,
+    - ``ttr = V / N``: type-token ratio,
+    - ``simpson``: the unbiased Gini-Simpson index
+      ``1 − Σ_t c_t·(c_t−1) / (N·(N−1))`` — the probability two tokens
+      drawn WITHOUT replacement differ. 0 for a one-word group, → 1 for
+      maximally diverse text; unlike entropy it needs no logarithm, so
+      every quantity here is an exact integer sum plus ONE
+      exactly-rounded IEEE division — hash-comparable across engines.
+
+    Physical shape: tokenize (JVM expressions) → one partial-aggregated
+    shuffle on (group, token) for the per-token counts → one O(groups)
+    rollup. Token-count skew (stopwords) is absorbed by the map-side
+    combine; nothing collects. NULL/empty documents contribute nothing.
+
+    No counterpart in the reference (its text surface is SOQL strings);
+    part of the text-analysis extension.
+    """
+    from ..functions.text import tokens
+
+    tok = df.select(
+        *group_cols, F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    counts = tok.groupBy(*group_cols, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    agg = counts.groupBy(*group_cols).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("_c") * (F.col("_c") - 1)).alias("_rep2"),
+    )
+    n = F.col("n_tokens")
+    nd = n.cast("double")
+    simpson = F.when(
+        n > 1,
+        F.lit(1.0) - F.col("_rep2").cast("double") / (nd * (nd - F.lit(1.0))),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        *group_cols,
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types").cast("double") / nd, round_to).alias("ttr"),
+        F.round(simpson, round_to).alias("simpson"),
+    )
+
+
+def token_diversity_oracle_sql(
+    table: str, group_cols: list[str], text_col: str = "text", round_to: int = 6
+) -> str:
+    """DuckDB twin: same tokenizer, same integer sums, same divisions."""
+    gc = ", ".join(group_cols)
+    return rf"""
+WITH tok AS (
+  SELECT {gc},
+         unnest(list_filter(string_split_regex(trim({text_col}), '\s+'),
+                            t -> t <> '')) AS t
+  FROM {table}
+), c AS (
+  SELECT {gc}, t, COUNT(*) AS c FROM tok GROUP BY {gc}, t
+), a AS (
+  SELECT {gc}, SUM(c) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_types,
+         SUM(c * (c - 1)) AS rep2
+  FROM c GROUP BY {gc}
+)
+SELECT {gc}, n_tokens, n_types,
+       ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), {round_to}) AS ttr,
+       ROUND(CASE WHEN n_tokens > 1
+             THEN 1.0 - CAST(rep2 AS DOUBLE)
+                  / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0))
+             ELSE 0.0 END, {round_to}) AS simpson
+FROM a
+"""

@@ -201,3 +201,20 @@ def test_rolling_zscore_flags_planted_spike(spark):
     # the day AFTER the spike is judged against a spike-inflated
     # baseline but must not itself alert upward
     assert out[26].z is None or out[26].z < 3
+
+
+def test_token_diversity_known_values(spark):
+    """Hand-computable fixture: 'a a b' has N=3 V=2 rep2=2·1=2 →
+    simpson = 1 − 2/(3·2) = 2/3; a one-token group pins the n=1 guard."""
+    from revtron_utils_spark.operators.profile import token_diversity
+
+    df = spark.createDataFrame(
+        [("g1", "a a b"), ("g2", "x"), ("g3", "w w w w")],
+        ["source", "text"],
+    )
+    out = {r["source"]: r for r in token_diversity(df, ["source"]).collect()}
+    assert (out["g1"]["n_tokens"], out["g1"]["n_types"]) == (3, 2)
+    assert abs(out["g1"]["simpson"] - 2 / 3) < 1e-6
+    assert out["g2"]["simpson"] == 0.0 and out["g2"]["ttr"] == 1.0
+    assert out["g3"]["simpson"] == 0.0  # all repeats: zero diversity
+    assert abs(out["g3"]["ttr"] - 0.25) < 1e-6
