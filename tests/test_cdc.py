@@ -111,3 +111,60 @@ def test_batchwise_apply_equals_one_shot_for_ordered_batches(spark):
     assert sorted(map(tuple, sequential.collect())) == sorted(
         map(tuple, one_shot.collect())
     )
+
+
+# --------------------------------------------- property differential
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_CHANGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),    # key
+        st.integers(min_value=0, max_value=99),   # value
+        st.integers(min_value=1, max_value=20),   # seq
+        st.sampled_from(["U", "D"]),              # op
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(changes=_CHANGES)
+def test_cdc_apply_matches_python_model(spark, changes):
+    """Differential vs a direct python fold: per key, the (seq,
+    delivery)-max change decides — image if U, absent if D; untouched
+    base keys pass through."""
+    base_rows = [(k, k * 10) for k in range(4)]
+    model = {k: v for k, v in base_rows}
+    # python model: pick per-key argmax over (seq, delivery_index)
+    best: dict[int, tuple] = {}
+    for i, (k, v, seq, op) in enumerate(changes):
+        cur = best.get(k)
+        if cur is None or (seq, i) > (cur[0], cur[1]):
+            best[k] = (seq, i, v, op)
+    for k, (_, _, v, op) in best.items():
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = v
+    base = spark.createDataFrame(base_rows, "id int, val int")
+    if changes:
+        ch = spark.createDataFrame(
+            [(k, v, seq, op, i) for i, (k, v, seq, op) in enumerate(changes)],
+            "id int, val int, seq int, op string, delivery int",
+        )
+        got = {
+            r["id"]: r["val"]
+            for r in cdc_apply(
+                base, ch, ["id"], "seq", tiebreak_col="delivery"
+            ).collect()
+        }
+    else:
+        got = {r["id"]: r["val"] for r in base.collect()}
+    assert got == model

@@ -165,6 +165,12 @@ def make_fixtures(out_dir: Path, n_docs: int, seed: int = 42) -> None:
             "o_orderpriority": pa.array(
                 [rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-LOW"]) for _ in range(n_docs)]
             ),
+            # cdc_apply / table_diff gate columns (status + price)
+            "o_orderstatus": pa.array([rng.choice("OFP") for _ in range(n_docs)]),
+            "o_totalprice": pa.array(
+                [round(rng.uniform(900, 100_000), 2) for _ in range(n_docs)],
+                pa.float64(),
+            ),
         }
     )
     pq.write_table(orders, out_dir / "orders.parquet")
