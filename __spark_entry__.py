@@ -6412,6 +6412,39 @@ SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cosine FROM (
 SQL_EMBEDDING_PIPELINE = _sql_embedding_pipeline()
 
 
+def q_embedding_pipeline_scaled(spark, sf):
+    """The 100-TB configuration of `embedding_pipeline` (rows-only by
+    design: the plane count adapts to the corpus, so no static SQL twin
+    exists): same outlier screen, but SemDeDup with ``planes='auto'``
+    (clusters ∝ n, expected cluster population bounded near 1000 — the
+    within-cluster O(Σc²) verify stays linear in n instead of the fixed-
+    plane O(n²/2^planes)), and the kNN readout restricted to each
+    query's OWN sign-LSH cluster (``knn_join`` blocked on cluster_id),
+    so per-query work is bounded by cluster size, not corpus size.
+    `tools/scale_study.py` fits this variant's curve next to the exact
+    gate's — the pair is the recall-vs-cost story every LSH family in
+    the repo tells."""
+    from revtron_utils_spark.operators import semdedup as SD
+
+    emb = _t(spark, sf, "embeddings")
+    out = SIM.embedding_outliers(
+        emb, "embedding", "vec_id", "label", top_k=5, scale=1000
+    )
+    clean = emb.join(out.select("vec_id"), "vec_id", "left_anti")
+    sd = SD.semantic_dedup(clean, threshold=0.4, planes="auto", dim=64)
+    kept = clean.join(
+        sd.where(F.col("kept")).select("vec_id", "cluster_id"), "vec_id"
+    )
+    queries = kept.where(F.col("vec_id") % 50 == 0)
+    knn = SIM.knn_join(queries, kept, k=4, block_cols=("cluster_id",))
+    return knn.select(
+        F.col("lid").alias("query_id"),
+        F.col("rid").alias("neighbor_id"),
+        "rank",
+        "cosine",
+    )
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -6606,6 +6639,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "k_core": (q_k_core, SQL_K_CORE),
     "embedding_pipeline": (q_embedding_pipeline, SQL_EMBEDDING_PIPELINE),
     "token_diversity": (q_token_diversity, SQL_TOKEN_DIVERSITY),
+    "embedding_pipeline_scaled": (q_embedding_pipeline_scaled, None),
 }
 
 

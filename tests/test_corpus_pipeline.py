@@ -107,3 +107,35 @@ def test_pipeline_fanout_points_are_cached(spark, sf_dir):
     finally:
         release_caches()
         spark.catalog.clearCache()
+
+
+def test_embedding_pipeline_scaled_structure_and_recall(spark, sf_dir):
+    """The auto-plane / cluster-local-kNN configuration keeps the gate's
+    output contract (self at rank 1, ranks contiguous) and — at fixture
+    size, where 'auto' yields few planes — recovers most of the exact
+    pipeline's neighbor pairs (cluster restriction is the only recall
+    loss, the standard LSH trade)."""
+    from revtron_utils_spark.operators.dedup import release_caches
+
+    q = entry_mod.queries()
+    scaled = q["embedding_pipeline_scaled"](spark, sf_dir).collect()
+    exact = q["embedding_pipeline"](spark, sf_dir).collect()
+    release_caches()
+    spark.catalog.clearCache()
+    assert scaled, "scaled pipeline returned no rows"
+    by_q = {}
+    for r in scaled:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert sorted(x["rank"] for x in rows) == list(range(1, len(rows) + 1))
+        top = min(rows, key=lambda x: x["rank"])
+        assert top["neighbor_id"] == qid and top["cosine"] == 1.0
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    got = {(r["query_id"], r["neighbor_id"]) for r in scaled}
+    recall = len(want & got) / max(len(want), 1)
+    # fixture vectors are near-isotropic (cos ≈ 0 neighbors sit near the
+    # hyperplane), so cluster-splitting costs ~25% of the brute-force
+    # neighbor pairs here — at a real near-dup operating point
+    # (cos ≥ 0.9) the same construction loses almost nothing (see the
+    # cosine_neardup_lsh gate's recall note)
+    assert recall >= 0.7, f"recall {recall:.2f}"
