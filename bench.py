@@ -134,6 +134,7 @@ HEADLINE = [
     "k_core",
     "embedding_pipeline",
     "token_diversity",
+    "embedding_pipeline_scaled",
 ]
 
 
