@@ -6412,6 +6412,27 @@ SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cosine FROM (
 SQL_EMBEDDING_PIPELINE = _sql_embedding_pipeline()
 
 
+def q_skew_report(spark, sf):
+    """Join-key skew diagnostic (`skew.join_skew_report`): the 10
+    heaviest o_custkey values in orders with exact counts, row share,
+    and ratio-to-mean-frequency — the decision input for salted_join /
+    AQE skew handling, naming the keys whose blowup `ams_f2` predicts
+    in aggregate. One key-partial shuffle + broadcast scalar totals;
+    hash-matches the oracle."""
+    from revtron_utils_spark.operators.skew import join_skew_report
+
+    return join_skew_report(_t(spark, sf, "orders"), ["o_custkey"], top_k=10)
+
+
+def _sql_skew_report() -> str:
+    from revtron_utils_spark.operators.skew import join_skew_report_oracle_sql
+
+    return join_skew_report_oracle_sql("orders", ["o_custkey"], top_k=10)
+
+
+SQL_SKEW_REPORT = _sql_skew_report()
+
+
 def q_embedding_pipeline_scaled(spark, sf):
     """The 100-TB configuration of `embedding_pipeline` (rows-only by
     design: the plane count adapts to the corpus, so no static SQL twin
@@ -6640,6 +6661,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "embedding_pipeline": (q_embedding_pipeline, SQL_EMBEDDING_PIPELINE),
     "token_diversity": (q_token_diversity, SQL_TOKEN_DIVERSITY),
     "embedding_pipeline_scaled": (q_embedding_pipeline_scaled, None),
+    "skew_report": (q_skew_report, SQL_SKEW_REPORT),
 }
 
 

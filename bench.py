@@ -135,6 +135,7 @@ HEADLINE = [
     "embedding_pipeline",
     "token_diversity",
     "embedding_pipeline_scaled",
+    "skew_report",
 ]
 
 

@@ -80,3 +80,75 @@ def salted_agg(
         refn = "sum" if fn == "count" else fn  # counts combine by summing
         final_exprs.append(getattr(F, refn)(f"__p_{name}").alias(name))
     return partial.groupBy(*group_cols).agg(*final_exprs)
+
+
+def join_skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key skew diagnostic for a prospective join/aggregation key —
+    the decision input for :func:`salted_join` / AQE skew handling
+    (`ams_f2` estimates the aggregate blowup Σf²; this names the keys):
+    the ``top_k`` heaviest key values with exact counts, each key's
+    share of all rows, and its ratio to the mean key frequency
+    (``count·n_keys/n_rows`` — >> 1 means one task eats the key).
+
+    Exact integer counts + two exactly-rounded divisions per row, so the
+    readout hash-matches a SQL oracle. One partial-aggregated shuffle on
+    the key + an O(keys) top-k (TakeOrdered-style window with full key
+    tiebreak); the two scalar totals are a broadcast single-row
+    aggregate, never a collect of the key space.
+
+    Output: ``(*key_cols, cnt, share, x_mean, rank)``.
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("_n_rows"), F.count(F.lit(1)).alias("_n_keys")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), *[F.col(k).asc() for k in keys])
+    ranked = (
+        counts.join(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )
+    return ranked.select(
+        *keys,
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("_n_rows").cast("double"), round_to).alias(
+            "share"
+        ),
+        F.round(
+            (F.col("cnt") * F.col("_n_keys")).cast("double")
+            / F.col("_n_rows").cast("double"),
+            round_to,
+        ).alias("x_mean"),
+        "rank",
+    )
+
+
+def join_skew_report_oracle_sql(
+    table: str, key_cols: Sequence[str], top_k: int = 10, round_to: int = 6
+) -> str:
+    """DuckDB twin: same counts, same two divisions, same tiebreak."""
+    keys = list(key_cols)
+    gc = ", ".join(keys)
+    tb = ", ".join(f"{k} ASC" for k in keys)
+    return f"""
+WITH c AS (SELECT {gc}, COUNT(*) AS cnt FROM {table} GROUP BY {gc}),
+t AS (SELECT SUM(cnt) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys FROM c),
+r AS (
+  SELECT c.*, t.n_rows, t.n_keys,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, {tb}) AS rank
+  FROM c CROSS JOIN t
+)
+SELECT {gc}, cnt,
+       ROUND(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), {round_to}) AS share,
+       ROUND(CAST(cnt * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE), {round_to}) AS x_mean,
+       CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {top_k}
+"""

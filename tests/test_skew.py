@@ -128,3 +128,18 @@ def test_skew_stress_plan_splits_hot_group(spark, sf_dir):
     }
     got = {r.hot_key: (r.n, r.cents, r.mx) for r in df.collect()}
     assert got == direct
+
+
+def test_join_skew_report_known_distribution(spark):
+    """Hand-checkable fixture: key 'hot' holds 6 of 10 rows across 3
+    distinct keys → share 0.6, x_mean = 6·3/10 = 1.8, rank 1."""
+    from revtron_utils_spark.operators.skew import join_skew_report
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1
+    df = spark.createDataFrame(rows, ["k"])
+    out = {r["k"]: r for r in join_skew_report(df, ["k"], top_k=2).collect()}
+    assert set(out) == {"hot", "warm"}  # top-2 only
+    assert out["hot"]["cnt"] == 6 and out["hot"]["rank"] == 1
+    assert abs(out["hot"]["share"] - 0.6) < 1e-9
+    assert abs(out["hot"]["x_mean"] - 1.8) < 1e-9
+    assert out["warm"]["rank"] == 2
