@@ -97,24 +97,27 @@ def join_skew_report(
 
     Exact integer counts + two exactly-rounded divisions per row, so the
     readout hash-matches a SQL oracle. One partial-aggregated shuffle on
-    the key + an O(keys) top-k (TakeOrdered-style window with full key
-    tiebreak); the two scalar totals are a broadcast single-row
-    aggregate, never a collect of the key space.
+    the key; the top-k itself is ``orderBy(...).limit(k)`` — Spark
+    compiles that to ``TakeOrderedAndProject`` (per-partition k-row
+    heaps, O(k) driver merge), so the key-counts frame is never globally
+    sorted and never flows through a single-task unpartitioned window.
+    The rank column is a row_number over the already-k-row result, and
+    the two scalar totals are a broadcast single-row aggregate — nothing
+    driver-side scales with the key space.
 
     Output: ``(*key_cols, cnt, share, x_mean, rank)``.
     """
     from pyspark.sql import Window
 
     keys = list(key_cols)
+    order = [F.col("cnt").desc()] + [F.col(k).asc() for k in keys]
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
     totals = counts.agg(
         F.sum("cnt").alias("_n_rows"), F.count(F.lit(1)).alias("_n_keys")
     )
-    w = Window.orderBy(F.col("cnt").desc(), *[F.col(k).asc() for k in keys])
-    ranked = (
-        counts.join(F.broadcast(totals))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
+    top = counts.orderBy(*order).limit(top_k)
+    ranked = top.join(F.broadcast(totals)).withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
     )
     return ranked.select(
         *keys,
