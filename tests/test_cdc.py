@@ -168,3 +168,40 @@ def test_cdc_apply_matches_python_model(spark, changes):
     else:
         got = {r["id"]: r["val"] for r in base.collect()}
     assert got == model
+
+
+_SNAP = st.dictionaries(
+    st.integers(min_value=0, max_value=9),
+    st.tuples(st.sampled_from(["a", "b", None]), st.one_of(st.none(), st.integers(0, 3))),
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(old=_SNAP, new=_SNAP)
+def test_table_diff_matches_python_model(spark, old, new):
+    """Differential vs a direct python fold over random snapshots with
+    NULLs in both value columns (null-safe comparison semantics)."""
+    model = {}
+    for k in set(old) | set(new):
+        if k not in new:
+            model[k] = ("removed", [])
+        elif k not in old:
+            model[k] = ("added", [])
+        else:
+            changed = sorted(
+                c for c, i in (("name", 0), ("val", 1)) if old[k][i] != new[k][i]
+            )
+            model[k] = ("changed", changed) if changed else ("unchanged", [])
+    schema = "id int, name string, val int"
+    o = spark.createDataFrame([(k, v[0], v[1]) for k, v in old.items()], schema)
+    n = spark.createDataFrame([(k, v[0], v[1]) for k, v in new.items()], schema)
+    got = {
+        r["id"]: (r["status"], list(r["changed_cols"]))
+        for r in table_diff(o, n, ["id"]).collect()
+    }
+    assert got == model
