@@ -5914,7 +5914,10 @@ def q_k_core(spark, sf):
     removes nodes with fewer than k=3 trading partners until the 3-core
     fixpoint. Deterministic (degree-only decisions), fixed synchronous
     rounds; the oracle unrolls the identical peel as chained CTEs, so
-    the surviving (node, in-core degree) set hash-verifies."""
+    the surviving (node, in-core degree) set hash-verifies. rounds=6 is
+    past the fixture's peel depth: rounds 6 and 7 return identical sets
+    at sf0.01 AND sf0.1 (verified), so the gate reports the true
+    fixpoint, not a truncated peel."""
     from revtron_utils_spark.operators.graph import k_core
 
     od = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
