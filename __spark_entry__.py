@@ -5671,9 +5671,13 @@ WITH b AS (
 ), d AS (
   SELECT g, v, n,
          CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
-         (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
-          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS var
+         -- n=1 guard mirrors the Spark side's NULL variance (unguarded,
+         -- DuckDB's IEEE float div would yield NaN here: 0/0)
+         CASE WHEN n > 1 THEN
+           (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+         ELSE NULL END AS var
   FROM s
 )
 SELECT a.g AS l_returnflag, a.v AS variant_a, b2.v AS variant_b,

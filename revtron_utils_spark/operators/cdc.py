@@ -51,7 +51,10 @@ def cdc_apply(
     from the output. Deterministic: ties on ``seq_col`` break on
     ``tiebreak_col`` (pass the changelog's delivery id) and then on the
     base-vs-change flag, so replays and duplicate deliveries are
-    idempotent.
+    idempotent. An exact ``(seq, tiebreak)`` collision between an upsert
+    and a delete resolves delete-wins (``_del`` is the final sort key,
+    descending), so key survival is deterministic even without a
+    ``tiebreak_col``.
 
     Returns the new snapshot with ``base``'s columns.
     """
@@ -75,8 +78,10 @@ def cdc_apply(
         (F.col(op_col) == delete_op).alias("_del"),
         *([F.col(tiebreak_col).cast("long").alias("_tb")] if tiebreak_col else []),
     )
-    order = [F.col("_src").desc(), F.col("_seq").desc()] + (
-        [F.col("_tb").desc()] if tiebreak_col else []
+    order = (
+        [F.col("_src").desc(), F.col("_seq").desc()]
+        + ([F.col("_tb").desc()] if tiebreak_col else [])
+        + [F.col("_del").desc()]  # exact-tie U/D collision: delete wins
     )
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
@@ -97,8 +102,8 @@ def cdc_apply_oracle_sql(
     delete_op: str = "D",
     tiebreak_col: str | None = None,
 ) -> str:
-    """DuckDB twin: same union, same descending (src, seq[, tiebreak])
-    rank, same delete suppression."""
+    """DuckDB twin: same union, same descending
+    (src, seq[, tiebreak], del) rank, same delete suppression."""
     keys = list(keys)
     vals = list(value_cols)
     cols = ", ".join(keys + vals)
@@ -116,7 +121,7 @@ WITH b AS (
 ), u AS (SELECT * FROM b UNION ALL SELECT * FROM c)
 SELECT {cols} FROM u
 QUALIFY row_number() OVER (
-  PARTITION BY {", ".join(keys)} ORDER BY _src DESC, _seq DESC{tb_ord}
+  PARTITION BY {", ".join(keys)} ORDER BY _src DESC, _seq DESC{tb_ord}, _del DESC
 ) = 1 AND NOT _del
 """
 

@@ -116,6 +116,17 @@ def _mark_dropped(
     )
     thr = float(threshold)
 
+    # A NULL quantized vector (NULL/absent embedding) can never clear the
+    # cosine threshold — the old try_divide expression path treated its
+    # similarity as failing — so emit those rows kept=True up front; the
+    # BLAS path below would otherwise raise on np.asarray(None)/ragged
+    # np.stack. Dimension consistency among NON-null vectors remains the
+    # documented contract of the entry points.
+    nulls = clustered.where(F.col("_qv").isNull()).select(
+        F.col(id_col), F.col("cluster_id"), F.lit(True).alias("kept")
+    )
+    clustered = clustered.where(F.col("_qv").isNotNull())
+
     def verify(pdf):
         ids = pdf[id_col].to_numpy()
         V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_qv"]])
@@ -143,6 +154,7 @@ def _mark_dropped(
         clustered.select(id_col, "cluster_id", "_qv")
         .groupBy("cluster_id")
         .applyInPandas(verify, out_schema)
+        .unionByName(nulls)
     )
 
 

@@ -126,7 +126,12 @@ def join_skew_report(
             "share"
         ),
         F.round(
-            (F.col("cnt") * F.col("_n_keys")).cast("double")
+            # cast BEFORE multiplying: cnt·n_keys in int64 overflows 2^63
+            # at 100-TB cardinalities (1e9-row hot key × 1e10 keys) and
+            # fails under ANSI mode; double loses nothing a 6-decimal
+            # rounded diagnostic needs.
+            F.col("cnt").cast("double")
+            * F.col("_n_keys").cast("double")
             / F.col("_n_rows").cast("double"),
             round_to,
         ).alias("x_mean"),
@@ -151,7 +156,7 @@ r AS (
 )
 SELECT {gc}, cnt,
        ROUND(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), {round_to}) AS share,
-       ROUND(CAST(cnt * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE), {round_to}) AS x_mean,
+       ROUND(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE), {round_to}) AS x_mean,
        CAST(rank AS INT) AS rank
 FROM r WHERE rank <= {top_k}
 """

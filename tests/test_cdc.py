@@ -205,3 +205,36 @@ def test_table_diff_matches_python_model(spark, old, new):
         for r in table_diff(o, n, ["id"]).collect()
     }
     assert got == model
+
+
+def test_ud_seq_tie_without_tiebreak_is_deterministic_delete_wins(spark):
+    """An update and a delete on the same key at the same seq with NO
+    tiebreak_col must resolve the same way every run: delete wins (the
+    `_del DESC` final sort key), so the key is absent."""
+    changes = spark.createDataFrame(
+        [(1, "u", 99, 7, "U"), (1, "u", 99, 7, "D")],
+        ["id", "name", "val", "seq", "op"],
+    )
+    for _ in range(3):  # repeated runs: row_number tie must not flip
+        shuffled = changes.repartition(5)
+        out = {r["id"] for r in cdc_apply(_base(spark), shuffled, ["id"], "seq").collect()}
+        assert 1 not in out
+
+
+def test_ud_tie_oracle_agrees_delete_wins(spark):
+    """The DuckDB oracle twin resolves the same U/D collision the same
+    way (delete wins)."""
+    import duckdb
+
+    from revtron_utils_spark.operators.cdc import cdc_apply_oracle_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE base_t AS SELECT 1 AS id, 'a' AS name, 10 AS val")
+    con.execute(
+        "CREATE TABLE chg_t AS SELECT * FROM (VALUES (1,'u',99,7,'U'),(1,'u',99,7,'D'))"
+        " t(id, name, val, seq, op)"
+    )
+    sql = cdc_apply_oracle_sql(
+        "SELECT * FROM base_t", "SELECT * FROM chg_t", ["id"], ["name", "val"], "seq"
+    )
+    assert con.execute(sql).fetchall() == []

@@ -358,3 +358,39 @@ def test_multi_touch_tiebreak_deterministic(spark):
     }
     # order: click (first, 0.4), view (middle, 0.2), email (last, 0.4)
     assert out == {"click": 0.4, "view": 0.2, "email": 0.4}
+
+
+def test_welch_n1_variant_matches_duckdb_oracle(spark):
+    """Single-observation variant: Spark guards var to NULL; the oracle
+    SQL now carries the same CASE WHEN n > 1 guard, so both sides agree
+    on NULL t_stat in the n=1 regime (DuckDB would otherwise produce a
+    NaN from the IEEE 0/0)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from revtron_utils_spark.operators.funnel import welch_ab_test
+
+    rows = [
+        ("A", 0.10, 100.0),            # hi band, n=1
+        ("A", 0.01, 50.0), ("A", 0.02, 60.0), ("A", 0.03, 70.0),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{g}', {d}, {p})" for g, d, p in rows)
+        + ") t(l_returnflag, l_discount, l_extendedprice)"
+    )
+    oracle = con.execute(entry.SQL_AB_TEST).fetchall()
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_discount double, l_extendedprice double"
+    ).select(
+        "l_returnflag",
+        F.when(F.col("l_discount") > 0.05, F.lit("hi")).otherwise(F.lit("lo")).alias(
+            "disc_band"
+        ),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    got = welch_ab_test(df, "cents", "disc_band", by=["l_returnflag"]).collect()
+    assert len(oracle) == 1 and len(got) == 1
+    assert oracle[0][-1] is None and got[0]["t_stat"] is None
+    assert got[0]["n_a"] == 1 and got[0]["n_b"] == 3

@@ -99,3 +99,23 @@ def test_semdedup_auto_planes_bounds_clusters(emb, spark):
     n_big = big.count()
     n_clusters = out_big.select("cluster_id").distinct().count()
     assert n_big / n_clusters < 400
+
+
+def test_null_embedding_rows_are_kept_not_crashed(spark):
+    """NULL embeddings can never clear the cosine threshold — they must
+    come back kept=True (matching the old try_divide semantics) instead
+    of crashing the BLAS verify path on np.asarray(None)."""
+    from revtron_utils_spark.operators.semdedup import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),  # exact dup of 1 → dropped
+        (3, None),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: r["kept"] for r in semantic_dedup(
+        df, threshold=0.99, planes=2, dim=4
+    ).collect()}
+    assert out[3] is True and out[4] is True
+    assert out[1] is True and out[2] is False

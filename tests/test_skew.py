@@ -143,3 +143,23 @@ def test_join_skew_report_known_distribution(spark):
     assert abs(out["hot"]["share"] - 0.6) < 1e-9
     assert abs(out["hot"]["x_mean"] - 1.8) < 1e-9
     assert out["warm"]["rank"] == 2
+
+
+def test_x_mean_multiplies_in_double_not_int64(spark):
+    """cnt·n_keys must be a double product (int64 would overflow 2^63 at
+    100-TB key cardinalities and fail under ANSI mode) — assert on the
+    analyzed plan, since no local fixture can reach the overflow."""
+    from revtron_utils_spark.operators.skew import (
+        join_skew_report,
+        join_skew_report_oracle_sql,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], ["k"])
+    plan = join_skew_report(df, ["k"])._jdf.queryExecution().analyzed().toString()
+    assert "(cnt * _n_keys)" not in plan.replace("#", "").lower().replace(
+        "cnt0", "cnt"
+    )
+    assert "cast(cnt" in plan.lower() and "as double" in plan.lower()
+    sql = join_skew_report_oracle_sql("t", ["k"])
+    assert "CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)" in sql
+    assert "cnt * n_keys" not in sql
