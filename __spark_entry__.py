@@ -6440,6 +6440,155 @@ def _sql_skew_report() -> str:
 SQL_SKEW_REPORT = _sql_skew_report()
 
 
+# -- annotation / preference-data analytics (operators/annotation.py):
+# the label-quality side of a training pipeline. Fixtures derive a
+# rating panel and a pairwise-comparison stream from lineitem: each
+# order's lineitems act as ratings (rater = l_linenumber, label =
+# l_returnflag), and within-order lineitem pairs act as comparisons
+# between shipmodes (higher l_quantity wins; quantity/shipmode ties
+# are skipped).
+
+_SQL_RATINGS = (
+    "SELECT l_orderkey AS item, l_linenumber AS rater, l_returnflag AS label "
+    "FROM lineitem"
+)
+_SQL_COMPARISONS = """
+WITH lb AS (
+  SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT CASE WHEN a.l_quantity > b.l_quantity THEN a.p_brand ELSE b.p_brand END AS winner,
+       CASE WHEN a.l_quantity > b.l_quantity THEN b.p_brand ELSE a.p_brand END AS loser
+FROM lb a JOIN lb b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+WHERE a.l_quantity <> b.l_quantity AND a.p_brand <> b.p_brand
+"""
+
+
+def _ratings(spark, sf):
+    return _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("item"),
+        F.col("l_linenumber").alias("rater"),
+        F.col("l_returnflag").alias("label"),
+    )
+
+
+def _comparisons(spark, sf):
+    # brands as the compared catalog: lineitem ⋈ part (broadcast-scale
+    # dim at any SF ratio in spirit; Spark picks broadcast via AQE),
+    # then within-order lineitem pairs — higher quantity wins
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    part = _t(spark, sf, "part").select("p_partkey", "p_brand")
+    lb = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "p_brand"
+    )
+    a, b = lb.alias("a"), lb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+    ).where(
+        (F.col("a.l_quantity") != F.col("b.l_quantity"))
+        & (F.col("a.p_brand") != F.col("b.p_brand"))
+    )
+    hi = F.col("a.l_quantity") > F.col("b.l_quantity")
+    return pairs.select(
+        F.when(hi, F.col("a.p_brand")).otherwise(F.col("b.p_brand")).alias("winner"),
+        F.when(hi, F.col("b.p_brand")).otherwise(F.col("a.p_brand")).alias("loser"),
+    )
+
+
+def q_majority_vote(spark, sf):
+    """Crowd-label aggregation (`annotation.majority_vote`): per-order
+    modal return flag across its lineitem "raters" — modal label with
+    deterministic (votes DESC, label ASC) tie-break, vote share, and
+    unanimity. One (item,label) partial-aggregated shuffle plus an
+    item-keyed window; exact counts + one rounded division hash-match
+    the oracle."""
+    from revtron_utils_spark.operators.annotation import majority_vote
+
+    return majority_vote(_ratings(spark, sf), "item", "rater", "label")
+
+
+def _sql_majority_vote() -> str:
+    from revtron_utils_spark.operators.annotation import majority_vote_oracle_sql
+
+    return majority_vote_oracle_sql(
+        f"({_SQL_RATINGS}) r", "item", "rater", "label"
+    )
+
+
+SQL_MAJORITY_VOTE = _sql_majority_vote()
+
+
+def q_annotator_kappa(spark, sf):
+    """Inter-annotator agreement (`annotation.cohen_kappa_pairs`):
+    Cohen's kappa for every lineitem-position pair over co-rated
+    orders. Item-keyed self-join (per-item cost bounded by the 7-line
+    panel), exact confusion counts, DECIMAL-exact marginal cross
+    products, two final divisions — hash-matches the oracle."""
+    from revtron_utils_spark.operators.annotation import cohen_kappa_pairs
+
+    return cohen_kappa_pairs(_ratings(spark, sf), "item", "rater", "label")
+
+
+def _sql_annotator_kappa() -> str:
+    from revtron_utils_spark.operators.annotation import (
+        cohen_kappa_pairs_oracle_sql,
+    )
+
+    return cohen_kappa_pairs_oracle_sql(_SQL_RATINGS, "item", "rater", "label")
+
+
+SQL_ANNOTATOR_KAPPA = _sql_annotator_kappa()
+
+
+def q_bradley_terry(spark, sf):
+    """Preference-strength estimation (`annotation.bradley_terry`):
+    Bradley-Terry MM over ~O(lineitem) within-order shipmode
+    comparisons, 20 fixed iterations (the pagerank convention). The
+    comparison stream reduces with ONE map-side-combined count; the
+    iterations run on a single-row O(items²) state frame with
+    index-ordered F.aggregate folds, one projection per iteration, so
+    the readout is bit-equal to the oracle's unrolled MATERIALIZED-CTE
+    list_reduce folds."""
+    from revtron_utils_spark.operators.annotation import bradley_terry
+
+    return bradley_terry(_comparisons(spark, sf), "winner", "loser", iterations=20)
+
+
+def _sql_bradley_terry() -> str:
+    from revtron_utils_spark.operators.annotation import bradley_terry_oracle_sql
+
+    return bradley_terry_oracle_sql(_SQL_COMPARISONS, "winner", "loser", 20)
+
+
+SQL_BRADLEY_TERRY = _sql_bradley_terry()
+
+
+def q_win_rate_wilson(spark, sf):
+    """Win-rate leaderboard with Wilson intervals
+    (`annotation.win_rate_wilson`) over the same comparison stream as
+    `bradley_terry`: exact win/game counts from one map-side-combined
+    aggregation, then a single pinned algebraic form of the Wilson
+    bound (every op an exactly-rounded IEEE multiply/divide/sqrt, so
+    the rounded readout hash-matches the token-identical oracle)."""
+    from revtron_utils_spark.operators.annotation import win_rate_wilson
+
+    return win_rate_wilson(_comparisons(spark, sf), "winner", "loser")
+
+
+def _sql_win_rate_wilson() -> str:
+    from revtron_utils_spark.operators.annotation import win_rate_wilson_oracle_sql
+
+    return win_rate_wilson_oracle_sql(_SQL_COMPARISONS, "winner", "loser")
+
+
+SQL_WIN_RATE_WILSON = _sql_win_rate_wilson()
+
+
 def q_embedding_pipeline_scaled(spark, sf):
     """The 100-TB configuration of `embedding_pipeline` (rows-only by
     design: the plane count adapts to the corpus, so no static SQL twin
@@ -6669,6 +6818,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "token_diversity": (q_token_diversity, SQL_TOKEN_DIVERSITY),
     "embedding_pipeline_scaled": (q_embedding_pipeline_scaled, None),
     "skew_report": (q_skew_report, SQL_SKEW_REPORT),
+    "majority_vote": (q_majority_vote, SQL_MAJORITY_VOTE),
+    "annotator_kappa": (q_annotator_kappa, SQL_ANNOTATOR_KAPPA),
+    "bradley_terry": (q_bradley_terry, SQL_BRADLEY_TERRY),
+    "win_rate_wilson": (q_win_rate_wilson, SQL_WIN_RATE_WILSON),
 }
 
 

@@ -136,6 +136,10 @@ HEADLINE = [
     "token_diversity",
     "embedding_pipeline_scaled",
     "skew_report",
+    "majority_vote",
+    "annotator_kappa",
+    "bradley_terry",
+    "win_rate_wilson",
 ]
 
 

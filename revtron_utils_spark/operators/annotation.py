@@ -1,0 +1,466 @@
+"""Annotation / preference-data analytics — the label-quality side of a
+training-data pipeline (RLHF preference sets, crowdsourced labels,
+pairwise model comparisons). The reference's surface stops at SQL/SOQL
+generation (revtron/database/main.py:28-293); these are the curation
+operators a 100-TB labeling pipeline needs on top:
+
+* ``majority_vote`` — per-item modal label with deterministic
+  tie-break, vote share, unanimity flag (crowd label aggregation).
+* ``cohen_kappa_pairs`` — chance-corrected inter-annotator agreement
+  for every annotator pair over their co-rated items.
+* ``bradley_terry`` — preference-strength estimation from pairwise
+  comparisons (fixed-iteration minorize-maximize), the standard model
+  behind preference-data leaderboards.
+* ``win_rate_wilson`` — per-item win rate with Wilson score interval
+  (the ranking you show while Bradley-Terry is still converging).
+
+Everything is engine-exact by construction: counts stay integral until
+a final division, cross-row float sums run either over DECIMAL-exact
+integers or inside ordered array folds (``F.aggregate`` over sorted
+arrays — the fmix/poly-hash precedent), and sqrt/division are
+correctly-rounded IEEE ops — so every readout hash-matches its DuckDB
+oracle twin.
+
+Scale notes: ``majority_vote`` is one (item,label) partial-aggregated
+shuffle plus an item-keyed window. ``cohen_kappa_pairs`` self-joins
+ratings on the item key — per-item cost is raters², bounded by the
+rater panel, never by the corpus. ``bradley_terry`` and
+``win_rate_wilson`` reduce the comparison stream with ONE map-side-
+combined aggregation; the MM iterations then run on a single-row
+state frame of O(items²) floats (items = the compared-model/option
+catalog — leaderboard-sized by design, documented hard assumption),
+so 100 TB of comparisons cost one shuffle regardless of iteration
+count. Each MM iteration is its OWN projection over materialized
+arrays — the ams_f2 lesson: nesting them as one expression tree would
+duplicate sub-expressions exponentially and silently kill whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def majority_vote(
+    df: DataFrame,
+    item_col: str,
+    rater_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Aggregate one label per item from many raters.
+
+    Returns ``(item_col, label, votes, n_raters, share, unanimous)``:
+    the modal label (ties break to the lexicographically smallest
+    label, so replays are deterministic), its vote count, the number of
+    ratings, the winning share (exactly-rounded double), and whether
+    the vote was unanimous. Duplicate (item, rater) ratings count once
+    each — callers wanting last-rating-wins should cdc-fold first.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(item_col, F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy(item_col)
+    ranked = counts.select(
+        item_col,
+        "label",
+        "votes",
+        F.sum("votes").over(w).alias("n_raters"),
+        F.row_number()
+        .over(w.orderBy(F.col("votes").desc(), F.col("label").asc()))
+        .alias("_rn"),
+    )
+    return ranked.where(F.col("_rn") == 1).select(
+        item_col,
+        "label",
+        "votes",
+        "n_raters",
+        F.round(F.col("votes").cast("double") / F.col("n_raters").cast("double"), 6).alias(
+            "share"
+        ),
+        (F.col("votes") == F.col("n_raters")).alias("unanimous"),
+    )
+
+
+def majority_vote_oracle_sql(
+    table: str, item_col: str, rater_col: str, label_col: str
+) -> str:
+    """DuckDB twin: same counts, same (votes DESC, label ASC) rank."""
+    return f"""
+WITH c AS (
+  SELECT {item_col}, {label_col} AS label, COUNT(*) AS votes
+  FROM {table} GROUP BY 1, 2
+), r AS (
+  SELECT {item_col}, label, votes,
+         SUM(votes) OVER (PARTITION BY {item_col}) AS n_raters,
+         ROW_NUMBER() OVER (PARTITION BY {item_col}
+                            ORDER BY votes DESC, label ASC) AS rn
+  FROM c
+)
+SELECT {item_col}, label, votes, n_raters,
+       ROUND(CAST(votes AS DOUBLE) / CAST(n_raters AS DOUBLE), 6) AS share,
+       votes = n_raters AS unanimous
+FROM r WHERE rn = 1
+"""
+
+
+def cohen_kappa_pairs(
+    df: DataFrame,
+    item_col: str,
+    rater_col: str,
+    label_col: str,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Cohen's kappa for every annotator pair over their co-rated items.
+
+    For each pair (a < b): ``n_shared`` co-rated items, observed
+    agreement ``po = agree/n``, chance agreement
+    ``pe = Σ_k (n_a,k · n_b,k) / n²`` (each rater's label marginals over
+    the SHARED item set), and ``kappa = (po − pe)/(1 − pe)`` (NULL when
+    ``pe = 1`` — degenerate single-label pair, where kappa is
+    undefined). All counts are exact integers; the marginal cross
+    products accumulate in DECIMAL(38,0) (exact at any scale — int64
+    would overflow at ~3e9 shared items), so the two final divisions
+    are the only float ops and the readout hash-matches SQL.
+
+    Plan: one item-keyed self-join (per-item cost raters² — bounded by
+    the panel size, not the corpus), one (pair, label_a, label_b)
+    aggregation, then O(pairs × labels) marginal joins.
+    """
+    r1 = df.select(
+        F.col(item_col).alias("_it"),
+        F.col(rater_col).alias("ra"),
+        F.col(label_col).alias("la"),
+    )
+    r2 = df.select(
+        F.col(item_col).alias("_it"),
+        F.col(rater_col).alias("rb"),
+        F.col(label_col).alias("lb"),
+    )
+    joint = r1.join(r2, "_it").where(F.col("ra") < F.col("rb"))
+    cm = joint.groupBy("ra", "rb", "la", "lb").agg(F.count(F.lit(1)).alias("c"))
+    tot = cm.groupBy("ra", "rb").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("la") == F.col("lb"), F.col("c")).otherwise(F.lit(0))).alias(
+            "agree"
+        ),
+    )
+    ma = cm.groupBy("ra", "rb", F.col("la").alias("k")).agg(F.sum("c").alias("na"))
+    mb = cm.groupBy("ra", "rb", F.col("lb").alias("k")).agg(F.sum("c").alias("nb"))
+    pe_num = (
+        ma.join(mb, ["ra", "rb", "k"])
+        .groupBy("ra", "rb")
+        .agg(
+            F.sum(
+                F.col("na").cast("decimal(18,0)") * F.col("nb").cast("decimal(18,0)")
+            ).alias("pp")
+        )
+    )
+    nd = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / nd
+    pe = F.col("pp").cast("double") / (nd * nd)
+    out = tot.join(pe_num, ["ra", "rb"]).where(F.col("n") >= min_shared)
+    return out.select(
+        F.col("ra").alias("rater_a"),
+        F.col("rb").alias("rater_b"),
+        F.col("n").alias("n_shared"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(
+            F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)), 6
+        ).alias("kappa"),
+    )
+
+
+def cohen_kappa_pairs_oracle_sql(
+    ratings_sql: str,
+    item_col: str,
+    rater_col: str,
+    label_col: str,
+    min_shared: int = 1,
+) -> str:
+    """DuckDB twin: same self-join, DECIMAL-exact marginal products,
+    same two divisions and pe=1 guard."""
+    return f"""
+WITH r0 AS ({ratings_sql}),
+j AS (
+  SELECT a.{rater_col} AS ra, b.{rater_col} AS rb,
+         a.{label_col} AS la, b.{label_col} AS lb
+  FROM r0 a JOIN r0 b ON a.{item_col} = b.{item_col}
+  WHERE a.{rater_col} < b.{rater_col}
+), cm AS (
+  SELECT ra, rb, la, lb, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY 1, 2, 3, 4
+), tot AS (
+  SELECT ra, rb, SUM(c) AS n,
+         SUM(CASE WHEN la = lb THEN c ELSE 0 END) AS agree
+  FROM cm GROUP BY ra, rb
+), ma AS (SELECT ra, rb, la AS k, SUM(c) AS na FROM cm GROUP BY 1, 2, 3),
+mb AS (SELECT ra, rb, lb AS k, SUM(c) AS nb FROM cm GROUP BY 1, 2, 3),
+pp AS (
+  SELECT ma.ra, ma.rb,
+         SUM(CAST(na AS DECIMAL(18,0)) * CAST(nb AS DECIMAL(18,0))) AS pp
+  FROM ma JOIN mb ON ma.ra = mb.ra AND ma.rb = mb.rb AND ma.k = mb.k
+  GROUP BY ma.ra, ma.rb
+)
+SELECT t.ra AS rater_a, t.rb AS rater_b, t.n AS n_shared,
+       ROUND(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+       ROUND(CAST(pp AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+       ROUND(CASE WHEN CAST(pp AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+         THEN (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(pp AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+              / (1.0 - CAST(pp AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         ELSE NULL END, 6) AS kappa
+FROM tot t JOIN pp ON t.ra = pp.ra AND t.rb = pp.rb
+WHERE t.n >= {min_shared}
+"""
+
+
+def win_rate_wilson(
+    df: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-item win rate with the Wilson score interval.
+
+    Returns ``(item, wins, n, win_rate, wilson_lo, wilson_hi)`` for
+    every item appearing in the comparison stream. The interval uses
+    ONE pinned algebraic form (mirrored token-for-token in the oracle —
+    Wilson has several rearrangements that differ in the last ulp):
+
+        denom  = 1 + z²/n
+        center = p̂ + z²/(2n)
+        rad    = sqrt((p̂·(1−p̂) + z²/(4n)) / n)
+        lo, hi = (center ∓ z·rad) / denom
+
+    One map-side-combined aggregation over the stream; every op after
+    the exact counts is a correctly-rounded IEEE multiply/divide/sqrt,
+    so the rounded readout hash-matches SQL.
+    """
+    zc = F.lit(float(z))
+    z2 = zc * zc
+    sides = df.select(
+        F.col(winner_col).alias("item"), F.lit(1).alias("win")
+    ).unionByName(df.select(F.col(loser_col).alias("item"), F.lit(0).alias("win")))
+    agg = sides.groupBy("item").agg(
+        F.sum("win").alias("wins"), F.count(F.lit(1)).alias("n")
+    )
+    nd = F.col("n").cast("double")
+    ph = F.col("wins").cast("double") / nd
+    denom = F.lit(1.0) + z2 / nd
+    center = ph + z2 / (F.lit(2.0) * nd)
+    rad = F.sqrt((ph * (F.lit(1.0) - ph) + z2 / (F.lit(4.0) * nd)) / nd)
+    return agg.select(
+        "item",
+        "wins",
+        "n",
+        F.round(ph, 6).alias("win_rate"),
+        F.round((center - zc * rad) / denom, 6).alias("wilson_lo"),
+        F.round((center + zc * rad) / denom, 6).alias("wilson_hi"),
+    )
+
+
+def win_rate_wilson_oracle_sql(
+    comp_sql: str, winner_col: str, loser_col: str, z: float = 1.96
+) -> str:
+    """DuckDB twin with the identical pinned Wilson form."""
+    return f"""
+WITH c0 AS ({comp_sql}),
+s AS (
+  SELECT {winner_col} AS item, 1 AS win FROM c0
+  UNION ALL SELECT {loser_col} AS item, 0 AS win FROM c0
+), a AS (
+  SELECT item, CAST(SUM(win) AS BIGINT) AS wins, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s GROUP BY item
+)
+SELECT item, wins, n,
+  ROUND(CAST(wins AS DOUBLE) / CAST(n AS DOUBLE), 6) AS win_rate,
+  ROUND(((CAST(wins AS DOUBLE) / CAST(n AS DOUBLE) + ({z} * {z}) / (2.0 * CAST(n AS DOUBLE)))
+     - {z} * sqrt(((CAST(wins AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(wins AS DOUBLE) / CAST(n AS DOUBLE))
+         + ({z} * {z}) / (4.0 * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)))
+    / (1.0 + ({z} * {z}) / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+  ROUND(((CAST(wins AS DOUBLE) / CAST(n AS DOUBLE) + ({z} * {z}) / (2.0 * CAST(n AS DOUBLE)))
+     + {z} * sqrt(((CAST(wins AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(wins AS DOUBLE) / CAST(n AS DOUBLE))
+         + ({z} * {z}) / (4.0 * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)))
+    / (1.0 + ({z} * {z}) / CAST(n AS DOUBLE)), 6) AS wilson_hi
+FROM a
+"""
+
+
+def bradley_terry(
+    df: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    iterations: int = 20,
+) -> DataFrame:
+    """Bradley-Terry preference strengths via fixed-iteration MM.
+
+    Input: a stream of pairwise comparisons ``(winner, loser)``.
+    Output: ``(item, strength)`` with strengths normalized to sum 1 and
+    rounded to 6 decimals, for every item that appears. The MM update
+    (Hunter 2004, "MM algorithms for generalized Bradley-Terry models")
+    from ``p⁰ = 1`` is::
+
+        pᵢ' = Wᵢ / Σ_{j≠i, n_ij>0}  n_ij / (pᵢ + pⱼ)
+
+    run for a FIXED ``iterations`` count (the pagerank/k_core
+    convention: deterministic, oracle-unrollable — not
+    convergence-tested). Items the stream never shows winning get
+    strength 0 after round 1 (W=0), the MLE's boundary behaviour.
+
+    Scale shape: the 100-TB comparison stream reduces with ONE
+    map-side-combined ``groupBy(winner, loser)`` count; everything
+    after runs on a single-row state frame holding the sorted item
+    catalog, the dense n-matrix (row-major, length m²) and the win
+    vector — O(items²) floats, leaderboard-sized by the documented
+    bounded-catalog assumption. Determinism: every cross-item sum is an
+    ``F.aggregate`` fold over an index-ordered array (identical fold
+    order in the DuckDB oracle's ``list_reduce``), never a
+    shuffle-order float SUM. Each iteration is a separate projection
+    over the MATERIALIZED previous array — Catalyst's CollapseProject
+    keeps non-cheap folds referenced m× uncollapsed, so the plan stays
+    codegen-compilable instead of exploding like the ams_f2 tree.
+    """
+    counts = df.groupBy(
+        F.col(winner_col).alias("w"), F.col(loser_col).alias("l")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    # single-row state: sorted catalog + dense games matrix + win vector
+    state = counts.agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(F.collect_list(F.array(F.col("w"), F.col("l"))))
+            )
+        ).alias("it"),
+        F.collect_list(F.struct("w", "l", "c")).alias("_cells"),
+    )
+    m = F.size("it")
+    # dense row-major n_flat (games between i and j, both orientations)
+    # and wins via single-pass folds over the collected cells — cells
+    # are O(items²), so the folds are catalog-sized, not corpus-sized
+    state = state.select(
+        "it",
+        F.transform(
+            F.sequence(F.lit(0), m * m - 1),
+            lambda k: F.aggregate(
+                "_cells",
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.when(
+                    (
+                        (F.array_position("it", s["w"]) - 1 == F.floor(k / m))
+                        & (F.array_position("it", s["l"]) - 1 == k % m)
+                    )
+                    | (
+                        (F.array_position("it", s["l"]) - 1 == F.floor(k / m))
+                        & (F.array_position("it", s["w"]) - 1 == k % m)
+                    ),
+                    s["c"],
+                ).otherwise(F.lit(0.0)),
+            ),
+        ).alias("n_flat"),
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda i: F.aggregate(
+                "_cells",
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.when(
+                    F.array_position("it", s["w"]) - 1 == i, s["c"]
+                ).otherwise(F.lit(0.0)),
+            ),
+        ).alias("wins"),
+    )
+    state = state.withColumn(
+        "p", F.transform(F.sequence(F.lit(0), F.size("it") - 1), lambda i: F.lit(1.0))
+    )
+
+    def mm_step(col_p):
+        mm = F.size("it")
+        return F.transform(
+            F.sequence(F.lit(0), mm - 1),
+            lambda i: F.element_at("wins", i + 1)
+            / F.aggregate(
+                F.sequence(F.lit(0), mm - 1),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.when(
+                    (j == i)
+                    | (F.element_at("n_flat", (i * mm + j).cast("int") + 1) == 0.0),
+                    F.lit(0.0),
+                ).otherwise(
+                    F.element_at("n_flat", (i * mm + j).cast("int") + 1)
+                    / (F.element_at(col_p, i + 1) + F.element_at(col_p, j + 1))
+                ),
+            ),
+        )
+
+    for _ in range(iterations):
+        state = state.select(
+            "it", "n_flat", "wins", mm_step(F.col("p")).alias("p")
+        )
+    total = F.aggregate("p", F.lit(0.0), lambda a, x: a + x)
+    normed = state.select(
+        "it", F.transform("p", lambda x: x / total).alias("_pn")
+    )
+    return normed.select(F.posexplode("it").alias("_i", "item"), "_pn").select(
+        "item", F.round(F.element_at("_pn", F.col("_i") + 1), 6).alias("strength")
+    )
+
+
+def bradley_terry_oracle_sql(
+    comp_sql: str, winner_col: str, loser_col: str, iterations: int = 20
+) -> str:
+    """DuckDB twin: same counts, same dense matrix, one MATERIALIZED CTE
+    per MM iteration (k_core's unrolled-round convention), identical
+    ordered ``list_reduce`` folds."""
+    step = """
+it{k} AS MATERIALIZED (SELECT m, it, n_flat, wins,
+  list_transform(range(0, m), i -> wins[i+1] / list_reduce(list_prepend(0.0,
+     list_transform(range(0, m), j -> CASE WHEN j = i OR n_flat[i*m+j+1] = 0 THEN 0.0
+        ELSE n_flat[i*m+j+1] / (p[i+1] + p[j+1]) END)), (a,b) -> a + b)) AS p
+  FROM it{prev})"""
+    rounds = ",".join(
+        step.format(k=k + 1, prev=k) for k in range(iterations)
+    )
+    return f"""
+WITH comp AS ({comp_sql}),
+ci0 AS (
+  SELECT {winner_col} AS w, {loser_col} AS l, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM comp GROUP BY 1, 2
+),
+items AS (
+  SELECT list_sort(list_distinct(list(w) || list(l))) AS it FROM ci0
+),
+mm AS (SELECT it, len(it) AS m FROM items),
+ii AS (SELECT generate_subscripts(it, 1) - 1 AS idx FROM mm),
+ci AS (
+  SELECT list_position(mm.it, ci0.w) - 1 AS i, list_position(mm.it, ci0.l) - 1 AS j, ci0.c
+  FROM ci0 CROSS JOIN mm
+),
+games AS (
+  SELECT i, j, SUM(c) AS n FROM (
+    SELECT i, j, c FROM ci UNION ALL SELECT j AS i, i AS j, c FROM ci
+  ) GROUP BY i, j
+),
+cells AS (
+  SELECT a.idx AS i, b.idx AS j, COALESCE(g.n, 0.0) AS n
+  FROM ii a CROSS JOIN ii b LEFT JOIN games g ON g.i = a.idx AND g.j = b.idx
+),
+nf AS (SELECT list(n ORDER BY i * (SELECT m FROM mm) + j) AS n_flat FROM cells),
+wi AS (
+  SELECT list(wn ORDER BY i) AS wins FROM (
+    SELECT a.idx AS i, COALESCE(SUM(ci.c), 0.0) AS wn
+    FROM ii a LEFT JOIN ci ON ci.i = a.idx GROUP BY a.idx
+  )
+),
+it0 AS (SELECT mm.m, mm.it, nf.n_flat, wi.wins,
+               list_transform(range(0, mm.m), i -> 1.0) AS p FROM nf, wi, mm),
+{rounds},
+fin AS (SELECT it, p, list_reduce(list_prepend(0.0, p), (a,b) -> a + b) AS s
+        FROM it{iterations})
+SELECT unnest(it) AS item, ROUND(unnest(p) / s, 6) AS strength FROM fin
+"""

@@ -1,0 +1,183 @@
+"""Annotation / preference analytics (operators/annotation.py):
+majority-vote aggregation, Cohen's kappa, Bradley-Terry MM, Wilson
+intervals — unit fixtures with hand-checked values, python-model
+differentials, and oracle-agreement checks (the corpus-scale value
+equality is covered by the `majority_vote` / `annotator_kappa` /
+`bradley_terry` / `win_rate_wilson` gates)."""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from revtron_utils_spark.operators.annotation import (
+    bradley_terry,
+    bradley_terry_oracle_sql,
+    cohen_kappa_pairs,
+    majority_vote,
+    win_rate_wilson,
+)
+
+
+def test_majority_vote_modal_and_tiebreak(spark):
+    rows = [
+        (1, "x", "P"), (1, "y", "P"), (1, "z", "N"),   # P wins 2-1
+        (2, "x", "N"), (2, "y", "P"),                   # tie -> 'N' (lex smallest)
+        (3, "x", "P"), (3, "y", "P"),                   # unanimous
+    ]
+    df = spark.createDataFrame(rows, ["item", "rater", "label"])
+    out = {r["item"]: r for r in majority_vote(df, "item", "rater", "label").collect()}
+    assert out[1]["label"] == "P" and out[1]["votes"] == 2 and out[1]["n_raters"] == 3
+    assert not out[1]["unanimous"]
+    assert out[2]["label"] == "N" and abs(out[2]["share"] - 0.5) < 1e-9
+    assert out[3]["unanimous"] and out[3]["share"] == 1.0
+
+
+def test_cohen_kappa_perfect_and_chance(spark):
+    # raters x,y agree on everything -> po=1; pe<1 -> kappa=1
+    rows = [(i, r, lab) for i, lab in enumerate(["A", "B", "A", "B"]) for r in ("x", "y")]
+    df = spark.createDataFrame(rows, ["item", "rater", "label"])
+    out = cohen_kappa_pairs(df, "item", "rater", "label").collect()
+    assert len(out) == 1
+    assert out[0]["po"] == 1.0 and out[0]["kappa"] == 1.0
+
+
+def test_cohen_kappa_degenerate_single_label_is_null(spark):
+    # both raters always say "A": po=1, pe=1 -> kappa undefined -> NULL
+    rows = [(i, r, "A") for i in range(4) for r in ("x", "y")]
+    df = spark.createDataFrame(rows, ["item", "rater", "label"])
+    out = cohen_kappa_pairs(df, "item", "rater", "label").collect()
+    assert out[0]["pe"] == 1.0 and out[0]["kappa"] is None
+
+
+def test_cohen_kappa_matches_python_model(spark):
+    # known mixed fixture vs the direct formula
+    rows = [
+        (1, "x", "A"), (1, "y", "A"),
+        (2, "x", "A"), (2, "y", "B"),
+        (3, "x", "B"), (3, "y", "B"),
+        (4, "x", "B"), (4, "y", "A"),
+        (5, "x", "A"), (5, "y", "A"),
+    ]
+    df = spark.createDataFrame(rows, ["item", "rater", "label"])
+    r = cohen_kappa_pairs(df, "item", "rater", "label").collect()[0]
+    n = 5
+    po = 3 / n
+    pe = (3 * 3 + 2 * 2) / (n * n)  # x: 3A2B; y: 3A2B
+    kappa = (po - pe) / (1 - pe)
+    assert r["n_shared"] == n
+    assert abs(r["po"] - round(po, 6)) < 1e-9
+    assert abs(r["pe"] - round(pe, 6)) < 1e-9
+    assert abs(r["kappa"] - round(kappa, 6)) < 1e-6
+
+
+def _bt_model(comps, iterations):
+    items = sorted({x for c in comps for x in c})
+    ix = {x: i for i, x in enumerate(items)}
+    m = len(items)
+    n = [[0.0] * m for _ in range(m)]
+    w = [0.0] * m
+    for win, lose in comps:
+        n[ix[win]][ix[lose]] += 1
+        n[ix[lose]][ix[win]] += 1
+        w[ix[win]] += 1
+    p = [1.0] * m
+    for _ in range(iterations):
+        q = []
+        for i in range(m):
+            d = sum(
+                n[i][j] / (p[i] + p[j]) for j in range(m) if j != i and n[i][j] > 0
+            )
+            q.append(w[i] / d if d else float("nan"))
+        p = q
+    s = sum(p)
+    return {items[i]: round(p[i] / s, 6) for i in range(m)}
+
+
+def test_bradley_terry_matches_python_mm(spark):
+    comps = [("a", "b"), ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("b", "a")]
+    df = spark.createDataFrame(comps, ["w", "l"])
+    got = {r["item"]: r["strength"] for r in bradley_terry(df, "w", "l", 5).collect()}
+    assert got == _bt_model(comps, 5)
+
+
+def test_bradley_terry_dominant_item_ranks_first(spark):
+    comps = [("champ", x) for x in ("b", "c", "d") for _ in range(5)] + [
+        ("b", "c"), ("c", "d"), ("d", "b")
+    ]
+    df = spark.createDataFrame(comps, ["w", "l"])
+    got = {r["item"]: r["strength"] for r in bradley_terry(df, "w", "l", 10).collect()}
+    assert max(got, key=got.get) == "champ"
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    comps=st.lists(
+        st.tuples(st.sampled_from("abcd"), st.sampled_from("abcd")).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=4,
+        max_size=20,
+    )
+)
+def test_bradley_terry_property_differential(spark, comps):
+    """Random comparison streams: Spark MM == python MM after rounding
+    (NaN-strength items — never winning — surface as NULL/NaN on both
+    sides and are compared loosely)."""
+    df = spark.createDataFrame(comps, ["w", "l"])
+    got = {r["item"]: r["strength"] for r in bradley_terry(df, "w", "l", 3).collect()}
+    model = _bt_model(comps, 3)
+    assert set(got) == set(model)
+    for k in model:
+        gv, mv = got[k], model[k]
+        if mv != mv or mv in (float("inf"), -float("inf")):  # NaN/inf regime
+            assert gv is None or gv != gv or math.isinf(gv)
+        else:
+            assert gv is not None and abs(gv - mv) <= 1e-6
+
+
+def test_bradley_terry_oracle_sql_matches(spark):
+    import duckdb
+
+    comps = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("b", "a"), ("a", "b")]
+    df = spark.createDataFrame(comps, ["w", "l"])
+    got = sorted(
+        (r["item"], r["strength"]) for r in bradley_terry(df, "w", "l", 4).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE comp_t AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{w}','{l}')" for w, l in comps)
+        + ") t(w, l)"
+    )
+    oracle = sorted(
+        con.execute(bradley_terry_oracle_sql("SELECT * FROM comp_t", "w", "l", 4)).fetchall()
+    )
+    assert got == oracle
+
+
+def test_wilson_bounds_properties(spark):
+    comps = [("a", "b")] * 9 + [("b", "a")]  # a: 9/10, b: 1/10
+    df = spark.createDataFrame(comps, ["w", "l"])
+    out = {r["item"]: r for r in win_rate_wilson(df, "w", "l").collect()}
+    a, b = out["a"], out["b"]
+    assert a["wins"] == 9 and a["n"] == 10 and a["win_rate"] == 0.9
+    # interval brackets the estimate and stays in [0, 1]
+    for r in (a, b):
+        assert 0.0 <= r["wilson_lo"] <= r["win_rate"] <= r["wilson_hi"] <= 1.0
+    # more evidence -> tighter interval at same rate
+    big = spark.createDataFrame([("a", "b")] * 90 + [("b", "a")] * 10, ["w", "l"])
+    a2 = {r["item"]: r for r in win_rate_wilson(big, "w", "l").collect()}["a"]
+    assert (a2["wilson_hi"] - a2["wilson_lo"]) < (a["wilson_hi"] - a["wilson_lo"])
