@@ -6589,6 +6589,20 @@ def _sql_win_rate_wilson() -> str:
 SQL_WIN_RATE_WILSON = _sql_win_rate_wilson()
 
 
+def q_compression_ratio(spark, sf):
+    """Deflate-compressibility quality gate
+    (`curation.compression_filter`): per-document zlib ratio + keep
+    flag over the documents corpus — the RefinedWeb/Dolma-style
+    long-range-repetition signal that n-gram stats under-catch.
+    Rows-only BY DESIGN: zlib is not SQL-reproducible; the value
+    contract is pinned by the pytest differential against direct
+    python zlib (tests/test_quality.py). One narrow Arrow pass, no
+    shuffle."""
+    from revtron_utils_spark.operators.curation import compression_filter
+
+    return compression_filter(_t(spark, sf, "documents"))
+
+
 def q_embedding_pipeline_scaled(spark, sf):
     """The 100-TB configuration of `embedding_pipeline` (rows-only by
     design: the plane count adapts to the corpus, so no static SQL twin
@@ -6822,6 +6836,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "annotator_kappa": (q_annotator_kappa, SQL_ANNOTATOR_KAPPA),
     "bradley_terry": (q_bradley_terry, SQL_BRADLEY_TERRY),
     "win_rate_wilson": (q_win_rate_wilson, SQL_WIN_RATE_WILSON),
+    "compression_ratio": (q_compression_ratio, None),
 }
 
 

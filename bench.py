@@ -140,6 +140,7 @@ HEADLINE = [
     "annotator_kappa",
     "bradley_terry",
     "win_rate_wilson",
+    "compression_ratio",
 ]
 
 

@@ -924,3 +924,56 @@ def decontaminate_bloom(
         .distinct()
     )
     return train.join(contaminated, id_col, "left_anti")
+
+
+def compression_ratio_udf(level: int = 6):
+    """Arrow-batched deflate-compressibility scorer: per document,
+    ``len(zlib.compress(utf8)) / len(utf8)`` (NULL for empty/NULL
+    text). Low ratios flag boilerplate/template/repetitive documents
+    that n-gram repetition stats under-catch (long-range repeats); the
+    RefinedWeb/Dolma-style pipelines use exactly this signal. zlib with
+    a pinned ``level`` is deterministic for a given library build, and
+    the ratio is replay-stable — but NOT SQL-reproducible, so gates
+    over it are rows-only and the value contract is pinned by the
+    pytest differential against direct ``zlib`` instead of a DuckDB
+    oracle. One narrow Arrow pass, no shuffle; the only data movement
+    is the text column into the Python worker."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    lv = int(level)
+
+    def ratio(texts):
+        import zlib
+
+        out = []
+        for t in texts:
+            if not t:
+                out.append(None)
+                continue
+            b = t.encode("utf-8")
+            out.append(len(zlib.compress(b, lv)) / len(b))
+        return pd.Series(out, dtype="float64")
+
+    return pandas_udf(ratio, "double")
+
+
+def compression_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_ratio: float = 0.3,
+    max_ratio: float = 1.1,
+    level: int = 6,
+) -> DataFrame:
+    """Gopher-style compressibility gate: keep documents whose deflate
+    ratio lies in ``[min_ratio, max_ratio]`` — below it the text is
+    template/repeat-dominated, above it is high-entropy junk (binary
+    spill, base64 blobs). Returns ``(id_col, ratio, kept)`` so callers
+    can audit the cut before filtering (join back on ``id_col``)."""
+    r = compression_ratio_udf(level)(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.round(r, 6).alias("ratio"),
+        r.between(float(min_ratio), float(max_ratio)).alias("kept"),
+    )

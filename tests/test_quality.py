@@ -71,3 +71,36 @@ def test_engine_fk_registry_and_audit(engine):
         ],
     )
     assert engine.validate_foreign_keys("cities") == {"region_key": 1}
+
+
+def test_compression_ratio_matches_direct_zlib(spark, sf_dir):
+    """Differential vs direct python zlib over the real corpus slice —
+    the value contract for the rows-only `compression_ratio` gate."""
+    import zlib
+
+    from revtron_utils_spark.io import read_parquet
+    from revtron_utils_spark.operators.curation import compression_filter
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    got = {r["doc_id"]: r["ratio"] for r in compression_filter(docs).collect()}
+    for row in docs.limit(50).collect():
+        b = row["text"].encode("utf-8")
+        assert got[row["doc_id"]] == round(len(zlib.compress(b, 6)) / len(b), 6)
+
+
+def test_compression_filter_flags_repetitive_and_handles_nulls(spark):
+    from revtron_utils_spark.operators.curation import compression_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 200),          # template/repeat -> ratio << 0.3
+            (2, "The quick brown fox jumps over the lazy dog near the bank."),
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: (r["ratio"], r["kept"]) for r in compression_filter(df).collect()}
+    assert out[1][1] is False and out[1][0] < 0.1
+    assert out[2][1] is True
+    assert out[3] == (None, None) and out[4] == (None, None)
