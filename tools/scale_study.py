@@ -177,11 +177,18 @@ def make_fixtures(out_dir: Path, n_docs: int, seed: int = 42) -> None:
     n_li = n_docs * 4
     n_part = n_docs * 4
     qtys = [rng.randrange(1, 51) for _ in range(n_li)]
+    okeys = [rng.randrange(n_docs) for _ in range(n_li)]
+    # within-order line numbers (annotation-gate rater panel): the
+    # occurrence index of each orderkey, as in TPC-H
+    _seen: dict[int, int] = {}
+    linenos = []
+    for k in okeys:
+        _seen[k] = _seen.get(k, 0) + 1
+        linenos.append(_seen[k])
     lineitem = pa.table(
         {
-            "l_orderkey": pa.array(
-                [rng.randrange(n_docs) for _ in range(n_li)], pa.int64()
-            ),
+            "l_orderkey": pa.array(okeys, pa.int64()),
+            "l_linenumber": pa.array(linenos, pa.int32()),
             "l_suppkey": pa.array(
                 [rng.randrange(n_supp) for _ in range(n_li)], pa.int64()
             ),
@@ -222,6 +229,12 @@ def make_fixtures(out_dir: Path, n_docs: int, seed: int = 42) -> None:
         {
             "p_partkey": pa.array(range(n_part), pa.int64()),
             "p_name": names,
+            # bounded brand catalog (bradley_terry / win_rate_wilson):
+            # 25 brands as in TPC-H, independent of n
+            "p_brand": [
+                f"Brand#{rng.randrange(1, 6)}{rng.randrange(1, 6)}"
+                for _ in range(n_part)
+            ],
         }
     )
     pq.write_table(part, out_dir / "part.parquet")
@@ -258,7 +271,9 @@ def main() -> None:
                 return True
             import pyarrow.parquet as _pq
 
-            return "l_returnflag" not in _pq.read_schema(li).names
+            if "l_linenumber" not in _pq.read_schema(li).names:
+                return True
+            return "p_brand" not in _pq.read_schema(d / "part.parquet").names
 
         if _stale(d):
             print(f"generating fixtures n={n} ...", file=sys.stderr)
