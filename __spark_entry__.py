@@ -6589,6 +6589,97 @@ def _sql_win_rate_wilson() -> str:
 SQL_WIN_RATE_WILSON = _sql_win_rate_wilson()
 
 
+def q_vocab_drift(spark, sf):
+    """Corpus distribution shift (`profile.vocab_drift`): total-
+    variation distance between the token distributions of two document
+    sources plus the 20 most-divergent tokens — the log-free drift
+    readout (KL/JS would need libm logs that differ across engines;
+    TVD is an exact DECIMAL sum + one division). One (token)
+    partial-aggregated shuffle, broadcast totals, TakeOrdered top-k;
+    hash-matches the oracle."""
+    from revtron_utils_spark.operators.profile import vocab_drift
+
+    return vocab_drift(
+        _t(spark, sf, "documents"), "source", "src0", "src1", top_k=20
+    )
+
+
+def _sql_vocab_drift() -> str:
+    from revtron_utils_spark.operators.profile import vocab_drift_oracle_sql
+
+    return vocab_drift_oracle_sql("documents", "source", "src0", "src1", top_k=20)
+
+
+SQL_VOCAB_DRIFT = _sql_vocab_drift()
+
+
+def q_scorer_spearman(spark, sf):
+    """Scorer-agreement readout (`profile.spearman_corr`): per-language
+    Spearman rank correlation between two quality signals over the
+    documents corpus — document length (n_chars) vs distinct-token
+    count. Average ranks for ties kept integral by doubling (Pearson is
+    affine-invariant), DECIMAL-exact moment sums, `grouped_linreg`'s
+    fixed closed form — hash-matches the oracle."""
+    from revtron_utils_spark.operators.profile import spearman_corr
+
+    docs = _t(spark, sf, "documents").select(
+        "lang",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(F.array_distinct(TX.tokens("text"))).cast("long").alias("y"),
+    )
+    return spearman_corr(docs, "x", "y", by=["lang"])
+
+
+def _sql_scorer_spearman() -> str:
+    from revtron_utils_spark.operators.profile import spearman_corr_oracle_sql
+
+    inner = (
+        r"(SELECT lang, CAST(n_chars AS BIGINT) AS x, "
+        r"CAST(len(list_distinct(list_filter(string_split_regex(trim(text), '\s+'), "
+        r"t -> t <> ''))) AS BIGINT) AS y FROM documents) d"
+    )
+    return spearman_corr_oracle_sql(inner, "x", "y", by=["lang"])
+
+
+SQL_SCORER_SPEARMAN = _sql_scorer_spearman()
+
+
+def q_degree_assortativity(spark, sf):
+    """Graph-structure readout (`graph.degree_assortativity`): Pearson
+    correlation of endpoint degrees over the symmetrized
+    customer↔supplier trade graph (the k_core/pagerank fixture) — the
+    one-number shape check (bipartite trade graphs run disassortative)
+    you make before paying for iterative algorithms. Two shuffles + two
+    node-keyed joins + one moment aggregate; DECIMAL-exact sums
+    hash-match the oracle."""
+    from revtron_utils_spark.operators.graph import degree_assortativity
+
+    od = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        od.join(li, od["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    return degree_assortativity(edges)
+
+
+def _sql_degree_assortativity() -> str:
+    from revtron_utils_spark.operators.graph import degree_assortativity_oracle_sql
+
+    edges = (
+        "SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst "
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+    )
+    return degree_assortativity_oracle_sql(edges)
+
+
+SQL_DEGREE_ASSORTATIVITY = _sql_degree_assortativity()
+
+
 def q_compression_ratio(spark, sf):
     """Deflate-compressibility quality gate
     (`curation.compression_filter`): per-document zlib ratio + keep
@@ -6837,6 +6928,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bradley_terry": (q_bradley_terry, SQL_BRADLEY_TERRY),
     "win_rate_wilson": (q_win_rate_wilson, SQL_WIN_RATE_WILSON),
     "compression_ratio": (q_compression_ratio, None),
+    "vocab_drift": (q_vocab_drift, SQL_VOCAB_DRIFT),
+    "scorer_spearman": (q_scorer_spearman, SQL_SCORER_SPEARMAN),
+    "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
 }
 
 

@@ -141,6 +141,9 @@ HEADLINE = [
     "bradley_terry",
     "win_rate_wilson",
     "compression_ratio",
+    "vocab_drift",
+    "scorer_spearman",
+    "degree_assortativity",
 ]
 
 

@@ -754,3 +754,110 @@ def k_core_oracle_sql(edges_sql: str, k: int = 2, rounds: int = 8) -> str:
         + f"\nSELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree"
         + f"\nFROM u{rounds} GROUP BY a"
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """Degree assortativity of an undirected graph — Pearson correlation
+    between the endpoint degrees over every (symmetrized, deduplicated,
+    self-loop-free) edge. Positive: hubs link hubs (social-network
+    shape); negative: hubs link leaves (bipartite/star shape — what a
+    healthy customer↔supplier or doc↔domain graph shows). The
+    one-number structural readout you check before running pagerank /
+    k_core at full scale.
+
+    Engine-exact: degrees are integers, the five moment sums accumulate
+    in DECIMAL(38,0) (degree products overflow int64 at ~3e9-degree
+    hubs), and the closed form is `grouped_linreg`'s fixed expression —
+    hash-matches SQL. Degenerate graphs (uniform degree) return NULL.
+
+    Plan: symmetrize+distinct (one shuffle), degree count (one
+    shuffle), two degree joins back to the edge list (node-keyed), one
+    map-side-combined moment aggregation. Output one row:
+    ``(n_nodes, n_edges, assortativity)`` — n_edges counts undirected
+    edges once.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b")).where(
+                F.col("a") != F.col("b")
+            )
+        )
+        .distinct()
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d")).select(
+        F.col("a").alias("node"), F.col("d")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("dy"))
+    ed = sym.join(da, "a").join(db, "b")
+    x = F.col("dx").cast("long")
+    y = F.col("dy").cast("long")
+    agg = ed.agg(
+        F.count(F.lit(1)).alias("_m2"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("_sxx"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("_sxy"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("_syy"),
+    )
+    # n_nodes in-plan (broadcast single-row agg) — a driver-side
+    # deg.count() would recompute the symmetrize shuffle a second time
+    nodes_row = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    agg = agg.join(F.broadcast(nodes_row))
+    nd = F.col("_m2").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    cov_n = nd * F.col("_sxy").cast("double") - sx * sy
+    varx_n = nd * F.col("_sxx").cast("double") - sx * sx
+    vary_n = nd * F.col("_syy").cast("double") - sy * sy
+    rho = cov_n / (F.sqrt(varx_n) * F.sqrt(vary_n))
+    return agg.select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        (F.col("_m2") / 2).cast("bigint").alias("n_edges"),
+        F.round(F.when((varx_n > 0) & (vary_n > 0), rho), round_to).alias(
+            "assortativity"
+        ),
+    )
+
+
+def degree_assortativity_oracle_sql(edges_sql: str, round_to: int = 6) -> str:
+    """DuckDB twin: same symmetrize/distinct, HUGEINT-exact moments,
+    same fixed-order expression. ``edges_sql`` produces ``(src, dst)``."""
+    return f"""
+WITH e0 AS ({edges_sql}),
+sym AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM e0 WHERE src <> dst
+    UNION ALL SELECT dst AS a, src AS b FROM e0 WHERE src <> dst
+  )
+), deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+ed AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM sym JOIN deg da ON sym.a = da.node JOIN deg db ON sym.b = db.node
+), a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         SUM(dx) AS sx, SUM(dy) AS sy,
+         SUM(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS sxx,
+         SUM(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS sxy,
+         SUM(CAST(dy AS HUGEINT) * CAST(dy AS HUGEINT)) AS syy
+  FROM ed
+), d AS (
+  SELECT m2,
+         CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+         CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_n,
+         CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary_n
+  FROM a
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       CAST(m2 / 2 AS BIGINT) AS n_edges,
+       ROUND(CASE WHEN varx_n > 0 AND vary_n > 0
+             THEN cov_n / (sqrt(varx_n) * sqrt(vary_n)) END, {round_to}) AS assortativity
+FROM d
+"""

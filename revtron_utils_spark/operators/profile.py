@@ -404,3 +404,230 @@ SELECT {gc}, n_tokens, n_types,
              ELSE 0.0 END, {round_to}) AS simpson
 FROM a
 """
+
+
+def vocab_drift(
+    df: DataFrame,
+    slice_col: str,
+    slice_a: str,
+    slice_b: str,
+    text_col: str = "text",
+    top_k: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Distribution shift between two corpus slices, log-free: the
+    total-variation distance between their token distributions plus the
+    ``top_k`` most-divergent tokens — the drift readout you run when a
+    new crawl snapshot or source lands (KL/JS need logarithms whose
+    libm rounding differs across engines; TVD is
+    ``Σ_t |c_a·N_b − c_b·N_a| / (2·N_a·N_b)`` — an exact DECIMAL
+    integer sum and ONE float division, so the readout hash-matches
+    SQL).
+
+    Output: ``(token, c_a, c_b, contrib, tvd, rank)`` — per-token
+    contribution to the distance, the corpus-level TVD repeated on each
+    row (broadcast scalar), ranked by exact numerator descending
+    (token ascending tie-break). Plan: tokenize → ONE (token)
+    partial-aggregated shuffle with conditional counts → single-row
+    totals broadcast → TakeOrdered top-k; nothing driver-side scales
+    with the vocabulary.
+    """
+    from ..functions.text import tokens
+    from pyspark.sql import Window
+
+    base = df.where(F.col(slice_col).isin([slice_a, slice_b])).select(
+        F.col(slice_col).alias("_s"), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    counts = base.groupBy("_t").agg(
+        F.sum(F.when(F.col("_s") == slice_a, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("_s") == slice_b, 1).otherwise(0)).alias("c_b"),
+    )
+    # |c_a·N_b − c_b·N_a| exactly: DECIMAL products (int64 would wrap at
+    # c·N ≈ 2^63 — reachable at 100-TB token counts), DECIMAL sum
+    totals = counts.agg(
+        F.sum("c_a").alias("_na"), F.sum("c_b").alias("_nb")
+    )
+    num = F.abs(
+        F.col("c_a").cast("decimal(18,0)") * F.col("_nb").cast("decimal(18,0)")
+        - F.col("c_b").cast("decimal(18,0)") * F.col("_na").cast("decimal(18,0)")
+    ).alias("_num")
+    scored = counts.join(F.broadcast(totals)).select(
+        "_t", "c_a", "c_b", "_na", "_nb", num
+    )
+    tvd_row = scored.agg(
+        F.sum("_num").alias("_sum_num"),
+        F.first("_na").alias("_na"),
+        F.first("_nb").alias("_nb"),
+    ).select(
+        F.round(
+            F.col("_sum_num").cast("double")
+            / (F.lit(2.0) * F.col("_na").cast("double") * F.col("_nb").cast("double")),
+            round_to,
+        ).alias("tvd")
+    )
+    top = scored.orderBy(F.col("_num").desc(), F.col("_t").asc()).limit(top_k)
+    ranked = top.join(F.broadcast(tvd_row)).withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("_num").desc(), F.col("_t").asc())),
+    )
+    return ranked.select(
+        F.col("_t").alias("token"),
+        "c_a",
+        "c_b",
+        F.round(
+            F.col("_num").cast("double")
+            / (F.lit(2.0) * F.col("_na").cast("double") * F.col("_nb").cast("double")),
+            round_to,
+        ).alias("contrib"),
+        "tvd",
+        "rank",
+    )
+
+
+def vocab_drift_oracle_sql(
+    table: str,
+    slice_col: str,
+    slice_a: str,
+    slice_b: str,
+    text_col: str = "text",
+    top_k: int = 20,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same tokenizer, HUGEINT-exact numerators, same
+    single division and (numerator DESC, token ASC) rank."""
+    return rf"""
+WITH tok AS (
+  SELECT {slice_col} AS s,
+         unnest(list_filter(string_split_regex(trim({text_col}), '\s+'),
+                            t -> t <> '')) AS t
+  FROM {table} WHERE {slice_col} IN ('{slice_a}', '{slice_b}')
+), c AS (
+  SELECT t, SUM(CASE WHEN s = '{slice_a}' THEN 1 ELSE 0 END) AS c_a,
+         SUM(CASE WHEN s = '{slice_b}' THEN 1 ELSE 0 END) AS c_b
+  FROM tok GROUP BY t
+), tt AS (SELECT SUM(c_a) AS na, SUM(c_b) AS nb FROM c),
+sc AS (
+  SELECT c.t, c.c_a, c.c_b, tt.na, tt.nb,
+         ABS(CAST(c.c_a AS HUGEINT) * CAST(tt.nb AS HUGEINT)
+             - CAST(c.c_b AS HUGEINT) * CAST(tt.na AS HUGEINT)) AS num
+  FROM c CROSS JOIN tt
+), tv AS (
+  SELECT ROUND(CAST(SUM(num) AS DOUBLE)
+               / (2.0 * CAST(ANY_VALUE(na) AS DOUBLE) * CAST(ANY_VALUE(nb) AS DOUBLE)),
+               {round_to}) AS tvd
+  FROM sc
+), r AS (
+  SELECT t, c_a, c_b, na, nb, num,
+         ROW_NUMBER() OVER (ORDER BY num DESC, t ASC) AS rank
+  FROM sc
+)
+SELECT r.t AS token, r.c_a, r.c_b,
+       ROUND(CAST(r.num AS DOUBLE)
+             / (2.0 * CAST(r.na AS DOUBLE) * CAST(r.nb AS DOUBLE)), {round_to}) AS contrib,
+       tv.tvd, CAST(r.rank AS INT) AS rank
+FROM r CROSS JOIN tv WHERE r.rank <= {top_k}
+"""
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Spearman rank correlation with average ranks for ties —
+    the scorer-agreement readout (how consistently do two quality
+    signals order the same corpus?). Engine-exact: the average rank
+    ``RANK() + (ties−1)/2`` is kept integral by DOUBLING it
+    (``2·RANK() + ties − 1``; Pearson is affine-invariant, so rho is
+    unchanged), the five moment sums accumulate in DECIMAL(38,0), and
+    the closed form is the fixed expression of `grouped_linreg` —
+    hash-matches SQL. Constant-valued sides (zero rank variance) return
+    NULL.
+
+    Plan: two rank windows per group (each one shuffle on the group
+    key — the second reuses the first's partitioning) + one map-side-
+    combined moment aggregation.
+    """
+    from pyspark.sql import Window
+
+    by = list(by or [])
+    base = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    wx = Window.partitionBy(*by).orderBy(F.col(x_col).asc())
+    wy = Window.partitionBy(*by).orderBy(F.col(y_col).asc())
+    tx = Window.partitionBy(*by, x_col)
+    ty = Window.partitionBy(*by, y_col)
+    ranked = base.select(
+        *by,
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(tx) - 1).alias("_rx"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(ty) - 1).alias("_ry"),
+    )
+    rx = F.col("_rx").cast("long")
+    ry = F.col("_ry").cast("long")
+    agg = ranked.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rx).alias("_sx"),
+        F.sum(ry).alias("_sy"),
+        F.sum((rx * rx).cast("decimal(38,0)")).alias("_sxx"),
+        F.sum((rx * ry).cast("decimal(38,0)")).alias("_sxy"),
+        F.sum((ry * ry).cast("decimal(38,0)")).alias("_syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    cov_n = nd * F.col("_sxy").cast("double") - sx * sy
+    varx_n = nd * F.col("_sxx").cast("double") - sx * sx
+    vary_n = nd * F.col("_syy").cast("double") - sy * sy
+    rho = cov_n / (F.sqrt(varx_n) * F.sqrt(vary_n))
+    return agg.select(
+        *by,
+        "n",
+        F.round(F.when((varx_n > 0) & (vary_n > 0), rho), round_to).alias("rho"),
+    )
+
+
+def spearman_corr_oracle_sql(
+    table_expr: str,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: identical doubled average ranks, HUGEINT-exact
+    moment sums, same fixed-order float expression."""
+    by = list(by or [])
+    gc = ", ".join(by)
+    gsel = f"{gc}, " if by else ""
+    gby = f"GROUP BY {gc}" if by else ""
+    pb = f"PARTITION BY {gc}" if by else ""
+    pbx = f"PARTITION BY {gc + ', ' if by else ''}{x_col}"
+    pby = f"PARTITION BY {gc + ', ' if by else ''}{y_col}"
+    return f"""
+WITH b AS (
+  SELECT * FROM {table_expr}
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+), rk AS (
+  SELECT {gsel}
+         2 * RANK() OVER ({pb} ORDER BY {x_col} ASC) + COUNT(*) OVER ({pbx}) - 1 AS rx,
+         2 * RANK() OVER ({pb} ORDER BY {y_col} ASC) + COUNT(*) OVER ({pby}) - 1 AS ry
+  FROM b
+), a AS (
+  SELECT {gsel}CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS sxx,
+         SUM(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS sxy,
+         SUM(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS syy
+  FROM rk {gby}
+), d AS (
+  SELECT {gsel}n,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_n,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary_n
+  FROM a
+)
+SELECT {gsel}n,
+       ROUND(CASE WHEN varx_n > 0 AND vary_n > 0
+             THEN cov_n / (sqrt(varx_n) * sqrt(vary_n)) END, {round_to}) AS rho
+FROM d
+"""
