@@ -6680,6 +6680,92 @@ def _sql_degree_assortativity() -> str:
 SQL_DEGREE_ASSORTATIVITY = _sql_degree_assortativity()
 
 
+def q_preference_pipeline(spark, sf):
+    """End-to-end preference-leaderboard build — the annotation-side
+    composition gate (sibling of `corpus_pipeline` /
+    `embedding_pipeline`): the comparison stream reduces to directed
+    pair counts ONCE (persisted — the single corpus-sized shuffle),
+    and BOTH readouts derive from that shared frame: the Bradley-Terry
+    MM state (`annotation.bradley_terry_from_counts`) and the Wilson
+    leaderboard (`annotation.win_rate_wilson_from_totals`, wins/games
+    summed over the two count orientations). One plan, one scan of the
+    stream, final (strength DESC, item) ranking — hash-matches the
+    chained-CTE oracle reusing the exact standalone-round SQL bodies."""
+    from revtron_utils_spark.operators import dedup as DD
+    from revtron_utils_spark.operators.annotation import (
+        bradley_terry_from_counts,
+        win_rate_wilson_from_totals,
+    )
+    from pyspark.sql import Window
+
+    comp = _comparisons(spark, sf)
+    counts = DD._persist(
+        comp.groupBy(
+            F.col("winner").alias("w"), F.col("loser").alias("l")
+        ).agg(F.count(F.lit(1)).alias("nc"))
+    )
+    bt = bradley_terry_from_counts(
+        counts.select("w", "l", F.col("nc").cast("double").alias("c")), 20
+    )
+    sides = counts.select(
+        F.col("w").alias("item"),
+        F.col("nc").alias("win_c"),
+        F.col("nc").alias("game_c"),
+    ).unionByName(
+        counts.select(
+            F.col("l").alias("item"),
+            F.lit(0).cast("long").alias("win_c"),
+            F.col("nc").alias("game_c"),
+        )
+    )
+    totals = sides.groupBy("item").agg(
+        F.sum("win_c").alias("wins"), F.sum("game_c").alias("n")
+    )
+    wr = win_rate_wilson_from_totals(totals)
+    lb = wr.join(bt, "item")
+    return lb.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("strength").desc(), F.col("item").asc())
+        ),
+    )
+
+
+def _sql_preference_pipeline() -> str:
+    from revtron_utils_spark.operators.annotation import (
+        bradley_terry_rounds_sql,
+        wilson_select_sql,
+    )
+
+    return f"""
+WITH comp AS ({_SQL_COMPARISONS}),
+cin AS (
+  SELECT winner AS w, loser AS l, CAST(COUNT(*) AS BIGINT) AS nc
+  FROM comp GROUP BY 1, 2
+),
+ci0 AS (SELECT w, l, CAST(nc AS DOUBLE) AS c FROM cin),
+{bradley_terry_rounds_sql(20)},
+bt AS (SELECT unnest(it) AS item, ROUND(unnest(p) / s, 6) AS strength FROM fin),
+sides AS (
+  SELECT w AS item, nc AS win_c, nc AS game_c FROM cin
+  UNION ALL SELECT l AS item, CAST(0 AS BIGINT), nc FROM cin
+),
+a AS (
+  SELECT item, CAST(SUM(win_c) AS BIGINT) AS wins,
+         CAST(SUM(game_c) AS BIGINT) AS n
+  FROM sides GROUP BY item
+),
+wr AS ({wilson_select_sql(1.96)})
+SELECT wr.item, wr.wins, wr.n, wr.win_rate, wr.wilson_lo, wr.wilson_hi,
+       bt.strength,
+       CAST(ROW_NUMBER() OVER (ORDER BY bt.strength DESC, wr.item ASC) AS INT) AS rank
+FROM wr JOIN bt ON wr.item = bt.item
+"""
+
+
+SQL_PREFERENCE_PIPELINE = _sql_preference_pipeline()
+
+
 def q_compression_ratio(spark, sf):
     """Deflate-compressibility quality gate
     (`curation.compression_filter`): per-document zlib ratio + keep
@@ -6931,6 +7017,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "vocab_drift": (q_vocab_drift, SQL_VOCAB_DRIFT),
     "scorer_spearman": (q_scorer_spearman, SQL_SCORER_SPEARMAN),
     "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
+    "preference_pipeline": (q_preference_pipeline, SQL_PREFERENCE_PIPELINE),
 }
 
 

@@ -144,6 +144,7 @@ HEADLINE = [
     "vocab_drift",
     "scorer_spearman",
     "degree_assortativity",
+    "preference_pipeline",
 ]
 
 

@@ -241,14 +241,22 @@ def win_rate_wilson(
     the exact counts is a correctly-rounded IEEE multiply/divide/sqrt,
     so the rounded readout hash-matches SQL.
     """
-    zc = F.lit(float(z))
-    z2 = zc * zc
     sides = df.select(
         F.col(winner_col).alias("item"), F.lit(1).alias("win")
     ).unionByName(df.select(F.col(loser_col).alias("item"), F.lit(0).alias("win")))
     agg = sides.groupBy("item").agg(
         F.sum("win").alias("wins"), F.count(F.lit(1)).alias("n")
     )
+    return win_rate_wilson_from_totals(agg, z)
+
+
+def win_rate_wilson_from_totals(agg: DataFrame, z: float = 1.96) -> DataFrame:
+    """Wilson readout over pre-aggregated ``(item, wins, n)`` totals —
+    the composition entry point (`preference_pipeline` feeds it from a
+    shared pair-count frame). Same pinned form and output contract as
+    :func:`win_rate_wilson`."""
+    zc = F.lit(float(z))
+    z2 = zc * zc
     nd = F.col("n").cast("double")
     ph = F.col("wins").cast("double") / nd
     denom = F.lit(1.0) + z2 / nd
@@ -264,6 +272,23 @@ def win_rate_wilson(
     )
 
 
+def wilson_select_sql(z: float = 1.96) -> str:
+    """The pinned Wilson SELECT body over a CTE ``a (item, wins, n)`` —
+    shared token-for-token by the standalone oracle and the
+    `preference_pipeline` composition twin."""
+    return f"""SELECT item, wins, n,
+  ROUND(CAST(wins AS DOUBLE) / CAST(n AS DOUBLE), 6) AS win_rate,
+  ROUND(((CAST(wins AS DOUBLE) / CAST(n AS DOUBLE) + ({z} * {z}) / (2.0 * CAST(n AS DOUBLE)))
+     - {z} * sqrt(((CAST(wins AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(wins AS DOUBLE) / CAST(n AS DOUBLE))
+         + ({z} * {z}) / (4.0 * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)))
+    / (1.0 + ({z} * {z}) / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+  ROUND(((CAST(wins AS DOUBLE) / CAST(n AS DOUBLE) + ({z} * {z}) / (2.0 * CAST(n AS DOUBLE)))
+     + {z} * sqrt(((CAST(wins AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(wins AS DOUBLE) / CAST(n AS DOUBLE))
+         + ({z} * {z}) / (4.0 * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)))
+    / (1.0 + ({z} * {z}) / CAST(n AS DOUBLE)), 6) AS wilson_hi
+FROM a"""
+
+
 def win_rate_wilson_oracle_sql(
     comp_sql: str, winner_col: str, loser_col: str, z: float = 1.96
 ) -> str:
@@ -277,17 +302,7 @@ s AS (
   SELECT item, CAST(SUM(win) AS BIGINT) AS wins, CAST(COUNT(*) AS BIGINT) AS n
   FROM s GROUP BY item
 )
-SELECT item, wins, n,
-  ROUND(CAST(wins AS DOUBLE) / CAST(n AS DOUBLE), 6) AS win_rate,
-  ROUND(((CAST(wins AS DOUBLE) / CAST(n AS DOUBLE) + ({z} * {z}) / (2.0 * CAST(n AS DOUBLE)))
-     - {z} * sqrt(((CAST(wins AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(wins AS DOUBLE) / CAST(n AS DOUBLE))
-         + ({z} * {z}) / (4.0 * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)))
-    / (1.0 + ({z} * {z}) / CAST(n AS DOUBLE)), 6) AS wilson_lo,
-  ROUND(((CAST(wins AS DOUBLE) / CAST(n AS DOUBLE) + ({z} * {z}) / (2.0 * CAST(n AS DOUBLE)))
-     + {z} * sqrt(((CAST(wins AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(wins AS DOUBLE) / CAST(n AS DOUBLE))
-         + ({z} * {z}) / (4.0 * CAST(n AS DOUBLE))) / CAST(n AS DOUBLE)))
-    / (1.0 + ({z} * {z}) / CAST(n AS DOUBLE)), 6) AS wilson_hi
-FROM a
+{wilson_select_sql(z)}
 """
 
 
@@ -328,6 +343,17 @@ def bradley_terry(
     counts = df.groupBy(
         F.col(winner_col).alias("w"), F.col(loser_col).alias("l")
     ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    return bradley_terry_from_counts(counts, iterations)
+
+
+def bradley_terry_from_counts(
+    counts: DataFrame,
+    iterations: int = 20,
+) -> DataFrame:
+    """MM core over pre-aggregated directed pair counts ``(w, l, c)`` —
+    the composition entry point (`preference_pipeline` shares ONE
+    pair-count aggregation between this and the Wilson leaderboard).
+    Same output contract as :func:`bradley_terry`."""
     # single-row state: sorted catalog + dense games matrix + win vector
     state = counts.agg(
         F.array_sort(
@@ -411,12 +437,10 @@ def bradley_terry(
     )
 
 
-def bradley_terry_oracle_sql(
-    comp_sql: str, winner_col: str, loser_col: str, iterations: int = 20
-) -> str:
-    """DuckDB twin: same counts, same dense matrix, one MATERIALIZED CTE
-    per MM iteration (k_core's unrolled-round convention), identical
-    ordered ``list_reduce`` folds."""
+def bradley_terry_rounds_sql(iterations: int = 20) -> str:
+    """The MM CTE chain assuming a ``ci0 (w, l, c DOUBLE)`` pair-count
+    CTE is already in scope — ends at ``fin (it, p, s)``. Shared by the
+    standalone oracle and the `preference_pipeline` composition twin."""
     step = """
 it{k} AS MATERIALIZED (SELECT m, it, n_flat, wins,
   list_transform(range(0, m), i -> wins[i+1] / list_reduce(list_prepend(0.0,
@@ -426,13 +450,7 @@ it{k} AS MATERIALIZED (SELECT m, it, n_flat, wins,
     rounds = ",".join(
         step.format(k=k + 1, prev=k) for k in range(iterations)
     )
-    return f"""
-WITH comp AS ({comp_sql}),
-ci0 AS (
-  SELECT {winner_col} AS w, {loser_col} AS l, CAST(COUNT(*) AS DOUBLE) AS c
-  FROM comp GROUP BY 1, 2
-),
-items AS (
+    return f"""items AS (
   SELECT list_sort(list_distinct(list(w) || list(l))) AS it FROM ci0
 ),
 mm AS (SELECT it, len(it) AS m FROM items),
@@ -461,6 +479,21 @@ it0 AS (SELECT mm.m, mm.it, nf.n_flat, wi.wins,
                list_transform(range(0, mm.m), i -> 1.0) AS p FROM nf, wi, mm),
 {rounds},
 fin AS (SELECT it, p, list_reduce(list_prepend(0.0, p), (a,b) -> a + b) AS s
-        FROM it{iterations})
+        FROM it{iterations})"""
+
+
+def bradley_terry_oracle_sql(
+    comp_sql: str, winner_col: str, loser_col: str, iterations: int = 20
+) -> str:
+    """DuckDB twin: same counts, same dense matrix, one MATERIALIZED CTE
+    per MM iteration (k_core's unrolled-round convention), identical
+    ordered ``list_reduce`` folds."""
+    return f"""
+WITH comp AS ({comp_sql}),
+ci0 AS (
+  SELECT {winner_col} AS w, {loser_col} AS l, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM comp GROUP BY 1, 2
+),
+{bradley_terry_rounds_sql(iterations)}
 SELECT unnest(it) AS item, ROUND(unnest(p) / s, 6) AS strength FROM fin
 """

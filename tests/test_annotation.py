@@ -181,3 +181,25 @@ def test_wilson_bounds_properties(spark):
     big = spark.createDataFrame([("a", "b")] * 90 + [("b", "a")] * 10, ["w", "l"])
     a2 = {r["item"]: r for r in win_rate_wilson(big, "w", "l").collect()}["a"]
     assert (a2["wilson_hi"] - a2["wilson_lo"]) < (a["wilson_hi"] - a["wilson_lo"])
+
+
+def test_preference_pipeline_consistent_with_standalone_ops(spark):
+    """The composed leaderboard (shared pair-count frame) must agree
+    with the standalone bradley_terry and win_rate_wilson on the same
+    stream — the composition changes the plan, never the values."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    lb = {r["item"]: r for r in entry.q_preference_pipeline(spark, sf).collect()}
+    comp = entry._comparisons(spark, sf)
+    bt = {r["item"]: r["strength"] for r in bradley_terry(comp, "winner", "loser", 20).collect()}
+    wr = {r["item"]: r for r in win_rate_wilson(comp, "winner", "loser").collect()}
+    assert set(lb) == set(bt) == set(wr)
+    for item, row in lb.items():
+        assert row["strength"] == bt[item]
+        assert (row["wins"], row["n"], row["win_rate"], row["wilson_lo"], row["wilson_hi"]) == (
+            wr[item]["wins"], wr[item]["n"], wr[item]["win_rate"],
+            wr[item]["wilson_lo"], wr[item]["wilson_hi"],
+        )
+    ranks = [r["rank"] for r in sorted(lb.values(), key=lambda r: (-r["strength"], r["item"]))]
+    assert ranks == sorted(ranks)
