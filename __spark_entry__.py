@@ -6766,6 +6766,78 @@ FROM wr JOIN bt ON wr.item = bt.item
 SQL_PREFERENCE_PIPELINE = _sql_preference_pipeline()
 
 
+def q_classifier_eval(spark, sf):
+    """Classifier acceptance readout (`evaluation.classification_report`):
+    per-class precision/recall/F1 of the marker-token language-ID
+    against the stored lang labels — the confusion audit you run before
+    trusting a labeler at corpus scale. One (actual, predicted)
+    partial-aggregated shuffle + O(classes) rollup; exact counts and
+    single-division metric forms hash-match the oracle."""
+    from revtron_utils_spark.operators.evaluation import classification_report
+
+    docs = _t(spark, sf, "documents")
+    pairs = docs.select(
+        F.col("lang").alias("actual"), TX.lang_id("text").alias("pred")
+    )
+    return classification_report(pairs, "actual", "pred")
+
+
+def _sql_classifier_eval() -> str:
+    from revtron_utils_spark.operators.evaluation import (
+        classification_report_oracle_sql,
+    )
+
+    pairs = (
+        f"SELECT d.lang AS actual, lp.lang_pred AS pred "
+        f"FROM ({SQL_LANG_ID}) lp JOIN documents d USING (doc_id)"
+    )
+    return classification_report_oracle_sql(pairs, "actual", "pred")
+
+
+SQL_CLASSIFIER_EVAL = _sql_classifier_eval()
+
+
+def q_score_auc(spark, sf):
+    """Threshold-free score acceptance (`evaluation.rank_auc`): ROC AUC
+    of the English-marker-token count as a predictor of the stored
+    lang='en' label, per source — Mann-Whitney U with exact average-rank
+    tie handling (integral scores make ties the common case, exercising
+    the correction). DECIMAL rank sums + one division hash-match the
+    oracle."""
+    from revtron_utils_spark.operators.evaluation import rank_auc
+
+    from revtron_utils_spark.functions.text import LANG_MARKERS
+
+    en = [F.lit(m) for m in LANG_MARKERS["en"]]
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        F.size(
+            F.filter(
+                TX.tokens("text"),
+                lambda t: F.array_contains(F.array(*en), F.lower(t)),
+            )
+        ).cast("long").alias("score"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return rank_auc(docs, "score", "is_en", by=["source"])
+
+
+def _sql_score_auc() -> str:
+    from revtron_utils_spark.operators.evaluation import rank_auc_oracle_sql
+
+    scored = rf"""
+SELECT source,
+       CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                x -> lower(x) IN {_MARKER_SQL['en']})) AS BIGINT) AS score,
+       (lang = 'en') AS is_en
+FROM documents
+"""
+    return rank_auc_oracle_sql(scored, "score", "is_en", by=["source"])
+
+
+SQL_SCORE_AUC = _sql_score_auc()
+
+
 def q_compression_ratio(spark, sf):
     """Deflate-compressibility quality gate
     (`curation.compression_filter`): per-document zlib ratio + keep
@@ -7018,6 +7090,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "scorer_spearman": (q_scorer_spearman, SQL_SCORER_SPEARMAN),
     "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
     "preference_pipeline": (q_preference_pipeline, SQL_PREFERENCE_PIPELINE),
+    "classifier_eval": (q_classifier_eval, SQL_CLASSIFIER_EVAL),
+    "score_auc": (q_score_auc, SQL_SCORE_AUC),
 }
 
 

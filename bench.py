@@ -145,6 +145,8 @@ HEADLINE = [
     "scorer_spearman",
     "degree_assortativity",
     "preference_pipeline",
+    "classifier_eval",
+    "score_auc",
 ]
 
 

@@ -1,0 +1,221 @@
+"""Model/labeler evaluation metrics over corpus-scale predictions —
+the readouts a training-data pipeline runs to accept a classifier
+(language ID, quality gate, PII detector) before trusting it on 100 TB:
+
+* ``classification_report`` — per-class confusion counts +
+  precision/recall/F1 from ONE pass over (actual, predicted) pairs.
+* ``rank_auc`` — ROC AUC via the Mann-Whitney U statistic with exact
+  tie handling (average ranks), the threshold-free quality-score
+  acceptance test.
+
+Engine-exact by the house discipline: confusion cells and rank sums are
+integers (average ranks kept integral by doubling — AUC is
+rank-scale-invariant after the matching correction term), DECIMAL
+accumulation where int64 could wrap, one final division per metric —
+every readout hash-matches its DuckDB oracle twin.
+
+Scale shape: ``classification_report`` is one (actual, predicted)
+partial-aggregated shuffle plus an O(classes) rollup.  ``rank_auc`` is
+one global rank window (a single total-order sort — the honest price of
+exact tie-corrected AUC; sampled AUC is the 100-TB shortcut and changes
+the answer) plus one map-side-combined aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def classification_report(
+    df: DataFrame,
+    actual_col: str,
+    pred_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-class precision/recall/F1 over (actual, predicted) pairs.
+
+    Returns one row per class appearing on EITHER side:
+    ``(label, support, tp, fp, fn, precision, recall, f1)``. F1 uses the
+    single-division form ``2·tp / (2·tp + fp + fn)`` (algebraically
+    equal to the harmonic mean but ONE pinned float op, so engines
+    can't disagree on intermediate rounding). Zero-denominator metrics
+    (class never predicted / never present) are NULL, not 0 — absence
+    of evidence reads differently from measured-zero. NULL
+    actual/predicted rows are dropped (score a sentinel class upstream
+    if NULLs are meaningful).
+    """
+    base = df.select(
+        F.col(actual_col).alias("_a"), F.col(pred_col).alias("_p")
+    ).where(F.col(actual_col).isNotNull() & F.col(pred_col).isNotNull())
+    cm = base.groupBy("_a", "_p").agg(F.count(F.lit(1)).alias("c"))
+    per_actual = cm.groupBy(F.col("_a").alias("label")).agg(
+        F.sum("c").alias("support"),
+        F.sum(F.when(F.col("_a") == F.col("_p"), F.col("c")).otherwise(0)).alias(
+            "_tp_a"
+        ),
+    )
+    per_pred = cm.groupBy(F.col("_p").alias("label")).agg(
+        F.sum("c").alias("_pred_n"),
+        F.sum(F.when(F.col("_a") == F.col("_p"), F.col("c")).otherwise(0)).alias(
+            "_tp_p"
+        ),
+    )
+    j = per_actual.join(per_pred, "label", "full_outer")
+    tp = F.coalesce(F.col("_tp_a"), F.col("_tp_p"), F.lit(0)).cast("long")
+    support = F.coalesce(F.col("support"), F.lit(0)).cast("long")
+    pred_n = F.coalesce(F.col("_pred_n"), F.lit(0)).cast("long")
+    fp = pred_n - tp
+    fn = support - tp
+    prec = F.when(pred_n > 0, tp.cast("double") / pred_n.cast("double"))
+    rec = F.when(support > 0, tp.cast("double") / support.cast("double"))
+    f1 = F.when(
+        (2 * tp + fp + fn) > 0,
+        (F.lit(2.0) * tp.cast("double"))
+        / (2 * tp + fp + fn).cast("double"),
+    )
+    return j.select(
+        "label",
+        support.alias("support"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        F.round(prec, round_to).alias("precision"),
+        F.round(rec, round_to).alias("recall"),
+        F.round(f1, round_to).alias("f1"),
+    )
+
+
+def classification_report_oracle_sql(
+    pairs_sql: str, actual_col: str, pred_col: str, round_to: int = 6
+) -> str:
+    """DuckDB twin: same confusion counts, same single-division forms.
+    ``pairs_sql`` produces the (actual, predicted) pairs."""
+    return f"""
+WITH b AS (
+  SELECT {actual_col} AS a, {pred_col} AS p FROM ({pairs_sql})
+  WHERE {actual_col} IS NOT NULL AND {pred_col} IS NOT NULL
+), cm AS (SELECT a, p, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY a, p),
+pa AS (
+  SELECT a AS label, SUM(c) AS support,
+         SUM(CASE WHEN a = p THEN c ELSE 0 END) AS tp_a
+  FROM cm GROUP BY a
+), pp AS (
+  SELECT p AS label, SUM(c) AS pred_n,
+         SUM(CASE WHEN a = p THEN c ELSE 0 END) AS tp_p
+  FROM cm GROUP BY p
+), j AS (
+  SELECT COALESCE(pa.label, pp.label) AS label,
+         CAST(COALESCE(support, 0) AS BIGINT) AS support,
+         CAST(COALESCE(tp_a, tp_p, 0) AS BIGINT) AS tp,
+         CAST(COALESCE(pred_n, 0) AS BIGINT) AS pred_n
+  FROM pa FULL OUTER JOIN pp ON pa.label = pp.label
+)
+SELECT label, support, tp,
+       pred_n - tp AS fp,
+       support - tp AS fn,
+       ROUND(CASE WHEN pred_n > 0
+             THEN CAST(tp AS DOUBLE) / CAST(pred_n AS DOUBLE) END, {round_to}) AS precision,
+       ROUND(CASE WHEN support > 0
+             THEN CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) END, {round_to}) AS recall,
+       ROUND(CASE WHEN 2 * tp + (pred_n - tp) + (support - tp) > 0
+             THEN (2.0 * CAST(tp AS DOUBLE))
+                  / CAST(2 * tp + (pred_n - tp) + (support - tp) AS DOUBLE)
+             END, {round_to}) AS f1
+FROM j
+"""
+
+
+def rank_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """ROC AUC per group via Mann-Whitney U with exact tie handling.
+
+    ``label_col`` must be boolean-like (true = positive). With average
+    ranks ``r`` over the ascending score order,
+    ``AUC = (Σ_pos r − n_pos·(n_pos+1)/2) / (n_pos·n_neg)``; doubling
+    the ranks (``R2 = 2·RANK() + ties − 1``, integral) doubles both the
+    rank sum and the correction term, so
+    ``AUC = (Σ_pos R2 − n_pos·(n_pos+1)) / (2·n_pos·n_neg)`` — exact
+    integers (DECIMAL sums; rank sums wrap int64 past ~3e9 rows) until
+    ONE division. Groups without both classes return NULL.
+
+    One group-keyed rank window + one aggregate. The window is a
+    per-group total-order sort — the honest price of exact AUC.
+    """
+    from pyspark.sql import Window
+
+    by = list(by or [])
+    base = df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+    w = Window.partitionBy(*by).orderBy(F.col(score_col).asc())
+    tw = Window.partitionBy(*by, score_col)
+    ranked = base.select(
+        *by,
+        F.col(label_col).cast("boolean").alias("_y"),
+        (2 * F.rank().over(w) + F.count(F.lit(1)).over(tw) - 1).alias("_r2"),
+    )
+    agg = ranked.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(
+            F.when(F.col("_y"), F.col("_r2")).otherwise(F.lit(0)).cast("decimal(38,0)")
+        ).alias("_rsum"),
+    )
+    np_ = F.col("n_pos").cast("double")
+    nn = (F.col("n") - F.col("n_pos")).cast("double")
+    auc = (
+        F.col("_rsum").cast("double") - np_ * (np_ + F.lit(1.0))
+    ) / (F.lit(2.0) * np_ * nn)
+    return agg.select(
+        *by,
+        "n",
+        "n_pos",
+        F.round(
+            F.when((F.col("n_pos") > 0) & (F.col("n") > F.col("n_pos")), auc),
+            round_to,
+        ).alias("auc"),
+    )
+
+
+def rank_auc_oracle_sql(
+    scored_sql: str,
+    score_col: str,
+    label_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: identical doubled ranks, HUGEINT rank sum, same
+    fixed-order expression."""
+    by = list(by or [])
+    gc = ", ".join(by)
+    gsel = f"{gc}, " if by else ""
+    gby = f"GROUP BY {gc}" if by else ""
+    pb = f"PARTITION BY {gc}" if by else ""
+    pbt = f"PARTITION BY {gc + ', ' if by else ''}{score_col}"
+    return f"""
+WITH b AS (
+  SELECT * FROM ({scored_sql})
+  WHERE {score_col} IS NOT NULL AND {label_col} IS NOT NULL
+), rk AS (
+  SELECT {gsel}CAST({label_col} AS BOOLEAN) AS y,
+         2 * RANK() OVER ({pb} ORDER BY {score_col} ASC)
+           + COUNT(*) OVER ({pbt}) - 1 AS r2
+  FROM b
+), a AS (
+  SELECT {gsel}CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         SUM(CASE WHEN y THEN CAST(r2 AS HUGEINT) ELSE 0 END) AS rsum
+  FROM rk {gby}
+)
+SELECT {gsel}n, n_pos,
+       ROUND(CASE WHEN n_pos > 0 AND n > n_pos
+             THEN (CAST(rsum AS DOUBLE)
+                   - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))
+                  / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE))
+             END, {round_to}) AS auc
+FROM a
+"""

@@ -1,0 +1,111 @@
+"""classification_report / rank_auc semantics (operators/evaluation.py):
+hand-checked confusion fixtures, sklearn-free python AUC model with
+ties, NULL guards. Corpus-scale value equality is covered by the
+`classifier_eval` / `score_auc` gates."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from revtron_utils_spark.operators.evaluation import (
+    classification_report,
+    rank_auc,
+)
+
+
+def test_classification_report_hand_checked(spark):
+    # actual: 3a 2b 1c ; predictions mix
+    pairs = [
+        ("a", "a"), ("a", "a"), ("a", "b"),
+        ("b", "b"), ("b", "c"),
+        ("c", "a"),
+    ]
+    df = spark.createDataFrame(pairs, ["actual", "pred"])
+    out = {r["label"]: r for r in classification_report(df, "actual", "pred").collect()}
+    a = out["a"]
+    assert (a["support"], a["tp"], a["fp"], a["fn"]) == (3, 2, 1, 1)
+    assert abs(a["precision"] - 2 / 3) < 1e-6 and abs(a["recall"] - 2 / 3) < 1e-6
+    assert abs(a["f1"] - 2 * 2 / (2 * 2 + 1 + 1)) < 1e-6
+    b = out["b"]
+    assert (b["tp"], b["fp"], b["fn"]) == (1, 1, 1)
+    c = out["c"]
+    assert (c["support"], c["tp"], c["fp"], c["fn"]) == (1, 0, 1, 1)
+    assert c["precision"] == 0.0 and c["recall"] == 0.0 and c["f1"] == 0.0
+
+
+def test_classification_report_class_only_on_one_side(spark):
+    # 'd' never predicted -> precision NULL; 'e' never actual -> recall NULL
+    pairs = [("d", "e"), ("d", "d")]
+    df = spark.createDataFrame(pairs, ["actual", "pred"])
+    out = {r["label"]: r for r in classification_report(df, "actual", "pred").collect()}
+    assert out["e"]["support"] == 0 and out["e"]["recall"] is None
+    assert out["e"]["precision"] == 0.0  # predicted once, never right
+    assert out["d"]["precision"] == 1.0 and abs(out["d"]["recall"] - 0.5) < 1e-9
+
+
+def _auc_model(scores, labels):
+    """Mann-Whitney with average ranks, straight from the definition."""
+    n = len(scores)
+    order = sorted(range(n), key=lambda i: scores[i])
+    ranks = [0.0] * n
+    i = 0
+    while i < n:
+        j = i
+        while j < n and scores[order[j]] == scores[order[i]]:
+            j += 1
+        ar = (i + j + 1) / 2
+        for k in range(i, j):
+            ranks[order[k]] = ar
+        i = j
+    npos = sum(labels)
+    nneg = n - npos
+    if npos == 0 or nneg == 0:
+        return None
+    rsum = sum(r for r, y in zip(ranks, labels) if y)
+    return (rsum - npos * (npos + 1) / 2) / (npos * nneg)
+
+
+def test_rank_auc_perfect_and_inverse(spark):
+    rows = [(float(i), i >= 5) for i in range(10)]
+    df = spark.createDataFrame(rows, ["score", "y"])
+    assert rank_auc(df, "score", "y").collect()[0]["auc"] == 1.0
+    inv = spark.createDataFrame([(float(i), i < 5) for i in range(10)], ["score", "y"])
+    assert rank_auc(inv, "score", "y").collect()[0]["auc"] == 0.0
+
+
+def test_rank_auc_single_class_is_null(spark):
+    df = spark.createDataFrame([(1.0, True), (2.0, True)], ["score", "y"])
+    r = rank_auc(df, "score", "y").collect()[0]
+    assert r["auc"] is None and r["n_pos"] == 2
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5), st.booleans()),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_rank_auc_matches_python_model_with_ties(spark, rows):
+    """Small-score-domain random fixtures force heavy ties — the exact
+    average-rank correction must match the definitional python model."""
+    df = spark.createDataFrame(
+        [(float(s), y) for s, y in rows], ["score", "y"]
+    )
+    got = rank_auc(df, "score", "y").collect()[0]["auc"]
+    model = _auc_model([s for s, _ in rows], [y for _, y in rows])
+    if model is None:
+        assert got is None
+    else:
+        assert got is not None and abs(got - round(model, 6)) < 1e-9
