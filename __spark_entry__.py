@@ -6766,6 +6766,48 @@ FROM wr JOIN bt ON wr.item = bt.item
 SQL_PREFERENCE_PIPELINE = _sql_preference_pipeline()
 
 
+def q_vocab_richness(spark, sf):
+    """Vocabulary projection (`profile.vocab_richness`): per-source
+    token totals, type counts, hapax/dis-legomena, bias-corrected Chao1
+    richness, and Good-Turing OOV mass — "how much vocabulary is still
+    unseen" per corpus slice. One (source, token) partial-aggregated
+    shuffle + O(groups) rollup; exact integers (HUGEINT/DECIMAL hapax
+    product) + one division each hash-match the oracle."""
+    from revtron_utils_spark.operators.profile import vocab_richness
+
+    return vocab_richness(_t(spark, sf, "documents"), ["source"])
+
+
+def _sql_vocab_richness() -> str:
+    from revtron_utils_spark.operators.profile import vocab_richness_oracle_sql
+
+    return vocab_richness_oracle_sql("documents", ["source"])
+
+
+SQL_VOCAB_RICHNESS = _sql_vocab_richness()
+
+
+def q_concentration_gini(spark, sf):
+    """Corpus concentration (`profile.concentration_gini`): Gini
+    coefficient of per-user event counts over the zipf-ish events table
+    — the "is one key eating the corpus" readout that complements
+    `skew_report`'s named top-k. One key-count shuffle + one rank
+    window over the bounded counts frame; exact DECIMAL rank-weighted
+    sums + one division hash-match the oracle."""
+    from revtron_utils_spark.operators.profile import concentration_gini
+
+    return concentration_gini(_t(spark, sf, "events"), ["user_id"])
+
+
+def _sql_concentration_gini() -> str:
+    from revtron_utils_spark.operators.profile import concentration_gini_oracle_sql
+
+    return concentration_gini_oracle_sql("events", ["user_id"])
+
+
+SQL_CONCENTRATION_GINI = _sql_concentration_gini()
+
+
 def q_classifier_eval(spark, sf):
     """Classifier acceptance readout (`evaluation.classification_report`):
     per-class precision/recall/F1 of the marker-token language-ID
@@ -7092,6 +7134,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "preference_pipeline": (q_preference_pipeline, SQL_PREFERENCE_PIPELINE),
     "classifier_eval": (q_classifier_eval, SQL_CLASSIFIER_EVAL),
     "score_auc": (q_score_auc, SQL_SCORE_AUC),
+    "vocab_richness": (q_vocab_richness, SQL_VOCAB_RICHNESS),
+    "concentration_gini": (q_concentration_gini, SQL_CONCENTRATION_GINI),
 }
 
 

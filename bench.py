@@ -147,6 +147,8 @@ HEADLINE = [
     "preference_pipeline",
     "classifier_eval",
     "score_auc",
+    "vocab_richness",
+    "concentration_gini",
 ]
 
 

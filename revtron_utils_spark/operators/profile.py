@@ -631,3 +631,155 @@ SELECT {gsel}n,
              THEN cov_n / (sqrt(varx_n) * sqrt(vary_n)) END, {round_to}) AS rho
 FROM d
 """
+
+
+def vocab_richness(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Vocabulary-richness projection per group — "how much vocabulary
+    have we NOT seen yet" for a corpus slice, from the frequency of
+    rare tokens:
+
+    - ``n_tokens`` (N), ``n_types`` (V), ``f1`` (hapaxes), ``f2``
+      (tokens seen exactly twice),
+    - ``chao1``: the bias-corrected Chao1 richness estimate
+      ``V + f1·(f1−1) / (2·(f2+1))`` (defined even when f2 = 0 — the
+      reason this form is pinned over the classic ``f1²/2f2``),
+    - ``oov_mass``: the Good-Turing unseen-probability estimate
+      ``f1 / N`` — the chance the NEXT token drawn is a new type.
+
+    Every quantity is an exact integer (f1·(f1−1) in DECIMAL — hapax
+    counts at 100-TB scale square past int64) plus one exactly-rounded
+    division each, so the readout hash-matches SQL. Plan: one
+    (group, token) partial-aggregated shuffle → one O(groups) rollup —
+    `token_diversity`'s shape, measuring the opposite tail.
+    """
+    from ..functions.text import tokens
+
+    tok = df.select(*group_cols, F.explode(tokens(F.col(text_col))).alias("_t"))
+    counts = tok.groupBy(*group_cols, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    agg = counts.groupBy(*group_cols).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("_c") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    f1 = F.col("f1").cast("decimal(18,0)")
+    chao1 = F.col("n_types").cast("double") + (
+        (f1 * (f1 - 1)).cast("double")
+        / (F.lit(2.0) * (F.col("f2").cast("double") + F.lit(1.0)))
+    )
+    return agg.select(
+        *group_cols,
+        "n_tokens",
+        "n_types",
+        "f1",
+        "f2",
+        F.round(chao1, round_to).alias("chao1"),
+        F.round(
+            F.col("f1").cast("double") / F.col("n_tokens").cast("double"), round_to
+        ).alias("oov_mass"),
+    )
+
+
+def vocab_richness_oracle_sql(
+    table: str, group_cols: list[str], text_col: str = "text", round_to: int = 6
+) -> str:
+    """DuckDB twin: same tokenizer, HUGEINT hapax product, same pinned
+    bias-corrected Chao1 form."""
+    gc = ", ".join(group_cols)
+    return rf"""
+WITH tok AS (
+  SELECT {gc},
+         unnest(list_filter(string_split_regex(trim({text_col}), '\s+'),
+                            t -> t <> '')) AS t
+  FROM {table}
+), c AS (
+  SELECT {gc}, t, COUNT(*) AS c FROM tok GROUP BY {gc}, t
+), a AS (
+  SELECT {gc}, SUM(c) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM c GROUP BY {gc}
+)
+SELECT {gc}, n_tokens, n_types, f1, f2,
+       ROUND(CAST(n_types AS DOUBLE)
+             + CAST(CAST(f1 AS HUGEINT) * (CAST(f1 AS HUGEINT) - 1) AS DOUBLE)
+               / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), {round_to}) AS chao1,
+       ROUND(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), {round_to}) AS oov_mass
+FROM a
+"""
+
+
+def concentration_gini(
+    df: DataFrame,
+    key_cols: list[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Gini coefficient of the per-key row-count distribution — the
+    one-number "is one domain/source eating the corpus" concentration
+    readout (0 = perfectly even, → 1 = one key holds everything). With
+    counts ``c_i`` sorted ascending (deterministic (count, key) order)
+    and 1-based rank ``i``:
+
+        G = (2·Σ i·c_i − (n+1)·Σ c) / (n·Σ c)
+
+    Exact integers end-to-end (rank-weighted sums in DECIMAL — i·c
+    wraps int64 when both run corpus-scale) and ONE division, so the
+    scalar hash-matches SQL. Plan: one key-count shuffle, one rank
+    window over the (bounded, one-row-per-key) counts frame, one
+    aggregate. Output one row: ``(n_keys, n_rows, gini)``.
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
+    order = [F.col("c").asc()] + [F.col(k).asc() for k in keys]
+    ranked = counts.select(
+        "c", F.row_number().over(Window.orderBy(*order)).alias("i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.sum(
+            (F.col("i").cast("decimal(18,0)") * F.col("c").cast("decimal(18,0)"))
+        ).alias("_ic"),
+    )
+    nd = F.col("n_keys").cast("double")
+    sc = F.col("n_rows").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("_ic").cast("double") - (nd + F.lit(1.0)) * sc
+    ) / (nd * sc)
+    return agg.select(
+        "n_keys",
+        "n_rows",
+        F.round(F.when(F.col("n_rows") > 0, gini), round_to).alias("gini"),
+    )
+
+
+def concentration_gini_oracle_sql(
+    table_expr: str, key_cols: list[str], round_to: int = 6
+) -> str:
+    """DuckDB twin: same deterministic rank order, HUGEINT rank-weighted
+    sum, same single division."""
+    keys = list(key_cols)
+    gc = ", ".join(keys)
+    tb = ", ".join(f"{k} ASC" for k in keys)
+    return f"""
+WITH c AS (SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS c FROM {table_expr} GROUP BY {gc}),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c ASC, {tb}) AS i FROM c),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, SUM(c) AS n_rows,
+         SUM(CAST(i AS HUGEINT) * CAST(c AS HUGEINT)) AS ic
+  FROM r
+)
+SELECT n_keys, n_rows,
+       ROUND(CASE WHEN n_rows > 0 THEN
+         (2.0 * CAST(ic AS DOUBLE)
+          - (CAST(n_keys AS DOUBLE) + 1.0) * CAST(n_rows AS DOUBLE))
+         / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)) END, {round_to}) AS gini
+FROM a
+"""
