@@ -6766,6 +6766,64 @@ FROM wr JOIN bt ON wr.item = bt.item
 SQL_PREFERENCE_PIPELINE = _sql_preference_pipeline()
 
 
+def q_streaming_tumbling(spark, sf):
+    """Watermarked tumbling-window aggregation run to completion —
+    the second HASH-VERIFIED streaming gate (after `streaming_dedup`):
+    events streamed through `readStream` → 1-hour watermark → 1-hour
+    tumbling count + exact integer cents sum per event type → append
+    mode → availableNow → memory sink. Append mode emits exactly the
+    windows whose end ≤ the final watermark (max event time − 1 h) —
+    and ONLY window-end/watermark arithmetic decides membership, never
+    micro-batch interleaving — so the emitted set is deterministic and
+    the DuckDB oracle reproduces it as a batch GROUP BY with the same
+    boundary predicate."""
+    ev = _t(spark, sf, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    tmp = _stream_staging("drv_stream_tw")
+    src = f"{tmp}/src"
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("ws"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("drv_stream_tw")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ck")
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming_tumbling: availableNow stream exceeded 600s")
+    return spark.table("drv_stream_tw")
+
+
+SQL_STREAMING_TUMBLING = """
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+b AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT b.* FROM b, mx
+WHERE b.ws + 3600000000 <= mx.m - 3600000000
+"""
+
+
 def q_vocab_richness(spark, sf):
     """Vocabulary projection (`profile.vocab_richness`): per-source
     token totals, type counts, hapax/dis-legomena, bias-corrected Chao1
@@ -7136,6 +7194,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "score_auc": (q_score_auc, SQL_SCORE_AUC),
     "vocab_richness": (q_vocab_richness, SQL_VOCAB_RICHNESS),
     "concentration_gini": (q_concentration_gini, SQL_CONCENTRATION_GINI),
+    "streaming_tumbling": (q_streaming_tumbling, SQL_STREAMING_TUMBLING),
 }
 
 

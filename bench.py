@@ -149,6 +149,7 @@ HEADLINE = [
     "score_auc",
     "vocab_richness",
     "concentration_gini",
+    "streaming_tumbling",
 ]
 
 

@@ -523,3 +523,30 @@ def test_heavy_hitters_stream_end_to_end(spark, sf_dir, tmp_path):
         want = sorted(top_truth[g])[:5]
         for rank, (negn, u) in enumerate(want, start=1):
             assert items[u] == (-negn, 0, rank), (g, u, items.get(u))
+
+
+def test_streaming_tumbling_equals_batch_with_watermark_boundary(spark, sf_dir):
+    """The availableNow tumbling aggregate must equal the batch
+    aggregate restricted to windows whose end <= max(ts) - delay —
+    append-mode emission is watermark arithmetic, not batch timing."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    streamed = {
+        (r["ws"], r["event_type"]): (r["n"], r["sum_cents"])
+        for r in entry.q_streaming_tumbling(spark, sf_dir).collect()
+    }
+    ev = entry._t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mx = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sc"))
+        .where(F.unix_micros(F.col("w.end")) <= mx - 3_600_000_000)
+        .select(F.unix_micros(F.col("w.start")).alias("ws"), "event_type", "n", "sc")
+    )
+    expected = {(r["ws"], r["event_type"]): (r["n"], r["sc"]) for r in batch.collect()}
+    assert streamed == expected and len(streamed) > 0
