@@ -353,53 +353,65 @@ def bradley_terry_from_counts(
     """MM core over pre-aggregated directed pair counts ``(w, l, c)`` —
     the composition entry point (`preference_pipeline` shares ONE
     pair-count aggregation between this and the Wilson leaderboard).
-    Same output contract as :func:`bradley_terry`."""
-    # single-row state: sorted catalog + dense games matrix + win vector
-    state = counts.agg(
+    Same output contract as :func:`bradley_terry`.
+
+    The dense row-major n-matrix and win vector are assembled
+    DISTRIBUTED — index the counts against the broadcast sorted
+    catalog, symmetrize + sum as DataFrame aggregations (exact:
+    integer-valued doubles), left-join a generated (i, j) grid, and
+    collapse each to a position-sorted array — O(m²) grid rows instead
+    of the O(m⁴) single-row scatter fold a naive build costs. All
+    values and positions are identical to the naive build, so the MM
+    folds (and the oracle) are unchanged bit-for-bit."""
+    items_row = counts.agg(
         F.array_sort(
             F.array_distinct(
                 F.flatten(F.collect_list(F.array(F.col("w"), F.col("l"))))
             )
-        ).alias("it"),
-        F.collect_list(F.struct("w", "l", "c")).alias("_cells"),
+        ).alias("it")
     )
-    m = F.size("it")
-    # dense row-major n_flat (games between i and j, both orientations)
-    # and wins via single-pass folds over the collected cells — cells
-    # are O(items²), so the folds are catalog-sized, not corpus-sized
-    state = state.select(
-        "it",
-        F.transform(
-            F.sequence(F.lit(0), m * m - 1),
-            lambda k: F.aggregate(
-                "_cells",
-                F.lit(0.0),
-                lambda acc, s: acc
-                + F.when(
-                    (
-                        (F.array_position("it", s["w"]) - 1 == F.floor(k / m))
-                        & (F.array_position("it", s["l"]) - 1 == k % m)
-                    )
-                    | (
-                        (F.array_position("it", s["l"]) - 1 == F.floor(k / m))
-                        & (F.array_position("it", s["w"]) - 1 == k % m)
-                    ),
-                    s["c"],
-                ).otherwise(F.lit(0.0)),
-            ),
-        ).alias("n_flat"),
-        F.transform(
-            F.sequence(F.lit(0), m - 1),
-            lambda i: F.aggregate(
-                "_cells",
-                F.lit(0.0),
-                lambda acc, s: acc
-                + F.when(
-                    F.array_position("it", s["w"]) - 1 == i, s["c"]
-                ).otherwise(F.lit(0.0)),
-            ),
-        ).alias("wins"),
+    ci = counts.join(F.broadcast(items_row)).select(
+        (F.array_position(F.col("it"), F.col("w")) - 1).alias("i"),
+        (F.array_position(F.col("it"), F.col("l")) - 1).alias("j"),
+        "c",
     )
+    sym = (
+        ci.select("i", "j", "c")
+        .unionByName(ci.select(F.col("j").alias("i"), F.col("i").alias("j"), "c"))
+        .groupBy("i", "j")
+        .agg(F.sum("c").alias("c"))
+    )
+    wins_df = ci.groupBy("i").agg(F.sum("c").alias("wc"))
+    m_col = F.size("it")
+    idx = F.when(m_col > 0, F.sequence(F.lit(0), m_col - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grid_i = items_row.select(m_col.alias("m"), F.explode(idx).alias("i"))
+    grid = grid_i.select("m", "i", F.explode(
+        F.sequence(F.lit(0), F.col("m") - 1)
+    ).alias("j"))
+    n_flat_row = (
+        grid.join(sym, ["i", "j"], "left")
+        .select(
+            (F.col("i").cast("long") * F.col("m") + F.col("j")).alias("k"),
+            F.coalesce(F.col("c"), F.lit(0.0)).alias("c"),
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "c"))), lambda s: s["c"]
+            ).alias("n_flat")
+        )
+    )
+    wins_row = (
+        grid_i.join(wins_df, "i", "left")
+        .select("i", F.coalesce(F.col("wc"), F.lit(0.0)).alias("wc"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "wc"))), lambda s: s["wc"]
+            ).alias("wins")
+        )
+    )
+    state = items_row.join(n_flat_row).join(wins_row)
     state = state.withColumn(
         "p", F.transform(F.sequence(F.lit(0), F.size("it") - 1), lambda i: F.lit(1.0))
     )

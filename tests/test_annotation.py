@@ -203,3 +203,25 @@ def test_preference_pipeline_consistent_with_standalone_ops(spark):
         )
     ranks = [r["rank"] for r in sorted(lb.values(), key=lambda r: (-r["strength"], r["item"]))]
     assert ranks == sorted(ranks)
+
+
+def test_bradley_terry_handles_mid_sized_catalogs(spark):
+    """m=100 catalog (10k-cell dense state): the distributed grid build
+    must keep this tractable (the naive single-row scatter fold is
+    O(m⁴)) and recover the planted strength ordering."""
+    import random
+
+    rng = random.Random(11)
+    comps = []
+    for _ in range(5000):
+        a, b = rng.sample(range(100), 2)
+        w, l = (a, b) if rng.random() < (a + 1) / (a + b + 2) else (b, a)
+        comps.append((f"m{a:03d}" if w == a else f"m{b:03d}",
+                      f"m{b:03d}" if w == a else f"m{a:03d}"))
+    df = spark.createDataFrame(comps, ["w", "l"])
+    out = {r["item"]: r["strength"] for r in bradley_terry(df, "w", "l", 10).collect()}
+    assert len(out) == 100
+    # planted order: high indices are stronger — top decile mean beats bottom decile
+    hi = sum(out[f"m{i:03d}"] for i in range(90, 100)) / 10
+    lo = sum(out[f"m{i:03d}"] for i in range(10)) / 10
+    assert hi > lo * 2
