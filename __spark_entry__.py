@@ -6766,6 +6766,83 @@ FROM wr JOIN bt ON wr.item = bt.item
 SQL_PREFERENCE_PIPELINE = _sql_preference_pipeline()
 
 
+def q_calibration(spark, sf):
+    """Classifier reliability curve (`evaluation.calibration_curve`):
+    the hashed-linear quality score (exact integer numerator over token
+    count) binned into deciles of its [−1e6, 1e6] mean-weight range,
+    with the observed Gopher pass rate per bin — the mis-calibration
+    readout AUC's single number hides. One map-side-combined
+    aggregation; exact bin arithmetic (double products of exact ints,
+    boundary-safe floor) hash-matches the oracle."""
+    from revtron_utils_spark.functions import classifier as CL
+    from revtron_utils_spark.operators.evaluation import calibration_curve
+
+    docs = _t(spark, sf, "documents")
+    scored = docs.select(
+        CL.hashed_linear_score_num("text", dim=4096, seed=0).alias("num"),
+        TX.token_count("text").cast("long").alias("den"),
+        CL.gopher_quality_flags("text").getField("pass_all").alias("y"),
+    )
+    return calibration_curve(
+        scored, "num", "den", "y", score_min=-1_000_000, score_max=1_000_000
+    )
+
+
+def _sql_calibration() -> str:
+    from revtron_utils_spark.operators.evaluation import calibration_curve_oracle_sql
+
+    scored = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS den,
+         COALESCE(list_sum(list_transform(toks, tk ->
+           (({_TOKHASH_SQL} % 4096 + 1) * 2654435761) % 2000001 - 1000000
+         )), 0) AS num,
+         COALESCE(list_sum(list_transform(toks, tk -> CAST(length(tk) AS BIGINT))), 0) AS sum_len,
+         len(list_filter(toks, tk -> regexp_matches(tk, '[a-zA-Z]'))) AS n_alpha,
+         len(list_filter(toks, tk -> starts_with(tk, '#') OR contains(tk, '...'))) AS n_sym,
+         len(list_filter(toks, tk -> lower(tk) IN ('the','be','to','of','and','that','have','with'))) AS n_stop
+  FROM t
+)
+SELECT num, den,
+       ((den >= 20 AND den <= 100000) AND (sum_len >= 3 * den AND sum_len <= 10 * den)
+        AND (n_alpha * 5 >= den * 4) AND (n_sym * 10 <= den) AND (n_stop >= 2)) AS y
+FROM s
+"""
+    return calibration_curve_oracle_sql(
+        scored, "num", "den", "y", score_min=-1_000_000, score_max=1_000_000
+    )
+
+
+SQL_CALIBRATION = _sql_calibration()
+
+
+def q_join_size_estimate(spark, sf):
+    """Join-cardinality prediction (`skew.join_size_estimate`): the
+    exact output size of the events-to-events self-join on user_id —
+    Σ_k c(k)² (the quantity `ams_f2` sketches) — from ONE key-count
+    aggregation joined with itself, never the row-level join. Top-10
+    output-heaviest users with per-key output rows and share;
+    DECIMAL/HUGEINT products hash-match the oracle."""
+    from revtron_utils_spark.operators.skew import join_size_estimate
+
+    ev = _t(spark, sf, "events").select("user_id")
+    return join_size_estimate(ev, ev, ["user_id"], top_k=10)
+
+
+def _sql_join_size_estimate() -> str:
+    from revtron_utils_spark.operators.skew import join_size_estimate_oracle_sql
+
+    side = "SELECT user_id FROM events"
+    return join_size_estimate_oracle_sql(side, side, ["user_id"], top_k=10)
+
+
+SQL_JOIN_SIZE_ESTIMATE = _sql_join_size_estimate()
+
+
 def q_streaming_tumbling(spark, sf):
     """Watermarked tumbling-window aggregation run to completion —
     the second HASH-VERIFIED streaming gate (after `streaming_dedup`):
@@ -7195,6 +7272,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "vocab_richness": (q_vocab_richness, SQL_VOCAB_RICHNESS),
     "concentration_gini": (q_concentration_gini, SQL_CONCENTRATION_GINI),
     "streaming_tumbling": (q_streaming_tumbling, SQL_STREAMING_TUMBLING),
+    "calibration": (q_calibration, SQL_CALIBRATION),
+    "join_size_estimate": (q_join_size_estimate, SQL_JOIN_SIZE_ESTIMATE),
 }
 
 

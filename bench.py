@@ -150,6 +150,8 @@ HEADLINE = [
     "vocab_richness",
     "concentration_gini",
     "streaming_tumbling",
+    "calibration",
+    "join_size_estimate",
 ]
 
 

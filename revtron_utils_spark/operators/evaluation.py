@@ -219,3 +219,87 @@ SELECT {gsel}n, n_pos,
              END, {round_to}) AS auc
 FROM a
 """
+
+
+def calibration_curve(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    label_col: str,
+    score_min: int,
+    score_max: int,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reliability curve for an integer-rational score: bin documents by
+    ``num/den`` (the house engine-exact score shape — e.g. the hashed
+    linear classifier's weight-sum numerator over its token count) and
+    report the observed positive rate per bin — the accept-the-scorer
+    readout that AUC's single number hides (a scorer can rank well and
+    still be wildly mis-calibrated).
+
+    ``bin = clamp(floor((num − score_min·den)·n_bins / ((score_max −
+    score_min + 1)·den)))`` — products of exact integers in double
+    (exact below 2^53), one correctly-rounded division whose floor
+    cannot straddle an integer (adjacent rationals differ by ≥
+    1/span·den, orders of magnitude above ulp(n_bins)), identical in
+    the oracle. Output: ``(bin, n_docs, n_pos, pos_rate)`` — one
+    map-side-combined aggregation.
+    """
+    nb = int(n_bins)
+    num = F.col(num_col).cast("double")
+    den = F.col(den_col).cast("double")
+    span = float(score_max - score_min + 1)
+    raw = F.floor((num - F.lit(float(score_min)) * den) * F.lit(float(nb)) / (F.lit(span) * den))
+    b = F.greatest(F.lit(0), F.least(F.lit(nb - 1), raw)).cast("int")
+    base = df.where(
+        F.col(num_col).isNotNull()
+        & F.col(den_col).isNotNull()
+        & (F.col(den_col) > 0)
+        & F.col(label_col).isNotNull()
+    )
+    agg = base.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(label_col).cast("boolean").cast("int")).alias("n_pos"),
+    )
+    return agg.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n_docs").cast("double"), round_to
+        ).alias("pos_rate"),
+    )
+
+
+def calibration_curve_oracle_sql(
+    scored_sql: str,
+    num_col: str,
+    den_col: str,
+    label_col: str,
+    score_min: int,
+    score_max: int,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: identical double bin arithmetic and clamps."""
+    nb = int(n_bins)
+    span = float(score_max - score_min + 1)
+    binx = (
+        f"CAST(GREATEST(0, LEAST({nb - 1}, "
+        f"FLOOR((CAST({num_col} AS DOUBLE) - {float(score_min)} * CAST({den_col} AS DOUBLE))"
+        f" * {float(nb)} / ({span} * CAST({den_col} AS DOUBLE))))) AS INT)"
+    )
+    return f"""
+WITH b AS (
+  SELECT {binx} AS bin, {label_col} AS y
+  FROM ({scored_sql})
+  WHERE {num_col} IS NOT NULL AND {den_col} IS NOT NULL
+    AND {den_col} > 0 AND {label_col} IS NOT NULL
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       ROUND(CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), {round_to}) AS pos_rate
+FROM b GROUP BY bin
+"""

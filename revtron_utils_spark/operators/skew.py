@@ -160,3 +160,84 @@ SELECT {gc}, cnt,
        CAST(rank AS INT) AS rank
 FROM r WHERE rank <= {top_k}
 """
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    top_k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact inner-join output cardinality WITHOUT running the join —
+    the go/no-go check before a multi-TB join: ``|A ⋈ B| = Σ_k
+    cA(k)·cB(k)``, computed from two map-side-combined key-count
+    aggregations and a join of the (key-cardinality-sized) count
+    frames — never the row-level join itself. Surfaces the ``top_k``
+    output-heaviest keys (the ones AQE skew-split or `salted_join`
+    will have to absorb) with their per-key output rows and share of
+    the total.
+
+    Per-key products and the total accumulate in DECIMAL(38,0) (a
+    1e9×1e9 hot key alone overflows int64); one rounded division per
+    row. Output: ``(*keys, n_left, n_right, out_rows, share, rank)``
+    ranked by exact output rows descending (keys ascending tie-break).
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    ca = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_left"))
+    cb = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_right"))
+    prod = (
+        F.col("n_left").cast("decimal(18,0)") * F.col("n_right").cast("decimal(18,0)")
+    ).cast("decimal(38,0)")
+    per_key = ca.join(cb, keys).select(*keys, "n_left", "n_right", prod.alias("out_rows"))
+    total = per_key.agg(F.sum("out_rows").alias("_total"))
+    order = [F.col("out_rows").desc()] + [F.col(k).asc() for k in keys]
+    top = per_key.orderBy(*order).limit(top_k)
+    ranked = top.join(F.broadcast(total)).withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    )
+    return ranked.select(
+        *keys,
+        "n_left",
+        "n_right",
+        F.col("out_rows").cast("long").alias("out_rows"),
+        F.round(
+            F.col("out_rows").cast("double") / F.col("_total").cast("double"),
+            round_to,
+        ).alias("share"),
+        "rank",
+    )
+
+
+def join_size_estimate_oracle_sql(
+    left_sql: str,
+    right_sql: str,
+    keys: Sequence[str],
+    top_k: int = 10,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: HUGEINT products, same rank order."""
+    keys = list(keys)
+    gc = ", ".join(keys)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in keys)
+    asel = ", ".join(f"a.{k}" for k in keys)
+    tb = ", ".join(f"{k} ASC" for k in keys)
+    return f"""
+WITH la AS (SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS n_left FROM ({left_sql}) GROUP BY {gc}),
+rb AS (SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS n_right FROM ({right_sql}) GROUP BY {gc}),
+pk AS (
+  SELECT {asel}, a.n_left, b.n_right,
+         CAST(a.n_left AS HUGEINT) * CAST(b.n_right AS HUGEINT) AS out_rows
+  FROM la a JOIN rb b ON {on}
+),
+t AS (SELECT SUM(out_rows) AS total FROM pk),
+r AS (
+  SELECT pk.*, ROW_NUMBER() OVER (ORDER BY out_rows DESC, {tb}) AS rank FROM pk
+)
+SELECT {gc}, n_left, n_right, CAST(out_rows AS BIGINT) AS out_rows,
+       ROUND(CAST(out_rows AS DOUBLE) / CAST(t.total AS DOUBLE), {round_to}) AS share,
+       CAST(rank AS INT) AS rank
+FROM r, t WHERE rank <= {top_k}
+"""

@@ -109,3 +109,51 @@ def test_rank_auc_matches_python_model_with_ties(spark, rows):
         assert got is None
     else:
         assert got is not None and abs(got - round(model, 6)) < 1e-9
+
+
+def test_calibration_curve_bins_and_rates(spark):
+    from revtron_utils_spark.operators.evaluation import calibration_curve
+
+    # scores num/den in [0, 10), 5 bins of width 2: num 0-1 -> bin 0, ...
+    rows = [(i, 1, i >= 6) for i in range(10)]
+    df = spark.createDataFrame(rows, ["num", "den", "y"])
+    out = {r["bin"]: r for r in calibration_curve(
+        df, "num", "den", "y", score_min=0, score_max=9, n_bins=5
+    ).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert all(out[b]["n_docs"] == 2 for b in out)
+    assert out[0]["pos_rate"] == 0.0 and out[2]["pos_rate"] == 0.0
+    assert out[3]["pos_rate"] == 1.0 and out[4]["pos_rate"] == 1.0
+
+
+def test_calibration_curve_monotone_fixture(spark):
+    from revtron_utils_spark.operators.evaluation import calibration_curve
+
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for _ in range(2000):
+        s = rng.randrange(0, 100)
+        rows.append((s, 1, rng.random() < s / 100))
+    df = spark.createDataFrame(rows, ["num", "den", "y"])
+    out = sorted(
+        calibration_curve(df, "num", "den", "y", 0, 99, n_bins=4).collect(),
+        key=lambda r: r["bin"],
+    )
+    rates = [r["pos_rate"] for r in out]
+    assert rates == sorted(rates)  # well-calibrated synthetic -> monotone bins
+    assert sum(r["n_docs"] for r in out) == 2000
+
+
+def test_join_size_estimate_matches_real_join(spark):
+    from revtron_utils_spark.operators.skew import join_size_estimate
+
+    left = spark.createDataFrame([(k,) for k in [1] * 5 + [2] * 3 + [3]], ["k"])
+    right = spark.createDataFrame([(k,) for k in [1] * 4 + [3] * 2 + [4]], ["k"])
+    out = {r["k"]: r for r in join_size_estimate(left, right, ["k"]).collect()}
+    real = left.join(right, "k").count()
+    assert sum(r["out_rows"] for r in out.values()) == real == 5 * 4 + 1 * 2
+    assert out[1]["out_rows"] == 20 and out[1]["rank"] == 1
+    assert abs(out[1]["share"] - 20 / 22) < 1e-6
+    assert 2 not in out and 4 not in out  # unmatched keys produce no output
