@@ -119,3 +119,51 @@ def test_assortativity_dedups_and_drops_self_loops(spark):
     r = degree_assortativity(edges).collect()[0]
     # surviving undirected edges: {0,1}, {0,2}
     assert r["n_edges"] == 2 and r["n_nodes"] == 3
+
+
+def _drift_hyp_tests():
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    return given(
+        docs=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.lists(st.sampled_from("xyzpq"), min_size=1, max_size=6),
+            ),
+            min_size=2,
+            max_size=12,
+        ).filter(
+            lambda d: {s for s, _ in d} == {"a", "b"}
+        )
+    ), settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+
+
+_given, _settings = _drift_hyp_tests()
+
+
+@_settings
+@_given
+def test_vocab_drift_property_differential(spark, docs):
+    """Random two-slice corpora over a 5-token vocabulary: per-token
+    counts, contributions, and the TVD scalar all match the direct
+    python computation."""
+    from collections import Counter
+
+    df = spark.createDataFrame(
+        [(s, " ".join(toks)) for s, toks in docs], ["source", "text"]
+    )
+    out = {r["token"]: r for r in vocab_drift(df, "source", "a", "b", top_k=10).collect()}
+    ca, cb = Counter(), Counter()
+    for s, toks in docs:
+        (ca if s == "a" else cb).update(toks)
+    na, nb = sum(ca.values()), sum(cb.values())
+    tvd = sum(abs(ca[t] * nb - cb[t] * na) for t in set(ca) | set(cb)) / (2 * na * nb)
+    assert set(out) == set(ca) | set(cb)
+    for t, r in out.items():
+        assert (r["c_a"], r["c_b"]) == (ca[t], cb[t])
+        assert abs(r["tvd"] - round(tvd, 6)) < 1e-9
