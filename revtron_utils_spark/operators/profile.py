@@ -460,8 +460,13 @@ def vocab_drift(
         F.first("_nb").alias("_nb"),
     ).select(
         F.round(
-            F.col("_sum_num").cast("double")
-            / (F.lit(2.0) * F.col("_na").cast("double") * F.col("_nb").cast("double")),
+            # an empty slice leaves TVD undefined (0/0) — NULL, not a
+            # NaN/inf whose rendering the engines could disagree on
+            F.when(
+                (F.col("_na") > 0) & (F.col("_nb") > 0),
+                F.col("_sum_num").cast("double")
+                / (F.lit(2.0) * F.col("_na").cast("double") * F.col("_nb").cast("double")),
+            ),
             round_to,
         ).alias("tvd")
     )
@@ -475,8 +480,11 @@ def vocab_drift(
         "c_a",
         "c_b",
         F.round(
-            F.col("_num").cast("double")
-            / (F.lit(2.0) * F.col("_na").cast("double") * F.col("_nb").cast("double")),
+            F.when(
+                (F.col("_na") > 0) & (F.col("_nb") > 0),
+                F.col("_num").cast("double")
+                / (F.lit(2.0) * F.col("_na").cast("double") * F.col("_nb").cast("double")),
+            ),
             round_to,
         ).alias("contrib"),
         "tvd",
@@ -512,9 +520,10 @@ sc AS (
              - CAST(c.c_b AS HUGEINT) * CAST(tt.na AS HUGEINT)) AS num
   FROM c CROSS JOIN tt
 ), tv AS (
-  SELECT ROUND(CAST(SUM(num) AS DOUBLE)
-               / (2.0 * CAST(ANY_VALUE(na) AS DOUBLE) * CAST(ANY_VALUE(nb) AS DOUBLE)),
-               {round_to}) AS tvd
+  SELECT ROUND(CASE WHEN ANY_VALUE(na) > 0 AND ANY_VALUE(nb) > 0 THEN
+               CAST(SUM(num) AS DOUBLE)
+               / (2.0 * CAST(ANY_VALUE(na) AS DOUBLE) * CAST(ANY_VALUE(nb) AS DOUBLE))
+               END, {round_to}) AS tvd
   FROM sc
 ), r AS (
   SELECT t, c_a, c_b, na, nb, num,
@@ -522,8 +531,8 @@ sc AS (
   FROM sc
 )
 SELECT r.t AS token, r.c_a, r.c_b,
-       ROUND(CAST(r.num AS DOUBLE)
-             / (2.0 * CAST(r.na AS DOUBLE) * CAST(r.nb AS DOUBLE)), {round_to}) AS contrib,
+       ROUND(CASE WHEN r.na > 0 AND r.nb > 0 THEN CAST(r.num AS DOUBLE)
+             / (2.0 * CAST(r.na AS DOUBLE) * CAST(r.nb AS DOUBLE)) END, {round_to}) AS contrib,
        tv.tvd, CAST(r.rank AS INT) AS rank
 FROM r CROSS JOIN tv WHERE r.rank <= {top_k}
 """

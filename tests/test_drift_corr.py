@@ -167,3 +167,11 @@ def test_vocab_drift_property_differential(spark, docs):
     for t, r in out.items():
         assert (r["c_a"], r["c_b"]) == (ca[t], cb[t])
         assert abs(r["tvd"] - round(tvd, 6)) < 1e-9
+
+
+def test_vocab_drift_empty_slice_is_null_not_nan(spark):
+    """One slice with no tokens: TVD/contrib are NULL (0/0 would be a
+    NaN/inf whose rendering engines disagree on)."""
+    df = spark.createDataFrame([("a", "x y")], ["source", "text"])
+    out = vocab_drift(df, "source", "a", "b", top_k=5).collect()
+    assert out and all(r["tvd"] is None and r["contrib"] is None for r in out)
