@@ -179,7 +179,9 @@ def join_size_estimate(
     the total.
 
     Per-key products and the total accumulate in DECIMAL(38,0) (a
-    1e9×1e9 hot key alone overflows int64); one rounded division per
+    single ~4e9×4e9 hot key — or the SUM across a 100-TB key space —
+    overflows int64); the surfaced top-k rows cast back to long, which
+    is exact below 2^63 output rows per key; one rounded division per
     row. Output: ``(*keys, n_left, n_right, out_rows, share, rank)``
     ranked by exact output rows descending (keys ascending tie-break).
     """
