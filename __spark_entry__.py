@@ -7062,6 +7062,60 @@ def q_embedding_pipeline_scaled(spark, sf):
     )
 
 
+def q_kaplan_meier(spark, sf):
+    """Right-censored survival curve (`survival.kaplan_meier`):
+    per-market-segment Kaplan-Meier over customer ordering lifetimes —
+    duration = capped weeks between first and last order, event = the
+    customer went quiet ≥ 90 days before the corpus horizon (otherwise
+    right-censored). Complements `cohort_retention`: KM handles the
+    censored tail the fixed offset grid cannot. One per-customer agg +
+    one (segment, week) agg; the at-risk window and the survival
+    product-fold run over the BOUNDED ≤105-bucket spine; exact integer
+    d/n counts, one division per factor, identical ascending-time fold
+    in the oracle's list_reduce."""
+    from revtron_utils_spark.operators.survival import kaplan_meier
+
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    per = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_d"),
+        F.max("o_orderdate").alias("last_d"),
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("mx"))
+    subj = (
+        per.crossJoin(F.broadcast(mx))
+        .join(cust, per.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.least(
+                F.floor(F.datediff("last_d", "first_d") / 7), F.lit(104)
+            ).cast("int").alias("dur_w"),
+            (F.datediff("mx", "last_d") > 90).cast("int").alias("gone"),
+        )
+    )
+    return kaplan_meier(subj, "dur_w", "gone", by=["segment"])
+
+
+def _sql_kaplan_meier() -> str:
+    from revtron_utils_spark.operators.survival import kaplan_meier_oracle_sql
+
+    subjects = """
+SELECT c.c_mktsegment AS segment,
+       CAST(LEAST(FLOOR(date_diff('day', p.first_d, p.last_d) / 7), 104)
+            AS INTEGER) AS dur_w,
+       CAST(date_diff('day', p.last_d, m.mx) > 90 AS INTEGER) AS gone
+FROM (SELECT o_custkey, MIN(o_orderdate) AS first_d,
+             MAX(o_orderdate) AS last_d
+      FROM orders GROUP BY o_custkey) p
+CROSS JOIN (SELECT MAX(o_orderdate) AS mx FROM orders) m
+JOIN customer c ON p.o_custkey = c.c_custkey
+"""
+    return kaplan_meier_oracle_sql(subjects, "dur_w", "gone", by=["segment"])
+
+
+SQL_KAPLAN_MEIER = _sql_kaplan_meier()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -7274,6 +7328,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "streaming_tumbling": (q_streaming_tumbling, SQL_STREAMING_TUMBLING),
     "calibration": (q_calibration, SQL_CALIBRATION),
     "join_size_estimate": (q_join_size_estimate, SQL_JOIN_SIZE_ESTIMATE),
+    "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
 }
 
 
