@@ -7116,6 +7116,85 @@ JOIN customer c ON p.o_custkey = c.c_custkey
 SQL_KAPLAN_MEIER = _sql_kaplan_meier()
 
 
+def _nation_month_revenue(spark, sf):
+    """Shared series for the time-series gates: exact monthly revenue
+    cents per nation (orders ⋈ customer ⋈ broadcast nation)."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+
+
+_SQL_NATION_MONTH_REVENUE = """
+SELECT n.n_name AS nation,
+       CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+def q_cusum_changepoint(spark, sf):
+    """Changepoint location (`timeseries.cusum_changepoint`): per-nation
+    peak of the cumulative deviation of monthly revenue from its mean —
+    the "when did this source's volume shift" audit run before
+    retraining on a new crawl. One partial-agg shuffle to the bounded
+    (nation, month) spine + per-group windows; exact integer cumsums,
+    DECIMAL i·total, ONE division — hash-matches the oracle."""
+    from revtron_utils_spark.operators.timeseries import cusum_changepoint
+
+    return cusum_changepoint(
+        _nation_month_revenue(spark, sf), "month", "cents", by=["nation"]
+    )
+
+
+def _sql_cusum_changepoint() -> str:
+    from revtron_utils_spark.operators.timeseries import (
+        cusum_changepoint_oracle_sql,
+    )
+
+    return cusum_changepoint_oracle_sql(
+        _SQL_NATION_MONTH_REVENUE, "month", "cents", by=["nation"]
+    )
+
+
+SQL_CUSUM_CHANGEPOINT = _sql_cusum_changepoint()
+
+
+def q_mann_kendall(spark, sf):
+    """Monotone-trend test (`timeseries.mann_kendall`): exact
+    Mann-Kendall S and Kendall tau-a of per-nation monthly revenue —
+    the nonparametric drift detector that pairs with `cusum_changepoint`
+    (trend strength vs shift location). The pairwise self-join runs on
+    the BOUNDED monthly spine (O(months²) per nation by construction);
+    exact integer sign sums, ONE division."""
+    from revtron_utils_spark.operators.timeseries import mann_kendall
+
+    return mann_kendall(
+        _nation_month_revenue(spark, sf), "month", "cents", by=["nation"]
+    )
+
+
+def _sql_mann_kendall() -> str:
+    from revtron_utils_spark.operators.timeseries import mann_kendall_oracle_sql
+
+    return mann_kendall_oracle_sql(
+        _SQL_NATION_MONTH_REVENUE, "month", "cents", by=["nation"]
+    )
+
+
+SQL_MANN_KENDALL = _sql_mann_kendall()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -7329,6 +7408,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "calibration": (q_calibration, SQL_CALIBRATION),
     "join_size_estimate": (q_join_size_estimate, SQL_JOIN_SIZE_ESTIMATE),
     "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
+    "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
+    "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
 }
 
 

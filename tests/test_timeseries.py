@@ -1,0 +1,115 @@
+"""CUSUM changepoint + Mann-Kendall semantics
+(operators/timeseries.py): analytic fixtures (level shift, monotone
+ramp, flat series) and python-model differentials. Corpus-scale value
+equality is covered by the `cusum_changepoint` / `mann_kendall`
+gates."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from revtron_utils_spark.operators.timeseries import (
+    cusum_changepoint,
+    mann_kendall,
+)
+
+
+def _cusum_py(xs):
+    n, total = len(xs), sum(xs)
+    best = None
+    cum = 0
+    for i, x in enumerate(xs, start=1):
+        cum += x
+        s = float(cum) - float(i * total) / float(n)
+        if best is None or abs(s) > abs(best[1]):
+            best = (i, s)
+    return best
+
+
+def test_cusum_peaks_at_the_level_shift(spark):
+    # 10 buckets at 100 then 10 at 200: |S| maximal exactly at t=10.
+    xs = [100] * 10 + [200] * 10
+    df = spark.createDataFrame(
+        [("g", t, x) for t, x in enumerate(xs, start=1)], ["g", "t", "x"]
+    )
+    r = cusum_changepoint(df, "t", "x", ["g"]).collect()[0]
+    assert (r["n_buckets"], r["peak_t"], r["total"]) == (20, 10, 3000)
+    # S_10 = 1000 - 10*3000/20 = -500
+    assert r["peak_cusum"] == -500.0
+
+
+def test_cusum_tie_breaks_to_earliest_bucket(spark):
+    # symmetric V shape: |S| ties at several buckets; earliest wins.
+    xs = [0, 0, 4, 4]  # S = -2, -4, -2, 0 → unique min at t=2
+    df = spark.createDataFrame(
+        [("g", t, x) for t, x in enumerate(xs, start=1)], ["g", "t", "x"]
+    )
+    r = cusum_changepoint(df, "t", "x", ["g"]).collect()[0]
+    assert r["peak_t"] == 2 and r["peak_cusum"] == -4.0
+    # exact tie case: [1, 3] → S = -1 at t=1, 0 at t=2… use [2,0,2,0]:
+    # S = 1, 0, 1, 0 — |S| ties at t=1 and t=3, earliest (t=1) wins.
+    df2 = spark.createDataFrame(
+        [("g", t, x) for t, x in enumerate([2, 0, 2, 0], start=1)],
+        ["g", "t", "x"],
+    )
+    r2 = cusum_changepoint(df2, "t", "x", ["g"]).collect()[0]
+    assert r2["peak_t"] == 1 and r2["peak_cusum"] == 1.0
+
+
+def test_cusum_python_model_differential(spark):
+    import random
+
+    rng = random.Random(11)
+    xs = [rng.randint(0, 1000) for _ in range(60)]
+    df = spark.createDataFrame(
+        [("g", t, x) for t, x in enumerate(xs, start=1)], ["g", "t", "x"]
+    )
+    r = cusum_changepoint(df, "t", "x", ["g"]).collect()[0]
+    t_star, s_star = _cusum_py(xs)
+    assert r["peak_t"] == t_star
+    assert abs(r["peak_cusum"] - round(s_star, 4)) < 1e-9
+
+
+def test_mann_kendall_monotone_series_is_tau_one(spark):
+    df = spark.createDataFrame(
+        [("up", t, t * 10) for t in range(1, 9)]
+        + [("dn", t, -t) for t in range(1, 9)]
+        + [("flat", t, 5) for t in range(1, 9)],
+        ["g", "t", "x"],
+    )
+    rows = {r["g"]: r for r in mann_kendall(df, "t", "x", ["g"]).collect()}
+    assert rows["up"]["tau"] == 1.0 and rows["up"]["s_stat"] == 28
+    assert rows["dn"]["tau"] == -1.0 and rows["dn"]["s_stat"] == -28
+    assert rows["flat"]["tau"] == 0.0 and rows["flat"]["s_stat"] == 0
+    assert rows["up"]["n_buckets"] == 8
+
+
+def test_mann_kendall_python_model_differential(spark):
+    import random
+
+    rng = random.Random(3)
+    xs = [rng.randint(0, 50) for _ in range(40)]  # small range → ties
+    df = spark.createDataFrame(
+        [("g", t, x) for t, x in enumerate(xs, start=1)], ["g", "t", "x"]
+    )
+    r = mann_kendall(df, "t", "x", ["g"]).collect()[0]
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    assert r["s_stat"] == s
+    assert abs(r["tau"] - round(s / (n * (n - 1) / 2), 6)) < 1e-9
+
+
+def test_mann_kendall_duplicate_bucket_rows_are_summed_first(spark):
+    # two rows in the same bucket aggregate before the pair scan
+    df = spark.createDataFrame(
+        [("g", 1, 5), ("g", 1, 5), ("g", 2, 8)], ["g", "t", "x"]
+    )
+    r = mann_kendall(df, "t", "x", ["g"]).collect()[0]
+    assert (r["n_buckets"], r["s_stat"], r["tau"]) == (2, -1, -1.0)
