@@ -7195,6 +7195,41 @@ def _sql_mann_kendall() -> str:
 SQL_MANN_KENDALL = _sql_mann_kendall()
 
 
+def q_association_rules(spark, sf):
+    """Co-occurrence rules (`basket.association_rules`): top-50 brand
+    pairs by lift over order baskets (lineitem ⋈ broadcast part,
+    baskets = orders, items = p_brand) — the tag/domain co-occurrence
+    audit. One distinct (basket, item) shuffle; the pair self-join
+    blows up only O(basket_size²) with TPC-H baskets ≤ 7 lines; item
+    supports broadcast from the bounded brand catalog; exact counts,
+    DECIMAL lift products, ONE division per metric."""
+    from revtron_utils_spark.operators.basket import association_rules
+
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part")
+    baskets = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    return association_rules(
+        baskets, "l_orderkey", "p_brand", min_pair_count=2, top_k=50
+    )
+
+
+def _sql_association_rules() -> str:
+    from revtron_utils_spark.operators.basket import association_rules_oracle_sql
+
+    baskets = """
+SELECT l.l_orderkey, p.p_brand
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+"""
+    return association_rules_oracle_sql(
+        baskets, "l_orderkey", "p_brand", min_pair_count=2, top_k=50
+    )
+
+
+SQL_ASSOCIATION_RULES = _sql_association_rules()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -7410,6 +7445,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "kaplan_meier": (q_kaplan_meier, SQL_KAPLAN_MEIER),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
+    "association_rules": (q_association_rules, SQL_ASSOCIATION_RULES),
 }
 
 
