@@ -7230,6 +7230,50 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 SQL_ASSOCIATION_RULES = _sql_association_rules()
 
 
+def q_rfm_segments(spark, sf):
+    """Entity tiering (`segment.rfm_segments`): customers scored 1–4 on
+    recency (days since last order vs corpus horizon), frequency
+    (order count), monetary ($1000 spend buckets — integer DIV keeps
+    the metric exact where double division would not be at corpus
+    scale), rolled up per segment. Quartile boundaries come from each
+    metric's BOUNDED distinct-value histogram (4·cum ≥ n·k), never an
+    entity-wide ntile window; exact counts/sums, one division per
+    average."""
+    from revtron_utils_spark.operators.segment import rfm_segments
+
+    orders = _t(spark, sf, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("mx"))
+    ent = per.crossJoin(F.broadcast(mx)).select(
+        F.datediff("mx", "last_d").cast("int").alias("rec"),
+        F.col("freq").cast("int").alias("frq"),
+        F.expr("cents DIV 100000").alias("mon"),
+    )
+    return rfm_segments(ent, "rec", "frq", "mon")
+
+
+def _sql_rfm_segments() -> str:
+    from revtron_utils_spark.operators.segment import rfm_segments_oracle_sql
+
+    entities = """
+SELECT CAST(date_diff('day', p.last_d, m.mx) AS INTEGER) AS rec,
+       CAST(p.freq AS INTEGER) AS frq,
+       p.cents // 100000 AS mon
+FROM (SELECT o_custkey, MAX(o_orderdate) AS last_d, COUNT(*) AS freq,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey) p
+CROSS JOIN (SELECT MAX(o_orderdate) AS mx FROM orders) m
+"""
+    return rfm_segments_oracle_sql(entities, "rec", "frq", "mon")
+
+
+SQL_RFM_SEGMENTS = _sql_rfm_segments()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -7446,6 +7490,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
     "association_rules": (q_association_rules, SQL_ASSOCIATION_RULES),
+    "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
 }
 
 
