@@ -7274,6 +7274,68 @@ CROSS JOIN (SELECT MAX(o_orderdate) AS mx FROM orders) m
 SQL_RFM_SEGMENTS = _sql_rfm_segments()
 
 
+def q_link_prediction(spark, sf):
+    """Missing-edge scores (`graph.link_prediction`): top-100
+    non-adjacent part pairs by common co-purchase partners + Jaccard,
+    over the SAME k-nearest-partner sparsified graph as
+    `triangle_counts` (top-10 partners, deterministic hash tie-break —
+    max degree ~50, so the wedge enumeration is bounded). Exact integer
+    cn/degrees, ONE division, total (cn DESC, jaccard DESC, u, w) order
+    makes the top-k cut deterministic."""
+    from pyspark.sql.window import Window
+
+    from revtron_utils_spark.operators.graph import link_prediction
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tiebreak = (
+        F.col("id_a") * F.lit(2654435761) + F.col("id_b") * F.lit(40503)
+    ) % F.lit(999999937)
+    win = Window.partitionBy("id_a").orderBy(
+        F.col("w").desc(), tiebreak.asc(), F.col("id_b")
+    )
+    sparse = (
+        pairs.withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") <= 10)
+        .select("id_a", "id_b")
+    )
+    return link_prediction(
+        sparse, src="id_a", dst="id_b", min_common=2, top_k=100
+    )
+
+
+def _sql_link_prediction() -> str:
+    from revtron_utils_spark.operators.graph import link_prediction_oracle_sql
+
+    edges = """
+SELECT id_a AS src, id_b AS dst FROM (
+  SELECT a.l_partkey AS id_a, b.l_partkey AS id_b, COUNT(*) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+QUALIFY row_number() OVER (
+  PARTITION BY id_a
+  ORDER BY w DESC, (id_a * 2654435761 + id_b * 40503) % 999999937, id_b
+) <= 10
+"""
+    return link_prediction_oracle_sql(edges, min_common=2, top_k=100)
+
+
+SQL_LINK_PREDICTION = _sql_link_prediction()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -7491,6 +7553,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
     "association_rules": (q_association_rules, SQL_ASSOCIATION_RULES),
     "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
+    "link_prediction": (q_link_prediction, SQL_LINK_PREDICTION),
 }
 
 

@@ -861,3 +861,126 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
              THEN cov_n / (sqrt(varx_n) * sqrt(vary_n)) END, {round_to}) AS assortativity
 FROM d
 """
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    top_k: int | None = 100,
+    max_degree: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Neighborhood link-prediction scores — common-neighbor count and
+    Jaccard coefficient for the top NON-adjacent node pairs. The
+    classic "which edges are missing" readout (Liben-Nowell & Kleinberg
+    2003): for u < w not adjacent, ``cn = |N(u) ∩ N(w)|`` and
+    ``jaccard = cn / (deg(u) + deg(w) − cn)``.
+
+    Engine-exact: cn and degrees are integers; jaccard is ONE IEEE
+    double division; output order is the total (cn DESC, jaccard DESC,
+    u, w), so ``top_k`` cuts deterministically and hash-matches SQL.
+
+    Plan: symmetrize+distinct (one shuffle), degree count, wedge
+    enumeration through each center v (one self-join — O(Σ deg(v)²),
+    the same budget as `triangle_counts`; pass ``max_degree`` to drop
+    hub centers first, the `_cap_hot_buckets` discipline, and feed
+    sparsified graphs as the gates do), an anti-join against the
+    adjacency to keep only absent edges, two node-keyed degree joins.
+    Output: ``(u, w, common, deg_u, deg_w, jaccard)``.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    centers = sym.select(F.col("u").alias("c"), F.col("v").alias("n"))
+    if max_degree is not None:
+        ok = deg.where(F.col("deg") <= max_degree).select(F.col("u").alias("c"))
+        centers = centers.join(ok, "c")
+    wedges = (
+        centers.alias("a")
+        .join(
+            centers.alias("b"),
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.n") < F.col("b.n")),
+        )
+        .groupBy(F.col("a.n").alias("u"), F.col("b.n").alias("w"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    adj = sym.where(F.col("u") < F.col("v")).select(
+        F.col("u"), F.col("v").alias("w")
+    )
+    cand = wedges.join(adj, ["u", "w"], "left_anti")
+    scored = (
+        cand.join(deg.select(F.col("u"), F.col("deg").alias("deg_u")), "u")
+        .join(deg.select(F.col("u").alias("w"), F.col("deg").alias("deg_w")), "w")
+        .select(
+            "u",
+            "w",
+            "common",
+            "deg_u",
+            "deg_w",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("deg_u") + F.col("deg_w") - F.col("common")).cast(
+                    "double"
+                ),
+                round_to,
+            ).alias("jaccard"),
+        )
+    )
+    ordered = scored.orderBy(
+        F.col("common").desc(), F.col("jaccard").desc(), "u", "w"
+    )
+    return ordered.limit(top_k) if top_k is not None else ordered
+
+
+def link_prediction_oracle_sql(
+    edges_sql: str,
+    min_common: int = 1,
+    top_k: int | None = 100,
+    max_degree: int | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same symmetrization, same wedge count, same
+    anti-join, same single division and (cn DESC, jaccard DESC, u, w)
+    order. ``edges_sql`` must yield columns (src, dst)."""
+    cap = (
+        f"JOIN (SELECT u AS c FROM deg WHERE deg <= {max_degree}) ok USING (c)"
+        if max_degree is not None
+        else ""
+    )
+    limit = f"LIMIT {top_k}" if top_k is not None else ""
+    return f"""
+WITH raw AS ({edges_sql}),
+sym AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM raw
+    UNION ALL SELECT dst AS u, src AS v FROM raw
+  ) WHERE u != v
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+centers AS (SELECT sym.u AS c, sym.v AS n FROM sym {cap}),
+wedges AS (
+  SELECT a.n AS u, b.n AS w, CAST(COUNT(*) AS BIGINT) AS common
+  FROM centers a JOIN centers b ON a.c = b.c AND a.n < b.n
+  GROUP BY a.n, b.n
+  HAVING COUNT(*) >= {min_common}
+),
+cand AS (
+  SELECT wedges.* FROM wedges
+  ANTI JOIN (SELECT u, v AS w FROM sym WHERE u < v) adj USING (u, w)
+)
+SELECT c.u, c.w, c.common, du.deg AS deg_u, dw.deg AS deg_w,
+       ROUND(CAST(c.common AS DOUBLE)
+             / CAST(du.deg + dw.deg - c.common AS DOUBLE), {round_to}) AS jaccard
+FROM cand c
+JOIN deg du ON c.u = du.u
+JOIN deg dw ON c.w = dw.u
+ORDER BY c.common DESC, jaccard DESC, c.u, c.w
+{limit}
+"""
