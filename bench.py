@@ -152,6 +152,12 @@ HEADLINE = [
     "streaming_tumbling",
     "calibration",
     "join_size_estimate",
+    "kaplan_meier",
+    "cusum_changepoint",
+    "mann_kendall",
+    "association_rules",
+    "rfm_segments",
+    "link_prediction",
 ]
 
 

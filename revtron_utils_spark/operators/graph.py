@@ -890,9 +890,29 @@ def link_prediction(
     adjacency to keep only absent edges, two node-keyed degree joins.
     Output: ``(u, w, common, deg_u, deg_w, jaccard)``.
     """
+    from .dedup import _persist
+
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # sym feeds FOUR consumers (degrees, both wedge sides, the
+    # adjacency anti-join) and Spark does not reuse the exchanges: the
+    # unpersisted plan re-scans the upstream edge construction 40×
+    # (measured at sf0.01 — cheap under local[32] thread overlap, a
+    # catastrophe at 100 TB). Persisting costs ~3 s of materialization
+    # barrier at sf0.1 and makes every consumer read the small
+    # symmetrized list instead.
+    # symmetrize with ONE explode instead of a self-union — a union
+    # would evaluate the upstream construction once per branch even
+    # inside the persist materialization.
+    sym = _persist(
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
