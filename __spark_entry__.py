@@ -7336,6 +7336,44 @@ QUALIFY row_number() OVER (
 SQL_LINK_PREDICTION = _sql_link_prediction()
 
 
+def q_bootstrap_ci(spark, sf):
+    """Distributed uncertainty (`bootstrap.poisson_bootstrap_ci`):
+    95% percentile-bootstrap CI for mean order value (cents) per order
+    priority, B=100 Poisson(1) resamples — the Google-style one-scan
+    bootstrap that replaces undistributable with-replacement
+    resampling at corpus scale. The B-fold explode happens inside the
+    scan (shuffle carries only groups×B partials); weights come from a
+    pinned integer hash, so every resample mean is engine-exact."""
+    from revtron_utils_spark.operators.bootstrap import poisson_bootstrap_ci
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderkey").alias("uid"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return poisson_bootstrap_ci(
+        orders, "uid", "cents", by=["o_orderpriority"], n_boot=100
+    )
+
+
+def _sql_bootstrap_ci() -> str:
+    from revtron_utils_spark.operators.bootstrap import (
+        poisson_bootstrap_ci_oracle_sql,
+    )
+
+    units = """
+SELECT o_orderpriority, o_orderkey AS uid,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders
+"""
+    return poisson_bootstrap_ci_oracle_sql(
+        units, "uid", "cents", by=["o_orderpriority"], n_boot=100
+    )
+
+
+SQL_BOOTSTRAP_CI = _sql_bootstrap_ci()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -7554,6 +7592,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "association_rules": (q_association_rules, SQL_ASSOCIATION_RULES),
     "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
     "link_prediction": (q_link_prediction, SQL_LINK_PREDICTION),
+    "bootstrap_ci": (q_bootstrap_ci, SQL_BOOTSTRAP_CI),
 }
 
 

@@ -158,6 +158,7 @@ HEADLINE = [
     "association_rules",
     "rfm_segments",
     "link_prediction",
+    "bootstrap_ci",
 ]
 
 

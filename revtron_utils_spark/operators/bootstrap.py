@@ -1,0 +1,197 @@
+"""Poisson-bootstrap confidence intervals — uncertainty quantification
+that actually works at 100 TB. The classical bootstrap resamples n rows
+WITH replacement B times, which is undistributable (a resample needs
+global coordination); the Poisson bootstrap (Chamandy et al., "Estimating
+Uncertainty for Massive Data Streams", Google 2012; also Kleiner et al.'s
+bag-of-little-bootstraps line) gives each row an INDEPENDENT Poisson(1)
+replication count per resample — one scan, embarrassingly parallel,
+and the resample means converge to the same sampling distribution.
+
+Reference parity: no counterpart in the reference engine — the
+statistics extension alongside `profile.ab_test` (Welch) and
+`evaluation.calibration_curve`.
+
+Determinism: no RNG. The per-(row, replicate) weight derives from a
+pinned integer hash ``h = ((id mod p)·A + (b+1)·B₁) · A₂ mod p`` (p =
+999999937 < 2³⁰, every product < 2⁶¹ — safe under ANSI overflow
+checks), mapped through the Poisson(1) inverse CDF with literal
+cumulative thresholds. The DuckDB oracle computes the identical integer
+arithmetic, so weights — and therefore every resample mean — agree
+exactly.
+
+Scale posture: the B-fold replication happens INSIDE the scan
+(`explode(sequence(...))` before a partially-aggregated groupBy), so
+the shuffle carries O(groups × B) partial sums, never B× the corpus.
+Weighted sums stay exact integers (callers pass integer metrics —
+cents/counts); each resample mean is ONE double division; the CI is a
+rank pick over the bounded B-row-per-group frame.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_P = 999_999_937
+_A = 2_654_435_761 % _P
+_B1 = 40_503
+_A2 = 97_003_999
+
+# Poisson(1) inverse-CDF thresholds: P(X <= k) for k = 0..5; weights cap
+# at 6 (P(X > 6) ~ 8e-5, bias negligible and identical on both engines).
+_POISSON_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def _weight_expr(id_col: str, b_col: str):
+    h = (
+        (F.col(id_col).cast("long") % _P) * _A
+        + (F.col(b_col).cast("long") + F.lit(1)) * _B1
+    ) % _P
+    h = (h * _A2) % _P
+    u = h.cast("double") / F.lit(float(_P))
+    w = F.lit(0)
+    for t in _POISSON_CDF:
+        w = w + (u >= F.lit(t)).cast("int")
+    return w
+
+
+def _weight_sql(id_expr: str, b_expr: str) -> str:
+    h = f"((({id_expr}) % {_P}) * {_A} + (({b_expr}) + 1) * {_B1}) % {_P}"
+    h = f"(({h}) * {_A2}) % {_P}"
+    u = f"CAST({h} AS DOUBLE) / CAST({_P} AS DOUBLE)"
+    return " + ".join(
+        f"CASE WHEN {u} >= {t!r} THEN 1 ELSE 0 END" for t in _POISSON_CDF
+    )
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    by: list[str],
+    n_boot: int = 100,
+    alpha: float = 0.05,
+    round_to: int = 4,
+) -> DataFrame:
+    """Percentile bootstrap CI for the per-group MEAN of an exact
+    integer metric. ``df`` has one row per unit: a unique integer
+    ``id_col`` (the hash seed), integer ``value_col``, group columns.
+
+    Output one row per group: ``(*by, n_units, point_mean, ci_lo,
+    ci_hi)`` where the bounds are the ⌈B·α/2⌉-th and ⌈B·(1−α/2)⌉-th
+    smallest of the B resample means (ties broken by replicate index,
+    so the rank pick is total).
+    """
+    keys = list(by)
+    lo_rank = math.ceil(n_boot * alpha / 2)
+    hi_rank = math.ceil(n_boot * (1 - alpha / 2))
+    rep = df.select(
+        *keys,
+        F.col(id_col).alias("_id"),
+        F.col(value_col).cast("long").alias("_x"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("_b"),
+    ).withColumn("_w", _weight_expr("_id", "_b"))
+    means = (
+        rep.groupBy(*keys, "_b")
+        .agg(
+            F.sum(F.col("_w").cast("long") * F.col("_x")).alias("_wx"),
+            F.sum(F.col("_w").cast("long")).alias("_wn"),
+        )
+        .where(F.col("_wn") > 0)  # an all-zero-weight resample has no
+        # mean; dropped on BOTH engines (NULL sort order differs
+        # between Spark and DuckDB, so a NULL must never reach the rank)
+        .select(
+            *keys,
+            "_b",
+            (F.col("_wx").cast("double") / F.col("_wn").cast("double")).alias(
+                "_m"
+            ),
+        )
+    )
+    rank_w = Window.partitionBy(*keys).orderBy(F.col("_m").asc(), F.col("_b").asc())
+    ranked = means.withColumn("_r", F.row_number().over(rank_w))
+    ci = ranked.groupBy(*keys).agg(
+        F.min(F.when(F.col("_r") == lo_rank, F.col("_m"))).alias("_lo"),
+        F.min(F.when(F.col("_r") == hi_rank, F.col("_m"))).alias("_hi"),
+    )
+    point = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(F.col(value_col).cast("long")).alias("_sx"),
+    )
+    return (
+        point.join(ci, on=keys)
+        .select(
+            *keys,
+            "n_units",
+            F.round(
+                F.col("_sx").cast("double") / F.col("n_units").cast("double"),
+                round_to,
+            ).alias("point_mean"),
+            F.round(F.col("_lo"), round_to).alias("ci_lo"),
+            F.round(F.col("_hi"), round_to).alias("ci_hi"),
+        )
+        .orderBy(*keys)
+    )
+
+
+def poisson_bootstrap_ci_oracle_sql(
+    units_sql: str,
+    id_col: str,
+    value_col: str,
+    by: list[str],
+    n_boot: int = 100,
+    alpha: float = 0.05,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin: identical integer hash → weight mapping, identical
+    resample means and rank picks."""
+    keys = list(by)
+    gc = ", ".join(keys)
+    lo_rank = math.ceil(n_boot * alpha / 2)
+    hi_rank = math.ceil(n_boot * (1 - alpha / 2))
+    w = _weight_sql("_id", "_b")
+    return f"""
+WITH units AS ({units_sql}),
+rep AS (
+  SELECT {gc}, CAST({id_col} AS BIGINT) AS _id,
+         CAST({value_col} AS BIGINT) AS _x, u._b
+  FROM units, UNNEST(range(0, {n_boot})) AS u(_b)
+),
+weighted AS (SELECT {gc}, _b, _x, CAST({w} AS BIGINT) AS _w FROM rep),
+means AS (
+  SELECT {gc}, _b,
+         CAST(SUM(_w * _x) AS DOUBLE) / CAST(SUM(_w) AS DOUBLE) AS _m
+  FROM weighted GROUP BY {gc}, _b
+  HAVING SUM(_w) > 0
+),
+ranked AS (
+  SELECT {gc}, _m,
+         ROW_NUMBER() OVER (PARTITION BY {gc} ORDER BY _m ASC, _b ASC) AS _r
+  FROM means
+),
+ci AS (
+  SELECT {gc},
+         MIN(CASE WHEN _r = {lo_rank} THEN _m END) AS _lo,
+         MIN(CASE WHEN _r = {hi_rank} THEN _m END) AS _hi
+  FROM ranked GROUP BY {gc}
+),
+pt AS (
+  SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS n_units,
+         CAST(SUM(CAST({value_col} AS BIGINT)) AS BIGINT) AS _sx
+  FROM units GROUP BY {gc}
+)
+SELECT pt.* EXCLUDE (_sx),
+       ROUND(CAST(_sx AS DOUBLE) / CAST(n_units AS DOUBLE), {round_to}) AS point_mean,
+       ROUND(_lo, {round_to}) AS ci_lo,
+       ROUND(_hi, {round_to}) AS ci_hi
+FROM pt JOIN ci USING ({gc})
+"""
