@@ -7374,6 +7374,39 @@ FROM orders
 SQL_BOOTSTRAP_CI = _sql_bootstrap_ci()
 
 
+def q_benford(spark, sf):
+    """Synthetic-data tripwire (`profile.benford_deviation`): χ²
+    distance of the first-digit distribution of order values (cents)
+    from Benford's law, per order priority — the "was this metric
+    generated" audit (TPC-H's uniform price generator fails it loudly,
+    which is exactly the point). One (group, digit) shuffle + windows
+    over the bounded 9-row spine; exact digit counts, literal-double
+    expectations."""
+    from revtron_utils_spark.operators.profile import benford_deviation
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return benford_deviation(orders, "cents", by=["o_orderpriority"])
+
+
+def _sql_benford() -> str:
+    from revtron_utils_spark.operators.profile import (
+        benford_deviation_oracle_sql,
+    )
+
+    values = """
+SELECT o_orderpriority,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders
+"""
+    return benford_deviation_oracle_sql(values, "cents", by=["o_orderpriority"])
+
+
+SQL_BENFORD = _sql_benford()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -7593,6 +7626,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
     "link_prediction": (q_link_prediction, SQL_LINK_PREDICTION),
     "bootstrap_ci": (q_bootstrap_ci, SQL_BOOTSTRAP_CI),
+    "benford_digits": (q_benford, SQL_BENFORD),
 }
 
 

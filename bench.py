@@ -159,6 +159,7 @@ HEADLINE = [
     "rfm_segments",
     "link_prediction",
     "bootstrap_ci",
+    "benford_digits",
 ]
 
 

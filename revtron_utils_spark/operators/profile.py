@@ -792,3 +792,149 @@ SELECT n_keys, n_rows,
          / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE)) END, {round_to}) AS gini
 FROM a
 """
+
+
+# Benford first-digit probabilities log10(1 + 1/d), d = 1..9 — literal
+# constants so Spark and SQL evaluate identical doubles.
+_BENFORD_P = tuple(__import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10))
+
+
+def benford_deviation(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Benford's-law conformity per group — the chi-square distance of
+    the FIRST-significant-digit distribution of a positive integer
+    metric from log10(1 + 1/d), the classic fabricated/synthetic-data
+    tripwire (a generated metric column rarely carries Benford's
+    digit curve; a real multiplicative one does).
+
+    χ² = Σ_d (c_d − n·p_d)² / (n·p_d) over all nine digits (absent
+    digits contribute their full expectation — the counts frame is
+    completed against a 9-digit spine). ``worst_digit`` is the digit
+    with the largest |c_d − n·p_d| (tie → smallest digit), and
+    ``worst_excess`` its signed observed−expected frequency gap
+    (c_d/n − p_d, ONE division).
+
+    Exact integer digit counts; expectations are literal-double
+    products, so both engines evaluate the same IEEE expressions. One
+    (group, digit) partial-agg shuffle + windows over the bounded
+    9-row-per-group frame. Rows with value < 1 are ignored.
+    """
+    from pyspark.sql import Window
+
+    keys = list(by)
+    v = F.col(value_col)
+    base = df.where(v >= 1).select(
+        *keys, F.substring(v.cast("string"), 1, 1).cast("int").alias("_d")
+    )
+    counts = base.groupBy(*keys, "_d").agg(F.count(F.lit(1)).alias("_c"))
+    spine = (
+        base.select(*keys)
+        .distinct()
+        .select(*keys, F.explode(F.sequence(F.lit(1), F.lit(9))).alias("_d"))
+    )
+    full = spine.join(counts, [*keys, "_d"], "left").select(
+        *keys, "_d", F.coalesce(F.col("_c"), F.lit(0)).alias("_c")
+    )
+    p = F.element_at(F.array(*[F.lit(x) for x in _BENFORD_P]), F.col("_d"))
+    wall = Window.partitionBy(*keys)
+    scored = full.select(
+        *keys,
+        "_d",
+        "_c",
+        F.sum("_c").over(wall).alias("_n"),
+        p.alias("_p"),
+    ).select(
+        *keys,
+        "_d",
+        "_c",
+        "_n",
+        "_p",
+        (F.col("_c").cast("double") - F.col("_n").cast("double") * F.col("_p")).alias(
+            "_dev"
+        ),
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(*keys).orderBy(F.abs(F.col("_dev")).desc(), F.col("_d"))
+    )
+    ranked = scored.withColumn("_r", rank)
+    return (
+        ranked.groupBy(*keys)
+        .agg(
+            F.max("_n").alias("n_values"),
+            F.sum(
+                F.col("_dev") * F.col("_dev") / (F.col("_n").cast("double") * F.col("_p"))
+            ).alias("_chi2"),
+            F.min(F.when(F.col("_r") == 1, F.col("_d"))).alias("worst_digit"),
+            F.min(
+                F.when(
+                    F.col("_r") == 1,
+                    F.col("_c").cast("double") / F.col("_n").cast("double")
+                    - F.col("_p"),
+                )
+            ).alias("_worst"),
+        )
+        .select(
+            *keys,
+            "n_values",
+            F.round(F.col("_chi2"), round_to).alias("chi2"),
+            "worst_digit",
+            F.round(F.col("_worst"), round_to).alias("worst_excess"),
+        )
+        .orderBy(*keys)
+    )
+
+
+def benford_deviation_oracle_sql(
+    values_sql: str,
+    value_col: str,
+    by: list[str],
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same 9-digit spine completion, same literal
+    expectations, same χ² terms and worst-digit pick."""
+    keys = list(by)
+    gc = ", ".join(keys)
+    p_case = " ".join(
+        f"WHEN {d} THEN {p!r}" for d, p in zip(range(1, 10), _BENFORD_P)
+    )
+    return f"""
+WITH vals AS ({values_sql}),
+base AS (
+  SELECT {gc}, CAST(SUBSTRING(CAST({value_col} AS VARCHAR), 1, 1) AS INTEGER) AS _d
+  FROM vals WHERE {value_col} >= 1
+),
+counts AS (SELECT {gc}, _d, CAST(COUNT(*) AS BIGINT) AS _c FROM base GROUP BY {gc}, _d),
+spine AS (
+  SELECT {gc}, CAST(u._d AS INTEGER) AS _d
+  FROM (SELECT DISTINCT {gc} FROM base), UNNEST(range(1, 10)) AS u(_d)
+),
+full_ AS (
+  SELECT spine.*, COALESCE(_c, 0) AS _c
+  FROM spine LEFT JOIN counts USING ({gc}, _d)
+),
+scored AS (
+  SELECT {gc}, _d, _c,
+         SUM(_c) OVER (PARTITION BY {gc}) AS _n,
+         CASE _d {p_case} END AS _p
+  FROM full_
+),
+dev AS (
+  SELECT *, CAST(_c AS DOUBLE) - CAST(_n AS DOUBLE) * _p AS _dev,
+         ROW_NUMBER() OVER (
+           PARTITION BY {gc}
+           ORDER BY ABS(CAST(_c AS DOUBLE) - CAST(_n AS DOUBLE) * _p) DESC, _d
+         ) AS _r
+  FROM scored
+)
+SELECT {gc}, CAST(MAX(_n) AS BIGINT) AS n_values,
+       ROUND(SUM(_dev * _dev / (CAST(_n AS DOUBLE) * _p)), {round_to}) AS chi2,
+       MIN(CASE WHEN _r = 1 THEN _d END) AS worst_digit,
+       ROUND(MIN(CASE WHEN _r = 1
+                 THEN CAST(_c AS DOUBLE) / CAST(_n AS DOUBLE) - _p END),
+             {round_to}) AS worst_excess
+FROM dev GROUP BY {gc}
+"""
