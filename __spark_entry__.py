@@ -7407,6 +7407,68 @@ FROM orders
 SQL_BENFORD = _sql_benford()
 
 
+def q_streaming_sliding(spark, sf):
+    """Watermarked SLIDING-window aggregation run to completion — the
+    third HASH-VERIFIED streaming gate (after `streaming_dedup` and
+    `streaming_tumbling`): 2-hour windows sliding every hour, so every
+    event lands in exactly TWO overlapping windows — the state-sharing
+    shape tumbling never exercises. Append mode again emits exactly the
+    windows whose end ≤ final watermark (max event time − 1 h), pure
+    window arithmetic, so the DuckDB oracle reproduces the set by
+    exploding each event into its two member windows and applying the
+    same boundary predicate."""
+    ev = _t(spark, sf, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    tmp = _stream_staging("drv_stream_sw")
+    src = f"{tmp}/src"
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("ws"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("drv_stream_sw")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmp}/ck")
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming_sliding: availableNow stream exceeded 600s")
+    return spark.table("drv_stream_sw")
+
+
+SQL_STREAMING_SLIDING = """
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+member AS (
+  SELECT epoch_us(date_trunc('hour', ts)) - u.k * 3600000000 AS ws,
+         event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events, UNNEST(range(0, 2)) AS u(k)
+),
+b AS (
+  SELECT ws, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM member GROUP BY 1, 2
+)
+SELECT b.* FROM b, mx
+WHERE b.ws + 7200000000 <= mx.m - 3600000000
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -7627,6 +7689,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "link_prediction": (q_link_prediction, SQL_LINK_PREDICTION),
     "bootstrap_ci": (q_bootstrap_ci, SQL_BOOTSTRAP_CI),
     "benford_digits": (q_benford, SQL_BENFORD),
+    "streaming_sliding": (q_streaming_sliding, SQL_STREAMING_SLIDING),
 }
 
 

@@ -160,6 +160,7 @@ HEADLINE = [
     "link_prediction",
     "bootstrap_ci",
     "benford_digits",
+    "streaming_sliding",
 ]
 
 

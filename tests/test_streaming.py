@@ -550,3 +550,49 @@ def test_streaming_tumbling_equals_batch_with_watermark_boundary(spark, sf_dir):
     )
     expected = {(r["ws"], r["event_type"]): (r["n"], r["sc"]) for r in batch.collect()}
     assert streamed == expected and len(streamed) > 0
+
+
+def test_streaming_sliding_equals_batch_and_doubles_membership(spark, sf_dir):
+    """The availableNow SLIDING aggregate must equal the batch sliding
+    aggregate restricted to windows whose end <= max(ts) - delay; and
+    every event belongs to exactly two 2h/1h windows, so the total
+    emitted count is twice the tumbling total over the same horizon."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    streamed = {
+        (r["ws"], r["event_type"]): (r["n"], r["sum_cents"])
+        for r in entry.q_streaming_sliding(spark, sf_dir).collect()
+    }
+    ev = entry._t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mx = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    batch = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sc"))
+        .where(F.unix_micros(F.col("w.end")) <= mx - 3_600_000_000)
+        .select(F.unix_micros(F.col("w.start")).alias("ws"), "event_type", "n", "sc")
+    )
+    expected = {(r["ws"], r["event_type"]): (r["n"], r["sc"]) for r in batch.collect()}
+    assert streamed == expected and len(streamed) > 0
+    # membership doubling: events fully inside the emitted horizon are
+    # counted twice across sliding windows vs once across tumbling
+    emitted_events = (
+        ev.where(
+            F.unix_micros(F.date_trunc("hour", "ts")) + 7_200_000_000
+            <= mx - 3_600_000_000
+        ).count()
+    )
+    total_streamed = sum(n for n, _ in streamed.values())
+    # every event whose LATER window is emitted contributes 2; events on
+    # the boundary contribute 1 (only their earlier window emits)
+    boundary_events = ev.where(
+        (F.unix_micros(F.date_trunc("hour", "ts")) + 7_200_000_000
+         > mx - 3_600_000_000)
+        & (F.unix_micros(F.date_trunc("hour", "ts")) + 3_600_000_000
+           <= mx - 3_600_000_000)
+    ).count()
+    assert total_streamed == 2 * emitted_events + boundary_events
