@@ -7469,6 +7469,94 @@ WHERE b.ws + 7200000000 <= mx.m - 3600000000
 """
 
 
+def q_ewma_series(spark, sf):
+    """Smoothed level (`timeseries.ewma`): α=0.3 exponentially weighted
+    moving average of per-nation monthly revenue — the drift-dashboard
+    denominator. Ascending-time prefix fold over the bounded monthly
+    spine (the kaplan_meier pattern), identical list_reduce in the
+    oracle; exact integer bucket sums in, deterministic doubles out."""
+    from revtron_utils_spark.operators.timeseries import ewma
+
+    return ewma(_nation_month_revenue(spark, sf), "month", "cents", by=["nation"])
+
+
+def _sql_ewma_series() -> str:
+    from revtron_utils_spark.operators.timeseries import ewma_oracle_sql
+
+    return ewma_oracle_sql(
+        _SQL_NATION_MONTH_REVENUE, "month", "cents", by=["nation"]
+    )
+
+
+SQL_EWMA_SERIES = _sql_ewma_series()
+
+
+def q_theil_sen(spark, sf):
+    """Robust trend magnitude (`timeseries.theil_sen`): lower-median
+    pairwise slope of per-nation monthly revenue — the outlier-proof
+    slope that pairs with `mann_kendall`'s direction test on the same
+    O(months²)-bounded pair budget. Integer rank axis keeps
+    denominators exact; one division per slope; deterministic
+    (slope, i, j) median rank pick."""
+    from revtron_utils_spark.operators.timeseries import theil_sen
+
+    return theil_sen(
+        _nation_month_revenue(spark, sf), "month", "cents", by=["nation"]
+    )
+
+
+def _sql_theil_sen() -> str:
+    from revtron_utils_spark.operators.timeseries import theil_sen_oracle_sql
+
+    return theil_sen_oracle_sql(
+        _SQL_NATION_MONTH_REVENUE, "month", "cents", by=["nation"]
+    )
+
+
+SQL_THEIL_SEN = _sql_theil_sen()
+
+
+def q_seasonality(spark, sf):
+    """Calendar seasonality (`timeseries.seasonality_index`):
+    month-of-year index of order value per nation — each month's
+    average order against the nation's overall average, DECIMAL cross
+    products and ONE division. One (nation, month) partial-agg shuffle
+    + a bounded ≤12-row window."""
+    from revtron_utils_spark.operators.timeseries import seasonality_index
+
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    obs = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderdate").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return seasonality_index(obs, "d", "cents", by=["nation"])
+
+
+def _sql_seasonality() -> str:
+    from revtron_utils_spark.operators.timeseries import (
+        seasonality_index_oracle_sql,
+    )
+
+    obs = """
+SELECT n.n_name AS nation, o.o_orderdate AS d,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+    return seasonality_index_oracle_sql(obs, "d", "cents", by=["nation"])
+
+
+SQL_SEASONALITY = _sql_seasonality()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -7690,6 +7778,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "bootstrap_ci": (q_bootstrap_ci, SQL_BOOTSTRAP_CI),
     "benford_digits": (q_benford, SQL_BENFORD),
     "streaming_sliding": (q_streaming_sliding, SQL_STREAMING_SLIDING),
+    "ewma_series": (q_ewma_series, SQL_EWMA_SERIES),
+    "theil_sen": (q_theil_sen, SQL_THEIL_SEN),
+    "seasonality": (q_seasonality, SQL_SEASONALITY),
 }
 
 

@@ -161,6 +161,9 @@ HEADLINE = [
     "bootstrap_ci",
     "benford_digits",
     "streaming_sliding",
+    "ewma_series",
+    "theil_sen",
+    "seasonality",
 ]
 
 

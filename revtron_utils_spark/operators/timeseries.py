@@ -218,3 +218,253 @@ SELECT n.*, a.s_stat,
        ROUND(CAST(a.s_stat AS DOUBLE) / CAST(a.n_pairs AS DOUBLE), {round_to}) AS tau
 FROM nper n JOIN agg a USING ({gc})
 """
+
+
+def ewma(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    by: list[str],
+    alpha: float = 0.3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exponentially weighted moving average per group over the bounded
+    bucket spine — the smoothed-level readout behind drift dashboards
+    and the denominator of "is today off-trend" checks.
+
+    Standard recursion E_1 = x_1, E_i = α·x_i + (1−α)·E_{i−1},
+    evaluated as a left fold over the ascending-time value array — the
+    `survival.kaplan_meier` prefix-fold pattern, reproduced in the
+    DuckDB oracle with an identical ``list_reduce`` (same IEEE ops,
+    same order → same doubles). O(T²) doubles per group, T bounded by
+    the caller's bucketing. Output one row per bucket:
+    ``(*by, t, x, ewma)``.
+    """
+    keys = list(by)
+    per = df.groupBy(*keys, F.col(time_col).alias("t")).agg(
+        F.sum(F.col(value_col).cast("long")).alias("x")
+    )
+    arr = per.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(F.struct("t", "x"))).alias("a")
+    )
+    ex = arr.select(*keys, "a", F.posexplode("a").alias("i", "s"))
+    xs = F.transform(F.slice("a", F.lit(1), F.col("i") + F.lit(1)), lambda s: s["x"])
+    e = F.aggregate(
+        F.slice(xs, F.lit(2), F.col("i")),
+        F.element_at(xs, 1).cast("double"),
+        lambda acc, x: F.lit(alpha) * x.cast("double") + F.lit(1.0 - alpha) * acc,
+    )
+    return ex.select(
+        *keys,
+        F.col("s.t").alias("t"),
+        F.col("s.x").alias("x"),
+        F.round(e, round_to).alias("ewma"),
+    ).orderBy(*keys, "t")
+
+
+def ewma_oracle_sql(
+    series_sql: str,
+    time_col: str,
+    value_col: str,
+    by: list[str],
+    alpha: float = 0.3,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin: identical ascending-time fold — list_reduce seeds
+    from the first element exactly like the Spark init."""
+    gc = ", ".join(by)
+    return f"""
+WITH series AS ({series_sql}),
+per AS (
+  SELECT {gc}, {time_col} AS t, CAST(SUM({value_col}) AS BIGINT) AS x
+  FROM series GROUP BY {gc}, {time_col}
+),
+arr AS (
+  SELECT {gc}, list(t ORDER BY t) AS ts,
+         list(CAST(x AS DOUBLE) ORDER BY t) AS xs,
+         list(x ORDER BY t) AS xi
+  FROM per GROUP BY {gc}
+)
+SELECT {gc}, ts[i] AS t, xi[i] AS x,
+       ROUND(list_reduce(xs[1:i],
+             (a, b) -> {alpha!r} * b + {1.0 - alpha!r} * a), {round_to}) AS ewma
+FROM arr, UNNEST(range(1, len(ts) + 1)) AS u(i)
+"""
+
+
+def theil_sen(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    by: list[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Theil-Sen robust slope per group: the LOWER MEDIAN of all
+    pairwise slopes (x_j − x_i)/(j − i) over the time-ordered bucket
+    index — the outlier-proof trend magnitude that pairs with
+    `mann_kendall`'s trend direction (same pairwise O(spine²) budget,
+    bounded by the caller's bucketing).
+
+    The time axis is the 1-based rank of the bucket (integer
+    denominators stay exact even when bucket timestamps are irregular);
+    each slope is ONE IEEE division; the median is a deterministic rank
+    pick (slope ASC, i, j) at position ⌈m/2⌉. Output: ``(*by,
+    n_buckets, n_pairs, slope)``.
+    """
+    keys = list(by)
+    per = df.groupBy(*keys, F.col(time_col).alias("t")).agg(
+        F.sum(F.col(value_col).cast("long")).alias("x")
+    )
+    idx = per.select(
+        *keys,
+        "x",
+        F.row_number()
+        .over(Window.partitionBy(*keys).orderBy("t"))
+        .alias("i"),
+    )
+    a = idx.select(*keys, F.col("i").alias("ia"), F.col("x").alias("xa"))
+    b = idx.select(*keys, F.col("i").alias("ib"), F.col("x").alias("xb"))
+    slopes = (
+        a.join(b, on=keys)
+        .where(F.col("ia") < F.col("ib"))
+        .select(
+            *keys,
+            "ia",
+            "ib",
+            (
+                (F.col("xb") - F.col("xa")).cast("double")
+                / (F.col("ib") - F.col("ia")).cast("double")
+            ).alias("sl"),
+        )
+    )
+    rank_w = Window.partitionBy(*keys).orderBy(
+        F.col("sl").asc(), F.col("ia").asc(), F.col("ib").asc()
+    )
+    ranked = slopes.withColumn("_r", F.row_number().over(rank_w)).withColumn(
+        "_m", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    med = ranked.where(
+        F.col("_r") == F.ceil(F.col("_m").cast("double") / F.lit(2.0)).cast("long")
+    )
+    nb = per.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_buckets"))
+    return (
+        nb.join(med.select(*keys, F.col("_m").alias("n_pairs"), "sl"), on=keys)
+        .select(
+            *keys, "n_buckets", "n_pairs", F.round(F.col("sl"), round_to).alias("slope")
+        )
+        .orderBy(*keys)
+    )
+
+
+def theil_sen_oracle_sql(
+    series_sql: str,
+    time_col: str,
+    value_col: str,
+    by: list[str],
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same rank axis, same single-division slopes, same
+    lower-median rank pick."""
+    gc = ", ".join(by)
+    on = " AND ".join(f"a.{k} = b.{k}" for k in by)
+    ga = ", ".join(f"a.{k}" for k in by)
+    return f"""
+WITH series AS ({series_sql}),
+per AS (
+  SELECT {gc}, {time_col} AS t, CAST(SUM({value_col}) AS BIGINT) AS x
+  FROM series GROUP BY {gc}, {time_col}
+),
+idx AS (
+  SELECT {gc}, x,
+         ROW_NUMBER() OVER (PARTITION BY {gc} ORDER BY t) AS i
+  FROM per
+),
+slopes AS (
+  SELECT {ga}, a.i AS ia, b.i AS ib,
+         CAST(b.x - a.x AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS sl
+  FROM idx a JOIN idx b ON {on} AND a.i < b.i
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY {gc} ORDER BY sl ASC, ia ASC, ib ASC) AS _r,
+         COUNT(*) OVER (PARTITION BY {gc}) AS _m
+  FROM slopes
+),
+med AS (
+  SELECT {gc}, CAST(_m AS BIGINT) AS n_pairs, sl FROM ranked
+  WHERE _r = CAST(CEIL(CAST(_m AS DOUBLE) / 2.0) AS BIGINT)
+),
+nb AS (SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS n_buckets FROM per GROUP BY {gc})
+SELECT nb.*, med.n_pairs, ROUND(med.sl, {round_to}) AS slope
+FROM nb JOIN med USING ({gc})
+"""
+
+
+def seasonality_index(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    by: list[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Month-of-year seasonal index per group: the ratio of each
+    calendar month's average observation value to the group's overall
+    average — >1 months run hot, <1 run cold. The "is December real or
+    generator noise" readout before deseasonalizing a trend.
+
+    index_m = (sum_m · n_total) / (n_m · sum_total): DECIMAL-exact
+    cross products (both wrap int64 at corpus scale), ONE division.
+    One (group, month) partial-agg shuffle + a bounded ≤12-row window.
+    Output: ``(*by, month, n_obs, index)``.
+    """
+    keys = list(by)
+    per = df.groupBy(
+        *keys, F.month(F.col(time_col)).alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col(value_col).cast("long")).alias("_s"),
+    )
+    wall = Window.partitionBy(*keys)
+    tot = per.select(
+        *keys,
+        "month",
+        "n_obs",
+        "_s",
+        F.sum("n_obs").over(wall).alias("_nt"),
+        F.sum("_s").over(wall).alias("_st"),
+    )
+    num = F.col("_s").cast("decimal(38,0)") * F.col("_nt").cast("decimal(38,0)")
+    den = F.col("n_obs").cast("decimal(38,0)") * F.col("_st").cast("decimal(38,0)")
+    return tot.select(
+        *keys,
+        "month",
+        "n_obs",
+        F.round(num.cast("double") / den.cast("double"), round_to).alias("index"),
+    ).orderBy(*keys, "month")
+
+
+def seasonality_index_oracle_sql(
+    series_sql: str,
+    time_col: str,
+    value_col: str,
+    by: list[str],
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same HUGEINT cross products, same single division."""
+    gc = ", ".join(by)
+    return f"""
+WITH series AS ({series_sql}),
+per AS (
+  SELECT {gc}, CAST(MONTH({time_col}) AS INTEGER) AS month,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM({value_col}) AS BIGINT) AS _s
+  FROM series GROUP BY {gc}, MONTH({time_col})
+)
+SELECT {gc}, month, n_obs,
+       ROUND(CAST(CAST(_s AS HUGEINT)
+                  * CAST(SUM(n_obs) OVER (PARTITION BY {gc}) AS HUGEINT) AS DOUBLE)
+             / CAST(CAST(n_obs AS HUGEINT)
+                    * CAST(SUM(_s) OVER (PARTITION BY {gc}) AS HUGEINT) AS DOUBLE),
+             {round_to}) AS index
+FROM per
+"""

@@ -113,3 +113,100 @@ def test_mann_kendall_duplicate_bucket_rows_are_summed_first(spark):
     )
     r = mann_kendall(df, "t", "x", ["g"]).collect()[0]
     assert (r["n_buckets"], r["s_stat"], r["tau"]) == (2, -1, -1.0)
+
+
+def test_ewma_matches_recursive_model(spark):
+    from revtron_utils_spark.operators.timeseries import ewma
+
+    xs = [100, 200, 50, 300, 0, 150]
+    df = spark.createDataFrame(
+        [("g", t, x) for t, x in enumerate(xs, start=1)], ["g", "t", "x"]
+    )
+    rows = ewma(df, "t", "x", ["g"], alpha=0.3).orderBy("t").collect()
+    e = float(xs[0])
+    for i, r in enumerate(rows):
+        if i > 0:
+            e = 0.3 * xs[i] + 0.7 * e
+        assert r["x"] == xs[i]
+        assert abs(r["ewma"] - round(e, 4)) < 1e-9
+
+
+def test_ewma_constant_series_is_flat(spark):
+    from revtron_utils_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame([("g", t, 42) for t in range(1, 9)], ["g", "t", "x"])
+    assert all(r["ewma"] == 42.0 for r in ewma(df, "t", "x", ["g"]).collect())
+
+
+def test_theil_sen_exact_line_recovers_slope(spark):
+    from revtron_utils_spark.operators.timeseries import theil_sen
+
+    # x = 7·i + noiseless → every pairwise slope is exactly 7
+    df = spark.createDataFrame(
+        [("g", t, 7 * t + 100) for t in range(1, 13)], ["g", "t", "x"]
+    )
+    r = theil_sen(df, "t", "x", ["g"]).collect()[0]
+    assert (r["n_buckets"], r["n_pairs"], r["slope"]) == (12, 66, 7.0)
+
+
+def test_theil_sen_is_outlier_robust(spark):
+    from revtron_utils_spark.operators.timeseries import theil_sen
+
+    # a line with one wild outlier: the median slope stays near 7
+    xs = [7 * t for t in range(1, 16)]
+    xs[7] = 100000
+    df = spark.createDataFrame(
+        [("g", t, x) for t, x in enumerate(xs, start=1)], ["g", "t", "x"]
+    )
+    r = theil_sen(df, "t", "x", ["g"]).collect()[0]
+    assert abs(r["slope"] - 7.0) < 1.0
+
+
+def test_theil_sen_python_model_differential(spark):
+    import random
+
+    from revtron_utils_spark.operators.timeseries import theil_sen
+
+    rng = random.Random(31)
+    xs = [rng.randint(0, 500) for _ in range(25)]
+    df = spark.createDataFrame(
+        [("g", t, x) for t, x in enumerate(xs, start=1)], ["g", "t", "x"]
+    )
+    slopes = sorted(
+        ((xs[j] - xs[i]) / (j - i), i, j)
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+    )
+    import math
+
+    lower_median = slopes[math.ceil(len(slopes) / 2) - 1][0]
+    r = theil_sen(df, "t", "x", ["g"]).collect()[0]
+    assert abs(r["slope"] - round(lower_median, 6)) < 1e-9
+
+
+def test_seasonality_index_flat_series_is_one(spark):
+    import datetime
+
+    from revtron_utils_spark.operators.timeseries import seasonality_index
+
+    rows = [
+        ("g", datetime.date(2020, m, 15), 100) for m in range(1, 13)
+    ]
+    df = spark.createDataFrame(rows, ["g", "d", "x"])
+    got = seasonality_index(df, "d", "x", ["g"]).collect()
+    assert len(got) == 12 and all(r["index"] == 1.0 for r in got)
+
+
+def test_seasonality_index_hot_month(spark):
+    import datetime
+
+    from revtron_utils_spark.operators.timeseries import seasonality_index
+
+    # December orders are 3x the value of the others
+    rows = [("g", datetime.date(2021, m, 1), 100) for m in range(1, 12)]
+    rows += [("g", datetime.date(2021, 12, 1), 300)]
+    df = spark.createDataFrame(rows, ["g", "d", "x"])
+    got = {r["month"]: r["index"] for r in seasonality_index(df, "d", "x", ["g"]).collect()}
+    # overall avg = 1400/12; december avg = 300 → index = 300*12/1400
+    assert abs(got[12] - 300 * 12 / 1400) < 1e-6
+    assert abs(got[1] - 100 * 12 / 1400) < 1e-6
