@@ -7557,6 +7557,38 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 SQL_SEASONALITY = _sql_seasonality()
 
 
+def q_hellinger_drift(spark, sf):
+    """Numeric-feature drift (`profile.hellinger_drift`): Hellinger
+    distance between the 1995 and 1999 order-value distributions ($5k
+    buckets) — the log-free companion to `vocab_drift` (sqrt is IEEE
+    exactly-rounded where KL/PSI's logarithms are not, so the readout
+    is engine-deterministic). One (bucket, slice) shuffle over the
+    bounded value histogram."""
+    from revtron_utils_spark.operators.profile import hellinger_drift
+
+    orders = _t(spark, sf, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 500000").alias(
+            "bucket"
+        ),
+    )
+    return hellinger_drift(orders, "bucket", "yr", 1995, 1999)
+
+
+def _sql_hellinger_drift() -> str:
+    from revtron_utils_spark.operators.profile import hellinger_drift_oracle_sql
+
+    values = """
+SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+       CAST(round(o_totalprice * 100) AS BIGINT) // 500000 AS bucket
+FROM orders
+"""
+    return hellinger_drift_oracle_sql(values, "bucket", "yr", "1995", "1999")
+
+
+SQL_HELLINGER_DRIFT = _sql_hellinger_drift()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -7781,6 +7813,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ewma_series": (q_ewma_series, SQL_EWMA_SERIES),
     "theil_sen": (q_theil_sen, SQL_THEIL_SEN),
     "seasonality": (q_seasonality, SQL_SEASONALITY),
+    "hellinger_drift": (q_hellinger_drift, SQL_HELLINGER_DRIFT),
 }
 
 

@@ -164,6 +164,7 @@ HEADLINE = [
     "ewma_series",
     "theil_sen",
     "seasonality",
+    "hellinger_drift",
 ]
 
 

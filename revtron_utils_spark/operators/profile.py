@@ -938,3 +938,102 @@ SELECT {gc}, CAST(MAX(_n) AS BIGINT) AS n_values,
              {round_to}) AS worst_excess
 FROM dev GROUP BY {gc}
 """
+
+
+def hellinger_drift(
+    df: DataFrame,
+    bucket_col: str,
+    slice_col,
+    slice_a,
+    slice_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hellinger distance between the ``bucket_col`` distributions of
+    two slices — the numeric-feature companion to `vocab_drift`'s
+    token TVD. KL/PSI/JS need logarithms (libm rounding differs across
+    engines); Hellinger needs only ``sqrt``, which IEEE 754 requires to
+    be EXACTLY rounded, so the readout is engine-deterministic:
+
+        BC = Σ_b sqrt(c_a(b)·c_b(b)) / sqrt(N_a·N_b)
+        H  = sqrt(1 − BC)            (0 = identical, 1 = disjoint)
+
+    Buckets absent on one side contribute 0 naturally — none of PSI's
+    ε-smoothing hacks. Exact integer counts, DECIMAL products (counts
+    multiply past int64 at corpus scale), ONE division. Plan: one
+    (bucket, slice) partial-agg shuffle; the bucket frame is bounded by
+    the caller's bucketing (the value_histogram discipline). Output one
+    row: ``(n_a, n_b, n_buckets_common, bc, hellinger)``.
+    """
+    s = F.col(slice_col)
+    per = (
+        df.where(s.isin(slice_a, slice_b))
+        .groupBy(F.col(bucket_col).alias("_k"))
+        .agg(
+            F.sum(F.when(s == slice_a, 1).otherwise(0)).alias("_ca"),
+            F.sum(F.when(s == slice_b, 1).otherwise(0)).alias("_cb"),
+        )
+    )
+    agg = per.agg(
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+        F.sum(((F.col("_ca") > 0) & (F.col("_cb") > 0)).cast("long")).alias(
+            "n_buckets_common"
+        ),
+        F.sum(
+            F.sqrt(
+                (
+                    F.col("_ca").cast("decimal(38,0)")
+                    * F.col("_cb").cast("decimal(38,0)")
+                ).cast("double")
+            )
+        ).alias("_sab"),
+    )
+    bc = F.col("_sab") / F.sqrt(
+        (F.col("n_a").cast("decimal(38,0)") * F.col("n_b").cast("decimal(38,0)"))
+        .cast("double")
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_buckets_common",
+        F.round(bc, round_to).alias("bc"),
+        F.round(F.sqrt(F.lit(1.0) - bc), round_to).alias("hellinger"),
+    )
+
+
+def hellinger_drift_oracle_sql(
+    values_sql: str,
+    bucket_col: str,
+    slice_col: str,
+    slice_a_sql: str,
+    slice_b_sql: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same HUGEINT products, same exactly-rounded sqrt,
+    same single division. Slice literals are passed as SQL expressions
+    (quote strings yourself)."""
+    return f"""
+WITH vals AS ({values_sql}),
+per AS (
+  SELECT {bucket_col} AS _k,
+         CAST(SUM(CASE WHEN {slice_col} = {slice_a_sql} THEN 1 ELSE 0 END) AS BIGINT) AS _ca,
+         CAST(SUM(CASE WHEN {slice_col} = {slice_b_sql} THEN 1 ELSE 0 END) AS BIGINT) AS _cb
+  FROM vals WHERE {slice_col} IN ({slice_a_sql}, {slice_b_sql})
+  GROUP BY {bucket_col}
+),
+agg AS (
+  SELECT CAST(SUM(_ca) AS BIGINT) AS n_a, CAST(SUM(_cb) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN _ca > 0 AND _cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_buckets_common,
+         SUM(SQRT(CAST(CAST(_ca AS HUGEINT) * CAST(_cb AS HUGEINT) AS DOUBLE)))
+           AS _sab
+  FROM per
+)
+SELECT n_a, n_b, n_buckets_common,
+       ROUND(_sab / SQRT(CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT) AS DOUBLE)),
+             {round_to}) AS bc,
+       ROUND(SQRT(1.0 - _sab / SQRT(CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+                                          AS DOUBLE))),
+             {round_to}) AS hellinger
+FROM agg
+"""

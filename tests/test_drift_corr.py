@@ -175,3 +175,48 @@ def test_vocab_drift_empty_slice_is_null_not_nan(spark):
     df = spark.createDataFrame([("a", "x y")], ["source", "text"])
     out = vocab_drift(df, "source", "a", "b", top_k=5).collect()
     assert out and all(r["tvd"] is None and r["contrib"] is None for r in out)
+
+
+def test_hellinger_identical_slices_is_zero(spark):
+    from revtron_utils_spark.operators.profile import hellinger_drift
+
+    rows = [("a", k) for k in range(10)] * 3 + [("b", k) for k in range(10)] * 3
+    df = spark.createDataFrame(rows, ["s", "k"])
+    r = hellinger_drift(df, "k", "s", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_buckets_common"]) == (30, 30, 10)
+    assert r["bc"] == 1.0 and r["hellinger"] == 0.0
+
+
+def test_hellinger_disjoint_slices_is_one(spark):
+    from revtron_utils_spark.operators.profile import hellinger_drift
+
+    rows = [("a", k) for k in range(5)] + [("b", k + 100) for k in range(5)]
+    df = spark.createDataFrame(rows, ["s", "k"])
+    r = hellinger_drift(df, "k", "s", "a", "b").collect()[0]
+    assert r["n_buckets_common"] == 0
+    assert r["bc"] == 0.0 and r["hellinger"] == 1.0
+
+
+def test_hellinger_matches_python_model(spark):
+    import math
+    import random
+
+    from revtron_utils_spark.operators.profile import hellinger_drift
+
+    rng = random.Random(41)
+    a = [rng.randint(0, 12) for _ in range(300)]
+    b = [min(12, rng.randint(0, 12) + 2) for _ in range(200)]
+    rows = [("a", k) for k in a] + [("b", k) for k in b]
+    df = spark.createDataFrame(rows, ["s", "k"])
+    r = hellinger_drift(df, "k", "s", "a", "b").collect()[0]
+    ca = {k: a.count(k) for k in set(a)}
+    cb = {k: b.count(k) for k in set(b)}
+    bc = sum(
+        math.sqrt(ca.get(k, 0) * cb.get(k, 0)) for k in set(a) | set(b)
+    ) / math.sqrt(len(a) * len(b))
+    assert abs(r["bc"] - round(bc, 6)) < 1e-9
+    assert abs(r["hellinger"] - round(math.sqrt(1 - bc), 6)) < 1e-6
+    # third slices are excluded entirely
+    df2 = spark.createDataFrame(rows + [("c", 1)] * 50, ["s", "k"])
+    r2 = hellinger_drift(df2, "k", "s", "a", "b").collect()[0]
+    assert (r2["n_a"], r2["n_b"]) == (300, 200) and r2["bc"] == r["bc"]
