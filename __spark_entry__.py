@@ -7589,6 +7589,32 @@ FROM orders
 SQL_HELLINGER_DRIFT = _sql_hellinger_drift()
 
 
+def q_dispersion_index(spark, sf):
+    """Arrival burstiness (`timeseries.dispersion_index`): Fano factor
+    of hourly event counts per event type over the zipf-ish events
+    table — ≈1 is Poisson, ≫1 is the bot/batch-replay signature. One
+    (type, hour) partial-agg shuffle + one DECIMAL moment aggregate,
+    ONE division."""
+    from revtron_utils_spark.operators.timeseries import dispersion_index
+
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    )
+    return dispersion_index(ev, "hour", by=["event_type"])
+
+
+def _sql_dispersion_index() -> str:
+    from revtron_utils_spark.operators.timeseries import (
+        dispersion_index_oracle_sql,
+    )
+
+    series = "SELECT event_type, date_trunc('hour', ts) AS hour FROM events"
+    return dispersion_index_oracle_sql(series, "hour", by=["event_type"])
+
+
+SQL_DISPERSION_INDEX = _sql_dispersion_index()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -7814,6 +7840,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "theil_sen": (q_theil_sen, SQL_THEIL_SEN),
     "seasonality": (q_seasonality, SQL_SEASONALITY),
     "hellinger_drift": (q_hellinger_drift, SQL_HELLINGER_DRIFT),
+    "dispersion_index": (q_dispersion_index, SQL_DISPERSION_INDEX),
 }
 
 

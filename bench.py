@@ -165,6 +165,7 @@ HEADLINE = [
     "theil_sen",
     "seasonality",
     "hellinger_drift",
+    "dispersion_index",
 ]
 
 

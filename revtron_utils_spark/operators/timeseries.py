@@ -468,3 +468,79 @@ SELECT {gc}, month, n_obs,
              {round_to}) AS index
 FROM per
 """
+
+
+def dispersion_index(
+    df: DataFrame,
+    time_col: str,
+    by: list[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Burstiness per group: the index of dispersion (Fano factor)
+    of per-bucket EVENT COUNTS — variance/mean, where 1 ≈ Poisson
+    arrivals, ≫1 = bursty (bot/spam/batch-replay signature), <1 =
+    metronome-regular. The per-source arrival-shape audit run before
+    trusting engagement counts.
+
+    With per-bucket counts c_1..c_n: D = (n·Σc² − (Σc)²) / (n·Σc) —
+    population variance over mean collapsed to ONE division, DECIMAL
+    moments (Σc² wraps int64 at corpus scale). One (group, bucket)
+    partial-agg shuffle + one moment aggregate. Output: ``(*by,
+    n_buckets, n_events, dispersion)`` (NULL when no events).
+    """
+    keys = list(by)
+    per = df.groupBy(*keys, F.col(time_col).alias("t")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("c").alias("n_events"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+        ).alias("_c2"),
+    )
+    n = F.col("n_buckets").cast("decimal(38,0)")
+    num = (n * F.col("_c2") - F.col("n_events").cast("decimal(38,0)")
+           * F.col("n_events").cast("decimal(38,0)"))
+    den = n * F.col("n_events").cast("decimal(38,0)")
+    return agg.select(
+        *keys,
+        "n_buckets",
+        "n_events",
+        F.round(
+            F.when(
+                F.col("n_events") > 0, num.cast("double") / den.cast("double")
+            ),
+            round_to,
+        ).alias("dispersion"),
+    ).orderBy(*keys)
+
+
+def dispersion_index_oracle_sql(
+    series_sql: str,
+    time_col: str,
+    by: list[str],
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same HUGEINT moments, same single division."""
+    gc = ", ".join(by)
+    return f"""
+WITH series AS ({series_sql}),
+per AS (
+  SELECT {gc}, {time_col} AS t, CAST(COUNT(*) AS BIGINT) AS c
+  FROM series GROUP BY {gc}, {time_col}
+),
+agg AS (
+  SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         CAST(SUM(c) AS BIGINT) AS n_events,
+         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS _c2
+  FROM per GROUP BY {gc}
+)
+SELECT {gc}, n_buckets, n_events,
+       ROUND(CASE WHEN n_events > 0 THEN
+         CAST(CAST(n_buckets AS HUGEINT) * _c2
+              - CAST(n_events AS HUGEINT) * CAST(n_events AS HUGEINT) AS DOUBLE)
+         / CAST(CAST(n_buckets AS HUGEINT) * CAST(n_events AS HUGEINT) AS DOUBLE)
+       END, {round_to}) AS dispersion
+FROM agg
+"""

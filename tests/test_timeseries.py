@@ -210,3 +210,39 @@ def test_seasonality_index_hot_month(spark):
     # overall avg = 1400/12; december avg = 300 → index = 300*12/1400
     assert abs(got[12] - 300 * 12 / 1400) < 1e-6
     assert abs(got[1] - 100 * 12 / 1400) < 1e-6
+
+
+def test_dispersion_index_poisson_like_and_bursty(spark):
+    from revtron_utils_spark.operators.timeseries import dispersion_index
+
+    # regular: exactly 5 events in each of 8 buckets → variance 0
+    reg = [("reg", t) for t in range(8) for _ in range(5)]
+    # bursty: all 40 events in one bucket of 8 seen buckets — emulate by
+    # 33 in bucket 0 and 1 in each other bucket
+    bur = [("bur", 0)] * 33 + [("bur", t) for t in range(1, 8)]
+    df = spark.createDataFrame(reg + bur, ["g", "t"])
+    got = {r["g"]: r for r in dispersion_index(df, "t", ["g"]).collect()}
+    assert got["reg"]["dispersion"] == 0.0
+    assert got["reg"]["n_buckets"] == 8 and got["reg"]["n_events"] == 40
+    # bursty: counts [33,1,1,1,1,1,1,1]: mean 5, pop var = (33-5)^2+7*16 /8
+    exp = ((33 - 5) ** 2 + 7 * 16) / 8 / 5
+    assert abs(got["bur"]["dispersion"] - round(exp, 6)) < 1e-9
+
+
+def test_dispersion_index_python_model_differential(spark):
+    import random
+
+    from revtron_utils_spark.operators.timeseries import dispersion_index
+
+    rng = random.Random(43)
+    rows = [("g", rng.randint(0, 20)) for _ in range(500)]
+    df = spark.createDataFrame(rows, ["g", "t"])
+    counts = {}
+    for _, t in rows:
+        counts[t] = counts.get(t, 0) + 1
+    cs = list(counts.values())
+    n, s, s2 = len(cs), sum(cs), sum(c * c for c in cs)
+    exp = (n * s2 - s * s) / (n * s)
+    r = dispersion_index(df, "t", ["g"]).collect()[0]
+    assert (r["n_buckets"], r["n_events"]) == (n, s)
+    assert abs(r["dispersion"] - round(exp, 6)) < 1e-9
