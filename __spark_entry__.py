@@ -7615,6 +7615,89 @@ def _sql_dispersion_index() -> str:
 SQL_DISPERSION_INDEX = _sql_dispersion_index()
 
 
+def q_analytics_pipeline(spark, sf):
+    """Per-nation time-series health report — the time-series
+    composition gate (sibling of `corpus_pipeline` /
+    `preference_pipeline`): the corpus-sized orders⋈customer⋈nation
+    monthly-revenue aggregation runs ONCE (persisted), and FOUR
+    readouts derive from that shared 2k-row frame — CUSUM shift
+    location, Mann-Kendall direction, Theil-Sen slope, and the final
+    EWMA level — joined into one row per nation. Tests cross-operator
+    plan composition (one scan, one shuffle to the bounded spine, then
+    spine-sized work) the way a monitoring pipeline actually runs."""
+    from pyspark.sql import Window
+
+    from revtron_utils_spark.operators.dedup import _persist
+    from revtron_utils_spark.operators.timeseries import (
+        cusum_changepoint,
+        ewma,
+        mann_kendall,
+        theil_sen,
+    )
+
+    series = _persist(
+        _nation_month_revenue(spark, sf)
+        .groupBy("nation", "month")
+        .agg(F.sum("cents").alias("x"))
+    )
+    cus = cusum_changepoint(series, "month", "x", by=["nation"]).select(
+        "nation", "n_buckets", "peak_t", "peak_cusum"
+    )
+    mk = mann_kendall(series, "month", "x", by=["nation"]).select(
+        "nation", "s_stat", "tau"
+    )
+    ts = theil_sen(series, "month", "x", by=["nation"]).select("nation", "slope")
+    ew = ewma(series, "month", "x", by=["nation"])
+    last = (
+        ew.withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("nation").orderBy(F.col("t").desc())
+            ),
+        )
+        .where(F.col("_r") == 1)
+        .select("nation", F.col("ewma").alias("ewma_last"))
+    )
+    return (
+        cus.join(mk, "nation").join(ts, "nation").join(last, "nation")
+        .orderBy("nation")
+    )
+
+
+def _sql_analytics_pipeline() -> str:
+    from revtron_utils_spark.operators.timeseries import (
+        cusum_changepoint_oracle_sql,
+        ewma_oracle_sql,
+        mann_kendall_oracle_sql,
+        theil_sen_oracle_sql,
+    )
+
+    shared = "SELECT nation, month, x AS cents FROM series_shared"
+    cus = cusum_changepoint_oracle_sql(shared, "month", "cents", by=["nation"])
+    mk = mann_kendall_oracle_sql(shared, "month", "cents", by=["nation"])
+    ts = theil_sen_oracle_sql(shared, "month", "cents", by=["nation"])
+    ew = ewma_oracle_sql(shared, "month", "cents", by=["nation"])
+    return f"""
+WITH series_shared AS (
+  SELECT nation, month, CAST(SUM(cents) AS BIGINT) AS x
+  FROM ({_SQL_NATION_MONTH_REVENUE}) raw
+  GROUP BY nation, month
+)
+SELECT c.nation, c.n_buckets, c.peak_t, c.peak_cusum,
+       m.s_stat, m.tau, t.slope, e.ewma_last
+FROM ({cus}) c
+JOIN ({mk}) m USING (nation)
+JOIN ({ts}) t USING (nation)
+JOIN (
+  SELECT nation, ewma AS ewma_last FROM ({ew})
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY nation ORDER BY t DESC) = 1
+) e USING (nation)
+"""
+
+
+SQL_ANALYTICS_PIPELINE = _sql_analytics_pipeline()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -7841,6 +7924,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "seasonality": (q_seasonality, SQL_SEASONALITY),
     "hellinger_drift": (q_hellinger_drift, SQL_HELLINGER_DRIFT),
     "dispersion_index": (q_dispersion_index, SQL_DISPERSION_INDEX),
+    "analytics_pipeline": (q_analytics_pipeline, SQL_ANALYTICS_PIPELINE),
 }
 
 

@@ -166,6 +166,7 @@ HEADLINE = [
     "seasonality",
     "hellinger_drift",
     "dispersion_index",
+    "analytics_pipeline",
 ]
 
 

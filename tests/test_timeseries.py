@@ -246,3 +246,21 @@ def test_dispersion_index_python_model_differential(spark):
     r = dispersion_index(df, "t", ["g"]).collect()[0]
     assert (r["n_buckets"], r["n_events"]) == (n, s)
     assert abs(r["dispersion"] - round(exp, 6)) < 1e-9
+
+
+def test_analytics_pipeline_consistent_with_standalone_gates(spark, sf_dir):
+    """The composition gate's per-nation columns must equal the
+    standalone cusum/mann_kendall/theil_sen gates run alone."""
+    import __spark_entry__ as entry
+
+    combo = {r["nation"]: r for r in entry.q_analytics_pipeline(spark, sf_dir).collect()}
+    cus = {r["nation"]: r for r in entry.q_cusum_changepoint(spark, sf_dir).collect()}
+    mk = {r["nation"]: r for r in entry.q_mann_kendall(spark, sf_dir).collect()}
+    ts = {r["nation"]: r for r in entry.q_theil_sen(spark, sf_dir).collect()}
+    assert set(combo) == set(cus) == set(mk) == set(ts)
+    for n, r in combo.items():
+        assert (r["n_buckets"], r["peak_t"], r["peak_cusum"]) == (
+            cus[n]["n_buckets"], cus[n]["peak_t"], cus[n]["peak_cusum"]
+        )
+        assert (r["s_stat"], r["tau"]) == (mk[n]["s_stat"], mk[n]["tau"])
+        assert r["slope"] == ts[n]["slope"]
