@@ -171,9 +171,45 @@ def make_fixtures(out_dir: Path, n_docs: int, seed: int = 42) -> None:
                 [round(rng.uniform(900, 100_000), 2) for _ in range(n_docs)],
                 pa.float64(),
             ),
+            # time-series gate dimension (cusum/mann_kendall/theil_sen/
+            # ewma/seasonality/kaplan_meier/rfm): midnight-aligned dates
+            # over a ~5-year horizon, as in TPC-H
+            "o_orderdate": pa.array(
+                [
+                    (788_918_400 + 86_400 * rng.randrange(0, 1826)) * 1_000_000
+                    for _ in range(n_docs)
+                ],
+                pa.timestamp("us"),
+            ),
         }
     )
     pq.write_table(orders, out_dir / "orders.parquet")
+    # --- customer/nation: the grouping dimensions of the time-series
+    # and survival gates; 25 nations as in TPC-H, segments bounded -----
+    customer = pa.table(
+        {
+            "c_custkey": pa.array(range(n_cust), pa.int64()),
+            "c_nationkey": pa.array(
+                [rng.randrange(25) for _ in range(n_cust)], pa.int32()
+            ),
+            "c_mktsegment": pa.array(
+                [
+                    rng.choice(
+                        ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+                    )
+                    for _ in range(n_cust)
+                ]
+            ),
+        }
+    )
+    pq.write_table(customer, out_dir / "customer.parquet")
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(range(25), pa.int32()),
+            "n_name": pa.array([f"NATION_{i}" for i in range(25)]),
+        }
+    )
+    pq.write_table(nation, out_dir / "nation.parquet")
     n_li = n_docs * 4
     n_part = n_docs * 4
     qtys = [rng.randrange(1, 51) for _ in range(n_li)]
@@ -273,7 +309,11 @@ def main() -> None:
 
             if "l_linenumber" not in _pq.read_schema(li).names:
                 return True
-            return "p_brand" not in _pq.read_schema(d / "part.parquet").names
+            if "p_brand" not in _pq.read_schema(d / "part.parquet").names:
+                return True
+            if not (d / "customer.parquet").exists():
+                return True
+            return "o_orderdate" not in _pq.read_schema(d / "orders.parquet").names
 
         if _stale(d):
             print(f"generating fixtures n={n} ...", file=sys.stderr)
