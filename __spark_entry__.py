@@ -7698,6 +7698,60 @@ JOIN (
 SQL_ANALYTICS_PIPELINE = _sql_analytics_pipeline()
 
 
+def q_logrank(spark, sf):
+    """Cohort churn comparison (`survival.logrank_test`): do AUTOMOBILE
+    and BUILDING customers stop ordering at the same rate — the
+    hypothesis-test companion to `kaplan_meier` on the same subject
+    frame (capped-week lifetimes, 90-day quiet = event). Exact integer
+    O, DECIMAL-exact E/V term products with one division each,
+    exactly-rounded sqrt."""
+    from revtron_utils_spark.operators.survival import logrank_test
+
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    per = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_d"),
+        F.max("o_orderdate").alias("last_d"),
+    )
+    mx = orders.agg(F.max("o_orderdate").alias("mx"))
+    subj = (
+        per.crossJoin(F.broadcast(mx))
+        .join(cust, per.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.least(
+                F.floor(F.datediff("last_d", "first_d") / 7), F.lit(104)
+            ).cast("int").alias("dur_w"),
+            (F.datediff("mx", "last_d") > 90).cast("int").alias("gone"),
+        )
+    )
+    return logrank_test(
+        subj, "dur_w", "gone", "segment", "AUTOMOBILE", "BUILDING"
+    )
+
+
+def _sql_logrank() -> str:
+    from revtron_utils_spark.operators.survival import logrank_test_oracle_sql
+
+    subjects = """
+SELECT c.c_mktsegment AS segment,
+       CAST(LEAST(FLOOR(date_diff('day', p.first_d, p.last_d) / 7), 104)
+            AS INTEGER) AS dur_w,
+       CAST(date_diff('day', p.last_d, m.mx) > 90 AS INTEGER) AS gone
+FROM (SELECT o_custkey, MIN(o_orderdate) AS first_d,
+             MAX(o_orderdate) AS last_d
+      FROM orders GROUP BY o_custkey) p
+CROSS JOIN (SELECT MAX(o_orderdate) AS mx FROM orders) m
+JOIN customer c ON p.o_custkey = c.c_custkey
+"""
+    return logrank_test_oracle_sql(
+        subjects, "dur_w", "gone", "segment", "'AUTOMOBILE'", "'BUILDING'"
+    )
+
+
+SQL_LOGRANK = _sql_logrank()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -7925,6 +7979,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "hellinger_drift": (q_hellinger_drift, SQL_HELLINGER_DRIFT),
     "dispersion_index": (q_dispersion_index, SQL_DISPERSION_INDEX),
     "analytics_pipeline": (q_analytics_pipeline, SQL_ANALYTICS_PIPELINE),
+    "logrank_test": (q_logrank, SQL_LOGRANK),
 }
 
 

@@ -167,6 +167,7 @@ HEADLINE = [
     "hellinger_drift",
     "dispersion_index",
     "analytics_pipeline",
+    "logrank_test",
 ]
 
 

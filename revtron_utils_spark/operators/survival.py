@@ -135,3 +135,147 @@ SELECT {gc}, t, CAST(at_risk AS BIGINT) AS at_risk, events,
        ROUND(s, {round_to}) AS survival
 FROM expl
 """
+
+
+def logrank_test(
+    df: DataFrame,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample log-rank test — "do these two cohorts churn at the
+    same rate", the hypothesis-test companion to :func:`kaplan_meier`
+    (Mantel 1966). At each distinct pooled event time t with d events
+    among n at risk (n_a from cohort A):
+
+        O_a = Σ d_a(t)                                (observed, exact int)
+        E_a = Σ d·n_a / n                             (expected under H0)
+        V   = Σ d·n_a·n_b·(n−d) / (n²·(n−1))          (hypergeometric var)
+        z   = (O_a − E_a) / sqrt(V)
+
+    Each E/V term is ONE division of DECIMAL-exact integer products;
+    sqrt is IEEE exactly-rounded. The at-risk counts come from
+    descending-time windows over the caller-bounded bucket spine, so
+    the whole test is O(spine) state per cohort pair. Output one row:
+    ``(n_times, o_a, e_a, o_b, e_b, z)`` (z NULL when V = 0).
+    """
+    g = F.col(group_col)
+    sub = df.where(g.isin(group_a, group_b)).select(
+        F.col(time_col).alias("t"),
+        F.col(event_col).cast("long").alias("e"),
+        (g == group_a).alias("_isa"),
+    )
+    per = sub.groupBy("t").agg(
+        F.sum(F.when(F.col("_isa"), F.col("e")).otherwise(0)).alias("da"),
+        F.sum(F.when(~F.col("_isa"), F.col("e")).otherwise(0)).alias("db"),
+        F.sum(F.when(F.col("_isa"), 1).otherwise(0)).alias("ta"),
+        F.sum(F.when(~F.col("_isa"), 1).otherwise(0)).alias("tb"),
+    )
+    w = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = per.select(
+        "t",
+        "da",
+        "db",
+        F.sum("ta").over(w).alias("na"),
+        F.sum("tb").over(w).alias("nb"),
+    ).where((F.col("da") + F.col("db")) > 0)
+    d = F.col("da") + F.col("db")
+    n = F.col("na") + F.col("nb")
+    dec = lambda c: c.cast("decimal(38,0)")
+    e_a = (dec(d) * dec(F.col("na"))).cast("double") / n.cast("double")
+    v = (
+        (dec(d) * dec(F.col("na")) * dec(F.col("nb")) * dec(n - d)).cast("double")
+        / (dec(n) * dec(n) * dec(n - F.lit(1))).cast("double")
+    )
+    terms = risk.select(
+        "da",
+        "db",
+        e_a.alias("_ea"),
+        (d.cast("double") - e_a).alias("_eb_part"),
+        F.when(n > 1, v).otherwise(F.lit(0.0)).alias("_v"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_times"),
+        F.sum("da").alias("o_a"),
+        F.sum("db").alias("o_b"),
+        F.sum("_ea").alias("_sea"),
+        F.sum("_eb_part").alias("_seb"),
+        F.sum("_v").alias("_sv"),
+    )
+    z = (F.col("o_a").cast("double") - F.col("_sea")) / F.sqrt(F.col("_sv"))
+    return agg.select(
+        "n_times",
+        "o_a",
+        F.round(F.col("_sea"), round_to).alias("e_a"),
+        "o_b",
+        F.round(F.col("_seb"), round_to).alias("e_b"),
+        F.round(F.when(F.col("_sv") > 0, z), round_to).alias("z"),
+    )
+
+
+def logrank_test_oracle_sql(
+    subjects_sql: str,
+    time_col: str,
+    event_col: str,
+    group_col: str,
+    group_a_sql: str,
+    group_b_sql: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same HUGEINT term products, one division per term,
+    exactly-rounded sqrt. Group literals are SQL expressions."""
+    return f"""
+WITH subj AS ({subjects_sql}),
+sub AS (
+  SELECT {time_col} AS t, CAST({event_col} AS BIGINT) AS e,
+         ({group_col} = {group_a_sql}) AS _isa
+  FROM subj WHERE {group_col} IN ({group_a_sql}, {group_b_sql})
+),
+per AS (
+  SELECT t,
+         SUM(CASE WHEN _isa THEN e ELSE 0 END) AS da,
+         SUM(CASE WHEN _isa THEN 0 ELSE e END) AS db,
+         SUM(CASE WHEN _isa THEN 1 ELSE 0 END) AS ta,
+         SUM(CASE WHEN _isa THEN 0 ELSE 1 END) AS tb
+  FROM sub GROUP BY t
+),
+risk AS (
+  SELECT t, da, db,
+         SUM(ta) OVER (ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS na,
+         SUM(tb) OVER (ORDER BY t DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nb
+  FROM per
+),
+terms AS (
+  SELECT da, db,
+         CAST(CAST(da + db AS HUGEINT) * CAST(na AS HUGEINT) AS DOUBLE)
+           / CAST(na + nb AS DOUBLE) AS _ea,
+         CAST(da + db AS DOUBLE)
+           - CAST(CAST(da + db AS HUGEINT) * CAST(na AS HUGEINT) AS DOUBLE)
+             / CAST(na + nb AS DOUBLE) AS _eb_part,
+         CASE WHEN na + nb > 1 THEN
+           CAST(CAST(da + db AS HUGEINT) * CAST(na AS HUGEINT)
+                * CAST(nb AS HUGEINT)
+                * CAST(na + nb - (da + db) AS HUGEINT) AS DOUBLE)
+           / CAST(CAST(na + nb AS HUGEINT) * CAST(na + nb AS HUGEINT)
+                  * CAST(na + nb - 1 AS HUGEINT) AS DOUBLE)
+         ELSE 0.0 END AS _v
+  FROM risk WHERE da + db > 0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+       CAST(SUM(da) AS BIGINT) AS o_a,
+       ROUND(SUM(_ea), {round_to}) AS e_a,
+       CAST(SUM(db) AS BIGINT) AS o_b,
+       ROUND(SUM(_eb_part), {round_to}) AS e_b,
+       ROUND(CASE WHEN SUM(_v) > 0 THEN
+         (CAST(SUM(da) AS DOUBLE) - SUM(_ea)) / SQRT(SUM(_v)) END,
+         {round_to}) AS z
+FROM terms
+"""

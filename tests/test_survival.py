@@ -77,3 +77,78 @@ def test_km_groups_are_independent_and_match_python_model(spark):
         for (t, n_, d, s), (mt, mn, md, ms) in zip(mine, model):
             assert (t, n_, d) == (mt, mn, md)
             assert abs(s - ms) < 1e-6
+
+
+def _logrank_py(subjects):
+    """subjects = [(group 'a'/'b', t, event)] → (o_a, e_a, v)."""
+    times = sorted({t for _, t, e in subjects if e == 1})
+    o_a = e_a = v = 0.0
+    for t in times:
+        na = sum(1 for g, u, _ in subjects if g == "a" and u >= t)
+        nb = sum(1 for g, u, _ in subjects if g == "b" and u >= t)
+        da = sum(1 for g, u, e in subjects if g == "a" and u == t and e == 1)
+        db = sum(1 for g, u, e in subjects if g == "b" and u == t and e == 1)
+        d, n = da + db, na + nb
+        o_a += da
+        e_a += d * na / n
+        if n > 1:
+            v += d * na * nb * (n - d) / (n * n * (n - 1))
+    return o_a, e_a, v
+
+
+def test_logrank_identical_cohorts_z_near_zero(spark):
+    from revtron_utils_spark.operators.survival import logrank_test
+
+    subj = [(g, t, 1) for g in "ab" for t in range(1, 11)]
+    df = spark.createDataFrame(subj, ["g", "t", "e"])
+    r = logrank_test(df, "t", "e", "g", "a", "b").collect()[0]
+    assert r["o_a"] == 10 and r["o_b"] == 10
+    assert abs(r["e_a"] - 10) < 1e-6 and abs(r["z"]) < 1e-6
+
+
+def test_logrank_detects_faster_churn(spark):
+    from revtron_utils_spark.operators.survival import logrank_test
+
+    # cohort a dies at t=1..5, cohort b survives to t=11..15: strong
+    # negative association for b → large |z|
+    subj = [("a", t, 1) for t in range(1, 6)] + [("b", t + 10, 1) for t in range(1, 6)]
+    df = spark.createDataFrame(subj, ["g", "t", "e"])
+    r = logrank_test(df, "t", "e", "g", "a", "b").collect()[0]
+    o_a, e_a, v = _logrank_py(subj)
+    assert r["o_a"] == 5
+    assert abs(r["e_a"] - round(e_a, 6)) < 1e-9
+    assert r["z"] > 2.0  # a observed far more early deaths than expected
+
+
+def test_logrank_python_model_differential_with_censoring(spark):
+    import math
+    import random
+
+    from revtron_utils_spark.operators.survival import logrank_test
+
+    rng = random.Random(29)
+    subj = [
+        (rng.choice("ab"), rng.randint(1, 12), rng.randint(0, 1))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(subj, ["g", "t", "e"])
+    r = logrank_test(df, "t", "e", "g", "a", "b").collect()[0]
+    o_a, e_a, v = _logrank_py(subj)
+    assert r["o_a"] == o_a
+    assert abs(r["e_a"] - round(e_a, 6)) < 1e-6
+    if v > 0:
+        assert abs(r["z"] - round((o_a - e_a) / math.sqrt(v), 6)) < 1e-6
+    # third cohorts are excluded
+    df2 = spark.createDataFrame(subj + [("c", 1, 1)] * 30, ["g", "t", "e"])
+    r2 = logrank_test(df2, "t", "e", "g", "a", "b").collect()[0]
+    assert r2["o_a"] == r["o_a"] and r2["e_a"] == r["e_a"]
+
+
+def test_logrank_no_events_yields_null_z(spark):
+    from revtron_utils_spark.operators.survival import logrank_test
+
+    df = spark.createDataFrame(
+        [("a", 3, 0), ("b", 5, 0)], ["g", "t", "e"]
+    )
+    r = logrank_test(df, "t", "e", "g", "a", "b").collect()[0]
+    assert r["n_times"] == 0 and r["z"] is None
