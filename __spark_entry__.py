@@ -7752,6 +7752,27 @@ JOIN customer c ON p.o_custkey = c.c_custkey
 SQL_LOGRANK = _sql_logrank()
 
 
+def q_fleiss_kappa(spark, sf):
+    """Panel agreement (`annotation.fleiss_kappa`): chance-corrected
+    multi-rater agreement over the lineitem rating panel restricted to
+    4-rater items (Fleiss is defined for fixed panels; the ragged rest
+    is dropped and counted) — the whole-panel companion to the pairwise
+    `annotator_kappa`. One (item, label) shuffle + two scalar
+    aggregates; exact integer/DECIMAL sums, pinned divisions."""
+    from revtron_utils_spark.operators.annotation import fleiss_kappa
+
+    return fleiss_kappa(_ratings(spark, sf), "item", "label", n_raters=4)
+
+
+def _sql_fleiss_kappa() -> str:
+    from revtron_utils_spark.operators.annotation import fleiss_kappa_oracle_sql
+
+    return fleiss_kappa_oracle_sql(_SQL_RATINGS, "item", "label", n_raters=4)
+
+
+SQL_FLEISS_KAPPA = _sql_fleiss_kappa()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -7980,6 +8001,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dispersion_index": (q_dispersion_index, SQL_DISPERSION_INDEX),
     "analytics_pipeline": (q_analytics_pipeline, SQL_ANALYTICS_PIPELINE),
     "logrank_test": (q_logrank, SQL_LOGRANK),
+    "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),
 }
 
 

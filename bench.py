@@ -168,6 +168,7 @@ HEADLINE = [
     "dispersion_index",
     "analytics_pipeline",
     "logrank_test",
+    "fleiss_kappa",
 ]
 
 

@@ -509,3 +509,119 @@ ci0 AS (
 {bradley_terry_rounds_sql(iterations)}
 SELECT unnest(it) AS item, ROUND(unnest(p) / s, 6) AS strength FROM fin
 """
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    label_col: str,
+    n_raters: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement for a PANEL of
+    ``n_raters`` per item (Fleiss 1971), the multi-rater generalization
+    of :func:`cohen_kappa_pairs` (which compares raters two at a time).
+    Items without exactly ``n_raters`` ratings are dropped first (the
+    classic statistic is undefined for ragged panels; the output
+    reports how many items survived).
+
+    With n_ij = count of label j on item i, N items, n raters:
+
+        P̄  = (Σ_ij n_ij² − N·n) / (N·n·(n−1))      exact integers, ONE division
+        P̄e = Σ_j (Σ_i n_ij)² / (N·n)²              DECIMAL squares, ONE division
+        κ  = (P̄ − P̄e) / (1 − P̄e)                   (NULL when P̄e = 1)
+
+    Plan: one (item, label) partial-agg shuffle, one item-count filter,
+    two scalar aggregates — no windows, no per-item state beyond the
+    bounded label set. Output one row: ``(n_items, n_raters, n_labels,
+    p_bar, p_e, kappa)``.
+    """
+    counts = df.groupBy(
+        F.col(item_col).alias("_i"), F.col(label_col).alias("_j")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    sizes = counts.groupBy("_i").agg(F.sum("_c").alias("_n"))
+    ok = sizes.where(F.col("_n") == n_raters).select("_i")
+    kept = counts.join(ok, "_i")
+    per_label = kept.groupBy("_j").agg(
+        F.sum("_c").alias("_cj"),
+        F.sum(
+            F.col("_c").cast("decimal(38,0)") * F.col("_c").cast("decimal(38,0)")
+        ).alias("_c2j"),
+    )
+    agg = per_label.agg(
+        F.sum(F.col("_cj")).alias("_total"),  # = N·n
+        F.sum("_c2j").alias("_sum_c2"),
+        F.sum(
+            F.col("_cj").cast("decimal(38,0)") * F.col("_cj").cast("decimal(38,0)")
+        ).alias("_sum_cj2"),
+        F.count(F.lit(1)).alias("n_labels"),
+    )
+    n_items = (F.col("_total") / F.lit(n_raters)).cast("long")
+    p_bar = (
+        F.col("_sum_c2").cast("double")
+        - (n_items.cast("decimal(38,0)") * F.lit(n_raters)).cast("double")
+    ) / (
+        n_items.cast("decimal(38,0)")
+        * F.lit(n_raters)
+        * F.lit(n_raters - 1)
+    ).cast("double")
+    p_e = F.col("_sum_cj2").cast("double") / (
+        F.col("_total").cast("decimal(38,0)") * F.col("_total").cast("decimal(38,0)")
+    ).cast("double")
+    kappa = (p_bar - p_e) / (F.lit(1.0) - p_e)
+    return agg.select(
+        n_items.alias("n_items"),
+        F.lit(n_raters).alias("n_raters"),
+        "n_labels",
+        F.round(p_bar, round_to).alias("p_bar"),
+        F.round(p_e, round_to).alias("p_e"),
+        F.round(F.when(p_e < 1.0, kappa), round_to).alias("kappa"),
+    )
+
+
+def fleiss_kappa_oracle_sql(
+    ratings_sql: str,
+    item_col: str,
+    label_col: str,
+    n_raters: int,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same panel filter, same HUGEINT squares, same
+    pinned divisions."""
+    return f"""
+WITH ratings AS ({ratings_sql}),
+counts AS (
+  SELECT {item_col} AS _i, {label_col} AS _j, CAST(COUNT(*) AS BIGINT) AS _c
+  FROM ratings GROUP BY {item_col}, {label_col}
+),
+ok AS (SELECT _i FROM counts GROUP BY _i HAVING SUM(_c) = {n_raters}),
+kept AS (SELECT counts.* FROM counts JOIN ok USING (_i)),
+per_label AS (
+  SELECT _j, CAST(SUM(_c) AS BIGINT) AS _cj,
+         SUM(CAST(_c AS HUGEINT) * CAST(_c AS HUGEINT)) AS _c2j
+  FROM kept GROUP BY _j
+),
+agg AS (
+  SELECT CAST(SUM(_cj) AS BIGINT) AS _total,
+         SUM(_c2j) AS _sum_c2,
+         SUM(CAST(_cj AS HUGEINT) * CAST(_cj AS HUGEINT)) AS _sum_cj2,
+         CAST(COUNT(*) AS BIGINT) AS n_labels
+  FROM per_label
+),
+calc AS (
+  SELECT CAST(_total / {n_raters} AS BIGINT) AS n_items, n_labels,
+         (CAST(_sum_c2 AS DOUBLE)
+          - CAST(CAST(_total / {n_raters} AS HUGEINT) * {n_raters} AS DOUBLE))
+         / CAST(CAST(_total / {n_raters} AS HUGEINT)
+                * {n_raters} * {n_raters - 1} AS DOUBLE) AS p_bar,
+         CAST(_sum_cj2 AS DOUBLE)
+         / CAST(CAST(_total AS HUGEINT) * CAST(_total AS HUGEINT) AS DOUBLE) AS p_e
+  FROM agg
+)
+SELECT n_items, CAST({n_raters} AS INTEGER) AS n_raters, n_labels,
+       ROUND(p_bar, {round_to}) AS p_bar,
+       ROUND(p_e, {round_to}) AS p_e,
+       ROUND(CASE WHEN p_e < 1.0 THEN (p_bar - p_e) / (1.0 - p_e) END,
+             {round_to}) AS kappa
+FROM calc
+"""

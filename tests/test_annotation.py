@@ -225,3 +225,52 @@ def test_bradley_terry_handles_mid_sized_catalogs(spark):
     hi = sum(out[f"m{i:03d}"] for i in range(90, 100)) / 10
     lo = sum(out[f"m{i:03d}"] for i in range(10)) / 10
     assert hi > lo * 2
+
+
+def _fleiss_py(items, n):
+    """items = list of label-lists of length n → (p_bar, p_e, kappa)."""
+    N = len(items)
+    labels = sorted({l for it in items for l in it})
+    nij = [[it.count(j) for j in labels] for it in items]
+    p_bar = (sum(c * c for row in nij for c in row) - N * n) / (N * n * (n - 1))
+    totals = [sum(row[j] for row in nij) for j in range(len(labels))]
+    p_e = sum(t * t for t in totals) / (N * n) ** 2
+    return p_bar, p_e, (p_bar - p_e) / (1 - p_e) if p_e < 1 else None
+
+
+def test_fleiss_perfect_agreement_is_one(spark):
+    from revtron_utils_spark.operators.annotation import fleiss_kappa
+
+    rows = [(i, "yes") for i in range(10) for _ in range(3)]
+    rows += [(i + 100, "no") for i in range(10) for _ in range(3)]
+    df = spark.createDataFrame(rows, ["item", "label"])
+    r = fleiss_kappa(df, "item", "label", n_raters=3).collect()[0]
+    assert r["n_items"] == 20 and r["p_bar"] == 1.0 and r["kappa"] == 1.0
+
+
+def test_fleiss_unanimous_single_label_panel_kappa_null(spark):
+    from revtron_utils_spark.operators.annotation import fleiss_kappa
+
+    rows = [(i, "same") for i in range(5) for _ in range(4)]
+    df = spark.createDataFrame(rows, ["item", "label"])
+    r = fleiss_kappa(df, "item", "label", n_raters=4).collect()[0]
+    # p_e = 1 (one label, full mass) → kappa undefined
+    assert r["p_e"] == 1.0 and r["kappa"] is None
+
+
+def test_fleiss_drops_ragged_items_and_matches_model(spark):
+    import random
+
+    from revtron_utils_spark.operators.annotation import fleiss_kappa
+
+    rng = random.Random(37)
+    items = [[rng.choice("xyz") for _ in range(4)] for _ in range(40)]
+    rows = [(i, l) for i, it in enumerate(items) for l in it]
+    rows += [(999, "x"), (999, "y")]  # a 2-rater item: dropped
+    df = spark.createDataFrame(rows, ["item", "label"])
+    r = fleiss_kappa(df, "item", "label", n_raters=4).collect()[0]
+    p_bar, p_e, kappa = _fleiss_py(items, 4)
+    assert r["n_items"] == 40
+    assert abs(r["p_bar"] - round(p_bar, 6)) < 1e-9
+    assert abs(r["p_e"] - round(p_e, 6)) < 1e-9
+    assert abs(r["kappa"] - round(kappa, 6)) < 1e-6
