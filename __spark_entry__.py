@@ -7773,6 +7773,34 @@ def _sql_fleiss_kappa() -> str:
 SQL_FLEISS_KAPPA = _sql_fleiss_kappa()
 
 
+def q_prop_ztest(spark, sf):
+    """Conversion-rate comparison (`funnel.prop_ztest`): pooled
+    two-proportion z for every order-priority pair, success = the order
+    fully shipped (status F) — the categorical companion to `ab_test`'s
+    Welch on revenue. One map-side-combined count pass + a pair join
+    over the bounded 5-variant catalog; pinned divisions,
+    exactly-rounded sqrt."""
+    from revtron_utils_spark.operators.funnel import prop_ztest
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderpriority", (F.col("o_orderstatus") == "F").cast("int").alias("ok")
+    )
+    return prop_ztest(orders, "o_orderpriority", "ok")
+
+
+def _sql_prop_ztest() -> str:
+    from revtron_utils_spark.operators.funnel import prop_ztest_oracle_sql
+
+    trials = (
+        "SELECT o_orderpriority, CAST(o_orderstatus = 'F' AS INTEGER) AS ok "
+        "FROM orders"
+    )
+    return prop_ztest_oracle_sql(trials, "o_orderpriority", "ok")
+
+
+SQL_PROP_ZTEST = _sql_prop_ztest()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -8002,6 +8030,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "analytics_pipeline": (q_analytics_pipeline, SQL_ANALYTICS_PIPELINE),
     "logrank_test": (q_logrank, SQL_LOGRANK),
     "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),
+    "prop_ztest": (q_prop_ztest, SQL_PROP_ZTEST),
 }
 
 

@@ -169,6 +169,7 @@ HEADLINE = [
     "analytics_pipeline",
     "logrank_test",
     "fleiss_kappa",
+    "prop_ztest",
 ]
 
 

@@ -546,3 +546,114 @@ def top_session_paths(
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(k)
     )
+
+
+def prop_ztest(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-proportion pooled z-test per segment — the conversion-rate
+    companion to :func:`welch_ab_test` (which compares continuous
+    metrics): for every unordered variant pair (a < b) with successes
+    s and trials n,
+
+        p̂ = (s_a + s_b)/(n_a + n_b)
+        z  = (s_a/n_a − s_b/n_b) / sqrt(p̂(1−p̂)(1/n_a + 1/n_b))
+
+    Exact integer success/trial counts from one map-side-combined
+    pass + a variant-pair self-join over the bounded variant catalog;
+    rates and the pooled term are pinned single divisions; sqrt is
+    IEEE exactly-rounded. z is NULL when the pooled variance is 0
+    (all-success or all-failure pools) or a side is empty. Output:
+    ``(*by, variant_a, variant_b, n_a, s_a, n_b, s_b, rate_a, rate_b,
+    z)``.
+    """
+    keys = list(by or [])
+    per = df.groupBy(*keys, F.col(variant_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(success_col).cast("long")).alias("s"),
+    )
+    a = per.select(
+        *keys,
+        F.col("_v").alias("variant_a"),
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+    )
+    b = per.select(
+        *keys,
+        F.col("_v").alias("variant_b"),
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+    )
+    pairs = (
+        a.join(b, on=keys) if keys else a.crossJoin(b)
+    ).where(F.col("variant_a") < F.col("variant_b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    pool = (sa + sb) / (na + nb)
+    rate_a, rate_b = sa / na, sb / nb
+    var = pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    z = (rate_a - rate_b) / F.sqrt(var)
+    return pairs.select(
+        *keys,
+        "variant_a",
+        "variant_b",
+        "n_a",
+        "s_a",
+        "n_b",
+        "s_b",
+        F.round(rate_a, round_to).alias("rate_a"),
+        F.round(rate_b, round_to).alias("rate_b"),
+        F.round(
+            F.when((F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0), z),
+            round_to,
+        ).alias("z"),
+    ).orderBy(*keys, "variant_a", "variant_b")
+
+
+def prop_ztest_oracle_sql(
+    trials_sql: str,
+    variant_col: str,
+    success_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same counts, same pinned divisions, same
+    exactly-rounded sqrt (z NULL on zero pooled variance via NULLIF)."""
+    keys = list(by or [])
+    gc = ", ".join(keys)
+    sel = f"{gc}, " if keys else ""
+    on = (
+        " AND ".join(f"a.{k} = b.{k}" for k in keys) + " AND "
+        if keys
+        else ""
+    )
+    ga = ", ".join(f"a.{k}" for k in keys) + ", " if keys else ""
+    return f"""
+WITH trials AS ({trials_sql}),
+per AS (
+  SELECT {sel}{variant_col} AS _v, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST({success_col} AS BIGINT)) AS BIGINT) AS s
+  FROM trials GROUP BY {sel}{variant_col}
+),
+pairs AS (
+  SELECT {ga}a._v AS variant_a, b._v AS variant_b,
+         a.n AS n_a, a.s AS s_a, b.n AS n_b, b.s AS s_b
+  FROM per a JOIN per b ON {on}a._v < b._v
+)
+SELECT {sel}variant_a, variant_b, n_a, s_a, n_b, s_b,
+       ROUND(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE), {round_to}) AS rate_a,
+       ROUND(CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE), {round_to}) AS rate_b,
+       ROUND(CASE WHEN n_a > 0 AND n_b > 0
+                   AND s_a + s_b > 0 AND s_a + s_b < n_a + n_b THEN
+         (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         / SQRT((CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 - CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+       END, {round_to}) AS z
+FROM pairs
+"""

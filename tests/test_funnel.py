@@ -394,3 +394,40 @@ def test_welch_n1_variant_matches_duckdb_oracle(spark):
     assert len(oracle) == 1 and len(got) == 1
     assert oracle[0][-1] is None and got[0]["t_stat"] is None
     assert got[0]["n_a"] == 1 and got[0]["n_b"] == 3
+
+
+def test_prop_ztest_hand_computed_and_guards(spark):
+    import math
+
+    from revtron_utils_spark.operators.funnel import prop_ztest
+
+    # a: 30/100 convert; b: 20/100 convert
+    rows = [("a", 1)] * 30 + [("a", 0)] * 70 + [("b", 1)] * 20 + [("b", 0)] * 80
+    df = spark.createDataFrame(rows, ["v", "ok"])
+    r = prop_ztest(df, "v", "ok").collect()[0]
+    assert (r["n_a"], r["s_a"], r["n_b"], r["s_b"]) == (100, 30, 100, 20)
+    p = 50 / 200
+    z = (0.3 - 0.2) / math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    assert abs(r["z"] - round(z, 6)) < 1e-9
+    assert r["rate_a"] == 0.3 and r["rate_b"] == 0.2
+    # degenerate pools → z NULL
+    allfail = spark.createDataFrame(
+        [("a", 0)] * 5 + [("b", 0)] * 5, ["v", "ok"]
+    )
+    assert prop_ztest(allfail, "v", "ok").collect()[0]["z"] is None
+    allpass = spark.createDataFrame(
+        [("a", 1)] * 5 + [("b", 1)] * 5, ["v", "ok"]
+    )
+    assert prop_ztest(allpass, "v", "ok").collect()[0]["z"] is None
+
+
+def test_prop_ztest_pairwise_over_many_variants(spark):
+    from revtron_utils_spark.operators.funnel import prop_ztest
+
+    rows = [(v, i % 2) for v in "abc" for i in range(10)]
+    df = spark.createDataFrame(rows, ["v", "ok"])
+    got = prop_ztest(df, "v", "ok").collect()
+    assert [(r["variant_a"], r["variant_b"]) for r in got] == [
+        ("a", "b"), ("a", "c"), ("b", "c")
+    ]
+    assert all(r["z"] == 0.0 for r in got)  # identical rates
