@@ -7801,6 +7801,87 @@ def _sql_prop_ztest() -> str:
 SQL_PROP_ZTEST = _sql_prop_ztest()
 
 
+def q_cramers_v(spark, sf):
+    """Association effect size (`profile.cramers_v`): Cramér's V
+    between order priority and order status — the [0,1] normalization
+    that makes `contingency_chi2` comparable across corpus sizes;
+    sqrt-only (the hellinger_drift determinism argument vs mutual
+    information). One count pass + margin broadcasts + one scalar
+    aggregate."""
+    from revtron_utils_spark.operators.profile import cramers_v
+
+    return cramers_v(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+def _sql_cramers_v() -> str:
+    from revtron_utils_spark.operators.profile import cramers_v_oracle_sql
+
+    return cramers_v_oracle_sql("orders", "o_orderpriority", "o_orderstatus")
+
+
+SQL_CRAMERS_V = _sql_cramers_v()
+
+
+def q_population_estimate(spark, sf):
+    """Capture-recapture corpus sizing (`profile.chapman_estimate`):
+    estimate the total unique user population from two overlapping
+    behavioral samples (users who click vs users who view) — the
+    mark-recapture answer to "how many uniques exist across snapshots
+    given the dedup overlap". One distinct-membership aggregate, exact
+    counts, DECIMAL product, ONE division."""
+    from revtron_utils_spark.operators.profile import chapman_estimate
+
+    ev = _t(spark, sf, "events")
+    return chapman_estimate(ev, "user_id", "event_type", "click", "view")
+
+
+def _sql_population_estimate() -> str:
+    from revtron_utils_spark.operators.profile import chapman_estimate_oracle_sql
+
+    return chapman_estimate_oracle_sql(
+        "SELECT user_id, event_type FROM events",
+        "user_id",
+        "event_type",
+        "'click'",
+        "'view'",
+    )
+
+
+SQL_POPULATION_ESTIMATE = _sql_population_estimate()
+
+
+def q_neyman_allocation(spark, sf):
+    """Optimal eval-budget split (`segment.neyman_allocation`): how many
+    of a 1000-unit sample to draw per order priority to minimize the
+    mean-estimate variance — high-variance strata earn more slots;
+    largest-remainder integerization keeps Σ = 1000 exactly. One moment
+    aggregate + windows over the bounded 5-stratum frame."""
+    from revtron_utils_spark.operators.segment import neyman_allocation
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return neyman_allocation(orders, "o_orderpriority", "cents", total_n=1000)
+
+
+def _sql_neyman_allocation() -> str:
+    from revtron_utils_spark.operators.segment import neyman_allocation_oracle_sql
+
+    values = (
+        "SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) "
+        "AS cents FROM orders"
+    )
+    return neyman_allocation_oracle_sql(
+        values, "o_orderpriority", "cents", total_n=1000
+    )
+
+
+SQL_NEYMAN_ALLOCATION = _sql_neyman_allocation()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -8031,6 +8112,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "logrank_test": (q_logrank, SQL_LOGRANK),
     "fleiss_kappa": (q_fleiss_kappa, SQL_FLEISS_KAPPA),
     "prop_ztest": (q_prop_ztest, SQL_PROP_ZTEST),
+    "cramers_v": (q_cramers_v, SQL_CRAMERS_V),
+    "population_estimate": (q_population_estimate, SQL_POPULATION_ESTIMATE),
+    "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
 }
 
 

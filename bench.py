@@ -170,6 +170,9 @@ HEADLINE = [
     "logrank_test",
     "fleiss_kappa",
     "prop_ztest",
+    "cramers_v",
+    "population_estimate",
+    "neyman_allocation",
 ]
 
 

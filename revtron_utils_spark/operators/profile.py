@@ -1037,3 +1037,147 @@ SELECT n_a, n_b, n_buckets_common,
              {round_to}) AS hellinger
 FROM agg
 """
+
+
+def cramers_v(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cramér's V — the [0, 1] effect-size normalization of
+    :func:`contingency_chi2` (χ² alone grows with N, so "is this
+    association big" needs V = sqrt(χ² / (N·(min(r,c)−1)))). Chosen
+    over mutual information because sqrt is IEEE exactly-rounded while
+    MI's logarithms are not — the same determinism argument as
+    `hellinger_drift`.
+
+    One pass through the chi2 contribution table (same two margin
+    broadcasts), then one scalar aggregate. Output one row:
+    ``(n, n_rows, n_cols, chi2, dof, v)`` (V NULL for degenerate 1×k
+    tables).
+    """
+    terms = contingency_chi2(df, row_col, col_col, round_to=12)
+    base = df.filter(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+    n = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(row_col).alias("n_rows"),
+        F.countDistinct(col_col).alias("n_cols"),
+    )
+    chi2 = terms.agg(F.sum("chi2_term").alias("_chi2"))
+    joined = n.crossJoin(F.broadcast(chi2))
+    k = F.least(F.col("n_rows"), F.col("n_cols")) - F.lit(1)
+    dof = (F.col("n_rows") - F.lit(1)) * (F.col("n_cols") - F.lit(1))
+    v = F.sqrt(
+        F.col("_chi2") / (F.col("n").cast("double") * k.cast("double"))
+    )
+    return joined.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        F.round(F.col("_chi2"), round_to).alias("chi2"),
+        dof.cast("long").alias("dof"),
+        F.round(F.when(k > 0, v), round_to).alias("v"),
+    )
+
+
+def cramers_v_oracle_sql(
+    table_expr: str, row_col: str, col_col: str, round_to: int = 6
+) -> str:
+    """DuckDB twin: the contingency oracle's chi2 sum, same
+    normalization and exactly-rounded sqrt."""
+    chi2_sql = contingency_chi2_oracle_sql(table_expr, row_col, col_col, round_to=12)
+    return f"""
+WITH terms AS ({chi2_sql}),
+base AS (SELECT * FROM {table_expr}
+         WHERE {row_col} IS NOT NULL AND {col_col} IS NOT NULL),
+nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT {row_col}) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT {col_col}) AS BIGINT) AS n_cols
+  FROM base
+),
+c2 AS (SELECT SUM(chi2_term) AS _chi2 FROM terms)
+SELECT n, n_rows, n_cols,
+       ROUND(_chi2, {round_to}) AS chi2,
+       CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+       ROUND(CASE WHEN LEAST(n_rows, n_cols) > 1 THEN
+         SQRT(_chi2 / (CAST(n AS DOUBLE)
+                       * CAST(LEAST(n_rows, n_cols) - 1 AS DOUBLE))) END,
+         {round_to}) AS v
+FROM nn CROSS JOIN c2
+"""
+
+
+def chapman_estimate(
+    df: DataFrame,
+    id_col: str,
+    slice_col,
+    slice_a,
+    slice_b,
+    round_to: int = 4,
+) -> DataFrame:
+    """Chapman capture-recapture population estimate — "how many unique
+    ids exist in total, given two overlapping samples": the dedup-side
+    question (two crawl snapshots share m documents → how big is the
+    whole corpus) answered by mark-recapture statistics:
+
+        N̂ = (n_a + 1)(n_b + 1) / (m + 1) − 1
+
+    (Chapman's bias-corrected form of Lincoln-Petersen; exact for
+    m = 0.) Exact distinct counts, DECIMAL product, ONE division. Plan:
+    one distinct (id, membership-pair) aggregate. Output one row:
+    ``(n_a, n_b, overlap, estimate)``.
+    """
+    s = F.col(slice_col)
+    per = (
+        df.where(s.isin(slice_a, slice_b))
+        .groupBy(F.col(id_col).alias("_id"))
+        .agg(
+            F.max((s == slice_a).cast("int")).alias("_a"),
+            F.max((s == slice_b).cast("int")).alias("_b"),
+        )
+    )
+    agg = per.agg(
+        F.sum("_a").alias("n_a"),
+        F.sum("_b").alias("n_b"),
+        F.sum(F.col("_a") * F.col("_b")).alias("overlap"),
+    )
+    est = (
+        (F.col("n_a") + 1).cast("decimal(38,0)")
+        * (F.col("n_b") + 1).cast("decimal(38,0)")
+    ).cast("double") / (F.col("overlap") + 1).cast("double") - F.lit(1.0)
+    return agg.select(
+        "n_a", "n_b", "overlap", F.round(est, round_to).alias("estimate")
+    )
+
+
+def chapman_estimate_oracle_sql(
+    values_sql: str,
+    id_col: str,
+    slice_col: str,
+    slice_a_sql: str,
+    slice_b_sql: str,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin: same distinct membership, HUGEINT product, one
+    division."""
+    return f"""
+WITH vals AS ({values_sql}),
+per AS (
+  SELECT {id_col} AS _id,
+         MAX(CASE WHEN {slice_col} = {slice_a_sql} THEN 1 ELSE 0 END) AS _a,
+         MAX(CASE WHEN {slice_col} = {slice_b_sql} THEN 1 ELSE 0 END) AS _b
+  FROM vals WHERE {slice_col} IN ({slice_a_sql}, {slice_b_sql})
+  GROUP BY {id_col}
+),
+agg AS (
+  SELECT CAST(SUM(_a) AS BIGINT) AS n_a, CAST(SUM(_b) AS BIGINT) AS n_b,
+         CAST(SUM(_a * _b) AS BIGINT) AS overlap
+  FROM per
+)
+SELECT n_a, n_b, overlap,
+       ROUND(CAST(CAST(n_a + 1 AS HUGEINT) * CAST(n_b + 1 AS HUGEINT) AS DOUBLE)
+             / CAST(overlap + 1 AS DOUBLE) - 1.0, {round_to}) AS estimate
+FROM agg
+"""

@@ -177,3 +177,137 @@ SELECT CONCAT(r_score, '-', f_score, '-', m_score) AS segment,
 FROM scored
 GROUP BY r_score, f_score, m_score
 """
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation — how many units to
+    draw from each stratum to minimize the variance of the estimated
+    mean at a fixed budget (the eval-set construction question:
+    high-variance strata earn more slots):
+
+        n_h = total_n · (N_h·S_h) / Σ(N_h·S_h)
+
+    S_h is the population σ from DECIMAL-exact moments (one division,
+    exactly-rounded sqrt). Fractional allocations are integerized by
+    the LARGEST-REMAINDER method with a deterministic (remainder DESC,
+    stratum ASC) tie-break, so Σ n_alloc == total_n exactly. If every
+    stratum is constant (Σ weights = 0) the allocation falls back to
+    proportional-by-size, pinned identically in the oracle.
+
+    One moment aggregate per stratum + windows over the bounded strata
+    frame. Output: ``(stratum, n_pop, sd, share, n_alloc)``.
+    """
+    from pyspark.sql import Window
+
+    st = F.col(stratum_col)
+    per = df.groupBy(st.alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.sum(F.col(value_col).cast("long")).alias("_s"),
+        F.sum(
+            F.col(value_col).cast("decimal(38,0)")
+            * F.col(value_col).cast("decimal(38,0)")
+        ).alias("_s2"),
+    )
+    npop = F.col("n_pop").cast("decimal(38,0)")
+    num = (npop * F.col("_s2") - F.col("_s").cast("decimal(38,0)")
+           * F.col("_s").cast("decimal(38,0)"))
+    sd = F.sqrt(num.cast("double")) / F.col("n_pop").cast("double")
+    scored = per.select(
+        "stratum", "n_pop", sd.alias("sd"),
+        (F.col("n_pop").cast("double") * sd).alias("_w"),
+    )
+    wall = Window.orderBy("stratum").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # fall back to proportional weights when every stratum is constant
+    scored = scored.withColumn("_wsum", F.sum("_w").over(wall)).withColumn(
+        "_we",
+        F.when(F.col("_wsum") > 0, F.col("_w")).otherwise(
+            F.col("n_pop").cast("double")
+        ),
+    )
+    scored = scored.withColumn("_wes", F.sum("_we").over(wall)).withColumn(
+        "_exact", F.lit(float(total_n)) * F.col("_we") / F.col("_wes")
+    )
+    scored = (
+        scored.withColumn("_base", F.floor("_exact").cast("long"))
+        .withColumn("_rem", F.col("_exact") - F.col("_base").cast("double"))
+        .withColumn("_bsum", F.sum("_base").over(wall))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.col("_rem").desc(), F.col("stratum").asc())
+            ),
+        )
+    )
+    return scored.select(
+        "stratum",
+        "n_pop",
+        F.round(F.col("sd"), round_to).alias("sd"),
+        F.round(F.col("_we") / F.col("_wes"), round_to).alias("share"),
+        (
+            F.col("_base")
+            + (F.col("_rk") <= (F.lit(total_n) - F.col("_bsum"))).cast("long")
+        ).alias("n_alloc"),
+    ).orderBy("stratum")
+
+
+def neyman_allocation_oracle_sql(
+    values_sql: str,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same moments, sqrt, largest-remainder integerization
+    and tie-break."""
+    return f"""
+WITH vals AS ({values_sql}),
+per AS (
+  SELECT {stratum_col} AS stratum, CAST(COUNT(*) AS BIGINT) AS n_pop,
+         CAST(SUM({value_col}) AS BIGINT) AS _s,
+         SUM(CAST({value_col} AS HUGEINT) * CAST({value_col} AS HUGEINT)) AS _s2
+  FROM vals GROUP BY {stratum_col}
+),
+scored AS (
+  SELECT stratum, n_pop,
+         SQRT(CAST(CAST(n_pop AS HUGEINT) * _s2
+                   - CAST(_s AS HUGEINT) * CAST(_s AS HUGEINT) AS DOUBLE))
+           / CAST(n_pop AS DOUBLE) AS sd
+  FROM per
+),
+wts AS (
+  SELECT *, CAST(n_pop AS DOUBLE) * sd AS _w,
+         SUM(CAST(n_pop AS DOUBLE) * sd) OVER () AS _wsum
+  FROM scored
+),
+eff AS (
+  SELECT *, CASE WHEN _wsum > 0 THEN _w ELSE CAST(n_pop AS DOUBLE) END AS _we
+  FROM wts
+),
+ex AS (
+  SELECT *, CAST({total_n} AS DOUBLE) * _we / SUM(_we) OVER () AS _exact,
+         _we / SUM(_we) OVER () AS share
+  FROM eff
+),
+fl AS (
+  SELECT *, CAST(FLOOR(_exact) AS BIGINT) AS _base,
+         _exact - FLOOR(_exact) AS _rem
+  FROM ex
+),
+rk AS (
+  SELECT *, SUM(_base) OVER () AS _bsum,
+         ROW_NUMBER() OVER (ORDER BY _rem DESC, stratum ASC) AS _rk
+  FROM fl
+)
+SELECT stratum, n_pop, ROUND(sd, {round_to}) AS sd,
+       ROUND(share, {round_to}) AS share,
+       _base + CASE WHEN _rk <= {total_n} - _bsum THEN 1 ELSE 0 END AS n_alloc
+FROM rk
+"""
