@@ -7882,6 +7882,48 @@ def _sql_neyman_allocation() -> str:
 SQL_NEYMAN_ALLOCATION = _sql_neyman_allocation()
 
 
+def q_integrity_audit(spark, sf):
+    """Star-schema join health (`quality.fk_audit`): orphan counts and
+    rates for all five FK edges of the fixture schema in one bounded
+    report — the referential audit run before trusting any rollup.
+    Each edge is a distinct parent-key projection + anti join (no
+    driver-side counts); the union frame is O(edges)."""
+    from revtron_utils_spark.operators.quality import fk_audit
+
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    nat = _t(spark, sf, "nation")
+    part = _t(spark, sf, "part")
+    supp = _t(spark, sf, "supplier")
+    return fk_audit(
+        [
+            ("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+            ("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+            ("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+            ("customer.c_nationkey->nation", cust, "c_nationkey", nat, "n_nationkey"),
+        ]
+    )
+
+
+def _sql_integrity_audit() -> str:
+    from revtron_utils_spark.operators.quality import fk_audit_oracle_sql
+
+    return fk_audit_oracle_sql(
+        [
+            ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+            ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+            ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ]
+    )
+
+
+SQL_INTEGRITY_AUDIT = _sql_integrity_audit()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -8115,6 +8157,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cramers_v": (q_cramers_v, SQL_CRAMERS_V),
     "population_estimate": (q_population_estimate, SQL_POPULATION_ESTIMATE),
     "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
+    "integrity_audit": (q_integrity_audit, SQL_INTEGRITY_AUDIT),
 }
 
 

@@ -173,6 +173,7 @@ HEADLINE = [
     "cramers_v",
     "population_estimate",
     "neyman_allocation",
+    "integrity_audit",
 ]
 
 

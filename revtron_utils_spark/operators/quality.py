@@ -96,3 +96,78 @@ def fk_violations(
         .join(keys, child_col, "left_anti")
         .count()
     )
+
+
+def fk_audit(
+    edges: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
+    round_to: int = 6,
+) -> DataFrame:
+    """Referential-integrity report over a schema's FK edges — the
+    warehouse join-health audit run before trusting any star-schema
+    rollup: one row per edge ``(fk, n_child, orphans, orphan_rate)``
+    where orphans are non-null child keys with no parent match.
+
+    ``edges`` is a sequence of ``(name, child_df, child_col, parent_df,
+    parent_col)``. Each edge is one distinct parent-key projection
+    (broadcastable dimension) + one anti join + scalar aggregates —
+    unioned into a bounded edge-count frame; the plan stays one pass
+    per table side with no driver-side counts (unlike
+    :func:`fk_violations`, which returns an int for imperative use).
+    """
+    from functools import reduce
+
+    parts = []
+    for name, child, ccol, parent, pcol in edges:
+        keys = parent.select(F.col(pcol).alias(ccol)).distinct()
+        nn = child.filter(F.col(ccol).isNotNull())
+        tot = nn.agg(F.count(F.lit(1)).alias("n_child"))
+        orph = (
+            nn.select(ccol)
+            .join(keys, ccol, "left_anti")
+            .agg(F.count(F.lit(1)).alias("orphans"))
+        )
+        parts.append(
+            tot.crossJoin(orph).select(
+                F.lit(name).alias("fk"),
+                "n_child",
+                "orphans",
+                F.round(
+                    F.when(
+                        F.col("n_child") > 0,
+                        F.col("orphans").cast("double")
+                        / F.col("n_child").cast("double"),
+                    ),
+                    round_to,
+                ).alias("orphan_rate"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("fk")
+
+
+def fk_audit_oracle_sql(
+    edges: Sequence[tuple[str, str, str, str, str]],
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: one scalar-subquery row per edge, same anti-join
+    semantics. ``edges`` is ``(name, child_table, child_col,
+    parent_table, parent_col)``."""
+    rows = []
+    for name, ct, cc, pt, pc in edges:
+        rows.append(
+            f"""
+SELECT '{name}' AS fk,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {ct}
+        WHERE {cc} IS NOT NULL) AS n_child,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM
+          (SELECT {cc} FROM {ct} WHERE {cc} IS NOT NULL) c
+        ANTI JOIN (SELECT DISTINCT {pc} AS {cc} FROM {pt}) p USING ({cc})
+       ) AS orphans"""
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+SELECT fk, n_child, orphans,
+       ROUND(CASE WHEN n_child > 0 THEN
+         CAST(orphans AS DOUBLE) / CAST(n_child AS DOUBLE) END,
+         {round_to}) AS orphan_rate
+FROM ({union})
+"""

@@ -104,3 +104,37 @@ def test_compression_filter_flags_repetitive_and_handles_nulls(spark):
     assert out[1][1] is False and out[1][0] < 0.1
     assert out[2][1] is True
     assert out[3] == (None, None) and out[4] == (None, None)
+
+
+def test_fk_audit_counts_orphans_per_edge(spark):
+    from revtron_utils_spark.operators.quality import fk_audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], ["id", "fk"]
+    )
+    parent = spark.createDataFrame([(10,), (20,)], ["pk"])
+    got = fk_audit([("child.fk->parent", child, "fk", parent, "pk")]).collect()
+    r = got[0]
+    # NULL keys are excluded from the denominator; 99 is the one orphan
+    assert (r["fk"], r["n_child"], r["orphans"]) == ("child.fk->parent", 3, 1)
+    assert abs(r["orphan_rate"] - 1 / 3) < 1e-6
+
+
+def test_fk_audit_multiple_edges_and_clean_edge(spark):
+    from revtron_utils_spark.operators.quality import fk_audit
+
+    c1 = spark.createDataFrame([(1, 5), (2, 5)], ["id", "fk"])
+    p1 = spark.createDataFrame([(5,)], ["pk"])
+    c2 = spark.createDataFrame([(1, 7)], ["id", "fk"])
+    p2 = spark.createDataFrame([(8,)], ["pk"])
+    got = {
+        r["fk"]: r
+        for r in fk_audit(
+            [
+                ("clean", c1, "fk", p1, "pk"),
+                ("broken", c2, "fk", p2, "pk"),
+            ]
+        ).collect()
+    }
+    assert got["clean"]["orphans"] == 0 and got["clean"]["orphan_rate"] == 0.0
+    assert got["broken"]["orphans"] == 1 and got["broken"]["orphan_rate"] == 1.0
