@@ -7924,6 +7924,31 @@ def _sql_integrity_audit() -> str:
 SQL_INTEGRITY_AUDIT = _sql_integrity_audit()
 
 
+def q_holt_forecast(spark, sf):
+    """Level+trend forecast (`timeseries.holt_linear`): Holt double
+    exponential smoothing of per-nation monthly revenue with the
+    one-step-ahead readout — `ewma_series`'s big sibling, ONE
+    struct-accumulator fold per group (O(spine), only the final state
+    emitted). Identical fold in the oracle with every literal cast to
+    DOUBLE."""
+    from revtron_utils_spark.operators.timeseries import holt_linear
+
+    return holt_linear(
+        _nation_month_revenue(spark, sf), "month", "cents", by=["nation"]
+    )
+
+
+def _sql_holt_forecast() -> str:
+    from revtron_utils_spark.operators.timeseries import holt_linear_oracle_sql
+
+    return holt_linear_oracle_sql(
+        _SQL_NATION_MONTH_REVENUE, "month", "cents", by=["nation"]
+    )
+
+
+SQL_HOLT_FORECAST = _sql_holt_forecast()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -8158,6 +8183,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "population_estimate": (q_population_estimate, SQL_POPULATION_ESTIMATE),
     "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
     "integrity_audit": (q_integrity_audit, SQL_INTEGRITY_AUDIT),
+    "holt_forecast": (q_holt_forecast, SQL_HOLT_FORECAST),
 }
 
 

@@ -174,6 +174,7 @@ HEADLINE = [
     "population_estimate",
     "neyman_allocation",
     "integrity_audit",
+    "holt_forecast",
 ]
 
 

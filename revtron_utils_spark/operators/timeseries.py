@@ -544,3 +544,133 @@ SELECT {gc}, n_buckets, n_events,
        END, {round_to}) AS dispersion
 FROM agg
 """
+
+
+def holt_linear(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    by: list[str],
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    round_to: int = 4,
+) -> DataFrame:
+    """Holt double-exponential smoothing per group — level + trend
+    state and the one-step-ahead forecast, the "what does next month
+    look like" readout on top of :func:`ewma`'s level-only smoothing.
+
+    Standard recursion, l₁ = x₁, b₁ = x₂ − x₁, then for t ≥ 2:
+
+        l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    evaluated as ONE left fold with a (level, trend) struct accumulator
+    over the ascending-time bucket array — O(spine) per group (cheaper
+    than the O(spine²) per-step folds: only the FINAL state is
+    emitted). The DuckDB oracle folds the identical struct recursion
+    (every literal cast to DOUBLE — DuckDB float literals are DECIMAL),
+    so the doubles agree bit-for-bit. Groups with one bucket emit a
+    NULL trend/forecast. Output: ``(*by, n_buckets, level, trend,
+    forecast)``.
+    """
+    keys = list(by)
+    per = df.groupBy(*keys, F.col(time_col).alias("t")).agg(
+        F.sum(F.col(value_col).cast("long")).alias("x")
+    )
+    arr = per.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(F.struct("t", "x"))).alias("a")
+    )
+    xs = F.transform(F.col("a"), lambda s: s["x"].cast("double"))
+    x1 = F.try_element_at(xs, F.lit(1))
+    # try_: single-bucket groups have no x2 (NULL trend), and ANSI
+    # element_at throws on the out-of-range access
+    x2 = F.try_element_at(xs, F.lit(2))
+    init = F.struct(x1.alias("l"), (x2 - x1).alias("b"))
+    # 1−α / 1−β precomputed in python and injected as literals on BOTH
+    # engines (DuckDB would otherwise compute them in DECIMAL)
+    a_, b_ = F.lit(alpha), F.lit(beta)
+    oma, omb = F.lit(1.0 - alpha), F.lit(1.0 - beta)
+
+    def step(acc, x):
+        lnew = a_ * x + oma * (acc["l"] + acc["b"])
+        bnew = b_ * (
+            (a_ * x + oma * (acc["l"] + acc["b"])) - acc["l"]
+        ) + omb * acc["b"]
+        return F.struct(lnew.alias("l"), bnew.alias("b"))
+
+    state = F.aggregate(
+        F.slice(xs, F.lit(2), F.greatest(F.size(xs) - F.lit(1), F.lit(0))),
+        init,
+        step,
+    )
+    out = arr.select(
+        *keys,
+        F.size("a").alias("n_buckets"),
+        state["l"].alias("_l"),
+        state["b"].alias("_b"),
+    )
+    return out.select(
+        *keys,
+        "n_buckets",
+        F.round(F.col("_l"), round_to).alias("level"),
+        F.round(F.col("_b"), round_to).alias("trend"),
+        F.round(F.col("_l") + F.col("_b"), round_to).alias("forecast"),
+    ).orderBy(*keys)
+
+
+def holt_linear_oracle_sql(
+    series_sql: str,
+    time_col: str,
+    value_col: str,
+    by: list[str],
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin: identical fold with a TWO-ELEMENT LIST accumulator
+    ``[level, trend]`` — NOT a struct: DuckDB 1.0's ``list_reduce``
+    computes wrong values for multi-field struct accumulators (the
+    second field sees corrupted state; reproduced and pinned by
+    tests/test_timeseries.py::test_holt_oracle_uses_list_accumulator),
+    while the list form folds correctly. Elements are lifted to
+    ``[x, 0.0]`` because list_reduce requires accumulator-typed
+    elements; every literal is cast to DOUBLE (DuckDB float literals
+    are DECIMAL)."""
+    gc = ", ".join(by)
+    a_, b_ = repr(alpha), repr(beta)
+    oma, omb = repr(1.0 - alpha), repr(1.0 - beta)
+    lnew = (
+        f"CAST({a_} AS DOUBLE) * cur[1] "
+        f"+ CAST({oma} AS DOUBLE) * (acc[1] + acc[2])"
+    )
+    return f"""
+WITH series AS ({series_sql}),
+per AS (
+  SELECT {gc}, {time_col} AS t, CAST(SUM({value_col}) AS BIGINT) AS x
+  FROM series GROUP BY {gc}, {time_col}
+),
+arr AS (
+  SELECT {gc}, list(CAST(x AS DOUBLE) ORDER BY t) AS xs
+  FROM per GROUP BY {gc}
+),
+folded AS (
+  SELECT {gc}, len(xs) AS n_buckets,
+         list_reduce(
+           list_prepend(
+             [xs[1], xs[2] - xs[1]],
+             list_transform(xs[2:], x -> [x, CAST(0.0 AS DOUBLE)])
+           ),
+           (acc, cur) -> [
+             {lnew},
+             CAST({b_} AS DOUBLE) * (({lnew}) - acc[1])
+             + CAST({omb} AS DOUBLE) * acc[2]
+           ]
+         ) AS st
+  FROM arr
+)
+SELECT {gc}, CAST(n_buckets AS INTEGER) AS n_buckets,
+       ROUND(st[1], {round_to}) AS level,
+       ROUND(st[2], {round_to}) AS trend,
+       ROUND(st[1] + st[2], {round_to}) AS forecast
+FROM folded
+"""
