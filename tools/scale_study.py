@@ -210,6 +210,8 @@ def make_fixtures(out_dir: Path, n_docs: int, seed: int = 42) -> None:
         }
     )
     pq.write_table(nation, out_dir / "nation.parquet")
+    supplier = pa.table({"s_suppkey": pa.array(range(n_supp), pa.int64())})
+    pq.write_table(supplier, out_dir / "supplier.parquet")
     n_li = n_docs * 4
     n_part = n_docs * 4
     qtys = [rng.randrange(1, 51) for _ in range(n_li)]
@@ -312,6 +314,8 @@ def main() -> None:
             if "p_brand" not in _pq.read_schema(d / "part.parquet").names:
                 return True
             if not (d / "customer.parquet").exists():
+                return True
+            if not (d / "supplier.parquet").exists():
                 return True
             return "o_orderdate" not in _pq.read_schema(d / "orders.parquet").names
 
