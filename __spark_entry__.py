@@ -7949,6 +7949,79 @@ def _sql_holt_forecast() -> str:
 SQL_HOLT_FORECAST = _sql_holt_forecast()
 
 
+def q_ks_test(spark, sf):
+    """Sup-norm drift (`profile.ks_test`): two-sample KS distance
+    between the 1995 and 1999 order-value distributions on the same
+    $5k buckets as `hellinger_drift` — Hellinger integrates the
+    disagreement, KS locates its worst point. Exact DECIMAL CDF cross
+    products, deterministic argmax, ONE division, exactly-rounded
+    sqrt for the scaled statistic."""
+    from revtron_utils_spark.operators.profile import ks_test
+
+    orders = _t(spark, sf, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 500000").alias(
+            "bucket"
+        ),
+    )
+    return ks_test(orders, "bucket", "yr", 1995, 1999)
+
+
+def _sql_ks_test() -> str:
+    from revtron_utils_spark.operators.profile import ks_test_oracle_sql
+
+    values = """
+SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+       CAST(round(o_totalprice * 100) AS BIGINT) // 500000 AS bucket
+FROM orders
+"""
+    return ks_test_oracle_sql(values, "bucket", "yr", "1995", "1999")
+
+
+SQL_KS_TEST = _sql_ks_test()
+
+
+def q_gini_split(spark, sf):
+    """Feature usefulness (`evaluation.gini_split_gain`): the best
+    decision-stump threshold of the order-value histogram against the
+    fully-shipped label, per order priority — the log-free information
+    readout (Gini gain is rational in exact counts where info-gain's
+    logs are not engine-deterministic). One (group, bucket) shuffle +
+    cumsum windows over the bounded histogram, single-division
+    common-denominator impurities."""
+    from revtron_utils_spark.operators.evaluation import gini_split_gain
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 500000").alias(
+            "bucket"
+        ),
+        (F.col("o_orderstatus") == "F").cast("int").alias("shipped"),
+    )
+    return gini_split_gain(
+        orders, "bucket", "shipped", by=["o_orderpriority"]
+    )
+
+
+def _sql_gini_split() -> str:
+    from revtron_utils_spark.operators.evaluation import (
+        gini_split_gain_oracle_sql,
+    )
+
+    values = """
+SELECT o_orderpriority,
+       CAST(round(o_totalprice * 100) AS BIGINT) // 500000 AS bucket,
+       CAST(o_orderstatus = 'F' AS INTEGER) AS shipped
+FROM orders
+"""
+    return gini_split_gain_oracle_sql(
+        values, "bucket", "shipped", by=["o_orderpriority"]
+    )
+
+
+SQL_GINI_SPLIT = _sql_gini_split()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -8184,6 +8257,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
     "integrity_audit": (q_integrity_audit, SQL_INTEGRITY_AUDIT),
     "holt_forecast": (q_holt_forecast, SQL_HOLT_FORECAST),
+    "ks_test": (q_ks_test, SQL_KS_TEST),
+    "gini_split": (q_gini_split, SQL_GINI_SPLIT),
 }
 
 

@@ -175,6 +175,8 @@ HEADLINE = [
     "neyman_allocation",
     "integrity_audit",
     "holt_forecast",
+    "ks_test",
+    "gini_split",
 ]
 
 

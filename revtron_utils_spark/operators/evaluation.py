@@ -303,3 +303,159 @@ SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
              / CAST(COUNT(*) AS DOUBLE), {round_to}) AS pos_rate
 FROM b GROUP BY bin
 """
+
+
+def gini_split_gain(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Best decision-stump split of a bucketed numeric feature against
+    a binary label, scored by Gini-impurity reduction — the log-free
+    feature-usefulness readout (information gain needs logarithms;
+    Gini gain is rational in the counts, so it is engine-exact):
+
+        parent = (n² − pos² − neg²) / n²
+        child  = [(n_l²−p_l²−q_l²)·n_r + (n_r²−p_r²−q_r²)·n_l] / (n_l·n_r·n)
+        gain(t) = parent − child(t),  split: x ≤ t
+
+    — the weighted-child form collapses to ONE division via the common
+    denominator n_l·n_r·n. Thresholds are the bucket values with a
+    non-empty right side; the best split breaks ties toward the
+    smallest threshold. Plan: one (group, bucket) partial-agg shuffle +
+    cumsum windows over the caller-bounded histogram; DECIMAL
+    everywhere (squares wrap int64 at corpus scale). Output per group:
+    ``(*by, n, pos, parent_gini, best_threshold, n_left, n_right,
+    best_gain)`` (NULL threshold when no valid split exists).
+    """
+    from pyspark.sql import Window
+
+    keys = list(by or [])
+    lb = F.col(label_col).cast("long")
+    per = df.groupBy(*keys, F.col(feature_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum(lb).alias("_p"),
+    )
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy("_k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*keys)
+    cum = per.select(
+        *keys,
+        "_k",
+        F.sum("_c").over(wcum).alias("_nl"),
+        F.sum("_p").over(wcum).alias("_pl"),
+        F.sum("_c").over(wall).alias("_n"),
+        F.sum("_p").over(wall).alias("_pos"),
+    ).where(F.col("_nl") < F.col("_n"))
+    dec = lambda c: c.cast("decimal(38,0)")
+
+    def imp_num(n, p):
+        q = n - p
+        return dec(n) * dec(n) - dec(p) * dec(p) - dec(q) * dec(q)
+
+    nl, pl = F.col("_nl"), F.col("_pl")
+    nr, pr = F.col("_n") - nl, F.col("_pos") - pl
+    child_num = imp_num(nl, pl) * dec(nr) + imp_num(nr, pr) * dec(nl)
+    child = child_num.cast("double") / (dec(nl) * dec(nr) * dec(F.col("_n"))).cast(
+        "double"
+    )
+    parent = imp_num(F.col("_n"), F.col("_pos")).cast("double") / (
+        dec(F.col("_n")) * dec(F.col("_n"))
+    ).cast("double")
+    scored = cum.select(
+        *keys,
+        "_k",
+        "_nl",
+        "_n",
+        "_pos",
+        (parent - child).alias("_gain"),
+        parent.alias("_parent"),
+    )
+    pick = Window.partitionBy(*keys).orderBy(
+        F.col("_gain").desc(), F.col("_k").asc()
+    )
+    best = scored.withColumn("_r", F.row_number().over(pick)).where(
+        F.col("_r") == 1
+    )
+    return best.select(
+        *keys,
+        F.col("_n").alias("n"),
+        F.col("_pos").alias("pos"),
+        F.round(F.col("_parent"), round_to).alias("parent_gini"),
+        F.col("_k").alias("best_threshold"),
+        F.col("_nl").alias("n_left"),
+        (F.col("_n") - F.col("_nl")).alias("n_right"),
+        F.round(F.col("_gain"), round_to).alias("best_gain"),
+    ).orderBy(*keys)
+
+
+def gini_split_gain_oracle_sql(
+    values_sql: str,
+    feature_col: str,
+    label_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same HUGEINT impurity numerators, same
+    common-denominator single divisions, same argmax tie-break."""
+    keys = list(by or [])
+    gc = ", ".join(keys)
+    sel = f"{gc}, " if keys else ""
+    part = f"PARTITION BY {gc}" if keys else ""
+    # args are parenthesized before substitution: n/p arrive as compound
+    # expressions (`_n - _nl`) and `CAST(n - p AS ...)` would otherwise
+    # re-associate the subtraction
+    imp = lambda n, p: (
+        f"(CAST(({n}) AS HUGEINT) * CAST(({n}) AS HUGEINT)"
+        f" - CAST(({p}) AS HUGEINT) * CAST(({p}) AS HUGEINT)"
+        f" - CAST(({n}) - ({p}) AS HUGEINT) * CAST(({n}) - ({p}) AS HUGEINT))"
+    )
+    child_num = (
+        f"({imp('_nl', '_pl')} * CAST(_n - _nl AS HUGEINT)"
+        f" + {imp('_n - _nl', '_pos - _pl')} * CAST(_nl AS HUGEINT))"
+    )
+    return f"""
+WITH vals AS ({values_sql}),
+per AS (
+  SELECT {sel}{feature_col} AS _k, CAST(COUNT(*) AS BIGINT) AS _c,
+         CAST(SUM(CAST({label_col} AS BIGINT)) AS BIGINT) AS _p
+  FROM vals GROUP BY {sel}{feature_col}
+),
+cum AS (
+  SELECT {sel}_k,
+         SUM(_c) OVER ({part} ORDER BY _k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _nl,
+         SUM(_p) OVER ({part} ORDER BY _k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _pl,
+         SUM(_c) OVER ({part}) AS _n,
+         SUM(_p) OVER ({part}) AS _pos
+  FROM per
+),
+scored AS (
+  SELECT {sel}_k, _nl, _n, _pos,
+         CAST({imp('_n', '_pos')} AS DOUBLE)
+           / CAST(CAST(_n AS HUGEINT) * CAST(_n AS HUGEINT) AS DOUBLE) AS _parent,
+         CAST({imp('_n', '_pos')} AS DOUBLE)
+           / CAST(CAST(_n AS HUGEINT) * CAST(_n AS HUGEINT) AS DOUBLE)
+         - CAST({child_num} AS DOUBLE)
+           / CAST(CAST(_nl AS HUGEINT) * CAST(_n - _nl AS HUGEINT)
+                  * CAST(_n AS HUGEINT) AS DOUBLE) AS _gain
+  FROM cum WHERE _nl < _n
+),
+best AS (
+  SELECT * FROM scored
+  QUALIFY ROW_NUMBER() OVER ({part} ORDER BY _gain DESC, _k ASC) = 1
+)
+SELECT {sel}CAST(_n AS BIGINT) AS n, CAST(_pos AS BIGINT) AS pos,
+       ROUND(_parent, {round_to}) AS parent_gini,
+       _k AS best_threshold,
+       CAST(_nl AS BIGINT) AS n_left,
+       CAST(_n - _nl AS BIGINT) AS n_right,
+       ROUND(_gain, {round_to}) AS best_gain
+FROM best
+"""

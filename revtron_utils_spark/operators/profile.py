@@ -1181,3 +1181,131 @@ SELECT n_a, n_b, overlap,
              / CAST(overlap + 1 AS DOUBLE) - 1.0, {round_to}) AS estimate
 FROM agg
 """
+
+
+def ks_test(
+    df: DataFrame,
+    bucket_col: str,
+    slice_col,
+    slice_a,
+    slice_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance — the sup-norm companion
+    to :func:`hellinger_drift` (Hellinger integrates the disagreement,
+    KS finds the worst point of it):
+
+        D = max_t |F_a(t) − F_b(t)|
+
+    computed EXACTLY as max_t |cum_a(t)·n_b − cum_b(t)·n_a| over the
+    caller-bounded bucket spine (DECIMAL cross products), then ONE
+    division by n_a·n_b; the scaled statistic
+    ``sqrt(n_a·n_b/(n_a+n_b))·D`` uses the exactly-rounded sqrt. The
+    argmax location breaks ties toward the smallest bucket. Plan: one
+    (bucket, slice) partial-agg shuffle + cumsum windows over the
+    bounded histogram. Output one row: ``(n_a, n_b, ks_at, ks_d,
+    ks_stat)``.
+    """
+    from pyspark.sql import Window
+
+    s = F.col(slice_col)
+    per = (
+        df.where(s.isin(slice_a, slice_b))
+        .groupBy(F.col(bucket_col).alias("_k"))
+        .agg(
+            F.sum(F.when(s == slice_a, 1).otherwise(0)).alias("_ca"),
+            F.sum(F.when(s == slice_b, 1).otherwise(0)).alias("_cb"),
+        )
+    )
+    wcum = Window.orderBy("_k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("_k").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "_k",
+        F.sum("_ca").over(wcum).alias("_cuma"),
+        F.sum("_cb").over(wcum).alias("_cumb"),
+        F.sum("_ca").over(wall).alias("_na"),
+        F.sum("_cb").over(wall).alias("_nb"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    diff = F.abs(
+        dec(F.col("_cuma")) * dec(F.col("_nb"))
+        - dec(F.col("_cumb")) * dec(F.col("_na"))
+    )
+    pick = Window.orderBy(F.col("_diff").desc(), F.col("_k").asc())
+    best = (
+        cum.withColumn("_diff", diff)
+        .withColumn("_r", F.row_number().over(pick))
+        .where(F.col("_r") == 1)
+    )
+    d = F.col("_diff").cast("double") / (
+        dec(F.col("_na")) * dec(F.col("_nb"))
+    ).cast("double")
+    stat = (
+        F.sqrt(
+            (dec(F.col("_na")) * dec(F.col("_nb"))).cast("double")
+            / (F.col("_na") + F.col("_nb")).cast("double")
+        )
+        * d
+    )
+    return best.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.col("_k").alias("ks_at"),
+        F.round(d, round_to).alias("ks_d"),
+        F.round(stat, round_to).alias("ks_stat"),
+    )
+
+
+def ks_test_oracle_sql(
+    values_sql: str,
+    bucket_col: str,
+    slice_col: str,
+    slice_a_sql: str,
+    slice_b_sql: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same HUGEINT cross products, same argmax tie-break,
+    same single division and exactly-rounded sqrt."""
+    return f"""
+WITH vals AS ({values_sql}),
+per AS (
+  SELECT {bucket_col} AS _k,
+         CAST(SUM(CASE WHEN {slice_col} = {slice_a_sql} THEN 1 ELSE 0 END) AS BIGINT) AS _ca,
+         CAST(SUM(CASE WHEN {slice_col} = {slice_b_sql} THEN 1 ELSE 0 END) AS BIGINT) AS _cb
+  FROM vals WHERE {slice_col} IN ({slice_a_sql}, {slice_b_sql})
+  GROUP BY {bucket_col}
+),
+cum AS (
+  SELECT _k,
+         SUM(_ca) OVER (ORDER BY _k
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cuma,
+         SUM(_cb) OVER (ORDER BY _k
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cumb,
+         SUM(_ca) OVER () AS _na, SUM(_cb) OVER () AS _nb
+  FROM per
+),
+scored AS (
+  SELECT _k, _na, _nb,
+         ABS(CAST(_cuma AS HUGEINT) * CAST(_nb AS HUGEINT)
+             - CAST(_cumb AS HUGEINT) * CAST(_na AS HUGEINT)) AS _diff
+  FROM cum
+),
+best AS (
+  SELECT * FROM scored
+  QUALIFY ROW_NUMBER() OVER (ORDER BY _diff DESC, _k ASC) = 1
+)
+SELECT CAST(_na AS BIGINT) AS n_a, CAST(_nb AS BIGINT) AS n_b, _k AS ks_at,
+       ROUND(CAST(_diff AS DOUBLE)
+             / CAST(CAST(_na AS HUGEINT) * CAST(_nb AS HUGEINT) AS DOUBLE),
+             {round_to}) AS ks_d,
+       ROUND(SQRT(CAST(CAST(_na AS HUGEINT) * CAST(_nb AS HUGEINT) AS DOUBLE)
+                  / CAST(_na + _nb AS DOUBLE))
+             * (CAST(_diff AS DOUBLE)
+                / CAST(CAST(_na AS HUGEINT) * CAST(_nb AS HUGEINT) AS DOUBLE)),
+             {round_to}) AS ks_stat
+FROM best
+"""

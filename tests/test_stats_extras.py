@@ -101,3 +101,106 @@ def test_neyman_all_constant_falls_back_to_proportional(spark):
     df = spark.createDataFrame(rows, ["s", "x"])
     got = {r["stratum"]: r for r in neyman_allocation(df, "s", "x", 8).collect()}
     assert got["a"]["n_alloc"] == 6 and got["b"]["n_alloc"] == 2
+
+
+def test_ks_identical_slices_zero_and_disjoint_one(spark):
+    from revtron_utils_spark.operators.profile import ks_test
+
+    same = [("a", k) for k in range(10)] * 2 + [("b", k) for k in range(10)] * 2
+    df = spark.createDataFrame(same, ["s", "k"])
+    r = ks_test(df, "k", "s", "a", "b").collect()[0]
+    assert r["ks_d"] == 0.0 and r["ks_stat"] == 0.0
+    dis = [("a", k) for k in range(5)] + [("b", k + 100) for k in range(5)]
+    r2 = ks_test(spark.createDataFrame(dis, ["s", "k"]), "k", "s", "a", "b").collect()[0]
+    assert r2["ks_d"] == 1.0 and r2["ks_at"] == 4  # sup reached at a's last bucket
+
+
+def test_ks_matches_python_model(spark):
+    import math
+    import random
+
+    from revtron_utils_spark.operators.profile import ks_test
+
+    rng = random.Random(53)
+    a = [rng.randint(0, 15) for _ in range(250)]
+    b = [min(15, rng.randint(0, 15) + 3) for _ in range(150)]
+    rows = [("a", k) for k in a] + [("b", k) for k in b]
+    df = spark.createDataFrame(rows, ["s", "k"])
+    r = ks_test(df, "k", "s", "a", "b").collect()[0]
+    na, nb = len(a), len(b)
+    best_d, best_at = -1, None
+    for t in sorted(set(a) | set(b)):
+        d = abs(
+            sum(1 for x in a if x <= t) * nb - sum(1 for x in b if x <= t) * na
+        )
+        if d > best_d:
+            best_d, best_at = d, t
+    assert r["ks_at"] == best_at
+    assert abs(r["ks_d"] - round(best_d / (na * nb), 6)) < 1e-9
+    assert abs(
+        r["ks_stat"] - round(math.sqrt(na * nb / (na + nb)) * best_d / (na * nb), 6)
+    ) < 1e-6
+
+
+def _gini_py(rows):
+    """rows = [(bucket, label)] → (parent, best_t, best_gain)."""
+    from collections import Counter
+
+    n = len(rows)
+    pos = sum(l for _, l in rows)
+    parent = (n * n - pos * pos - (n - pos) ** 2) / (n * n)
+    best = None
+    for t in sorted({k for k, _ in rows}):
+        nl = sum(1 for k, _ in rows if k <= t)
+        if nl == n:
+            continue
+        pl = sum(l for k, l in rows if k <= t)
+        nr, pr = n - nl, pos - pl
+        child = (
+            (nl * nl - pl * pl - (nl - pl) ** 2) * nr
+            + (nr * nr - pr * pr - (nr - pr) ** 2) * nl
+        ) / (nl * nr * n)
+        gain = parent - child
+        if best is None or gain > best[1]:
+            best = (t, gain)
+    return parent, best[0], best[1]
+
+
+def test_gini_split_perfect_separator(spark):
+    from revtron_utils_spark.operators.evaluation import gini_split_gain
+
+    # label = bucket > 5 exactly: splitting at 5 removes all impurity
+    rows = [("g", k, int(k > 5)) for k in range(10) for _ in range(4)]
+    df = spark.createDataFrame(rows, ["g", "k", "y"])
+    r = gini_split_gain(df, "k", "y", by=["g"]).collect()[0]
+    assert r["best_threshold"] == 5
+    assert abs(r["best_gain"] - r["parent_gini"]) < 1e-9  # child impurity 0
+    assert (r["n_left"], r["n_right"]) == (24, 16)
+
+
+def test_gini_split_useless_feature_zero_gain(spark):
+    from revtron_utils_spark.operators.evaluation import gini_split_gain
+
+    # label independent of bucket with equal class mix per bucket
+    rows = [("g", k, l) for k in range(4) for l in (0, 1) for _ in range(5)]
+    df = spark.createDataFrame(rows, ["g", "k", "y"])
+    r = gini_split_gain(df, "k", "y", by=["g"]).collect()[0]
+    assert abs(r["best_gain"]) < 1e-9
+
+
+def test_gini_split_python_model_differential(spark):
+    import random
+
+    from revtron_utils_spark.operators.evaluation import gini_split_gain
+
+    rng = random.Random(59)
+    rows = [
+        ("g", rng.randint(0, 12), int(rng.random() < 0.3 + 0.04 * rng.randint(0, 12)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["g", "k", "y"])
+    r = gini_split_gain(df, "k", "y", by=["g"]).collect()[0]
+    parent, t, gain = _gini_py([(k, l) for _, k, l in rows])
+    assert abs(r["parent_gini"] - round(parent, 6)) < 1e-9
+    assert r["best_threshold"] == t
+    assert abs(r["best_gain"] - round(gain, 6)) < 1e-6
