@@ -8022,6 +8022,42 @@ FROM orders
 SQL_GINI_SPLIT = _sql_gini_split()
 
 
+_DIST_MATCH_WEIGHTS = {"en": 2, "de": 1, "fr": 1, "es": 1, "zh": 1}
+
+
+def q_distribution_match(spark, sf):
+    """Target-mix resampling (`curation.distribution_match`): rebalance
+    the documents corpus to an explicit 2:1:1:1:1 language mix with a
+    300-doc budget — largest-remainder quotas + the deterministic
+    hash-threshold draw (id_hash·c_b < k_b·MOD, exact DECIMAL cross
+    multiply). NO per-bucket sort: quotas and in-plan bucket counts
+    broadcast onto one filtered scan — the plan that survives a hot
+    bucket at 100 TB."""
+    from revtron_utils_spark.operators.curation import distribution_match
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    return distribution_match(
+        docs, "doc_id", "lang", _DIST_MATCH_WEIGHTS, total_keep=300
+    )
+
+
+def _sql_distribution_match() -> str:
+    from revtron_utils_spark.operators.curation import (
+        distribution_match_oracle_sql,
+    )
+
+    return distribution_match_oracle_sql(
+        "SELECT doc_id, lang, source FROM documents",
+        "doc_id",
+        "lang",
+        _DIST_MATCH_WEIGHTS,
+        total_keep=300,
+    )
+
+
+SQL_DISTRIBUTION_MATCH = _sql_distribution_match()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -8259,6 +8295,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "holt_forecast": (q_holt_forecast, SQL_HOLT_FORECAST),
     "ks_test": (q_ks_test, SQL_KS_TEST),
     "gini_split": (q_gini_split, SQL_GINI_SPLIT),
+    "distribution_match": (q_distribution_match, SQL_DISTRIBUTION_MATCH),
 }
 
 

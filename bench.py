@@ -177,6 +177,7 @@ HEADLINE = [
     "holt_forecast",
     "ks_test",
     "gini_split",
+    "distribution_match",
 ]
 
 

@@ -977,3 +977,111 @@ def compression_filter(
         F.round(r, 6).alias("ratio"),
         r.between(float(min_ratio), float(max_ratio)).alias("kept"),
     )
+
+
+def distribution_match(
+    df: DataFrame,
+    id_col: str,
+    bucket_col: str,
+    target_weights: dict,
+    total_keep: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministically resample a corpus toward a TARGET bucket
+    distribution — "rebalance to 25% per language", the mixture-control
+    sibling of :func:`mixture_sample` driven by an explicit weight
+    table instead of observed proportions.
+
+    Bucket quotas k_b come from largest-remainder apportionment of
+    ``total_keep`` over ``target_weights`` (Σ quotas = total_keep
+    exactly; deterministic (remainder DESC, bucket ASC) tie-break —
+    the `segment.neyman_allocation` integerizer), then each row keeps
+    iff ``id_hash(id)·c_b < k_b·MOD`` — an exact integer cross-multiply
+    (DECIMAL: hash·count wraps int64 at corpus scale), so the kept set
+    is a deterministic ≈Binomial(c_b, k_b/c_b) draw. NO per-bucket sort
+    or window over the corpus: quotas broadcast onto a single filtered
+    scan, which is what survives a hot bucket at 100 TB (exact-k
+    selection would need a per-bucket global sort; the hash-threshold
+    draw trades ±√k count jitter for a shuffle-free plan). Buckets
+    missing from ``target_weights`` are dropped.
+
+    Returns the kept rows of ``df`` (all columns).
+    """
+    import math
+
+    _require_integral_id(df, id_col)
+    # only the caller-enumerated weight table lives on the driver;
+    # bucket populations are aggregated IN-PLAN and joined back
+    buckets = sorted(target_weights)
+    wsum = float(sum(target_weights[b] for b in buckets))
+    exact = {b: total_keep * float(target_weights[b]) / wsum for b in buckets}
+    base = {b: math.floor(exact[b]) for b in buckets}
+    deficit = total_keep - sum(base.values())
+    order = sorted(buckets, key=lambda b: (-(exact[b] - base[b]), str(b)))
+    quota = {
+        b: base[b] + (1 if i < deficit else 0) for i, b in enumerate(order)
+    }
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(b, quota[b]) for b in buckets],
+        f"_b {df.schema[bucket_col].dataType.simpleString()}, _k long",
+    )
+    counts = df.groupBy(F.col(bucket_col).alias("_cb")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    joined = df.join(
+        F.broadcast(qdf), df[bucket_col] == qdf["_b"], "inner"
+    ).join(
+        F.broadcast(counts), df[bucket_col] == counts["_cb"], "inner"
+    )
+    h = id_hash(F.col(id_col), seed)
+    keep = (
+        h.cast("decimal(38,0)") * F.col("_c").cast("decimal(38,0)")
+        < F.col("_k").cast("decimal(38,0)") * F.lit(HASH_MOD).cast("decimal(38,0)")
+    )
+    return joined.where(keep).drop("_b", "_k", "_cb", "_c")
+
+
+def distribution_match_oracle_sql(
+    values_sql: str,
+    id_col: str,
+    bucket_col: str,
+    target_weights: dict,
+    total_keep: int,
+    counts_sql: str | None = None,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin: quotas computed by the same python apportionment
+    (both engines receive the identical literal quota table), same
+    hash, same HUGEINT cross-multiply."""
+    import math
+
+    buckets = sorted(target_weights)
+    wsum = float(sum(target_weights[b] for b in buckets))
+    exact = {b: total_keep * float(target_weights[b]) / wsum for b in buckets}
+    base = {b: math.floor(exact[b]) for b in buckets}
+    deficit = total_keep - sum(base.values())
+    order = sorted(buckets, key=lambda b: (-(exact[b] - base[b]), str(b)))
+    quota = {b: base[b] + (1 if i < deficit else 0) for i, b in enumerate(order)}
+    qrows = " UNION ALL ".join(
+        f"SELECT '{b}' AS _b, CAST({quota[b]} AS BIGINT) AS _k" for b in buckets
+    )
+    a = _seed_mult(seed)
+    off = int(seed) % HASH_MOD
+    h = (
+        f"(((((v.{id_col}) % {HASH_MOD}) + {HASH_MOD}) % {HASH_MOD}"
+        f" * {a} + {off}) % {HASH_MOD})"
+    )
+    return f"""
+WITH vals AS ({values_sql}),
+quotas AS ({qrows}),
+counts AS (
+  SELECT {bucket_col} AS _b, CAST(COUNT(*) AS BIGINT) AS _c
+  FROM vals GROUP BY {bucket_col}
+)
+SELECT v.* FROM vals v
+JOIN quotas q ON v.{bucket_col} = q._b
+JOIN counts c ON v.{bucket_col} = c._b
+WHERE CAST({h} AS HUGEINT) * CAST(c._c AS HUGEINT)
+      < CAST(q._k AS HUGEINT) * CAST({HASH_MOD} AS HUGEINT)
+"""

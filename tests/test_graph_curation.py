@@ -996,3 +996,44 @@ def test_k_core_converged_fixpoint(spark):
         rounds=4,
     )
     assert sorted(duckdb.sql(sql).fetchall()) == a
+
+
+def test_distribution_match_quotas_and_determinism(spark):
+    from revtron_utils_spark.operators.curation import distribution_match
+
+    rows = [(i, "en") for i in range(400)] + [(i + 1000, "de") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = distribution_match(df, "doc_id", "lang", {"en": 1, "de": 1}, 200)
+    got = kept.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in got}
+    # quota 100 each; the hash draw lands within binomial jitter
+    assert 70 <= by["en"] <= 130
+    assert 70 <= by["de"] <= 130
+    # deterministic: identical second run
+    again = distribution_match(df, "doc_id", "lang", {"en": 1, "de": 1}, 200)
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_distribution_match_drops_unlisted_buckets_and_caps(spark):
+    from revtron_utils_spark.operators.curation import distribution_match
+
+    rows = [(i, "en") for i in range(50)] + [(i + 500, "xx") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = distribution_match(df, "doc_id", "lang", {"en": 1}, 50).collect()
+    assert all(r["lang"] == "en" for r in kept)
+    # quota == population: the threshold keeps everything (h·c < c·MOD always)
+    assert len(kept) == 50
+
+
+def test_distribution_match_largest_remainder_quota_sums(spark):
+    from revtron_utils_spark.operators.curation import distribution_match
+
+    # 3-way split of 100 by weights 1:1:1 → quotas 34/33/33 (tie → asc bucket)
+    rows = [(i + o * 10000, b) for o, b in enumerate("abc") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = distribution_match(df, "doc_id", "lang", {"a": 1, "b": 1, "c": 1}, 100)
+    n = kept.count()
+    # E[kept] = 100; binomial jitter over 3 quotas stays well inside ±40
+    assert 60 <= n <= 140
