@@ -43,7 +43,7 @@ def test_cusum_property_differential(spark, xs):
         if best_s is None or abs(s) > abs(best_s):
             best_t, best_s = i, s
     assert r["peak_t"] == best_t
-    assert abs(r["peak_cusum"] - round(best_s, 4)) < 1e-9
+    assert abs(r["peak_cusum"] - best_s) < 1.01e-4
     assert r["total"] == total and r["n_buckets"] == n
 
 
@@ -63,7 +63,7 @@ def test_mann_kendall_property_differential(spark, xs):
         for j in range(i + 1, n)
     )
     assert r["s_stat"] == s
-    assert abs(r["tau"] - round(s / (n * (n - 1) / 2), 6)) < 1e-9
+    assert abs(r["tau"] - s / (n * (n - 1) / 2)) < 1.01e-6
 
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
@@ -79,7 +79,10 @@ def test_ewma_property_differential(spark, xs):
     for i, r in enumerate(rows):
         if i > 0:
             e = 0.3 * xs[i] + 0.7 * e
-        assert abs(r["ewma"] - round(e, 4)) < 1e-9
+        # one rounding quantum of slack: python round() is half-even on
+        # the stored double while Spark/DuckDB ROUND are half-up (both
+        # engines agree with each other — hypothesis found the boundary)
+        assert abs(r["ewma"] - e) < 1.01e-4
 
 
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
@@ -105,7 +108,7 @@ def test_kaplan_meier_property_differential(spark, subj):
     for (gt, gn, gd, gs), (wt, wn, wd) in zip(got, want):
         s *= 1.0 - wd / wn
         assert (gt, gn, gd) == (wt, wn, wd)
-        assert abs(gs - round(s, 6)) < 1e-9
+        assert abs(gs - s) < 1.01e-6
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
@@ -126,4 +129,4 @@ def test_theil_sen_property_differential(spark, subj):
         for j in range(i + 1, len(xs))
     )
     want = slopes[math.ceil(len(slopes) / 2) - 1]
-    assert abs(r["slope"] - round(want, 6)) < 1e-9
+    assert abs(r["slope"] - want) < 1.01e-6
