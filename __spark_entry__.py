@@ -8058,6 +8058,30 @@ def _sql_distribution_match() -> str:
 SQL_DISTRIBUTION_MATCH = _sql_distribution_match()
 
 
+def q_slice_overlap(spark, sf):
+    """Cross-slice audience overlap (`profile.slice_overlap`): the
+    exact pairwise Jaccard/containment matrix of user sets across all
+    five event types — the exact small-catalog twin of `kmv_intersect`
+    and the all-pairs generalization of `population_estimate`'s input.
+    One distinct (id, slice) shuffle + an id-keyed pair join bounded by
+    the slice catalog; exact counts, one division per metric."""
+    from revtron_utils_spark.operators.profile import slice_overlap
+
+    ev = _t(spark, sf, "events")
+    return slice_overlap(ev, "user_id", "event_type")
+
+
+def _sql_slice_overlap() -> str:
+    from revtron_utils_spark.operators.profile import slice_overlap_oracle_sql
+
+    return slice_overlap_oracle_sql(
+        "SELECT user_id, event_type FROM events", "user_id", "event_type"
+    )
+
+
+SQL_SLICE_OVERLAP = _sql_slice_overlap()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -8296,6 +8320,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ks_test": (q_ks_test, SQL_KS_TEST),
     "gini_split": (q_gini_split, SQL_GINI_SPLIT),
     "distribution_match": (q_distribution_match, SQL_DISTRIBUTION_MATCH),
+    "slice_overlap": (q_slice_overlap, SQL_SLICE_OVERLAP),
 }
 
 

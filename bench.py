@@ -178,6 +178,7 @@ HEADLINE = [
     "ks_test",
     "gini_split",
     "distribution_match",
+    "slice_overlap",
 ]
 
 

@@ -1309,3 +1309,92 @@ SELECT CAST(_na AS BIGINT) AS n_a, CAST(_nb AS BIGINT) AS n_b, _k AS ks_at,
              {round_to}) AS ks_stat
 FROM best
 """
+
+
+def slice_overlap(
+    df: DataFrame,
+    id_col: str,
+    slice_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact pairwise overlap matrix of the DISTINCT id sets behind each
+    slice — the "how much do my sources/snapshots share" audit
+    (`kmv.kmv_intersect` answers the same question with sketches at
+    unbounded slice counts; this is the exact small-catalog form, and
+    :func:`chapman_estimate`'s two-sample input generalized to every
+    pair):
+
+        jaccard = |A∩B| / (|A|+|B|−|A∩B|)      (ONE division)
+        containment a→b = |A∩B| / |A|           (ONE division)
+
+    Plan: one distinct (id, slice) shuffle, an id-keyed self-join whose
+    per-id blowup is bounded by the slice catalog (≤ catalog² pairs per
+    id), broadcast per-slice sizes. Exact integers throughout. Output
+    one row per unordered pair: ``(slice_a, slice_b, n_a, n_b, overlap,
+    jaccard, containment_a, containment_b)``.
+    """
+    per = df.select(
+        F.col(id_col).alias("_id"), F.col(slice_col).alias("_s")
+    ).distinct()
+    sizes = per.groupBy("_s").agg(F.count(F.lit(1)).alias("n"))
+    a = per.select("_id", F.col("_s").alias("slice_a"))
+    b = per.select("_id", F.col("_s").alias("slice_b"))
+    inter = (
+        a.join(b, "_id")
+        .where(F.col("slice_a") < F.col("slice_b"))
+        .groupBy("slice_a", "slice_b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("_s").alias("slice_a"), F.col("n").alias("n_a"))),
+            "slice_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_s").alias("slice_b"), F.col("n").alias("n_b"))),
+            "slice_b",
+        )
+    )
+    ov = F.col("overlap").cast("double")
+    return out.select(
+        "slice_a",
+        "slice_b",
+        "n_a",
+        "n_b",
+        "overlap",
+        F.round(
+            ov / (F.col("n_a") + F.col("n_b") - F.col("overlap")).cast("double"),
+            round_to,
+        ).alias("jaccard"),
+        F.round(ov / F.col("n_a").cast("double"), round_to).alias("containment_a"),
+        F.round(ov / F.col("n_b").cast("double"), round_to).alias("containment_b"),
+    ).orderBy("slice_a", "slice_b")
+
+
+def slice_overlap_oracle_sql(
+    values_sql: str,
+    id_col: str,
+    slice_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same distinct membership, same pair join, same
+    single divisions. Pairs with zero overlap are absent on BOTH
+    engines (inner pair join)."""
+    return f"""
+WITH vals AS ({values_sql}),
+per AS (SELECT DISTINCT {id_col} AS _id, {slice_col} AS _s FROM vals),
+sizes AS (SELECT _s, CAST(COUNT(*) AS BIGINT) AS n FROM per GROUP BY _s),
+inter AS (
+  SELECT a._s AS slice_a, b._s AS slice_b, CAST(COUNT(*) AS BIGINT) AS overlap
+  FROM per a JOIN per b ON a._id = b._id AND a._s < b._s
+  GROUP BY a._s, b._s
+)
+SELECT slice_a, slice_b, sa.n AS n_a, sb.n AS n_b, overlap,
+       ROUND(CAST(overlap AS DOUBLE)
+             / CAST(sa.n + sb.n - overlap AS DOUBLE), {round_to}) AS jaccard,
+       ROUND(CAST(overlap AS DOUBLE) / CAST(sa.n AS DOUBLE), {round_to}) AS containment_a,
+       ROUND(CAST(overlap AS DOUBLE) / CAST(sb.n AS DOUBLE), {round_to}) AS containment_b
+FROM inter
+JOIN sizes sa ON inter.slice_a = sa._s
+JOIN sizes sb ON inter.slice_b = sb._s
+"""

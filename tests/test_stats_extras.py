@@ -204,3 +204,33 @@ def test_gini_split_python_model_differential(spark):
     assert abs(r["parent_gini"] - round(parent, 6)) < 1e-9
     assert r["best_threshold"] == t
     assert abs(r["best_gain"] - round(gain, 6)) < 1e-6
+
+
+def test_slice_overlap_hand_computed_matrix(spark):
+    from revtron_utils_spark.operators.profile import slice_overlap
+
+    rows = (
+        [("a", i) for i in range(10)]
+        + [("b", i) for i in range(5, 15)]
+        + [("c", i + 100) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, ["s", "uid"])
+    got = {
+        (r["slice_a"], r["slice_b"]): r
+        for r in slice_overlap(df, "uid", "s").collect()
+    }
+    ab = got[("a", "b")]
+    assert (ab["n_a"], ab["n_b"], ab["overlap"]) == (10, 10, 5)
+    assert abs(ab["jaccard"] - 5 / 15) < 1e-6
+    assert ab["containment_a"] == 0.5 and ab["containment_b"] == 0.5
+    # disjoint pairs are absent (inner pair join)
+    assert ("a", "c") not in got and ("b", "c") not in got
+
+
+def test_slice_overlap_duplicate_rows_count_once(spark):
+    from revtron_utils_spark.operators.profile import slice_overlap
+
+    rows = [("a", 1), ("a", 1), ("b", 1), ("b", 1)]
+    df = spark.createDataFrame(rows, ["s", "uid"])
+    r = slice_overlap(df, "uid", "s").collect()[0]
+    assert (r["n_a"], r["n_b"], r["overlap"], r["jaccard"]) == (1, 1, 1, 1.0)
