@@ -8082,6 +8082,90 @@ def _sql_slice_overlap() -> str:
 SQL_SLICE_OVERLAP = _sql_slice_overlap()
 
 
+def q_mcnemar(spark, sf):
+    """Paired labeler comparison (`evaluation.mcnemar_test`): does the
+    full lang_id model beat the bare en-marker heuristic at detecting
+    English, judged on the SAME documents — only the discordant pairs
+    count ((b−c)²/(b+c), exact integers, one division). The paired
+    test `prop_ztest` cannot do (unpaired variance overstates). One
+    map-side-combined count pass."""
+    from revtron_utils_spark.operators.evaluation import mcnemar_test
+
+    from revtron_utils_spark.functions.text import LANG_MARKERS
+
+    en = [F.lit(m) for m in LANG_MARKERS["en"]]
+    docs = _t(spark, sf, "documents")
+    marker_hits = F.size(
+        F.filter(
+            TX.tokens("text"),
+            lambda t: F.array_contains(F.array(*en), F.lower(t)),
+        )
+    )
+    pairs = docs.select(
+        ((TX.lang_id("text") == "en") == (F.col("lang") == "en")).alias(
+            "correct_a"
+        ),
+        ((marker_hits >= 1) == (F.col("lang") == "en")).alias("correct_b"),
+    )
+    return mcnemar_test(pairs, "correct_a", "correct_b")
+
+
+def _sql_mcnemar() -> str:
+    from revtron_utils_spark.operators.evaluation import mcnemar_test_oracle_sql
+
+    pairs = rf"""
+SELECT ((lp.lang_pred = 'en') = (d.lang = 'en')) AS correct_a,
+       ((len(list_filter(string_split_regex(trim(d.text), '\s+'),
+             x -> lower(x) IN {_MARKER_SQL['en']})) >= 1) = (d.lang = 'en'))
+         AS correct_b
+FROM ({SQL_LANG_ID}) lp JOIN documents d USING (doc_id)
+"""
+    return mcnemar_test_oracle_sql(pairs, "correct_a", "correct_b")
+
+
+SQL_MCNEMAR = _sql_mcnemar()
+
+
+def q_gain_curve(spark, sf):
+    """Targeting readout (`evaluation.gain_curve`): cumulative-gains
+    curve of the en-marker-count score against the stored lang='en'
+    label per source — WHERE to cut, beside `score_auc`'s single
+    separability number. Descending-score cumsums over the bounded
+    integer-score histogram; exact counts, one division per share."""
+    from revtron_utils_spark.operators.evaluation import gain_curve
+
+    from revtron_utils_spark.functions.text import LANG_MARKERS
+
+    en = [F.lit(m) for m in LANG_MARKERS["en"]]
+    docs = _t(spark, sf, "documents").select(
+        "source",
+        F.size(
+            F.filter(
+                TX.tokens("text"),
+                lambda t: F.array_contains(F.array(*en), F.lower(t)),
+            )
+        ).cast("long").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    return gain_curve(docs, "score", "is_en", by=["source"])
+
+
+def _sql_gain_curve() -> str:
+    from revtron_utils_spark.operators.evaluation import gain_curve_oracle_sql
+
+    scored = rf"""
+SELECT source,
+       CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                x -> lower(x) IN {_MARKER_SQL['en']})) AS BIGINT) AS score,
+       CAST(lang = 'en' AS INTEGER) AS is_en
+FROM documents
+"""
+    return gain_curve_oracle_sql(scored, "score", "is_en", by=["source"])
+
+
+SQL_GAIN_CURVE = _sql_gain_curve()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -8321,6 +8405,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "gini_split": (q_gini_split, SQL_GINI_SPLIT),
     "distribution_match": (q_distribution_match, SQL_DISTRIBUTION_MATCH),
     "slice_overlap": (q_slice_overlap, SQL_SLICE_OVERLAP),
+    "mcnemar_test": (q_mcnemar, SQL_MCNEMAR),
+    "gain_curve": (q_gain_curve, SQL_GAIN_CURVE),
 }
 
 

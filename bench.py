@@ -179,6 +179,8 @@ HEADLINE = [
     "gini_split",
     "distribution_match",
     "slice_overlap",
+    "mcnemar_test",
+    "gain_curve",
 ]
 
 

@@ -459,3 +459,175 @@ SELECT {sel}CAST(_n AS BIGINT) AS n, CAST(_pos AS BIGINT) AS pos,
        ROUND(_gain, {round_to}) AS best_gain
 FROM best
 """
+
+
+def mcnemar_test(
+    df: DataFrame,
+    correct_a_col: str,
+    correct_b_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """McNemar's paired-classifier test — "is model A actually better
+    than model B on the SAME examples": only the discordant pairs
+    matter (b = A right & B wrong, c = A wrong & B right), and
+
+        χ² = (b − c)² / (b + c)
+
+    exact integers and ONE division (NULL when b + c = 0 — the
+    classifiers never disagree). The right test when two labelers are
+    compared on one eval set (`prop_ztest` is for UNPAIRED samples —
+    using it on paired predictions overstates the variance). One
+    map-side-combined count pass. Output per group: ``(*by, n, both_ok,
+    only_a, only_b, neither_ok, chi2)`` (both/neither are DuckDB
+    reserved words).
+    """
+    keys = list(by or [])
+    a = F.col(correct_a_col).cast("boolean")
+    b = F.col(correct_b_col).cast("boolean")
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((a & b).cast("long")).alias("both_ok"),
+        F.sum((a & ~b).cast("long")).alias("only_a"),
+        F.sum((~a & b).cast("long")).alias("only_b"),
+        F.sum((~a & ~b).cast("long")).alias("neither_ok"),
+    )
+    d = F.col("only_a") - F.col("only_b")
+    s = F.col("only_a") + F.col("only_b")
+    chi2 = (
+        (d.cast("decimal(38,0)") * d.cast("decimal(38,0)")).cast("double")
+        / s.cast("double")
+    )
+    out = agg.select(
+        *keys,
+        "n",
+        "both_ok",
+        "only_a",
+        "only_b",
+        "neither_ok",
+        F.round(F.when(s > 0, chi2), round_to).alias("chi2"),
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def mcnemar_test_oracle_sql(
+    pairs_sql: str,
+    correct_a_col: str,
+    correct_b_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same discordant counts, same single division."""
+    keys = list(by or [])
+    sel = f"{', '.join(keys)}, " if keys else ""
+    grp = f"GROUP BY {', '.join(keys)}" if keys else ""
+    return f"""
+WITH pairs AS ({pairs_sql}),
+agg AS (
+  SELECT {sel}CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN {correct_a_col} AND {correct_b_col} THEN 1 ELSE 0 END) AS BIGINT) AS both_ok,
+         CAST(SUM(CASE WHEN {correct_a_col} AND NOT {correct_b_col} THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+         CAST(SUM(CASE WHEN NOT {correct_a_col} AND {correct_b_col} THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+         CAST(SUM(CASE WHEN NOT {correct_a_col} AND NOT {correct_b_col} THEN 1 ELSE 0 END) AS BIGINT) AS neither_ok
+  FROM pairs {grp}
+)
+SELECT {sel}n, both_ok, only_a, only_b, neither_ok,
+       ROUND(CASE WHEN only_a + only_b > 0 THEN
+         CAST(CAST(only_a - only_b AS HUGEINT)
+              * CAST(only_a - only_b AS HUGEINT) AS DOUBLE)
+         / CAST(only_a + only_b AS DOUBLE) END, {round_to}) AS chi2
+FROM agg
+"""
+
+
+def gain_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cumulative-gains (CAP) curve over the bounded score histogram —
+    "scanning from the highest score down, what share of the positives
+    has been captured at each score level": the targeting readout
+    behind `rank_auc`'s single number (AUC says HOW separable; the
+    gain curve says WHERE to cut).
+
+    One (group, score) partial-agg shuffle + descending-score cumsum
+    windows over the caller-bounded histogram; exact integer counts,
+    ONE division per share. Output one row per (group, score):
+    ``(*by, score, n_at, pos_at, cum_share, cum_capture)`` where
+    cum_share is the population fraction scanned and cum_capture the
+    positive fraction captured (NULL when the group has no
+    positives).
+    """
+    from pyspark.sql import Window
+
+    keys = list(by or [])
+    per = df.groupBy(*keys, F.col(score_col).alias("score")).agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum(F.col(label_col).cast("long")).alias("pos_at"),
+    )
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*keys)
+    cum = per.select(
+        *keys,
+        "score",
+        "n_at",
+        "pos_at",
+        F.sum("n_at").over(wcum).alias("_cn"),
+        F.sum("pos_at").over(wcum).alias("_cp"),
+        F.sum("n_at").over(wall).alias("_n"),
+        F.sum("pos_at").over(wall).alias("_p"),
+    )
+    return cum.select(
+        *keys,
+        "score",
+        "n_at",
+        "pos_at",
+        F.round(
+            F.col("_cn").cast("double") / F.col("_n").cast("double"), round_to
+        ).alias("cum_share"),
+        F.round(
+            F.when(
+                F.col("_p") > 0,
+                F.col("_cp").cast("double") / F.col("_p").cast("double"),
+            ),
+            round_to,
+        ).alias("cum_capture"),
+    ).orderBy(*keys, F.col("score").desc())
+
+
+def gain_curve_oracle_sql(
+    scored_sql: str,
+    score_col: str,
+    label_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same descending cumsums, same single divisions."""
+    keys = list(by or [])
+    sel = f"{', '.join(keys)}, " if keys else ""
+    part = f"PARTITION BY {', '.join(keys)}" if keys else ""
+    grp = f"{', '.join(keys)}, " if keys else ""
+    return f"""
+WITH scored AS ({scored_sql}),
+per AS (
+  SELECT {sel}{score_col} AS score, CAST(COUNT(*) AS BIGINT) AS n_at,
+         CAST(SUM(CAST({label_col} AS BIGINT)) AS BIGINT) AS pos_at
+  FROM scored GROUP BY {grp}{score_col}
+)
+SELECT {sel}score, n_at, pos_at,
+       ROUND(CAST(SUM(n_at) OVER ({part} ORDER BY score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(n_at) OVER ({part}) AS DOUBLE), {round_to}) AS cum_share,
+       ROUND(CASE WHEN SUM(pos_at) OVER ({part}) > 0 THEN
+         CAST(SUM(pos_at) OVER ({part} ORDER BY score DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(SUM(pos_at) OVER ({part}) AS DOUBLE) END, {round_to}) AS cum_capture
+FROM per
+"""

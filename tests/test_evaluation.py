@@ -157,3 +157,50 @@ def test_join_size_estimate_matches_real_join(spark):
     assert out[1]["out_rows"] == 20 and out[1]["rank"] == 1
     assert abs(out[1]["share"] - 20 / 22) < 1e-6
     assert 2 not in out and 4 not in out  # unmatched keys produce no output
+
+
+def test_mcnemar_hand_computed_and_degenerate(spark):
+    from revtron_utils_spark.operators.evaluation import mcnemar_test
+
+    # 20 both right, b=8 only A, c=2 only B, 5 neither
+    rows = (
+        [(True, True)] * 20 + [(True, False)] * 8
+        + [(False, True)] * 2 + [(False, False)] * 5
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = mcnemar_test(df, "a", "b").collect()[0]
+    assert (r["n"], r["both_ok"], r["only_a"], r["only_b"], r["neither_ok"]) == (
+        35, 20, 8, 2, 5
+    )
+    assert abs(r["chi2"] - (8 - 2) ** 2 / 10) < 1e-9
+    # never disagree → chi2 NULL
+    dfa = spark.createDataFrame([(True, True)] * 4 + [(False, False)] * 3, ["a", "b"])
+    assert mcnemar_test(dfa, "a", "b").collect()[0]["chi2"] is None
+
+
+def test_gain_curve_separable_and_uniform(spark):
+    from revtron_utils_spark.operators.evaluation import gain_curve
+
+    # scores 3..0, positives only at score >= 2 → capture hits 1.0 at
+    # 50% of the population scanned
+    rows = [("g", s, int(s >= 2)) for s in (3, 2, 1, 0) for _ in range(10)]
+    df = spark.createDataFrame(rows, ["g", "score", "y"])
+    got = {r["score"]: r for r in gain_curve(df, "score", "y", by=["g"]).collect()}
+    assert got[3]["cum_share"] == 0.25 and got[3]["cum_capture"] == 0.5
+    assert got[2]["cum_share"] == 0.5 and got[2]["cum_capture"] == 1.0
+    assert got[0]["cum_share"] == 1.0 and got[0]["cum_capture"] == 1.0
+    # uniform labels: capture tracks share exactly at every level
+    rows2 = [("g", s, y) for s in range(4) for y in (0, 1) for _ in range(5)]
+    df2 = spark.createDataFrame(rows2, ["g", "score", "y"])
+    for r in gain_curve(df2, "score", "y", by=["g"]).collect():
+        assert abs(r["cum_share"] - r["cum_capture"]) < 1e-9
+
+
+def test_gain_curve_no_positives_is_null(spark):
+    from revtron_utils_spark.operators.evaluation import gain_curve
+
+    df = spark.createDataFrame([("g", s, 0) for s in range(3)], ["g", "score", "y"])
+    assert all(
+        r["cum_capture"] is None
+        for r in gain_curve(df, "score", "y", by=["g"]).collect()
+    )
