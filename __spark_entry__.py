@@ -8166,6 +8166,35 @@ FROM documents
 SQL_GAIN_CURVE = _sql_gain_curve()
 
 
+def q_cohort_ltv(spark, sf):
+    """Cohort value curves (`funnel.cohort_ltv`): cumulative revenue
+    per customer by monthly cohort age over orders — the money side of
+    `cohort_retention`. Integer (y·12+m) month arithmetic, exact cents
+    and member counts, one cumulative window over the bounded
+    cohort×age grid, ONE division per cell."""
+    from revtron_utils_spark.operators.funnel import cohort_ltv
+
+    orders = _t(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return cohort_ltv(orders, "o_custkey", "o_orderdate", "cents")
+
+
+def _sql_cohort_ltv() -> str:
+    from revtron_utils_spark.operators.funnel import cohort_ltv_oracle_sql
+
+    events = (
+        "SELECT o_custkey, o_orderdate, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders"
+    )
+    return cohort_ltv_oracle_sql(events, "o_custkey", "o_orderdate", "cents")
+
+
+SQL_COHORT_LTV = _sql_cohort_ltv()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -8407,6 +8436,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "slice_overlap": (q_slice_overlap, SQL_SLICE_OVERLAP),
     "mcnemar_test": (q_mcnemar, SQL_MCNEMAR),
     "gain_curve": (q_gain_curve, SQL_GAIN_CURVE),
+    "cohort_ltv": (q_cohort_ltv, SQL_COHORT_LTV),
 }
 
 

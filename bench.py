@@ -181,6 +181,7 @@ HEADLINE = [
     "slice_overlap",
     "mcnemar_test",
     "gain_curve",
+    "cohort_ltv",
 ]
 
 

@@ -657,3 +657,102 @@ SELECT {sel}variant_a, variant_b, n_a, s_a, n_b, s_b,
        END, {round_to}) AS z
 FROM pairs
 """
+
+
+def cohort_ltv(
+    df: DataFrame,
+    entity_col: str,
+    date_col: str,
+    value_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Cohort lifetime-value curves — cumulative revenue per member by
+    cohort age, the money-side companion to :func:`cohort_retention`
+    (retention counts who comes back; LTV sums what they bring):
+
+        ltv(cohort, age) = Σ_{a ≤ age} revenue(cohort, a) / |cohort|
+
+    Cohort = calendar month of the entity's first event; age = exact
+    integer month difference ((y·12+m) arithmetic — no float
+    months_between). Exact integer cents and member counts, cumulative
+    window over the BOUNDED cohort×age grid, ONE division per cell.
+    Plan: one per-entity min-date aggregate, one (cohort, age)
+    partial-agg shuffle, grid-sized windows. Output: ``(cohort, age,
+    n_members, revenue, cum_revenue, ltv)``.
+    """
+    from pyspark.sql import Window
+
+    ym = lambda c: F.year(c) * F.lit(12) + F.month(c)
+    first = df.groupBy(F.col(entity_col).alias("_e")).agg(
+        F.min(F.col(date_col)).alias("_first")
+    )
+    sizes = first.groupBy(
+        F.date_trunc("month", "_first").cast("date").alias("cohort")
+    ).agg(F.count(F.lit(1)).alias("n_members"))
+    joined = df.join(first, df[entity_col] == first["_e"]).select(
+        F.date_trunc("month", "_first").cast("date").alias("cohort"),
+        (ym(F.col(date_col)) - ym(F.col("_first"))).cast("int").alias("age"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    grid = joined.groupBy("cohort", "age").agg(F.sum("_v").alias("revenue"))
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn("cum_revenue", F.sum("revenue").over(wcum))
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "age",
+            "n_members",
+            "revenue",
+            "cum_revenue",
+            F.round(
+                F.col("cum_revenue").cast("double")
+                / F.col("n_members").cast("double"),
+                round_to,
+            ).alias("ltv"),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+def cohort_ltv_oracle_sql(
+    events_sql: str,
+    entity_col: str,
+    date_col: str,
+    value_col: str,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin: same integer month arithmetic, same cumulative
+    window, same single division."""
+    return f"""
+WITH ev AS ({events_sql}),
+first_ AS (
+  SELECT {entity_col} AS _e, MIN({date_col}) AS _first
+  FROM ev GROUP BY {entity_col}
+),
+sizes AS (
+  SELECT CAST(date_trunc('month', _first) AS DATE) AS cohort,
+         CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM first_ GROUP BY 1
+),
+grid AS (
+  SELECT CAST(date_trunc('month', f._first) AS DATE) AS cohort,
+         CAST((YEAR(e.{date_col}) * 12 + MONTH(e.{date_col}))
+              - (YEAR(f._first) * 12 + MONTH(f._first)) AS INTEGER) AS age,
+         CAST(SUM(CAST(e.{value_col} AS BIGINT)) AS BIGINT) AS revenue
+  FROM ev e JOIN first_ f ON e.{entity_col} = f._e
+  GROUP BY 1, 2
+)
+SELECT g.cohort, g.age, s.n_members, g.revenue,
+       CAST(SUM(g.revenue) OVER (PARTITION BY g.cohort ORDER BY g.age
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_revenue,
+       ROUND(CAST(SUM(g.revenue) OVER (PARTITION BY g.cohort ORDER BY g.age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(s.n_members AS DOUBLE), {round_to}) AS ltv
+FROM grid g JOIN sizes s ON g.cohort = s.cohort
+"""

@@ -431,3 +431,45 @@ def test_prop_ztest_pairwise_over_many_variants(spark):
         ("a", "b"), ("a", "c"), ("b", "c")
     ]
     assert all(r["z"] == 0.0 for r in got)  # identical rates
+
+
+def test_cohort_ltv_hand_computed(spark):
+    import datetime
+
+    from revtron_utils_spark.operators.funnel import cohort_ltv
+
+    d = datetime.date
+    rows = [
+        # cohort 2020-01: two members; month 0 revenue 100+200, month 2: 50
+        (1, d(2020, 1, 5), 100),
+        (2, d(2020, 1, 20), 200),
+        (1, d(2020, 3, 1), 50),
+        # cohort 2020-02: one member, single purchase
+        (3, d(2020, 2, 10), 999),
+    ]
+    df = spark.createDataFrame(rows, ["cust", "dt", "cents"])
+    got = {
+        (str(r["cohort"]), r["age"]): r
+        for r in cohort_ltv(df, "cust", "dt", "cents").collect()
+    }
+    jan0 = got[("2020-01-01", 0)]
+    assert (jan0["n_members"], jan0["revenue"], jan0["cum_revenue"]) == (2, 300, 300)
+    assert jan0["ltv"] == 150.0
+    jan2 = got[("2020-01-01", 2)]
+    assert (jan2["revenue"], jan2["cum_revenue"], jan2["ltv"]) == (50, 350, 175.0)
+    feb0 = got[("2020-02-01", 0)]
+    assert (feb0["n_members"], feb0["ltv"]) == (1, 999.0)
+
+
+def test_cohort_ltv_is_nondecreasing_per_cohort(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.q_cohort_ltv(spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["cohort"], []).append((r["age"], r["ltv"]))
+    assert by
+    for series in by.values():
+        series.sort()
+        ltvs = [v for _, v in series]
+        assert all(b >= a for a, b in zip(ltvs, ltvs[1:]))
