@@ -51,9 +51,29 @@ _POISSON_CDF = (
 )
 
 
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint", "long"}
+
+
+def _require_integral_id(df: DataFrame, id_col: str) -> None:
+    """Mirror of ``curation._require_integral_id``: a non-integral id
+    silently NULLs (or truncates) under the cast and drops the unit from
+    every resample while it still counts in ``point_mean`` — fail loudly."""
+    dt = df.schema[id_col].dataType.simpleString()
+    if dt not in _INTEGRAL:
+        raise TypeError(
+            f"id column {id_col!r} has type {dt}; the deterministic "
+            "bootstrap hash requires an integral id (pre-hash strings "
+            "to a long first)"
+        )
+
+
 def _weight_expr(id_col: str, b_col: str):
+    # ((id % P) + P) % P: a negative id would otherwise make h (and u)
+    # negative, zero-weighting the unit in EVERY replicate — silently
+    # excluded from all resample means yet still counted in point_mean.
+    nid = ((F.col(id_col).cast("long") % _P) + _P) % _P
     h = (
-        (F.col(id_col).cast("long") % _P) * _A
+        nid * _A
         + (F.col(b_col).cast("long") + F.lit(1)) * _B1
     ) % _P
     h = (h * _A2) % _P
@@ -65,7 +85,8 @@ def _weight_expr(id_col: str, b_col: str):
 
 
 def _weight_sql(id_expr: str, b_expr: str) -> str:
-    h = f"((({id_expr}) % {_P}) * {_A} + (({b_expr}) + 1) * {_B1}) % {_P}"
+    nid = f"((({id_expr}) % {_P}) + {_P}) % {_P}"
+    h = f"(({nid}) * {_A} + (({b_expr}) + 1) * {_B1}) % {_P}"
     h = f"(({h}) * {_A2}) % {_P}"
     u = f"CAST({h} AS DOUBLE) / CAST({_P} AS DOUBLE)"
     return " + ".join(
@@ -91,6 +112,7 @@ def poisson_bootstrap_ci(
     smallest of the B resample means (ties broken by replicate index,
     so the rank pick is total).
     """
+    _require_integral_id(df, id_col)
     keys = list(by)
     lo_rank = math.ceil(n_boot * alpha / 2)
     hi_rank = math.ceil(n_boot * (1 - alpha / 2))

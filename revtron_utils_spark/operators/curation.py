@@ -114,6 +114,20 @@ def hash_sample(
     return df.filter(id_hash(id_col, seed) < int(fraction * HASH_MOD))
 
 
+def _threshold_table(df: DataFrame, key_col: str, thresholds: dict) -> DataFrame:
+    """(key, _thr) DataFrame typed from ``df``'s key column — the
+    in-plan carrier for per-key hash thresholds. A driver-built
+    ``F.when`` chain would grow the expression tree (and the janino
+    method janino compiles for it) LINEARLY with key cardinality — the
+    data-driven cousin of the ams_f2 codegen blowup; a broadcast join
+    keeps the plan size constant no matter how many keys exist."""
+    kt = df.schema[key_col].dataType.simpleString()
+    return df.sparkSession.createDataFrame(
+        sorted(thresholds.items(), key=lambda kv: str(kv[0])),
+        f"_k {kt}, _thr long",
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     id_col: str,
@@ -124,14 +138,19 @@ def stratified_hash_sample(
 ) -> DataFrame:
     """Per-stratum deterministic sampling (the deterministic analog of
     ``df.sampleBy``): each stratum keeps its own fraction. The
-    stratum→threshold map is folded into a CASE expression — no join,
-    no shuffle, still a pure scan."""
+    stratum→threshold map rides in as a broadcast-joined threshold
+    table (NOT a CASE chain — plan size stays constant in the number
+    of strata); unlisted strata fall back to ``default_fraction`` via
+    a left join + coalesce. Still one scan, no shuffle of ``df``."""
     _require_integral_id(df, id_col)
     bucket = id_hash(id_col, seed)
-    thr = F.lit(int(default_fraction * HASH_MOD))
-    for value, frac in sorted(fractions.items()):
-        thr = F.when(F.col(strata_col) == value, int(frac * HASH_MOD)).otherwise(thr)
-    return df.filter(bucket < thr)
+    thr = {v: int(f * HASH_MOD) for v, f in fractions.items()}
+    if not thr:
+        return df.filter(bucket < F.lit(int(default_fraction * HASH_MOD)))
+    tdf = _threshold_table(df, strata_col, thr)
+    joined = df.join(F.broadcast(tdf), df[strata_col] == tdf["_k"], "left")
+    eff = F.coalesce(F.col("_thr"), F.lit(int(default_fraction * HASH_MOD)))
+    return joined.filter(bucket < eff).drop("_k", "_thr")
 
 
 def chunk_documents(
@@ -363,41 +382,69 @@ def cap_per_domain(
     retains ≥ min(n, count) survivors — the global n smallest buckets
     all sit below the threshold — and a per-domain survivor check
     escalates any hash-variance shortfall back to rate 1, so the output
-    never depends on ``margin``. Two O(domains) driver aggregates."""
+    never depends on ``margin``.
+
+    The per-domain counts, thresholds, and the survivor check all stay
+    IN-PLAN (the counts frame is aggregated once, persisted, and
+    broadcast-joined back): domain cardinality never reaches the driver
+    as a dict nor the expression tree as a CASE chain — the only driver
+    values are two one-row existence probes."""
     _require_integral_id(df, id_col)
     if n < 1:
         raise ValueError("n must be >= 1")
-    counts = {
-        r["d"]: r["c"]
-        for r in df.groupBy(F.col(domain_col).alias("d"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
-    rates = {d: min(1.0, margin * n / c) for d, c in counts.items()}
+    from .dedup import _persist
 
-    def _prefilter(rs: dict[str, float]) -> DataFrame:
-        bucket = id_hash(id_col, seed)
-        thr = F.lit(0).cast("long")
-        for d, rate in sorted(rs.items()):
-            t = HASH_MOD if rate >= 1.0 else int(rate * HASH_MOD)
-            thr = F.when(F.col(domain_col) == d, F.lit(t)).otherwise(thr)
-        return df.filter(bucket < thr)
+    counts = _persist(
+        df.groupBy(F.col(domain_col).alias("_d")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+    )
+    # thr = min(M, floor(margin·n·M / c)); thr == M  ⇔  rate ≥ 1
+    thr = F.least(
+        F.lit(int(HASH_MOD)).cast("long"),
+        F.floor(
+            F.lit(float(margin) * n * HASH_MOD) / F.col("_c").cast("double")
+        ).cast("long"),
+    )
+    thr_tbl = counts.select("_d", thr.alias("_thr"))
+    bucket = id_hash(id_col, seed)
 
-    cand = _prefilter(rates)
-    if any(r < 1.0 for r in rates.values()):
-        surv = {
-            r["d"]: r["c"]
-            for r in cand.groupBy(F.col(domain_col).alias("d"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        }
-        short = [
-            d
-            for d, rate in rates.items()
-            if rate < 1.0 and surv.get(d, 0) < min(n, counts[d])
-        ]
-        if short:
-            cand = _prefilter({**rates, **{d: 1.0 for d in short}})
+    def _cand(tbl: DataFrame) -> DataFrame:
+        j = df.join(F.broadcast(tbl), df[domain_col] == tbl["_d"], "inner")
+        return j.filter(bucket < F.col("_thr")).drop("_d", "_thr")
+
+    cand = _cand(thr_tbl)
+    if thr_tbl.where(F.col("_thr") < HASH_MOD).limit(1).count() > 0:
+        cand = _persist(cand)
+        surv = cand.groupBy(F.col(domain_col).alias("_d")).agg(
+            F.count(F.lit(1)).alias("_s")
+        )
+        shortfall = (
+            thr_tbl.join(counts.select("_d", "_c"), "_d")
+            .join(surv, "_d", "left")
+            .where(
+                (F.col("_thr") < HASH_MOD)
+                & (
+                    F.coalesce(F.col("_s"), F.lit(0))
+                    < F.least(F.lit(n).cast("long"), F.col("_c"))
+                )
+            )
+            .select("_d")
+        )
+        shortfall = _persist(shortfall)
+        if shortfall.limit(1).count() > 0:
+            esc = (
+                thr_tbl.join(
+                    shortfall.withColumn("_esc", F.lit(True)), "_d", "left"
+                )
+                .select(
+                    "_d",
+                    F.when(F.col("_esc"), F.lit(int(HASH_MOD)).cast("long"))
+                    .otherwise(F.col("_thr"))
+                    .alias("_thr"),
+                )
+            )
+            cand = _cand(esc)
     w = W.partitionBy(domain_col).orderBy(
         id_hash(id_col, seed).asc(), F.col(id_col).asc()
     )
@@ -432,46 +479,77 @@ def take_token_budget(
     surviving token sum still covers the budget, the budget-filling
     prefix is contained in it — and a survivor-sum check escalates any
     domain where hash variance undercut the margin back to rate 1, so
-    the output never depends on ``margin``. Two O(domains) driver
-    aggregates, then one window over the bounded candidates."""
+    the output never depends on ``margin``.
+
+    Per-domain token totals, thresholds, and the survivor-sum check all
+    stay IN-PLAN (one persisted totals frame broadcast-joined back, as
+    in :func:`cap_per_domain`): no O(domains) driver dict, no CASE
+    chain — the driver sees two one-row existence probes, then one
+    window over the bounded candidates."""
     from revtron_utils_spark.functions.text import token_count
+
+    from .dedup import _persist
 
     _require_integral_id(df, id_col)
     tok = (F.col(token_col) if token_col else token_count(text_col)).cast("long")
     tagged = df.withColumn("_tok", tok)
-    totals = {
-        r["d"]: r["t"]
-        for r in tagged.groupBy(F.col(domain_col).alias("d"))
-        .agg(F.sum("_tok").alias("t"))
-        .collect()
-    }
-    rates = {
-        d: min(1.0, margin * budget / t) if t else 1.0 for d, t in totals.items()
-    }
+    totals = _persist(
+        tagged.groupBy(F.col(domain_col).alias("_d")).agg(
+            F.sum("_tok").alias("_t")
+        )
+    )
+    # thr = M when the domain has no tokens, else min(M, floor(margin·
+    # budget·M / t)); thr == M  ⇔  rate ≥ 1 (or empty domain)
+    thr = F.when(
+        F.coalesce(F.col("_t"), F.lit(0)) <= 0, F.lit(int(HASH_MOD)).cast("long")
+    ).otherwise(
+        F.least(
+            F.lit(int(HASH_MOD)).cast("long"),
+            F.floor(
+                F.lit(float(margin) * budget * HASH_MOD)
+                / F.col("_t").cast("double")
+            ).cast("long"),
+        )
+    )
+    thr_tbl = totals.select("_d", "_t", thr.alias("_thr"))
+    bucket = id_hash(id_col, seed)
 
-    def _prefilter(rs: dict[str, float]) -> DataFrame:
-        bucket = id_hash(id_col, seed)
-        thr = F.lit(0).cast("long")
-        for d, rate in sorted(rs.items()):
-            t = HASH_MOD if rate >= 1.0 else int(rate * HASH_MOD)
-            thr = F.when(F.col(domain_col) == d, F.lit(t)).otherwise(thr)
-        return tagged.filter(bucket < thr)
+    def _cand(tbl: DataFrame) -> DataFrame:
+        sel = tbl.select("_d", "_thr")
+        j = tagged.join(F.broadcast(sel), tagged[domain_col] == sel["_d"], "inner")
+        return j.filter(bucket < F.col("_thr")).drop("_d", "_thr")
 
-    cand = _prefilter(rates)
-    if any(r < 1.0 for r in rates.values()):
-        surv = {
-            r["d"]: r["t"]
-            for r in cand.groupBy(F.col(domain_col).alias("d"))
-            .agg(F.sum("_tok").alias("t"))
-            .collect()
-        }
-        short = [
-            d
-            for d, rate in rates.items()
-            if rate < 1.0 and surv.get(d, 0) < min(budget, totals[d])
-        ]
-        if short:
-            cand = _prefilter({**rates, **{d: 1.0 for d in short}})
+    cand = _cand(thr_tbl)
+    if thr_tbl.where(F.col("_thr") < HASH_MOD).limit(1).count() > 0:
+        cand = _persist(cand)
+        surv = cand.groupBy(F.col(domain_col).alias("_d")).agg(
+            F.sum("_tok").alias("_s")
+        )
+        shortfall = (
+            thr_tbl.join(surv, "_d", "left")
+            .where(
+                (F.col("_thr") < HASH_MOD)
+                & (
+                    F.coalesce(F.col("_s"), F.lit(0))
+                    < F.least(F.lit(int(budget)).cast("long"), F.col("_t"))
+                )
+            )
+            .select("_d")
+        )
+        shortfall = _persist(shortfall)
+        if shortfall.limit(1).count() > 0:
+            esc = (
+                thr_tbl.join(
+                    shortfall.withColumn("_esc", F.lit(True)), "_d", "left"
+                )
+                .select(
+                    "_d",
+                    F.when(F.col("_esc"), F.lit(int(HASH_MOD)).cast("long"))
+                    .otherwise(F.col("_thr"))
+                    .alias("_thr"),
+                )
+            )
+            cand = _cand(esc)
     w = W.partitionBy(domain_col).orderBy(
         id_hash(id_col, seed).asc(), F.col(id_col).asc()
     )
@@ -519,11 +597,15 @@ def mixture_sample(
     any domain, by per-domain hash-threshold rates. Domains outside
     ``proportions`` are dropped.
 
-    One tiny aggregate collects O(domains) counts to the driver; the
-    sample itself is a pure scan with a CASE threshold — no shuffle of
-    the kept data, stable row membership under corpus growth of other
-    domains (a row's fate depends only on its id, its domain's count,
-    and the binding domain)."""
+    One tiny aggregate collects the per-domain counts (bounded by the
+    CALLER-enumerated ``proportions``, never by data cardinality) so
+    ``mixture_proportion_rates`` can integerize the thresholds with
+    engine-exact double arithmetic; the thresholds then ride back in as
+    a broadcast-joined table (not a CASE chain — plan size stays
+    constant in the number of domains). The sample itself is a pure
+    scan: no shuffle of the kept data, stable row membership under
+    corpus growth of other domains (a row's fate depends only on its
+    id, its domain's count, and the binding domain)."""
     _require_integral_id(df, id_col)
     counts = {
         r["d"]: r["n"]
@@ -533,10 +615,9 @@ def mixture_sample(
         .collect()
     }
     thresholds = mixture_proportion_rates(counts, proportions)
-    thr = F.lit(None).cast("long")
-    for dom, t in sorted(thresholds.items()):
-        thr = F.when(F.col(domain_col) == dom, F.lit(t)).otherwise(thr)
-    return df.filter(id_hash(id_col, seed) < thr)
+    tdf = _threshold_table(df, domain_col, thresholds)
+    joined = df.join(F.broadcast(tdf), df[domain_col] == tdf["_k"], "inner")
+    return joined.filter(id_hash(id_col, seed) < F.col("_thr")).drop("_k", "_thr")
 
 
 def weighted_hash_sample(
@@ -682,6 +763,47 @@ def importance_weights(
     )
 
 
+def distributed_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "_rank",
+    partitions: int | None = None,
+    one_based: bool = True,
+) -> DataFrame:
+    """Two-pass distributed ``row_number()`` over a TOTAL order — the
+    scale-safe replacement for a bare unpartitioned window (which
+    collapses to one task): range-repartition on the sort key so each
+    partition owns a disjoint key range, rank locally per partition,
+    then add per-partition offsets from a partition-count pass. The
+    only driver state is one count per partition; the rank is
+    independent of the partitioning because the key is a strict total
+    order (callers must pass a tie-free column list)."""
+    from .dedup import _persist
+
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    keyed = df.repartitionByRange(n, *cols)
+    tmp = _persist(keyed.withColumn("_pid", F.spark_partition_id()))
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in tmp.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    offs = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    wloc = W.partitionBy("_pid").orderBy(*cols)
+    base = F.row_number().over(wloc) + F.col("_off")
+    rank = base if one_based else base - 1
+    return (
+        tmp.join(F.broadcast(offs), "_pid")
+        .withColumn(rank_col, rank.cast("long"))
+        .drop("_pid", "_off")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str,
@@ -698,32 +820,19 @@ def deterministic_shuffle(
     to ONE task. Instead: range-repartition on the sort key (each
     partition owns a disjoint key range), rank locally per partition,
     then add per-partition offsets from a partition-count pass — the
-    classic two-pass distributed rank; the only driver state is one
-    count per partition. The rank is independent of the partitioning
-    itself (the key (hash, id) is a strict total order)."""
+    classic two-pass distributed rank (:func:`distributed_rank`); the
+    only driver state is one count per partition. The rank is
+    independent of the partitioning itself (the key (hash, id) is a
+    strict total order)."""
     _require_integral_id(df, id_col)
-    spark = df.sparkSession
-    n = partitions or spark.sparkContext.defaultParallelism
-    keyed = df.withColumn("_sk", id_hash(id_col, seed)).repartitionByRange(
-        n, F.col("_sk"), F.col(id_col)
-    )
-    tmp = keyed.withColumn("_pid", F.spark_partition_id())
-    from .dedup import _persist
-
-    tmp = _persist(tmp)
-    counts = sorted((r["_pid"], r["cnt"]) for r in
-                    tmp.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect())
-    offsets, acc = [], 0
-    for pid, c in counts:
-        offsets.append((pid, acc))
-        acc += c
-    offs = spark.createDataFrame(offsets, "_pid int, _off long")
-    wloc = W.partitionBy("_pid").orderBy(F.col("_sk").asc(), F.col(id_col).asc())
-    return (
-        tmp.join(F.broadcast(offs), "_pid")
-        .withColumn(rank_col, (F.row_number().over(wloc) - 1 + F.col("_off")).cast("long"))
-        .drop("_sk", "_pid", "_off")
-    )
+    keyed = df.withColumn("_sk", id_hash(id_col, seed))
+    return distributed_rank(
+        keyed,
+        [F.col("_sk").asc(), F.col(id_col).asc()],
+        rank_col=rank_col,
+        partitions=partitions,
+        one_based=False,
+    ).drop("_sk")
 
 
 def leakage_safe_split(
@@ -1042,6 +1151,21 @@ def distribution_match(
     return joined.where(keep).drop("_b", "_k", "_cb", "_c")
 
 
+def _bucket_literal(b) -> str:
+    """Render a python bucket value as a TYPED DuckDB literal — quotes
+    escaped, explicit CAST so the quota table's join column matches the
+    corpus column's type without relying on implicit varchar casts
+    (mirrors the typed quota DataFrame on the Spark side)."""
+    if isinstance(b, bool):
+        return f"CAST({'TRUE' if b else 'FALSE'} AS BOOLEAN)"
+    if isinstance(b, int):
+        return f"CAST({b} AS BIGINT)"
+    if isinstance(b, float):
+        return f"CAST({b!r} AS DOUBLE)"
+    esc = str(b).replace("'", "''")
+    return f"CAST('{esc}' AS VARCHAR)"
+
+
 def distribution_match_oracle_sql(
     values_sql: str,
     id_col: str,
@@ -1064,7 +1188,9 @@ def distribution_match_oracle_sql(
     order = sorted(buckets, key=lambda b: (-(exact[b] - base[b]), str(b)))
     quota = {b: base[b] + (1 if i < deficit else 0) for i, b in enumerate(order)}
     qrows = " UNION ALL ".join(
-        f"SELECT '{b}' AS _b, CAST({quota[b]} AS BIGINT) AS _k" for b in buckets
+        f"SELECT {_bucket_literal(b)} AS _b,"
+        f" CAST({quota[b]} AS BIGINT) AS _k"
+        for b in buckets
     )
     a = _seed_mult(seed)
     off = int(seed) % HASH_MOD

@@ -738,18 +738,20 @@ def concentration_gini(
 
     Exact integers end-to-end (rank-weighted sums in DECIMAL — i·c
     wraps int64 when both run corpus-scale) and ONE division, so the
-    scalar hash-matches SQL. Plan: one key-count shuffle, one rank
-    window over the (bounded, one-row-per-key) counts frame, one
-    aggregate. Output one row: ``(n_keys, n_rows, gini)``.
+    scalar hash-matches SQL. Plan: one key-count shuffle, then the
+    rank over the counts frame runs as `curation.distributed_rank`'s
+    two-pass range-partitioned row_number — the counts frame is one
+    row per DISTINCT key, which for domain/source keys is
+    corpus-driven (millions), so a bare unpartitioned window would
+    single-task-sort it. One final aggregate. Output one row:
+    ``(n_keys, n_rows, gini)``.
     """
-    from pyspark.sql import Window
+    from .curation import distributed_rank
 
     keys = list(key_cols)
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
     order = [F.col("c").asc()] + [F.col(k).asc() for k in keys]
-    ranked = counts.select(
-        "c", F.row_number().over(Window.orderBy(*order)).alias("i")
-    )
+    ranked = distributed_rank(counts, order, rank_col="i").select("c", "i")
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("c").alias("n_rows"),
