@@ -217,3 +217,188 @@ SELECT pt.* EXCLUDE (_sx),
        ROUND(_hi, {round_to}) AS ci_hi
 FROM pt JOIN ci USING ({gc})
 """
+
+
+def permutation_test(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    n_perm: int = 200,
+    round_to: int = 6,
+) -> DataFrame:
+    """Deterministic two-sample randomization test for the difference
+    of means — the non-parametric companion to `profile.ab_test`
+    (Welch assumes near-normal sampling distributions; the permutation
+    test's null is "labels are exchangeable", which holds for heavy-
+    tailed revenue/latency metrics where t-tests mislead).
+
+    Design (the :func:`poisson_bootstrap_ci` playbook): classical
+    permutation fixes the group sizes per resample, which needs a
+    global shuffle per replicate — undistributable. This runs the
+    RANDOMIZATION-test variant: replicate ``b`` reassigns每 unit to A
+    with probability n_a/(n_a+n_b) via the pinned integer hash (no
+    RNG), so every replicate is one branch-free projection and the
+    whole test is ONE scan: explode ``n_perm`` replicates inside the
+    scan, partial-aggregate (replicate → integer sums), one double
+    subtraction per replicate. Shuffle carries O(n_perm) rows.
+
+    p-value = (#{b: |d_b| ≥ |d_obs|} + 1) / (n_perm + 1) — the
+    add-one-smoothed two-sided estimate (Phipson & Smyth 2010), exact
+    integer comparison on both engines after rounding |d| to
+    ``round_to``. Output one row: ``(n_a, n_b, mean_a, mean_b,
+    diff_obs, p_value)``.
+
+    ``value_col`` must be an exact integer metric (cents/counts), like
+    the bootstrap.
+    """
+    _require_integral_id(df, id_col)
+    g = F.col(group_col)
+    base = df.where(g.isin([group_a, group_b])).select(
+        F.col(id_col).alias("_id"),
+        F.col(value_col).cast("long").alias("_x"),
+        (g == F.lit(group_a)).alias("_is_a"),
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("_is_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("_is_a"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("_is_a"), F.col("_x"))).alias("_sa"),
+        F.sum(F.when(~F.col("_is_a"), F.col("_x"))).alias("_sb"),
+    )
+    rep = base.select(
+        "_id",
+        "_x",
+        F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("_b"),
+    )
+    # reassignment: unit i joins A in replicate b iff
+    # hash(i, b) * (n_a + n_b) < n_a * P  — exact integer cross-multiply
+    # (both factors < 2^31, product < 2^62), threshold ratio n_a/n.
+    h = (
+        ((F.col("_id") % _P) + _P) % _P * _A
+        + (F.col("_b") + F.lit(1)) * _B1
+    ) % _P
+    h = (h * _A2) % _P
+    na, nb = F.col("n_a"), F.col("n_b")
+    flips = (
+        rep.crossJoin(F.broadcast(obs.select("n_a", "n_b")))
+        .withColumn("_to_a", h * (na + nb) < na * F.lit(_P))
+        .groupBy("_b")
+        .agg(
+            F.sum(F.when(F.col("_to_a"), F.col("_x"))).alias("_pa"),
+            F.sum(F.when(~F.col("_to_a"), F.col("_x"))).alias("_pb"),
+            F.sum(F.when(F.col("_to_a"), 1).otherwise(0)).alias("_ka"),
+            F.sum(F.when(~F.col("_to_a"), 1).otherwise(0)).alias("_kb"),
+        )
+        .where((F.col("_ka") > 0) & (F.col("_kb") > 0))
+    )
+    d_perm = F.round(
+        F.abs(
+            F.col("_pa").cast("double") / F.col("_ka").cast("double")
+            - F.col("_pb").cast("double") / F.col("_kb").cast("double")
+        ),
+        round_to,
+    )
+    d_obs = F.round(
+        F.abs(
+            F.col("_sa").cast("double") / F.col("n_a").cast("double")
+            - F.col("_sb").cast("double") / F.col("n_b").cast("double")
+        ),
+        round_to,
+    )
+    extreme = (
+        flips.crossJoin(F.broadcast(obs))
+        .where(d_perm >= d_obs)
+        .agg(F.count(F.lit(1)).alias("_ge"))
+    )
+    return (
+        obs.crossJoin(F.broadcast(extreme))
+        .select(
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("_sa").cast("double") / F.col("n_a").cast("double"), round_to
+            ).alias("mean_a"),
+            F.round(
+                F.col("_sb").cast("double") / F.col("n_b").cast("double"), round_to
+            ).alias("mean_b"),
+            F.round(
+                F.col("_sa").cast("double") / F.col("n_a").cast("double")
+                - F.col("_sb").cast("double") / F.col("n_b").cast("double"),
+                round_to,
+            ).alias("diff_obs"),
+            F.round(
+                (F.col("_ge").cast("double") + F.lit(1.0))
+                / F.lit(float(n_perm + 1)),
+                round_to,
+            ).alias("p_value"),
+        )
+    )
+
+
+def permutation_test_oracle_sql(
+    units_sql: str,
+    id_col: str,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    n_perm: int = 200,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: identical hash reassignment, identical integer
+    sums, identical rounded-double comparisons."""
+
+    def lit(v) -> str:
+        return f"'{str(v).replace(chr(39), chr(39) * 2)}'" if isinstance(v, str) else str(v)
+
+    h = (
+        f"((((((_id % {_P}) + {_P}) % {_P}) * {_A}"
+        f" + (_b + 1) * {_B1}) % {_P}) * {_A2}) % {_P}"
+    )
+    return f"""
+WITH units AS ({units_sql}),
+base AS (
+  SELECT CAST({id_col} AS BIGINT) AS _id, CAST({value_col} AS BIGINT) AS _x,
+         {group_col} = {lit(group_a)} AS _is_a
+  FROM units WHERE {group_col} IN ({lit(group_a)}, {lit(group_b)})
+),
+obs AS (
+  SELECT CAST(SUM(CASE WHEN _is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN NOT _is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         SUM(CASE WHEN _is_a THEN _x END) AS _sa,
+         SUM(CASE WHEN NOT _is_a THEN _x END) AS _sb
+  FROM base
+),
+rep AS (
+  SELECT _id, _x, u._b FROM base, UNNEST(range(0, {n_perm})) AS u(_b)
+),
+flips AS (
+  SELECT _b,
+         SUM(CASE WHEN _to_a THEN _x END) AS _pa,
+         SUM(CASE WHEN NOT _to_a THEN _x END) AS _pb,
+         SUM(CASE WHEN _to_a THEN 1 ELSE 0 END) AS _ka,
+         SUM(CASE WHEN NOT _to_a THEN 1 ELSE 0 END) AS _kb
+  FROM (
+    SELECT rep.*, ({h}) * (o.n_a + o.n_b) < o.n_a * {_P} AS _to_a
+    FROM rep CROSS JOIN obs o
+  ) GROUP BY _b
+  HAVING SUM(CASE WHEN _to_a THEN 1 ELSE 0 END) > 0
+     AND SUM(CASE WHEN NOT _to_a THEN 1 ELSE 0 END) > 0
+),
+ge AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS _ge FROM flips CROSS JOIN obs o
+  WHERE ROUND(ABS(CAST(_pa AS DOUBLE) / CAST(_ka AS DOUBLE)
+                  - CAST(_pb AS DOUBLE) / CAST(_kb AS DOUBLE)), {round_to})
+        >= ROUND(ABS(CAST(o._sa AS DOUBLE) / CAST(o.n_a AS DOUBLE)
+                     - CAST(o._sb AS DOUBLE) / CAST(o.n_b AS DOUBLE)), {round_to})
+)
+SELECT n_a, n_b,
+       ROUND(CAST(_sa AS DOUBLE) / CAST(n_a AS DOUBLE), {round_to}) AS mean_a,
+       ROUND(CAST(_sb AS DOUBLE) / CAST(n_b AS DOUBLE), {round_to}) AS mean_b,
+       ROUND(CAST(_sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(_sb AS DOUBLE) / CAST(n_b AS DOUBLE), {round_to}) AS diff_obs,
+       ROUND((CAST(_ge AS DOUBLE) + 1.0) / {float(n_perm + 1)!r}, {round_to}) AS p_value
+FROM obs CROSS JOIN ge
+"""

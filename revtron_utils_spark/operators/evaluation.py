@@ -546,6 +546,7 @@ def gain_curve(
     label_col: str,
     by: list[str] | None = None,
     round_to: int = 6,
+    max_buckets: int | None = 100_000,
 ) -> DataFrame:
     """Cumulative-gains (CAP) curve over the bounded score histogram —
     "scanning from the highest score down, what share of the positives
@@ -559,11 +560,17 @@ def gain_curve(
     ``(*by, score, n_at, pos_at, cum_share, cum_capture)`` where
     cum_share is the population fraction scanned and cum_capture the
     positive fraction captured (NULL when the group has no
-    positives).
+    positives). The bounded-histogram contract is enforced by
+    ``guards.require_bounded_spine`` (fail fast instead of
+    single-task-sorting raw float scores; ``max_buckets=None``
+    vouches).
     """
     from pyspark.sql import Window
 
+    from .guards import require_bounded_spine
+
     keys = list(by or [])
+    require_bounded_spine(df, score_col, keys, max_buckets, "gain_curve")
     per = df.groupBy(*keys, F.col(score_col).alias("score")).agg(
         F.count(F.lit(1)).alias("n_at"),
         F.sum(F.col(label_col).cast("long")).alias("pos_at"),

@@ -1004,3 +1004,150 @@ JOIN deg dw ON c.w = dw.u
 ORDER BY c.common DESC, jaccard DESC, c.u, c.w
 {limit}
 """
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iterations: int = 4,
+    scale: int = 10**9,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Integer-arithmetic HITS (Kleinberg's hubs & authorities) over a
+    DIRECTED edge list: ``(node, hub_int, auth_int)`` after a fixed
+    number of mutual-reinforcement rounds — the "good pointer / good
+    pointee" complement to :func:`pagerank` (PageRank is one authority
+    number; HITS separates curation quality from content quality, e.g.
+    link-hub pages vs destination pages in a crawl graph, or heavy
+    buyers vs popular suppliers in a trade graph).
+
+    Reference parity: none (the reference has no graph surface); part
+    of the LLM-pipeline/graph extension alongside `pagerank`
+    (`graph.py:241`).
+
+    Exactness: the classical L2 normalization is float-order-sensitive,
+    so this uses L1 fixed-point renormalization in pure int64 —
+    after each half-step the vector is divided by
+    ``q = greatest(1, total div scale)`` (integer division), keeping
+    every value ≈ ``scale``-bounded and every operation bit-identical
+    on both engines (the DuckDB oracle unrolls the same rounds as
+    chained CTEs). Ranking-preserving: integer division by a common q
+    never reorders.
+
+    100 TB posture: per round, two node-keyed shuffled joins + two
+    partial aggregates + two ONE-ROW totals cross-joined back
+    (broadcast); lineage cut per round like `pagerank`. ``scale``
+    auto-clamps so ``indeg_max·scale ≤ Σh ≤ E·scale`` stays inside
+    int64 at any edge count.
+    """
+    spark = edges.sparkSession
+    _cut = _lineage_cutter(spark, checkpoint_dir)
+
+    e = _cut(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    )
+    e.persist()
+    n_edges = e.count()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if n_edges == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("bigint").alias("hub_int"),
+            F.lit(0).cast("bigint").alias("auth_int"),
+        )
+    safe_scale = (2**62) // n_edges
+    if safe_scale < scale:
+        import warnings
+
+        warnings.warn(
+            f"hits: scale clamped {scale} -> {safe_scale} to keep the "
+            "per-round raw sums inside int64; pass the same scale to an "
+            "external oracle",
+            stacklevel=2,
+        )
+        scale = safe_scale
+
+    def _renorm(raw: DataFrame, col: str) -> DataFrame:
+        total = raw.agg(
+            F.coalesce(F.sum("_raw"), F.lit(0)).alias("_tot")
+        ).select(F.expr(f"greatest(1, _tot div {scale})").alias("_q"))
+        return raw.crossJoin(F.broadcast(total)).select(
+            "node", F.expr("_raw div _q").alias(col)
+        )
+
+    hubs = nodes.withColumn("hub_int", F.lit(scale).cast("bigint"))
+    auths = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs, e.src == hubs.node)
+            .groupBy(e.dst.alias("anode"))
+            .agg(F.sum("hub_int").alias("_in"))
+        )
+        a_all = nodes.join(a_raw, nodes.node == a_raw.anode, "left").select(
+            "node", F.coalesce(F.col("_in"), F.lit(0)).alias("_raw")
+        )
+        auths = _cut(_renorm(a_all, "auth_int"))
+        h_raw = (
+            e.join(auths, e.dst == auths.node)
+            .groupBy(e.src.alias("hnode"))
+            .agg(F.sum("auth_int").alias("_in"))
+        )
+        h_all = nodes.join(h_raw, nodes.node == h_raw.hnode, "left").select(
+            "node", F.coalesce(F.col("_in"), F.lit(0)).alias("_raw")
+        )
+        hubs = _cut(_renorm(h_all, "hub_int"))
+    e.unpersist()
+    return hubs.join(auths, "node").select("node", "hub_int", "auth_int")
+
+
+def hits_oracle_sql(
+    edges_sql: str,
+    *,
+    iterations: int = 4,
+    scale: int = 10**9,
+) -> str:
+    """DuckDB twin of :func:`hits`: the mutual-reinforcement rounds are
+    unrolled as chained CTEs with the identical int64 L1 fixed-point
+    renormalization, so hub/authority integers match bit-exactly."""
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"h{i - 1}"
+        parts.append(
+            f"ar{i} AS (SELECT n.node, COALESCE(s.raw, 0) AS raw FROM nodes n"
+            f" LEFT JOIN (SELECT e.dst AS node, SUM(h.h) AS raw FROM e"
+            f" JOIN {p} h ON e.src = h.node GROUP BY 1) s ON n.node = s.node)"
+        )
+        parts.append(
+            f"aq{i} AS (SELECT GREATEST(1, COALESCE(SUM(raw), 0) // {scale})"
+            f" AS q FROM ar{i})"
+        )
+        parts.append(
+            f"a{i} AS (SELECT node, raw // (SELECT q FROM aq{i}) AS a FROM ar{i})"
+        )
+        parts.append(
+            f"hr{i} AS (SELECT n.node, COALESCE(s.raw, 0) AS raw FROM nodes n"
+            f" LEFT JOIN (SELECT e.src AS node, SUM(a.a) AS raw FROM e"
+            f" JOIN a{i} a ON e.dst = a.node GROUP BY 1) s ON n.node = s.node)"
+        )
+        parts.append(
+            f"hq{i} AS (SELECT GREATEST(1, COALESCE(SUM(raw), 0) // {scale})"
+            f" AS q FROM hr{i})"
+        )
+        parts.append(
+            f"h{i} AS (SELECT node, raw // (SELECT q FROM hq{i}) AS h FROM hr{i})"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT h.node, h.h AS hub_int, a.a AS auth_int"
+        + f"\nFROM h{iterations} h JOIN a{iterations} a USING (node)"
+    )

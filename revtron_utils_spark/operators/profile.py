@@ -1192,6 +1192,7 @@ def ks_test(
     slice_a,
     slice_b,
     round_to: int = 6,
+    max_buckets: int | None = 100_000,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov distance — the sup-norm companion
     to :func:`hellinger_drift` (Hellinger integrates the disagreement,
@@ -1206,10 +1207,16 @@ def ks_test(
     argmax location breaks ties toward the smallest bucket. Plan: one
     (bucket, slice) partial-agg shuffle + cumsum windows over the
     bounded histogram. Output one row: ``(n_a, n_b, ks_at, ks_d,
-    ks_stat)``.
+    ks_stat)``. The bounded-spine contract is enforced by
+    ``guards.require_bounded_spine`` (fail fast instead of
+    single-task-sorting an unbinned spine; ``max_buckets=None``
+    vouches).
     """
     from pyspark.sql import Window
 
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, bucket_col, [], max_buckets, "ks_test")
     s = F.col(slice_col)
     per = (
         df.where(s.isin(slice_a, slice_b))

@@ -227,6 +227,7 @@ def ewma(
     by: list[str],
     alpha: float = 0.3,
     round_to: int = 4,
+    max_buckets: int | None = 100_000,
 ) -> DataFrame:
     """Exponentially weighted moving average per group over the bounded
     bucket spine — the smoothed-level readout behind drift dashboards
@@ -238,26 +239,35 @@ def ewma(
     DuckDB oracle with an identical ``list_reduce`` (same IEEE ops,
     same order → same doubles). O(T²) doubles per group, T bounded by
     the caller's bucketing. Output one row per bucket:
-    ``(*by, t, x, ewma)``.
+    ``(*by, t, x, ewma)``. The bounded-spine contract is enforced by
+    ``guards.require_bounded_spine`` (an unbucketed time column would
+    make the per-group fold row O(T²) — fail fast;
+    ``max_buckets=None`` vouches).
     """
+    from .guards import require_bounded_spine
+
     keys = list(by)
+    require_bounded_spine(df, time_col, keys, max_buckets, "ewma")
     per = df.groupBy(*keys, F.col(time_col).alias("t")).agg(
         F.sum(F.col(value_col).cast("long")).alias("x")
     )
     arr = per.groupBy(*keys).agg(
         F.sort_array(F.collect_list(F.struct("t", "x"))).alias("a")
     )
-    ex = arr.select(*keys, "a", F.posexplode("a").alias("i", "s"))
-    xs = F.transform(F.slice("a", F.lit(1), F.col("i") + F.lit(1)), lambda s: s["x"])
+    # internal aliases prefixed to avoid colliding with caller group
+    # column names (a group column literally named "s" used to make
+    # the struct reference ambiguous)
+    ex = arr.select(*keys, "a", F.posexplode("a").alias("_i", "_s"))
+    xs = F.transform(F.slice("a", F.lit(1), F.col("_i") + F.lit(1)), lambda s: s["x"])
     e = F.aggregate(
-        F.slice(xs, F.lit(2), F.col("i")),
+        F.slice(xs, F.lit(2), F.col("_i")),
         F.element_at(xs, 1).cast("double"),
         lambda acc, x: F.lit(alpha) * x.cast("double") + F.lit(1.0 - alpha) * acc,
     )
     return ex.select(
         *keys,
-        F.col("s.t").alias("t"),
-        F.col("s.x").alias("x"),
+        F.col("_s.t").alias("t"),
+        F.col("_s.x").alias("x"),
         F.round(e, round_to).alias("ewma"),
     ).orderBy(*keys, "t")
 
@@ -554,6 +564,7 @@ def holt_linear(
     alpha: float = 0.3,
     beta: float = 0.1,
     round_to: int = 4,
+    max_buckets: int | None = 100_000,
 ) -> DataFrame:
     """Holt double-exponential smoothing per group — level + trend
     state and the one-step-ahead forecast, the "what does next month
@@ -571,9 +582,15 @@ def holt_linear(
     (every literal cast to DOUBLE — DuckDB float literals are DECIMAL),
     so the doubles agree bit-for-bit. Groups with one bucket emit a
     NULL trend/forecast. Output: ``(*by, n_buckets, level, trend,
-    forecast)``.
+    forecast)``. The bounded-spine contract is enforced by
+    ``guards.require_bounded_spine`` (an unbucketed time column would
+    collect a multi-GB array row per group — fail fast;
+    ``max_buckets=None`` vouches).
     """
+    from .guards import require_bounded_spine
+
     keys = list(by)
+    require_bounded_spine(df, time_col, keys, max_buckets, "holt_linear")
     per = df.groupBy(*keys, F.col(time_col).alias("t")).agg(
         F.sum(F.col(value_col).cast("long")).alias("x")
     )

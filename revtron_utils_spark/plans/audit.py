@@ -26,6 +26,28 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def _count_unpartitioned_windows(text: str) -> int:
+    """Count ``Window`` operators whose window spec has NO partition
+    columns. In ``explain(formatted)`` each Window node's detail block
+    carries ``Arguments: [exprs], [partition], [order]`` — an
+    unpartitioned window prints only TWO top-level bracket groups
+    (``[exprs], [order]``), and at runtime Spark warns "No Partition
+    Defined ... moving all data to a single partition". Group count is
+    approximated by counting top-level ``], [`` separators."""
+    n = 0
+    for block in text.split("\n\n"):
+        lines = block.strip().splitlines()
+        if not lines or not re.match(r"\(\d+\) Window(\b|$)", lines[0].strip()):
+            continue
+        for line in lines[1:]:
+            ls = line.strip()
+            if ls.startswith("Arguments: "):
+                if ls.count("], [") < 2:
+                    n += 1
+                break
+    return n
+
+
 @dataclass
 class PlanFacts:
     text: str
@@ -38,6 +60,13 @@ class PlanFacts:
     has_take_ordered: bool = False
     codegen_stages: int = 0
     exchanges: int = 0
+    # scale-posture facts (round 8): a CASE chain whose branch count
+    # grows with DATA cardinality is the expression-tree cousin of the
+    # ams_f2 codegen blowup; an unpartitioned Window moves ALL rows to
+    # one task. Both are fine at small fixtures and catastrophic at
+    # 100 TB — make them assertable plan facts.
+    max_case_branches: int = 0
+    unpartitioned_windows: int = 0
 
     @classmethod
     def of(cls, df: DataFrame) -> "PlanFacts":
@@ -69,6 +98,10 @@ class PlanFacts:
                 | set(re.findall(r"\[codegen id : (\d+)\]", text))
             ),
             exchanges=text.count("Exchange"),
+            max_case_branches=max(
+                (line.count(" WHEN ") for line in text.splitlines()), default=0
+            ),
+            unpartitioned_windows=_count_unpartitioned_windows(text),
         )
 
     def read_columns(self) -> set[str]:

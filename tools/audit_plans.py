@@ -32,6 +32,55 @@ from revtron_utils_spark.plans.audit import (
 from revtron_utils_spark.session import get_spark
 
 
+# A CASE expression with more branches than this in ONE projection is
+# treated as a driver-built per-key chain (the data-cardinality cousin
+# of the ams_f2 codegen blowup) — thresholds belong in a broadcast-
+# joined table (see curation._threshold_table), not the expression tree.
+CASE_BRANCH_LIMIT = 64
+
+# Queries whose unpartitioned Window is bounded by construction —
+# audited one by one (r8). Two legitimate shapes:
+#   (a) rank over an already-`.limit(top_k)`-ed frame (≤ k rows; the
+#       static check can't see the upstream TakeOrderedAndProject):
+#       skew_report, join_size_estimate, vocab_drift, hybrid_search
+#       (RRF over top-k shortlists), rolling_wau (bounded day spine
+#       after a distinct-day aggregate).
+#   (b) rank/cumsum over a DOCUMENTED caller-bounded spine (score
+#       histograms, bucketed time, label sets, 9 Benford digits,
+#       O(strata)/O(raters) frames) — ks_test and gain_curve
+#       additionally enforce the bound at runtime via
+#       guards.require_bounded_spine.
+# Composition gates (analytics_pipeline, preference_pipeline,
+# attribution_multi_touch) inherit shape (b) from their members.
+# Anything NOT listed here that plans an unpartitioned window fails.
+BOUNDED_SPINE_OK: set[str] = {
+    # (a) post-limit ranks
+    "skew_report",
+    "join_size_estimate",
+    "vocab_drift",
+    "hybrid_search",
+    "rolling_wau",
+    # (b) caller-bounded spines
+    "ks_test",
+    "gain_curve",
+    "cusum_changepoint",
+    "theil_sen",
+    "seasonality",
+    "logrank_test",
+    "benford_digits",
+    "scorer_spearman",
+    "score_auc",
+    "gini_split",
+    "rfm_segments",
+    "neyman_allocation",
+    "majority_vote",
+    # compositions of (b) members
+    "analytics_pipeline",
+    "preference_pipeline",
+    "attribution_multi_touch",
+}
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="plan-audit")
@@ -64,6 +113,17 @@ def main() -> None:
                     unhealthy.append(name)
             else:
                 cg = "—"  # no codegen stages formed (e.g. pure python path)
+            case_cell = str(f.max_case_branches)
+            if f.max_case_branches > CASE_BRANCH_LIMIT:
+                case_cell = f"FAIL({f.max_case_branches})"
+                unhealthy.append(f"{name}[case-chain]")
+            if f.unpartitioned_windows and name in BOUNDED_SPINE_OK:
+                w0_cell = f"{f.unpartitioned_windows} (bounded)"
+            elif f.unpartitioned_windows:
+                w0_cell = f"FAIL({f.unpartitioned_windows})"
+                unhealthy.append(f"{name}[unpartitioned-window]")
+            else:
+                w0_cell = "0"
             rows.append(
                 (
                     name,
@@ -73,10 +133,12 @@ def main() -> None:
                     max(f.codegen_stages, len(stats)),
                     "yes" if f.has_take_ordered else "—",
                     cg,
+                    case_cell,
+                    w0_cell,
                 )
             )
         except Exception as e:  # pragma: no cover - diagnostic path
-            rows.append((name, "?", f"error: {e}", "", "", "", ""))
+            rows.append((name, "?", f"error: {e}", "", "", "", "", "", ""))
 
     lines = [
         "# PLANS — physical-plan audit of the headline suite",
@@ -91,7 +153,13 @@ def main() -> None:
         "**cgmax** = largest janino-compiled method (bytes) across the",
         f"query's codegen stages — must stay ≤ {HUGE_METHOD_LIMIT} or Spark",
         "silently falls back to interpreting the expression tree per row",
-        "(FAIL(-1) = generated code does not compile at all).",
+        "(FAIL(-1) = generated code does not compile at all),",
+        "**case** = largest CASE-WHEN branch count in one projection —",
+        f"above {CASE_BRANCH_LIMIT} is treated as a driver-built per-key",
+        "chain and fails (thresholds belong in a broadcast-joined table),",
+        "**w0** = Window operators with NO partition spec — all rows to",
+        "one task; fails unless the query is in the audited",
+        'bounded-spine allowlist (shown as "(bounded)").',
         "",
         "Shuffle-free scans (pure projections/generators) show exch=0; the",
         "iterative operators (connected components, pagerank) report the",
@@ -104,15 +172,15 @@ def main() -> None:
         "InMemoryRelation computes once and the real exchange count is the",
         "single-branch figure.",
         "",
-        "| query | exch | join | pushed | wscg | topk | cgmax |",
-        "| --- | --- | --- | --- | --- | --- | --- |",
+        "| query | exch | join | pushed | wscg | topk | cgmax | case | w0 |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- | --- |",
     ]
     for r in rows:
         lines.append("| " + " | ".join(str(x) for x in r) + " |")
     Path("PLANS.md").write_text("\n".join(lines) + "\n")
     print(f"wrote PLANS.md ({len(rows)} queries)")
     if unhealthy:
-        print(f"CODEGEN UNHEALTHY ({len(unhealthy)}): {', '.join(unhealthy)}")
+        print(f"PLAN AUDIT FAILURES ({len(unhealthy)}): {', '.join(unhealthy)}")
         sys.exit(1)
 
 

@@ -78,6 +78,17 @@ def main() -> None:
         f"| {d.get('value')} | {d.get('value_warm', '')} |\n"
     )
 
+    # Archive the per-query detail under the round label so round-over-
+    # round per-query comparison never depends on the driver tail's
+    # last-75-query truncation (r7 could compare only 29/114 r6
+    # queries). BENCH_DETAIL.json itself is overwritten by every
+    # bench.py run; the labeled copy is the durable record.
+    src_path = Path(args.src)
+    if src_path.name == "BENCH_DETAIL.json" and src_path.exists():
+        archive = ROOT / f"BENCH_DETAIL_{args.label}.json"
+        archive.write_text(src_path.read_text())
+        print(f"archived {archive.name}", file=sys.stderr)
+
     baseline = ROOT / "BASELINE.md"
     text = baseline.read_text()
     if MARKER not in text:
