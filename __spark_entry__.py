@@ -8195,6 +8195,173 @@ def _sql_cohort_ltv() -> str:
 SQL_COHORT_LTV = _sql_cohort_ltv()
 
 
+# --------------------------------------------------------------------------
+# round 8: HITS, randomization test, text statistics, sparse lexical
+# similarity, histogram outliers
+# --------------------------------------------------------------------------
+
+
+def q_hits(spark, sf):
+    """Integer-arithmetic HITS over the DIRECTED customer→supplier
+    trade graph (hubs = heavy buyers, authorities = popular
+    suppliers) — 4 mutual-reinforcement rounds with int64 L1
+    fixed-point renormalization; the oracle unrolls the identical
+    rounds as chained CTEs, so the gate is hash-exact."""
+    from revtron_utils_spark.operators.graph import hits
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return hits(edges, iterations=4)
+
+
+def _sql_hits() -> str:
+    from revtron_utils_spark.operators.graph import hits_oracle_sql
+
+    edges = (
+        "SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    )
+    return hits_oracle_sql(edges, iterations=4)
+
+
+SQL_HITS = _sql_hits()
+
+
+def q_permutation_test(spark, sf):
+    """Deterministic randomization test: is the mean quantity of
+    returned lineitems ('R') different from accepted ones ('A')? 100
+    hash-reassigned replicates, integer sums, add-one-smoothed
+    two-sided p — the non-parametric companion to ab_test."""
+    from revtron_utils_spark.operators.bootstrap import permutation_test
+
+    li = _t(spark, sf, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("uid"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_returnflag",
+    )
+    return permutation_test(
+        li, "uid", "qty", "l_returnflag", "A", "R", n_perm=100
+    )
+
+
+def _sql_permutation_test() -> str:
+    from revtron_utils_spark.operators.bootstrap import (
+        permutation_test_oracle_sql,
+    )
+
+    units = (
+        "SELECT l_orderkey * 8 + l_linenumber AS uid, "
+        "CAST(l_quantity AS BIGINT) AS qty, l_returnflag FROM lineitem"
+    )
+    return permutation_test_oracle_sql(
+        units, "uid", "qty", "l_returnflag", "A", "R", n_perm=100
+    )
+
+
+SQL_PERMUTATION_TEST = _sql_permutation_test()
+
+
+def q_readability(spark, sf):
+    """Flesch Reading Ease per document with the deterministic
+    vowel-group syllable heuristic — exact integer counts, one
+    fixed-order double expression, pure projection."""
+    from revtron_utils_spark.operators.textstats import readability
+
+    return readability(_t(spark, sf, "documents"))
+
+
+def _sql_readability() -> str:
+    from revtron_utils_spark.operators.textstats import readability_oracle_sql
+
+    return readability_oracle_sql()
+
+
+SQL_READABILITY = _sql_readability()
+
+
+def q_rake_keywords(spark, sf):
+    """Corpus-level RAKE keyword extraction: stopword-delimited
+    candidate phrases scored by integer fixed-point degree/frequency
+    word scores — top 25 phrases, bit-exact (no doubles anywhere)."""
+    from revtron_utils_spark.operators.textstats import rake_keywords
+
+    return rake_keywords(_t(spark, sf, "documents"), top_k=25)
+
+
+def _sql_rake_keywords() -> str:
+    from revtron_utils_spark.operators.textstats import (
+        rake_keywords_oracle_sql,
+    )
+
+    return rake_keywords_oracle_sql(top_k=25)
+
+
+SQL_RAKE_KEYWORDS = _sql_rake_keywords()
+
+
+def q_tfidf_cosine(spark, sf):
+    """Sparse lexical near-duplicate pairs: rational-idf tf-idf cosine
+    via a df-capped inverted-index self-join — DECIMAL-exact weights,
+    norms, and dots; the lexical complement of the dense embedding
+    near-dup miners."""
+    from revtron_utils_spark.operators.retrieval import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _t(spark, sf, "documents"), threshold=0.9, df_cap=400
+    )
+
+
+def _sql_tfidf_cosine() -> str:
+    from revtron_utils_spark.operators.retrieval import (
+        tfidf_cosine_pairs_oracle_sql,
+    )
+
+    return tfidf_cosine_pairs_oracle_sql(threshold=0.9, df_cap=400)
+
+
+SQL_TFIDF_COSINE = _sql_tfidf_cosine()
+
+
+def q_hbos_outliers(spark, sf):
+    """Histogram-Based Outlier Scores over (quantity, price-in-cents)
+    lineitems: integer inverse-bin-density factors multiplied in exact
+    DECIMAL — the top-50 most anomalous rows, log-free HBOS."""
+    from revtron_utils_spark.operators.profile import hbos_scores
+
+    li = _t(spark, sf, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("uid"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return hbos_scores(
+        li, "uid", {"qty": 5, "cents": 500_000}, top_k=50
+    )
+
+
+def _sql_hbos_outliers() -> str:
+    from revtron_utils_spark.operators.profile import hbos_scores_oracle_sql
+
+    base = (
+        "SELECT l_orderkey * 8 + l_linenumber AS uid, "
+        "CAST(l_quantity AS BIGINT) AS qty, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem"
+    )
+    return hbos_scores_oracle_sql(
+        base, "uid", {"qty": 5, "cents": 500_000}, top_k=50
+    )
+
+
+SQL_HBOS_OUTLIERS = _sql_hbos_outliers()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -8437,6 +8604,12 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mcnemar_test": (q_mcnemar, SQL_MCNEMAR),
     "gain_curve": (q_gain_curve, SQL_GAIN_CURVE),
     "cohort_ltv": (q_cohort_ltv, SQL_COHORT_LTV),
+    "hits": (q_hits, SQL_HITS),
+    "permutation_test": (q_permutation_test, SQL_PERMUTATION_TEST),
+    "readability": (q_readability, SQL_READABILITY),
+    "rake_keywords": (q_rake_keywords, SQL_RAKE_KEYWORDS),
+    "tfidf_cosine": (q_tfidf_cosine, SQL_TFIDF_COSINE),
+    "hbos_outliers": (q_hbos_outliers, SQL_HBOS_OUTLIERS),
 }
 
 

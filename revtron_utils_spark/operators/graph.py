@@ -1114,37 +1114,48 @@ def hits_oracle_sql(
 ) -> str:
     """DuckDB twin of :func:`hits`: the mutual-reinforcement rounds are
     unrolled as chained CTEs with the identical int64 L1 fixed-point
-    renormalization, so hub/authority integers match bit-exactly."""
+    renormalization, so hub/authority integers match bit-exactly.
+
+    Every per-round CTE is ``AS MATERIALIZED`` (the
+    `bradley_terry_rounds_sql` lesson): each round references its
+    predecessor twice (raw sums + the renormalizer's scalar subquery),
+    so DuckDB's default CTE inlining would re-evaluate the whole chain
+    exponentially — 4 rounds of inlined chains hang where the
+    materialized plan runs in milliseconds."""
     parts = [
-        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
-        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         f"h0 AS (SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes)",
     ]
     for i in range(1, iterations + 1):
         p = f"h{i - 1}"
         parts.append(
-            f"ar{i} AS (SELECT n.node, COALESCE(s.raw, 0) AS raw FROM nodes n"
+            f"ar{i} AS MATERIALIZED (SELECT n.node, COALESCE(s.raw, 0) AS raw"
+            f" FROM nodes n"
             f" LEFT JOIN (SELECT e.dst AS node, SUM(h.h) AS raw FROM e"
             f" JOIN {p} h ON e.src = h.node GROUP BY 1) s ON n.node = s.node)"
         )
         parts.append(
-            f"aq{i} AS (SELECT GREATEST(1, COALESCE(SUM(raw), 0) // {scale})"
-            f" AS q FROM ar{i})"
+            f"aq{i} AS MATERIALIZED (SELECT GREATEST(1,"
+            f" COALESCE(SUM(raw), 0) // {scale}) AS q FROM ar{i})"
         )
         parts.append(
-            f"a{i} AS (SELECT node, raw // (SELECT q FROM aq{i}) AS a FROM ar{i})"
+            f"a{i} AS MATERIALIZED (SELECT node,"
+            f" raw // (SELECT q FROM aq{i}) AS a FROM ar{i})"
         )
         parts.append(
-            f"hr{i} AS (SELECT n.node, COALESCE(s.raw, 0) AS raw FROM nodes n"
+            f"hr{i} AS MATERIALIZED (SELECT n.node, COALESCE(s.raw, 0) AS raw"
+            f" FROM nodes n"
             f" LEFT JOIN (SELECT e.src AS node, SUM(a.a) AS raw FROM e"
             f" JOIN a{i} a ON e.dst = a.node GROUP BY 1) s ON n.node = s.node)"
         )
         parts.append(
-            f"hq{i} AS (SELECT GREATEST(1, COALESCE(SUM(raw), 0) // {scale})"
-            f" AS q FROM hr{i})"
+            f"hq{i} AS MATERIALIZED (SELECT GREATEST(1,"
+            f" COALESCE(SUM(raw), 0) // {scale}) AS q FROM hr{i})"
         )
         parts.append(
-            f"h{i} AS (SELECT node, raw // (SELECT q FROM hq{i}) AS h FROM hr{i})"
+            f"h{i} AS MATERIALIZED (SELECT node,"
+            f" raw // (SELECT q FROM hq{i}) AS h FROM hr{i})"
         )
     return (
         ",\n".join(parts)

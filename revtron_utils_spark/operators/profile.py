@@ -1407,3 +1407,131 @@ FROM inter
 JOIN sizes sa ON inter.slice_a = sa._s
 JOIN sizes sb ON inter.slice_b = sb._s
 """
+
+
+def hbos_scores(
+    df: DataFrame,
+    id_col: str,
+    features: dict,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Histogram-Based Outlier Score (Goldstein & Dengel, HBOS 2012) —
+    the classic at-scale unsupervised anomaly readout: per feature,
+    histogram the column with a caller-fixed bin width; a row's score
+    is the product over features of the inverse bin density. Rows in
+    sparse corners of the joint-marginal space rank highest (top_k
+    returns the most anomalous first).
+
+    ``features`` maps numeric column name → integer bin width (caller
+    fixes widths so bins are data-independent — no min/max pre-pass,
+    stable under corpus growth; the `quantiles._log_bin` rationale).
+
+    Exactness (the log-free house rule — classic HBOS sums logs, this
+    multiplies the rationals): per feature the factor is the INTEGER
+    ``n_rows·SCALE // bin_count`` (floor div, both engines) and the
+    score is the exact DECIMAL(38,0) product — with ≤ 3 features every
+    product stays under 10³⁸ (SCALE=10⁴, factors ≤ n·10⁴ ≤ 10¹⁶ each),
+    matching DuckDB HUGEINT bit-for-bit. Ranking is unchanged from the
+    log form (log is monotone; product of positives ↔ sum of logs).
+
+    Plan: one partial-agg shuffle per feature histogram (bounded by the
+    occupied-bin count), each broadcast-joined back onto ONE scan —
+    no sort unless ``top_k`` is set, and that compiles to
+    TakeOrderedAndProject. Output: ``(id_col, <f>_bin per feature,
+    score_int)``.
+    """
+    if not (1 <= len(features) <= 3):
+        raise ValueError(
+            "hbos_scores takes 1-3 features: the exact integer product "
+            f"is bounded for ≤3 factors (got {len(features)})"
+        )
+    SCALE = 10_000
+    out = df
+    n_rows = df.count()
+    score = None
+    bin_cols = []
+    for fcol, width in sorted(features.items()):
+        w = int(width)
+        if w < 1:
+            raise ValueError(f"bin width for {fcol!r} must be >= 1")
+        bname = f"{fcol}_bin"
+        bin_cols.append(bname)
+        # floor-to-bin in pure int64: subtract the mod-positive residue
+        # then integer-divide (exact — the numerator is a multiple of
+        # w), so negatives floor instead of truncating toward zero.
+        # Feature columns must be INTEGER-VALUED (cents/counts): Spark
+        # truncates a fractional cast where DuckDB rounds — callers
+        # quantize floats first (the gate rounds prices to cents).
+        bexpr = F.expr(
+            f"(CAST({fcol} AS BIGINT)"
+            f" - (((CAST({fcol} AS BIGINT) % {w}) + {w}) % {w})) div {w}"
+        )
+        out = out.withColumn(bname, bexpr)
+        hist = out.groupBy(F.col(bname).alias("_b")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        factor = F.expr(f"({n_rows}L * {SCALE}L) div _c")
+        ftab = hist.select(
+            F.col("_b").alias(f"_b_{fcol}"), factor.alias(f"_f_{fcol}")
+        )
+        out = out.join(
+            F.broadcast(ftab), out[bname] == ftab[f"_b_{fcol}"]
+        ).drop(f"_b_{fcol}")
+        f_dec = F.col(f"_f_{fcol}").cast("decimal(38,0)")
+        score = f_dec if score is None else (score * f_dec).cast("decimal(38,0)")
+    res = out.select(
+        F.col(id_col), *bin_cols, score.alias("score_int")
+    )
+    if top_k is not None:
+        res = res.orderBy(
+            F.col("score_int").desc(), F.col(id_col).asc()
+        ).limit(top_k)
+    return res
+
+
+def hbos_scores_oracle_sql(
+    table_expr: str,
+    id_col: str,
+    features: dict,
+    top_k: int | None = None,
+) -> str:
+    """DuckDB twin: identical floor-binning, identical integer inverse
+    densities, HUGEINT product."""
+    SCALE = 10_000
+    feats = sorted(features.items())
+    bin_exprs = []
+    for fcol, width in feats:
+        w = int(width)
+        v = f"CAST({fcol} AS BIGINT)"
+        bin_exprs.append(
+            f"({v} - ((({v} % {w}) + {w}) % {w})) // {w} AS {fcol}_bin"
+        )
+    bins = ", ".join(bin_exprs)
+    hists = []
+    joins = []
+    factors = []
+    for fcol, _ in feats:
+        hists.append(
+            f"h_{fcol} AS (SELECT {fcol}_bin AS b, CAST(COUNT(*) AS BIGINT)"
+            f" AS c FROM binned GROUP BY 1)"
+        )
+        joins.append(f"JOIN h_{fcol} ON binned.{fcol}_bin = h_{fcol}.b")
+        factors.append(
+            f"CAST(((SELECT n FROM nn) * {SCALE}) // h_{fcol}.c AS HUGEINT)"
+        )
+    score = " * ".join(factors)
+    bin_out = ", ".join(f"binned.{fcol}_bin" for fcol, _ in feats)
+    order = (
+        f"ORDER BY score_int DESC, {id_col} ASC LIMIT {top_k}"
+        if top_k is not None
+        else ""
+    )
+    return f"""
+WITH base AS ({table_expr}),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+binned AS (SELECT {id_col}, {bins} FROM base),
+{", ".join(hists)}
+SELECT {id_col}, {bin_out}, {score} AS score_int
+FROM binned {" ".join(joins)}
+{order}
+"""

@@ -494,3 +494,158 @@ JOIN uc a ON bc.w1 = a.w
 JOIN uc b ON bc.w2 = b.w
 CROSS JOIN totals CROSS JOIN nb
 """
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    df_cap: int = 1000,
+    scale: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sparse lexical near-duplicate pairs: cosine similarity of
+    rational-idf tf-idf vectors via an inverted-index self-join — the
+    LEXICAL complement of `similarity.cosine_neardup` (dense embedding
+    cosine): catches template/boilerplate overlap that embeddings blur
+    and needs no embedding column.
+
+    Weights: ``w(doc, term) = tf · idf_int`` with the house rational
+    idf (``idf_int = round(scale·N/df)``, the `rarity_scores`
+    precedent — no logs, bit-equal on both engines). Cosine is
+    ``Σ w_a·w_b / (√Σw_a² · √Σw_b²)`` with every sum an exact
+    DECIMAL(38,0) integer (order-independent), then exactly-rounded
+    sqrt + ONE division — hash-exact.
+
+    100 TB posture (the `dedup._cap_hot_buckets` argument): the pair
+    space of a posting-list join is Σ_t df_t², unbounded for stopword-
+    grade terms — terms with ``df > df_cap`` are EXCLUDED FROM THE
+    VECTOR SPACE entirely (standard stop-token capping; norms and dots
+    use the same surviving vocabulary, so the cosine stays a true
+    cosine in the capped space). Per term the join then emits ≤ df_cap²
+    pairs. df-1 terms keep their mass in the norms but never pair.
+    Plan: one token explode, one df aggregate, one broadcast of the
+    capped vocabulary, one postings self-join keyed on term (AQE
+    handles residual term skew), one pair aggregate.
+
+    Output: ``(id_a, id_b, cosine)`` for pairs with
+    ``cosine ≥ threshold``, ``id_a < id_b``.
+    """
+    from ..functions import text as TX
+    from .dedup import _persist
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = _persist(
+        toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    n_docs = docs.count()
+    voc = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= df_cap)
+        .withColumn(
+            "_idf",
+            F.round(F.lit(float(n_docs) * scale) / F.col("_df")).cast("long"),
+        )
+    )
+    posts = _persist(
+        tf.join(voc.select("term", "_df", "_idf"), "term").select(
+            "term",
+            "_df",
+            "_id",
+            (F.col("_tf").cast("decimal(38,0)") * F.col("_idf").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("_w"),
+        )
+    )
+    norms = posts.groupBy("_id").agg(
+        F.sum((F.col("_w") * F.col("_w")).cast("decimal(38,0)")).alias("_n2")
+    )
+    a = posts.select(
+        F.col("term").alias("t"),
+        F.col("_df").alias("dfa"),
+        F.col("_id").alias("id_a"),
+        F.col("_w").alias("_wa"),
+    )
+    b = posts.select(
+        F.col("term").alias("t"),
+        F.col("_id").alias("id_b"),
+        F.col("_w").alias("_wb"),
+    )
+    dots = (
+        a.join(b, (a.t == b.t) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum((F.col("_wa") * F.col("_wb")).cast("decimal(38,0)")).alias("_dot"))
+    )
+    na = norms.select(F.col("_id").alias("id_a"), F.col("_n2").alias("_na2"))
+    nb = norms.select(F.col("_id").alias("id_b"), F.col("_n2").alias("_nb2"))
+    cos = F.round(
+        F.col("_dot").cast("double")
+        / (F.sqrt(F.col("_na2").cast("double")) * F.sqrt(F.col("_nb2").cast("double"))),
+        round_to,
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
+def tfidf_cosine_pairs_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+    df_cap: int = 1000,
+    scale: int = 1_000_000,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same tokenizer, same rational idf, HUGEINT-exact
+    weights/norms/dots, same rounded cosine."""
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS _id, u.term
+  FROM {table},
+       UNNEST(list_filter(string_split_regex(trim(lower({text_col})), '\s+'),
+                          t -> t <> '')) AS u(term)
+),
+tf AS (
+  SELECT _id, term, CAST(COUNT(*) AS BIGINT) AS _tf
+  FROM toks GROUP BY _id, term
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}),
+voc AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS _df,
+         CAST(ROUND(CAST((SELECT n FROM nn) AS DOUBLE) * {scale}
+                    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS _idf
+  FROM tf GROUP BY term
+  HAVING COUNT(*) <= {df_cap}
+),
+posts AS (
+  SELECT tf.term, tf._id, CAST(tf._tf AS HUGEINT) * voc._idf AS _w
+  FROM tf JOIN voc USING (term)
+),
+norms AS (
+  SELECT _id, SUM(_w * _w) AS _n2 FROM posts GROUP BY _id
+),
+dots AS (
+  SELECT a._id AS id_a, b._id AS id_b, SUM(a._w * b._w) AS _dot
+  FROM posts a JOIN posts b ON a.term = b.term AND a._id < b._id
+  GROUP BY a._id, b._id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(_dot AS DOUBLE)
+             / (SQRT(CAST(na._n2 AS DOUBLE)) * SQRT(CAST(nb._n2 AS DOUBLE))),
+             {round_to}) AS cosine
+FROM dots
+JOIN norms na ON dots.id_a = na._id
+JOIN norms nb ON dots.id_b = nb._id
+WHERE ROUND(CAST(_dot AS DOUBLE)
+            / (SQRT(CAST(na._n2 AS DOUBLE)) * SQRT(CAST(nb._n2 AS DOUBLE))),
+            {round_to}) >= {float(threshold)!r}
+"""
