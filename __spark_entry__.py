@@ -8201,6 +8201,42 @@ SQL_COHORT_LTV = _sql_cohort_ltv()
 # --------------------------------------------------------------------------
 
 
+def q_dawid_skene(spark, sf):
+    """All-integer Dawid-Skene EM (3 fixed rounds) over the lineitem
+    rater panel: confusion-aware crowd-label aggregation — posteriors,
+    confusion rows, and priors are fixed-point integers; per-item
+    likelihoods are exact DECIMAL products, so the MAP labels and
+    posteriors hash-match the oracle's unrolled MATERIALIZED CTE
+    rounds bit-exactly."""
+    from revtron_utils_spark.operators.annotation import dawid_skene
+
+    # one vote per (item, rater): the fixture repeats line numbers
+    # within an order, so dedup to the deterministic MIN label —
+    # panels are then <= 7 raters, inside the default scale=10^4
+    # exact product width (both engines dedup identically)
+    r = (
+        _ratings(spark, sf)
+        .groupBy("item", "rater")
+        .agg(F.min("label").alias("label"))
+    )
+    return dawid_skene(r, "item", "rater", "label")
+
+
+def _sql_dawid_skene() -> str:
+    from revtron_utils_spark.operators.annotation import (
+        dawid_skene_oracle_sql,
+    )
+
+    capped = (
+        f"SELECT item, rater, MIN(label) AS label FROM ({_SQL_RATINGS}) "
+        "GROUP BY item, rater"
+    )
+    return dawid_skene_oracle_sql(capped, "item", "rater", "label")
+
+
+SQL_DAWID_SKENE = _sql_dawid_skene()
+
+
 def q_hits(spark, sf):
     """Integer-arithmetic HITS over the DIRECTED customer→supplier
     trade graph (hubs = heavy buyers, authorities = popular
@@ -8604,6 +8640,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mcnemar_test": (q_mcnemar, SQL_MCNEMAR),
     "gain_curve": (q_gain_curve, SQL_GAIN_CURVE),
     "cohort_ltv": (q_cohort_ltv, SQL_COHORT_LTV),
+    "dawid_skene": (q_dawid_skene, SQL_DAWID_SKENE),
     "hits": (q_hits, SQL_HITS),
     "permutation_test": (q_permutation_test, SQL_PERMUTATION_TEST),
     "readability": (q_readability, SQL_READABILITY),

@@ -625,3 +625,272 @@ SELECT n_items, CAST({n_raters} AS INTEGER) AS n_raters, n_labels,
              {round_to}) AS kappa
 FROM calc
 """
+
+
+def dawid_skene(
+    df: DataFrame,
+    item_col: str,
+    rater_col: str,
+    label_col: str,
+    iterations: int = 3,
+    scale: int = 10_000,
+    max_raters: int = 7,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Dawid-Skene crowd-label aggregation (Dawid & Skene 1979, "Maximum
+    likelihood estimation of observer error-rates using the EM
+    algorithm") with a FIXED iteration count — the confusion-aware
+    upgrade of :func:`majority_vote`: raters who systematically confuse
+    labels get down-weighted instead of counted, the standard model
+    behind crowd-labeled training-set cleanup.
+
+    **All-integer EM** (novel exactness shape; the `bradley_terry`
+    discipline applied to EM): posteriors q(i,ℓ), confusion rows
+    π_r(ℓ,m), and class priors p(ℓ) are all fixed-point integers in
+    [0, ``scale``], every normalization is ``(num·scale) div den``
+    (num ≤ den by construction, so the quotient always fits int64 —
+    Spark's decimal ``div`` silently wraps past 2⁶³, which this layout
+    makes unreachable), Laplace(+1) smoothing keeps counts positive,
+    and the per-item likelihood is an exact DECIMAL(38,0) product of
+    ≤ ``max_raters``+1 factors ≤ scale — with scale=10⁴ and
+    max_raters=7 the largest intermediate is 10³⁶ < 10³⁸, inside both
+    DECIMAL(38,0) and DuckDB HUGEINT. Integer multiplication is
+    commutative-exact, so the unordered product fold is deterministic
+    without sorting. The oracle unrolls the same rounds as MATERIALIZED
+    CTEs — bit-exact.
+
+    Scale: per round, one votes⋈q item-keyed join + three partial
+    aggregates; π and p are O(raters·labels²)/O(labels) frames
+    broadcast back. State is the (items × labels) posterior frame —
+    DISTRIBUTED, unlike Bradley-Terry's bounded catalog. Panels larger
+    than ``max_raters`` raise (the product-width exactness bound);
+    labels are assumed a bounded catalog (A/N/R-sized, not corpus
+    text).
+
+    Output one row per item: ``(item, ds_label, q_int, n_raters)`` —
+    the MAP label (ties → label ASC) and its posterior in
+    [0, scale].
+    """
+    from .dedup import _persist
+    from .graph import _lineage_cutter
+
+    if scale ** (max_raters + 2) >= 10**38:
+        raise ValueError(
+            "scale**(max_raters+2) must stay below DECIMAL(38,0): "
+            f"got scale={scale}, max_raters={max_raters}"
+        )
+    votes = _persist(
+        df.select(
+            F.col(item_col).alias("i"),
+            F.col(rater_col).alias("r"),
+            F.col(label_col).alias("m"),
+        )
+    )
+    panel_max = (
+        votes.groupBy("i")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"))
+        .first()["mx"]
+    )
+    if panel_max is None:
+        return votes.select(
+            F.col("i").alias("item"),
+            F.col("m").alias("ds_label"),
+            F.lit(0).cast("long").alias("q_int"),
+            F.lit(0).cast("long").alias("n_raters"),
+        )
+    if panel_max > max_raters:
+        raise ValueError(
+            f"dawid_skene: an item has {panel_max} raters, over "
+            f"max_raters={max_raters} (the DECIMAL(38,0) product-width "
+            "bound) — dedup the panel or lower scale"
+        )
+    labels = _persist(votes.select(F.col("m").alias("l")).distinct())
+    n_labels = labels.count()
+    ni = votes.groupBy("i").agg(F.count(F.lit(1)).alias("_n"))
+    cil = votes.groupBy("i", F.col("m").alias("l")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    q = (
+        ni.crossJoin(F.broadcast(labels))
+        .join(cil, ["i", "l"], "left")
+        .select(
+            "i",
+            "l",
+            F.expr(f"(coalesce(_c, 0) * {scale}) div _n").alias("q"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    # per-round lineage cut (the pagerank convention): without it the
+    # logical plan grows multiplicatively per EM round — q feeds conf,
+    # the priors, AND the next round — and Catalyst re-analysis cost
+    # dominated runtime (103 s for 1.5k items, measured; 4 s with cuts)
+    _cut = _lineage_cutter(df.sparkSession, checkpoint_dir)
+    for _ in range(iterations):
+        q = _cut(q)
+        # M-step: confusion rows (Laplace +1 per possible label)
+        conf = (
+            votes.join(q, "i")
+            .groupBy("r", "l", "m")
+            .agg((F.sum("q") + F.lit(1)).alias("_num"))
+        )
+        conf = _persist(conf)
+        den = conf.groupBy("r", "l").agg(
+            (
+                F.sum("_num") + (F.lit(n_labels) - F.count(F.lit(1)))
+            ).alias("_den")
+        )
+        pi = conf.join(den, ["r", "l"]).select(
+            "r",
+            "l",
+            "m",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(
+                    f"(CAST(_num AS DECIMAL(38,0)) * {scale})"
+                    " div CAST(_den AS DECIMAL(38,0))"
+                ),
+            ).alias("_pi"),
+        )
+        prn = q.groupBy("l").agg((F.sum("q") + F.lit(1)).alias("_num"))
+        prd = prn.agg(F.sum("_num").alias("_den"))
+        pri = prn.crossJoin(F.broadcast(prd)).select(
+            "l",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(
+                    f"(CAST(_num AS DECIMAL(38,0)) * {scale})"
+                    " div CAST(_den AS DECIMAL(38,0))"
+                ),
+            ).alias("_p"),
+        )
+        # E-step: per-(item, label) integer likelihood product. No
+        # broadcast hint on π: it's O(raters·labels²) — rater-panel
+        # sized for review boards, crowd-sized for crowdsourcing; AQE
+        # picks broadcast only when it fits.
+        vf = votes.join(pi, ["r", "m"]).select("i", "l", "_pi")
+        prod = (
+            vf.groupBy("i", "l")
+            .agg(
+                F.aggregate(
+                    F.collect_list("_pi"),
+                    F.lit(1).cast("decimal(38,0)"),
+                    lambda a, x: (a * dec(x)).cast("decimal(38,0)"),
+                ).alias("_f")
+            )
+            .join(F.broadcast(pri), "l")
+            .select("i", "l", (dec(F.col("_p")) * F.col("_f")).cast("decimal(38,0)").alias("_prod"))
+        )
+        sumi = prod.groupBy("i").agg(F.sum("_prod").alias("_s"))
+        q = prod.join(sumi, "i").select(
+            "i",
+            "l",
+            F.expr(f"CAST((_prod * {scale}) div _s AS BIGINT)").alias("q"),
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("i").orderBy(F.col("q").desc(), F.col("l").asc())
+    best = (
+        q.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("i", F.col("l").alias("ds_label"), F.col("q").alias("q_int"))
+    )
+    return best.join(ni, "i").select(
+        F.col("i").alias("item"),
+        "ds_label",
+        "q_int",
+        F.col("_n").alias("n_raters"),
+    )
+
+
+def dawid_skene_oracle_sql(
+    votes_sql: str,
+    item_col: str,
+    rater_col: str,
+    label_col: str,
+    iterations: int = 3,
+    scale: int = 10_000,
+) -> str:
+    """DuckDB twin of :func:`dawid_skene`: identical integer EM rounds,
+    unrolled as MATERIALIZED CTEs (the `hits_oracle_sql` lesson —
+    default CTE inlining re-evaluates the chain exponentially),
+    HUGEINT products, ``//`` floor division."""
+    s = scale
+    parts = [
+        f"""WITH votes AS MATERIALIZED (
+  SELECT {item_col} AS i, {rater_col} AS r, {label_col} AS m
+  FROM ({votes_sql})
+)""",
+        "labels AS MATERIALIZED (SELECT DISTINCT m AS l FROM votes)",
+        "nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM labels)",
+        "ni AS MATERIALIZED (SELECT i, CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM votes GROUP BY i)",
+        "cil AS (SELECT i, m AS l, CAST(COUNT(*) AS BIGINT) AS c"
+        " FROM votes GROUP BY i, m)",
+        f"""q0 AS MATERIALIZED (
+  SELECT ni.i, lab.l, (COALESCE(c.c, 0) * {s}) // ni.n AS q
+  FROM ni CROSS JOIN labels lab
+  LEFT JOIN cil c ON c.i = ni.i AND c.l = lab.l
+)""",
+    ]
+    for k in range(1, iterations + 1):
+        p = f"q{k - 1}"
+        parts.append(
+            f"conf{k} AS MATERIALIZED (SELECT v.r, q.l, v.m,"
+            f" SUM(q.q) + 1 AS num"
+            f" FROM votes v JOIN {p} q ON v.i = q.i GROUP BY v.r, q.l, v.m)"
+        )
+        parts.append(
+            f"den{k} AS MATERIALIZED (SELECT r, l,"
+            f" SUM(num) + ((SELECT c FROM nl) - COUNT(*)) AS den"
+            f" FROM conf{k} GROUP BY r, l)"
+        )
+        parts.append(
+            f"pi{k} AS MATERIALIZED (SELECT c.r, c.l, c.m,"
+            f" GREATEST(1, (CAST(c.num AS HUGEINT) * {s})"
+            f" // CAST(d.den AS HUGEINT)) AS pi"
+            f" FROM conf{k} c JOIN den{k} d ON c.r = d.r AND c.l = d.l)"
+        )
+        parts.append(
+            f"prn{k} AS (SELECT l, SUM(q) + 1 AS num FROM {p} GROUP BY l)"
+        )
+        parts.append(
+            f"prd{k} AS (SELECT SUM(num) AS den FROM prn{k})"
+        )
+        parts.append(
+            f"pri{k} AS MATERIALIZED (SELECT l, GREATEST(1,"
+            f" (CAST(num AS HUGEINT) * {s})"
+            f" // CAST((SELECT den FROM prd{k}) AS HUGEINT)) AS p"
+            f" FROM prn{k})"
+        )
+        parts.append(
+            f"vf{k} AS (SELECT v.i, p.l, p.pi"
+            f" FROM votes v JOIN pi{k} p ON v.r = p.r AND v.m = p.m)"
+        )
+        parts.append(
+            f"prod{k} AS MATERIALIZED (SELECT vf.i, vf.l,"
+            f" pri.p * list_reduce(list_prepend(CAST(1 AS HUGEINT),"
+            f" list(CAST(vf.pi AS HUGEINT))), (a, b) -> a * b) AS prod"
+            f" FROM vf{k} vf JOIN pri{k} pri ON vf.l = pri.l"
+            f" GROUP BY vf.i, vf.l, pri.p)"
+        )
+        parts.append(
+            f"sumi{k} AS (SELECT i, SUM(prod) AS s FROM prod{k} GROUP BY i)"
+        )
+        parts.append(
+            f"q{k} AS MATERIALIZED (SELECT p.i, p.l,"
+            f" CAST((p.prod * {s}) // s.s AS BIGINT) AS q"
+            f" FROM prod{k} p JOIN sumi{k} s ON p.i = s.i)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT b.i AS item, b.l AS ds_label, b.q AS q_int, ni.n AS n_raters
+FROM (
+  SELECT i, l, q,
+         ROW_NUMBER() OVER (PARTITION BY i ORDER BY q DESC, l ASC) AS rn
+  FROM q{iterations}
+) b JOIN ni ON b.i = ni.i
+WHERE b.rn = 1
+"""
+    )

@@ -184,3 +184,76 @@ def test_hbos_feature_count_bounds(spark):
     df = spark.createDataFrame([(1, 1, 1, 1, 1)], "uid long, a long, b long, c long, d long")
     with pytest.raises(ValueError, match="1-3 features"):
         hbos_scores(df, "uid", {"a": 1, "b": 1, "c": 1, "d": 1})
+
+
+def test_dawid_skene_downweights_confused_rater(spark):
+    """Three reliable raters + one adversarial rater who always inverts:
+    DS must recover the reliable majority on every item, and on the
+    item where the adversary creates a 2-2 split against two reliable
+    raters... the confusion model must side with the reliable pair."""
+    from revtron_utils_spark.operators.annotation import dawid_skene
+
+    votes = []
+    # items 0..9: true label alternates x/y; raters 1-3 truthful,
+    # rater 4 always inverts
+    for i in range(10):
+        truth = "x" if i % 2 == 0 else "y"
+        inv = "y" if truth == "x" else "x"
+        for r in (1, 2, 3):
+            votes.append((i, r, truth))
+        votes.append((i, 4, inv))
+    df = spark.createDataFrame(votes, "item long, rater int, label string")
+    out = {r["item"]: r for r in dawid_skene(df, "item", "rater", "label").collect()}
+    for i in range(10):
+        want = "x" if i % 2 == 0 else "y"
+        assert out[i]["ds_label"] == want
+        assert out[i]["n_raters"] == 4
+        # posterior should be confident (> 0.9 of scale)
+        assert out[i]["q_int"] > 9000
+
+
+def test_dawid_skene_matches_oracle_small(spark):
+    import duckdb
+
+    from revtron_utils_spark.operators.annotation import (
+        dawid_skene,
+        dawid_skene_oracle_sql,
+    )
+
+    votes = [
+        (i, r, ["a", "b", "c"][(i * r + (1 if r == 5 else 0)) % 3])
+        for i in range(30)
+        for r in range(1, 6)
+    ]
+    df = spark.createDataFrame(votes, "item long, rater int, label string")
+    got = sorted(
+        (r["item"], r["ds_label"], r["q_int"], r["n_raters"])
+        for r in dawid_skene(df, "item", "rater", "label").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE votes_t (item BIGINT, rater INT, label VARCHAR)")
+    con.executemany("INSERT INTO votes_t VALUES (?, ?, ?)", votes)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            dawid_skene_oracle_sql(
+                "SELECT item, rater, label FROM votes_t",
+                "item",
+                "rater",
+                "label",
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_dawid_skene_panel_guard(spark):
+    from revtron_utils_spark.operators.annotation import dawid_skene
+
+    votes = [(1, r, "x") for r in range(12)]
+    df = spark.createDataFrame(votes, "item long, rater int, label string")
+    with pytest.raises(ValueError, match="max_raters"):
+        dawid_skene(df, "item", "rater", "label")
+    # lower scale widens the exact product bound
+    out = dawid_skene(df, "item", "rater", "label", scale=100, max_raters=16)
+    assert out.collect()[0]["ds_label"] == "x"
