@@ -8201,6 +8201,208 @@ SQL_COHORT_LTV = _sql_cohort_ltv()
 # --------------------------------------------------------------------------
 
 
+def q_conformal_bounds(spark, sf):
+    """Split-conformal prediction bounds per return flag: deterministic
+    hash split → integer-floored train-mean predictor → (1−α)
+    interpolated quantile of calibration residuals via the
+    combinable-histogram exact-quantile path."""
+    from revtron_utils_spark.operators.quantiles import conformal_bounds
+
+    li = _t(spark, sf, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("uid"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        "l_returnflag",
+    )
+    return conformal_bounds(li, "uid", "cents", ["l_returnflag"])
+
+
+def _sql_conformal_bounds() -> str:
+    from revtron_utils_spark.operators.quantiles import (
+        conformal_bounds_oracle_sql,
+    )
+
+    units = (
+        "SELECT l_orderkey * 8 + l_linenumber AS uid, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents, "
+        "l_returnflag FROM lineitem"
+    )
+    return conformal_bounds_oracle_sql(units, "uid", "cents", ["l_returnflag"])
+
+
+SQL_CONFORMAL_BOUNDS = _sql_conformal_bounds()
+
+
+def q_seasonal_outliers(spark, sf):
+    """Month-over-years anomaly flags: each (status, year, month)
+    revenue bucket vs the month-of-year average across years — integer
+    cross-multiplied flags (no division in the decision), seasonal
+    structure cancels by construction."""
+    from revtron_utils_spark.operators.timeseries import seasonal_outliers
+
+    orders = _t(spark, sf, "orders").select(
+        "o_orderstatus",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return seasonal_outliers(
+        orders, "o_orderdate", "cents", ["o_orderstatus"]
+    )
+
+
+def _sql_seasonal_outliers() -> str:
+    from revtron_utils_spark.operators.timeseries import (
+        seasonal_outliers_oracle_sql,
+    )
+
+    series = (
+        "SELECT o_orderstatus, o_orderdate, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders"
+    )
+    return seasonal_outliers_oracle_sql(
+        series, "o_orderdate", "cents", ["o_orderstatus"]
+    )
+
+
+SQL_SEASONAL_OUTLIERS = _sql_seasonal_outliers()
+
+
+def q_cuped(spark, sf):
+    """CUPED variance-reduced group means: per-returnflag mean quantity
+    adjusted by the pooled price covariate — exact DECIMAL moment sums,
+    one θ division, fixed-order adjustment expression."""
+    from revtron_utils_spark.operators.profile import cuped_adjustment
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return cuped_adjustment(li, "cents", "qty", "l_returnflag")
+
+
+def _sql_cuped() -> str:
+    from revtron_utils_spark.operators.profile import (
+        cuped_adjustment_oracle_sql,
+    )
+
+    units = (
+        "SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem"
+    )
+    return cuped_adjustment_oracle_sql(units, "cents", "qty", "l_returnflag")
+
+
+SQL_CUPED = _sql_cuped()
+
+
+def q_entity_resolution(spark, sf):
+    """End-to-end entity resolution over part names — the composition
+    gate for the record-linkage pipeline: (1) blocked fuzzy self-join
+    (noun block, levenshtein ≤ 2), (2) distributed connected
+    components over the match graph (large-star/small-star), (3)
+    golden record per entity: member count + canonical name (modal,
+    ties → lexicographically smallest). Every stage is an existing
+    scale path; the oracle replays the same edges through a
+    recursive-CTE reachability closure (the `dedup_clusters`
+    precedent)."""
+    from pyspark.sql import Window
+
+    from revtron_utils_spark.operators.fuzzy import fuzzy_self_pairs
+    from revtron_utils_spark.operators.graph import connected_components
+
+    pt = _t(spark, sf, "part").select("p_partkey", "p_name")
+    # VALUE-SPACE resolution (the 100-TB shape): real catalogs repeat
+    # names thousands of times, so an id-space match graph is dense
+    # cliques — one duplicated name with k rows contributes k² edges
+    # and connected components pays for all of them (measured: 64M
+    # edges / 127 s at the 50k fixture). Instead: collapse to one
+    # representative id per DISTINCT name, pair and cluster the
+    # representatives (the graph is value-sized), then attach the full
+    # row set back by value. Output is identical — the cluster min over
+    # representatives IS the min over all member ids.
+    # Blocking: noun + the adjective's 2-char prefix (an edit in the
+    # first two chars escapes the block — standard blocking recall
+    # tradeoff).
+    reps = pt.groupBy("p_name").agg(F.min("p_partkey").alias("_rep"))
+    rdf = reps.select(F.col("_rep").alias("p_partkey"), "p_name")
+    noun = F.element_at(F.split(F.col("p_name"), " "), 2)
+    prefix = F.substring(F.col("p_name"), 1, 2)
+    pairs = fuzzy_self_pairs(
+        rdf, "p_name", "p_partkey", [noun, prefix], max_dist=2
+    )
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", nodes=rdf, node_col="p_partkey"
+    )
+    members = (
+        pt.join(reps, "p_name")
+        .join(
+            comp.select(F.col("node").alias("_rep"), "component"), "_rep"
+        )
+        .select("component", "p_name")
+    )
+    nc = members.groupBy("component", "p_name").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("_c").desc(), F.col("p_name").asc()
+    )
+    canon = (
+        nc.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("component", F.col("p_name").alias("canonical_name"))
+    )
+    sizes = members.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return sizes.join(canon, "component").select(
+        F.col("component").alias("entity_id"), "n_members", "canonical_name"
+    )
+
+
+SQL_ENTITY_RESOLUTION = """
+WITH RECURSIVE reps AS (
+  SELECT p_name, MIN(p_partkey) AS rep FROM part GROUP BY p_name
+),
+b AS (
+  SELECT rep AS id, p_name AS t, string_split(p_name, ' ')[2] AS blk,
+         substr(p_name, 1, 2) AS pfx
+  FROM reps
+),
+pairs AS (
+  SELECT l.id AS u, r.id AS v
+  FROM b l JOIN b r ON l.blk = r.blk AND l.pfx = r.pfx AND l.id < r.id
+  WHERE levenshtein(l.t, r.t) <= 2
+),
+sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(u, v) AS (
+  SELECT rep, rep FROM reps
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+),
+comp AS (SELECT u AS id, MIN(v) AS component FROM reach GROUP BY u),
+members AS (
+  SELECT c.component, p.p_name
+  FROM part p JOIN reps ON p.p_name = reps.p_name
+  JOIN comp c ON reps.rep = c.id
+),
+nc AS (SELECT component, p_name, COUNT(*) AS c FROM members GROUP BY 1, 2),
+canon AS (
+  SELECT component, p_name AS canonical_name FROM (
+    SELECT component, p_name,
+           ROW_NUMBER() OVER (PARTITION BY component
+                              ORDER BY c DESC, p_name ASC) AS rn
+    FROM nc
+  ) WHERE rn = 1
+),
+sizes AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM members GROUP BY component
+)
+SELECT s.component AS entity_id, s.n_members, c.canonical_name
+FROM sizes s JOIN canon c USING (component)
+"""
+
+
 def q_dawid_skene(spark, sf):
     """All-integer Dawid-Skene EM (3 fixed rounds) over the lineitem
     rater panel: confusion-aware crowd-label aggregation — posteriors,
@@ -8216,6 +8418,7 @@ def q_dawid_skene(spark, sf):
     # exact product width (both engines dedup identically)
     r = (
         _ratings(spark, sf)
+        .where(F.col("rater") <= 7)
         .groupBy("item", "rater")
         .agg(F.min("label").alias("label"))
     )
@@ -8229,7 +8432,7 @@ def _sql_dawid_skene() -> str:
 
     capped = (
         f"SELECT item, rater, MIN(label) AS label FROM ({_SQL_RATINGS}) "
-        "GROUP BY item, rater"
+        "WHERE rater <= 7 GROUP BY item, rater"
     )
     return dawid_skene_oracle_sql(capped, "item", "rater", "label")
 
@@ -8641,6 +8844,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "gain_curve": (q_gain_curve, SQL_GAIN_CURVE),
     "cohort_ltv": (q_cohort_ltv, SQL_COHORT_LTV),
     "dawid_skene": (q_dawid_skene, SQL_DAWID_SKENE),
+    "entity_resolution": (q_entity_resolution, SQL_ENTITY_RESOLUTION),
+    "cuped": (q_cuped, SQL_CUPED),
+    "seasonal_outliers": (q_seasonal_outliers, SQL_SEASONAL_OUTLIERS),
+    "conformal_bounds": (q_conformal_bounds, SQL_CONFORMAL_BOUNDS),
     "hits": (q_hits, SQL_HITS),
     "permutation_test": (q_permutation_test, SQL_PERMUTATION_TEST),
     "readability": (q_readability, SQL_READABILITY),

@@ -182,6 +182,17 @@ HEADLINE = [
     "mcnemar_test",
     "gain_curve",
     "cohort_ltv",
+    "hits",
+    "permutation_test",
+    "readability",
+    "rake_keywords",
+    "tfidf_cosine",
+    "hbos_outliers",
+    "dawid_skene",
+    "entity_resolution",
+    "cuped",
+    "seasonal_outliers",
+    "conformal_bounds",
 ]
 
 

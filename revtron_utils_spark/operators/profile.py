@@ -1535,3 +1535,127 @@ SELECT {id_col}, {bin_out}, {score} AS score_int
 FROM binned {" ".join(joins)}
 {order}
 """
+
+
+def cuped_adjustment(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """CUPED variance-reduced group means (Deng, Xu, Kohavi & Walker,
+    "Improving the sensitivity of online controlled experiments by
+    utilizing pre-experiment data", WSDM 2013): adjust each group's
+    experiment-metric mean with the pooled pre-period covariate,
+
+        ŷ_g = ȳ_g − θ·(x̄_g − x̄),   θ = cov(x, y) / var(x)  (pooled)
+
+    — the standard A/B readout that removes pre-existing user-level
+    variance so smaller effects clear the same test. Pairs with
+    `ab_test`/`permutation_test`, which consume the adjusted metric.
+
+    Exactness (the `grouped_linreg` discipline): ``x_col``/``y_col``
+    must be INTEGRAL; θ comes from exact DECIMAL(38,0) moment sums with
+    ONE division, and the adjustment is a fixed-order double
+    expression, so the readout hash-matches the oracle. Zero pooled
+    x-variance → NULL θ and adjusted means.
+
+    Plan: one pooled map-side-combined aggregate (1 row, broadcast) +
+    one per-group aggregate. Output: ``(group_col, n, mean_x, mean_y,
+    theta, adj_mean)``.
+    """
+    for c in (x_col, y_col):
+        dt = df.schema[c].dataType.simpleString()
+        if dt not in ("tinyint", "smallint", "int", "bigint", "long"):
+            raise ValueError(
+                f"cuped_adjustment needs integral columns for exact "
+                f"sums; got {c}: {dt}"
+            )
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    pooled = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("_sxx"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("_sxy"),
+    )
+    per = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_gx"),
+        F.sum(y).alias("_gy"),
+    )
+    j = per.crossJoin(F.broadcast(pooled))
+    nd = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    # fixed-order, textually mirrored by the oracle
+    cov_n = nd * sxy - sx * sy
+    varx_n = nd * sxx - sx * sx
+    theta = cov_n / varx_n
+    gnd = F.col("n").cast("double")
+    mean_x = F.col("_gx").cast("double") / gnd
+    mean_y = F.col("_gy").cast("double") / gnd
+    adj = mean_y - (cov_n / varx_n) * (mean_x - sx / nd)
+    guard = varx_n > 0
+    return j.select(
+        group_col,
+        "n",
+        F.round(mean_x, round_to).alias("mean_x"),
+        F.round(mean_y, round_to).alias("mean_y"),
+        F.round(F.when(guard, theta), round_to).alias("theta"),
+        F.round(F.when(guard, adj), round_to).alias("adj_mean"),
+    )
+
+
+def cuped_adjustment_oracle_sql(
+    units_sql: str,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: HUGEINT-exact pooled moments, identical fixed-order
+    adjustment expression."""
+    return f"""
+WITH units AS ({units_sql}),
+base AS (
+  SELECT {group_col}, CAST({x_col} AS BIGINT) AS x, CAST({y_col} AS BIGINT) AS y
+  FROM units WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+),
+pooled AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS _n,
+         SUM(x) AS _sx, SUM(y) AS _sy,
+         SUM(CAST(x AS HUGEINT) * x) AS _sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS _sxy
+  FROM base
+),
+per AS (
+  SELECT {group_col}, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS _gx, SUM(y) AS _gy
+  FROM base GROUP BY {group_col}
+)
+SELECT {group_col}, n,
+  ROUND(CAST(_gx AS DOUBLE) / CAST(n AS DOUBLE), {round_to}) AS mean_x,
+  ROUND(CAST(_gy AS DOUBLE) / CAST(n AS DOUBLE), {round_to}) AS mean_y,
+  ROUND(CASE WHEN CAST(_n AS DOUBLE) * CAST(_sxx AS DOUBLE)
+                  - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE) > 0 THEN
+    (CAST(_n AS DOUBLE) * CAST(_sxy AS DOUBLE)
+     - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+    / (CAST(_n AS DOUBLE) * CAST(_sxx AS DOUBLE)
+       - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)) END, {round_to}) AS theta,
+  ROUND(CASE WHEN CAST(_n AS DOUBLE) * CAST(_sxx AS DOUBLE)
+                  - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE) > 0 THEN
+    CAST(_gy AS DOUBLE) / CAST(n AS DOUBLE)
+    - ((CAST(_n AS DOUBLE) * CAST(_sxy AS DOUBLE)
+        - CAST(_sx AS DOUBLE) * CAST(_sy AS DOUBLE))
+       / (CAST(_n AS DOUBLE) * CAST(_sxx AS DOUBLE)
+          - CAST(_sx AS DOUBLE) * CAST(_sx AS DOUBLE)))
+      * (CAST(_gx AS DOUBLE) / CAST(n AS DOUBLE)
+         - CAST(_sx AS DOUBLE) / CAST(_n AS DOUBLE)) END, {round_to}) AS adj_mean
+FROM per CROSS JOIN pooled
+"""

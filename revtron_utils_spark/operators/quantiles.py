@@ -452,3 +452,132 @@ def robust_stats(
         *by, "n", "mean", "winsor_mean", "trimmed_mean",
         F.round(F.col("_mad"), round_to).alias("mad"),
     )
+
+
+def conformal_bounds(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    by: Sequence[str] = (),
+    alpha: float = 0.1,
+    seed: int = 0,
+    cal_frac: float = 0.5,
+    bins_per_efold: int = 2048,
+) -> DataFrame:
+    """Split-conformal prediction bounds per group (Vovk's inductive
+    conformal prediction; Lei et al. 2018 form): deterministically
+    hash-split each group into train/calibration halves, fit the
+    trivially exact per-group predictor (the integer-floored train
+    mean), and report the (1−α) quantile of absolute calibration
+    residuals — the "this group's next value is within ±q̂ of p̂ with
+    ≈1−α coverage" readout that needs no distributional assumption.
+
+    Exactness: the split is the house `curation.id_hash` (engine-
+    portable integers), the predictor is ``Σy div n`` (exact integer),
+    residuals are exact integers, and the bound is the interpolated
+    quantile via :func:`exact_quantiles` — bit-equal to
+    ``quantile_cont`` (the `robust_stats` precedent). The variant
+    choice (interpolated rather than the ⌈(n+1)(1−α)⌉-rank pick) is
+    deliberate: the rank pick needs a per-group sort (single-task for
+    a hot group), the interpolated form reuses the combinable-histogram
+    quantile path — scale-safe, documented, and mirrored exactly by the
+    oracle.
+
+    Output: ``(*by, n_train, n_cal, pred, q_bound)`` — groups missing
+    either half are dropped (both engines).
+    """
+    from .curation import HASH_MOD, _require_integral_id, id_hash
+
+    _require_integral_id(df, id_col)
+    dt = df.schema[value_col].dataType.simpleString()
+    if dt not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise ValueError(
+            f"conformal_bounds needs an integral value column; got "
+            f"{value_col}: {dt} (scale to cents first)"
+        )
+    by = list(by)
+    thr = int(cal_frac * HASH_MOD)
+    is_cal = id_hash(id_col, seed) < thr
+    y = F.col(value_col).cast("long")
+    base = df.filter(y.isNotNull()).withColumn("_cal", is_cal)
+    train = base.filter(~F.col("_cal")).groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.expr(f"sum(CAST({value_col} AS BIGINT)) div count(1)").alias("_pred"),
+    )
+    cal = base.filter(F.col("_cal"))
+    jo = cal.join(F.broadcast(train), by) if by else cal.crossJoin(F.broadcast(train))
+    resid = jo.select(
+        *by, "n_train", "_pred", F.abs(y - F.col("_pred")).alias("_r")
+    )
+    from .dedup import _persist
+
+    resid = _persist(resid)
+    q = exact_quantiles(
+        resid, "_r", [1.0 - alpha], by=by, bins_per_efold=bins_per_efold
+    )
+    qname = quantile_col_names([1.0 - alpha])[0]
+    counts = resid.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        F.first("n_train").alias("n_train"),
+        F.first("_pred").alias("pred"),
+    )
+    joined = counts.join(q, by) if by else counts.crossJoin(q)
+    return joined.select(
+        *by,
+        "n_train",
+        "n_cal",
+        "pred",
+        F.round(F.col(qname), 6).alias("q_bound"),
+    )
+
+
+def conformal_bounds_oracle_sql(
+    units_sql: str,
+    id_col: str,
+    value_col: str,
+    by: Sequence[str] = (),
+    alpha: float = 0.1,
+    seed: int = 0,
+    cal_frac: float = 0.5,
+) -> str:
+    """DuckDB twin: same hash split, same integer-floored train mean,
+    ``quantile_cont`` over the integer residuals."""
+    from .curation import HASH_MOD, _seed_mult
+
+    by = list(by)
+    gc = ", ".join(by)
+    sel = f"{gc}, " if by else ""
+    thr = int(cal_frac * HASH_MOD)
+    a = _seed_mult(seed)
+    off = int(seed) % HASH_MOD
+    h = (
+        f"(((({id_col} % {HASH_MOD}) + {HASH_MOD}) % {HASH_MOD})"
+        f" * {a} + {off}) % {HASH_MOD}"
+    )
+    join = (
+        " AND ".join(f"c.{k} = t.{k}" for k in by) if by else "TRUE"
+    )
+    tsel = ", ".join(f"t.{k}" for k in by)
+    tsel = f"{tsel}, " if by else ""
+    return f"""
+WITH units AS ({units_sql}),
+base AS (
+  SELECT {sel}CAST({value_col} AS BIGINT) AS y,
+         ({h}) < {thr} AS _cal
+  FROM units WHERE {value_col} IS NOT NULL
+),
+train AS (
+  SELECT {sel}CAST(COUNT(*) AS BIGINT) AS n_train,
+         SUM(y) // COUNT(*) AS pred
+  FROM base WHERE NOT _cal {("GROUP BY " + gc) if by else ""}
+),
+resid AS (
+  SELECT {tsel}t.n_train, t.pred, ABS(c.y - t.pred) AS r
+  FROM base c JOIN train t ON {join}
+  WHERE c._cal
+)
+SELECT {sel}MAX(n_train) AS n_train, CAST(COUNT(*) AS BIGINT) AS n_cal,
+       MAX(pred) AS pred,
+       ROUND(quantile_cont(r, {1.0 - alpha!r}), 6) AS q_bound
+FROM resid {("GROUP BY " + gc) if by else ""}
+"""

@@ -691,3 +691,97 @@ SELECT {gc}, CAST(n_buckets AS INTEGER) AS n_buckets,
        ROUND(st[1] + st[2], {round_to}) AS forecast
 FROM folded
 """
+
+
+def seasonal_outliers(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    by: list[str],
+    thr_num: int = 3,
+    thr_den: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Month-over-years anomaly flags — "is THIS December unusual vs
+    other Decembers": for every (group, year, month) bucket, the ratio
+    of its total to the month-of-year average across years,
+
+        ratio = s_{y,m} · k_m / t_m      (k_m years observed, t_m = Σ_y s_{y,m})
+
+    flagged when the ratio leaves ``[den/num, num/den]``. Seasonal
+    structure cancels by construction (each month is compared only to
+    itself), so this complements :func:`seasonality_index` (which
+    measures the structure) and :func:`cusum_changepoint` (which finds
+    level shifts) without needing a decomposition.
+
+    Exactness: both flag comparisons are INTEGER cross-multiplies in
+    DECIMAL(38,0) (``s·k·den > num·t`` — no division, no doubles), and
+    the reported ratio is one rounded double division. One
+    (group, year, month) partial-agg shuffle + one (group, month)
+    re-aggregation joined back — bounded by the calendar, not the
+    corpus. Output: ``(*by, year, month, bucket_total, ratio,
+    is_outlier)``.
+    """
+    keys = list(by)
+    per = df.groupBy(
+        *keys,
+        F.year(F.col(time_col)).alias("year"),
+        F.month(F.col(time_col)).alias("month"),
+    ).agg(F.sum(F.col(value_col).cast("long")).alias("_s"))
+    mon = per.groupBy(*keys, "month").agg(
+        F.sum("_s").alias("_t"), F.count(F.lit(1)).alias("_k")
+    )
+    j = per.join(mon, keys + ["month"])
+    dec = lambda c: c.cast("decimal(38,0)")
+    sk = (dec(F.col("_s")) * dec(F.col("_k"))).cast("decimal(38,0)")
+    hi = sk * F.lit(thr_den).cast("decimal(38,0)") > dec(F.col("_t")) * F.lit(
+        thr_num
+    ).cast("decimal(38,0)")
+    lo = sk * F.lit(thr_num).cast("decimal(38,0)") < dec(F.col("_t")) * F.lit(
+        thr_den
+    ).cast("decimal(38,0)")
+    return j.select(
+        *keys,
+        "year",
+        "month",
+        F.col("_s").alias("bucket_total"),
+        F.round(sk.cast("double") / F.col("_t").cast("double"), round_to).alias(
+            "ratio"
+        ),
+        (hi | lo).alias("is_outlier"),
+    )
+
+
+def seasonal_outliers_oracle_sql(
+    series_sql: str,
+    time_col: str,
+    value_col: str,
+    by: list[str],
+    thr_num: int = 3,
+    thr_den: int = 2,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: identical HUGEINT cross-multiplied flags, identical
+    single division."""
+    gc = ", ".join(by)
+    return f"""
+WITH series AS ({series_sql}),
+per AS (
+  SELECT {gc}, CAST(YEAR({time_col}) AS INTEGER) AS year,
+         CAST(MONTH({time_col}) AS INTEGER) AS month,
+         CAST(SUM(CAST({value_col} AS BIGINT)) AS BIGINT) AS s
+  FROM series GROUP BY {gc}, YEAR({time_col}), MONTH({time_col})
+),
+mon AS (
+  SELECT {gc}, month, SUM(s) AS t, CAST(COUNT(*) AS BIGINT) AS k
+  FROM per GROUP BY {gc}, month
+)
+SELECT p.{', p.'.join(by)}, p.year, p.month, p.s AS bucket_total,
+       ROUND(CAST(CAST(p.s AS HUGEINT) * m.k AS DOUBLE)
+             / CAST(m.t AS DOUBLE), {round_to}) AS ratio,
+       (CAST(p.s AS HUGEINT) * m.k * {thr_den} > CAST(m.t AS HUGEINT) * {thr_num}
+        OR CAST(p.s AS HUGEINT) * m.k * {thr_num} < CAST(m.t AS HUGEINT) * {thr_den})
+       AS is_outlier
+FROM per p JOIN mon m ON {' AND '.join(f'p.{k} = m.{k}' for k in by)}
+     AND p.month = m.month
+"""

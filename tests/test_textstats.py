@@ -257,3 +257,78 @@ def test_dawid_skene_panel_guard(spark):
     # lower scale widens the exact product bound
     out = dawid_skene(df, "item", "rater", "label", scale=100, max_raters=16)
     assert out.collect()[0]["ds_label"] == "x"
+
+
+def test_cuped_reduces_to_group_means_when_uncorrelated(spark):
+    """θ from exact moments; with a constant covariate var=0 → NULL θ;
+    with a perfectly correlated covariate the adjustment removes the
+    between-group x imbalance."""
+    from revtron_utils_spark.operators.profile import cuped_adjustment
+
+    const = spark.createDataFrame(
+        [(1, 5, "a"), (2, 5, "b"), (3, 5, "a")], "uid long, x long, g string"
+    ).withColumn("y", F.lit(7).cast("long"))
+    out = cuped_adjustment(const, "x", "y", "g").collect()
+    assert all(r["theta"] is None and r["adj_mean"] is None for r in out)
+
+    # y = x exactly; group a has higher x. adjusted means must equalize
+    rows = [(i, i, i, "a" if i < 50 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "uid long, x long, y long, g string")
+    got = {r["g"]: r for r in cuped_adjustment(df, "x", "y", "g").collect()}
+    assert abs(got["a"]["theta"] - 1.0) < 1e-9
+    assert abs(got["a"]["adj_mean"] - got["b"]["adj_mean"]) < 1e-6
+
+
+def test_seasonal_outliers_flags_hot_month(spark):
+    from datetime import datetime
+
+    from revtron_utils_spark.operators.timeseries import seasonal_outliers
+
+    rows = []
+    for year in (2022, 2023, 2024):
+        for month in (1, 2):
+            v = 100
+            if year == 2024 and month == 1:
+                v = 1000  # 2024 January runs ~2.7x the Jan average
+            rows.append((datetime(year, month, 15), v, "g"))
+    df = spark.createDataFrame(rows, "ts timestamp, v long, g string")
+    out = {
+        (r["year"], r["month"]): r
+        for r in seasonal_outliers(df, "ts", "v", ["g"]).collect()
+    }
+    assert out[(2024, 1)]["is_outlier"] is True
+    assert out[(2023, 2)]["is_outlier"] is False
+    # Februaries are identical across years → ratio exactly 1
+    assert out[(2023, 2)]["ratio"] == 1.0
+
+
+def test_conformal_bounds_covers(spark):
+    """The (1-α) residual quantile must cover ≈(1-α) of a fresh sample
+    drawn from the same deterministic distribution."""
+    from revtron_utils_spark.operators.quantiles import conformal_bounds
+
+    rows = [(i, 100 + (i * 37) % 21, "g") for i in range(2000)]
+    df = spark.createDataFrame(rows, "uid long, y long, g string")
+    out = conformal_bounds(df, "uid", "y", ["g"], alpha=0.1).collect()[0]
+    assert out["n_train"] + out["n_cal"] == 2000
+    # values span 100..120 uniformly; pred ≈ 110, 90% residual bound ≈ 9
+    assert 105 <= out["pred"] <= 115
+    covered = sum(
+        1 for _, y, _g in rows if abs(y - out["pred"]) <= out["q_bound"]
+    )
+    assert covered >= 0.85 * len(rows)
+
+
+def test_entity_resolution_gate_golden_records(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.queries()["entity_resolution"](spark, sf_dir)
+    rows = out.collect()
+    assert rows, "no entities"
+    # entity ids are cluster-min part keys; members >= 1; names non-null
+    assert all(r["n_members"] >= 1 and r["canonical_name"] for r in rows)
+    # total membership equals the part count (every part in exactly one entity)
+    total = sum(r["n_members"] for r in rows)
+    from revtron_utils_spark.io import read_table
+
+    assert total == read_table(spark, sf_dir, "part").count()
