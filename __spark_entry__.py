@@ -8201,6 +8201,38 @@ SQL_COHORT_LTV = _sql_cohort_ltv()
 # --------------------------------------------------------------------------
 
 
+def q_markov_attribution(spark, sf):
+    """Markov removal-effect attribution over user event journeys
+    (truncated at first purchase): integer-quantized transition matrix,
+    8 absorbing-propagation steps on a single-row O(channels²) state,
+    every cross-state sum an index-ordered fold mirrored by the
+    oracle's list_reduce — bit-exact shares."""
+    from revtron_utils_spark.operators.funnel import markov_attribution
+
+    ev = _t(spark, sf, "events").select("user_id", "ts", "event_id", "event_type")
+    return markov_attribution(
+        ev, "user_id", "ts", "event_type", conversion="purchase", k_steps=8
+    )
+
+
+def _sql_markov_attribution() -> str:
+    from revtron_utils_spark.operators.funnel import (
+        markov_attribution_oracle_sql,
+    )
+
+    return markov_attribution_oracle_sql(
+        "SELECT user_id, ts, event_id, event_type FROM events",
+        "user_id",
+        "ts",
+        "event_type",
+        conversion="purchase",
+        k_steps=8,
+    )
+
+
+SQL_MARKOV_ATTRIBUTION = _sql_markov_attribution()
+
+
 def q_conformal_bounds(spark, sf):
     """Split-conformal prediction bounds per return flag: deterministic
     hash split → integer-floored train-mean predictor → (1−α)
@@ -8848,6 +8880,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "cuped": (q_cuped, SQL_CUPED),
     "seasonal_outliers": (q_seasonal_outliers, SQL_SEASONAL_OUTLIERS),
     "conformal_bounds": (q_conformal_bounds, SQL_CONFORMAL_BOUNDS),
+    "markov_attribution": (q_markov_attribution, SQL_MARKOV_ATTRIBUTION),
     "hits": (q_hits, SQL_HITS),
     "permutation_test": (q_permutation_test, SQL_PERMUTATION_TEST),
     "readability": (q_readability, SQL_READABILITY),

@@ -193,6 +193,7 @@ HEADLINE = [
     "cuped",
     "seasonal_outliers",
     "conformal_bounds",
+    "markov_attribution",
 ]
 
 

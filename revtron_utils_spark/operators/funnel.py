@@ -756,3 +756,386 @@ SELECT g.cohort, g.age, s.n_members, g.revenue,
              / CAST(s.n_members AS DOUBLE), {round_to}) AS ltv
 FROM grid g JOIN sizes s ON g.cohort = s.cohort
 """
+
+
+def markov_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    channel_col: str = "event_type",
+    conversion: str = "purchase",
+    tiebreak_col: str | None = "event_id",
+    k_steps: int = 8,
+    scale: int = 10**6,
+    round_to: int = 6,
+    max_channels: int = 32,
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016, "Mapping
+    the customer journey"): model user journeys as a first-order Markov
+    chain over channels with absorbing conversion/null states; a
+    channel's credit is its REMOVAL EFFECT — how much the start→conv
+    probability drops when every transition into the channel is
+    redirected to null — normalized into shares. The step past
+    heuristic position/time-decay weights (`multi_touch_attribution`):
+    channels that merely appear on converting paths but don't CAUSE
+    conversions earn nothing.
+
+    Semantics: each user's journey is their event sequence up to and
+    including the first ``conversion`` event (→ conv terminal), else
+    ending in the null terminal. Transition probabilities are
+    row-normalized counts quantized to fixed-point integers
+    (``(c·scale) div rowtotal`` — engine-exact); conversion
+    probabilities come from ``k_steps`` synchronous propagation steps
+    (absorbing-state mass after k steps — a deterministic truncation of
+    the absorbing-chain solve, the `bradley_terry` fixed-iteration
+    convention), with every cross-state sum an index-ordered
+    ``F.aggregate`` fold mirrored by the oracle's ``list_reduce`` —
+    bit-identical doubles.
+
+    Scale shape (the BT playbook): the 100-TB event stream reduces with
+    one per-user lag window + ONE (state, state) count aggregate;
+    everything after runs on a SINGLE-ROW state frame of O(channels²)
+    integers — the channel catalog is leaderboard-sized by documented
+    assumption (``max_channels`` guards it). Each propagation step is
+    its own projection over the materialized previous array (the
+    ams_f2 codegen lesson).
+
+    Output one row per channel: ``(channel, base_conv, removed_conv,
+    removal_effect, share)`` — share = effect / Σ effects (NULL when
+    the total effect is ≤ 0).
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    wu = Window.partitionBy(user_col).orderBy(*order)
+    wall = Window.partitionBy(user_col)
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(channel_col).alias("_c"),
+        F.row_number().over(wu).alias("_rn"),
+    )
+    ev = ev.withColumn(
+        "_crn",
+        F.min(F.when(F.col("_c") == conversion, F.col("_rn"))).over(
+            Window.partitionBy("_u")
+        ),
+    )
+    kept = ev.where(F.col("_crn").isNull() | (F.col("_rn") <= F.col("_crn")))
+    wk = Window.partitionBy("_u").orderBy("_rn")
+    kept = kept.select(
+        "_u",
+        "_c",
+        "_rn",
+        "_crn",
+        F.lag("_c").over(wk).alias("_prev"),
+        F.max("_rn").over(Window.partitionBy("_u")).alias("_mx"),
+    )
+    is_conv = F.col("_c") == conversion
+    trans1 = kept.select(
+        F.when(F.col("_prev").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("sk"),
+        F.when(F.col("_prev").isNull(), F.lit(None)).otherwise(F.col("_prev")).alias("sl"),
+        F.when(is_conv, F.lit(2)).otherwise(F.lit(1)).alias("dk"),
+        F.when(is_conv, F.lit(None)).otherwise(F.col("_c")).alias("dl"),
+    )
+    trans2 = kept.where(F.col("_crn").isNull() & (F.col("_rn") == F.col("_mx"))).select(
+        F.lit(1).alias("sk"),
+        F.col("_c").alias("sl"),
+        F.lit(3).alias("dk"),
+        F.lit(None).cast(kept.schema["_c"].dataType).alias("dl"),
+    )
+    trans = trans1.unionByName(trans2).groupBy("sk", "sl", "dk", "dl").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from .dedup import _persist
+
+    trans = _persist(trans)
+    chan = (
+        trans.select(
+            F.explode(
+                F.array(
+                    F.when(F.col("sk") == 1, F.col("sl")),
+                    F.when(F.col("dk") == 1, F.col("dl")),
+                )
+            ).alias("ch")
+        )
+        .where(F.col("ch").isNotNull())
+        .distinct()
+    )
+    items_row = chan.agg(F.array_sort(F.collect_list("ch")).alias("it"))
+    m_val = items_row.select(F.size("it").alias("m")).first()["m"]
+    if m_val > max_channels:
+        raise ValueError(
+            f"markov_attribution: {m_val} channels, over max_channels="
+            f"{max_channels} — the single-row O(channels²) state assumes "
+            "a bounded channel catalog"
+        )
+    ci = trans.join(F.broadcast(items_row)).select(
+        F.size("it").alias("m"),
+        F.when(F.col("sk") == 0, F.lit(0))
+        .otherwise(F.array_position("it", F.col("sl")))
+        .cast("int")
+        .alias("i"),
+        F.when(F.col("dk") == 1, F.array_position("it", F.col("dl")))
+        .when(F.col("dk") == 2, F.size("it") + 1)
+        .otherwise(F.size("it") + 2)
+        .cast("int")
+        .alias("j"),
+        "c",
+    )
+    tots = ci.groupBy("i").agg(F.sum("c").alias("tot"))
+    n_col = F.col("m") + 3
+    grid = (
+        items_row.select(F.size("it").alias("m"), "it")
+        .select("m", "it", F.explode(F.sequence(F.lit(0), n_col - 1)).alias("i"))
+        .select(
+            "m",
+            "it",
+            "i",
+            F.explode(F.sequence(F.lit(0), F.col("m") + 2)).alias("j"),
+        )
+    )
+    cells = (
+        grid.join(ci.select("i", "j", "c"), ["i", "j"], "left")
+        .join(tots, "i", "left")
+        .select(
+            "m",
+            "it",
+            (F.col("i").cast("long") * (F.col("m") + 3) + F.col("j")).alias("k"),
+            F.when(
+                F.col("i") == F.col("m") + 1,
+                F.when(F.col("j") == F.col("m") + 1, F.lit(scale)).otherwise(F.lit(0)),
+            )
+            .when(
+                F.col("i") == F.col("m") + 2,
+                F.when(F.col("j") == F.col("m") + 2, F.lit(scale)).otherwise(F.lit(0)),
+            )
+            .otherwise(
+                F.expr(f"(coalesce(c, 0) * {scale}) div coalesce(tot, 1)")
+            )
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    state = cells.groupBy("m", "it").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("k", "t"))), lambda s: s["t"]
+        ).alias("tflat")
+    )
+    sd = float(scale)
+    state = state.withColumn(
+        "vs",
+        F.transform(
+            F.sequence(F.lit(0), F.col("m")),
+            lambda r: F.transform(
+                F.sequence(F.lit(0), F.col("m") + 2),
+                lambda j: F.when(j == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+            ),
+        ),
+    )
+
+    def _t_at(i, j):
+        return (
+            F.element_at("tflat", ((i * (F.col("m") + 3)) + j).cast("int") + 1)
+            .cast("double")
+            / F.lit(sd)
+        )
+
+    def _step(vs_col):
+        nn = F.col("m") + 3
+
+        def new_vec(r):
+            vr = F.element_at(vs_col, r + 1)
+            return F.transform(
+                F.sequence(F.lit(0), nn - 1),
+                lambda j: F.when((r >= 1) & (j == r), F.lit(0.0))
+                .when(
+                    j == nn - 1,
+                    F.aggregate(
+                        F.sequence(F.lit(0), nn - 1),
+                        F.lit(0.0),
+                        lambda acc, i: acc
+                        + F.element_at(vr, i + 1)
+                        * (
+                            _t_at(i, j)
+                            + F.when(r >= 1, _t_at(i, r)).otherwise(F.lit(0.0))
+                        ),
+                    ),
+                )
+                .otherwise(
+                    F.aggregate(
+                        F.sequence(F.lit(0), nn - 1),
+                        F.lit(0.0),
+                        lambda acc, i: acc + F.element_at(vr, i + 1) * _t_at(i, j),
+                    )
+                ),
+            )
+
+        return F.transform(F.sequence(F.lit(0), F.col("m")), new_vec)
+
+    for _ in range(k_steps):
+        state = state.select("m", "it", "tflat", _step(F.col("vs")).alias("vs"))
+    conv_at = lambda r: F.element_at(F.element_at("vs", r + 1), F.col("m") + 2)
+    base = conv_at(F.lit(0))
+    tot_re = F.aggregate(
+        F.sequence(F.lit(1), F.col("m")),
+        F.lit(0.0),
+        lambda acc, r: acc + (base - conv_at(r)),
+    )
+    final = state.select("it", "vs", base.alias("_base"), tot_re.alias("_tot"))
+    out = final.select(
+        F.posexplode("it").alias("_p", "channel"), "vs", "_base", "_tot"
+    )
+    # conv state index = m+1 → 1-based element m+2; m = size(vs)-1
+    removed = F.element_at(
+        F.element_at("vs", F.col("_p") + 2), F.size("vs") + 1
+    )
+    return out.select(
+        "channel",
+        F.round(F.col("_base"), round_to).alias("base_conv"),
+        F.round(removed, round_to).alias("removed_conv"),
+        F.round(F.col("_base") - removed, round_to).alias("removal_effect"),
+        F.round(
+            F.when(F.col("_tot") > 0, (F.col("_base") - removed) / F.col("_tot")),
+            round_to,
+        ).alias("share"),
+    )
+
+
+def markov_attribution_oracle_sql(
+    events_sql: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    channel_col: str = "event_type",
+    conversion: str = "purchase",
+    tiebreak_col: str | None = "event_id",
+    k_steps: int = 8,
+    scale: int = 10**6,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`markov_attribution`: identical journey
+    truncation, identical integer-quantized transition matrix, and the
+    propagation steps unrolled as MATERIALIZED CTEs whose list folds
+    replay the Spark ``F.aggregate`` adds in the same index order —
+    bit-identical doubles."""
+    conv = conversion.replace("'", "''")
+    s = scale
+    tb = f", {tiebreak_col}" if tiebreak_col else ""
+    parts = [
+        f"""WITH ev AS MATERIALIZED (
+  SELECT {user_col} AS u, {channel_col} AS c,
+         ROW_NUMBER() OVER (PARTITION BY {user_col}
+                            ORDER BY {ts_col}{tb}) AS rn
+  FROM ({events_sql})
+)""",
+        """ev2 AS MATERIALIZED (
+  SELECT u, c, rn,
+         MIN(CASE WHEN c = '%s' THEN rn END) OVER (PARTITION BY u) AS crn
+  FROM ev
+)""" % conv,
+        """kept AS MATERIALIZED (
+  SELECT u, c, rn, crn,
+         LAG(c) OVER (PARTITION BY u ORDER BY rn) AS prev,
+         MAX(rn) OVER (PARTITION BY u) AS mx
+  FROM ev2 WHERE crn IS NULL OR rn <= crn
+)""",
+        f"""trans AS MATERIALIZED (
+  SELECT sk, sl, dk, dl, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT CASE WHEN prev IS NULL THEN 0 ELSE 1 END AS sk,
+           CASE WHEN prev IS NULL THEN NULL ELSE prev END AS sl,
+           CASE WHEN c = '{conv}' THEN 2 ELSE 1 END AS dk,
+           CASE WHEN c = '{conv}' THEN NULL ELSE c END AS dl
+    FROM kept
+    UNION ALL
+    SELECT 1, c, 3, NULL FROM kept WHERE crn IS NULL AND rn = mx
+  ) GROUP BY sk, sl, dk, dl
+)""",
+        """items AS MATERIALIZED (
+  SELECT list_sort(list_distinct(list(ch))) AS it FROM (
+    SELECT sl AS ch FROM trans WHERE sk = 1
+    UNION SELECT dl FROM trans WHERE dk = 1
+  ) WHERE ch IS NOT NULL
+)""",
+        "mm AS (SELECT it, CAST(len(it) AS BIGINT) AS m FROM items)",
+        """ci AS MATERIALIZED (
+  SELECT CASE WHEN t.sk = 0 THEN 0
+              ELSE list_position(mm.it, t.sl) END AS i,
+         CASE WHEN t.dk = 1 THEN list_position(mm.it, t.dl)
+              WHEN t.dk = 2 THEN mm.m + 1 ELSE mm.m + 2 END AS j,
+         t.c
+  FROM trans t CROSS JOIN mm
+)""",
+        "tots AS (SELECT i, SUM(c) AS tot FROM ci GROUP BY i)",
+        """grid AS MATERIALIZED (
+  SELECT mm.m, mm.it, a.i, b.j
+  FROM mm, UNNEST(range(0, mm.m + 3)) AS a(i), UNNEST(range(0, mm.m + 3)) AS b(j)
+)""",
+        f"""cells AS MATERIALIZED (
+  SELECT g.m, g.it, g.i * (g.m + 3) + g.j AS k,
+         CASE WHEN g.i = g.m + 1
+              THEN CASE WHEN g.j = g.m + 1 THEN {s} ELSE 0 END
+              WHEN g.i = g.m + 2
+              THEN CASE WHEN g.j = g.m + 2 THEN {s} ELSE 0 END
+              ELSE (COALESCE(cc.c, 0) * {s}) // COALESCE(tt.tot, 1) END AS t
+  FROM grid g
+  LEFT JOIN (SELECT i, j, SUM(c) AS c FROM ci GROUP BY i, j) cc
+         ON cc.i = g.i AND cc.j = g.j
+  LEFT JOIN tots tt ON tt.i = g.i
+)""",
+        """tf AS MATERIALIZED (
+  SELECT m, it, list(t ORDER BY k) AS tflat FROM cells GROUP BY m, it
+)""",
+        """s0 AS MATERIALIZED (
+  SELECT m, it, tflat,
+         list_transform(range(0, m + 1), r ->
+           list_transform(range(0, m + 3), j ->
+             CASE WHEN j = 0 THEN 1.0 ELSE 0.0 END)) AS vs
+  FROM tf
+)""",
+    ]
+    td = f"CAST(tflat[CAST(i * (m + 3) + j AS BIGINT) + 1] AS DOUBLE) / {float(s)!r}"
+    tr = f"CAST(tflat[CAST(i * (m + 3) + r AS BIGINT) + 1] AS DOUBLE) / {float(s)!r}"
+    step = f"""s{{k}} AS MATERIALIZED (
+  SELECT m, it, tflat,
+    list_transform(range(0, m + 1), r ->
+      list_transform(range(0, m + 3), j ->
+        CASE WHEN r >= 1 AND j = r THEN 0.0
+             WHEN j = m + 2 THEN
+               list_reduce(list_prepend(0.0, list_transform(range(0, m + 3),
+                 i -> vs[CAST(r AS INTEGER) + 1][CAST(i AS INTEGER) + 1]
+                      * ({td} + CASE WHEN r >= 1 THEN {tr} ELSE 0.0 END))),
+                 (a, b) -> a + b)
+             ELSE
+               list_reduce(list_prepend(0.0, list_transform(range(0, m + 3),
+                 i -> vs[CAST(r AS INTEGER) + 1][CAST(i AS INTEGER) + 1]
+                      * ({td}))),
+                 (a, b) -> a + b)
+        END)) AS vs
+  FROM s{{prev}}
+)"""
+    for k in range(1, k_steps + 1):
+        parts.append(step.format(k=k, prev=k - 1))
+    last = f"s{k_steps}"
+    return (
+        ",\n".join(parts)
+        + f""",
+fin AS (
+  SELECT m, it, vs,
+         vs[1][CAST(m AS INTEGER) + 2] AS base,
+         list_reduce(list_prepend(0.0, list_transform(range(1, m + 1),
+           r -> vs[1][CAST(m AS INTEGER) + 2]
+                - vs[CAST(r AS INTEGER) + 1][CAST(m AS INTEGER) + 2])),
+           (a, b) -> a + b) AS tot
+  FROM {last}
+)
+SELECT it[CAST(u.r AS INTEGER)] AS channel,
+       ROUND(base, {round_to}) AS base_conv,
+       ROUND(vs[CAST(u.r AS INTEGER) + 1][CAST(m AS INTEGER) + 2], {round_to})
+         AS removed_conv,
+       ROUND(base - vs[CAST(u.r AS INTEGER) + 1][CAST(m AS INTEGER) + 2],
+             {round_to}) AS removal_effect,
+       ROUND(CASE WHEN tot > 0 THEN
+         (base - vs[CAST(u.r AS INTEGER) + 1][CAST(m AS INTEGER) + 2]) / tot
+       END, {round_to}) AS share
+FROM fin, UNNEST(range(1, m + 1)) AS u(r)
+"""
+    )

@@ -332,3 +332,76 @@ def test_entity_resolution_gate_golden_records(spark, sf_dir):
     from revtron_utils_spark.io import read_table
 
     assert total == read_table(spark, sf_dir, "part").count()
+
+
+def test_markov_attribution_removal_semantics(spark):
+    """Hand-checkable journeys: every conversion passes through B, so
+    removing B zeroes conversions; removing A leaves only the B-start
+    path (P = 0.2 * 0.75 = 0.15)."""
+    from revtron_utils_spark.operators.funnel import markov_attribution
+
+    data = [
+        (1, ["A", "B", "purchase"]),
+        (2, ["A"]),
+        (3, ["B", "purchase"]),
+        (4, ["A", "B"]),
+        (5, ["A", "B", "purchase"]),
+    ]
+    rows = []
+    for u, path in data:
+        for i, c in enumerate(path):
+            rows.append((u, i, i, c))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string"
+    )
+    out = {r["channel"]: r for r in markov_attribution(df, k_steps=12).collect()}
+    assert out["B"]["removed_conv"] == 0.0
+    assert out["A"]["removed_conv"] == 0.15
+    assert abs(out["A"]["base_conv"] - 0.6) < 1e-9
+    assert out["B"]["removal_effect"] > out["A"]["removal_effect"]
+    assert abs(out["A"]["share"] + out["B"]["share"] - 1.0) < 1e-5
+
+
+def test_markov_attribution_matches_oracle(spark):
+    import duckdb
+
+    from revtron_utils_spark.operators.funnel import (
+        markov_attribution,
+        markov_attribution_oracle_sql,
+    )
+
+    rows = []
+    for u in range(40):
+        path = ["view", "click"][: 1 + u % 2] + (
+            ["purchase"] if u % 3 == 0 else []
+        )
+        for i, c in enumerate(path):
+            rows.append((u, i, i, c))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string"
+    )
+    got = sorted(tuple(r) for r in markov_attribution(df, k_steps=6).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev_t (user_id BIGINT, ts BIGINT, event_id BIGINT,"
+        " event_type VARCHAR)"
+    )
+    con.executemany("INSERT INTO ev_t VALUES (?,?,?,?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            markov_attribution_oracle_sql("SELECT * FROM ev_t", k_steps=6)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_markov_attribution_channel_cap(spark):
+    from revtron_utils_spark.operators.funnel import markov_attribution
+
+    rows = [(u, 0, 0, f"ch{u}") for u in range(40)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, event_type string"
+    )
+    with pytest.raises(ValueError, match="max_channels"):
+        markov_attribution(df, max_channels=10)
