@@ -29,11 +29,16 @@ def formatted_plan(df: DataFrame) -> str:
 def _count_unpartitioned_windows(text: str) -> int:
     """Count ``Window`` operators whose window spec has NO partition
     columns. In ``explain(formatted)`` each Window node's detail block
-    carries ``Arguments: [exprs], [partition], [order]`` — an
-    unpartitioned window prints only TWO top-level bracket groups
-    (``[exprs], [order]``), and at runtime Spark warns "No Partition
-    Defined ... moving all data to a single partition". Group count is
-    approximated by counting top-level ``], [`` separators."""
+    carries ``Arguments: [exprs], [partition], [order]`` — BOTH lists
+    are omitted when empty, so two-group Arguments are ambiguous: they
+    are ``[exprs], [order]`` for an unpartitioned-ordered window (every
+    entry carries ``ASC NULLS``/``DESC NULLS``) and ``[exprs],
+    [partition]`` for a partitioned-but-unordered one (bare column
+    refs — e.g. ``max(x) OVER (PARTITION BY k)``, which is NOT a
+    single-task window and must not be flagged). One-group Arguments
+    (whole-frame, no partition, no order) are unpartitioned. At runtime
+    Spark warns "No Partition Defined ... moving all data to a single
+    partition" for exactly the cases counted here."""
     n = 0
     for block in text.split("\n\n"):
         lines = block.strip().splitlines()
@@ -41,10 +46,18 @@ def _count_unpartitioned_windows(text: str) -> int:
             continue
         for line in lines[1:]:
             ls = line.strip()
-            if ls.startswith("Arguments: "):
-                if ls.count("], [") < 2:
-                    n += 1
+            if not ls.startswith("Arguments: "):
+                continue
+            groups = ls.count("], [")
+            if groups >= 2:
+                break  # partition AND order lists present
+            if groups == 0:
+                n += 1  # frame-only spec: no partition at all
                 break
+            second = ls.rsplit("], [", 1)[1]
+            if " ASC NULLS " in second or " DESC NULLS " in second:
+                n += 1  # the sole list is an ORDER list → no partition
+            break
     return n
 
 

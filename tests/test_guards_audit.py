@@ -281,3 +281,28 @@ def test_distribution_match_oracle_literal_escaping():
     assert con.execute(f"SELECT {_bucket_literal(True)}").fetchone()[0] is True
     t = con.execute(f"SELECT typeof({_bucket_literal(7)})").fetchone()[0]
     assert t == "BIGINT"
+
+
+def test_planfacts_partitioned_unordered_window_not_flagged(spark):
+    """max(x) OVER (PARTITION BY k) — partitioned, no ORDER BY — prints
+    only two Arguments groups; it must NOT count as unpartitioned."""
+    from revtron_utils_spark.plans.audit import PlanFacts
+
+    df = spark.range(100).select((F.col("id") % 5).alias("g"), F.col("id"))
+    out = df.withColumn("mx", F.max("id").over(Window.partitionBy("g")))
+    assert PlanFacts.of(out).unpartitioned_windows == 0
+
+
+def test_planfacts_frame_only_window_flagged(spark):
+    from revtron_utils_spark.plans.audit import PlanFacts
+
+    df = spark.range(100).select(F.col("id"))
+    out = df.withColumn(
+        "t",
+        F.sum("id").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    assert PlanFacts.of(out).unpartitioned_windows >= 1
