@@ -8201,6 +8201,33 @@ SQL_COHORT_LTV = _sql_cohort_ltv()
 # --------------------------------------------------------------------------
 
 
+def q_percentile_normalize(spark, sf):
+    """Per-document within-source percentile of document length —
+    quantile normalization without a per-group sort: global rank via
+    the two-pass distributed_rank (range repartition + offsets), local
+    rank recovered by subtracting each group's broadcast min rank."""
+    from revtron_utils_spark.operators.curation import percentile_normalize
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return percentile_normalize(docs, "n_chars", "doc_id", by=["source"])
+
+
+def _sql_percentile_normalize() -> str:
+    from revtron_utils_spark.operators.curation import (
+        percentile_normalize_oracle_sql,
+    )
+
+    return percentile_normalize_oracle_sql(
+        "SELECT doc_id, source, n_chars FROM documents",
+        "n_chars",
+        "doc_id",
+        by=["source"],
+    )
+
+
+SQL_PERCENTILE_NORMALIZE = _sql_percentile_normalize()
+
+
 def q_markov_attribution(spark, sf):
     """Markov removal-effect attribution over user event journeys
     (truncated at first purchase): integer-quantized transition matrix,
@@ -8881,6 +8908,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "seasonal_outliers": (q_seasonal_outliers, SQL_SEASONAL_OUTLIERS),
     "conformal_bounds": (q_conformal_bounds, SQL_CONFORMAL_BOUNDS),
     "markov_attribution": (q_markov_attribution, SQL_MARKOV_ATTRIBUTION),
+    "percentile_normalize": (q_percentile_normalize, SQL_PERCENTILE_NORMALIZE),
     "hits": (q_hits, SQL_HITS),
     "permutation_test": (q_permutation_test, SQL_PERMUTATION_TEST),
     "readability": (q_readability, SQL_READABILITY),

@@ -194,6 +194,7 @@ HEADLINE = [
     "seasonal_outliers",
     "conformal_bounds",
     "markov_attribution",
+    "percentile_normalize",
 ]
 
 

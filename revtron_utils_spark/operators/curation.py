@@ -1211,3 +1211,87 @@ JOIN counts c ON v.{bucket_col} = c._b
 WHERE CAST({h} AS HUGEINT) * CAST(c._c AS HUGEINT)
       < CAST(q._k AS HUGEINT) * CAST({HASH_MOD} AS HUGEINT)
 """
+
+
+def percentile_normalize(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    by: list[str] | None = None,
+    out_col: str = "pct",
+    round_to: int = 6,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Per-row within-group percentile rank — quantile-normalize a
+    score column so thresholds mean the same thing in every group
+    ("keep the top 20% of every domain by classifier score" composes
+    with :func:`filter_by_score_quantile`; this emits the continuous
+    rank itself for mixing/weighting):
+
+        pct = (rank − 0.5) / n_group        (Hazen plotting position)
+
+    with rank the 1-based position under the total order
+    ``(by…, value, id)``.
+
+    Scale plan: the textbook form is ``percent_rank() OVER (PARTITION
+    BY group ORDER BY value)`` — a full sort of every group, single-
+    task for a hot group. Here the GLOBAL rank comes from
+    :func:`distributed_rank` (range repartition + per-partition
+    offsets — the key space is never sorted in one task), and each
+    group's local rank is recovered by subtracting the group's minimum
+    global rank (one O(groups) broadcast join): rows of a group are
+    contiguous under the total order, so ``rank − min_rank + 1`` IS the
+    within-group rank. One exactly-rounded division per row — the
+    output hash-matches the oracle's ``ROW_NUMBER() OVER (PARTITION BY
+    …)`` exactly.
+
+    Ties break by ``id_col`` (deterministic, like every rank in this
+    repo). Output: input columns + ``out_col``.
+    """
+    keys = list(by or [])
+    order = [F.col(k).asc() for k in keys] + [
+        F.col(value_col).asc(),
+        F.col(id_col).asc(),
+    ]
+    ranked = distributed_rank(df, order, rank_col="_gr", partitions=partitions)
+    gmin = ranked.groupBy(*keys).agg(
+        F.min("_gr").alias("_g0"), F.count(F.lit(1)).alias("_gn")
+    )
+    j = (
+        ranked.join(F.broadcast(gmin), keys)
+        if keys
+        else ranked.crossJoin(F.broadcast(gmin))
+    )
+    pct = (
+        (F.col("_gr") - F.col("_g0") + F.lit(1)).cast("double") - F.lit(0.5)
+    ) / F.col("_gn").cast("double")
+    return j.withColumn(out_col, F.round(pct, round_to)).drop("_gr", "_g0", "_gn")
+
+
+def percentile_normalize_oracle_sql(
+    values_sql: str,
+    value_col: str,
+    id_col: str,
+    by: list[str] | None = None,
+    out_col: str = "pct",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: the same within-group rank via a plain partitioned
+    ROW_NUMBER (the oracle may single-task-sort; the Spark side must
+    not), same Hazen division."""
+    keys = list(by or [])
+    part = f"PARTITION BY {', '.join(keys)} " if keys else ""
+    return f"""
+WITH vals AS ({values_sql}),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER ({part}ORDER BY {value_col} ASC, {id_col} ASC)
+           AS _rn,
+         COUNT(*) OVER ({part.rstrip() if part else ""}) AS _n
+  FROM vals
+)
+SELECT * EXCLUDE (_rn, _n),
+       ROUND((CAST(_rn AS DOUBLE) - 0.5) / CAST(_n AS DOUBLE), {round_to})
+         AS {out_col}
+FROM r
+"""

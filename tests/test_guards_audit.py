@@ -306,3 +306,31 @@ def test_planfacts_frame_only_window_flagged(spark):
         ),
     )
     assert PlanFacts.of(out).unpartitioned_windows >= 1
+
+
+def test_percentile_normalize_matches_percent_rank(spark):
+    """The distributed two-pass form must equal the textbook
+    partitioned row_number Hazen percentile exactly, and plan ZERO
+    unpartitioned windows."""
+    from revtron_utils_spark.operators.curation import percentile_normalize
+    from revtron_utils_spark.plans.audit import PlanFacts
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        ((F.col("id") * 37) % 101).alias("v"),
+    )
+    got = percentile_normalize(df, "v", "doc_id", by=["g"])
+    assert PlanFacts.of(got).unpartitioned_windows == 0
+    got = got.select("doc_id", "g", "v", "pct")
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("doc_id").asc())
+    want = df.withColumn(
+        "pct",
+        F.round(
+            (F.row_number().over(w).cast("double") - F.lit(0.5))
+            / F.count(F.lit(1)).over(Window.partitionBy("g")).cast("double"),
+            6,
+        ),
+    ).select("doc_id", "g", "v", "pct")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
