@@ -1092,7 +1092,7 @@ def hits(
         a_all = nodes.join(a_raw, nodes.node == a_raw.anode, "left").select(
             "node", F.coalesce(F.col("_in"), F.lit(0)).alias("_raw")
         )
-        auths = _cut(_renorm(a_all, "auth_int"))
+        auths = _cut(_renorm(a_all, "auth_int"), eager=False)
         h_raw = (
             e.join(auths, e.dst == auths.node)
             .groupBy(e.src.alias("hnode"))
@@ -1101,7 +1101,7 @@ def hits(
         h_all = nodes.join(h_raw, nodes.node == h_raw.hnode, "left").select(
             "node", F.coalesce(F.col("_in"), F.lit(0)).alias("_raw")
         )
-        hubs = _cut(_renorm(h_all, "hub_int"))
+        hubs = _cut(_renorm(h_all, "hub_int"), eager=False)
     e.unpersist()
     return hubs.join(auths, "node").select("node", "hub_int", "auth_int")
 
