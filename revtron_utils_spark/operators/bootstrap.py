@@ -273,17 +273,22 @@ def permutation_test(
         F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("_b"),
     )
     # reassignment: unit i joins A in replicate b iff
-    # hash(i, b) * (n_a + n_b) < n_a * P  — exact integer cross-multiply
-    # (both factors < 2^31, product < 2^62), threshold ratio n_a/n.
+    # hash(i, b) * (n_a + n_b) < n_a * P  — exact cross-multiply in
+    # DECIMAL(38,0): h < 2^30 but n_a+n_b is the CORPUS unit count, so
+    # the int64 product wraps past ~8e9 units under ANSI; DECIMAL (and
+    # the oracle's HUGEINT) stays exact at any scale.
     h = (
         ((F.col("_id") % _P) + _P) % _P * _A
         + (F.col("_b") + F.lit(1)) * _B1
     ) % _P
     h = (h * _A2) % _P
+    dec = lambda c: c.cast("decimal(38,0)")
     na, nb = F.col("n_a"), F.col("n_b")
     flips = (
         rep.crossJoin(F.broadcast(obs.select("n_a", "n_b")))
-        .withColumn("_to_a", h * (na + nb) < na * F.lit(_P))
+        .withColumn(
+            "_to_a", dec(h) * dec(na + nb) < dec(na) * F.lit(_P).cast("decimal(38,0)")
+        )
         .groupBy("_b")
         .agg(
             F.sum(F.when(F.col("_to_a"), F.col("_x"))).alias("_pa"),
@@ -381,7 +386,8 @@ flips AS (
          SUM(CASE WHEN _to_a THEN 1 ELSE 0 END) AS _ka,
          SUM(CASE WHEN NOT _to_a THEN 1 ELSE 0 END) AS _kb
   FROM (
-    SELECT rep.*, ({h}) * (o.n_a + o.n_b) < o.n_a * {_P} AS _to_a
+    SELECT rep.*, CAST(({h}) AS HUGEINT) * (o.n_a + o.n_b)
+                  < CAST(o.n_a AS HUGEINT) * {_P} AS _to_a
     FROM rep CROSS JOIN obs o
   ) GROUP BY _b
   HAVING SUM(CASE WHEN _to_a THEN 1 ELSE 0 END) > 0

@@ -543,6 +543,17 @@ def tfidf_cosine_pairs(
         toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("_tf"))
     )
     n_docs = docs.count()
+    # DECIMAL(38,0) width contract: the largest weight is tf·idf with
+    # idf ≤ N·scale (a df=1 term), and norms square it — w² must stay
+    # under 10³⁸, i.e. tf·N·scale ≤ ~10¹⁸. Fail fast with the fix
+    # (lower `scale` as the corpus grows) instead of silently
+    # overflowing the norm sums at billion-document scale.
+    if float(n_docs) * scale > 1e17:
+        raise ValueError(
+            f"tfidf_cosine_pairs: n_docs·scale = {float(n_docs) * scale:.2g} "
+            "exceeds the DECIMAL(38,0) norm-width budget (1e17) — pass a "
+            "smaller `scale` (idf resolution) for this corpus size"
+        )
     voc = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("_df"))

@@ -405,3 +405,38 @@ def test_markov_attribution_channel_cap(spark):
     )
     with pytest.raises(ValueError, match="max_channels"):
         markov_attribution(df, max_channels=10)
+
+
+def test_tfidf_width_guard_trips(spark):
+    from revtron_utils_spark.operators.retrieval import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "b c")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="scale"):
+        # scale so large that 2 docs * scale > 1e17
+        tfidf_cosine_pairs(df, scale=10**17)
+
+
+def test_permutation_test_decimal_threshold_exact(spark):
+    """The DECIMAL cross-multiply must agree with the small-scale int64
+    form: p-values on a 200-unit fixture are unchanged vs the oracle."""
+    import duckdb
+
+    from revtron_utils_spark.operators.bootstrap import (
+        permutation_test,
+        permutation_test_oracle_sql,
+    )
+
+    rows = [(i, 10 + (i * 7) % 13, "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "uid long, v long, g string")
+    got = permutation_test(df, "uid", "v", "g", "a", "b", n_perm=50).collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u_t (uid BIGINT, v BIGINT, g VARCHAR)")
+    con.executemany("INSERT INTO u_t VALUES (?,?,?)", rows)
+    want = con.execute(
+        permutation_test_oracle_sql(
+            "SELECT * FROM u_t", "uid", "v", "g", "a", "b", n_perm=50
+        )
+    ).fetchone()
+    assert tuple(got) == want
