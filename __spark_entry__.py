@@ -8201,6 +8201,31 @@ SQL_COHORT_LTV = _sql_cohort_ltv()
 # --------------------------------------------------------------------------
 
 
+def q_contrastive_pairs(spark, sf):
+    """Contrastive training pairs over the language-clustered corpus:
+    cluster-chain positives (k−1 pairs per cluster, no k² blow-up) +
+    hash-ring derangement negatives (one rank equi-join, no random
+    sampling) — the embedding-training data generator downstream of the
+    dedup clustering family."""
+    from revtron_utils_spark.operators.curation import contrastive_pairs
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    return contrastive_pairs(docs, "doc_id", "lang")
+
+
+def _sql_contrastive_pairs() -> str:
+    from revtron_utils_spark.operators.curation import (
+        contrastive_pairs_oracle_sql,
+    )
+
+    return contrastive_pairs_oracle_sql(
+        "SELECT doc_id, lang FROM documents", "doc_id", "lang"
+    )
+
+
+SQL_CONTRASTIVE_PAIRS = _sql_contrastive_pairs()
+
+
 def q_percentile_normalize(spark, sf):
     """Per-document within-source percentile of document length —
     quantile normalization without a per-group sort: global rank via
@@ -8909,6 +8934,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "conformal_bounds": (q_conformal_bounds, SQL_CONFORMAL_BOUNDS),
     "markov_attribution": (q_markov_attribution, SQL_MARKOV_ATTRIBUTION),
     "percentile_normalize": (q_percentile_normalize, SQL_PERCENTILE_NORMALIZE),
+    "contrastive_pairs": (q_contrastive_pairs, SQL_CONTRASTIVE_PAIRS),
     "hits": (q_hits, SQL_HITS),
     "permutation_test": (q_permutation_test, SQL_PERMUTATION_TEST),
     "readability": (q_readability, SQL_READABILITY),

@@ -195,6 +195,7 @@ HEADLINE = [
     "conformal_bounds",
     "markov_attribution",
     "percentile_normalize",
+    "contrastive_pairs",
 ]
 
 

@@ -1295,3 +1295,120 @@ SELECT * EXCLUDE (_rn, _n),
          AS {out_col}
 FROM r
 """
+
+
+def contrastive_pairs(
+    df: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    seed: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Contrastive training pairs from a clustered corpus — the
+    embedding-training data generator that sits downstream of the dedup
+    clustering family (`graph.connected_components`, `semdedup`):
+    every near-duplicate cluster yields (anchor, positive) pairs, and
+    each pair gets a deterministic in-batch-style negative.
+
+    * **Positives**: consecutive members of each cluster under
+      ``id_col`` order — a cluster of k members emits k−1 pairs (a
+      spanning chain: every member participates, no quadratic k²
+      blow-up on hot clusters).
+    * **Negatives**: rows are ranked by the seeded id hash
+      (:func:`distributed_rank` — no single-task sort) and the anchor's
+      negative is the row HALF A TURN away on the hash ring
+      (``(rank + ⌊n/2⌋) mod n``) — a fixed derangement, so negatives
+      are uniform-ish, reproducible across runs/engines, and computed
+      by ONE equi-join on the rank (no random sampling, no skew).
+      Ring partners landing in the anchor's own cluster are emitted
+      with ``negative_id = NULL`` (callers drop or re-mine; the rate is
+      ~the duplicate rate, documented) rather than silently reassigned.
+
+    Output: ``(anchor_id, positive_id, negative_id)``.
+    """
+    _require_integral_id(df, id_col)
+    from .dedup import _persist
+
+    base = _persist(
+        df.select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("_cl"))
+    )
+    w = W.partitionBy("_cl").orderBy(F.col("_id").asc())
+    pos = (
+        base.withColumn("_nxt", F.lead("_id").over(w))
+        .where(F.col("_nxt").isNotNull())
+        .select(
+            F.col("_id").alias("anchor_id"),
+            F.col("_nxt").alias("positive_id"),
+            F.col("_cl").alias("_acl"),
+        )
+    )
+    ranked = _persist(
+        distributed_rank(
+            base.withColumn("_hk", id_hash("_id", seed)),
+            [F.col("_hk").asc(), F.col("_id").asc()],
+            rank_col="_r",
+            partitions=partitions,
+        ).drop("_hk")
+    )
+    n_row = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    keyed = ranked.crossJoin(F.broadcast(n_row)).select(
+        "_id",
+        "_cl",
+        "_r",
+        ((F.col("_r") - 1 + F.expr("_n div 2")) % F.col("_n") + 1).alias("_pr"),
+    )
+    partner = ranked.select(
+        F.col("_r").alias("_pr"),
+        F.col("_id").alias("_pid"),
+        F.col("_cl").alias("_pcl"),
+    )
+    negs = keyed.join(partner, "_pr").select(
+        F.col("_id").alias("anchor_id"),
+        F.when(F.col("_pcl") != F.col("_cl"), F.col("_pid")).alias("_neg"),
+    )
+    return (
+        pos.join(negs, "anchor_id")
+        .select("anchor_id", "positive_id", F.col("_neg").alias("negative_id"))
+    )
+
+
+def contrastive_pairs_oracle_sql(
+    values_sql: str,
+    id_col: str,
+    cluster_col: str,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin: same cluster-chain positives, same hash-ring
+    derangement negatives (plain window ranks — the oracle may
+    single-task-sort; the Spark side must not)."""
+    a = _seed_mult(seed)
+    off = int(seed) % HASH_MOD
+    h = (
+        f"(((({id_col} % {HASH_MOD}) + {HASH_MOD}) % {HASH_MOD})"
+        f" * {a} + {off}) % {HASH_MOD}"
+    )
+    return f"""
+WITH vals AS ({values_sql}),
+pos AS (
+  SELECT {id_col} AS anchor_id,
+         LEAD({id_col}) OVER (PARTITION BY {cluster_col}
+                              ORDER BY {id_col} ASC) AS positive_id,
+         {cluster_col} AS _acl
+  FROM vals
+),
+ranked AS (
+  SELECT {id_col} AS _id, {cluster_col} AS _cl,
+         ROW_NUMBER() OVER (ORDER BY ({h}) ASC, {id_col} ASC) AS _r,
+         CAST(COUNT(*) OVER () AS BIGINT) AS _n
+  FROM vals
+),
+negs AS (
+  SELECT k._id AS anchor_id,
+         CASE WHEN p._cl <> k._cl THEN p._id END AS negative_id
+  FROM ranked k JOIN ranked p
+    ON (k._r - 1 + k._n // 2) % k._n + 1 = p._r
+)
+SELECT pos.anchor_id, pos.positive_id, negs.negative_id
+FROM pos JOIN negs USING (anchor_id)
+WHERE pos.positive_id IS NOT NULL
+"""

@@ -334,3 +334,35 @@ def test_percentile_normalize_matches_percent_rank(spark):
     ).select("doc_id", "g", "v", "pct")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_contrastive_pairs_semantics(spark):
+    from revtron_utils_spark.operators.curation import contrastive_pairs
+
+    df = spark.createDataFrame(
+        [(i, "c" + str(i % 3)) for i in range(30)], "doc_id long, cl string"
+    )
+    out = contrastive_pairs(df, "doc_id", "cl").collect()
+    # each 10-member cluster chains into 9 pairs
+    assert len(out) == 27
+    lookup = {i: "c" + str(i % 3) for i in range(30)}
+    for r in out:
+        assert lookup[r["anchor_id"]] == lookup[r["positive_id"]]
+        assert r["anchor_id"] < r["positive_id"]
+        if r["negative_id"] is not None:
+            assert lookup[r["negative_id"]] != lookup[r["anchor_id"]]
+    # the ring derangement should find a cross-cluster negative for the
+    # vast majority of anchors on a 3-cluster round-robin layout
+    withneg = sum(1 for r in out if r["negative_id"] is not None)
+    assert withneg >= len(out) * 0.5
+
+
+def test_contrastive_pairs_no_unpartitioned_window(spark):
+    from revtron_utils_spark.operators.curation import contrastive_pairs
+    from revtron_utils_spark.plans.audit import PlanFacts
+
+    df = spark.createDataFrame(
+        [(i, "c" + str(i % 3)) for i in range(30)], "doc_id long, cl string"
+    )
+    out = contrastive_pairs(df, "doc_id", "cl")
+    assert PlanFacts.of(out).unpartitioned_windows == 0
