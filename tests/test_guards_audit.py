@@ -366,3 +366,39 @@ def test_contrastive_pairs_no_unpartitioned_window(spark):
     )
     out = contrastive_pairs(df, "doc_id", "cl")
     assert PlanFacts.of(out).unpartitioned_windows == 0
+
+
+def test_percentile_normalize_invariants(spark):
+    """Percentiles are a permutation-stable bijection into (0,1): per
+    group they are distinct, bounded, and mean exactly 0.5."""
+    from revtron_utils_spark.operators.curation import percentile_normalize
+
+    df = spark.range(333).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).alias("g"),
+        ((F.col("id") * 911) % 77).alias("v"),
+    )
+    out = percentile_normalize(df, "v", "doc_id", by=["g"]).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["pct"])
+    assert len(out) == 333
+    for g, ps in by_g.items():
+        assert len(set(ps)) == len(ps), f"group {g}: ties in pct"
+        assert all(0.0 < p < 1.0 for p in ps)
+        assert abs(sum(ps) / len(ps) - 0.5) < 1e-6  # Hazen positions sum to n/2
+
+
+def test_contrastive_pairs_reproducible_and_seeded(spark):
+    from revtron_utils_spark.operators.curation import contrastive_pairs
+
+    df = spark.createDataFrame(
+        [(i, "c" + str(i % 5)) for i in range(50)], "doc_id long, cl string"
+    )
+    a = sorted(map(tuple, contrastive_pairs(df, "doc_id", "cl").collect()))
+    b = sorted(map(tuple, contrastive_pairs(df, "doc_id", "cl").collect()))
+    assert a == b  # bit-reproducible across runs
+    c = sorted(map(tuple, contrastive_pairs(df, "doc_id", "cl", seed=7).collect()))
+    # a different seed rotates the negative ring but keeps positives
+    assert [(x[0], x[1]) for x in a] == [(x[0], x[1]) for x in c]
+    assert a != c
