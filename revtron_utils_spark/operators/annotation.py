@@ -636,6 +636,7 @@ def dawid_skene(
     scale: int = 10_000,
     max_raters: int = 7,
     checkpoint_dir: str | None = None,
+    max_labels: int = 32,
 ) -> DataFrame:
     """Dawid-Skene crowd-label aggregation (Dawid & Skene 1979, "Maximum
     likelihood estimation of observer error-rates using the EM
@@ -667,6 +668,21 @@ def dawid_skene(
     labels are assumed a bounded catalog (A/N/R-sized, not corpus
     text).
 
+    Shuffle plan (the round-9 cost cut, ~2× over the long-form r8
+    layout): the posterior state is WIDE — one row per item with one
+    ``_q{j}`` column per label (``max_labels`` guards the plan width;
+    labels are a bounded catalog by the model's own assumption, and the
+    sorted catalog is collected once to the driver). Wide form makes
+    the per-item normalization ``q_j = prod_j·scale div Σ_j prod_j``
+    and the final MAP pick ROW-LOCAL — the r8 long form spent a
+    groupBy+join (``sumi``) per round and a window at the end on work
+    that is now a projection. ``votes`` is repartitioned by item ONCE
+    up front; votes⋈q and the posterior-product groupBy(i) reuse that
+    partitioning, so the only per-round shuffles are the confusion /
+    prior partial aggregates whose outputs are rater/label-catalog
+    sized, and π rides back through an AQE-sized join (no forced
+    broadcast — crowd-scale rater panels would not fit).
+
     Output one row per item: ``(item, ds_label, q_int, n_raters)`` —
     the MAP label (ties → label ASC) and its posterior in
     [0, scale].
@@ -684,7 +700,7 @@ def dawid_skene(
             F.col(item_col).alias("i"),
             F.col(rater_col).alias("r"),
             F.col(label_col).alias("m"),
-        )
+        ).repartition("i")
     )
     panel_max = (
         votes.groupBy("i")
@@ -705,20 +721,37 @@ def dawid_skene(
             f"max_raters={max_raters} (the DECIMAL(38,0) product-width "
             "bound) — dedup the panel or lower scale"
         )
-    labels = _persist(votes.select(F.col("m").alias("l")).distinct())
-    n_labels = labels.count()
-    ni = votes.groupBy("i").agg(F.count(F.lit(1)).alias("_n"))
-    cil = votes.groupBy("i", F.col("m").alias("l")).agg(
-        F.count(F.lit(1)).alias("_c")
-    )
-    q = (
-        ni.crossJoin(F.broadcast(labels))
-        .join(cil, ["i", "l"], "left")
-        .select(
-            "i",
-            "l",
-            F.expr(f"(coalesce(_c, 0) * {scale}) div _n").alias("q"),
+    # the bounded label catalog, in the ENGINE's ASC order (the same
+    # ordering the r8 long form's MAP window used for its tie-break)
+    labels = [
+        r["l"]
+        for r in votes.select(F.col("m").alias("l"))
+        .distinct()
+        .orderBy(F.col("l").asc())
+        .collect()
+    ]
+    n_labels = len(labels)
+    if n_labels > max_labels:
+        raise ValueError(
+            f"dawid_skene: {n_labels} distinct labels exceed "
+            f"max_labels={max_labels} — the wide posterior layout (and "
+            "the model itself) assumes a bounded label catalog; raise "
+            "max_labels only if the plan width is acceptable"
         )
+    L = range(n_labels)
+    # initial posterior, wide: one aggregate over the item-partitioned
+    # votes (no shuffle), q_j = votes_for_label_j·scale div n — the
+    # identical integer arithmetic of the r8 long form's init
+    q = votes.groupBy("i").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.when(F.col("m") == F.lit(lab), 1).otherwise(0)).alias(f"_c{j}")
+            for j, lab in enumerate(labels)
+        ],
+    ).select(
+        "i",
+        "_n",
+        *[F.expr(f"(_c{j} * {scale}) div _n").alias(f"_q{j}") for j in L],
     )
     dec = lambda c: c.cast("decimal(38,0)")
     # per-round lineage cut (the pagerank convention): without it the
@@ -732,77 +765,114 @@ def dawid_skene(
         # round's RDD materializes inside the NEXT action instead of
         # paying one eager job per round
         q = _cut(q, eager=False)
-        # M-step: confusion rows (Laplace +1 per possible label)
+        # M-step: confusion rows (Laplace +1 per possible label), wide —
+        # one row per observed (rater, voted-label), one column per true
+        # label. A (r, m) row exists iff rater r ever voted m, exactly
+        # the long form's (r, l, m) support.
         conf = (
             votes.join(q, "i")
-            .groupBy("r", "l", "m")
-            .agg((F.sum("q") + F.lit(1)).alias("_num"))
+            .groupBy("r", "m")
+            .agg(*[(F.sum(f"_q{j}") + F.lit(1)).alias(f"_nm{j}") for j in L])
         )
         conf = _persist(conf)
-        den = conf.groupBy("r", "l").agg(
-            (
-                F.sum("_num") + (F.lit(n_labels) - F.count(F.lit(1)))
-            ).alias("_den")
+        # per-(r, l) denominator: observed-m sums + one Laplace unit for
+        # each label m the rater never voted (count(*) = observed m's,
+        # the same for every true-label column)
+        den = conf.groupBy("r").agg(
+            *[
+                (F.sum(f"_nm{j}") + (F.lit(n_labels) - F.count(F.lit(1)))).alias(
+                    f"_d{j}"
+                )
+                for j in L
+            ]
         )
-        pi = conf.join(den, ["r", "l"]).select(
+        pi = conf.join(den, "r").select(
             "r",
-            "l",
             "m",
-            F.greatest(
-                F.lit(1).cast("long"),
-                F.expr(
-                    f"(CAST(_num AS DECIMAL(38,0)) * {scale})"
-                    " div CAST(_den AS DECIMAL(38,0))"
-                ),
-            ).alias("_pi"),
+            *[
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.expr(
+                        f"(CAST(_nm{j} AS DECIMAL(38,0)) * {scale})"
+                        f" div CAST(_d{j} AS DECIMAL(38,0))"
+                    ),
+                ).alias(f"_pi{j}")
+                for j in L
+            ],
         )
-        prn = q.groupBy("l").agg((F.sum("q") + F.lit(1)).alias("_num"))
-        prd = prn.agg(F.sum("_num").alias("_den"))
-        pri = prn.crossJoin(F.broadcast(prd)).select(
-            "l",
-            F.greatest(
-                F.lit(1).cast("long"),
-                F.expr(
-                    f"(CAST(_num AS DECIMAL(38,0)) * {scale})"
-                    " div CAST(_den AS DECIMAL(38,0))"
-                ),
-            ).alias("_p"),
+        # class priors: ONE single-row aggregate; the normalization is
+        # row-local (the long form paid a crossJoin-broadcast here)
+        prisum = " + ".join(f"CAST(_pn{j} AS DECIMAL(38,0))" for j in L)
+        pri = q.agg(
+            *[(F.sum(f"_q{j}") + F.lit(1)).alias(f"_pn{j}") for j in L]
+        ).select(
+            *[
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.expr(
+                        f"(CAST(_pn{j} AS DECIMAL(38,0)) * {scale})"
+                        f" div CAST({prisum} AS DECIMAL(38,0))"
+                    ),
+                ).alias(f"_p{j}")
+                for j in L
+            ]
         )
-        # E-step: per-(item, label) integer likelihood product. No
-        # broadcast hint on π: it's O(raters·labels²) — rater-panel
-        # sized for review boards, crowd-sized for crowdsourcing; AQE
-        # picks broadcast only when it fits.
-        vf = votes.join(pi, ["r", "m"]).select("i", "l", "_pi")
-        prod = (
-            vf.groupBy("i", "l")
-            .agg(
+        # E-step: per-item integer likelihood products, one DECIMAL fold
+        # per label over the SAME collected panel. No broadcast hint on
+        # π: it's O(raters·labels) — rater-panel sized for review
+        # boards, crowd-sized for crowdsourcing; AQE picks broadcast
+        # only when it fits.
+        vf = votes.join(pi, ["r", "m"]).select("i", *[f"_pi{j}" for j in L])
+        prod = vf.groupBy("i").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
                 F.aggregate(
-                    F.collect_list("_pi"),
+                    F.collect_list(f"_pi{j}"),
                     F.lit(1).cast("decimal(38,0)"),
                     lambda a, x: (a * dec(x)).cast("decimal(38,0)"),
-                ).alias("_f")
-            )
-            .join(F.broadcast(pri), "l")
-            .select("i", "l", (dec(F.col("_p")) * F.col("_f")).cast("decimal(38,0)").alias("_prod"))
+                ).alias(f"_f{j}")
+                for j in L
+            ],
         )
-        sumi = prod.groupBy("i").agg(F.sum("_prod").alias("_s"))
-        q = prod.join(sumi, "i").select(
+        # posterior normalization is ROW-LOCAL in wide form — the r8
+        # long form ran a groupBy(i) + item join (sumi) per round for
+        # this same division
+        prodp = prod.crossJoin(F.broadcast(pri)).select(
             "i",
-            "l",
-            F.expr(f"CAST((_prod * {scale}) div _s AS BIGINT)").alias("q"),
+            "_n",
+            *[
+                (dec(F.col(f"_p{j}")) * F.col(f"_f{j}"))
+                .cast("decimal(38,0)")
+                .alias(f"_prod{j}")
+                for j in L
+            ],
         )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("i").orderBy(F.col("q").desc(), F.col("l").asc())
-    best = (
-        q.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("i", F.col("l").alias("ds_label"), F.col("q").alias("q_int"))
+        totsum = " + ".join(f"_prod{j}" for j in L)
+        q = prodp.select(
+            "i",
+            "_n",
+            *[
+                F.expr(
+                    f"CAST((_prod{j} * {scale})"
+                    f" div CAST({totsum} AS DECIMAL(38,0)) AS BIGINT)"
+                ).alias(f"_q{j}")
+                for j in L
+            ],
+        )
+    # MAP pick: row-local greatest + first-match-in-ASC-label-order
+    # (identical to the long form's (q DESC, l ASC) window tie-break)
+    mx = (
+        F.greatest(*[F.col(f"_q{j}") for j in L])
+        if n_labels > 1
+        else F.col("_q0")
     )
-    return best.join(ni, "i").select(
+    best_label = F.coalesce(
+        *[F.when(F.col(f"_q{j}") == mx, F.lit(labels[j])) for j in L]
+    ) if n_labels > 1 else F.lit(labels[0])
+    return q.select(
         F.col("i").alias("item"),
-        "ds_label",
-        "q_int",
+        best_label.alias("ds_label"),
+        mx.alias("q_int"),
         F.col("_n").alias("n_raters"),
     )
 

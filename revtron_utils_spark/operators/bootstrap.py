@@ -238,7 +238,7 @@ def permutation_test(
     Design (the :func:`poisson_bootstrap_ci` playbook): classical
     permutation fixes the group sizes per resample, which needs a
     global shuffle per replicate — undistributable. This runs the
-    RANDOMIZATION-test variant: replicate ``b`` reassigns每 unit to A
+    RANDOMIZATION-test variant: replicate ``b`` reassigns every unit to A
     with probability n_a/(n_a+n_b) via the pinned integer hash (no
     RNG), so every replicate is one branch-free projection and the
     whole test is ONE scan: explode ``n_perm`` replicates inside the

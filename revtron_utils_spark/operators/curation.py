@@ -410,7 +410,12 @@ def cap_per_domain(
     bucket = id_hash(id_col, seed)
 
     def _cand(tbl: DataFrame) -> DataFrame:
-        j = df.join(F.broadcast(tbl), df[domain_col] == tbl["_d"], "inner")
+        # no broadcast hint: the threshold table is O(domains) — a
+        # data-derived cardinality with no contract. AQE broadcasts it
+        # whenever it actually fits; at 10⁶-10⁷ domains a forced
+        # F.broadcast would be a driver/executor memory wall where the
+        # plain join degrades gracefully (the retrieval.py tfidf rule).
+        j = df.join(tbl, df[domain_col] == tbl["_d"], "inner")
         return j.filter(bucket < F.col("_thr")).drop("_d", "_thr")
 
     cand = _cand(thr_tbl)
@@ -515,8 +520,10 @@ def take_token_budget(
     bucket = id_hash(id_col, seed)
 
     def _cand(tbl: DataFrame) -> DataFrame:
+        # O(domains) threshold table: no broadcast hint (AQE decides) —
+        # see cap_per_domain._cand for the rationale
         sel = tbl.select("_d", "_thr")
-        j = tagged.join(F.broadcast(sel), tagged[domain_col] == sel["_d"], "inner")
+        j = tagged.join(sel, tagged[domain_col] == sel["_d"], "inner")
         return j.filter(bucket < F.col("_thr")).drop("_d", "_thr")
 
     cand = _cand(thr_tbl)
@@ -676,7 +683,11 @@ def filter_by_score_quantile(
         *by, F.col(name).alias("_thr")
     )
     if by:
-        out = df.join(F.broadcast(qs), by)
+        # keyed branch: qs is O(groups) — data-derived, so no broadcast
+        # hint (AQE broadcasts when it fits; a forced hint is a memory
+        # wall at 10⁶⁺ groups). The no-keys branch broadcasts a single
+        # row — bounded by construction.
+        out = df.join(qs, by)
     else:
         out = df.crossJoin(F.broadcast(qs))
     return out.filter(F.col(score_col) >= F.col("_thr")).drop("_thr")
@@ -1257,8 +1268,11 @@ def percentile_normalize(
     gmin = ranked.groupBy(*keys).agg(
         F.min("_gr").alias("_g0"), F.count(F.lit(1)).alias("_gn")
     )
+    # keyed branch: gmin is O(groups) — no broadcast hint (AQE decides;
+    # a forced hint on a data-derived cardinality is a memory wall at
+    # 10⁶⁺ groups). The no-keys branch is a single row — bounded.
     j = (
-        ranked.join(F.broadcast(gmin), keys)
+        ranked.join(gmin, keys)
         if keys
         else ranked.crossJoin(F.broadcast(gmin))
     )

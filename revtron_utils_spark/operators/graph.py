@@ -1038,9 +1038,12 @@ def hits(
 
     100 TB posture: per round, two node-keyed shuffled joins + two
     partial aggregates + two ONE-ROW totals cross-joined back
-    (broadcast); lineage cut per round like `pagerank`. ``scale``
-    auto-clamps so ``indeg_max·scale ≤ Σh ≤ E·scale`` stays inside
-    int64 at any edge count.
+    (broadcast); each half-step's summed frame is persisted because the
+    renormalizer's broadcast job and the main plan both read it;
+    lineage cut per round like `pagerank`. ``scale`` is validated
+    against ``Σh ≤ E·scale ≤ 2⁶²`` and the call RAISES with the max
+    safe value when it would overflow — a silent clamp would desync
+    the independently generated oracle SQL.
     """
     spark = edges.sparkSession
     _cut = _lineage_cutter(spark, checkpoint_dir)
@@ -1063,17 +1066,27 @@ def hits(
         )
     safe_scale = (2**62) // n_edges
     if safe_scale < scale:
-        import warnings
-
-        warnings.warn(
-            f"hits: scale clamped {scale} -> {safe_scale} to keep the "
-            "per-round raw sums inside int64; pass the same scale to an "
-            "external oracle",
-            stacklevel=2,
+        # Fail fast instead of silently clamping (round-9 advice): the
+        # oracle SQL is generated independently with the CALLER's scale,
+        # so a silent clamp guarantees a bit-exactness mismatch that a
+        # stderr warning cannot prevent. The message carries the max
+        # safe value so the caller can re-run both sides consistently.
+        raise ValueError(
+            f"hits: scale={scale} would overflow int64 on the per-round "
+            f"raw sums at {n_edges} edges; pass scale<={safe_scale} "
+            "(and generate the oracle SQL with the same value)"
         )
-        scale = safe_scale
+
+    from .dedup import _persist
 
     def _renorm(raw: DataFrame, col: str) -> DataFrame:
+        # `raw` MUST be persisted by the caller: the one-row total below
+        # executes as the broadcast-exchange's own job, and without the
+        # cache the expensive join+aggregate subtree feeding `raw` would
+        # run a second time when the main plan reads it again — the
+        # round-9 fix for the "two extra renormalization actions per
+        # round" fat (each half-step's heavy subtree used to execute
+        # twice)
         total = raw.agg(
             F.coalesce(F.sum("_raw"), F.lit(0)).alias("_tot")
         ).select(F.expr(f"greatest(1, _tot div {scale})").alias("_q"))
@@ -1089,8 +1102,10 @@ def hits(
             .groupBy(e.dst.alias("anode"))
             .agg(F.sum("hub_int").alias("_in"))
         )
-        a_all = nodes.join(a_raw, nodes.node == a_raw.anode, "left").select(
-            "node", F.coalesce(F.col("_in"), F.lit(0)).alias("_raw")
+        a_all = _persist(
+            nodes.join(a_raw, nodes.node == a_raw.anode, "left").select(
+                "node", F.coalesce(F.col("_in"), F.lit(0)).alias("_raw")
+            )
         )
         auths = _cut(_renorm(a_all, "auth_int"), eager=False)
         h_raw = (
@@ -1098,8 +1113,10 @@ def hits(
             .groupBy(e.src.alias("hnode"))
             .agg(F.sum("auth_int").alias("_in"))
         )
-        h_all = nodes.join(h_raw, nodes.node == h_raw.hnode, "left").select(
-            "node", F.coalesce(F.col("_in"), F.lit(0)).alias("_raw")
+        h_all = _persist(
+            nodes.join(h_raw, nodes.node == h_raw.hnode, "left").select(
+                "node", F.coalesce(F.col("_in"), F.lit(0)).alias("_raw")
+            )
         )
         hubs = _cut(_renorm(h_all, "hub_int"), eager=False)
     e.unpersist()

@@ -252,13 +252,13 @@ def ewma(
         F.sum(F.col(value_col).cast("long")).alias("x")
     )
     arr = per.groupBy(*keys).agg(
-        F.sort_array(F.collect_list(F.struct("t", "x"))).alias("a")
+        F.sort_array(F.collect_list(F.struct("t", "x"))).alias("_a")
     )
     # internal aliases prefixed to avoid colliding with caller group
-    # column names (a group column literally named "s" used to make
-    # the struct reference ambiguous)
-    ex = arr.select(*keys, "a", F.posexplode("a").alias("_i", "_s"))
-    xs = F.transform(F.slice("a", F.lit(1), F.col("_i") + F.lit(1)), lambda s: s["x"])
+    # column names (a group column literally named "s" — or "a" —
+    # used to make the struct/array reference ambiguous)
+    ex = arr.select(*keys, "_a", F.posexplode("_a").alias("_i", "_s"))
+    xs = F.transform(F.slice("_a", F.lit(1), F.col("_i") + F.lit(1)), lambda s: s["x"])
     e = F.aggregate(
         F.slice(xs, F.lit(2), F.col("_i")),
         F.element_at(xs, 1).cast("double"),
@@ -595,9 +595,9 @@ def holt_linear(
         F.sum(F.col(value_col).cast("long")).alias("x")
     )
     arr = per.groupBy(*keys).agg(
-        F.sort_array(F.collect_list(F.struct("t", "x"))).alias("a")
+        F.sort_array(F.collect_list(F.struct("t", "x"))).alias("_a")
     )
-    xs = F.transform(F.col("a"), lambda s: s["x"].cast("double"))
+    xs = F.transform(F.col("_a"), lambda s: s["x"].cast("double"))
     x1 = F.try_element_at(xs, F.lit(1))
     # try_: single-bucket groups have no x2 (NULL trend), and ANSI
     # element_at throws on the out-of-range access
@@ -622,7 +622,7 @@ def holt_linear(
     )
     out = arr.select(
         *keys,
-        F.size("a").alias("n_buckets"),
+        F.size("_a").alias("n_buckets"),
         state["l"].alias("_l"),
         state["b"].alias("_b"),
     )

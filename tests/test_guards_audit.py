@@ -402,3 +402,32 @@ def test_contrastive_pairs_reproducible_and_seeded(spark):
     # a different seed rotates the negative ring but keeps positives
     assert [(x[0], x[1]) for x in a] == [(x[0], x[1]) for x in c]
     assert a != c
+
+
+def test_group_sized_frames_survive_1m_groups(spark):
+    """Adversarial high-group-cardinality run (round-9 broadcast
+    hygiene): the O(groups) side frames in percentile_normalize (gmin)
+    and cap_per_domain (threshold table) carry NO forced F.broadcast —
+    at 1M+ distinct groups a forced hint is a driver/executor memory
+    wall, while the plain join lets AQE degrade gracefully. The gate:
+    the run completes and the per-group answers stay exact."""
+    from revtron_utils_spark.operators.curation import (
+        cap_per_domain,
+        percentile_normalize,
+    )
+
+    n = 1_000_000
+    # two rows per group, 1M groups -> gmin has 1M rows
+    df = spark.range(2 * n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % n).alias("g"),
+        (F.col("id") % 97).alias("v"),
+    )
+    out = percentile_normalize(df, "v", "doc_id", by=["g"])
+    # every group has exactly 2 rows -> Hazen positions 0.25 / 0.75
+    bad = out.where(~F.col("pct").isin(0.25, 0.75)).limit(1).count()
+    assert bad == 0
+    assert out.count() == 2 * n
+
+    capped = cap_per_domain(df, "doc_id", "g", n=1)
+    assert capped.count() == n

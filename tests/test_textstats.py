@@ -440,3 +440,18 @@ def test_permutation_test_decimal_threshold_exact(spark):
         )
     ).fetchone()
     assert tuple(got) == want
+
+
+def test_hits_overflow_scale_raises(spark):
+    """A scale that would overflow int64 on the per-round raw sums must
+    RAISE (with the max safe value in the message), never silently
+    clamp — the oracle SQL is generated with the caller's scale, so a
+    clamp guarantees a bit-exactness mismatch."""
+    import pytest
+
+    from revtron_utils_spark.operators.graph import hits
+
+    edges = [(i, (i + 1) % 5) for i in range(5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(ValueError, match="pass scale<="):
+        hits(df, iterations=1, scale=2**62)
