@@ -1409,6 +1409,23 @@ JOIN sizes sb ON inter.slice_b = sb._s
 """
 
 
+def _hbos_width_guard(n_rows: int, n_features: int, scale: int) -> None:
+    """Fail-fast width contract (the tfidf_cosine_pairs discipline):
+    the largest per-feature factor is ``n_rows·scale`` (a singleton
+    bin), so the product of ``n_features`` factors is bounded by
+    ``(n_rows·scale)^n_features`` — past 10³⁸ Spark's non-ANSI DECIMAL
+    overflow would NULL the very rows the query exists to surface
+    (NULLs sort last under score DESC) while the DuckDB twin errors."""
+    if (n_rows * scale) ** n_features >= 10**38:
+        max_n = int((10**38) ** (1.0 / n_features)) // scale
+        raise ValueError(
+            f"hbos_scores: (n_rows*{scale})^{n_features} would "
+            f"overflow DECIMAL(38,0) at n_rows={n_rows} — drop a "
+            f"feature or stay under ~{max_n} rows with "
+            f"{n_features} features"
+        )
+
+
 def hbos_scores(
     df: DataFrame,
     id_col: str,
@@ -1429,9 +1446,16 @@ def hbos_scores(
     Exactness (the log-free house rule — classic HBOS sums logs, this
     multiplies the rationals): per feature the factor is the INTEGER
     ``n_rows·SCALE // bin_count`` (floor div, both engines) and the
-    score is the exact DECIMAL(38,0) product — with ≤ 3 features every
-    product stays under 10³⁸ (SCALE=10⁴, factors ≤ n·10⁴ ≤ 10¹⁶ each),
-    matching DuckDB HUGEINT bit-for-bit. Ranking is unchanged from the
+    score is the exact DECIMAL(38,0) product. A singleton bin makes its
+    factor ``n_rows·SCALE``, so the worst-case product is
+    ``(n_rows·SCALE)^n_features`` — a RUNTIME width guard raises when
+    that bound reaches 10³⁸ (e.g. 3 features cap out near
+    n_rows ≈ 4.6·10⁸ at SCALE=10⁴; drop a feature or the guard tells
+    you the limit). Without the guard, Spark's non-ANSI DECIMAL
+    overflow silently NULLs exactly the most anomalous rows (NULLs
+    sort last under ``ORDER BY score_int DESC``) while DuckDB HUGEINT
+    errors — the engines would diverge invisibly. Within the guard the
+    product matches DuckDB bit-for-bit; ranking is unchanged from the
     log form (log is monotone; product of positives ↔ sum of logs).
 
     Plan: one partial-agg shuffle per feature histogram (bounded by the
@@ -1448,6 +1472,7 @@ def hbos_scores(
     SCALE = 10_000
     out = df
     n_rows = df.count()
+    _hbos_width_guard(n_rows, len(features), SCALE)
     score = None
     bin_cols = []
     for fcol, width in sorted(features.items()):

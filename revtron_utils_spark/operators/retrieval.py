@@ -543,16 +543,29 @@ def tfidf_cosine_pairs(
         toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("_tf"))
     )
     n_docs = docs.count()
-    # DECIMAL(38,0) width contract: the largest weight is tf·idf with
-    # idf ≤ N·scale (a df=1 term), and norms square it — w² must stay
-    # under 10³⁸, i.e. tf·N·scale ≤ ~10¹⁸. Fail fast with the fix
-    # (lower `scale` as the corpus grows) instead of silently
-    # overflowing the norm sums at billion-document scale.
-    if float(n_docs) * scale > 1e17:
+    # DECIMAL(38,0) width contract, MEASURED (round-9 fix: the old
+    # n_docs·scale ≤ 1e17 bound ignored tf — a term with tf ≥ ~100
+    # still pushed Σw² past 10³⁸). The largest weight is
+    # w ≤ max_tf·N·scale (a df=1 term), a doc's norm² sums ≤
+    # max_terms_per_doc of its squares, so the exact bound is
+    # (max_tf·N·scale)² · max_terms_per_doc < 10³⁸. max_tf and
+    # max_terms_per_doc come from one aggregate over the already-
+    # persisted tf frame. Fail fast with the fix (lower `scale` as the
+    # corpus grows) instead of silently NULLing norms at scale.
+    stats = (
+        tf.groupBy("_id")
+        .agg(F.max("_tf").alias("_mt"), F.count(F.lit(1)).alias("_nt"))
+        .agg(F.max("_mt").alias("mt"), F.max("_nt").alias("nt"))
+        .first()
+    )
+    max_tf = int(stats["mt"] or 1)
+    max_terms = int(stats["nt"] or 1)
+    if (max_tf * n_docs * scale) ** 2 * max_terms >= 10**38:
         raise ValueError(
-            f"tfidf_cosine_pairs: n_docs·scale = {float(n_docs) * scale:.2g} "
-            "exceeds the DECIMAL(38,0) norm-width budget (1e17) — pass a "
-            "smaller `scale` (idf resolution) for this corpus size"
+            "tfidf_cosine_pairs: (max_tf·n_docs·scale)²·max_terms_per_doc "
+            f"= ({max_tf}·{n_docs}·{scale})²·{max_terms} reaches the "
+            "DECIMAL(38,0) norm-width budget (10^38) — pass a smaller "
+            "`scale` (idf resolution) for this corpus"
         )
     voc = (
         tf.groupBy("term")

@@ -414,8 +414,28 @@ def test_tfidf_width_guard_trips(spark):
         [(1, "a b"), (2, "b c")], "doc_id long, text string"
     )
     with pytest.raises(ValueError, match="scale"):
-        # scale so large that 2 docs * scale > 1e17
-        tfidf_cosine_pairs(df, scale=10**17)
+        # (max_tf·n·scale)²·terms = (1·2·10¹⁹)²·2 ≥ 10³⁸
+        tfidf_cosine_pairs(df, scale=10**19)
+
+
+def test_tfidf_width_guard_measures_tf(spark):
+    """The round-9 guard folds the OBSERVED max tf in: a corpus whose
+    n_docs·scale fits the old 1e17 budget still overflows Σw² when one
+    doc repeats a term ~200×. The old guard let this through to a
+    silent-NULL-norm divergence; the measured guard raises."""
+    from revtron_utils_spark.operators.retrieval import tfidf_cosine_pairs
+
+    scale = 25 * 10**15  # n_docs·scale = 5e16 — passes the OLD bound
+    df = spark.createDataFrame(
+        [(1, " ".join(["t"] * 200)), (2, "t u")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_tf"):
+        tfidf_cosine_pairs(df, scale=scale)
+    # same corpus with tf=1 everywhere is inside the budget
+    ok = spark.createDataFrame(
+        [(1, "t v"), (2, "t u")], "doc_id long, text string"
+    )
+    assert tfidf_cosine_pairs(ok, scale=scale, threshold=0.0).count() >= 1
 
 
 def test_permutation_test_decimal_threshold_exact(spark):
@@ -455,3 +475,19 @@ def test_hits_overflow_scale_raises(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     with pytest.raises(ValueError, match="pass scale<="):
         hits(df, iterations=1, scale=2**62)
+
+
+def test_hbos_width_guard():
+    """(n_rows·SCALE)^n_features ≥ 10³⁸ must raise: with 3 features the
+    singleton-bin product crosses DECIMAL(38,0) near n_rows ≈ 4.6e8 —
+    the docstring's old 'factors ≤ 10¹⁶ each so the product fits' claim
+    was wrong (10¹⁶ cubed = 10⁴⁸) and the overflow silently NULLs the
+    MOST anomalous rows under non-ANSI Spark."""
+    from revtron_utils_spark.operators.profile import _hbos_width_guard
+
+    _hbos_width_guard(460_000_000, 3, 10_000)  # just under: fine
+    with pytest.raises(ValueError, match="overflow DECIMAL"):
+        _hbos_width_guard(500_000_000, 3, 10_000)
+    with pytest.raises(ValueError, match="overflow DECIMAL"):
+        _hbos_width_guard(10**34, 1, 10_000)
+    _hbos_width_guard(10**33, 1, 10_000)
