@@ -2729,6 +2729,59 @@ def q_cosine_neardup_lsh(spark, sf):
     )
 
 
+def q_cosine_neardup_lsh_poly(spark, sf):
+    """`cosine_neardup_lsh` with SQL-reproducible POLY hyperplanes
+    (round-9 close of the last two rows-only LSH gates, the
+    `minhash_pairs_poly` technique): plane weights are an affine poly
+    hash of the flat (plane, dim) index folded to [-10⁶, 10⁶], so the
+    DuckDB oracle regenerates the identical 60 planes from four integer
+    literals and re-runs the ENTIRE path — int sign bits, 10×6 band
+    keys, candidate set, exact quantized cosine — hash-exact. The
+    gauss-plane `cosine_neardup_lsh` stays as the recall-documented
+    throughput twin."""
+    emb = _t(spark, sf, "embeddings")
+    return DD.embedding_neardup_pairs(
+        emb,
+        threshold=0.4,
+        lsh_planes=6,
+        lsh_bands=10,
+        hash_family="poly",
+    )
+
+
+def _sql_cosine_neardup_lsh_poly() -> str:
+    from revtron_utils_spark.operators.dedup import poly_plane_weight_sql
+
+    k, bands, dim = 6, 10, 64
+    w = poly_plane_weight_sql(f"p * {dim} + d")
+    cos = (
+        "list_inner_product(a.ev, b.ev)"
+        " / (SQRT(list_inner_product(a.ev, a.ev))"
+        " * SQRT(list_inner_product(b.ev, b.ev)))"
+    )
+    return f"""
+WITH e AS MATERIALIZED (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
+s AS MATERIALIZED (
+  SELECT vec_id, ev,
+         list_transform(range(0, {k * bands}), p ->
+           CASE WHEN list_inner_product(ev,
+             list_transform(range(0, {dim}),
+                            d -> CAST({w} AS DOUBLE))) >= 0
+           THEN 1 ELSE 0 END) AS sig
+  FROM e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({cos}, 6) AS cosine
+FROM s a JOIN s b ON a.vec_id < b.vec_id
+WHERE len(list_filter(range(0, {bands}), bb ->
+        list_slice(a.sig, bb*{k} + 1, bb*{k} + {k})
+        = list_slice(b.sig, bb*{k} + 1, bb*{k} + {k}))) > 0
+  AND {cos} >= 0.4
+"""
+
+
+SQL_COSINE_NEARDUP_LSH_POLY = _sql_cosine_neardup_lsh_poly()
+
+
 def q_minhash_pairs_poly(spark, sf):
     """MinHash-LSH with the engine-reproducible polynomial hash family
     (`dedup.minhash_poly_pairs`): the DuckDB oracle re-implements the
@@ -8865,6 +8918,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "simhash_pairs": (q_simhash_pairs, None),
     "ivf_ann": (q_ivf_ann, None),
     "cosine_neardup_lsh": (q_cosine_neardup_lsh, None),
+    "cosine_neardup_lsh_poly": (
+        q_cosine_neardup_lsh_poly,
+        SQL_COSINE_NEARDUP_LSH_POLY,
+    ),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "image_resize": (q_image_resize, SQL_IMAGE_RESIZE),
     "audio_stats": (q_audio_stats, None),

@@ -60,6 +60,7 @@ HEADLINE = [
     "cosine_topk",
     "cosine_neardup",
     "cosine_neardup_lsh",
+    "cosine_neardup_lsh_poly",
     "semdedup",
     "percentiles",
     "curation_pipeline",

@@ -1252,6 +1252,44 @@ def ngram_containment_pairs(
 # -------------------------------------------------------- embedding near-dup
 
 
+# poly-plane constants: P a 31-bit prime, A/B multipliers with
+# A·idx < 2⁶³ and B·P < 2⁶³, M the weight half-range — all four are
+# literals an external SQL oracle copies verbatim
+_PLANE_P = 1_000_000_007
+_PLANE_A = 2_654_435_761 % _PLANE_P
+_PLANE_B = 97_003_999
+_PLANE_C = 12_345
+_PLANE_M = 1_000_000
+
+
+def _poly_plane_weight(idx: int) -> int:
+    """Deterministic hyperplane weight for flat index ``idx``: affine →
+    SQUARE → affine mod a prime, folded to [-M, M]. The middle squaring
+    round is load-bearing: a purely affine map is a lattice (an LCG
+    read out by index), and its correlated planes measured 10× the
+    candidate pairs of gauss planes on the sf0.1 embeddings (3.34M vs
+    0.34M; squared form: 0.33M). Every intermediate stays under 2⁶³
+    (h² < (10⁹)² ≈ 10¹⁸, h·B < 10⁹·10⁸)."""
+    h = ((idx + 1) * _PLANE_A) % _PLANE_P
+    h = (h * h + idx) % _PLANE_P
+    h = (h * _PLANE_B + _PLANE_C) % _PLANE_P
+    return h % (2 * _PLANE_M + 1) - _PLANE_M
+
+
+def poly_plane_weight_sql(idx_expr: str) -> str:
+    """DuckDB twin of :func:`_poly_plane_weight` over an index
+    expression — identical integer arithmetic, token for token. The
+    caller must pass a side-effect-free ``idx_expr`` (it is inlined
+    three times)."""
+    i = f"({idx_expr})"
+    h1 = f"((({i} + 1) * {_PLANE_A}) % {_PLANE_P})"
+    h2 = f"(({h1} * {h1} + {i}) % {_PLANE_P})"
+    return (
+        f"({h2} * {_PLANE_B} + {_PLANE_C}) % {_PLANE_P}"
+        f" % {2 * _PLANE_M + 1} - {_PLANE_M}"
+    )
+
+
 def _hyperplane_band_keys(planes_int, per_band: int, bands: int):
     """One Arrow pass: all hyperplane dots as a single int64 matmul per
     batch, sign bits packed into one long key per band. The per-row cost
@@ -1312,6 +1350,7 @@ def embedding_neardup_pairs(
     lsh_bands: int = 1,
     seed: int = 42,
     use_arrow: bool = True,
+    hash_family: str = "gauss",
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an embedding column.
 
@@ -1364,15 +1403,32 @@ def embedding_neardup_pairs(
                     ]
                 ),
             )
-        rng = random.Random(seed)
         dim = len(first[0])
         # integer-quantized hyperplanes: sign(q·plane) in exact int64
         # arithmetic (|q|·|w|·dim « 2^63), so band keys are deterministic
         # across platforms/BLAS builds
-        planes_i = [
-            [int(round(rng.gauss(0, 1) * 1_000_000)) for _ in range(dim)]
-            for _ in range(lsh_planes * lsh_bands)
-        ]
+        if hash_family == "poly":
+            # SQL-reproducible planes (the minhash_poly precedent): each
+            # weight is an affine poly hash of the flat (plane, dim)
+            # index, uniform in [-10⁶, 10⁶] — an external oracle can
+            # regenerate the identical planes from four literals, so the
+            # FULL LSH path (signs → band keys → candidate set → exact
+            # cosine) hash-verifies, not just its exact tail. Uniform
+            # (vs gauss) directions shift recall slightly; the gate only
+            # needs both engines to draw the SAME planes.
+            planes_i = [
+                [
+                    _poly_plane_weight(p * dim + d)
+                    for d in range(dim)
+                ]
+                for p in range(lsh_planes * lsh_bands)
+            ]
+        else:
+            rng = random.Random(seed)
+            planes_i = [
+                [int(round(rng.gauss(0, 1) * 1_000_000)) for _ in range(dim)]
+                for _ in range(lsh_planes * lsh_bands)
+            ]
         keys_udf = _hyperplane_band_keys(planes_i, lsh_planes, lsh_bands)
         base = base.filter(F.col("q").isNotNull())
         if lsh_bands == 1:

@@ -899,3 +899,37 @@ def test_ngram_join_measure_validation(spark):
     df = spark.createDataFrame([(1, "a b c d")], "doc_id: long, text: string")
     with _pytest.raises(ValueError, match="measure"):
         DD.ngram_join_pairs(df, df, measure="nope")
+
+
+def test_neardup_lsh_poly_matches_oracle(spark, sf_dir):
+    """The round-9 poly-plane LSH gate: the full banded pipeline —
+    deterministic integer hyperplanes, sign bits, 10×6 band keys,
+    candidate set, exact quantized cosine — must agree PAIR-FOR-PAIR
+    (and value-for-value) with the DuckDB oracle that regenerates the
+    planes from the four poly literals."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    got = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in entry.queries()["cosine_neardup_lsh_poly"](
+            spark, sf_dir
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(entry.SQL_COSINE_NEARDUP_LSH_POLY).fetchall()
+    )
+    assert got == want
+    # poly LSH is a subset of the exact pair set (recall < 1 by design)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in entry.queries()["cosine_neardup"](spark, sf_dir).collect()
+    }
+    assert {(a, b) for a, b, _ in got} <= exact

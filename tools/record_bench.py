@@ -29,6 +29,31 @@ HEADER = (
     "| --- | --- | --- | --- | --- | --- |\n"
 )
 
+# Drift canary (round-9): nine TPC-H-shaped queries untouched since
+# round 3, summed per run and divided by the r3 driver reference total
+# to estimate HOST drift — round-over-round totals were polluted by
+# 25-45% machine drift on untouched queries every round (documented
+# r4, r7→r8), and the normalized column stops the manual re-litigation.
+CANARY = [
+    "join_q3",
+    "groupby_q1",
+    "where_theta",
+    "join_q5",
+    "window_topk",
+    "rollup",
+    "exists_q4",
+    "outerjoin_q13",
+    "having_q18",
+]
+# Σ canary cold seconds in the r3 driver artifact (BENCH_r03.json)
+CANARY_REF = 6.587
+MARKER2 = "## BENCH_HISTORY (drift-normalized)"
+HEADER2 = (
+    "| label | commit | sf | n_queries | cold (s) | warm (s) "
+    "| canary (s) | drift | norm cold (s) |\n"
+    "| --- | --- | --- | --- | --- | --- | --- | --- | --- |\n"
+)
+
 
 def _parse_source(path: Path) -> dict:
     raw = json.loads(path.read_text())
@@ -78,6 +103,19 @@ def main() -> None:
         f"| {d.get('value')} | {d.get('value_warm', '')} |\n"
     )
 
+    # drift-normalized row (needs per-query detail for the canary)
+    qs = d.get("queries") or {}
+    row2 = None
+    if all(c in qs for c in CANARY):
+        canary_total = sum(qs[c] for c in CANARY)
+        drift = canary_total / CANARY_REF
+        norm = d.get("value") / drift if d.get("value") else None
+        row2 = (
+            f"| {args.label} | {commit} | {d.get('sf')} | {n_q} "
+            f"| {d.get('value')} | {d.get('value_warm', '')} "
+            f"| {canary_total:.3f} | {drift:.2f}x | {norm:.1f} |\n"
+        )
+
     # Archive the per-query detail under the round label so round-over-
     # round per-query comparison never depends on the driver tail's
     # last-75-query truncation (r7 could compare only 29/114 r6
@@ -99,7 +137,31 @@ def main() -> None:
         )
     if not text.endswith("\n"):
         text += "\n"
-    baseline.write_text(text + row)
+    if MARKER2 in text:
+        # v1 table sits ABOVE the v2 table: insert the v1 row at the
+        # end of its own section, not at the file end
+        head, tail = text.split(MARKER2, 1)
+        text = head + row + MARKER2 + tail
+    else:
+        text += row
+    if row2:
+        if MARKER2 not in text:
+            text += (
+                f"\n{MARKER2}\n\nSame totals with the host-drift estimate "
+                "factored out: `canary` = Σ cold seconds over the 9 "
+                "never-touched TPC-H canary queries "
+                f"({', '.join(CANARY)}), `drift` = canary ÷ "
+                f"{CANARY_REF} (the r3 driver reference), `norm cold` = "
+                "cold ÷ drift. Compare norm-cold across rounds; raw "
+                "cold stays the official driver metric:\n\n" + HEADER2
+            )
+        text += row2
+    else:
+        print(
+            "no drift-normalized row: detail lacks canary queries",
+            file=sys.stderr,
+        )
+    baseline.write_text(text)
     print(f"appended to BASELINE.md: {row}", end="", file=sys.stderr)
 
 
