@@ -8034,6 +8034,149 @@ FROM orders
 SQL_KS_TEST = _sql_ks_test()
 
 
+def q_mann_whitney(spark, sf):
+    """Rank-based two-sample test (`profile.mann_whitney`): is the
+    quantity distribution of returned lineitems ('R') stochastically
+    larger than accepted ones ('A')? The tie-heavy integer quantity
+    spine (50 distinct values) is exactly where the DOUBLED-midrank
+    trick matters: 2·midrank stays an integer, the rank/tie sums stay
+    DECIMAL-exact, and only the pinned z tail touches floats."""
+    from revtron_utils_spark.operators.profile import mann_whitney
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"), "l_returnflag"
+    )
+    return mann_whitney(li, "qty", "l_returnflag", "A", "R")
+
+
+def _sql_mann_whitney() -> str:
+    from revtron_utils_spark.operators.profile import mann_whitney_oracle_sql
+
+    values = (
+        "SELECT CAST(l_quantity AS BIGINT) AS qty, l_returnflag FROM lineitem"
+    )
+    return mann_whitney_oracle_sql(values, "qty", "l_returnflag", "'A'", "'R'")
+
+
+SQL_MANN_WHITNEY = _sql_mann_whitney()
+
+
+def q_did_estimate(spark, sf):
+    """Difference-in-differences (`profile.did_estimate`): 1995→1996
+    order-value change for BUILDING-segment customers net of the same
+    change for MACHINERY customers — the quasi-experimental before/
+    after readout when cohorts weren't randomized. Exact four-cell
+    integer cents sums; pinned divisions/subtractions."""
+    from revtron_utils_spark.operators.profile import did_estimate
+
+    o = _t(spark, sf, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("yr"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey).select("c_mktsegment", "yr", "cents")
+    return did_estimate(
+        j, "c_mktsegment", "yr", "cents", "BUILDING", "MACHINERY", 1996, 1995
+    )
+
+
+def _sql_did_estimate() -> str:
+    from revtron_utils_spark.operators.profile import did_estimate_oracle_sql
+
+    units = """
+SELECT c_mktsegment, CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+    return did_estimate_oracle_sql(
+        units, "c_mktsegment", "yr", "cents",
+        "'BUILDING'", "'MACHINERY'", "1996", "1995",
+    )
+
+
+SQL_DID_ESTIMATE = _sql_did_estimate()
+
+
+def q_bh_fdr(spark, sf):
+    """Benjamini-Hochberg step-up (`profile.bh_fdr`) over a per-nation
+    family of deterministic p-values (the order-key checksum mod a
+    prime, scaled to [0,1] — a fixture that exercises the rank /
+    step-up / tie machinery end-to-end; real callers feed
+    `permutation_test` or `prop_ztest`-derived p-values). The step-up
+    is pure rank arithmetic — the float comparison ``p·m ≤ k·α`` is
+    pinned identically on both engines."""
+    from revtron_utils_spark.operators.profile import bh_fdr
+
+    o = _t(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    fam = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            (
+                (F.sum("o_orderkey") % F.lit(9973)).cast("double")
+                / F.lit(9973.0)
+            ).alias("p")
+        )
+    )
+    return bh_fdr(fam, "nation", "p", alpha=0.25)
+
+
+def _sql_bh_fdr() -> str:
+    from revtron_utils_spark.operators.profile import bh_fdr_oracle_sql
+
+    fam = """
+SELECT c_nationkey AS nation,
+       CAST(SUM(o_orderkey) % 9973 AS DOUBLE) / 9973.0 AS p
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+    return bh_fdr_oracle_sql(fam, "nation", "p", alpha=0.25)
+
+
+SQL_BH_FDR = _sql_bh_fdr()
+
+
+def q_harmonic_centrality(spark, sf):
+    """Sampled harmonic centrality (`graph.harmonic_centrality_sampled`)
+    over the customer↔supplier trade graph: truncated multi-source BFS
+    from 16 poly-hash-picked pivots, radius 3 — closeness-style
+    "how near is this node to everywhere" with INTEGER 12/d harmonic
+    sums (lcm(1..4) fixed point), so even the iterative BFS gate is
+    hash-exact against the unrolled-CTE oracle."""
+    from revtron_utils_spark.operators.graph import harmonic_centrality_sampled
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return harmonic_centrality_sampled(pair, n_sources=16, radius=3)
+
+
+def _sql_harmonic_centrality() -> str:
+    from revtron_utils_spark.operators.graph import (
+        harmonic_centrality_sampled_oracle_sql,
+    )
+
+    edges = (
+        "SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    )
+    return harmonic_centrality_sampled_oracle_sql(
+        edges, n_sources=16, radius=3
+    )
+
+
+SQL_HARMONIC_CENTRALITY = _sql_harmonic_centrality()
+
+
 def q_gini_split(spark, sf):
     """Feature usefulness (`evaluation.gini_split_gain`): the best
     decision-stump threshold of the order-value histogram against the
@@ -8978,6 +9121,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "integrity_audit": (q_integrity_audit, SQL_INTEGRITY_AUDIT),
     "holt_forecast": (q_holt_forecast, SQL_HOLT_FORECAST),
     "ks_test": (q_ks_test, SQL_KS_TEST),
+    "mann_whitney": (q_mann_whitney, SQL_MANN_WHITNEY),
+    "did_estimate": (q_did_estimate, SQL_DID_ESTIMATE),
+    "bh_fdr": (q_bh_fdr, SQL_BH_FDR),
+    "harmonic_centrality": (q_harmonic_centrality, SQL_HARMONIC_CENTRALITY),
     "gini_split": (q_gini_split, SQL_GINI_SPLIT),
     "distribution_match": (q_distribution_match, SQL_DISTRIBUTION_MATCH),
     "slice_overlap": (q_slice_overlap, SQL_SLICE_OVERLAP),

@@ -197,6 +197,10 @@ HEADLINE = [
     "markov_attribution",
     "percentile_normalize",
     "contrastive_pairs",
+    "mann_whitney",
+    "did_estimate",
+    "bh_fdr",
+    "harmonic_centrality",
 ]
 
 

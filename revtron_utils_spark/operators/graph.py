@@ -1179,3 +1179,164 @@ def hits_oracle_sql(
         + f"\nSELECT h.node, h.h AS hub_int, a.a AS auth_int"
         + f"\nFROM h{iterations} h JOIN a{iterations} a USING (node)"
     )
+
+
+# deterministic source-pick hash for the sampled-centrality family:
+# affine → square → affine mod a prime (the dedup poly-plane shape) so
+# an external SQL oracle picks the IDENTICAL sources
+_HC_P = 1_000_000_007
+_HC_A = 2_654_435_761 % _HC_P
+_HC_B = 97_003_999
+_HC_C = 54_321
+
+
+def _hc_hash_col(node_col: str):
+    nid = ((F.col(node_col).cast("long") % _HC_P) + _HC_P) % _HC_P
+    h = (nid * _HC_A) % _HC_P
+    h = (h * h + nid) % _HC_P
+    return (h * _HC_B + _HC_C) % _HC_P
+
+
+def hc_hash_sql(node_expr: str) -> str:
+    """DuckDB twin of the source-pick hash, token for token."""
+    nid = f"(((({node_expr}) % {_HC_P}) + {_HC_P}) % {_HC_P})"
+    h1 = f"(({nid} * {_HC_A}) % {_HC_P})"
+    h2 = f"(({h1} * {h1} + {nid}) % {_HC_P})"
+    return f"({h2} * {_HC_B} + {_HC_C}) % {_HC_P}"
+
+
+def harmonic_centrality_sampled(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    n_sources: int = 32,
+    radius: int = 3,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Sampled harmonic centrality over an UNDIRECTED view of the edge
+    list — the "how close is this node to everywhere" readout
+    (pagerank ranks by incoming endorsement, k-core by embeddedness;
+    harmonic by reachability). Exact closeness is all-pairs BFS —
+    O(n·E), undistributable at corpus scale — so this runs the
+    standard estimator: multi-source BFS from ``n_sources``
+    hash-picked pivots, truncated at ``radius`` hops (Boldi & Vigna,
+    "Axioms for centrality" 2014, recommend harmonic exactly because
+    truncation is benign: unreached pairs contribute 0, not ∞).
+
+    Exactness: sources are the ``n_sources`` smallest poly-hash values
+    (affine-square-affine mod a prime — four integer literals an
+    external oracle copies; ties by node ASC). Distances are exact
+    integers from ``radius`` unrolled BFS rounds. The harmonic sum
+    Σ 1/d is a bounded-denominator rational: with radius ≤ 4 every
+    term is 12/d an INTEGER (lcm(1..4) = 12), so the output
+    ``h12 = Σ_s 12/d(s, node)`` is integer-exact — no float
+    accumulation at all. Callers divide by ``12·n_sources`` for the
+    [0, 1] normalization when they want a float.
+
+    Scale: per BFS round one frontier⋈edges join + one (source, node)
+    min-dedup — frontier rows ≤ n_sources·n; lineage cut per round
+    (the pagerank convention). radius > 4 would need lcm(1..R) and is
+    rejected (12 is the documented fixed-point).
+
+    Output: ``(node, reached, h12)`` for every node reached by ≥ 1
+    pivot (pivots see themselves at d=0, contributing 0).
+    """
+    if not 1 <= radius <= 4:
+        raise ValueError(
+            "harmonic_centrality_sampled: radius must be 1..4 (h12 uses "
+            "the fixed lcm(1..4)=12 integer denominators)"
+        )
+    from .dedup import _persist
+
+    spark = edges.sparkSession
+    _cut = _lineage_cutter(spark, checkpoint_dir)
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = _persist(
+        _cut(
+            raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+    )
+    nodes = e.select(F.col("u").alias("node")).distinct()
+    sources = _persist(
+        nodes.withColumn("_h", _hc_hash_col("node"))
+        .orderBy(F.col("_h").asc(), F.col("node").asc())
+        .limit(n_sources)
+        .select(F.col("node").alias("s"))
+    )
+    # dist state: one row per (source, node) currently reached, with
+    # the EXACT hop distance (BFS layers guarantee first-touch = min)
+    dist = sources.select("s", F.col("s").alias("node"), F.lit(0).alias("d"))
+    frontier = dist
+    for r in range(1, radius + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.u)
+            .select("s", F.col("v").alias("node"), F.lit(r).alias("d"))
+            .distinct()
+            .join(
+                dist.select(
+                    F.col("s").alias("_ks"), F.col("node").alias("_kn")
+                ),
+                (F.col("s") == F.col("_ks")) & (F.col("node") == F.col("_kn")),
+                "left_anti",
+            )
+        )
+        frontier = _cut(_persist(nxt), eager=False)
+        dist = dist.unionByName(frontier)
+    # 12/d is exact for d in 1..4; d=0 (pivot itself) contributes 0
+    contrib = F.when(F.col("d") > 0, F.expr("12 div d")).otherwise(F.lit(0))
+    return (
+        dist.groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("reached"),
+            F.sum(contrib).alias("h12"),
+        )
+    )
+
+
+def harmonic_centrality_sampled_oracle_sql(
+    edges_sql: str,
+    *,
+    n_sources: int = 32,
+    radius: int = 3,
+) -> str:
+    """DuckDB twin: identical poly source pick, ``radius`` unrolled
+    BFS rounds (MATERIALIZED — each round references the previous
+    twice), identical integer 12/d harmonic sums."""
+    h = hc_hash_sql("node")
+    parts = [
+        f"""WITH raw AS MATERIALIZED (SELECT src AS u, dst AS v FROM ({edges_sql})),
+e AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM raw UNION ALL SELECT v AS u, u AS v FROM raw
+  ) WHERE u != v
+)""",
+        "nodes AS (SELECT DISTINCT u AS node FROM e)",
+        f"src_pick AS MATERIALIZED (SELECT node AS s FROM nodes"
+        f" ORDER BY {h} ASC, node ASC LIMIT {n_sources})",
+        "d0 AS MATERIALIZED (SELECT s, s AS node, 0 AS d FROM src_pick)",
+    ]
+    for r in range(1, radius + 1):
+        p = f"d{r - 1}"
+        prev_all = " UNION ALL ".join(
+            f"SELECT s, node FROM d{i}" for i in range(r)
+        )
+        parts.append(
+            f"f{r} AS MATERIALIZED ("
+            f"SELECT DISTINCT fr.s, e.v AS node, {r} AS d"
+            f" FROM {p} fr JOIN e ON fr.node = e.u"
+            f" WHERE fr.d = {r - 1}"
+            f" AND NOT EXISTS (SELECT 1 FROM ({prev_all}) k"
+            f" WHERE k.s = fr.s AND k.node = e.v))"
+        )
+        parts.append(f"d{r} AS MATERIALIZED (SELECT * FROM {p} UNION ALL SELECT * FROM f{r})")
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS reached,
+       CAST(SUM(CASE WHEN d > 0 THEN 12 // d ELSE 0 END) AS BIGINT) AS h12
+FROM d{radius} GROUP BY node
+"""
+    )

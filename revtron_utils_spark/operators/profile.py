@@ -1269,6 +1269,150 @@ def ks_test(
     )
 
 
+def mann_whitney(
+    df: DataFrame,
+    bucket_col: str,
+    slice_col,
+    slice_a,
+    slice_b,
+    round_to: int = 6,
+    max_buckets: int | None = 100_000,
+) -> DataFrame:
+    """Two-sample Mann-Whitney U test with midrank tie correction —
+    the rank-based companion to :func:`ks_test` (KS finds the worst
+    CDF gap; MWU asks whether one sample is stochastically larger):
+
+        U_a = R_a − n_a(n_a+1)/2,
+        z = (U_a − n_a·n_b/2) / sqrt(Var U)   with the tie-corrected
+        Var U = n_a·n_b/12 · [ (N+1) − Σ(t³−t)/(N(N−1)) ].
+
+    Exactness (the DOUBLED-rank trick): over the caller-bounded value
+    spine, the midrank of a tie group is (before + (t+1)/2) — a .5
+    rational — so the plan carries 2·midrank = 2·before + t + 1, an
+    INTEGER. The doubled rank sum Σ c_a·(2·before+t+1) and
+    2U_a = ΣR2 − n_a(n_a+1) stay exact DECIMAL(38,0); the tie term
+    Σ(t³−t) and (N+1)N(N−1) are DECIMAL (N³ < 10³⁸ up to 10¹² rows);
+    the only float ops are the pinned final sequence
+    ``num / (2·sqrt(varnum/varden))`` — token-identical in the oracle.
+    z is NULL when the variance is 0 (every value tied). Output one
+    row: ``(n_a, n_b, u_a, z)``; ``u_a`` is 2U_a/2 as a double (U can
+    be a .5 multiple under midranks).
+
+    The bounded-spine contract is enforced by
+    ``guards.require_bounded_spine`` (callers bucket the metric first,
+    exactly like `ks_test`; ``max_buckets=None`` vouches).
+    """
+    from pyspark.sql import Window
+
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, bucket_col, [], max_buckets, "mann_whitney")
+    s = F.col(slice_col)
+    per = (
+        df.where(s.isin(slice_a, slice_b))
+        .groupBy(F.col(bucket_col).alias("_k"))
+        .agg(
+            F.sum(F.when(s == slice_a, 1).otherwise(0)).alias("_ca"),
+            F.sum(F.when(s == slice_b, 1).otherwise(0)).alias("_cb"),
+        )
+    )
+    wcum = Window.orderBy("_k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    t = F.col("_ca") + F.col("_cb")
+    cum = per.select(
+        "_k",
+        "_ca",
+        "_cb",
+        t.alias("_t"),
+        (F.sum(t).over(wcum) - t).alias("_before"),
+    )
+    agg = cum.agg(
+        F.sum("_ca").alias("_na"),
+        F.sum("_cb").alias("_nb"),
+        F.sum(
+            dec(F.col("_ca"))
+            * dec(F.lit(2) * F.col("_before") + F.col("_t") + F.lit(1))
+        ).alias("_r2a"),
+        F.sum(
+            dec(F.col("_t")) * dec(F.col("_t")) * dec(F.col("_t"))
+            - dec(F.col("_t"))
+        ).alias("_ties"),
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    n = na + nb
+    u2 = F.col("_r2a") - dec(na) * dec(na + F.lit(1))
+    num = (u2 - dec(na) * dec(nb)).cast("double")
+    varnum = (
+        (dec(n + F.lit(1)) * dec(n) * dec(n - F.lit(1)) - F.col("_ties"))
+        .cast("double")
+        * (dec(na) * dec(nb)).cast("double")
+    )
+    varden = (F.lit(12.0) * (dec(n) * dec(n - F.lit(1))).cast("double"))
+    z = num / (F.lit(2.0) * F.sqrt(varnum / varden))
+    return agg.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        (u2.cast("double") / F.lit(2.0)).alias("u_a"),
+        F.round(
+            F.when((na > 0) & (nb > 0) & (varnum > 0), z), round_to
+        ).alias("z"),
+    )
+
+
+def mann_whitney_oracle_sql(
+    values_sql: str,
+    bucket_col: str,
+    slice_col: str,
+    slice_a_sql: str,
+    slice_b_sql: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same doubled midranks, HUGEINT rank/tie sums, same
+    pinned ``num / (2·sqrt(varnum/varden))`` float tail."""
+    return f"""
+WITH vals AS ({values_sql}),
+per AS (
+  SELECT {bucket_col} AS _k,
+         CAST(SUM(CASE WHEN {slice_col} = {slice_a_sql} THEN 1 ELSE 0 END) AS BIGINT) AS _ca,
+         CAST(SUM(CASE WHEN {slice_col} = {slice_b_sql} THEN 1 ELSE 0 END) AS BIGINT) AS _cb
+  FROM vals WHERE {slice_col} IN ({slice_a_sql}, {slice_b_sql})
+  GROUP BY {bucket_col}
+),
+cum AS (
+  SELECT _k, _ca, _cb, _ca + _cb AS _t,
+         SUM(_ca + _cb) OVER (ORDER BY _k
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - (_ca + _cb) AS _before
+  FROM per
+),
+agg AS (
+  SELECT CAST(SUM(_ca) AS BIGINT) AS _na, CAST(SUM(_cb) AS BIGINT) AS _nb,
+         SUM(CAST(_ca AS HUGEINT) * CAST(2 * _before + _t + 1 AS HUGEINT)) AS _r2a,
+         SUM(CAST(_t AS HUGEINT) * CAST(_t AS HUGEINT) * CAST(_t AS HUGEINT)
+             - CAST(_t AS HUGEINT)) AS _ties
+  FROM cum
+),
+calc AS (
+  SELECT _na, _nb,
+         _r2a - CAST(_na AS HUGEINT) * CAST(_na + 1 AS HUGEINT) AS _u2,
+         CAST((CAST(_na + _nb + 1 AS HUGEINT) * CAST(_na + _nb AS HUGEINT)
+               * CAST(_na + _nb - 1 AS HUGEINT) - _ties) AS DOUBLE)
+         * CAST(CAST(_na AS HUGEINT) * CAST(_nb AS HUGEINT) AS DOUBLE) AS _varnum,
+         12.0 * CAST(CAST(_na + _nb AS HUGEINT)
+                     * CAST(_na + _nb - 1 AS HUGEINT) AS DOUBLE) AS _varden
+  FROM agg
+)
+SELECT _na AS n_a, _nb AS n_b,
+       CAST(_u2 AS DOUBLE) / 2.0 AS u_a,
+       ROUND(CASE WHEN _na > 0 AND _nb > 0 AND _varnum > 0
+             THEN CAST(_u2 - CAST(_na AS HUGEINT) * CAST(_nb AS HUGEINT) AS DOUBLE)
+                  / (2.0 * SQRT(_varnum / _varden)) END, {round_to}) AS z
+FROM calc
+"""
+
+
 def ks_test_oracle_sql(
     values_sql: str,
     bucket_col: str,
@@ -1683,4 +1827,227 @@ SELECT {group_col}, n,
       * (CAST(_gx AS DOUBLE) / CAST(n AS DOUBLE)
          - CAST(_sx AS DOUBLE) / CAST(_n AS DOUBLE)) END, {round_to}) AS adj_mean
 FROM per CROSS JOIN pooled
+"""
+
+
+def did_estimate(
+    df: DataFrame,
+    cohort_col: str,
+    period_col: str,
+    value_col: str,
+    treated,
+    control,
+    post,
+    pre,
+    round_to: int = 6,
+) -> DataFrame:
+    """Difference-in-differences estimator — the quasi-experimental
+    companion to :func:`cuped_adjustment` (CUPED reduces variance when
+    you randomized; DiD removes the shared time trend when you could
+    NOT randomize and only have a before/after on treated vs control
+    cohorts):
+
+        DID = (ȳ_treated,post − ȳ_treated,pre)
+            − (ȳ_control,post − ȳ_control,pre)
+
+    One map-side-combined aggregation collects all four cells' exact
+    integer sums/counts (callers pass integer metrics — cents/counts);
+    the four means are pinned single divisions and DID is three
+    float subtractions in a fixed order — reproduced token-for-token
+    in the oracle. Any empty cell NULLs the estimate instead of
+    silently reading a 3-cell design as a DiD. Output one row:
+    ``(n_tpost, n_tpre, n_cpost, n_cpre, mean_tpost, mean_tpre,
+    mean_cpost, mean_cpre, did)``.
+    """
+    c, p = F.col(cohort_col), F.col(period_col)
+    v = F.col(value_col).cast("long")
+
+    def cell(cv, pv, tag):
+        m = (c == F.lit(cv)) & (p == F.lit(pv))
+        return [
+            F.sum(F.when(m, 1).otherwise(0)).alias(f"_n{tag}"),
+            F.sum(F.when(m, v).otherwise(F.lit(0))).alias(f"_s{tag}"),
+        ]
+
+    agg = df.agg(
+        *cell(treated, post, "tp"),
+        *cell(treated, pre, "tq"),
+        *cell(control, post, "cp"),
+        *cell(control, pre, "cq"),
+    )
+    mean = {
+        t: F.col(f"_s{t}").cast("double") / F.col(f"_n{t}").cast("double")
+        for t in ("tp", "tq", "cp", "cq")
+    }
+    did = (mean["tp"] - mean["tq"]) - (mean["cp"] - mean["cq"])
+    nonempty = (
+        (F.col("_ntp") > 0)
+        & (F.col("_ntq") > 0)
+        & (F.col("_ncp") > 0)
+        & (F.col("_ncq") > 0)
+    )
+    return agg.select(
+        F.col("_ntp").alias("n_tpost"),
+        F.col("_ntq").alias("n_tpre"),
+        F.col("_ncp").alias("n_cpost"),
+        F.col("_ncq").alias("n_cpre"),
+        F.round(F.when(F.col("_ntp") > 0, mean["tp"]), round_to).alias("mean_tpost"),
+        F.round(F.when(F.col("_ntq") > 0, mean["tq"]), round_to).alias("mean_tpre"),
+        F.round(F.when(F.col("_ncp") > 0, mean["cp"]), round_to).alias("mean_cpost"),
+        F.round(F.when(F.col("_ncq") > 0, mean["cq"]), round_to).alias("mean_cpre"),
+        F.round(F.when(nonempty, did), round_to).alias("did"),
+    )
+
+
+def did_estimate_oracle_sql(
+    units_sql: str,
+    cohort_col: str,
+    period_col: str,
+    value_col: str,
+    treated_sql: str,
+    control_sql: str,
+    post_sql: str,
+    pre_sql: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same four-cell conditional aggregation, same pinned
+    division/subtraction order."""
+
+    def cell(cv, pv, tag):
+        m = f"{cohort_col} = {cv} AND {period_col} = {pv}"
+        return (
+            f"CAST(SUM(CASE WHEN {m} THEN 1 ELSE 0 END) AS BIGINT) AS _n{tag},\n"
+            f"         SUM(CASE WHEN {m} THEN CAST({value_col} AS BIGINT)"
+            f" ELSE 0 END) AS _s{tag}"
+        )
+
+    means = {
+        t: f"CAST(_s{t} AS DOUBLE) / CAST(_n{t} AS DOUBLE)"
+        for t in ("tp", "tq", "cp", "cq")
+    }
+    did = f"({means['tp']} - {means['tq']}) - ({means['cp']} - {means['cq']})"
+    return f"""
+WITH units AS ({units_sql}),
+agg AS (
+  SELECT {cell(treated_sql, post_sql, "tp")},
+         {cell(treated_sql, pre_sql, "tq")},
+         {cell(control_sql, post_sql, "cp")},
+         {cell(control_sql, pre_sql, "cq")}
+  FROM units
+)
+SELECT _ntp AS n_tpost, _ntq AS n_tpre, _ncp AS n_cpost, _ncq AS n_cpre,
+       ROUND(CASE WHEN _ntp > 0 THEN {means['tp']} END, {round_to}) AS mean_tpost,
+       ROUND(CASE WHEN _ntq > 0 THEN {means['tq']} END, {round_to}) AS mean_tpre,
+       ROUND(CASE WHEN _ncp > 0 THEN {means['cp']} END, {round_to}) AS mean_cpost,
+       ROUND(CASE WHEN _ncq > 0 THEN {means['cq']} END, {round_to}) AS mean_cpre,
+       ROUND(CASE WHEN _ntp > 0 AND _ntq > 0 AND _ncp > 0 AND _ncq > 0
+             THEN {did} END, {round_to}) AS did
+FROM agg
+"""
+
+
+def bh_fdr(
+    df: DataFrame,
+    test_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+    round_to: int = 6,
+    max_tests: int | None = 100_000,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up over a family of test p-values —
+    the multiple-testing gate downstream of the per-segment tests this
+    repo emits (`prop_ztest` pairs, `permutation_test` replays,
+    `mcnemar_test` panels): reject H_(1..k*) where
+
+        k* = max { k : p_(k) ≤ k·α/m }.
+
+    Pure rank arithmetic: p-values sort ASC (ties by test id — total
+    order), the step-up condition is evaluated per rank, and the
+    cutoff k* propagates back as a running max from the bottom (the
+    classic step-up), so a test with p above its own line is still
+    rejected when a later rank passes. The comparison
+    ``p·m ≤ k·α`` is two float multiplies in pinned order on BOTH
+    engines — no division. m is the family size (NULL p-values are
+    excluded from m and reported unrejected, matching R's p.adjust
+    contract of complete-case testing).
+
+    The family is a bounded spine by contract
+    (``guards.require_bounded_spine`` on ``test_col``; a family of 10⁶⁺
+    tests is a modeling smell, not a scale feature). Output one row
+    per test: ``(test, p_value, rank, m, rejected)``.
+    """
+    from pyspark.sql import Window
+
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, test_col, [], max_tests, "bh_fdr")
+    base = df.select(
+        F.col(test_col).alias("test"), F.col(p_col).cast("double").alias("p_value")
+    )
+    ok = base.where(F.col("p_value").isNotNull())
+    w = Window.orderBy(F.col("p_value").asc(), F.col("test").asc())
+    ranked = ok.select(
+        "test",
+        "p_value",
+        F.row_number().over(w).alias("rank"),
+        F.count(F.lit(1)).over(
+            Window.orderBy("p_value").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("m"),
+    )
+    passes = F.col("p_value") * F.col("m").cast("double") <= F.col(
+        "rank"
+    ).cast("double") * F.lit(float(alpha))
+    wdown = Window.orderBy(F.col("rank").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = ranked.select(
+        "test",
+        F.round("p_value", round_to).alias("p_value"),
+        "rank",
+        "m",
+        (F.max(passes.cast("int")).over(wdown) == 1).alias("rejected"),
+    )
+    nulls = base.where(F.col("p_value").isNull()).select(
+        "test",
+        F.lit(None).cast("double").alias("p_value"),
+        F.lit(None).cast("int").alias("rank"),
+        F.lit(None).cast("long").alias("m"),
+        F.lit(False).alias("rejected"),
+    )
+    return out.unionByName(nulls).orderBy(F.col("rank").asc_nulls_last(), "test")
+
+
+def bh_fdr_oracle_sql(
+    tests_sql: str,
+    test_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same (p ASC, test ASC) rank, same pinned ``p·m ≤
+    k·α`` comparison, same bottom-up running-max step-up."""
+    return f"""
+WITH tests AS ({tests_sql}),
+base AS (SELECT {test_col} AS test, CAST({p_col} AS DOUBLE) AS p_value FROM tests),
+ok AS (
+  SELECT test, p_value,
+         CAST(ROW_NUMBER() OVER (ORDER BY p_value ASC, test ASC) AS INTEGER) AS rank,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM base WHERE p_value IS NOT NULL
+),
+flag AS (
+  SELECT *, CASE WHEN p_value * CAST(m AS DOUBLE)
+                      <= CAST(rank AS DOUBLE) * {float(alpha)!r}
+            THEN 1 ELSE 0 END AS ok_k
+  FROM ok
+)
+SELECT test, ROUND(p_value, {round_to}) AS p_value, rank, m,
+       MAX(ok_k) OVER (ORDER BY rank DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+       AS rejected
+FROM flag
+UNION ALL
+SELECT test, NULL, NULL, NULL, FALSE FROM base WHERE p_value IS NULL
 """

@@ -62,6 +62,8 @@ BOUNDED_SPINE_OK: set[str] = {
     "rolling_wau",
     # (b) caller-bounded spines
     "ks_test",
+    "mann_whitney",  # require_bounded_spine-guarded value spine (r9)
+    "bh_fdr",  # require_bounded_spine-guarded test family (r9)
     "gain_curve",
     "cusum_changepoint",
     "theil_sen",

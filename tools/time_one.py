@@ -29,7 +29,12 @@ def main() -> None:
     spark.range(256).repartition(64).select(_warm(col("id").cast("double"))).collect()
     from revtron_utils_spark.io import read_table
 
-    read_table(spark, sf_dir, "region").write.mode("overwrite").format("noop").save()
+    try:
+        read_table(spark, sf_dir, "region").write.mode("overwrite").format(
+            "noop"
+        ).save()
+    except Exception:
+        pass  # scale-study fixture dirs have no region table
     _wc = spark.range(100_000).selectExpr("cast(id as string) s", "id").persist()
     _wc.count()
     _wc.unpersist()
