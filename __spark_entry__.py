@@ -8177,6 +8177,198 @@ def _sql_harmonic_centrality() -> str:
 SQL_HARMONIC_CENTRALITY = _sql_harmonic_centrality()
 
 
+def q_loo_influence(spark, sf):
+    """Leave-one-group-out data valuation (`profile.loo_group_influence`):
+    which nation's orders pull the global mean order value up or down —
+    the per-source influence readout a composition pipeline consults
+    before re-weighting. ONE corpus scan for all G leave-outs (exact
+    algebra, not G re-scans)."""
+    from revtron_utils_spark.operators.profile import loo_group_influence
+
+    o = _t(spark, sf, "orders").select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nation"), "cents"
+    )
+    return loo_group_influence(j, "nation", "cents")
+
+
+def _sql_loo_influence() -> str:
+    from revtron_utils_spark.operators.profile import (
+        loo_group_influence_oracle_sql,
+    )
+
+    units = """
+SELECT c_nationkey AS nation, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+    return loo_group_influence_oracle_sql(units, "nation", "cents")
+
+
+SQL_LOO_INFLUENCE = _sql_loo_influence()
+
+
+def q_clustering_coefficient(spark, sf):
+    """Local clustering coefficient (`graph.clustering_coefficient`)
+    over the same top-10-sparsified part co-purchase graph as
+    `triangle_counts`: community cores (neighbors buy together) vs
+    bridge parts. Triangles via the degree-oriented wedge join;
+    cc = 2t/(d(d−1)) is the one pinned float op."""
+    from pyspark.sql.window import Window
+
+    from revtron_utils_spark.operators.graph import clustering_coefficient
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tiebreak = (
+        F.col("id_a") * F.lit(2654435761) + F.col("id_b") * F.lit(40503)
+    ) % F.lit(999999937)
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("w").desc(), tiebreak.asc(), F.col("id_b")
+    )
+    sparse = (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 10)
+        .select("id_a", "id_b")
+    )
+    return clustering_coefficient(sparse, src="id_a", dst="id_b")
+
+
+def _sql_clustering_coefficient() -> str:
+    from revtron_utils_spark.operators.graph import (
+        clustering_coefficient_oracle_sql,
+    )
+
+    edges = """
+SELECT id_a AS src, id_b AS dst FROM (
+  SELECT a.l_partkey AS id_a, b.l_partkey AS id_b, COUNT(*) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+) QUALIFY row_number() OVER (
+    PARTITION BY id_a
+    ORDER BY w DESC, (id_a * 2654435761 + id_b * 40503) % 999999937, id_b
+  ) <= 10
+"""
+    return clustering_coefficient_oracle_sql(edges)
+
+
+SQL_CLUSTERING_COEFFICIENT = _sql_clustering_coefficient()
+
+
+def q_propensity_effect(spark, sf):
+    """Propensity-score subclassification (`profile.
+    propensity_strata_effect`): the urgent-order 'treatment' effect on
+    order value, stratified by customer account-balance bands (the
+    confounder proxy) — Σ (n_q/N)·(ȳ₁q − ȳ₀q) over strata with both
+    arms, plus the coverage share the two-armed strata actually
+    represent. The causal sibling of `did_estimate` and `cuped`."""
+    from revtron_utils_spark.operators.profile import propensity_strata_effect
+
+    o = _t(spark, sf, "orders").select(
+        "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("treat"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    c = _t(spark, sf, "customer").select(
+        "c_custkey",
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT) DIV 100000").alias(
+            "stratum"
+        ),
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey).select("stratum", "treat", "cents")
+    return propensity_strata_effect(j, "stratum", "treat", "cents")
+
+
+def _sql_propensity_effect() -> str:
+    from revtron_utils_spark.operators.profile import (
+        propensity_strata_effect_oracle_sql,
+    )
+
+    units = """
+SELECT CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS stratum,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS treat,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+    return propensity_strata_effect_oracle_sql(units, "stratum", "treat", "cents")
+
+
+SQL_PROPENSITY_EFFECT = _sql_propensity_effect()
+
+
+def q_ece(spark, sf):
+    """Expected Calibration Error (`evaluation.
+    expected_calibration_error`) of the hashed-linear quality score
+    against the Gopher pass label — the single-number summary of the
+    `calibration` reliability curve, in the midpoint convention (the
+    per-bin confidence is the bin midpoint, a constant — which is
+    exactly what keeps the readout engine-exact; mean-confidence would
+    be an order-dependent float sum)."""
+    from revtron_utils_spark.functions import classifier as CL
+    from revtron_utils_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+
+    docs = _t(spark, sf, "documents")
+    scored = docs.select(
+        CL.hashed_linear_score_num("text", dim=4096, seed=0).alias("num"),
+        TX.token_count("text").cast("long").alias("den"),
+        CL.gopher_quality_flags("text").getField("pass_all").alias("y"),
+    )
+    return expected_calibration_error(
+        scored, "num", "den", "y", score_min=-1_000_000, score_max=1_000_000
+    )
+
+
+def _sql_ece() -> str:
+    from revtron_utils_spark.operators.evaluation import (
+        expected_calibration_error_oracle_sql,
+    )
+
+    scored = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS den,
+         COALESCE(list_sum(list_transform(toks, tk ->
+           (({_TOKHASH_SQL} % 4096 + 1) * 2654435761) % 2000001 - 1000000
+         )), 0) AS num,
+         COALESCE(list_sum(list_transform(toks, tk -> CAST(length(tk) AS BIGINT))), 0) AS sum_len,
+         len(list_filter(toks, tk -> regexp_matches(tk, '[a-zA-Z]'))) AS n_alpha,
+         len(list_filter(toks, tk -> starts_with(tk, '#') OR contains(tk, '...'))) AS n_sym,
+         len(list_filter(toks, tk -> lower(tk) IN ('the','be','to','of','and','that','have','with'))) AS n_stop
+  FROM t
+)
+SELECT num, den,
+       ((den >= 20 AND den <= 100000) AND (sum_len >= 3 * den AND sum_len <= 10 * den)
+        AND (n_alpha * 5 >= den * 4) AND (n_sym * 10 <= den) AND (n_stop >= 2)) AS y
+FROM s
+"""
+    return expected_calibration_error_oracle_sql(
+        scored, "num", "den", "y", score_min=-1_000_000, score_max=1_000_000
+    )
+
+
+SQL_ECE = _sql_ece()
+
+
 def q_gini_split(spark, sf):
     """Feature usefulness (`evaluation.gini_split_gain`): the best
     decision-stump threshold of the order-value histogram against the
@@ -9125,6 +9317,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "did_estimate": (q_did_estimate, SQL_DID_ESTIMATE),
     "bh_fdr": (q_bh_fdr, SQL_BH_FDR),
     "harmonic_centrality": (q_harmonic_centrality, SQL_HARMONIC_CENTRALITY),
+    "loo_influence": (q_loo_influence, SQL_LOO_INFLUENCE),
+    "clustering_coefficient": (
+        q_clustering_coefficient,
+        SQL_CLUSTERING_COEFFICIENT,
+    ),
+    "propensity_effect": (q_propensity_effect, SQL_PROPENSITY_EFFECT),
+    "ece": (q_ece, SQL_ECE),
     "gini_split": (q_gini_split, SQL_GINI_SPLIT),
     "distribution_match": (q_distribution_match, SQL_DISTRIBUTION_MATCH),
     "slice_overlap": (q_slice_overlap, SQL_SLICE_OVERLAP),

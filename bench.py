@@ -201,6 +201,10 @@ HEADLINE = [
     "did_estimate",
     "bh_fdr",
     "harmonic_centrality",
+    "loo_influence",
+    "clustering_coefficient",
+    "propensity_effect",
+    "ece",
 ]
 
 

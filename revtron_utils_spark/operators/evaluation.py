@@ -638,3 +638,119 @@ SELECT {sel}score, n_at, pos_at,
          / CAST(SUM(pos_at) OVER ({part}) AS DOUBLE) END, {round_to}) AS cum_capture
 FROM per
 """
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    label_col: str,
+    score_min: int,
+    score_max: int,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Expected Calibration Error over the :func:`calibration_curve`
+    bins — the single-number companion to the reliability curve
+    (Naeini et al., AAAI 2015), in the MIDPOINT convention:
+
+        ECE = Σ_b (n_b / N) · | pos_rate_b − midpoint_b |
+
+    where ``midpoint_b = score_min + (b + 0.5)·span/n_bins`` mapped to
+    the [0, 1] score range — a CONSTANT per bin, which is what keeps
+    the readout engine-exact: the usual mean-confidence convention
+    averages per-row rational scores (an order-dependent float sum);
+    midpoints need no per-row float at all. The binning is byte-
+    identical to `calibration_curve`'s.
+
+    Exactness: per-bin counts are exact integers; the weighted sum
+    folds over the bin-sorted array (≤ n_bins terms, ordered — the
+    ewma precedent); two pinned divisions per term. Output one row:
+    ``(n_docs, n_bins_hit, ece)``.
+    """
+    nb = int(n_bins)
+    num = F.col(num_col).cast("double")
+    den = F.col(den_col).cast("double")
+    span = float(score_max - score_min + 1)
+    raw = F.floor(
+        (num - F.lit(float(score_min)) * den) * F.lit(float(nb)) / (F.lit(span) * den)
+    )
+    b = F.greatest(F.lit(0), F.least(F.lit(nb - 1), raw)).cast("int")
+    base = df.where(
+        F.col(num_col).isNotNull()
+        & F.col(den_col).isNotNull()
+        & (F.col(den_col) > 0)
+        & F.col(label_col).isNotNull()
+    )
+    per = base.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(label_col).cast("boolean").cast("int")).alias("_p"),
+    )
+    # midpoint of bin b in [0, 1]: (b + 0.5) / n_bins (the score range
+    # normalizes out — pos_rate is already a probability)
+    mid = (F.col("bin").cast("double") + F.lit(0.5)) / F.lit(float(nb))
+    term = F.col("_n").cast("double") * F.abs(
+        F.col("_p").cast("double") / F.col("_n").cast("double") - mid
+    )
+    agg = per.agg(
+        F.sum("_n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_bins_hit"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("bin"), term.alias("t")))
+        ).alias("_terms"),
+    )
+    ece = F.aggregate(
+        F.col("_terms"), F.lit(0.0), lambda a, x: a + x["t"]
+    ) / F.col("n_docs").cast("double")
+    return agg.select(
+        "n_docs",
+        "n_bins_hit",
+        F.round(F.when(F.col("n_docs") > 0, ece), round_to).alias("ece"),
+    )
+
+
+def expected_calibration_error_oracle_sql(
+    scored_sql: str,
+    num_col: str,
+    den_col: str,
+    label_col: str,
+    score_min: int,
+    score_max: int,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: identical bin arithmetic, identical bin-ordered
+    fold of the identical per-bin terms."""
+    nb = int(n_bins)
+    span = float(score_max - score_min + 1)
+    return f"""
+WITH scored AS ({scored_sql}),
+base AS (
+  SELECT * FROM scored
+  WHERE {num_col} IS NOT NULL AND {den_col} IS NOT NULL
+    AND {den_col} > 0 AND {label_col} IS NOT NULL
+),
+per AS (
+  SELECT CAST(GREATEST(0, LEAST({nb - 1},
+           FLOOR((CAST({num_col} AS DOUBLE) - {float(score_min)!r} * CAST({den_col} AS DOUBLE))
+                 * {float(nb)!r} / ({span!r} * CAST({den_col} AS DOUBLE))))) AS INTEGER) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS _n,
+         CAST(SUM(CASE WHEN CAST({label_col} AS BOOLEAN) THEN 1 ELSE 0 END) AS BIGINT) AS _p
+  FROM base GROUP BY 1
+),
+agg AS (
+  SELECT CAST(SUM(_n) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_bins_hit,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CAST(_n AS DOUBLE)
+                * ABS(CAST(_p AS DOUBLE) / CAST(_n AS DOUBLE)
+                      - (CAST(bin AS DOUBLE) + 0.5) / {float(nb)!r})
+                ORDER BY bin)),
+           (a, b) -> a + b) AS _tsum
+  FROM per
+)
+SELECT n_docs, n_bins_hit,
+       ROUND(CASE WHEN n_docs > 0 THEN _tsum / CAST(n_docs AS DOUBLE) END,
+             {round_to}) AS ece
+FROM agg
+"""

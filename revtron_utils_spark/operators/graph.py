@@ -1340,3 +1340,99 @@ SELECT node, CAST(COUNT(*) AS BIGINT) AS reached,
 FROM d{radius} GROUP BY node
 """
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """Local clustering coefficient per node over the undirected simple
+    graph: ``cc = 2·triangles / (deg·(deg−1))`` — the "are my
+    neighbors also neighbors of each other" readout that separates
+    community cores from bridge nodes (triangle_counts gives the raw
+    per-node count; this normalizes it by the wedge capacity).
+
+    Composition, not re-derivation: triangles come from
+    :func:`triangle_counts` (degree-oriented wedge join — each
+    triangle counted once, no direction double-count) and degrees from
+    the same canonical edge set; the one float op is the pinned
+    ``2t/(d(d−1))`` division (NULL when deg < 2, where the
+    coefficient is undefined; 0.0 for triangle-free nodes).
+
+    Output: ``(node, degree, triangles, cc)`` for every non-isolated
+    node.
+    """
+    from .dedup import _persist
+
+    u, v = F.col("u"), F.col("v")
+    canon = _persist(
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(u != v)
+        .distinct()
+    )
+    deg = (
+        canon.select(u.alias("node"))
+        .unionByName(canon.select(v.alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(canon, "u", "v")
+    d = F.col("degree").cast("double")
+    cc = (F.lit(2.0) * F.col("triangles").cast("double")) / (d * (d - F.lit(1.0)))
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.round(
+                F.when(F.col("degree") >= 2, F.coalesce(cc, F.lit(0.0))),
+                round_to,
+            ).alias("cc"),
+        )
+    )
+
+
+def clustering_coefficient_oracle_sql(
+    edges_sql: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: canonical a<b<c 3-way triangle join (the
+    `triangle_counts` oracle shape), same degree union, same pinned
+    division and deg<2 NULL."""
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT GREATEST(src, dst) AS u, LEAST(src, dst) AS v
+  FROM ({edges_sql}) WHERE src != dst
+),
+canon AS MATERIALIZED (SELECT DISTINCT u, v FROM raw),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT u AS node FROM canon UNION ALL SELECT v FROM canon
+  ) GROUP BY node
+),
+e AS (SELECT v AS a, u AS b FROM canon),
+tri AS MATERIALIZED (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pt AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+)
+SELECT d.node, d.degree, COALESCE(pt.triangles, 0) AS triangles,
+       ROUND(CASE WHEN d.degree >= 2 THEN
+             COALESCE(2.0 * CAST(COALESCE(pt.triangles, 0) AS DOUBLE)
+                      / (CAST(d.degree AS DOUBLE)
+                         * (CAST(d.degree AS DOUBLE) - 1.0)), 0.0)
+             END, {round_to}) AS cc
+FROM deg d LEFT JOIN pt ON d.node = pt.node
+"""

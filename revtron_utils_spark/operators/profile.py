@@ -2051,3 +2051,211 @@ FROM flag
 UNION ALL
 SELECT test, NULL, NULL, NULL, FALSE FROM base WHERE p_value IS NULL
 """
+
+
+def loo_group_influence(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Leave-one-group-out influence — the cheapest honest data-
+    valuation readout for a grouped corpus ("which SOURCE moves the
+    global metric, and which way"): for each group g,
+
+        influence(g) = mean(all) − mean(all \\ g)
+                     = S/N − (S − s_g)/(N − n_g)
+
+    A positive influence means the group PULLS THE MEAN UP (removing
+    it drops the metric). One map-side-combined aggregation collects
+    every group's exact integer ``(n_g, s_g)``; the global ``(N, S)``
+    is the one-row sum of that frame broadcast back — the corpus is
+    scanned ONCE regardless of group count, where the naive
+    leave-one-out loop scans it G times. Means are pinned single
+    divisions; ``loo_mean`` is NULL for a group that IS the whole
+    corpus. Output: ``(group, n, group_mean, loo_mean, influence)``.
+    """
+    per = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("long")).alias("_s"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("_nn"), F.sum("_s").alias("_ss")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    gmean = F.col("_s").cast("double") / F.col("n").cast("double")
+    allmean = F.col("_ss").cast("double") / F.col("_nn").cast("double")
+    loo = (F.col("_ss") - F.col("_s")).cast("double") / (
+        F.col("_nn") - F.col("n")
+    ).cast("double")
+    return j.select(
+        "group",
+        "n",
+        F.round(gmean, round_to).alias("group_mean"),
+        F.round(F.when(F.col("_nn") > F.col("n"), loo), round_to).alias(
+            "loo_mean"
+        ),
+        F.round(
+            F.when(F.col("_nn") > F.col("n"), allmean - loo), round_to
+        ).alias("influence"),
+    )
+
+
+def loo_group_influence_oracle_sql(
+    units_sql: str,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same one-pass group sums, same pinned divisions and
+    whole-corpus NULL."""
+    return f"""
+WITH units AS ({units_sql}),
+per AS (
+  SELECT {group_col} AS "group", CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST({value_col} AS BIGINT)) AS BIGINT) AS _s
+  FROM units GROUP BY {group_col}
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS _nn, CAST(SUM(_s) AS BIGINT) AS _ss FROM per)
+SELECT "group", n,
+       ROUND(CAST(_s AS DOUBLE) / CAST(n AS DOUBLE), {round_to}) AS group_mean,
+       ROUND(CASE WHEN _nn > n THEN CAST(_ss - _s AS DOUBLE)
+             / CAST(_nn - n AS DOUBLE) END, {round_to}) AS loo_mean,
+       ROUND(CASE WHEN _nn > n THEN CAST(_ss AS DOUBLE) / CAST(_nn AS DOUBLE)
+             - CAST(_ss - _s AS DOUBLE) / CAST(_nn - n AS DOUBLE) END,
+             {round_to}) AS influence
+FROM per CROSS JOIN tot
+"""
+
+
+def propensity_strata_effect(
+    df: DataFrame,
+    stratum_col: str,
+    treat_col: str,
+    value_col: str,
+    round_to: int = 6,
+    max_strata: int | None = 10_000,
+) -> DataFrame:
+    """Stratified treatment-effect estimator (propensity-score
+    subclassification, Rosenbaum & Rubin 1984): callers bucket units
+    into strata (propensity-score quantiles, or any confounder
+    bucketing), and the effect is the stratum-size-weighted mean of
+    within-stratum arm differences:
+
+        ATE ≈ Σ_q (n_q / N_valid) · (ȳ_treated,q − ȳ_control,q)
+
+    over strata with BOTH arms present; one-armed strata are excluded
+    from the estimate and surfaced via ``coverage`` (share of ALL
+    units that live in valid strata — an estimate covering 60% of the
+    population should say so). The causal companion to
+    :func:`did_estimate` (before/after) and :func:`cuped_adjustment`
+    (variance reduction).
+
+    Exactness: one (stratum, arm) conditional aggregation of integer
+    sums; per-stratum means are pinned divisions; the weighted sum
+    Σ n_q·(m1−m0) runs as an ORDERED fold over the stratum-sorted
+    array (cross-row float sums are order-dependent — the ewma/
+    fmix precedent), then ONE division by N_valid — the oracle folds
+    the identical list in the identical _q order. Strata are a
+    bounded spine by contract (``guards.require_bounded_spine``;
+    propensity bucketing is quantile-grid-sized by construction).
+    Output one row: ``(n_total, n_valid, n_strata_valid, att_effect,
+    coverage)``.
+    """
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(
+        df, stratum_col, [], max_strata, "propensity_strata_effect"
+    )
+    t = F.col(treat_col).cast("int")
+    v = F.col(value_col).cast("long")
+    per = df.groupBy(F.col(stratum_col).alias("_q")).agg(
+        F.sum(F.when(t == 1, 1).otherwise(0)).alias("_n1"),
+        F.sum(F.when(t == 1, v).otherwise(F.lit(0))).alias("_s1"),
+        F.sum(F.when(t == 0, 1).otherwise(0)).alias("_n0"),
+        F.sum(F.when(t == 0, v).otherwise(F.lit(0))).alias("_s0"),
+    )
+    valid = (F.col("_n1") > 0) & (F.col("_n0") > 0)
+    diff = F.col("_s1").cast("double") / F.col("_n1").cast("double") - F.col(
+        "_s0"
+    ).cast("double") / F.col("_n0").cast("double")
+    nq = F.col("_n1") + F.col("_n0")
+    agg = per.agg(
+        F.sum(nq).alias("n_total"),
+        F.sum(F.when(valid, nq).otherwise(F.lit(0))).alias("n_valid"),
+        F.sum(F.when(valid, 1).otherwise(0)).alias("n_strata_valid"),
+        # collect_list drops the NULLs the invalid strata produce;
+        # sort_array orders by _q, so the fold order is total
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    valid,
+                    F.struct(
+                        F.col("_q").alias("q"),
+                        (nq.cast("double") * diff).alias("wd"),
+                    ),
+                )
+            )
+        ).alias("_terms"),
+    ).withColumn(
+        "_wsum",
+        F.aggregate(
+            F.col("_terms"), F.lit(0.0), lambda a, x: a + x["wd"]
+        ),
+    )
+    return agg.select(
+        "n_total",
+        "n_valid",
+        "n_strata_valid",
+        F.round(
+            F.when(
+                F.col("n_valid") > 0,
+                F.col("_wsum") / F.col("n_valid").cast("double"),
+            ),
+            round_to,
+        ).alias("att_effect"),
+        F.round(
+            F.col("n_valid").cast("double") / F.col("n_total").cast("double"),
+            round_to,
+        ).alias("coverage"),
+    )
+
+
+def propensity_strata_effect_oracle_sql(
+    units_sql: str,
+    stratum_col: str,
+    treat_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same (stratum, arm) sums, same both-arms validity
+    filter, same pinned weighted-difference arithmetic."""
+    return f"""
+WITH units AS ({units_sql}),
+per AS (
+  SELECT {stratum_col} AS _q,
+         CAST(SUM(CASE WHEN CAST({treat_col} AS INTEGER) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS _n1,
+         SUM(CASE WHEN CAST({treat_col} AS INTEGER) = 1 THEN CAST({value_col} AS BIGINT) ELSE 0 END) AS _s1,
+         CAST(SUM(CASE WHEN CAST({treat_col} AS INTEGER) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS _n0,
+         SUM(CASE WHEN CAST({treat_col} AS INTEGER) = 0 THEN CAST({value_col} AS BIGINT) ELSE 0 END) AS _s0
+  FROM units GROUP BY {stratum_col}
+),
+agg AS (
+  SELECT CAST(SUM(_n1 + _n0) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN _n1 > 0 AND _n0 > 0 THEN _n1 + _n0 ELSE 0 END) AS BIGINT) AS n_valid,
+         CAST(SUM(CASE WHEN _n1 > 0 AND _n0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_strata_valid,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CAST(_n1 + _n0 AS DOUBLE)
+                * (CAST(_s1 AS DOUBLE) / CAST(_n1 AS DOUBLE)
+                   - CAST(_s0 AS DOUBLE) / CAST(_n0 AS DOUBLE))
+                ORDER BY _q)
+             FILTER (WHERE _n1 > 0 AND _n0 > 0)),
+           (a, b) -> a + b) AS _wsum
+  FROM per
+)
+SELECT n_total, n_valid, n_strata_valid,
+       ROUND(CASE WHEN n_valid > 0 THEN _wsum / CAST(n_valid AS DOUBLE) END,
+             {round_to}) AS att_effect,
+       ROUND(CAST(n_valid AS DOUBLE) / CAST(n_total AS DOUBLE), {round_to}) AS coverage
+FROM agg
+"""

@@ -211,3 +211,167 @@ def test_harmonic_centrality_radius_bound(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError, match="radius"):
         harmonic_centrality_sampled(df, radius=5)
+
+
+def test_loo_influence_hand_checked(spark):
+    """Groups {a: 10,10}, {b: 40}: global mean 20; dropping b → 10, so
+    b's influence is +10; dropping a → 40, influence −20."""
+    from revtron_utils_spark.operators.profile import loo_group_influence
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 10), ("b", 40)], "g string, v long"
+    )
+    r = {x["group"]: x for x in loo_group_influence(df, "g", "v").collect()}
+    assert r["b"]["influence"] == 10.0 and r["b"]["loo_mean"] == 10.0
+    assert r["a"]["influence"] == -20.0
+    # single-group corpus: loo undefined
+    one = spark.createDataFrame([("x", 5)], "g string, v long")
+    row = loo_group_influence(one, "g", "v").collect()[0]
+    assert row["loo_mean"] is None and row["influence"] is None
+
+
+def test_loo_influence_matches_oracle(spark):
+    from revtron_utils_spark.operators.profile import (
+        loo_group_influence,
+        loo_group_influence_oracle_sql,
+    )
+
+    rows = [(f"g{i % 7}", (i * 13) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = sorted(map(tuple, loo_group_influence(df, "g", "v").collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (g VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            loo_group_influence_oracle_sql("SELECT * FROM u", "g", "v")
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_clustering_coefficient_triangle_plus_tail(spark):
+    """Triangle 1-2-3 with a pendant 4 off node 1: nodes 2,3 have
+    cc = 1 (their only pair of neighbors is connected), node 1 has
+    deg 3 and 1 triangle → cc = 2·1/(3·2) = 1/3, node 4 deg 1 → NULL."""
+    from revtron_utils_spark.operators.graph import clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "src long, dst long"
+    )
+    r = {x["node"]: x for x in clustering_coefficient(edges).collect()}
+    assert r[2]["cc"] == 1.0 and r[3]["cc"] == 1.0
+    assert r[1]["cc"] == round(1 / 3, 6) and r[1]["triangles"] == 1
+    assert r[4]["cc"] is None and r[4]["degree"] == 1
+
+
+def test_clustering_coefficient_matches_oracle(spark):
+    from revtron_utils_spark.operators.graph import (
+        clustering_coefficient,
+        clustering_coefficient_oracle_sql,
+    )
+
+    edges = [(i, (i * 5 + 2) % 30) for i in range(90)] + [(1, 2), (2, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(map(tuple, clustering_coefficient(df).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO g VALUES (?, ?)", edges)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            clustering_coefficient_oracle_sql("SELECT src, dst FROM g")
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_propensity_strata_hand_checked(spark):
+    """Two balanced strata with +10 and +20 arm gaps, equal sizes →
+    effect 15; a third one-armed stratum is excluded and shows up in
+    coverage only."""
+    from revtron_utils_spark.operators.profile import propensity_strata_effect
+
+    rows = (
+        [(0, 1, 20), (0, 1, 20), (0, 0, 10), (0, 0, 10)]
+        + [(1, 1, 50), (1, 1, 50), (1, 0, 30), (1, 0, 30)]
+        + [(2, 1, 99), (2, 1, 99)]
+    )
+    df = spark.createDataFrame(rows, "stratum long, treat int, v long")
+    r = propensity_strata_effect(df, "stratum", "treat", "v").collect()[0]
+    assert r["att_effect"] == 15.0
+    assert r["n_strata_valid"] == 2
+    assert r["n_total"] == 10 and r["n_valid"] == 8
+    assert r["coverage"] == 0.8
+
+
+def test_propensity_strata_matches_oracle(spark):
+    from revtron_utils_spark.operators.profile import (
+        propensity_strata_effect,
+        propensity_strata_effect_oracle_sql,
+    )
+
+    rows = [
+        ((i * 3) % 11, 1 if i % 2 else 0, (i * 17) % 100) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "stratum long, treat int, v long")
+    got = tuple(propensity_strata_effect(df, "stratum", "treat", "v").collect()[0])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (stratum BIGINT, treat INTEGER, v BIGINT)")
+    con.executemany("INSERT INTO u VALUES (?, ?, ?)", rows)
+    want = con.execute(
+        propensity_strata_effect_oracle_sql(
+            "SELECT * FROM u", "stratum", "treat", "v"
+        )
+    ).fetchone()
+    assert got == want
+
+
+def test_ece_perfect_and_worst_calibration(spark):
+    """Scores at a bin midpoint with a matching positive rate → ECE 0;
+    the same scores with inverted labels → ECE = |rate − midpoint|."""
+    from revtron_utils_spark.operators.evaluation import (
+        expected_calibration_error,
+    )
+
+    # num/den = 0.55 of the [0, 1] range → bin 5 of 10 (midpoint 0.55)
+    # on a score_min=0, score_max=0 ... use the integer-rational shape:
+    # score range [0, 9], num/den = 5 → bin floor((5-0)*10/10)=5
+    rows = [(5, 1, i < 11) for i in range(20)]  # 11/20 = 0.55 positives
+    df = spark.createDataFrame(rows, "num long, den long, y boolean")
+    r = expected_calibration_error(
+        df, "num", "den", "y", score_min=0, score_max=9
+    ).collect()[0]
+    assert r["ece"] == 0.0 and r["n_bins_hit"] == 1
+    inv = spark.createDataFrame(
+        [(5, 1, i < 1) for i in range(20)], "num long, den long, y boolean"
+    )
+    r2 = expected_calibration_error(
+        inv, "num", "den", "y", score_min=0, score_max=9
+    ).collect()[0]
+    assert r2["ece"] == 0.5  # |0.05 − 0.55|
+
+
+def test_ece_matches_oracle(spark):
+    from revtron_utils_spark.operators.evaluation import (
+        expected_calibration_error,
+        expected_calibration_error_oracle_sql,
+    )
+
+    rows = [((i * 7) % 10, 1, i % 3 == 0) for i in range(300)]
+    df = spark.createDataFrame(rows, "num long, den long, y boolean")
+    got = tuple(
+        expected_calibration_error(
+            df, "num", "den", "y", score_min=0, score_max=9
+        ).collect()[0]
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s (num BIGINT, den BIGINT, y BOOLEAN)")
+    con.executemany("INSERT INTO s VALUES (?, ?, ?)", rows)
+    want = con.execute(
+        expected_calibration_error_oracle_sql(
+            "SELECT * FROM s", "num", "den", "y", score_min=0, score_max=9
+        )
+    ).fetchone()
+    assert got == want
