@@ -8369,6 +8369,101 @@ FROM s
 SQL_ECE = _sql_ece()
 
 
+def q_trend_test(spark, sf):
+    """Cochran-Armitage trend (`profile.cochran_armitage`): does the
+    return rate drift monotonically across quantity buckets? Five
+    exact integer moments from ONE aggregation (the ordered-dose
+    sibling of `prop_ztest`), pinned float z tail."""
+    from revtron_utils_spark.operators.profile import cochran_armitage
+
+    li = _t(spark, sf, "lineitem").select(
+        F.expr("CAST(l_quantity AS BIGINT) div 10").alias("dose"),
+        (F.col("l_returnflag") == "R").alias("ret"),
+    )
+    return cochran_armitage(li, "dose", "ret")
+
+
+def _sql_trend_test() -> str:
+    from revtron_utils_spark.operators.profile import cochran_armitage_oracle_sql
+
+    units = (
+        "SELECT CAST(l_quantity AS BIGINT) // 10 AS dose,"
+        " l_returnflag = 'R' AS ret FROM lineitem"
+    )
+    return cochran_armitage_oracle_sql(units, "dose", "ret")
+
+
+SQL_TREND_TEST = _sql_trend_test()
+
+
+def q_dedup_canonical(spark, sf):
+    """Quality-aware near-dup collapse (`curation.
+    keep_cluster_canonical`): the step after `dedup_clusters` — keep
+    the LONGEST member of every near-dup cluster (token count as the
+    quality score; ties → smallest doc_id) instead of an arbitrary
+    min-id survivor. The canonical "dedup without throwing away your
+    best copy" pipeline stage, end-to-end: Jaccard pairs → connected
+    components → per-cluster argmax."""
+    from revtron_utils_spark.operators.curation import keep_cluster_canonical
+    from revtron_utils_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf, "documents")
+    pairs = DD.ngram_jaccard_pairs(
+        docs,
+        "text",
+        "doc_id",
+        block_cols=("lang", "source"),
+        shingle_n=3,
+        threshold=0.2,
+    )
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b", nodes=docs, node_col="doc_id"
+    )
+    labeled = comp.select(F.col("node").alias("doc_id"), "component").join(
+        docs.select("doc_id", TX.token_count("text").cast("long").alias("quality")),
+        "doc_id",
+    )
+    return keep_cluster_canonical(labeled, "component", "quality", "doc_id")
+
+
+SQL_DEDUP_CANONICAL = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN list_transform(range(1, len(toks) - 1),
+                               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+           ELSE CAST([] AS VARCHAR[]) END) AS sh
+  FROM (SELECT doc_id, lang, source, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+), f AS (SELECT * FROM t WHERE len(sh) > 0),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM f a JOIN f b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+), comp AS (
+  SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u
+), q AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(COALESCE(text, '')), '\s+'),
+                              tk -> tk != '')) AS BIGINT) AS quality
+  FROM documents
+), labeled AS (
+  SELECT c.doc_id, c.component, q.quality,
+         CAST(COUNT(*) OVER (PARTITION BY c.component) AS BIGINT) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY q.quality DESC, c.doc_id ASC) AS _rn
+  FROM comp c JOIN q USING (doc_id)
+)
+SELECT doc_id, component, quality, n_members FROM labeled WHERE _rn = 1
+"""
+
+
 def q_gini_split(spark, sf):
     """Feature usefulness (`evaluation.gini_split_gain`): the best
     decision-stump threshold of the order-value histogram against the
@@ -9324,6 +9419,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     ),
     "propensity_effect": (q_propensity_effect, SQL_PROPENSITY_EFFECT),
     "ece": (q_ece, SQL_ECE),
+    "trend_test": (q_trend_test, SQL_TREND_TEST),
+    "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
     "gini_split": (q_gini_split, SQL_GINI_SPLIT),
     "distribution_match": (q_distribution_match, SQL_DISTRIBUTION_MATCH),
     "slice_overlap": (q_slice_overlap, SQL_SLICE_OVERLAP),

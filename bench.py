@@ -205,6 +205,8 @@ HEADLINE = [
     "clustering_coefficient",
     "propensity_effect",
     "ece",
+    "trend_test",
+    "dedup_canonical",
 ]
 
 

@@ -1426,3 +1426,38 @@ SELECT pos.anchor_id, pos.positive_id, negs.negative_id
 FROM pos JOIN negs USING (anchor_id)
 WHERE pos.positive_id IS NOT NULL
 """
+
+
+def keep_cluster_canonical(
+    df: DataFrame,
+    cluster_col: str,
+    quality_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quality-aware near-dup collapse — the step a real pipeline runs
+    right after :func:`graph.connected_components` labels the dedup
+    clusters: keep exactly ONE document per cluster, the
+    highest-quality member (ties break to the smallest id, so replays
+    are deterministic), instead of the arbitrary "keep the min-id
+    member" a plain distinct-on gives. The pair this forms with
+    `dedup_clusters` is the canonical "dedup without throwing away
+    your best copy" loop.
+
+    One cluster-partitioned window (never unpartitioned — clusters are
+    the partition key), exact integer quality. Output: the kept rows
+    ``(id_col, cluster_col, quality_col, n_members)``.
+    """
+    w = W.partitionBy(cluster_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(cluster_col),
+            F.col(quality_col).cast("long").alias(quality_col),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(W.partitionBy(cluster_col)))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -2259,3 +2259,90 @@ SELECT n_total, n_valid, n_strata_valid,
        ROUND(CAST(n_valid AS DOUBLE) / CAST(n_total AS DOUBLE), {round_to}) AS coverage
 FROM agg
 """
+
+
+def cochran_armitage(
+    df: DataFrame,
+    dose_col: str,
+    success_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cochran-Armitage trend test: is a binary outcome's rate
+    MONOTONICALLY drifting across ordered integer dose buckets (score
+    deciles, time buckets, exposure counts)? The ordered-category
+    sibling of :func:`prop_ztest` (which compares two unordered arms):
+
+        T = Σ_i s_i·k_i − S·(Σ_i n_i·k_i)/N
+        Var(T) = p(1−p)·[Σ n_i·k_i² − (Σ n_i·k_i)²/N],  p = S/N
+        z = T / sqrt(Var)
+
+    where k_i is the integer dose, n_i/s_i the trials/successes in
+    bucket i. Exactness: the five moments (N, S, Σnk, Σnk², Σsk) come
+    from ONE map-side-combined aggregation as exact integers (DECIMAL
+    for the k² products — int64 wraps at ~10⁹ rows of 10⁵ doses); the
+    z tail is the pinned float sequence reproduced token-for-token in
+    the oracle. z is NULL when the variance is 0 (single dose level or
+    degenerate rates). Output one row: ``(n, s, n_doses, z)``.
+    """
+    k = F.col(dose_col).cast("long")
+    s = F.col(success_col).cast("boolean").cast("int").cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(s).alias("_s"),
+        F.sum(dec(k)).alias("_nk"),
+        F.sum(dec(k) * dec(k)).alias("_nk2"),
+        F.sum(dec(s * k)).alias("_sk"),
+        F.countDistinct(k).alias("n_doses"),
+    )
+    nd = F.col("_n").cast("double")
+    sd = F.col("_s").cast("double")
+    nk = F.col("_nk").cast("double")
+    nk2 = F.col("_nk2").cast("double")
+    sk = F.col("_sk").cast("double")
+    p = sd / nd
+    t = sk - sd * nk / nd
+    var = p * (F.lit(1.0) - p) * (nk2 - nk * nk / nd)
+    z = t / F.sqrt(var)
+    return agg.select(
+        F.col("_n").alias("n"),
+        F.col("_s").alias("s"),
+        "n_doses",
+        F.round(F.when(var > 0, z), round_to).alias("z"),
+    )
+
+
+def cochran_armitage_oracle_sql(
+    units_sql: str,
+    dose_col: str,
+    success_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same five HUGEINT moments, same pinned float tail."""
+    return f"""
+WITH units AS ({units_sql}),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS _n,
+         CAST(SUM(CASE WHEN CAST({success_col} AS BOOLEAN) THEN 1 ELSE 0 END) AS BIGINT) AS _s,
+         SUM(CAST({dose_col} AS HUGEINT)) AS _nk,
+         SUM(CAST({dose_col} AS HUGEINT) * CAST({dose_col} AS HUGEINT)) AS _nk2,
+         SUM(CASE WHEN CAST({success_col} AS BOOLEAN)
+             THEN CAST({dose_col} AS HUGEINT) ELSE 0 END) AS _sk,
+         CAST(COUNT(DISTINCT CAST({dose_col} AS BIGINT)) AS BIGINT) AS n_doses
+  FROM units
+)
+SELECT _n AS n, _s AS s, n_doses,
+       ROUND(CASE WHEN (CAST(_s AS DOUBLE) / CAST(_n AS DOUBLE))
+                       * (1.0 - CAST(_s AS DOUBLE) / CAST(_n AS DOUBLE))
+                       * (CAST(_nk2 AS DOUBLE)
+                          - CAST(_nk AS DOUBLE) * CAST(_nk AS DOUBLE)
+                            / CAST(_n AS DOUBLE)) > 0
+             THEN (CAST(_sk AS DOUBLE)
+                   - CAST(_s AS DOUBLE) * CAST(_nk AS DOUBLE) / CAST(_n AS DOUBLE))
+                  / SQRT((CAST(_s AS DOUBLE) / CAST(_n AS DOUBLE))
+                         * (1.0 - CAST(_s AS DOUBLE) / CAST(_n AS DOUBLE))
+                         * (CAST(_nk2 AS DOUBLE)
+                            - CAST(_nk AS DOUBLE) * CAST(_nk AS DOUBLE)
+                              / CAST(_n AS DOUBLE))) END, {round_to}) AS z
+FROM agg
+"""

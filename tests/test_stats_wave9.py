@@ -375,3 +375,55 @@ def test_ece_matches_oracle(spark):
         )
     ).fetchone()
     assert got == want
+
+
+def test_cochran_armitage_monotone_vs_flat(spark):
+    from revtron_utils_spark.operators.profile import cochran_armitage
+
+    # rate rises with dose: 10% / 50% / 90%
+    rows = []
+    for d, rate in ((0, 1), (1, 5), (2, 9)):
+        rows += [(d, i < rate) for i in range(10)]
+    df = spark.createDataFrame(rows, "dose long, y boolean")
+    r = cochran_armitage(df, "dose", "y").collect()[0]
+    assert r["z"] is not None and r["z"] > 3  # strong upward trend
+    # flat rates → z near 0
+    flat = spark.createDataFrame(
+        [(d, i < 5) for d in range(3) for i in range(10)], "dose long, y boolean"
+    )
+    r2 = cochran_armitage(flat, "dose", "y").collect()[0]
+    assert abs(r2["z"]) < 1e-9
+    # single dose level → variance 0 → NULL
+    one = spark.createDataFrame([(1, True), (1, False)], "dose long, y boolean")
+    assert cochran_armitage(one, "dose", "y").collect()[0]["z"] is None
+
+
+def test_cochran_armitage_matches_oracle(spark):
+    from revtron_utils_spark.operators.profile import (
+        cochran_armitage,
+        cochran_armitage_oracle_sql,
+    )
+
+    rows = [((i * 3) % 6, (i * 7) % 10 < (i * 3) % 6 + 2) for i in range(400)]
+    df = spark.createDataFrame(rows, "dose long, y boolean")
+    got = tuple(cochran_armitage(df, "dose", "y").collect()[0])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (dose BIGINT, y BOOLEAN)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", rows)
+    want = con.execute(
+        cochran_armitage_oracle_sql("SELECT * FROM u", "dose", "y")
+    ).fetchone()
+    assert got == want
+
+
+def test_keep_cluster_canonical_picks_best(spark):
+    from revtron_utils_spark.operators.curation import keep_cluster_canonical
+
+    rows = [
+        (1, 100, 10), (2, 100, 30), (3, 100, 30),  # cluster 100: tie 2 vs 3
+        (4, 200, 5),                               # singleton
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cl long, q long")
+    out = {r["cl"]: r for r in keep_cluster_canonical(df, "cl", "q", "doc_id").collect()}
+    assert out[100]["doc_id"] == 2 and out[100]["n_members"] == 3  # tie → min id
+    assert out[200]["doc_id"] == 4 and out[200]["n_members"] == 1
