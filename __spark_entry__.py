@@ -7223,6 +7223,62 @@ def _sql_cusum_changepoint() -> str:
 SQL_CUSUM_CHANGEPOINT = _sql_cusum_changepoint()
 
 
+def q_page_hinkley(spark, sf):
+    """Page-Hinkley drift alarm (`timeseries.page_hinkley`): per-nation
+    maximal RISE of the cumulative monthly-revenue deviation above its
+    running minimum — the mean-increase detector complementing
+    `cusum_changepoint`'s |deviation| peak on the same series. n-scaled
+    integer cumsums, one final division."""
+    from revtron_utils_spark.operators.timeseries import page_hinkley
+
+    return page_hinkley(
+        _nation_month_revenue(spark, sf), "month", "cents", by=["nation"]
+    )
+
+
+def _sql_page_hinkley() -> str:
+    from revtron_utils_spark.operators.timeseries import page_hinkley_oracle_sql
+
+    return page_hinkley_oracle_sql(
+        _SQL_NATION_MONTH_REVENUE, "month", "cents", by=["nation"]
+    )
+
+
+SQL_PAGE_HINKLEY = _sql_page_hinkley()
+
+
+def q_odds_ratio(spark, sf):
+    """Per-status 2×2 effect sizes (`profile.odds_ratio`): does URGENT
+    priority raise the odds of a high-value order, by order status —
+    the direction-and-magnitude companion to `contingency_chi2`. Four
+    exact integer cells per segment, DECIMAL OR cross-products, pinned
+    float readouts with zero-cell NULL guards."""
+    from revtron_utils_spark.operators.profile import odds_ratio
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderstatus",
+        (F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
+        (F.expr("CAST(round(o_totalprice * 100) AS BIGINT)") > 15_000_000).alias(
+            "high"
+        ),
+    )
+    return odds_ratio(o, "urgent", "high", by=["o_orderstatus"])
+
+
+def _sql_odds_ratio() -> str:
+    from revtron_utils_spark.operators.profile import odds_ratio_oracle_sql
+
+    units = """
+SELECT o_orderstatus, o_orderpriority = '1-URGENT' AS urgent,
+       CAST(round(o_totalprice * 100) AS BIGINT) > 15000000 AS high
+FROM orders
+"""
+    return odds_ratio_oracle_sql(units, "urgent", "high", by=["o_orderstatus"])
+
+
+SQL_ODDS_RATIO = _sql_odds_ratio()
+
+
 def q_mann_kendall(spark, sf):
     """Monotone-trend test (`timeseries.mann_kendall`): exact
     Mann-Kendall S and Kendall tau-a of per-nation monthly revenue —
@@ -9421,6 +9477,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ece": (q_ece, SQL_ECE),
     "trend_test": (q_trend_test, SQL_TREND_TEST),
     "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
+    "page_hinkley": (q_page_hinkley, SQL_PAGE_HINKLEY),
+    "odds_ratio": (q_odds_ratio, SQL_ODDS_RATIO),
     "gini_split": (q_gini_split, SQL_GINI_SPLIT),
     "distribution_match": (q_distribution_match, SQL_DISTRIBUTION_MATCH),
     "slice_overlap": (q_slice_overlap, SQL_SLICE_OVERLAP),

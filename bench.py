@@ -207,6 +207,8 @@ HEADLINE = [
     "ece",
     "trend_test",
     "dedup_canonical",
+    "page_hinkley",
+    "odds_ratio",
 ]
 
 

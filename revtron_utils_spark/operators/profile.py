@@ -2346,3 +2346,109 @@ SELECT _n AS n, _s AS s, n_doses,
                               / CAST(_n AS DOUBLE))) END, {round_to}) AS z
 FROM agg
 """
+
+
+def odds_ratio(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-segment 2×2 effect sizes — odds ratio and relative risk with
+    their log-scale standard errors, the epidemiology-standard
+    companion readouts to :func:`contingency_chi2` (chi² says "is
+    there an association"; OR/RR say how big and which way):
+
+        OR = (a·d)/(b·c),   RR = [a/(a+b)] / [c/(c+d)]
+        se_ln_or = sqrt(1/a + 1/b + 1/c + 1/d)
+
+    with a=exposed∧outcome, b=exposed∧¬outcome, c=¬exposed∧outcome,
+    d=¬exposed∧¬outcome. One conditional aggregation of exact integer
+    counts per segment; every statistic is a pinned float expression
+    over those four ints (DECIMAL cross-products for OR's numerator /
+    denominator — a·d wraps int64 at ~3e9² cells), NULL whenever a
+    zero cell makes it undefined (no Haldane fudge — callers who want
+    +0.5 smoothing can add it to the counts explicitly). Output:
+    ``(*by, a, b, c, d, odds_ratio, relative_risk, se_ln_or)``.
+    """
+    keys = list(by or [])
+    e = F.col(exposure_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    cell = lambda ec, oc, name: F.sum(
+        F.when(e.eqNullSafe(ec) & o.eqNullSafe(oc), 1).otherwise(0)
+    ).alias(name)
+    per = df.groupBy(*keys).agg(
+        cell(True, True, "a"),
+        cell(True, False, "b"),
+        cell(False, True, "c"),
+        cell(False, False, "d"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    a, b, c, d = (F.col(x) for x in "abcd")
+    orr = (dec(a) * dec(d)).cast("double") / (dec(b) * dec(c)).cast("double")
+    rr = (
+        a.cast("double") / (a + b).cast("double")
+    ) / (c.cast("double") / (c + d).cast("double"))
+    se = F.sqrt(
+        F.lit(1.0) / a.cast("double")
+        + F.lit(1.0) / b.cast("double")
+        + F.lit(1.0) / c.cast("double")
+        + F.lit(1.0) / d.cast("double")
+    )
+    allpos = (a > 0) & (b > 0) & (c > 0) & (d > 0)
+    out = per.select(
+        *keys,
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(F.when(allpos, orr), round_to).alias("odds_ratio"),
+        F.round(
+            F.when((a + b > 0) & (c > 0) & (c + d > 0), rr), round_to
+        ).alias("relative_risk"),
+        F.round(F.when(allpos, se), round_to).alias("se_ln_or"),
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def odds_ratio_oracle_sql(
+    units_sql: str,
+    exposure_col: str,
+    outcome_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same four HUGEINT cells, same pinned expressions
+    and zero-cell NULL guards."""
+    keys = list(by or [])
+    gc = ", ".join(keys)
+    sel = f"{gc}, " if keys else ""
+    order = f"ORDER BY {gc}" if keys else ""
+    e = f"CAST({exposure_col} AS BOOLEAN)"
+    o = f"CAST({outcome_col} AS BOOLEAN)"
+    return f"""
+WITH units AS ({units_sql}),
+per AS (
+  SELECT {sel}
+         CAST(SUM(CASE WHEN {e} AND {o} THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN {e} AND NOT {o} THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN NOT {e} AND {o} THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN NOT {e} AND NOT {o} THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM units {("GROUP BY " + gc) if keys else ""}
+)
+SELECT {sel}a, b, c, d,
+       ROUND(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+             THEN CAST(CAST(a AS HUGEINT) * CAST(d AS HUGEINT) AS DOUBLE)
+                  / CAST(CAST(b AS HUGEINT) * CAST(c AS HUGEINT) AS DOUBLE)
+             END, {round_to}) AS odds_ratio,
+       ROUND(CASE WHEN a + b > 0 AND c > 0 AND c + d > 0
+             THEN (CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+                  / (CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE))
+             END, {round_to}) AS relative_risk,
+       ROUND(CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+             THEN SQRT(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+                       + 1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE))
+             END, {round_to}) AS se_ln_or
+FROM per {order}
+"""

@@ -785,3 +785,116 @@ SELECT p.{', p.'.join(by)}, p.year, p.month, p.s AS bucket_total,
 FROM per p JOIN mon m ON {' AND '.join(f'p.{k} = m.{k}' for k in by)}
      AND p.month = m.month
 """
+
+
+def page_hinkley(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    by: list[str],
+    round_to: int = 4,
+) -> DataFrame:
+    """Offline Page-Hinkley drift statistic per group — the one-number
+    "did the level shift upward, and when" alarm (Page 1954's other
+    test; CUSUM locates the |deviation| peak, PH measures the maximal
+    RISE of the cumulative deviation above its running minimum, the
+    classic mean-increase detector):
+
+        PH = max_t (C_t − min_{s≤t} C_s),   C_t = Σ_{j≤t} (x_j − x̄)
+
+    over the time-ordered bucket sums. Exactness: deviations are
+    scaled by n (``d_t = x_t·n − T``, exact integers — no mean
+    division inside the scan); cumsum and running-min are integer
+    windows over the group-partitioned bounded spine; ONE final
+    division by n. ``alarm_t`` is the bucket achieving the max (ties →
+    earliest). Output: ``(*by, n_buckets, ph_stat, alarm_t)``.
+    """
+    keys = list(by)
+    per = df.groupBy(*keys, F.col(time_col).alias("t")).agg(
+        F.sum(F.col(value_col).cast("long")).alias("x")
+    )
+    wall = Window.partitionBy(*keys)
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    scored = per.select(
+        *keys,
+        "t",
+        F.count(F.lit(1)).over(wall).alias("n"),
+        (dec(F.col("x")) * dec(F.count(F.lit(1)).over(wall))).alias("_xn"),
+        dec(F.sum("x").over(wall)).alias("_tot"),
+    ).select(
+        *keys,
+        "t",
+        "n",
+        F.sum(F.col("_xn") - F.col("_tot")).over(wcum).alias("_c"),
+    )
+    rise = F.col("_c") - F.min("_c").over(wcum)
+    pick = Window.partitionBy(*keys).orderBy(
+        F.col("_rise").desc(), F.col("t").asc()
+    )
+    return (
+        scored.withColumn("_rise", rise)
+        .withColumn("_r", F.row_number().over(pick))
+        .where(F.col("_r") == 1)
+        .select(
+            *keys,
+            F.col("n").alias("n_buckets"),
+            F.round(
+                F.col("_rise").cast("double") / F.col("n").cast("double"),
+                round_to,
+            ).alias("ph_stat"),
+            F.col("t").alias("alarm_t"),
+        )
+        .orderBy(*keys)
+    )
+
+
+def page_hinkley_oracle_sql(
+    series_sql: str,
+    time_col: str,
+    value_col: str,
+    by: list[str],
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin: same n-scaled integer cumsum/running-min windows,
+    same (rise DESC, t ASC) pick, one division."""
+    gc = ", ".join(by)
+    return f"""
+WITH series AS ({series_sql}),
+per AS (
+  SELECT {gc}, {time_col} AS t, CAST(SUM({value_col}) AS BIGINT) AS x
+  FROM series GROUP BY {gc}, {time_col}
+),
+ann AS (
+  SELECT {gc}, t, x,
+         COUNT(*) OVER (PARTITION BY {gc}) AS n,
+         SUM(x) OVER (PARTITION BY {gc}) AS tot
+  FROM per
+),
+scored AS (
+  SELECT {gc}, t, n,
+         SUM(CAST(x AS HUGEINT) * CAST(n AS HUGEINT) - CAST(tot AS HUGEINT))
+           OVER (PARTITION BY {gc} ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _c
+  FROM ann
+),
+risen AS (
+  SELECT {gc}, t, n,
+         _c - MIN(_c) OVER (PARTITION BY {gc} ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _rise
+  FROM scored
+),
+picked AS (
+  SELECT {gc}, t, n, _rise,
+         ROW_NUMBER() OVER (PARTITION BY {gc} ORDER BY _rise DESC, t ASC) AS _r
+  FROM risen
+)
+SELECT {gc}, CAST(n AS BIGINT) AS n_buckets,
+       ROUND(CAST(_rise AS DOUBLE) / CAST(n AS DOUBLE), {round_to}) AS ph_stat,
+       t AS alarm_t
+FROM picked WHERE _r = 1
+"""

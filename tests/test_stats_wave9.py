@@ -427,3 +427,86 @@ def test_keep_cluster_canonical_picks_best(spark):
     out = {r["cl"]: r for r in keep_cluster_canonical(df, "cl", "q", "doc_id").collect()}
     assert out[100]["doc_id"] == 2 and out[100]["n_members"] == 3  # tie → min id
     assert out[200]["doc_id"] == 4 and out[200]["n_members"] == 1
+
+
+def test_page_hinkley_level_shift(spark):
+    """Flat 10s then a jump to 20 at t=5: PH must alarm in the shifted
+    regime and measure roughly (shift size)·(post length)·(pre share)."""
+    from revtron_utils_spark.operators.timeseries import page_hinkley
+
+    rows = [("g", t, 10 if t < 5 else 20) for t in range(10)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    r = page_hinkley(df, "t", "v", by=["g"]).collect()[0]
+    assert r["alarm_t"] == 9  # max rise accumulates to the last bucket
+    assert r["ph_stat"] == 25.0  # 5 post buckets × (20 − 15)
+    # no shift → PH 0 (constant series: C is flat, rise 0)
+    flat = spark.createDataFrame(
+        [("g", t, 7) for t in range(8)], "g string, t long, v long"
+    )
+    assert page_hinkley(flat, "t", "v", by=["g"]).collect()[0]["ph_stat"] == 0.0
+
+
+def test_page_hinkley_matches_oracle(spark):
+    from revtron_utils_spark.operators.timeseries import (
+        page_hinkley,
+        page_hinkley_oracle_sql,
+    )
+
+    rows = [(f"g{i % 3}", i % 12, (i * 17) % 40) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = sorted(map(tuple, page_hinkley(df, "t", "v", by=["g"]).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s (g VARCHAR, t BIGINT, v BIGINT)")
+    con.executemany("INSERT INTO s VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            page_hinkley_oracle_sql("SELECT * FROM s", "t", "v", by=["g"])
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_odds_ratio_hand_checked(spark):
+    """a=20,b=10,c=5,d=15 → OR = (20·15)/(10·5) = 6; RR = (20/30)/(5/20)
+    = 8/3."""
+    from revtron_utils_spark.operators.profile import odds_ratio
+
+    rows = (
+        [(True, True)] * 20 + [(True, False)] * 10
+        + [(False, True)] * 5 + [(False, False)] * 15
+    )
+    df = spark.createDataFrame(rows, "e boolean, y boolean")
+    r = odds_ratio(df, "e", "y").collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (20, 10, 5, 15)
+    assert r["odds_ratio"] == 6.0
+    assert r["relative_risk"] == round(8 / 3, 6)
+    # zero cell → OR/se NULL
+    z = spark.createDataFrame(
+        [(True, True), (False, False)], "e boolean, y boolean"
+    )
+    rz = odds_ratio(z, "e", "y").collect()[0]
+    assert rz["odds_ratio"] is None and rz["se_ln_or"] is None
+
+
+def test_odds_ratio_matches_oracle(spark):
+    from revtron_utils_spark.operators.profile import (
+        odds_ratio,
+        odds_ratio_oracle_sql,
+    )
+
+    rows = [
+        (f"s{i % 3}", i % 2 == 0, (i * 7) % 5 < 2) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "seg string, e boolean, y boolean")
+    got = sorted(map(tuple, odds_ratio(df, "e", "y", by=["seg"]).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (seg VARCHAR, e BOOLEAN, y BOOLEAN)")
+    con.executemany("INSERT INTO u VALUES (?, ?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            odds_ratio_oracle_sql("SELECT * FROM u", "e", "y", by=["seg"])
+        ).fetchall()
+    )
+    assert got == want
