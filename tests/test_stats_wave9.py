@@ -510,3 +510,49 @@ def test_odds_ratio_matches_oracle(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_mann_whitney_invariances(spark):
+    """Rank-test properties: (1) adding a constant to every value
+    leaves U and z unchanged (ranks are shift-invariant); (2) swapping
+    the two groups maps U_a → n_a·n_b − U_a and z → −z."""
+    from revtron_utils_spark.operators.profile import mann_whitney
+
+    rows = [((i * 11) % 9, "a" if i % 4 == 0 else "b") for i in range(120)]
+    df = spark.createDataFrame(rows, "v long, g string")
+    base = mann_whitney(df, "v", "g", "a", "b").collect()[0]
+    shifted = spark.createDataFrame(
+        [(v + 1000, g) for v, g in rows], "v long, g string"
+    )
+    sh = mann_whitney(shifted, "v", "g", "a", "b").collect()[0]
+    assert (sh["u_a"], sh["z"]) == (base["u_a"], base["z"])
+    sw = mann_whitney(df, "v", "g", "b", "a").collect()[0]
+    assert sw["u_a"] == base["n_a"] * base["n_b"] - base["u_a"]
+    assert sw["z"] == -base["z"]
+
+
+def test_bh_fdr_alpha_monotone(spark):
+    """BH rejections are monotone in α: everything rejected at α=0.05
+    stays rejected at α=0.20."""
+    from revtron_utils_spark.operators.profile import bh_fdr
+
+    rows = [(f"t{i}", ((i * 31) % 97) / 97.0) for i in range(60)]
+    df = spark.createDataFrame(rows, "test string, p double")
+    r_lo = {r["test"] for r in bh_fdr(df, "test", "p", alpha=0.05).collect() if r["rejected"]}
+    r_hi = {r["test"] for r in bh_fdr(df, "test", "p", alpha=0.20).collect() if r["rejected"]}
+    assert r_lo <= r_hi
+
+
+def test_page_hinkley_shift_invariant(spark):
+    """Adding a constant to every bucket's value leaves PH unchanged
+    (deviations are measured against the series' own mean)."""
+    from revtron_utils_spark.operators.timeseries import page_hinkley
+
+    rows = [("g", t, (t * 13) % 37) for t in range(24)]
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    base = page_hinkley(df, "t", "v", by=["g"]).collect()[0]
+    shifted = spark.createDataFrame(
+        [(g, t, v + 500) for g, t, v in rows], "g string, t long, v long"
+    )
+    sh = page_hinkley(shifted, "t", "v", by=["g"]).collect()[0]
+    assert (sh["ph_stat"], sh["alarm_t"]) == (base["ph_stat"], base["alarm_t"])
