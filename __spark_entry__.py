@@ -8459,7 +8459,12 @@ def q_dedup_canonical(spark, sf):
     quality score; ties → smallest doc_id) instead of an arbitrary
     min-id survivor. The canonical "dedup without throwing away your
     best copy" pipeline stage, end-to-end: Jaccard pairs → connected
-    components → per-cluster argmax."""
+    components → per-cluster argmax.
+
+    Scale note: the raw `ngram_jaccard_pairs` at threshold 0.2 over
+    coarse (lang, source) blocks is gate-fixture-sized ONLY — at
+    corpus scale use `minhash_pairs_capped` as the pair source (as
+    `corpus_pipeline` does); see `keep_cluster_canonical`'s docstring."""
     from revtron_utils_spark.operators.curation import keep_cluster_canonical
     from revtron_utils_spark.operators.graph import connected_components
 

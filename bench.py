@@ -23,6 +23,19 @@ from revtron_utils_spark.session import get_spark
 
 HEADLINE = [
     "flagship",
+    # The multi-stage composition pipelines run FIRST (round-9 verdict
+    # task 2): at suite position ~170 they measured 3-4x their isolated
+    # cost under accumulated host/JVM pressure while their components
+    # didn't — running them before 180 queries of heap churn makes the
+    # recorded number comparable to an isolated run. Per-query
+    # round-over-round diffs for these six must compare r10+ to
+    # isolated r9 re-times, not to r9 in-suite positions.
+    "curation_pipeline",
+    "corpus_pipeline",
+    "embedding_pipeline",
+    "embedding_pipeline_scaled",
+    "analytics_pipeline",
+    "preference_pipeline",
     "where_theta",
     "groupby_q1",
     "join_q3",
@@ -63,7 +76,6 @@ HEADLINE = [
     "cosine_neardup_lsh_poly",
     "semdedup",
     "percentiles",
-    "curation_pipeline",
     "dedup_clusters",
     "doc_chunks",
     "sequence_packing",
@@ -129,13 +141,10 @@ HEADLINE = [
     "top_paths",
     "ams_f2",
     "rolling_zscore",
-    "corpus_pipeline",
     "cdc_apply",
     "table_diff",
     "k_core",
-    "embedding_pipeline",
     "token_diversity",
-    "embedding_pipeline_scaled",
     "skew_report",
     "majority_vote",
     "annotator_kappa",
@@ -145,7 +154,6 @@ HEADLINE = [
     "vocab_drift",
     "scorer_spearman",
     "degree_assortativity",
-    "preference_pipeline",
     "classifier_eval",
     "score_auc",
     "vocab_richness",
@@ -167,7 +175,6 @@ HEADLINE = [
     "seasonality",
     "hellinger_drift",
     "dispersion_index",
-    "analytics_pipeline",
     "logrank_test",
     "fleiss_kappa",
     "prop_ztest",
@@ -249,7 +256,26 @@ def main() -> None:
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    qmin: dict[str, float] = {}
+    gc_ms: dict[str, int] = {}
+    suspects: dict[str, dict] = {}
     errors: dict[str, str] = {}
+
+    # JVM GC-time counter (round-9 verdict task 2): per-query GC delta
+    # distinguishes "plan regressed" from "suite heap pressure at
+    # position ~170" without isolated re-timing
+    try:
+        _gc_beans = list(
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        )
+
+        def _gc_now() -> int:
+            return sum(b.getCollectionTime() for b in _gc_beans)
+
+    except Exception:  # pragma: no cover - py4j internals moved
+
+        def _gc_now() -> int:
+            return 0
 
     def _release() -> None:
         # release frames persisted inside operators so queries don't
@@ -261,11 +287,13 @@ def main() -> None:
 
     for name in HEADLINE:
         fn = queries[name]
+        g0 = _gc_now()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+            gc_ms[name] = _gc_now() - g0
         except Exception as exc:  # one broken query must not zero the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             _release()
@@ -285,6 +313,27 @@ def main() -> None:
             pass
         finally:
             _release()
+        # Outlier triage (round-9 verdict task 1): a single-run host
+        # spike (top_supplier_q15 recorded 8.38s cold in r9-final vs
+        # ~1.2s real) used to be indistinguishable from a regression.
+        # When cold is >2x warm by >1s, run a THIRD pass — two warm
+        # samples agreeing means the cold number was the spike; the
+        # suspect record carries all three so the round-over-round diff
+        # never keys off a single sample.
+        w = warm.get(name)
+        passes = [timings[name]] + ([w] if w is not None else [])
+        if w is not None and timings[name] > max(2 * w, w + 1.0):
+            try:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                w2 = round(time.perf_counter() - t0, 3)
+                passes.append(w2)
+                suspects[name] = {"cold": timings[name], "warm": w, "warm2": w2}
+            except Exception:
+                pass
+            finally:
+                _release()
+        qmin[name] = round(min(passes), 3)
 
     total = round(sum(timings.values()), 3)
     detail = {
@@ -294,6 +343,10 @@ def main() -> None:
         "queries": timings,
         "value_warm": round(sum(warm.values()), 3),
         "queries_warm": warm,
+        "queries_min": qmin,
+        "value_min": round(sum(qmin.values()), 3),
+        "queries_gc_ms": gc_ms,
+        "suspects": suspects,
         "sf": sf,
     }
     if errors:

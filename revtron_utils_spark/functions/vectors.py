@@ -120,6 +120,13 @@ def hashed_tf_embedding(
     from revtron_utils_spark.functions.classifier import token_poly_hash
     from revtron_utils_spark.functions.text import tokens
 
+    if hash_family not in ("xxhash", "poly"):
+        # fail fast (round-9 advice, the embedding_neardup_pairs
+        # sibling): a typo'd family must not silently bucket via xxhash
+        raise ValueError(
+            f"hashed_tf_embedding: unknown hash_family {hash_family!r}"
+            " (expected 'xxhash' or 'poly')"
+        )
     toks = tokens(text_col) if isinstance(text_col, str) else tokens(text_col)
     if hash_family == "poly":
         buckets = F.transform(toks, lambda t: token_poly_hash(t) % dim)

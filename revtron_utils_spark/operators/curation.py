@@ -1446,6 +1446,15 @@ def keep_cluster_canonical(
     One cluster-partitioned window (never unpartitioned — clusters are
     the partition key), exact integer quality. Output: the kept rows
     ``(id_col, cluster_col, quality_col, n_members)``.
+
+    Scale note: at corpus scale feed this from a CAPPED pair source —
+    ``dedup.minhash_pairs_capped`` (as ``corpus_pipeline`` does), not
+    raw ``ngram_jaccard_pairs`` at a low threshold with coarse blocks,
+    which is the hot-block quadratic-pairs risk the capped-LSH family
+    exists to avoid. The ``dedup_canonical`` driver gate uses
+    ``ngram_jaccard_pairs`` at threshold 0.2 ONLY because its sf0.01
+    fixture is tiny and the oracle needs an exactly-reproducible pair
+    set.
     """
     w = W.partitionBy(cluster_col).orderBy(
         F.col(quality_col).desc(), F.col(id_col).asc()

@@ -1367,6 +1367,14 @@ def embedding_neardup_pairs(
     output, ~30× faster on large pair sets — see
     ``vectors.pair_dot_arrow``).
     """
+    if hash_family not in ("gauss", "poly"):
+        # fail fast (round-9 advice): a typo'd family used to fall
+        # through to gauss planes silently, handing a caller who asked
+        # for SQL-reproducible 'poly' planes non-reproducible output
+        raise ValueError(
+            f"embedding_neardup_pairs: unknown hash_family {hash_family!r}"
+            " (expected 'gauss' or 'poly')"
+        )
     q = VX.quantize(vec_col)
     # precompute each row's norm once — per-pair work is then a single
     # dot product (64 mults) instead of three (dot + both norms)

@@ -60,6 +60,13 @@ def _load_meta(stored: dict) -> dict:
 def _featurize(
     df: DataFrame, text_col: str, id_col: str, p: dict
 ) -> DataFrame:
+    if p.get("hash_family") not in ("crc32", "poly"):
+        # same fail-fast as embedding_neardup_pairs (round-9 advice):
+        # a typo'd family must not silently featurize with crc32
+        raise ValueError(
+            f"dedup index: unknown hash_family {p.get('hash_family')!r}"
+            " (expected 'crc32' or 'poly')"
+        )
     if p.get("hash_family") == "poly":
         # engine-reproducible family: band keys become strings, and the
         # whole index+probe pipeline gains a DuckDB oracle twin (the

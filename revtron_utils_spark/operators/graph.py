@@ -1107,7 +1107,16 @@ def hits(
                 "node", F.coalesce(F.col("_in"), F.lit(0)).alias("_raw")
             )
         )
-        auths = _cut(_renorm(a_all, "auth_int"), eager=False)
+        # The cut is EAGER on purpose: materializing the renormalized
+        # half-step bakes a_all's data into the checkpoint, so the
+        # half-step cache can be released immediately instead of
+        # accumulating 2 persisted frames per round until a later
+        # release_caches() call (round-9 advice — long-lived drivers
+        # grew executor storage across hits() calls). The broadcast
+        # total in _renorm still executes a_all's subtree exactly once
+        # (persist hit on the second read).
+        auths = _cut(_renorm(a_all, "auth_int"))
+        a_all.unpersist()
         h_raw = (
             e.join(auths, e.dst == auths.node)
             .groupBy(e.src.alias("hnode"))
@@ -1118,7 +1127,8 @@ def hits(
                 "node", F.coalesce(F.col("_in"), F.lit(0)).alias("_raw")
             )
         )
-        hubs = _cut(_renorm(h_all, "hub_int"), eager=False)
+        hubs = _cut(_renorm(h_all, "hub_int"))
+        h_all.unpersist()
     e.unpersist()
     return hubs.join(auths, "node").select("node", "hub_int", "auth_int")
 
@@ -1191,7 +1201,30 @@ _HC_C = 54_321
 
 
 def _hc_hash_col(node_col: str):
-    nid = ((F.col(node_col).cast("long") % _HC_P) + _HC_P) % _HC_P
+    # Integer node-id contract, enforced: a non-numeric id casts to
+    # NULL (non-ANSI sessions), which would silently degrade the pivot
+    # pick to NULLS-FIRST/node-ASC while the DuckDB oracle (`%` on
+    # VARCHAR) ERRORS — a silent engine divergence against the
+    # fail-fast house rule (round-9 advice). try_cast makes the
+    # NULL-on-failure behavior deterministic across ANSI settings, then
+    # the guard raises with THIS operator's message in both session
+    # flavors (a vanilla Spark 4 ANSI session would otherwise throw a
+    # generic CAST_INVALID_INPUT mid-plan).
+    raw = F.expr(f"try_cast(`{node_col}` AS LONG)")
+    checked = F.when(
+        F.col(node_col).isNotNull() & raw.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "harmonic_centrality_sampled: node id is not "
+                    "integer-castable (the poly source-pick hash "
+                    "requires integer node ids): "
+                ),
+                F.col(node_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(raw)
+    nid = ((checked % _HC_P) + _HC_P) % _HC_P
     h = (nid * _HC_A) % _HC_P
     h = (h * h + nid) % _HC_P
     return (h * _HC_B + _HC_C) % _HC_P

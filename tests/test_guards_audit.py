@@ -431,3 +431,49 @@ def test_group_sized_frames_survive_1m_groups(spark):
 
     capped = cap_per_domain(df, "doc_id", "g", n=1)
     assert capped.count() == n
+
+
+def test_hash_family_typos_fail_fast(spark):
+    """Round-9 advice: a typo'd hash_family must raise, not silently
+    fall back to the non-reproducible default family."""
+    from revtron_utils_spark.functions.vectors import hashed_tf_embedding
+    from revtron_utils_spark.operators.dedup import embedding_neardup_pairs
+    from revtron_utils_spark.operators.dedup_index import _featurize
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="hash_family"):
+        embedding_neardup_pairs(vecs, hash_family="ploy")
+    with pytest.raises(ValueError, match="hash_family"):
+        hashed_tf_embedding("text", hash_family="xxhash64")
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="hash_family"):
+        _featurize(docs, "text", "doc_id", {"hash_family": "cr32", "num_hashes": 4})
+
+
+def test_harmonic_centrality_non_integer_node_ids_raise(spark):
+    """Round-9 advice: non-integer node ids cast to NULL inside the
+    poly source-pick hash, silently degrading the pivot pick while the
+    DuckDB oracle errors — the engine must fail fast instead."""
+    from py4j.protocol import Py4JJavaError
+
+    from revtron_utils_spark.operators.graph import harmonic_centrality_sampled
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    with pytest.raises(Exception, match="integer-castable") as ei:
+        harmonic_centrality_sampled(edges, n_sources=2, radius=2).collect()
+    assert isinstance(ei.value, Py4JJavaError) or "integer-castable" in str(ei.value)
+
+
+def test_harmonic_centrality_integer_string_ids_ok(spark):
+    """Digit-string ids satisfy the integer contract (cast succeeds)."""
+    from revtron_utils_spark.operators.graph import harmonic_centrality_sampled
+
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "3")], "src string, dst string"
+    )
+    out = harmonic_centrality_sampled(edges, n_sources=2, radius=2).collect()
+    assert len(out) == 3

@@ -103,18 +103,22 @@ def main() -> None:
         f"| {d.get('value')} | {d.get('value_warm', '')} |\n"
     )
 
-    # drift-normalized row (needs per-query detail for the canary)
+    # drift-normalized row (needs per-query detail for the canary).
+    # Guarded (round-9 advice): a value-less artifact or a zero canary
+    # total must skip the row, not crash with TypeError/ZeroDivision.
     qs = d.get("queries") or {}
     row2 = None
-    if all(c in qs for c in CANARY):
+    val = d.get("value")
+    if all(c in qs for c in CANARY) and val:
         canary_total = sum(qs[c] for c in CANARY)
-        drift = canary_total / CANARY_REF
-        norm = d.get("value") / drift if d.get("value") else None
-        row2 = (
-            f"| {args.label} | {commit} | {d.get('sf')} | {n_q} "
-            f"| {d.get('value')} | {d.get('value_warm', '')} "
-            f"| {canary_total:.3f} | {drift:.2f}x | {norm:.1f} |\n"
-        )
+        if canary_total > 0:
+            drift = canary_total / CANARY_REF
+            norm = val / drift
+            row2 = (
+                f"| {args.label} | {commit} | {d.get('sf')} | {n_q} "
+                f"| {val} | {d.get('value_warm', '')} "
+                f"| {canary_total:.3f} | {drift:.2f}x | {norm:.1f} |\n"
+            )
 
     # Archive the per-query detail under the round label so round-over-
     # round per-query comparison never depends on the driver tail's
