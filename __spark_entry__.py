@@ -9229,6 +9229,121 @@ def _sql_hbos_outliers() -> str:
 SQL_HBOS_OUTLIERS = _sql_hbos_outliers()
 
 
+
+
+def q_kruskal_wallis(spark, sf):
+    """K-sample rank test (`profile.kruskal_wallis`): do the three
+    l_returnflag populations ('A'/'N'/'R') draw their quantities from
+    the same distribution? The k-group extension of `mann_whitney` on
+    the same tie-heavy 50-value integer spine — doubled midranks keep
+    every rank integral, the per-group R_g²/n_g sum runs as a
+    group-ordered float fold, and only the pinned H tail is float."""
+    from revtron_utils_spark.operators.profile import kruskal_wallis
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"), "l_returnflag"
+    )
+    return kruskal_wallis(li, "qty", "l_returnflag")
+
+
+def _sql_kruskal_wallis() -> str:
+    from revtron_utils_spark.operators.profile import kruskal_wallis_oracle_sql
+
+    values = (
+        "SELECT CAST(l_quantity AS BIGINT) AS qty, l_returnflag FROM lineitem"
+    )
+    return kruskal_wallis_oracle_sql(values, "qty", "l_returnflag")
+
+
+SQL_KRUSKAL_WALLIS = _sql_kruskal_wallis()
+
+
+def q_anova_f(spark, sf):
+    """One-way ANOVA (`profile.anova_oneway`): do mean order values
+    differ across the five o_orderpriority classes, and how much
+    variance does priority explain (η²)? Exact DECIMAL cents sums per
+    group (width MEASURED fail-fast), one ordered Σ S_g²/n_g fold,
+    pinned F/η² tail."""
+    from revtron_utils_spark.operators.profile import anova_oneway
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return anova_oneway(o, "cents", "o_orderpriority")
+
+
+def _sql_anova_f() -> str:
+    from revtron_utils_spark.operators.profile import anova_oneway_oracle_sql
+
+    values = (
+        "SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT)"
+        " AS cents FROM orders"
+    )
+    return anova_oneway_oracle_sql(values, "cents", "o_orderpriority")
+
+
+SQL_ANOVA_F = _sql_anova_f()
+
+
+def q_brown_forsythe(spark, sf):
+    """Equal-variance test (`profile.brown_forsythe`): is quantity
+    dispersion homogeneous across the returnflag×linestatus states —
+    the robust-Levene guard a pipeline runs before trusting `anova_f`
+    or `ab_test` pooled variances. Doubled group medians from the
+    per-group cumulative histogram keep the |x − med| deviations
+    integer-exact end-to-end."""
+    from revtron_utils_spark.operators.profile import brown_forsythe
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.concat("l_returnflag", "l_linestatus").alias("state"),
+    )
+    return brown_forsythe(li, "qty", "state")
+
+
+def _sql_brown_forsythe() -> str:
+    from revtron_utils_spark.operators.profile import brown_forsythe_oracle_sql
+
+    values = (
+        "SELECT CAST(l_quantity AS BIGINT) AS qty,"
+        " l_returnflag || l_linestatus AS state FROM lineitem"
+    )
+    return brown_forsythe_oracle_sql(values, "qty", "state")
+
+
+SQL_BROWN_FORSYTHE = _sql_brown_forsythe()
+
+
+def q_kendall_tau(spark, sf):
+    """Kendall τ-b concordance (`profile.kendall_tau`) between lineitem
+    quantity and discount percent — are bigger orders discounted more?
+    The O(n²)-pairs statistic collapsed to the 50×11-cell joint
+    histogram: every concordant/discordant count an exact DECIMAL
+    cell-pair product, ties handled by the τ-b margins, one pinned
+    sqrt tail."""
+    from revtron_utils_spark.operators.profile import kendall_tau
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("disc_pct"),
+    )
+    return kendall_tau(li, "qty", "disc_pct")
+
+
+def _sql_kendall_tau() -> str:
+    from revtron_utils_spark.operators.profile import kendall_tau_oracle_sql
+
+    values = (
+        "SELECT CAST(l_quantity AS BIGINT) AS qty,"
+        " CAST(round(l_discount * 100) AS BIGINT) AS disc_pct FROM lineitem"
+    )
+    return kendall_tau_oracle_sql(values, "qty", "disc_pct")
+
+
+SQL_KENDALL_TAU = _sql_kendall_tau()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -9504,6 +9619,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "rake_keywords": (q_rake_keywords, SQL_RAKE_KEYWORDS),
     "tfidf_cosine": (q_tfidf_cosine, SQL_TFIDF_COSINE),
     "hbos_outliers": (q_hbos_outliers, SQL_HBOS_OUTLIERS),
+    "kruskal_wallis": (q_kruskal_wallis, SQL_KRUSKAL_WALLIS),
+    "anova_f": (q_anova_f, SQL_ANOVA_F),
+    "brown_forsythe": (q_brown_forsythe, SQL_BROWN_FORSYTHE),
+    "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
 }
 
 

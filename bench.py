@@ -216,6 +216,10 @@ HEADLINE = [
     "dedup_canonical",
     "page_hinkley",
     "odds_ratio",
+    "kruskal_wallis",
+    "anova_f",
+    "brown_forsythe",
+    "kendall_tau",
 ]
 
 

@@ -2452,3 +2452,613 @@ SELECT {sel}a, b, c, d,
              END, {round_to}) AS se_ln_or
 FROM per {order}
 """
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    bucket_col: str,
+    group_col: str,
+    round_to: int = 6,
+    max_buckets: int | None = 100_000,
+    max_groups: int | None = 10_000,
+) -> DataFrame:
+    """K-sample Kruskal-Wallis H test with midrank ties — the k-group
+    extension of :func:`mann_whitney` (MWU asks "is A shifted vs B";
+    KW asks "is ANY of the k groups shifted"), the rank-based one-way
+    ANOVA a curation pipeline runs before trusting a per-source score
+    comparison:
+
+        H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),
+        H_corrected = H / (1 − Σ(t³−t)/(N³−N)).
+
+    Exactness: same DOUBLED-rank spine as mann_whitney — per bucket the
+    doubled midrank 2·before+t+1 is an INTEGER, per-group doubled rank
+    sums R2_g stay DECIMAL(38,0)-exact, and the tie term Σ(t³−t) is an
+    exact DECIMAL. Σ R_g²/n_g is a rational with per-group denominators,
+    so it runs as an ORDERED float fold over the group-sorted array
+    (cross-row float sums are order-dependent — the propensity/ewma
+    precedent): term_g = (R2_g·R2_g)/(4·n_g) in doubles, folded in
+    group order, then the pinned H tail. Output one row:
+    ``(k, n, h, h_corrected)``; both NULL when N < 2 or every value is
+    tied (correction denominator 0).
+
+    Bounded contracts: the value spine via
+    ``guards.require_bounded_spine`` (bucket the metric first, exactly
+    like ks_test/mann_whitney), the group catalog via ``max_groups``
+    (the fold is one row wide).
+    """
+    from pyspark.sql import Window
+
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, bucket_col, [], max_buckets, "kruskal_wallis")
+    require_bounded_spine(df, group_col, [], max_groups, "kruskal_wallis")
+    per = df.groupBy(F.col(bucket_col).alias("_k"), F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wcum = Window.orderBy("_k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    spine = per.groupBy("_k").agg(F.sum("_c").alias("_t"))
+    spine = spine.select(
+        "_k", "_t", (F.sum("_t").over(wcum) - F.col("_t")).alias("_before")
+    )
+    # per-group doubled rank sums: join each (bucket, group) count back
+    # to the bucket spine's doubled midrank
+    grp = (
+        per.join(spine, "_k")
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").alias("_ng"),
+            F.sum(
+                dec(F.col("_c"))
+                * dec(F.lit(2) * F.col("_before") + F.col("_t") + F.lit(1))
+            ).alias("_r2g"),
+        )
+    )
+    ties = spine.agg(
+        F.sum(
+            dec(F.col("_t")) * dec(F.col("_t")) * dec(F.col("_t"))
+            - dec(F.col("_t"))
+        ).alias("_ties")
+    )
+    agg = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_ng").alias("n"),
+        # ordered fold: Σ (R2_g)² / (4 n_g) in group order
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_g").alias("g"),
+                    (
+                        F.col("_r2g").cast("double")
+                        * F.col("_r2g").cast("double")
+                        / (F.lit(4.0) * F.col("_ng").cast("double"))
+                    ).alias("term"),
+                )
+            )
+        ).alias("_terms"),
+    ).withColumn(
+        "_rsum",
+        F.aggregate(F.col("_terms"), F.lit(0.0), lambda a, x: a + x["term"]),
+    ).crossJoin(ties)
+    n = F.col("n")
+    nd = n.cast("double")
+    h = (
+        F.lit(12.0) / (nd * (nd + F.lit(1.0))) * F.col("_rsum")
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr_den = F.lit(1.0) - F.col("_ties").cast("double") / (
+        dec(n) * dec(n) * dec(n) - dec(n)
+    ).cast("double")
+    return agg.select(
+        "k",
+        "n",
+        F.round(F.when(n > 1, h), round_to).alias("h"),
+        F.round(
+            F.when((n > 1) & (corr_den > 0), h / corr_den), round_to
+        ).alias("h_corrected"),
+    )
+
+
+def kruskal_wallis_oracle_sql(
+    values_sql: str,
+    bucket_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same doubled midranks, HUGEINT rank/tie sums, the
+    identical group-ordered float fold and pinned H tail."""
+    return f"""
+WITH vals AS ({values_sql}),
+per AS (
+  SELECT {bucket_col} AS _k, {group_col} AS _g,
+         CAST(COUNT(*) AS BIGINT) AS _c
+  FROM vals GROUP BY 1, 2
+),
+spine AS (
+  SELECT _k, _t,
+         SUM(_t) OVER (ORDER BY _k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - _t AS _before
+  FROM (SELECT _k, CAST(SUM(_c) AS BIGINT) AS _t FROM per GROUP BY _k)
+),
+grp AS (
+  SELECT p._g, CAST(SUM(p._c) AS BIGINT) AS _ng,
+         SUM(CAST(p._c AS HUGEINT)
+             * CAST(2 * s._before + s._t + 1 AS HUGEINT)) AS _r2g
+  FROM per p JOIN spine s ON p._k = s._k
+  GROUP BY p._g
+),
+ties AS (
+  SELECT SUM(CAST(_t AS HUGEINT) * CAST(_t AS HUGEINT) * CAST(_t AS HUGEINT)
+             - CAST(_t AS HUGEINT)) AS _ties
+  FROM spine
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(_ng) AS BIGINT) AS n,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CAST(_r2g AS DOUBLE) * CAST(_r2g AS DOUBLE)
+                / (4.0 * CAST(_ng AS DOUBLE)) ORDER BY _g)),
+           (a, b) -> a + b) AS _rsum
+  FROM grp
+)
+SELECT k, n,
+       ROUND(CASE WHEN n > 1 THEN
+         12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * _rsum
+         - 3.0 * (CAST(n AS DOUBLE) + 1.0) END, {round_to}) AS h,
+       ROUND(CASE WHEN n > 1 AND
+         1.0 - CAST(_ties AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+                    - CAST(n AS HUGEINT) AS DOUBLE) > 0
+         THEN (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * _rsum
+               - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+              / (1.0 - CAST(_ties AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+                        - CAST(n AS HUGEINT) AS DOUBLE)) END,
+         {round_to}) AS h_corrected
+FROM agg, ties
+"""
+
+
+def _require_sum_sq_width(df: DataFrame, col: str, op_name: str) -> None:
+    """Fail fast when Σ value² could overflow DECIMAL(38,0) — MEASURED
+    from the data (the tfidf/hbos house rule: silent Spark non-ANSI
+    overflow NULLs exactly the extreme rows while DuckDB's HUGEINT
+    keeps going, so the engines would diverge invisibly)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("_n"), F.max(F.abs(F.col(col))).alias("_mx")
+    ).first()
+    n, mx = (row["_n"] or 0), (row["_mx"] or 0)
+    if n and int(n) * (int(mx) ** 2) >= 10**38:
+        raise ValueError(
+            f"{op_name}: n·max({col})² = {n}·{mx}² would overflow the "
+            "DECIMAL(38,0) sum of squares — rescale the metric (smaller "
+            "units) or pre-aggregate"
+        )
+
+
+def anova_oneway(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    round_to: int = 6,
+    max_groups: int | None = 10_000,
+) -> DataFrame:
+    """One-way ANOVA F test over an integer metric — "do the k group
+    means differ more than within-group noise explains", the parametric
+    sibling of :func:`kruskal_wallis` (KW compares rank distributions;
+    this compares means, plus the η² effect size a dashboards wants
+    next to the p-ready F):
+
+        SSB = Σ_g S_g²/n_g − S²/N,   SSW = Σx² − Σ_g S_g²/n_g,
+        F = (SSB/(k−1)) / (SSW/(N−k)),   η² = SSB/(SSB+SSW).
+
+    Exactness: per-group n_g, S_g = Σx and the global Σx² are exact
+    DECIMAL(38,0) integer sums (width MEASURED fail-fast); Σ S_g²/n_g
+    is the one rational — an ORDERED float fold over the group-sorted
+    array, then the pinned F/η² tail. Output one row:
+    ``(k, n, f_stat, eta_sq)`` — NULL when k < 2, N ≤ k, or SSW ≤ 0.
+    """
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, group_col, [], max_groups, "anova_oneway")
+    _require_sum_sq_width(df, value_col, "anova_oneway")
+    dec = lambda c: c.cast("decimal(38,0)")
+    v = F.col(value_col).cast("long")
+    grp = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_ng"),
+        F.sum(dec(v)).alias("_sg"),
+        F.sum(dec(v) * dec(v)).alias("_qg"),
+    )
+    agg = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_ng").alias("n"),
+        F.sum("_sg").alias("_s"),
+        F.sum("_qg").alias("_q"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_g").alias("g"),
+                    (
+                        F.col("_sg").cast("double")
+                        * F.col("_sg").cast("double")
+                        / F.col("_ng").cast("double")
+                    ).alias("term"),
+                )
+            )
+        ).alias("_terms"),
+    ).withColumn(
+        "_rs",
+        F.aggregate(F.col("_terms"), F.lit(0.0), lambda a, x: a + x["term"]),
+    )
+    k, n = F.col("k"), F.col("n")
+    nd = n.cast("double")
+    ssb = F.col("_rs") - F.col("_s").cast("double") * F.col("_s").cast("double") / nd
+    ssw = F.col("_q").cast("double") - F.col("_rs")
+    fstat = (ssb / (k - F.lit(1)).cast("double")) / (
+        ssw / (n - k).cast("double")
+    )
+    ok = (k > 1) & (n > k) & (ssw > 0)
+    return agg.select(
+        "k",
+        "n",
+        F.round(F.when(ok, fstat), round_to).alias("f_stat"),
+        F.round(F.when(ok, ssb / (ssb + ssw)), round_to).alias("eta_sq"),
+    )
+
+
+def anova_oneway_oracle_sql(
+    values_sql: str,
+    value_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same HUGEINT group sums, same group-ordered float
+    fold, same pinned F/η² tail."""
+    return f"""
+WITH vals AS ({values_sql}),
+grp AS (
+  SELECT {group_col} AS _g, CAST(COUNT(*) AS BIGINT) AS _ng,
+         SUM(CAST({value_col} AS HUGEINT)) AS _sg,
+         SUM(CAST({value_col} AS HUGEINT) * CAST({value_col} AS HUGEINT)) AS _qg
+  FROM vals GROUP BY 1
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(_ng) AS BIGINT) AS n,
+         SUM(_sg) AS _s, SUM(_qg) AS _q,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CAST(_sg AS DOUBLE) * CAST(_sg AS DOUBLE) / CAST(_ng AS DOUBLE)
+                ORDER BY _g)),
+           (a, b) -> a + b) AS _rs
+  FROM grp
+),
+calc AS (
+  SELECT k, n,
+         _rs - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE) / CAST(n AS DOUBLE) AS _ssb,
+         CAST(_q AS DOUBLE) - _rs AS _ssw
+  FROM agg
+)
+SELECT k, n,
+       ROUND(CASE WHEN k > 1 AND n > k AND _ssw > 0 THEN
+         (_ssb / CAST(k - 1 AS DOUBLE)) / (_ssw / CAST(n - k AS DOUBLE))
+         END, {round_to}) AS f_stat,
+       ROUND(CASE WHEN k > 1 AND n > k AND _ssw > 0 THEN
+         _ssb / (_ssb + _ssw) END, {round_to}) AS eta_sq
+FROM calc
+"""
+
+
+def brown_forsythe(
+    df: DataFrame,
+    bucket_col: str,
+    group_col: str,
+    round_to: int = 6,
+    max_buckets: int | None = 100_000,
+    max_groups: int | None = 10_000,
+) -> DataFrame:
+    """Brown-Forsythe test for equal variances across k groups — the
+    robust Levene variant (deviations from the group MEDIAN, not the
+    mean) that guards the ANOVA/t-test family's homoscedasticity
+    assumption before anyone trusts its F:
+
+        z_ij = |x_ij − med_g|,   F_BF = one-way ANOVA F over z.
+
+    Exactness: group medians come from the bounded value spine with the
+    DOUBLED-median trick — m2_g = v_lo + v_hi (the two middle order
+    statistics from the per-group cumulative histogram) is an INTEGER,
+    so the deviations d2 = |2·x − m2_g| and all their sums/squares stay
+    DECIMAL-exact; only the final F assembly (the same ordered
+    Σ S_g²/n_g fold + pinned tail as :func:`anova_oneway`) touches
+    floats. Output one row: ``(k, n, f_stat)``.
+
+    The cumulative-histogram window is PARTITIONED by group (ordered by
+    the bounded value spine) — no unpartitioned window anywhere.
+    """
+    from pyspark.sql import Window
+
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, bucket_col, [], max_buckets, "brown_forsythe")
+    require_bounded_spine(df, group_col, [], max_groups, "brown_forsythe")
+    dec = lambda c: c.cast("decimal(38,0)")
+    per = df.groupBy(
+        F.col(group_col).alias("_g"), F.col(bucket_col).cast("long").alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    wg = Window.partitionBy("_g").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "_g",
+        "_v",
+        "_c",
+        F.sum("_c").over(wg).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy("_g")).alias("_ng"),
+    )
+    # doubled median: the two middle order statistics — v_lo at rank
+    # ceil(n/2) = (n+1) div 2, v_hi at rank n div 2 + 1 (equal ranks
+    # when n is odd, the two middles when even)
+    med = cum.groupBy("_g").agg(
+        F.min(
+            F.when(
+                F.col("_cum") >= F.expr("(_ng + 1) div 2"), F.col("_v")
+            )
+        ).alias("_vlo"),
+        F.min(
+            F.when(F.col("_cum") >= F.expr("_ng div 2 + 1"), F.col("_v"))
+        ).alias("_vhi"),
+    ).select("_g", (F.col("_vlo") + F.col("_vhi")).alias("_m2"))
+    dev = (
+        per.join(med, "_g")
+        .select(
+            "_g",
+            "_c",
+            F.abs(F.lit(2) * F.col("_v") - F.col("_m2")).alias("_d2"),
+        )
+    )
+    grp = dev.groupBy("_g").agg(
+        F.sum("_c").alias("_ng"),
+        F.sum(dec(F.col("_c")) * dec(F.col("_d2"))).alias("_sg"),
+        F.sum(dec(F.col("_c")) * dec(F.col("_d2")) * dec(F.col("_d2"))).alias("_qg"),
+    )
+    agg = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_ng").alias("n"),
+        F.sum("_sg").alias("_s"),
+        F.sum("_qg").alias("_q"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_g").alias("g"),
+                    (
+                        F.col("_sg").cast("double")
+                        * F.col("_sg").cast("double")
+                        / F.col("_ng").cast("double")
+                    ).alias("term"),
+                )
+            )
+        ).alias("_terms"),
+    ).withColumn(
+        "_rs",
+        F.aggregate(F.col("_terms"), F.lit(0.0), lambda a, x: a + x["term"]),
+    )
+    k, n = F.col("k"), F.col("n")
+    nd = n.cast("double")
+    ssb = F.col("_rs") - F.col("_s").cast("double") * F.col("_s").cast("double") / nd
+    ssw = F.col("_q").cast("double") - F.col("_rs")
+    fstat = (ssb / (k - F.lit(1)).cast("double")) / (
+        ssw / (n - k).cast("double")
+    )
+    ok = (k > 1) & (n > k) & (ssw > 0)
+    return agg.select(
+        "k", "n", F.round(F.when(ok, fstat), round_to).alias("f_stat")
+    )
+
+
+def brown_forsythe_oracle_sql(
+    values_sql: str,
+    bucket_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same doubled group medians from the per-group
+    cumulative histogram, same HUGEINT deviation sums, same ordered
+    fold + pinned F tail."""
+    return f"""
+WITH vals AS ({values_sql}),
+per AS (
+  SELECT {group_col} AS _g, CAST({bucket_col} AS BIGINT) AS _v,
+         CAST(COUNT(*) AS BIGINT) AS _c
+  FROM vals GROUP BY 1, 2
+),
+cum AS (
+  SELECT _g, _v, _c,
+         SUM(_c) OVER (PARTITION BY _g ORDER BY _v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+         SUM(_c) OVER (PARTITION BY _g) AS _ng
+  FROM per
+),
+med AS (
+  SELECT _g,
+         MIN(CASE WHEN _cum >= (_ng + 1) // 2 THEN _v END)
+         + MIN(CASE WHEN _cum >= _ng // 2 + 1 THEN _v END) AS _m2
+  FROM cum GROUP BY _g
+),
+grp AS (
+  SELECT p._g, CAST(SUM(p._c) AS BIGINT) AS _ng,
+         SUM(CAST(p._c AS HUGEINT) * CAST(ABS(2 * p._v - m._m2) AS HUGEINT)) AS _sg,
+         SUM(CAST(p._c AS HUGEINT) * CAST(ABS(2 * p._v - m._m2) AS HUGEINT)
+             * CAST(ABS(2 * p._v - m._m2) AS HUGEINT)) AS _qg
+  FROM per p JOIN med m ON p._g = m._g
+  GROUP BY p._g
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(_ng) AS BIGINT) AS n,
+         SUM(_sg) AS _s, SUM(_qg) AS _q,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CAST(_sg AS DOUBLE) * CAST(_sg AS DOUBLE) / CAST(_ng AS DOUBLE)
+                ORDER BY _g)),
+           (a, b) -> a + b) AS _rs
+  FROM grp
+),
+calc AS (
+  SELECT k, n,
+         _rs - CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE) / CAST(n AS DOUBLE) AS _ssb,
+         CAST(_q AS DOUBLE) - _rs AS _ssw
+  FROM agg
+)
+SELECT k, n,
+       ROUND(CASE WHEN k > 1 AND n > k AND _ssw > 0 THEN
+         (_ssb / CAST(k - 1 AS DOUBLE)) / (_ssw / CAST(n - k AS DOUBLE))
+         END, {round_to}) AS f_stat
+FROM calc
+"""
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+    max_x_buckets: int | None = 1000,
+    max_y_buckets: int | None = 1000,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation over two BOUNDED-spine columns —
+    the concordance companion to the Spearman/Pearson correlations the
+    repo already carries (Spearman measures monotone fit via ranks;
+    τ-b counts concordant vs discordant PAIRS, the more robust readout
+    under heavy ties):
+
+        τ_b = (C − D) / sqrt((n0 − n1)(n0 − n2)),
+        n0 = n(n−1)/2, n1 = Σ t_x(t_x−1)/2, n2 = Σ t_y(t_y−1)/2.
+
+    Exactness AND scale: naive τ is O(n²) over ROWS — undistributable.
+    Over bucketed spines it collapses to the joint histogram: C and D
+    are cell-pair sums Σ n_a·n_b over V² CELL pairs (V = distinct
+    cells, caller-bounded), every count/product an exact
+    DECIMAL(38,0), with the single pinned sqrt tail at the end. The
+    cell self-join is restricted to x_b > x_a (each unordered pair
+    counted once; x-ties contribute to neither C nor D). Output one
+    row: ``(n, concordant, discordant, tau_b)``.
+    """
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, x_col, [], max_x_buckets, "kendall_tau")
+    require_bounded_spine(df, y_col, [], max_y_buckets, "kendall_tau")
+    dec = lambda c: c.cast("decimal(38,0)")
+    cells = df.groupBy(
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    a = cells.select(
+        F.col("_x").alias("_xa"), F.col("_y").alias("_ya"), F.col("_c").alias("_ca")
+    )
+    b = cells.select(
+        F.col("_x").alias("_xb"), F.col("_y").alias("_yb"), F.col("_c").alias("_cb")
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    # coalesce: an all-tied-x input has ZERO x-ordered cell pairs and
+    # the empty-join sums must read 0, not NULL
+    pairs = a.join(b, F.col("_xb") > F.col("_xa")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_yb") > F.col("_ya"),
+                    dec(F.col("_ca")) * dec(F.col("_cb")),
+                ).otherwise(zero)
+            ),
+            zero,
+        ).alias("concordant"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_yb") < F.col("_ya"),
+                    dec(F.col("_ca")) * dec(F.col("_cb")),
+                ).otherwise(zero)
+            ),
+            zero,
+        ).alias("discordant"),
+    )
+    margins = cells.agg(
+        F.sum("_c").alias("n"),
+        F.sum(dec(F.col("_c")) * dec(F.col("_c") - F.lit(1))).alias("_txy2"),
+    )
+    tx = (
+        cells.groupBy("_x")
+        .agg(F.sum("_c").alias("_t"))
+        .agg(F.sum(dec(F.col("_t")) * dec(F.col("_t") - F.lit(1))).alias("_tx2"))
+    )
+    ty = (
+        cells.groupBy("_y")
+        .agg(F.sum("_c").alias("_t"))
+        .agg(F.sum(dec(F.col("_t")) * dec(F.col("_t") - F.lit(1))).alias("_ty2"))
+    )
+    out = pairs.crossJoin(margins).crossJoin(tx).crossJoin(ty)
+    n = F.col("n")
+    n02 = dec(n) * dec(n - F.lit(1))  # 2·n0
+    den = F.sqrt(
+        (n02 - F.col("_tx2")).cast("double") * (n02 - F.col("_ty2")).cast("double")
+    )
+    num = F.lit(2.0) * (
+        F.col("concordant").cast("double") - F.col("discordant").cast("double")
+    )
+    return out.select(
+        "n",
+        F.col("concordant").cast("long").alias("concordant"),
+        F.col("discordant").cast("long").alias("discordant"),
+        F.round(
+            F.when((n > 1) & ((n02 - F.col("_tx2")) > 0) & ((n02 - F.col("_ty2")) > 0), num / den),
+            round_to,
+        ).alias("tau_b"),
+    )
+
+
+def kendall_tau_oracle_sql(
+    values_sql: str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same joint-histogram cell-pair concordance counts
+    (HUGEINT), same doubled-n0 tie margins, same pinned 2(C−D)/sqrt
+    tail."""
+    return f"""
+WITH vals AS ({values_sql}),
+cells AS MATERIALIZED (
+  SELECT CAST({x_col} AS BIGINT) AS _x, CAST({y_col} AS BIGINT) AS _y,
+         CAST(COUNT(*) AS BIGINT) AS _c
+  FROM vals GROUP BY 1, 2
+),
+pairs AS (
+  SELECT
+    COALESCE(SUM(CASE WHEN b._y > a._y
+             THEN CAST(a._c AS HUGEINT) * CAST(b._c AS HUGEINT)
+             ELSE CAST(0 AS HUGEINT) END), CAST(0 AS HUGEINT)) AS concordant,
+    COALESCE(SUM(CASE WHEN b._y < a._y
+             THEN CAST(a._c AS HUGEINT) * CAST(b._c AS HUGEINT)
+             ELSE CAST(0 AS HUGEINT) END), CAST(0 AS HUGEINT)) AS discordant
+  FROM cells a JOIN cells b ON b._x > a._x
+),
+margins AS (
+  SELECT CAST(SUM(_c) AS BIGINT) AS n FROM cells
+),
+tx AS (
+  SELECT SUM(CAST(_t AS HUGEINT) * CAST(_t - 1 AS HUGEINT)) AS _tx2
+  FROM (SELECT CAST(SUM(_c) AS BIGINT) AS _t FROM cells GROUP BY _x)
+),
+ty AS (
+  SELECT SUM(CAST(_t AS HUGEINT) * CAST(_t - 1 AS HUGEINT)) AS _ty2
+  FROM (SELECT CAST(SUM(_c) AS BIGINT) AS _t FROM cells GROUP BY _y)
+)
+SELECT n, CAST(concordant AS BIGINT) AS concordant,
+       CAST(discordant AS BIGINT) AS discordant,
+       ROUND(CASE WHEN n > 1
+             AND CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT) - _tx2 > 0
+             AND CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT) - _ty2 > 0
+             THEN 2.0 * (CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+                  / SQRT(CAST(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT) - _tx2 AS DOUBLE)
+                         * CAST(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT) - _ty2 AS DOUBLE))
+             END, {round_to}) AS tau_b
+FROM pairs, margins, tx, ty
+"""
