@@ -9344,6 +9344,146 @@ def _sql_kendall_tau() -> str:
 SQL_KENDALL_TAU = _sql_kendall_tau()
 
 
+
+
+def q_ndcg_at_k(spark, sf):
+    """Ranking quality (`evaluation.ndcg_at_k`): per-customer NDCG@10
+    of the value-ranked order list against graded urgency relevance
+    (1-URGENT=2, 2-HIGH=1, else 0) — "does sorting by money surface
+    the urgent work". The retrieval-eval readout for the bm25/hybrid
+    family: deterministic row_number ranks, shared Python float DCG
+    weights (neither engine calls log2), position-ordered folds."""
+    from revtron_utils_spark.operators.evaluation import ndcg_at_k
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("order_id"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 2)
+        .when(F.col("o_orderpriority") == "2-HIGH", 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    return ndcg_at_k(o, "cust", "order_id", "cents", "rel", k=10)
+
+
+def _sql_ndcg_at_k() -> str:
+    from revtron_utils_spark.operators.evaluation import ndcg_at_k_oracle_sql
+
+    cands = """
+SELECT o_custkey AS cust, o_orderkey AS order_id,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN 2
+            WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS rel
+FROM orders
+"""
+    return ndcg_at_k_oracle_sql(cands, "cust", "order_id", "cents", "rel", k=10)
+
+
+SQL_NDCG_AT_K = _sql_ndcg_at_k()
+
+
+def q_mean_avg_precision(spark, sf):
+    """Order-sensitive retrieval eval (`evaluation.mean_avg_precision`):
+    per-customer Average Precision of the value-ranked order list with
+    binary URGENT relevance — AUC's front-loaded sibling (a hit at
+    rank 1 outweighs one at rank 50). Integer hits@p cumsum over the
+    deterministic ranking, position-ordered precision fold, one final
+    division per query."""
+    from revtron_utils_spark.operators.evaluation import mean_avg_precision
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("order_id"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("rel"),
+    )
+    return mean_avg_precision(o, "cust", "order_id", "cents", "rel")
+
+
+def _sql_mean_avg_precision() -> str:
+    from revtron_utils_spark.operators.evaluation import (
+        mean_avg_precision_oracle_sql,
+    )
+
+    cands = """
+SELECT o_custkey AS cust, o_orderkey AS order_id,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS rel
+FROM orders
+"""
+    return mean_avg_precision_oracle_sql(
+        cands, "cust", "order_id", "cents", "rel"
+    )
+
+
+SQL_MEAN_AVG_PRECISION = _sql_mean_avg_precision()
+
+
+def q_matthews_corr(spark, sf):
+    """Imbalance-honest classifier readout (`evaluation.matthews_corr`):
+    per-source MCC of the marker-token language-ID as an is-English
+    detector — the single number that stays honest when one class
+    dominates (exactly the regime of PII/contamination gates, where
+    accuracy and F1 both flatter). Four integer confusion cells,
+    DECIMAL cross products, one pinned sqrt tail."""
+    from revtron_utils_spark.operators.evaluation import matthews_corr
+
+    docs = _t(spark, sf, "documents")
+    pairs = docs.select(
+        "source",
+        (F.col("lang") == "en").alias("actual"),
+        (TX.lang_id("text") == "en").alias("pred"),
+    )
+    return matthews_corr(pairs, "actual", "pred", by=["source"])
+
+
+def _sql_matthews_corr() -> str:
+    from revtron_utils_spark.operators.evaluation import matthews_corr_oracle_sql
+
+    pairs = f"""
+SELECT d.source, (d.lang = 'en') AS actual, (lp.lang_pred = 'en') AS pred
+FROM ({SQL_LANG_ID}) lp JOIN documents d USING (doc_id)
+"""
+    return matthews_corr_oracle_sql(pairs, "actual", "pred", by=["source"])
+
+
+SQL_MATTHEWS_CORR = _sql_matthews_corr()
+
+
+def q_cronbach_alpha(spark, sf):
+    """Battery reliability (`annotation.cronbach_alpha`): Cronbach's α
+    of the 7 lineitem positions as "items" scoring each order's
+    quantity — do the positions move together (one consistent
+    order-size signal) or independently? Complete-case subjects only
+    (orders with all 7 lines), exact DECIMAL moments, item-ordered
+    variance fold, pinned α tail — the score-scale companion to
+    `annotator_kappa`/`fleiss_kappa`."""
+    from revtron_utils_spark.operators.annotation import cronbach_alpha
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("subj"),
+        F.col("l_linenumber").alias("item"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return cronbach_alpha(li, "subj", "item", "qty")
+
+
+def _sql_cronbach_alpha() -> str:
+    from revtron_utils_spark.operators.annotation import (
+        cronbach_alpha_oracle_sql,
+    )
+
+    ratings = (
+        "SELECT l_orderkey AS subj, l_linenumber AS item,"
+        " CAST(l_quantity AS BIGINT) AS qty FROM lineitem"
+    )
+    return cronbach_alpha_oracle_sql(ratings, "subj", "item", "qty")
+
+
+SQL_CRONBACH_ALPHA = _sql_cronbach_alpha()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -9623,6 +9763,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "anova_f": (q_anova_f, SQL_ANOVA_F),
     "brown_forsythe": (q_brown_forsythe, SQL_BROWN_FORSYTHE),
     "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
+    "ndcg_at_k": (q_ndcg_at_k, SQL_NDCG_AT_K),
+    "mean_avg_precision": (q_mean_avg_precision, SQL_MEAN_AVG_PRECISION),
+    "matthews_corr": (q_matthews_corr, SQL_MATTHEWS_CORR),
+    "cronbach_alpha": (q_cronbach_alpha, SQL_CRONBACH_ALPHA),
 }
 
 

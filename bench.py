@@ -220,6 +220,10 @@ HEADLINE = [
     "anova_f",
     "brown_forsythe",
     "kendall_tau",
+    "ndcg_at_k",
+    "mean_avg_precision",
+    "matthews_corr",
+    "cronbach_alpha",
 ]
 
 

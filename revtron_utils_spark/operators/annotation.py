@@ -968,3 +968,180 @@ FROM (
 WHERE b.rn = 1
 """
     )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    subject_col: str,
+    item_col: str,
+    value_col: str,
+    round_to: int = 6,
+    max_items: int | None = 10_000,
+) -> DataFrame:
+    """Cronbach's α internal-consistency coefficient over a
+    (subject, item, value) ratings matrix — the "do the k items measure
+    the same thing" reliability readout that belongs next to
+    :func:`cohen_kappa_pairs` (kappa checks RATER pairs on categorical
+    labels; α checks the whole ITEM battery on scores):
+
+        α = k/(k−1) · (1 − Σ_i var_i / var_T),
+
+    with sample variances and T_j the per-subject total. Subjects with
+    an incomplete item response are EXCLUDED (classic complete-case α —
+    a missing cell would silently bias every variance), and the number
+    dropped is reported.
+
+    Exactness: per-item and per-total moments (Σx, Σx², ΣT, ΣT²) are
+    exact DECIMAL(38,0) integer sums over complete subjects; each
+    sample variance is the pinned rational (n·Σx² − (Σx)²)/(n(n−1));
+    Σ_i var_i runs as an ITEM-ORDERED float fold (cross-row float sums
+    are order-dependent — the house rule). Output one row:
+    ``(k_items, n_subjects, n_dropped, alpha)`` — NULL when k < 2,
+    n < 2, or var_T = 0.
+
+    The item catalog is bounded by contract (``max_items`` guard): the
+    fold is one row wide, like every bounded-catalog fold in the repo.
+    """
+    from .dedup import _persist
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, item_col, [], max_items, "cronbach_alpha")
+    dec = lambda c: c.cast("decimal(38,0)")
+    v = F.col(value_col).cast("long")
+    base = df.select(
+        F.col(subject_col).alias("_s"),
+        F.col(item_col).alias("_i"),
+        v.alias("_v"),
+    )
+    n_items = base.select(F.countDistinct("_i").alias("k")).first()["k"]
+    per_subj = base.groupBy("_s").agg(
+        F.countDistinct("_i").alias("_ni"),
+        F.count(F.lit(1)).alias("_nrows"),
+        F.sum(dec(F.col("_v"))).alias("_t"),
+    )
+    # complete = every item exactly once (duplicate (subject, item)
+    # cells are as invalid as missing ones)
+    complete = _persist(
+        per_subj.where(
+            (F.col("_ni") == F.lit(n_items))
+            & (F.col("_nrows") == F.lit(n_items))
+        ).select("_s", "_t")
+    )
+    n_dropped = per_subj.count() - complete.count()
+    items = (
+        base.join(complete.select("_s"), "_s")
+        .groupBy("_i")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(dec(F.col("_v"))).alias("_sx"),
+            F.sum(dec(F.col("_v")) * dec(F.col("_v"))).alias("_qx"),
+        )
+    )
+    nd = F.col("_n").cast("double")
+    var_i = (
+        (dec(F.col("_n")) * F.col("_qx") - F.col("_sx") * F.col("_sx")).cast(
+            "double"
+        )
+        / (nd * (nd - F.lit(1.0)))
+    )
+    isum = items.agg(
+        F.max("_n").alias("n_subjects"),
+        F.count(F.lit(1)).alias("k_items"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_i").alias("i"), var_i.alias("t")))
+        ).alias("_terms"),
+    ).withColumn(
+        "_vsum",
+        F.aggregate(F.col("_terms"), F.lit(0.0), lambda a, x: a + x["t"]),
+    )
+    tot = complete.agg(
+        F.count(F.lit(1)).alias("_nt"),
+        F.sum(F.col("_t")).alias("_st"),
+        F.sum(F.col("_t") * F.col("_t")).alias("_qt"),
+    )
+    out = isum.crossJoin(tot)
+    ntd = F.col("_nt").cast("double")
+    var_t = (
+        (dec(F.col("_nt")) * F.col("_qt") - F.col("_st") * F.col("_st")).cast(
+            "double"
+        )
+        / (ntd * (ntd - F.lit(1.0)))
+    )
+    k = F.col("k_items")
+    kd = k.cast("double")
+    ok = (k > 1) & (F.col("_nt") > 1) & (var_t > 0)
+    return out.select(
+        "k_items",
+        F.col("_nt").cast("long").alias("n_subjects"),
+        F.lit(n_dropped).cast("long").alias("n_dropped"),
+        F.round(
+            F.when(
+                ok,
+                kd / (kd - F.lit(1.0)) * (F.lit(1.0) - F.col("_vsum") / var_t),
+            ),
+            round_to,
+        ).alias("alpha"),
+    )
+
+
+def cronbach_alpha_oracle_sql(
+    ratings_sql: str,
+    subject_col: str,
+    item_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same complete-case filter, HUGEINT moments, same
+    item-ordered variance fold and pinned α tail."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {subject_col} AS _s, {item_col} AS _i,
+         CAST({value_col} AS BIGINT) AS _v
+  FROM ({ratings_sql})
+),
+nk AS (SELECT COUNT(DISTINCT _i) AS k FROM base),
+per_subj AS MATERIALIZED (
+  SELECT _s, COUNT(DISTINCT _i) AS _ni, COUNT(*) AS _nrows,
+         SUM(CAST(_v AS HUGEINT)) AS _t
+  FROM base GROUP BY _s
+),
+complete AS MATERIALIZED (
+  SELECT _s, _t FROM per_subj, nk WHERE _ni = k AND _nrows = k
+),
+dropped AS (
+  SELECT (SELECT COUNT(*) FROM per_subj) - (SELECT COUNT(*) FROM complete)
+         AS n_dropped
+),
+items AS (
+  SELECT b._i, CAST(COUNT(*) AS BIGINT) AS _n,
+         SUM(CAST(b._v AS HUGEINT)) AS _sx,
+         SUM(CAST(b._v AS HUGEINT) * CAST(b._v AS HUGEINT)) AS _qx
+  FROM base b JOIN complete c ON b._s = c._s
+  GROUP BY b._i
+),
+isum AS (
+  SELECT MAX(_n) AS n_subjects, CAST(COUNT(*) AS BIGINT) AS k_items,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CAST(CAST(_n AS HUGEINT) * _qx - _sx * _sx AS DOUBLE)
+                / (CAST(_n AS DOUBLE) * (CAST(_n AS DOUBLE) - 1.0))
+                ORDER BY _i)),
+           (a, b) -> a + b) AS _vsum
+  FROM items
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS _nt, SUM(_t) AS _st,
+         SUM(_t * _t) AS _qt
+  FROM complete
+)
+SELECT k_items, _nt AS n_subjects,
+       (SELECT n_dropped FROM dropped) AS n_dropped,
+       ROUND(CASE WHEN k_items > 1 AND _nt > 1 AND
+         CAST(CAST(_nt AS HUGEINT) * _qt - _st * _st AS DOUBLE)
+         / (CAST(_nt AS DOUBLE) * (CAST(_nt AS DOUBLE) - 1.0)) > 0
+         THEN CAST(k_items AS DOUBLE) / (CAST(k_items AS DOUBLE) - 1.0)
+              * (1.0 - _vsum
+                 / (CAST(CAST(_nt AS HUGEINT) * _qt - _st * _st AS DOUBLE)
+                    / (CAST(_nt AS DOUBLE) * (CAST(_nt AS DOUBLE) - 1.0))))
+         END, {round_to}) AS alpha
+FROM isum, tot
+"""

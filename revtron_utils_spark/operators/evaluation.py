@@ -754,3 +754,358 @@ SELECT n_docs, n_bins_hit,
              {round_to}) AS ece
 FROM agg
 """
+
+
+def _dcg_weights(k: int) -> list[float]:
+    """The k DCG position weights 1/log2(pos+1) as PYTHON floats: both
+    engines receive the identical IEEE doubles (Spark as literals in an
+    array, the oracle as their repr — shortest-repr round-trips), so no
+    engine ever evaluates log2 itself (Spark's StrictMath vs DuckDB's
+    libm could differ in the last bit)."""
+    import math
+
+    return [1.0 / math.log2(p + 1) for p in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-query NDCG@k over a scored candidate list — the graded
+    ranking-quality readout for the retrieval family (``bm25_topk``,
+    ``hybrid_search``, the ANN gates): DCG@k of the score-ranked list
+    divided by the ideal (relevance-ranked) DCG@k.
+
+    Exactness: ranks are ``row_number`` with a deterministic
+    (score DESC, id ASC) tie-break; the 1/log2(pos+1) weights are k
+    PYTHON float literals shared with the oracle (neither engine calls
+    log2 — see ``_dcg_weights``); each query's DCG is an ORDERED fold
+    over its ≤k position-sorted terms (cross-row float sums are
+    order-dependent — the house rule). Output: one row per query
+    ``(query, dcg, idcg, ndcg)``, NULL ndcg when idcg = 0 (no relevant
+    candidate).
+
+    Scale: two query-partitioned windows + one grouped fold — fully
+    distributed, no global sort; per-query lists are ≤k by the filter.
+    """
+    from pyspark.sql import Window as W
+
+    w = _dcg_weights(k)
+    warr = F.array(*[F.lit(x) for x in w])
+    rel = F.col(rel_col).cast("long")
+    base = df.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_id"),
+        F.col(score_col).alias("_s"),
+        rel.alias("_rel"),
+    )
+    byq = W.partitionBy("_q").orderBy(F.col("_s").desc(), F.col("_id").asc())
+    byi = W.partitionBy("_q").orderBy(F.col("_rel").desc(), F.col("_id").asc())
+    ranked = base.withColumn("_p", F.row_number().over(byq)).withColumn(
+        "_ip", F.row_number().over(byi)
+    )
+    fold = lambda c: F.aggregate(
+        F.sort_array(c), F.lit(0.0), lambda a, x: a + x["t"]
+    )
+    out = (
+        ranked.where((F.col("_p") <= k) | (F.col("_ip") <= k))
+        .groupBy(F.col("_q").alias(query_col))
+        .agg(
+            fold(
+                F.collect_list(
+                    F.when(
+                        F.col("_p") <= k,
+                        F.struct(
+                            F.col("_p").alias("p"),
+                            (
+                                F.col("_rel").cast("double")
+                                * F.element_at(warr, F.col("_p"))
+                            ).alias("t"),
+                        ),
+                    )
+                )
+            ).alias("_dcg"),
+            fold(
+                F.collect_list(
+                    F.when(
+                        F.col("_ip") <= k,
+                        F.struct(
+                            F.col("_ip").alias("p"),
+                            (
+                                F.col("_rel").cast("double")
+                                * F.element_at(warr, F.col("_ip"))
+                            ).alias("t"),
+                        ),
+                    )
+                )
+            ).alias("_idcg"),
+        )
+    )
+    return out.select(
+        query_col,
+        F.round(F.col("_dcg"), round_to).alias("dcg"),
+        F.round(F.col("_idcg"), round_to).alias("idcg"),
+        F.round(
+            F.when(F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg")),
+            round_to,
+        ).alias("ndcg"),
+    )
+
+
+def ndcg_at_k_oracle_sql(
+    candidates_sql: str,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same deterministic row_number ranks, the SAME k
+    weight literals (repr of the Python doubles), same position-ordered
+    folds."""
+    w = _dcg_weights(k)
+    case = (
+        "CASE _p "
+        + " ".join(f"WHEN {p + 1} THEN {w[p]!r}" for p in range(k))
+        + " END"
+    )
+    case_i = case.replace("_p", "_ip")
+    return f"""
+WITH base AS (
+  SELECT {query_col} AS _q, {id_col} AS _id, {score_col} AS _s,
+         CAST({rel_col} AS BIGINT) AS _rel
+  FROM ({candidates_sql})
+),
+ranked AS (
+  SELECT _q, _rel,
+         ROW_NUMBER() OVER (PARTITION BY _q ORDER BY _s DESC, _id ASC) AS _p,
+         ROW_NUMBER() OVER (PARTITION BY _q ORDER BY _rel DESC, _id ASC) AS _ip
+  FROM base
+),
+agg AS (
+  SELECT _q AS {query_col},
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CAST(_rel AS DOUBLE) * ({case}) ORDER BY _p)
+             FILTER (WHERE _p <= {k})),
+           (a, b) -> a + b) AS _dcg,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CAST(_rel AS DOUBLE) * ({case_i}) ORDER BY _ip)
+             FILTER (WHERE _ip <= {k})),
+           (a, b) -> a + b) AS _idcg
+  FROM ranked WHERE _p <= {k} OR _ip <= {k}
+  GROUP BY _q
+)
+SELECT {query_col}, ROUND(_dcg, {round_to}) AS dcg,
+       ROUND(_idcg, {round_to}) AS idcg,
+       ROUND(CASE WHEN _idcg > 0 THEN _dcg / _idcg END, {round_to}) AS ndcg
+FROM agg
+"""
+
+
+def mean_avg_precision(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-query Average Precision over a scored candidate list with
+    BINARY relevance — the order-sensitive companion to :func:`rank_auc`
+    (AUC scores the global ranking; AP front-loads it: a relevant doc
+    at position 1 is worth more than at position 50):
+
+        AP = (1/R) · Σ_{p: rel_p = 1} hits@p / p.
+
+    Exactness: hits@p is an exact integer cumulative count over the
+    deterministic (score DESC, id ASC) ranking; each hit's precision
+    hits@p/p is one pinned division; the AP sum is an ORDERED fold over
+    the position-sorted hit list. Output: one row per query
+    ``(query, n_candidates, n_relevant, ap)`` — NULL ap when the query
+    has no relevant candidate.
+
+    Scale: the contract is a CANDIDATE LIST per query (a retrieval
+    stage's top-N output, bounded by construction), not a corpus scan —
+    per-query state is O(candidates). Fully distributed across queries.
+    """
+    from pyspark.sql import Window as W
+
+    rel = F.col(rel_col).cast("int")
+    base = df.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_id"),
+        F.col(score_col).alias("_s"),
+        rel.alias("_rel"),
+    )
+    byq = W.partitionBy("_q").orderBy(F.col("_s").desc(), F.col("_id").asc())
+    cum = W.partitionBy("_q").orderBy(F.col("_p").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = base.withColumn("_p", F.row_number().over(byq)).withColumn(
+        "_hits", F.sum("_rel").over(cum)
+    )
+    out = ranked.groupBy(F.col("_q").alias(query_col)).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum("_rel").cast("long").alias("n_relevant"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("_rel") == 1,
+                        F.struct(
+                            F.col("_p").alias("p"),
+                            (
+                                F.col("_hits").cast("double")
+                                / F.col("_p").cast("double")
+                            ).alias("t"),
+                        ),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["t"],
+        ).alias("_apsum"),
+    )
+    return out.select(
+        query_col,
+        "n_candidates",
+        "n_relevant",
+        F.round(
+            F.when(
+                F.col("n_relevant") > 0,
+                F.col("_apsum") / F.col("n_relevant").cast("double"),
+            ),
+            round_to,
+        ).alias("ap"),
+    )
+
+
+def mean_avg_precision_oracle_sql(
+    candidates_sql: str,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same deterministic ranking, integer hits@p cumsum,
+    position-ordered precision fold, one final division."""
+    return f"""
+WITH base AS (
+  SELECT {query_col} AS _q, {id_col} AS _id, {score_col} AS _s,
+         CAST({rel_col} AS INTEGER) AS _rel
+  FROM ({candidates_sql})
+),
+ranked AS (
+  SELECT _q, _rel,
+         ROW_NUMBER() OVER (PARTITION BY _q ORDER BY _s DESC, _id ASC) AS _p
+  FROM base
+),
+hits AS (
+  SELECT _q, _rel, _p,
+         SUM(_rel) OVER (PARTITION BY _q ORDER BY _p
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _hits
+  FROM ranked
+),
+agg AS (
+  SELECT _q AS {query_col},
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(_rel) AS BIGINT) AS n_relevant,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CAST(_hits AS DOUBLE) / CAST(_p AS DOUBLE) ORDER BY _p)
+             FILTER (WHERE _rel = 1)),
+           (a, b) -> a + b) AS _apsum
+  FROM hits
+  GROUP BY _q
+)
+SELECT {query_col}, n_candidates, n_relevant,
+       ROUND(CASE WHEN n_relevant > 0
+             THEN _apsum / CAST(n_relevant AS DOUBLE) END, {round_to}) AS ap
+FROM agg
+"""
+
+
+def matthews_corr(
+    df: DataFrame,
+    actual_col: str,
+    pred_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Matthews correlation coefficient per segment — the single-number
+    binary-classifier readout that stays honest under class imbalance
+    (accuracy and F1 both inflate when one class dominates, the normal
+    condition for PII/quality/contamination gates):
+
+        MCC = (TP·TN − FP·FN) /
+              sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN)).
+
+    Exactness: four integer confusion cells from one conditional
+    aggregation, DECIMAL(38,0) cross products, one pinned sqrt tail —
+    NULL when any marginal is 0 (the undefined case). Output per
+    segment: ``(*by, tp, fp, tn, fn, mcc)``.
+    """
+    keys = list(by or [])
+    a = F.col(actual_col).cast("boolean")
+    p = F.col(pred_col).cast("boolean")
+    per = df.groupBy(*keys).agg(
+        F.sum(F.when(a & p, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~a & p, 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~a & ~p, 1).otherwise(0)).alias("tn"),
+        F.sum(F.when(a & ~p, 1).otherwise(0)).alias("fn"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    tp, fp, tn, fn = (F.col(x) for x in ("tp", "fp", "tn", "fn"))
+    num = (dec(tp) * dec(tn) - dec(fp) * dec(fn)).cast("double")
+    m1, m2, m3, m4 = tp + fp, tp + fn, tn + fp, tn + fn
+    den = F.sqrt(
+        (dec(m1) * dec(m2)).cast("double") * (dec(m3) * dec(m4)).cast("double")
+    )
+    ok = (m1 > 0) & (m2 > 0) & (m3 > 0) & (m4 > 0)
+    out = per.select(
+        *keys, "tp", "fp", "tn", "fn",
+        F.round(F.when(ok, num / den), round_to).alias("mcc"),
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def matthews_corr_oracle_sql(
+    pairs_sql: str,
+    actual_col: str,
+    pred_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same four cells, HUGEINT cross products, same
+    pinned sqrt tail and zero-marginal NULL guard."""
+    keys = list(by or [])
+    gc = ", ".join(keys)
+    sel = (gc + ", ") if keys else ""
+    order = f"ORDER BY {gc}" if keys else ""
+    a = f"CAST({actual_col} AS BOOLEAN)"
+    p = f"CAST({pred_col} AS BOOLEAN)"
+    return f"""
+WITH pairs AS ({pairs_sql}),
+per AS (
+  SELECT {sel}
+         CAST(SUM(CASE WHEN {a} AND {p} THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN NOT {a} AND {p} THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN NOT {a} AND NOT {p} THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         CAST(SUM(CASE WHEN {a} AND NOT {p} THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM pairs {("GROUP BY " + gc) if keys else ""}
+)
+SELECT {sel}tp, fp, tn, fn,
+       ROUND(CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0 AND tn + fn > 0
+             THEN CAST(CAST(tp AS HUGEINT) * CAST(tn AS HUGEINT)
+                       - CAST(fp AS HUGEINT) * CAST(fn AS HUGEINT) AS DOUBLE)
+                  / SQRT(CAST(CAST(tp + fp AS HUGEINT) * CAST(tp + fn AS HUGEINT) AS DOUBLE)
+                         * CAST(CAST(tn + fp AS HUGEINT) * CAST(tn + fn AS HUGEINT) AS DOUBLE))
+             END, {round_to}) AS mcc
+FROM per {order}
+"""
