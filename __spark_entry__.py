@@ -9484,6 +9484,166 @@ def _sql_cronbach_alpha() -> str:
 SQL_CRONBACH_ALPHA = _sql_cronbach_alpha()
 
 
+
+
+def q_modularity(spark, sf):
+    """Partition quality (`graph.modularity`): Newman modularity of the
+    nation partition over the customer↔supplier trade graph — "does
+    trade cluster along nation lines more than degree chance predicts".
+    Per-community exact integers (m, e_c, d_c); the 4·m·e_c − d_c²
+    numerator stays DECIMAL, one pinned division — the acceptance
+    readout for `label_propagation`/`dedup_clusters` partitions."""
+    from revtron_utils_spark.operators.graph import modularity
+
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    cust = _t(spark, sf, "customer").select(
+        (F.col("c_custkey") * 2).alias("node"),
+        F.col("c_nationkey").alias("community"),
+    )
+    supp = _t(spark, sf, "supplier").select(
+        (F.col("s_suppkey") * 2 + 1).alias("node"),
+        F.col("s_nationkey").alias("community"),
+    )
+    return modularity(edges, cust.unionByName(supp))
+
+
+def _sql_modularity() -> str:
+    from revtron_utils_spark.operators.graph import modularity_oracle_sql
+
+    edges = (
+        "SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst"
+        " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    )
+    comm = (
+        "SELECT c_custkey * 2 AS node, c_nationkey AS community FROM customer"
+        " UNION ALL "
+        "SELECT s_suppkey * 2 + 1 AS node, s_nationkey AS community FROM supplier"
+    )
+    return modularity_oracle_sql(edges, comm)
+
+
+SQL_MODULARITY = _sql_modularity()
+
+
+def q_acf_lags(spark, sf):
+    """Autocorrelation (`timeseries.acf_lags`): per-priority monthly
+    order-count series, ACF at lags 1..5 — "does last month predict
+    this month" screened before anyone fits `ewma_series`/
+    `holt_forecast`. n-scaled integer deviations keep every lag
+    product DECIMAL-exact; one pinned division per (group, lag)."""
+    from revtron_utils_spark.operators.timeseries import acf_lags
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mon"),
+    )
+    series = o.groupBy(F.col("o_orderpriority").alias("prio"), "mon").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return acf_lags(series, "prio", "mon", "cnt", max_lag=5)
+
+
+def _sql_acf_lags() -> str:
+    from revtron_utils_spark.operators.timeseries import acf_lags_oracle_sql
+
+    series = """
+SELECT o_orderpriority AS prio,
+       CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS BIGINT) AS mon,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders GROUP BY 1, 2
+"""
+    return acf_lags_oracle_sql(series, "prio", "mon", "cnt", max_lag=5)
+
+
+SQL_ACF_LAGS = _sql_acf_lags()
+
+
+def q_regression_influence(spark, sf):
+    """Row-level fit diagnostics (`profile.regression_influence`): per
+    nation, the 3 orders that most distort the order-value-over-time
+    trend line (Cook's distance + leverage) — the record-level
+    companion to `grouped_linreg` (the fit) and `loo_influence`
+    (group-level leave-out). Exact DECIMAL residual numerators from one
+    scan, pinned float tail, deterministic top-3 window."""
+    from revtron_utils_spark.operators.profile import regression_influence
+
+    o = _t(spark, sf, "orders").select(
+        "o_custkey",
+        F.col("o_orderkey").alias("order_id"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast("long").alias("day"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nation"), "order_id", "day", "cents"
+    )
+    return regression_influence(j, "nation", "day", "cents", "order_id")
+
+
+def _sql_regression_influence() -> str:
+    from revtron_utils_spark.operators.profile import (
+        regression_influence_oracle_sql,
+    )
+
+    points = """
+SELECT c_nationkey AS nation, o_orderkey AS order_id,
+       CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS day,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+    return regression_influence_oracle_sql(
+        points, "nation", "day", "cents", "order_id"
+    )
+
+
+SQL_REGRESSION_INFLUENCE = _sql_regression_influence()
+
+
+def q_mantel_haenszel(spark, sf):
+    """Confounder-adjusted association (`profile.mantel_haenszel`):
+    does URGENT priority associate with a finished order status once
+    you stratify by market segment — OR_MH pooled over the five
+    segment strata, reported against the crude OR (the Simpson's-
+    paradox guard that completes `odds_ratio`). Exact per-stratum
+    cells; stratum-ordered a·d/n folds; pinned divisions."""
+    from revtron_utils_spark.operators.profile import mantel_haenszel
+
+    o = _t(spark, sf, "orders").select(
+        "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("treat"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("done"),
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "treat", "done"
+    )
+    return mantel_haenszel(j, "c_mktsegment", "treat", "done")
+
+
+def _sql_mantel_haenszel() -> str:
+    from revtron_utils_spark.operators.profile import mantel_haenszel_oracle_sql
+
+    units = """
+SELECT c_mktsegment,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS treat,
+       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS done
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+    return mantel_haenszel_oracle_sql(units, "c_mktsegment", "treat", "done")
+
+
+SQL_MANTEL_HAENSZEL = _sql_mantel_haenszel()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -9767,6 +9927,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mean_avg_precision": (q_mean_avg_precision, SQL_MEAN_AVG_PRECISION),
     "matthews_corr": (q_matthews_corr, SQL_MATTHEWS_CORR),
     "cronbach_alpha": (q_cronbach_alpha, SQL_CRONBACH_ALPHA),
+    "modularity": (q_modularity, SQL_MODULARITY),
+    "acf_lags": (q_acf_lags, SQL_ACF_LAGS),
+    "regression_influence": (q_regression_influence, SQL_REGRESSION_INFLUENCE),
+    "mantel_haenszel": (q_mantel_haenszel, SQL_MANTEL_HAENSZEL),
 }
 
 

@@ -224,6 +224,10 @@ HEADLINE = [
     "mean_avg_precision",
     "matthews_corr",
     "cronbach_alpha",
+    "modularity",
+    "acf_lags",
+    "regression_influence",
+    "mantel_haenszel",
 ]
 
 

@@ -1469,3 +1469,155 @@ SELECT d.node, d.degree, COALESCE(pt.triangles, 0) AS triangles,
              END, {round_to}) AS cc
 FROM deg d LEFT JOIN pt ON d.node = pt.node
 """
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    community_col: str = "community",
+    round_to: int = 6,
+) -> DataFrame:
+    """Newman modularity of a given partition over the UNDIRECTED
+    simple graph — the "was that community detection any good" readout
+    that closes the loop on ``label_propagation`` / ``
+    connected_components``: per community c,
+
+        Q_c = e_c/m − (d_c / 2m)²,      Q = Σ_c Q_c,
+
+    with m the undirected edge count, e_c the intra-community edge
+    count and d_c the community's degree sum. Q ≈ 0 means the partition
+    explains no more structure than a degree-preserving random graph.
+
+    Exactness: m, e_c, d_c are exact integer counts; Q_c·4m² =
+    4·m·e_c − d_c² stays DECIMAL(38,0)-exact (4m² < 10³⁸ up to ~10¹⁸
+    edges), and the only float op is the single pinned division by 4m².
+    Output: one row per community ``(community, n_nodes,
+    internal_edges, degree_sum, q_contrib)`` — callers sum q_contrib
+    for the scalar Q (an ordered fold if they need it hash-stable).
+
+    Scale: one edge-canonicalization distinct, two edge⋈community
+    joins (community frames are data-sized — no broadcast hint, AQE
+    decides), one degree aggregation. Nodes missing from
+    ``communities`` fail fast — a silent drop would skew e_c vs d_c.
+    """
+    cm = communities.select(
+        F.col(node_col).alias("_n"), F.col(community_col).alias("_c")
+    )
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+    # canonical undirected edge (min, max): each unordered pair once
+    e = raw.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    deg_src = e.select(F.col("u").alias("_n")).unionByName(
+        e.select(F.col("v").alias("_n"))
+    )
+    deg = deg_src.groupBy("_n").agg(F.count(F.lit(1)).alias("_deg"))
+    labeled = deg.join(cm, "_n", "left")
+    n_missing = labeled.where(F.col("_c").isNull()).count()
+    if n_missing:
+        raise ValueError(
+            f"modularity: {n_missing} graph node(s) missing from the "
+            "communities frame — a silent drop would skew e_c against "
+            "d_c; label every node (connected_components/"
+            "label_propagation output does)"
+        )
+    m_row = e.agg(F.count(F.lit(1)).alias("_m")).first()
+    m = int(m_row["_m"] or 0)
+    if m == 0:
+        return labeled.select(
+            F.col("_c").alias(community_col),
+            F.lit(0).cast("bigint").alias("n_nodes"),
+            F.lit(0).cast("bigint").alias("internal_edges"),
+            F.lit(0).cast("bigint").alias("degree_sum"),
+            F.lit(None).cast("double").alias("q_contrib"),
+        ).limit(0)
+    cu = cm.select(F.col("_n").alias("_nu"), F.col("_c").alias("_cu"))
+    cv = cm.select(F.col("_n").alias("_nv"), F.col("_c").alias("_cv"))
+    intra = (
+        e.join(cu, e.u == cu._nu)
+        .join(cv, e.v == cv._nv)
+        .where(F.col("_cu") == F.col("_cv"))
+        .groupBy(F.col("_cu").alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_ec"))
+    )
+    per = (
+        labeled.groupBy("_c")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("_deg").alias("degree_sum"),
+        )
+        .join(intra, "_c", "left")
+        .select(
+            F.col("_c").alias(community_col),
+            "n_nodes",
+            F.coalesce(F.col("_ec"), F.lit(0)).cast("bigint").alias(
+                "internal_edges"
+            ),
+            F.col("degree_sum").cast("bigint").alias("degree_sum"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    q_num = dec(F.lit(4 * m)) * dec(F.col("internal_edges")) - dec(
+        F.col("degree_sum")
+    ) * dec(F.col("degree_sum"))
+    return per.select(
+        community_col,
+        "n_nodes",
+        "internal_edges",
+        "degree_sum",
+        F.round(
+            q_num.cast("double") / F.lit(float(4 * m * m)), round_to
+        ).alias("q_contrib"),
+    )
+
+
+def modularity_oracle_sql(
+    edges_sql: str,
+    communities_sql: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same canonical undirected edges, same integer
+    4·m·e_c − d_c² numerator, same single pinned division. The
+    ``communities_sql`` must label every node (the engine raises on a
+    miss; the twin assumes the contract holds). Expects columns
+    (src, dst) and (node, community)."""
+    return f"""
+WITH cm AS MATERIALIZED (
+  SELECT node AS _n, community AS _c FROM ({communities_sql})
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM ({edges_sql}) WHERE src != dst
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+deg AS (
+  SELECT _n, CAST(COUNT(*) AS BIGINT) AS _deg
+  FROM (SELECT u AS _n FROM e UNION ALL SELECT v FROM e)
+  GROUP BY _n
+),
+intra AS (
+  SELECT cu._c, CAST(COUNT(*) AS BIGINT) AS _ec
+  FROM e JOIN cm cu ON e.u = cu._n JOIN cm cv ON e.v = cv._n
+  WHERE cu._c = cv._c
+  GROUP BY cu._c
+),
+per AS (
+  SELECT cm._c, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d._deg) AS BIGINT) AS degree_sum
+  FROM deg d JOIN cm ON d._n = cm._n
+  GROUP BY cm._c
+)
+SELECT per._c AS community, per.n_nodes,
+       COALESCE(intra._ec, 0) AS internal_edges, per.degree_sum,
+       ROUND(CAST(CAST(4 AS HUGEINT) * m.m * COALESCE(intra._ec, 0)
+                  - CAST(per.degree_sum AS HUGEINT) * CAST(per.degree_sum AS HUGEINT)
+                  AS DOUBLE)
+             / CAST(CAST(4 AS HUGEINT) * m.m * m.m AS DOUBLE), {round_to})
+       AS q_contrib
+FROM per LEFT JOIN intra ON per._c = intra._c, m
+"""

@@ -3062,3 +3062,308 @@ SELECT n, CAST(concordant AS BIGINT) AS concordant,
              END, {round_to}) AS tau_b
 FROM pairs, margins, tx, ty
 """
+
+
+def regression_influence(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    top_n: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-point OLS influence diagnostics for each group's y~x fit —
+    leverage and Cook's distance, surfacing the ``top_n`` most
+    fit-distorting points per group. The row-level companion to
+    :func:`grouped_linreg` (the fit) and :func:`loo_group_influence`
+    (group-level leave-out): "which individual records are bending this
+    source's trend line".
+
+    Exactness (exact one-scan algebra, not per-point refits): with the
+    integer group moments S_x, S_y, S_xx, S_xy, S_yy,
+
+        βnum = n·S_xy − S_x·S_y,  βden = n·S_xx − S_x²,
+        R_i  = βden·(n·y_i − S_y) − βnum·(n·x_i − S_x)   (∝ residual),
+
+    every quantity above is an exact DECIMAL(38,0) integer (width
+    MEASURED fail-fast: 8·n³·max|x|²·max|y| < 10³⁸); leverage
+    h_i = 1/n + (n·x_i − S_x)²/(n·βden), the residual e_i = R_i/(n·βden),
+    s² = SSE/(n−2) and Cook's D_i = e_i²·h_i/(2·s²·(1−h_i)²) are the
+    pinned float tail, token-identical in the oracle. The per-group
+    top-n window orders by (cooks_d DESC, id ASC) — both engines rank
+    identical doubles identically.
+
+    Output: ``(group, id, x, y, leverage, cooks_d, rnk)`` for the
+    ``top_n`` rows per group (groups need n > 2, nonzero x variance and
+    SSE > 0 — degenerate groups yield no rows).
+    """
+    from pyspark.sql import Window
+
+    dec = lambda c: c.cast("decimal(38,0)")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    stats = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec(F.col("_x"))).alias("_sx"),
+        F.sum(dec(F.col("_y"))).alias("_sy"),
+        F.sum(dec(F.col("_x")) * dec(F.col("_x"))).alias("_sxx"),
+        F.sum(dec(F.col("_x")) * dec(F.col("_y"))).alias("_sxy"),
+        F.sum(dec(F.col("_y")) * dec(F.col("_y"))).alias("_syy"),
+        F.max(F.abs(F.col("_x"))).alias("_mx"),
+        F.max(F.abs(F.col("_y"))).alias("_my"),
+    )
+    w = stats.agg(
+        F.max("_n").alias("_n"),
+        F.max("_mx").alias("_mx"),
+        F.max("_my").alias("_my"),
+    ).first()
+    n_w, mx_w, my_w = (int(w[c] or 0) for c in ("_n", "_mx", "_my"))
+    if 8 * (n_w**3) * (mx_w**2) * max(my_w, mx_w) >= 10**38:
+        raise ValueError(
+            f"regression_influence: 8·n³·max|x|²·max(|y|,|x|) = "
+            f"8·{n_w}³·{mx_w}²·{max(my_w, mx_w)} would overflow the "
+            "DECIMAL(38,0) residual numerators — rescale x/y or "
+            "pre-aggregate"
+        )
+    j = base.join(stats.drop("_mx", "_my"), "_g")
+    n = F.col("_n")
+    bnum = dec(n) * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    bden = dec(n) * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dx = dec(n) * dec(F.col("_x")) - F.col("_sx")
+    dy = dec(n) * dec(F.col("_y")) - F.col("_sy")
+    r_i = bden * dy - bnum * dx
+    syyc = dec(n) * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    nd = n.cast("double")
+    nbden = (dec(n) * bden).cast("double")
+    h = F.lit(1.0) / nd + (dx * dx).cast("double") / nbden
+    e = r_i.cast("double") / nbden
+    sse = syyc.cast("double") / nd - (
+        bnum.cast("double") * bnum.cast("double")
+    ) / nbden
+    s2 = sse / (nd - F.lit(2.0))
+    cooks = (e * e * h) / (
+        F.lit(2.0) * s2 * (F.lit(1.0) - h) * (F.lit(1.0) - h)
+    )
+    ok = (n > 2) & (bden > 0) & (sse > 0) & (h < 1.0)
+    scored = j.where(ok).select(
+        "_g",
+        "_id",
+        "_x",
+        "_y",
+        h.alias("_h"),
+        cooks.alias("_cd"),
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("_g").orderBy(
+            F.col("_cd").desc(), F.col("_id").asc()
+        )
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= top_n)
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_id").alias(id_col),
+            F.col("_x").alias(x_col),
+            F.col("_y").alias(y_col),
+            F.round(F.col("_h"), round_to).alias("leverage"),
+            F.round(F.col("_cd"), round_to).alias("cooks_d"),
+            "rnk",
+        )
+    )
+
+
+def regression_influence_oracle_sql(
+    points_sql: str,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    top_n: int = 3,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same HUGEINT moments/residual numerators, same
+    pinned leverage/Cook's tail, same (cooks DESC, id ASC) QUALIFY
+    top-n."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {group_col} AS _g, {id_col} AS _id,
+         CAST({x_col} AS BIGINT) AS _x, CAST({y_col} AS BIGINT) AS _y
+  FROM ({points_sql})
+),
+stats AS (
+  SELECT _g, CAST(COUNT(*) AS BIGINT) AS _n,
+         SUM(CAST(_x AS HUGEINT)) AS _sx, SUM(CAST(_y AS HUGEINT)) AS _sy,
+         SUM(CAST(_x AS HUGEINT) * CAST(_x AS HUGEINT)) AS _sxx,
+         SUM(CAST(_x AS HUGEINT) * CAST(_y AS HUGEINT)) AS _sxy,
+         SUM(CAST(_y AS HUGEINT) * CAST(_y AS HUGEINT)) AS _syy
+  FROM base GROUP BY _g
+),
+scored AS (
+  SELECT b._g, b._id, b._x, b._y,
+         1.0 / CAST(s._n AS DOUBLE)
+         + CAST((CAST(s._n AS HUGEINT) * b._x - s._sx)
+                * (CAST(s._n AS HUGEINT) * b._x - s._sx) AS DOUBLE)
+           / CAST(CAST(s._n AS HUGEINT)
+                  * (CAST(s._n AS HUGEINT) * s._sxx - s._sx * s._sx) AS DOUBLE)
+         AS _h,
+         CAST((CAST(s._n AS HUGEINT) * s._sxx - s._sx * s._sx)
+              * (CAST(s._n AS HUGEINT) * b._y - s._sy)
+              - (CAST(s._n AS HUGEINT) * s._sxy - s._sx * s._sy)
+                * (CAST(s._n AS HUGEINT) * b._x - s._sx) AS DOUBLE)
+         / CAST(CAST(s._n AS HUGEINT)
+                * (CAST(s._n AS HUGEINT) * s._sxx - s._sx * s._sx) AS DOUBLE)
+         AS _e,
+         CAST(CAST(s._n AS HUGEINT) * s._syy - s._sy * s._sy AS DOUBLE)
+           / CAST(s._n AS DOUBLE)
+         - (CAST(CAST(s._n AS HUGEINT) * s._sxy - s._sx * s._sy AS DOUBLE)
+            * CAST(CAST(s._n AS HUGEINT) * s._sxy - s._sx * s._sy AS DOUBLE))
+           / CAST(CAST(s._n AS HUGEINT)
+                  * (CAST(s._n AS HUGEINT) * s._sxx - s._sx * s._sx) AS DOUBLE)
+         AS _sse,
+         s._n AS _n,
+         CAST(s._n AS HUGEINT) * s._sxx - s._sx * s._sx AS _bden
+  FROM base b JOIN stats s ON b._g = s._g
+),
+flagged AS (
+  SELECT _g, _id, _x, _y, _h,
+         (_e * _e * _h)
+         / (2.0 * (_sse / (CAST(_n AS DOUBLE) - 2.0))
+            * (1.0 - _h) * (1.0 - _h)) AS _cd
+  FROM scored
+  WHERE _n > 2 AND _bden > 0 AND _sse > 0 AND _h < 1.0
+)
+SELECT _g AS {group_col}, _id AS {id_col}, _x AS {x_col}, _y AS {y_col},
+       ROUND(_h, {round_to}) AS leverage, ROUND(_cd, {round_to}) AS cooks_d,
+       CAST(ROW_NUMBER() OVER (PARTITION BY _g ORDER BY _cd DESC, _id ASC)
+            AS INTEGER) AS rnk
+FROM flagged
+QUALIFY rnk <= {top_n}
+"""
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    treat_col: str,
+    outcome_col: str,
+    round_to: int = 6,
+    max_strata: int | None = 10_000,
+) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio across strata — the
+    confounder-adjusted completion of :func:`odds_ratio` (crude OR
+    answers "does treatment associate with outcome"; MH answers it
+    WITHIN each stratum and pools, the classic Simpson's-paradox
+    guard):
+
+        OR_MH = Σ_i (a_i·d_i / n_i) / Σ_i (b_i·c_i / n_i),
+
+    reported next to the CRUDE pooled OR (Σa·Σd)/(Σb·Σc) — the two
+    disagreeing is the confounding readout. Exactness: the four cells
+    per stratum are exact integers; each a·d/n term is one pinned
+    division folded in STRATUM ORDER (bounded catalog by contract,
+    ``max_strata`` guard); the crude OR is exact DECIMAL products with
+    one division. Output one row: ``(n_strata, n, or_crude, or_mh)`` —
+    NULL ORs when a denominator is 0.
+    """
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, stratum_col, [], max_strata, "mantel_haenszel")
+    dec = lambda c: c.cast("decimal(38,0)")
+    t = F.col(treat_col).cast("int")
+    o = F.col(outcome_col).cast("int")
+    per = df.groupBy(F.col(stratum_col).alias("_q")).agg(
+        F.sum(F.when((t == 1) & (o == 1), 1).otherwise(0)).alias("_a"),
+        F.sum(F.when((t == 1) & (o == 0), 1).otherwise(0)).alias("_b"),
+        F.sum(F.when((t == 0) & (o == 1), 1).otherwise(0)).alias("_c"),
+        F.sum(F.when((t == 0) & (o == 0), 1).otherwise(0)).alias("_d"),
+    )
+    ni = F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d")
+    term = lambda p, q: (dec(p) * dec(q)).cast("double") / ni.cast("double")
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(ni).alias("n"),
+        F.sum(dec(F.col("_a"))).alias("_sa"),
+        F.sum(dec(F.col("_b"))).alias("_sb"),
+        F.sum(dec(F.col("_c"))).alias("_sc"),
+        F.sum(dec(F.col("_d"))).alias("_sd"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_q").alias("q"),
+                    term(F.col("_a"), F.col("_d")).alias("ad"),
+                    term(F.col("_b"), F.col("_c")).alias("bc"),
+                )
+            )
+        ).alias("_terms"),
+    )
+    folded = agg.withColumn(
+        "_sad",
+        F.aggregate(F.col("_terms"), F.lit(0.0), lambda a, x: a + x["ad"]),
+    ).withColumn(
+        "_sbc",
+        F.aggregate(F.col("_terms"), F.lit(0.0), lambda a, x: a + x["bc"]),
+    )
+    crude_num = (F.col("_sa") * F.col("_sd")).cast("double")
+    crude_den = (F.col("_sb") * F.col("_sc")).cast("double")
+    return folded.select(
+        "n_strata",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.when(crude_den > 0, crude_num / crude_den), round_to
+        ).alias("or_crude"),
+        F.round(
+            F.when(F.col("_sbc") > 0, F.col("_sad") / F.col("_sbc")),
+            round_to,
+        ).alias("or_mh"),
+    )
+
+
+def mantel_haenszel_oracle_sql(
+    units_sql: str,
+    stratum_col: str,
+    treat_col: str,
+    outcome_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same per-stratum cells, same stratum-ordered
+    a·d/n and b·c/n folds, same crude-OR DECIMAL products."""
+    t = f"CAST({treat_col} AS INTEGER)"
+    o = f"CAST({outcome_col} AS INTEGER)"
+    return f"""
+WITH units AS ({units_sql}),
+per AS (
+  SELECT {stratum_col} AS _q,
+         CAST(SUM(CASE WHEN {t} = 1 AND {o} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS _a,
+         CAST(SUM(CASE WHEN {t} = 1 AND {o} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS _b,
+         CAST(SUM(CASE WHEN {t} = 0 AND {o} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS _c,
+         CAST(SUM(CASE WHEN {t} = 0 AND {o} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS _d
+  FROM units GROUP BY {stratum_col}
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(SUM(_a + _b + _c + _d) AS BIGINT) AS n,
+         SUM(CAST(_a AS HUGEINT)) AS _sa, SUM(CAST(_b AS HUGEINT)) AS _sb,
+         SUM(CAST(_c AS HUGEINT)) AS _sc, SUM(CAST(_d AS HUGEINT)) AS _sd,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CAST(CAST(_a AS HUGEINT) * CAST(_d AS HUGEINT) AS DOUBLE)
+                / CAST(_a + _b + _c + _d AS DOUBLE) ORDER BY _q)),
+           (x, y) -> x + y) AS _sad,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CAST(CAST(_b AS HUGEINT) * CAST(_c AS HUGEINT) AS DOUBLE)
+                / CAST(_a + _b + _c + _d AS DOUBLE) ORDER BY _q)),
+           (x, y) -> x + y) AS _sbc
+  FROM per
+)
+SELECT n_strata, n,
+       ROUND(CASE WHEN CAST(_sb * _sc AS DOUBLE) > 0
+             THEN CAST(_sa * _sd AS DOUBLE) / CAST(_sb * _sc AS DOUBLE)
+             END, {round_to}) AS or_crude,
+       ROUND(CASE WHEN _sbc > 0 THEN _sad / _sbc END, {round_to}) AS or_mh
+FROM agg
+"""

@@ -898,3 +898,156 @@ SELECT {gc}, CAST(n AS BIGINT) AS n_buckets,
        t AS alarm_t
 FROM picked WHERE _r = 1
 """
+
+
+def acf_lags(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    max_lag: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group sample autocorrelation at lags 1..``max_lag`` over a
+    bucketed series — the "does yesterday predict today" readout that
+    sits before the ewma/holt smoothers (a flat ACF says don't bother;
+    a spike at lag 7 says the seasonality index will work):
+
+        acf_k = Σ_t (x_t − x̄)(x_{t−k} − x̄) / Σ_t (x_t − x̄)².
+
+    Exactness (the n-SCALED deviation trick, the page_hinkley
+    precedent): dev_t = n·x_t − S is an INTEGER, the lag products
+    Σ dev_t·dev_{t−k} and the denominator Σ dev_t² are exact
+    DECIMAL(38,0) — n² cancels in the ratio, so ONE pinned division per
+    lag is the only float op. Width is MEASURED fail-fast
+    (4·n³·max|x|² < 10³⁸), and duplicate (group, time) buckets raise —
+    a silent duplicate would corrupt every lag alignment.
+
+    Scale: everything is group-partitioned (stats join + one ordered
+    lag window per group); no unpartitioned window, no driver loop.
+    Output: ``(group, lag, n, acf)`` — acf NULL when the group has
+    ≤ lag points or zero variance.
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(time_col).alias("_t"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    chk = base.groupBy("_g", "_t").agg(F.count(F.lit(1)).alias("_c")).agg(
+        F.max("_c").alias("_dup"),
+        F.count(F.lit(1)).alias("_pts"),
+    )
+    stats = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_s"),
+        F.max(F.abs(F.col("_x"))).alias("_mx"),
+    )
+    worst = chk.first()
+    if (worst["_dup"] or 0) > 1:
+        raise ValueError(
+            "acf_lags: duplicate (group, time) buckets — pre-aggregate "
+            "the series (one row per bucket) or the lag alignment is "
+            "meaningless"
+        )
+    wrow = stats.agg(
+        F.max("_n").alias("_n"), F.max("_mx").alias("_mx")
+    ).first()
+    n_w, mx_w = int(wrow["_n"] or 0), int(wrow["_mx"] or 0)
+    if 4 * (n_w**3) * (mx_w**2) >= 10**38:
+        raise ValueError(
+            f"acf_lags: 4·n³·max(x)² = 4·{n_w}³·{mx_w}² would overflow "
+            "the DECIMAL(38,0) lag-product sums — bucket the series "
+            "coarser or rescale the metric"
+        )
+    dec = lambda c: c.cast("decimal(38,0)")
+    dev = base.join(stats.select("_g", "_n", "_s"), "_g").select(
+        "_g",
+        "_t",
+        "_n",
+        (dec(F.col("_n")) * dec(F.col("_x")) - dec(F.col("_s"))).alias("_d"),
+    )
+    w = Window.partitionBy("_g").orderBy("_t")
+    lag_terms = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"),
+                (F.col("_d") * F.lag("_d", k).over(w)).alias("prod"),
+            )
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    exploded = (
+        dev.withColumn("_terms", lag_terms)
+        .select("_g", "_n", "_d", F.explode("_terms").alias("_e"))
+        .select(
+            "_g",
+            "_n",
+            "_d",
+            F.col("_e.lag").alias("lag"),
+            F.col("_e.prod").alias("_prod"),
+        )
+    )
+    per = exploded.groupBy("_g", "lag", "_n").agg(
+        F.sum("_prod").alias("_num"),
+        # each row contributes its dev² once per lag slot; divide back
+        F.sum(F.col("_d") * F.col("_d")).alias("_densum"),
+    )
+    den = F.col("_densum")  # Σ dev² (identical for every lag of a group)
+    return per.select(
+        F.col("_g").alias(group_col),
+        "lag",
+        F.col("_n").cast("long").alias("n"),
+        F.round(
+            F.when(
+                (F.col("_n") > F.col("lag")) & (den > 0),
+                F.col("_num").cast("double") / den.cast("double"),
+            ),
+            round_to,
+        ).alias("acf"),
+    )
+
+
+def acf_lags_oracle_sql(
+    series_sql: str,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    max_lag: int = 5,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same n-scaled integer deviations, same per-lag
+    HUGEINT products via group-partitioned LAG windows, same single
+    pinned division per lag."""
+    lag_rows = " UNION ALL ".join(f"SELECT {k} AS lag" for k in range(1, max_lag + 1))
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {group_col} AS _g, {time_col} AS _t,
+         CAST({value_col} AS BIGINT) AS _x
+  FROM ({series_sql})
+),
+stats AS (
+  SELECT _g, CAST(COUNT(*) AS BIGINT) AS _n, SUM(CAST(_x AS HUGEINT)) AS _s
+  FROM base GROUP BY _g
+),
+dev AS MATERIALIZED (
+  SELECT b._g, b._t, s._n,
+         CAST(s._n AS HUGEINT) * CAST(b._x AS HUGEINT) - s._s AS _d
+  FROM base b JOIN stats s ON b._g = s._g
+),
+lags AS ({lag_rows}),
+terms AS (
+  SELECT d._g, d._n, l.lag, d._d,
+         d._d * LAG(d._d, l.lag) OVER (PARTITION BY d._g, l.lag ORDER BY d._t)
+         AS _prod
+  FROM dev d CROSS JOIN lags l
+),
+per AS (
+  SELECT _g, lag, _n, SUM(_prod) AS _num, SUM(_d * _d) AS _densum
+  FROM terms GROUP BY _g, lag, _n
+)
+SELECT _g AS {group_col}, lag, _n AS n,
+       ROUND(CASE WHEN _n > lag AND _densum > 0
+             THEN CAST(_num AS DOUBLE) / CAST(_densum AS DOUBLE) END,
+             {round_to}) AS acf
+FROM per
+"""
