@@ -7083,9 +7083,13 @@ def q_compression_ratio(spark, sf):
 
 
 def q_embedding_pipeline_scaled(spark, sf):
-    """The 100-TB configuration of `embedding_pipeline` (rows-only by
-    design: the plane count adapts to the corpus, so no static SQL twin
-    exists): same outlier screen, but SemDeDup with ``planes='auto'``
+    """The 100-TB configuration of `embedding_pipeline`, hash-gated
+    END-TO-END since round 10: the adaptive plane count is a
+    deterministic function of the post-outlier corpus count, and the
+    oracle derives the SAME count with a log2-free integer predicate
+    (see `_sql_embedding_pipeline_scaled`) — so the dynamic sizing
+    itself is under the hash gate. Same outlier screen as the exact
+    pipeline, but SemDeDup with ``planes='auto'``
     (clusters ∝ n, expected cluster population bounded near 1000 — the
     within-cluster O(Σc²) verify stays linear in n instead of the fixed-
     plane O(n²/2^planes)), and the kNN readout restricted to each
@@ -7113,6 +7117,93 @@ def q_embedding_pipeline_scaled(spark, sf):
         "rank",
         "cosine",
     )
+
+
+def _sql_embedding_pipeline_scaled() -> str:
+    """Hash twin for the 100-TB pipeline configuration (round-9 verdict
+    task 7): the ONE dynamic piece — SemDeDup's auto plane count — is
+    ``max(1, ceil(log2(max(2, n_clean/1000))))``, which equals the pure
+    INTEGER predicate ``min p ≥ 1 with 1000·2^p ≥ n_clean`` (no engine
+    evaluates log2: Python's float path can't round across a 2^k
+    boundary because n/1000 has granularity 1e-3 ≫ ulp). The plane
+    WEIGHTS were always the deterministic `semdedup._plane` integers.
+    Everything else reuses the hash-verified `embedding_pipeline`
+    stages, with the kNN readout blocked on cluster_id."""
+    return f"""
+WITH oq AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), onn AS (SELECT label, COUNT(*) AS n FROM oq GROUP BY label),
+oe AS (SELECT label, vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS pos FROM oq),
+os AS (SELECT label, pos, SUM(v) AS s FROM oe GROUP BY label, pos),
+od AS (
+  SELECT oe.label, oe.vec_id,
+         SUM((onn.n * oe.v - os.s) * (onn.n * oe.v - os.s)) AS d2n
+  FROM oe JOIN os ON oe.label = os.label AND oe.pos = os.pos
+          JOIN onn ON oe.label = onn.label
+  GROUP BY oe.label, oe.vec_id
+), outl AS (
+  SELECT vec_id FROM (
+    SELECT od.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY od.label ORDER BY od.d2n DESC, od.vec_id) AS rk
+    FROM od
+  ) WHERE rk <= 5
+), clean AS MATERIALIZED (
+  SELECT vec_id, {_QUANT} AS ev FROM embeddings
+  WHERE vec_id NOT IN (SELECT vec_id FROM outl)
+), pl AS (
+  -- auto plane count, log2-free: min p>=1 with 1000*2^p >= n_clean
+  SELECT MIN(p) AS planes FROM generate_series(1, 40) t(p)
+  WHERE CAST(1000 AS HUGEINT) * (CAST(1 AS HUGEINT) << p)
+        >= (SELECT COUNT(*) FROM clean)
+), pw AS (
+  -- semdedup._plane: ((j*131 + d + 7) * 2654435761) % 1000003 - 501001
+  SELECT j, d,
+         ((j * 131 + d + 7) * 2654435761) % 1000003 - 501001 AS w
+  FROM generate_series(0, 39) s(j) CROSS JOIN generate_series(0, 63) t(d)
+  WHERE j < (SELECT planes FROM pl)
+), ce AS (
+  SELECT vec_id, unnest(ev) AS v, generate_subscripts(ev, 1) - 1 AS d
+  FROM clean
+), sig AS (
+  SELECT ce.vec_id, pw.j, SUM(ce.v * pw.w) AS dot
+  FROM ce JOIN pw ON ce.d = pw.d
+  GROUP BY 1, 2
+), cid AS (
+  SELECT vec_id,
+         SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+         AS cluster_id
+  FROM sig GROUP BY vec_id
+), cl AS MATERIALIZED (
+  SELECT c.vec_id, c.ev, cid.cluster_id
+  FROM clean c JOIN cid ON c.vec_id = cid.vec_id
+), drp AS (
+  SELECT DISTINCT a.vec_id
+  FROM cl a JOIN cl b ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+  WHERE list_inner_product(a.ev, b.ev)
+        / (SQRT(list_inner_product(a.ev, a.ev)) * SQRT(list_inner_product(b.ev, b.ev))) >= 0.4
+), kept AS MATERIALIZED (
+  SELECT vec_id, ev, cluster_id FROM cl
+  WHERE vec_id NOT IN (SELECT vec_id FROM drp)
+), j AS (
+  SELECT q.vec_id AS query_id, k.vec_id AS neighbor_id,
+         ROUND(list_inner_product(q.ev, k.ev)
+               / (SQRT(list_inner_product(q.ev, q.ev))
+                  * SQRT(list_inner_product(k.ev, k.ev))), 6) AS cosine
+  FROM kept q JOIN kept k ON q.cluster_id = k.cluster_id
+  WHERE q.vec_id % 50 = 0
+)
+SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM j
+) WHERE rn <= 4
+"""
+
+
+SQL_EMBEDDING_PIPELINE_SCALED = _sql_embedding_pipeline_scaled()
 
 
 def q_kaplan_meier(spark, sf):
@@ -9842,7 +9933,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "k_core": (q_k_core, SQL_K_CORE),
     "embedding_pipeline": (q_embedding_pipeline, SQL_EMBEDDING_PIPELINE),
     "token_diversity": (q_token_diversity, SQL_TOKEN_DIVERSITY),
-    "embedding_pipeline_scaled": (q_embedding_pipeline_scaled, None),
+    "embedding_pipeline_scaled": (
+        q_embedding_pipeline_scaled,
+        SQL_EMBEDDING_PIPELINE_SCALED,
+    ),
     "skew_report": (q_skew_report, SQL_SKEW_REPORT),
     "majority_vote": (q_majority_vote, SQL_MAJORITY_VOTE),
     "annotator_kappa": (q_annotator_kappa, SQL_ANNOTATOR_KAPPA),
