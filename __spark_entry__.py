@@ -9735,6 +9735,249 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 SQL_MANTEL_HAENSZEL = _sql_mantel_haenszel()
 
 
+
+
+def q_friedman_test(spark, sf):
+    """Repeated-measures rank test (`profile.friedman_test`): do the
+    five market segments rank consistently in revenue WITHIN each
+    nation (the block)? Ranking inside each nation removes the
+    nation-size effect — the within-block-ranked sibling of
+    `kruskal_wallis`. Doubled midranks per block, all-integer Q
+    numerator AND denominator, one pinned division; nations missing a
+    segment are dropped and counted."""
+    from revtron_utils_spark.operators.profile import friedman_test
+
+    o = _t(spark, sf, "orders").select(
+        "o_custkey", F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents")
+    )
+    c = _t(spark, sf, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.sum("cents").alias("rev"))
+    )
+    return friedman_test(cells, "nation", "segment", "rev")
+
+
+def _sql_friedman_test() -> str:
+    from revtron_utils_spark.operators.profile import friedman_test_oracle_sql
+
+    rows = """
+SELECT c_nationkey AS nation, c_mktsegment AS segment,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+    return friedman_test_oracle_sql(rows, "nation", "segment", "rev")
+
+
+SQL_FRIEDMAN_TEST = _sql_friedman_test()
+
+
+def q_cochran_q(spark, sf):
+    """k related binary detectors (`profile.cochran_q`): do the three
+    document gates — is-English (marker-token lang-ID), long-form
+    (>200 chars), multi-line — fire at systematically different rates
+    on the SAME documents? The k-arm extension of `mcnemar_test`:
+    all-integer G/L sums, one pinned division."""
+    from revtron_utils_spark.operators.profile import cochran_q
+
+    docs = _t(spark, sf, "documents")
+    flat = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("en").alias("det"),
+                    (TX.lang_id("text") == "en").cast("int").alias("fired"),
+                ),
+                F.struct(
+                    F.lit("long").alias("det"),
+                    (F.length("text") > 200).cast("int").alias("fired"),
+                ),
+                F.struct(
+                    F.lit("multiline").alias("det"),
+                    (F.size(F.split(F.col("text"), "\\n")) > 1)
+                    .cast("int")
+                    .alias("fired"),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.det").alias("det"), F.col("e.fired").alias("fired"))
+    return cochran_q(flat, "doc_id", "det", "fired")
+
+
+def _sql_cochran_q() -> str:
+    from revtron_utils_spark.operators.profile import cochran_q_oracle_sql
+
+    rows = f"""
+SELECT d.doc_id, 'en' AS det,
+       CASE WHEN lp.lang_pred = 'en' THEN 1 ELSE 0 END AS fired
+FROM documents d JOIN ({SQL_LANG_ID}) lp USING (doc_id)
+UNION ALL
+SELECT doc_id, 'long' AS det,
+       CASE WHEN length(text) > 200 THEN 1 ELSE 0 END AS fired
+FROM documents
+UNION ALL
+SELECT doc_id, 'multiline' AS det,
+       CASE WHEN len(string_split(text, chr(10))) > 1 THEN 1 ELSE 0 END AS fired
+FROM documents
+"""
+    return cochran_q_oracle_sql(rows, "doc_id", "det", "fired")
+
+
+SQL_COCHRAN_Q = _sql_cochran_q()
+
+
+def q_durbin_watson(spark, sf):
+    """Residual serial correlation (`timeseries.durbin_watson`): after
+    fitting monthly revenue vs month index per order priority, are the
+    residuals independent (DW≈2) or is the line hiding a cycle? Exact
+    integer residual numerators (scale cancels in DW), time-ordered
+    double folds, one division per group."""
+    from revtron_utils_spark.operators.timeseries import durbin_watson
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mon"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    series = o.groupBy(F.col("o_orderpriority").alias("prio"), "mon").agg(
+        # month revenue in DOLLARS: cents sums overflow the 16x width
+        # bound at sf>=1 (n=84 months, y<=1e10 cents); dollars keep the
+        # residual numerators inside DECIMAL(38,0) through sf100
+        (F.sum("cents") / F.lit(100)).cast("long").alias("rev")
+    )
+    return durbin_watson(series, "prio", "mon", "mon", "rev")
+
+
+def _sql_durbin_watson() -> str:
+    from revtron_utils_spark.operators.timeseries import durbin_watson_oracle_sql
+
+    series = """
+SELECT o_orderpriority AS prio,
+       CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS BIGINT) AS mon,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // 100 AS BIGINT) AS rev
+FROM orders GROUP BY 1, 2
+"""
+    return durbin_watson_oracle_sql(series, "prio", "mon", "mon", "rev")
+
+
+SQL_DURBIN_WATSON = _sql_durbin_watson()
+
+
+def q_effect_sizes(spark, sf):
+    """Effect sizes next to significance (`profile.effect_sizes`):
+    Cohen's d + Hedges g of URGENT vs non-urgent order value per market
+    segment — the "is the difference big enough to matter" readout
+    `ab_test`'s z/p can't give at corpus n. One conditional DECIMAL
+    aggregation, pinned variance/pool/d/g tail."""
+    from revtron_utils_spark.operators.profile import effect_sizes
+
+    o = _t(spark, sf, "orders").select(
+        "o_custkey",
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("treat"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "treat", "cents"
+    )
+    return effect_sizes(j, "treat", "cents", by=["c_mktsegment"])
+
+
+def _sql_effect_sizes() -> str:
+    from revtron_utils_spark.operators.profile import effect_sizes_oracle_sql
+
+    units = """
+SELECT c_mktsegment,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS treat,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+    return effect_sizes_oracle_sql(units, "treat", "cents", by=["c_mktsegment"])
+
+
+SQL_EFFECT_SIZES = _sql_effect_sizes()
+
+
+def q_community_quality(spark, sf):
+    """Composition gate: detect communities, then GRADE them —
+    `label_propagation` (3 synchronous rounds over the sparse
+    k-nearest-partner co-purchase graph, the `label_propagation` gate's
+    exact fixture) feeding `graph.modularity` (per-community Newman Q
+    contribution). The loop a real curation pipeline closes before
+    trusting community-based dedup or mixture decisions: detect →
+    score → accept/reject. Both stages reuse their standalone gates'
+    exact arithmetic, so the composed readout hash-matches the nested
+    oracle (LP rounds unrolled inside modularity's community CTE)."""
+    from pyspark.sql.window import Window
+
+    from revtron_utils_spark.operators.dedup import _persist
+    from revtron_utils_spark.operators.graph import label_propagation, modularity
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tiebreak = (
+        F.col("id_a") * F.lit(2654435761) + F.col("id_b") * F.lit(40503)
+    ) % F.lit(999999937)
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("w").desc(), tiebreak.asc(), F.col("id_b")
+    )
+    sparse = _persist(
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 10)
+        .select("id_a", "id_b")
+    )
+    comm = label_propagation(sparse, "id_a", "id_b", iterations=3).select(
+        "node", F.col("label").alias("community")
+    )
+    return modularity(sparse, comm, src="id_a", dst="id_b")
+
+
+def _sql_community_quality() -> str:
+    from revtron_utils_spark.operators.graph import (
+        label_propagation_oracle_sql,
+        modularity_oracle_sql,
+    )
+
+    edges_ab = r"""
+SELECT id_a AS a, id_b AS b FROM (
+  SELECT a.l_partkey AS id_a, b.l_partkey AS id_b, COUNT(*) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+QUALIFY row_number() OVER (
+  PARTITION BY id_a
+  ORDER BY w DESC, (id_a * 2654435761 + id_b * 40503) % 999999937, id_b
+) <= 10
+"""
+    lp = label_propagation_oracle_sql(edges_ab, iterations=3)
+    edges_sd = f"SELECT a AS src, b AS dst FROM ({edges_ab})"
+    communities = f"SELECT node, label AS community FROM ({lp})"
+    return modularity_oracle_sql(edges_sd, communities)
+
+
+SQL_COMMUNITY_QUALITY = _sql_community_quality()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -10025,6 +10268,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "acf_lags": (q_acf_lags, SQL_ACF_LAGS),
     "regression_influence": (q_regression_influence, SQL_REGRESSION_INFLUENCE),
     "mantel_haenszel": (q_mantel_haenszel, SQL_MANTEL_HAENSZEL),
+    "friedman_test": (q_friedman_test, SQL_FRIEDMAN_TEST),
+    "cochran_q": (q_cochran_q, SQL_COCHRAN_Q),
+    "durbin_watson": (q_durbin_watson, SQL_DURBIN_WATSON),
+    "effect_sizes": (q_effect_sizes, SQL_EFFECT_SIZES),
+    "community_quality": (q_community_quality, SQL_COMMUNITY_QUALITY),
 }
 
 

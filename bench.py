@@ -228,6 +228,11 @@ HEADLINE = [
     "acf_lags",
     "regression_influence",
     "mantel_haenszel",
+    "friedman_test",
+    "cochran_q",
+    "durbin_watson",
+    "effect_sizes",
+    "community_quality",
 ]
 
 

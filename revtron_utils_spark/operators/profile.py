@@ -3367,3 +3367,443 @@ SELECT n_strata, n,
        ROUND(CASE WHEN _sbc > 0 THEN _sad / _sbc END, {round_to}) AS or_mh
 FROM agg
 """
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    round_to: int = 6,
+    max_treatments: int | None = 10_000,
+) -> DataFrame:
+    """Friedman test — k related treatments ranked WITHIN each block
+    (the repeated-measures sibling of :func:`kruskal_wallis`: KW
+    compares independent groups; Friedman removes the block effect by
+    ranking inside each block first). The "do my k scorers disagree
+    systematically across the same documents" readout.
+
+    Exactness: within-block midranks use the DOUBLED-rank trick
+    (2·midrank = 2·before + t + 1 over the per-block value histogram —
+    an INTEGER), and the tie-corrected statistic
+
+        Q = (k−1)·Σ_j (R2_j − n(k+1))² / (Σ_ij R2_ij² − n·k·(k+1)²)
+
+    is integer-exact in BOTH numerator and denominator in the doubled
+    scale (the 4s cancel) — one pinned division total, no float fold at
+    all. Incomplete blocks (missing or duplicated treatments) are
+    DROPPED and counted, the :func:`cronbach_alpha` convention. Output
+    one row: ``(k, n_blocks, n_dropped, q)`` — NULL q when k < 2,
+    n = 0, or every block is internally tied (denominator 0).
+
+    Scale: per-block windows only (blocks are the partition key); the
+    treatment catalog is bounded by contract (``max_treatments``).
+    """
+    from pyspark.sql import Window
+
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, treatment_col, [], max_treatments, "friedman_test")
+    dec = lambda c: c.cast("decimal(38,0)")
+    base = df.select(
+        F.col(block_col).alias("_b"),
+        F.col(treatment_col).alias("_j"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    k_row = base.select(F.countDistinct("_j").alias("k")).first()
+    k = int(k_row["k"] or 0)
+    per_block = base.groupBy("_b").agg(
+        F.countDistinct("_j").alias("_nj"), F.count(F.lit(1)).alias("_nr")
+    )
+    from .dedup import _persist
+
+    complete = _persist(
+        per_block.where(
+            (F.col("_nj") == F.lit(k)) & (F.col("_nr") == F.lit(k))
+        ).select("_b")
+    )
+    n_complete = complete.count()
+    n_dropped = per_block.count() - n_complete
+    if n_complete == 0:
+        # no complete block anywhere: emit the one-row summary instead
+        # of an empty frame (the SQL twin returns 0 rows here — the
+        # engines only diverge in this degenerate no-data case, which a
+        # gate fixture must not hit anyway)
+        from pyspark.sql import types as T
+
+        return df.sparkSession.createDataFrame(
+            [(k, 0, n_dropped, None)],
+            T.StructType(
+                [
+                    T.StructField("k", T.LongType()),
+                    T.StructField("n_blocks", T.LongType()),
+                    T.StructField("n_dropped", T.LongType()),
+                    T.StructField("q", T.DoubleType()),
+                ]
+            ),
+        )
+    rows = base.join(complete, "_b")
+    # within-block doubled midranks over the (block, value) histogram
+    hist = rows.groupBy("_b", "_v").agg(F.count(F.lit(1)).alias("_t"))
+    wb = Window.partitionBy("_b").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hist = hist.select(
+        "_b", "_v", "_t", (F.sum("_t").over(wb) - F.col("_t")).alias("_bef")
+    )
+    ranked = rows.join(hist, ["_b", "_v"]).select(
+        "_b",
+        "_j",
+        (F.lit(2) * F.col("_bef") + F.col("_t") + F.lit(1)).alias("_r2"),
+    )
+    tr = ranked.groupBy("_j").agg(F.sum(dec(F.col("_r2"))).alias("_r2j"))
+    glob = ranked.agg(
+        F.countDistinct("_b").alias("n_blocks"),
+        F.sum(dec(F.col("_r2")) * dec(F.col("_r2"))).alias("_sumsq"),
+    )
+    out = (
+        tr.crossJoin(glob)
+        .select(
+            "n_blocks",
+            "_sumsq",
+            (
+                (F.col("_r2j") - dec(F.col("n_blocks")) * dec(F.lit(k + 1)))
+                * (F.col("_r2j") - dec(F.col("n_blocks")) * dec(F.lit(k + 1)))
+            ).alias("_dev2"),
+        )
+        .groupBy("n_blocks", "_sumsq")
+        .agg(F.sum("_dev2").alias("_num"))
+    )
+    nb = F.col("n_blocks")
+    den = F.col("_sumsq") - dec(nb) * dec(F.lit(k)) * dec(F.lit((k + 1) ** 2))
+    q = (dec(F.lit(k - 1)) * F.col("_num")).cast("double") / den.cast("double")
+    return out.select(
+        F.lit(k).cast("long").alias("k"),
+        nb.cast("long").alias("n_blocks"),
+        F.lit(n_dropped).cast("long").alias("n_dropped"),
+        F.round(F.when((F.lit(k) > 1) & (nb > 0) & (den > 0), q), round_to).alias(
+            "q"
+        ),
+    )
+
+
+def friedman_test_oracle_sql(
+    rows_sql: str,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same complete-block filter, same doubled within-
+    block midranks, same all-integer Q with one pinned division."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {block_col} AS _b, {treatment_col} AS _j,
+         CAST({value_col} AS BIGINT) AS _v
+  FROM ({rows_sql})
+),
+nk AS (SELECT COUNT(DISTINCT _j) AS k FROM base),
+per_block AS MATERIALIZED (
+  SELECT _b, COUNT(DISTINCT _j) AS _nj, COUNT(*) AS _nr
+  FROM base GROUP BY _b
+),
+complete AS MATERIALIZED (
+  SELECT _b FROM per_block, nk WHERE _nj = k AND _nr = k
+),
+dropped AS (
+  SELECT (SELECT COUNT(*) FROM per_block) - (SELECT COUNT(*) FROM complete)
+         AS n_dropped
+),
+rows_c AS MATERIALIZED (
+  SELECT b.* FROM base b JOIN complete c ON b._b = c._b
+),
+hist AS (
+  SELECT _b, _v, CAST(COUNT(*) AS BIGINT) AS _t,
+         SUM(COUNT(*)) OVER (PARTITION BY _b ORDER BY _v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - COUNT(*) AS _bef
+  FROM rows_c GROUP BY _b, _v
+),
+ranked AS MATERIALIZED (
+  SELECT r._b, r._j, 2 * h._bef + h._t + 1 AS _r2
+  FROM rows_c r JOIN hist h ON r._b = h._b AND r._v = h._v
+),
+tr AS (
+  SELECT _j, SUM(CAST(_r2 AS HUGEINT)) AS _r2j FROM ranked GROUP BY _j
+),
+gl AS (
+  SELECT CAST(COUNT(DISTINCT _b) AS BIGINT) AS n_blocks,
+         SUM(CAST(_r2 AS HUGEINT) * CAST(_r2 AS HUGEINT)) AS _sumsq
+  FROM ranked
+),
+num AS (
+  SELECT g.n_blocks, g._sumsq,
+         SUM((t._r2j - CAST(g.n_blocks AS HUGEINT) * ((SELECT k FROM nk) + 1))
+             * (t._r2j - CAST(g.n_blocks AS HUGEINT) * ((SELECT k FROM nk) + 1)))
+         AS _num
+  FROM tr t, gl g GROUP BY g.n_blocks, g._sumsq
+)
+SELECT (SELECT k FROM nk) AS k, n_blocks,
+       (SELECT n_dropped FROM dropped) AS n_dropped,
+       ROUND(CASE WHEN (SELECT k FROM nk) > 1 AND n_blocks > 0
+             AND _sumsq - CAST(n_blocks AS HUGEINT) * (SELECT k FROM nk)
+                 * ((SELECT k FROM nk) + 1) * ((SELECT k FROM nk) + 1) > 0
+             THEN CAST(((SELECT k FROM nk) - 1) * _num AS DOUBLE)
+                  / CAST(_sumsq - CAST(n_blocks AS HUGEINT) * (SELECT k FROM nk)
+                         * ((SELECT k FROM nk) + 1) * ((SELECT k FROM nk) + 1)
+                         AS DOUBLE)
+             END, {round_to}) AS q
+FROM num
+"""
+
+
+def cochran_q(
+    df: DataFrame,
+    item_col: str,
+    treatment_col: str,
+    outcome_col: str,
+    round_to: int = 6,
+    max_treatments: int | None = 10_000,
+) -> DataFrame:
+    """Cochran's Q — k related BINARY treatments over the same items
+    (the 0/1 specialization of :func:`friedman_test`, and the k-arm
+    extension of the McNemar pair test): "do my k binary detectors
+    fire at systematically different rates on the same documents".
+
+        Q = k(k−1)·[k·Σ_j G_j² − (Σ G)²] / [k·(k·ΣL_i − ΣL_i²)]
+          (equivalently k(k−1)Σ(G_j−Ḡ)² / (kΣL − ΣL²))
+
+    with G_j the per-treatment fire counts and L_i the per-item fire
+    counts — EVERY term an exact integer; the single division is the
+    only float op. Items that fire on all k or none (L_i ∈ {0, k})
+    contribute nothing to either side — kept, but Q is NULL when ONLY
+    such items exist (denominator 0). Incomplete items are dropped and
+    counted (the complete-design convention). Output one row:
+    ``(k, n_items, n_dropped, q)``.
+    """
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, treatment_col, [], max_treatments, "cochran_q")
+    dec = lambda c: c.cast("decimal(38,0)")
+    base = df.select(
+        F.col(item_col).alias("_i"),
+        F.col(treatment_col).alias("_j"),
+        F.col(outcome_col).cast("int").alias("_o"),
+    )
+    k_row = base.select(F.countDistinct("_j").alias("k")).first()
+    k = int(k_row["k"] or 0)
+    per_item = base.groupBy("_i").agg(
+        F.countDistinct("_j").alias("_nj"),
+        F.count(F.lit(1)).alias("_nr"),
+        F.sum("_o").alias("_l"),
+    )
+    from .dedup import _persist
+
+    complete = _persist(
+        per_item.where(
+            (F.col("_nj") == F.lit(k)) & (F.col("_nr") == F.lit(k))
+        ).select("_i", "_l")
+    )
+    n_dropped = per_item.count() - complete.count()
+    gj = (
+        base.join(complete.select("_i"), "_i")
+        .groupBy("_j")
+        .agg(F.sum("_o").alias("_g"))
+        .agg(
+            F.count(F.lit(1)).alias("_kk"),
+            F.sum(dec(F.col("_g"))).alias("_sg"),
+            F.sum(dec(F.col("_g")) * dec(F.col("_g"))).alias("_sg2"),
+        )
+    )
+    li = complete.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(dec(F.col("_l"))).alias("_sl"),
+        F.sum(dec(F.col("_l")) * dec(F.col("_l"))).alias("_sl2"),
+    )
+    out = gj.crossJoin(li)
+    kd = dec(F.lit(k))
+    num = kd * (kd - F.lit(1).cast("decimal(38,0)")) * (
+        kd * F.col("_sg2") - F.col("_sg") * F.col("_sg")
+    )
+    den = kd * (kd * F.col("_sl") - F.col("_sl2"))
+    return out.select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.lit(n_dropped).cast("long").alias("n_dropped"),
+        F.round(
+            F.when(
+                (F.lit(k) > 1) & (den > 0),
+                num.cast("double") / den.cast("double"),
+            ),
+            round_to,
+        ).alias("q"),
+    )
+
+
+def cochran_q_oracle_sql(
+    rows_sql: str,
+    item_col: str,
+    treatment_col: str,
+    outcome_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same complete-item filter and all-integer Q."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {item_col} AS _i, {treatment_col} AS _j,
+         CAST({outcome_col} AS INTEGER) AS _o
+  FROM ({rows_sql})
+),
+nk AS (SELECT COUNT(DISTINCT _j) AS k FROM base),
+per_item AS MATERIALIZED (
+  SELECT _i, COUNT(DISTINCT _j) AS _nj, COUNT(*) AS _nr,
+         CAST(SUM(_o) AS BIGINT) AS _l
+  FROM base GROUP BY _i
+),
+complete AS MATERIALIZED (
+  SELECT _i, _l FROM per_item, nk WHERE _nj = k AND _nr = k
+),
+dropped AS (
+  SELECT (SELECT COUNT(*) FROM per_item) - (SELECT COUNT(*) FROM complete)
+         AS n_dropped
+),
+gj AS (
+  SELECT SUM(CAST(_g AS HUGEINT)) AS _sg,
+         SUM(CAST(_g AS HUGEINT) * CAST(_g AS HUGEINT)) AS _sg2
+  FROM (
+    SELECT b._j, CAST(SUM(b._o) AS BIGINT) AS _g
+    FROM base b JOIN complete c ON b._i = c._i
+    GROUP BY b._j
+  )
+),
+li AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+         SUM(CAST(_l AS HUGEINT)) AS _sl,
+         SUM(CAST(_l AS HUGEINT) * CAST(_l AS HUGEINT)) AS _sl2
+  FROM complete
+)
+SELECT (SELECT k FROM nk) AS k, n_items,
+       (SELECT n_dropped FROM dropped) AS n_dropped,
+       ROUND(CASE WHEN (SELECT k FROM nk) > 1
+             AND (SELECT k FROM nk) * ((SELECT k FROM nk) * _sl - _sl2) > 0
+             THEN CAST((SELECT k FROM nk) * ((SELECT k FROM nk) - 1)
+                       * ((SELECT k FROM nk) * _sg2 - _sg * _sg) AS DOUBLE)
+                  / CAST((SELECT k FROM nk)
+                         * ((SELECT k FROM nk) * _sl - _sl2) AS DOUBLE)
+             END, {round_to}) AS q
+FROM gj, li
+"""
+
+
+def effect_sizes(
+    df: DataFrame,
+    treat_col: str,
+    value_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Standardized mean-difference effect sizes per segment — Cohen's d
+    with the Hedges small-sample correction, the "how BIG is the
+    difference" companion the `ab_test` z/p readout needs next to it
+    (a p-value at corpus n is always significant; d says whether anyone
+    should care):
+
+        d = (x̄₁ − x̄₀) / s_pooled,
+        s²_pooled = ((n₁−1)s₁² + (n₀−1)s₀²) / (n₁+n₀−2),
+        g = d · (1 − 3/(4(n₁+n₀) − 9))      (Hedges & Olkin).
+
+    Exactness: per-arm n, Σx, Σx² are exact DECIMAL(38,0) sums from ONE
+    conditional aggregation; every later step (sample variances, the
+    pooled blend, d, g) is the pinned float tail, token-identical in
+    the oracle. Output per segment: ``(*by, n1, n0, mean_diff,
+    cohens_d, hedges_g)`` — NULL d/g when either arm has < 2 rows or
+    the pooled variance is 0.
+    """
+    keys = list(by or [])
+    dec = lambda c: c.cast("decimal(38,0)")
+    t = F.col(treat_col).cast("int")
+    v = dec(F.col(value_col).cast("long"))
+    per = df.groupBy(*keys).agg(
+        F.sum(F.when(t == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(t == 1, v).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("_s1"),
+        F.sum(F.when(t == 1, v * v).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("_q1"),
+        F.sum(F.when(t == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(t == 0, v).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("_s0"),
+        F.sum(F.when(t == 0, v * v).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("_q0"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    n1d, n0d = n1.cast("double"), n0.cast("double")
+    var1 = (dec(n1) * F.col("_q1") - F.col("_s1") * F.col("_s1")).cast(
+        "double"
+    ) / (n1d * (n1d - F.lit(1.0)))
+    var0 = (dec(n0) * F.col("_q0") - F.col("_s0") * F.col("_s0")).cast(
+        "double"
+    ) / (n0d * (n0d - F.lit(1.0)))
+    sp2 = ((n1d - F.lit(1.0)) * var1 + (n0d - F.lit(1.0)) * var0) / (
+        n1d + n0d - F.lit(2.0)
+    )
+    diff = F.col("_s1").cast("double") / n1d - F.col("_s0").cast("double") / n0d
+    d = diff / F.sqrt(sp2)
+    g = d * (F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (n1d + n0d) - F.lit(9.0)))
+    ok = (n1 > 1) & (n0 > 1) & (sp2 > 0)
+    out = per.select(
+        *keys,
+        n1.cast("long").alias("n1"),
+        n0.cast("long").alias("n0"),
+        F.round(F.when((n1 > 0) & (n0 > 0), diff), round_to).alias("mean_diff"),
+        F.round(F.when(ok, d), round_to).alias("cohens_d"),
+        F.round(F.when(ok, g), round_to).alias("hedges_g"),
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def effect_sizes_oracle_sql(
+    units_sql: str,
+    treat_col: str,
+    value_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same one-pass HUGEINT arm moments, same pinned
+    variance/pool/d/g tail."""
+    keys = list(by or [])
+    gc = ", ".join(keys)
+    sel = (gc + ", ") if keys else ""
+    order = f"ORDER BY {gc}" if keys else ""
+    t = f"CAST({treat_col} AS INTEGER)"
+    v = f"CAST({value_col} AS BIGINT)"
+    return f"""
+WITH units AS ({units_sql}),
+per AS (
+  SELECT {sel}
+         CAST(SUM(CASE WHEN {t} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         SUM(CASE WHEN {t} = 1 THEN CAST({v} AS HUGEINT) ELSE 0 END) AS _s1,
+         SUM(CASE WHEN {t} = 1 THEN CAST({v} AS HUGEINT) * CAST({v} AS HUGEINT) ELSE 0 END) AS _q1,
+         CAST(SUM(CASE WHEN {t} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         SUM(CASE WHEN {t} = 0 THEN CAST({v} AS HUGEINT) ELSE 0 END) AS _s0,
+         SUM(CASE WHEN {t} = 0 THEN CAST({v} AS HUGEINT) * CAST({v} AS HUGEINT) ELSE 0 END) AS _q0
+  FROM units {("GROUP BY " + gc) if keys else ""}
+),
+calc AS (
+  SELECT {sel}n1, n0,
+         CAST(_s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+         - CAST(_s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS _diff,
+         ((CAST(n1 AS DOUBLE) - 1.0)
+            * (CAST(CAST(n1 AS HUGEINT) * _q1 - _s1 * _s1 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)))
+          + (CAST(n0 AS DOUBLE) - 1.0)
+            * (CAST(CAST(n0 AS HUGEINT) * _q0 - _s0 * _s0 AS DOUBLE)
+               / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0))))
+         / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 2.0) AS _sp2
+  FROM per
+)
+SELECT {sel}n1, n0,
+       ROUND(CASE WHEN n1 > 0 AND n0 > 0 THEN _diff END, {round_to}) AS mean_diff,
+       ROUND(CASE WHEN n1 > 1 AND n0 > 1 AND _sp2 > 0
+             THEN _diff / SQRT(_sp2) END, {round_to}) AS cohens_d,
+       ROUND(CASE WHEN n1 > 1 AND n0 > 1 AND _sp2 > 0
+             THEN (_diff / SQRT(_sp2))
+                  * (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE)) - 9.0))
+             END, {round_to}) AS hedges_g
+FROM calc {order}
+"""

@@ -1051,3 +1051,182 @@ SELECT _g AS {group_col}, lag, _n AS n,
              {round_to}) AS acf
 FROM per
 """
+
+
+def durbin_watson(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+    max_points: int | None = 100_000,
+) -> DataFrame:
+    """Durbin-Watson autocorrelation-of-residuals statistic per group —
+    the "is this trend line hiding serial structure" check that sits
+    between :func:`..profile.grouped_linreg` (the fit) and
+    :func:`acf_lags` (the raw-series ACF): DW ≈ 2 means independent
+    residuals, → 0 positive serial correlation (the fit is too smooth),
+    → 4 negative:
+
+        DW = Σ_t (e_t − e_{t−1})² / Σ_t e_t².
+
+    Exactness: residuals are the exact INTEGER numerators
+    R_t = βden·(n·y_t − S_y) − βnum·(n·x_t − S_x) of the one-scan OLS
+    algebra (the `regression_influence` machinery) — DW is
+    scale-invariant, so the common factor cancels and no division
+    happens until the end. R_t² exceeds DECIMAL width, so each term is
+    squared in DOUBLE (pinned: both engines cast the identical exact
+    DECIMAL to the identical double) and summed as a TIME-ORDERED fold
+    per group (cross-row float sums are order-dependent). Output:
+    ``(group, n, dw)`` — NULL when n < 3, zero x variance, or zero
+    residual energy (perfect fit).
+
+    The series is bounded per group by contract
+    (``require_bounded_spine`` on the time bucket — the acf_lags
+    convention; the fold is one array per group).
+    """
+    from .dedup import _persist
+    from ..operators.guards import require_bounded_spine
+
+    require_bounded_spine(df, time_col, [group_col], max_points, "durbin_watson")
+    dec = lambda c: c.cast("decimal(38,0)")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(time_col).alias("_t"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    stats = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec(F.col("_x"))).alias("_sx"),
+        F.sum(dec(F.col("_y"))).alias("_sy"),
+        F.sum(dec(F.col("_x")) * dec(F.col("_x"))).alias("_sxx"),
+        F.sum(dec(F.col("_x")) * dec(F.col("_y"))).alias("_sxy"),
+        F.max(F.abs(F.col("_x"))).alias("_mx"),
+        F.max(F.abs(F.col("_y"))).alias("_my"),
+    )
+    w = stats.agg(
+        F.max("_n").alias("_n"),
+        F.max("_mx").alias("_mx"),
+        F.max("_my").alias("_my"),
+    ).first()
+    n_w, mx_w, my_w = (int(w[c] or 0) for c in ("_n", "_mx", "_my"))
+    # 16x, not the influence guard's 8x: the DW numerator takes the
+    # DIFFERENCE of two residual numerators (|R_t − R_{t−1}| ≤ 2·|R|),
+    # so the width bound doubles
+    if 16 * (n_w**3) * (mx_w**2) * max(my_w, mx_w) >= 10**38:
+        raise ValueError(
+            f"durbin_watson: 16·n³·max|x|²·max(|y|,|x|) = "
+            f"16·{n_w}³·{mx_w}²·{max(my_w, mx_w)} would overflow the "
+            "DECIMAL(38,0) residual-difference numerators — rescale x/y "
+            "or bucket coarser"
+        )
+    n = F.col("_n")
+    bnum = dec(n) * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    bden = dec(n) * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    j = base.join(stats.select("_g", "_n", "_sx", "_sy", "_sxx", "_sxy"), "_g")
+    r_t = (
+        bden * (dec(n) * dec(F.col("_y")) - F.col("_sy"))
+        - bnum * (dec(n) * dec(F.col("_x")) - F.col("_sx"))
+    )
+    res = j.select(
+        "_g", "_t", "_n", r_t.alias("_r"), bden.alias("_bden")
+    )
+    wlag = Window.partitionBy("_g").orderBy("_t")
+    res = res.withColumn("_rp", F.lag("_r", 1).over(wlag))
+    per = res.groupBy("_g", "_n", "_bden").agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("_t").alias("t"),
+                        (F.col("_r").cast("double") * F.col("_r").cast("double")).alias(
+                            "v"
+                        ),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        ).alias("_den"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("_rp").isNotNull(),
+                        F.struct(
+                            F.col("_t").alias("t"),
+                            (
+                                (F.col("_r") - F.col("_rp")).cast("double")
+                                * (F.col("_r") - F.col("_rp")).cast("double")
+                            ).alias("v"),
+                        ),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["v"],
+        ).alias("_num"),
+    )
+    ok = (F.col("_n") > 2) & (F.col("_bden") > 0) & (F.col("_den") > 0)
+    return per.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.when(ok, F.col("_num") / F.col("_den")), round_to).alias("dw"),
+    )
+
+
+def durbin_watson_oracle_sql(
+    points_sql: str,
+    group_col: str,
+    time_col: str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same exact HUGEINT residual numerators, same
+    time-ordered double folds, same pinned division."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {group_col} AS _g, {time_col} AS _t,
+         CAST({x_col} AS BIGINT) AS _x, CAST({y_col} AS BIGINT) AS _y
+  FROM ({points_sql})
+),
+stats AS (
+  SELECT _g, CAST(COUNT(*) AS BIGINT) AS _n,
+         SUM(CAST(_x AS HUGEINT)) AS _sx, SUM(CAST(_y AS HUGEINT)) AS _sy,
+         SUM(CAST(_x AS HUGEINT) * CAST(_x AS HUGEINT)) AS _sxx,
+         SUM(CAST(_x AS HUGEINT) * CAST(_y AS HUGEINT)) AS _sxy
+  FROM base GROUP BY _g
+),
+res AS MATERIALIZED (
+  SELECT b._g, b._t, s._n,
+         CAST(s._n AS HUGEINT) * s._sxx - s._sx * s._sx AS _bden,
+         (CAST(s._n AS HUGEINT) * s._sxx - s._sx * s._sx)
+           * (CAST(s._n AS HUGEINT) * b._y - s._sy)
+         - (CAST(s._n AS HUGEINT) * s._sxy - s._sx * s._sy)
+           * (CAST(s._n AS HUGEINT) * b._x - s._sx) AS _r
+  FROM base b JOIN stats s ON b._g = s._g
+),
+lagged AS (
+  SELECT _g, _t, _n, _bden, _r,
+         LAG(_r, 1) OVER (PARTITION BY _g ORDER BY _t) AS _rp
+  FROM res
+),
+per AS (
+  SELECT _g, _n, _bden,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CAST(_r AS DOUBLE) * CAST(_r AS DOUBLE) ORDER BY _t)),
+           (a, b) -> a + b) AS _den,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CAST(_r - _rp AS DOUBLE) * CAST(_r - _rp AS DOUBLE) ORDER BY _t)
+             FILTER (WHERE _rp IS NOT NULL)),
+           (a, b) -> a + b) AS _num
+  FROM lagged GROUP BY _g, _n, _bden
+)
+SELECT _g AS {group_col}, _n AS n,
+       ROUND(CASE WHEN _n > 2 AND _bden > 0 AND _den > 0
+             THEN _num / _den END, {round_to}) AS dw
+FROM per
+"""
