@@ -9978,6 +9978,132 @@ QUALIFY row_number() OVER (
 SQL_COMMUNITY_QUALITY = _sql_community_quality()
 
 
+
+
+def q_welch_anova(spark, sf):
+    """Variance-honest k-group means test (`profile.welch_anova`): the
+    Welch F over order value by priority — the test to trust when
+    `brown_forsythe` rejects the equal-variance assumption the classic
+    `anova_f` needs. Exact DECIMAL moments; the weight/mean/Λ passes
+    run as group-ordered folds over ONE collected array; pinned
+    F and Satterthwaite df₂ tail."""
+    from revtron_utils_spark.operators.profile import welch_anova
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return welch_anova(o, "cents", "o_orderpriority")
+
+
+def _sql_welch_anova() -> str:
+    from revtron_utils_spark.operators.profile import welch_anova_oracle_sql
+
+    values = (
+        "SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT)"
+        " AS cents FROM orders"
+    )
+    return welch_anova_oracle_sql(values, "cents", "o_orderpriority")
+
+
+SQL_WELCH_ANOVA = _sql_welch_anova()
+
+
+def q_grubbs_test(spark, sf):
+    """Single-outlier test (`profile.grubbs_test`): each nation's most
+    extreme order value and its Grubbs G — the formal "is the worst
+    point actually an outlier" readout next to the scoring screens
+    (`hbos_outliers`, `regression_influence`). Integer n-scaled
+    deviation argmax (ties → min order id), pinned G tail."""
+    from revtron_utils_spark.operators.profile import grubbs_test
+
+    o = _t(spark, sf, "orders").select(
+        "o_custkey",
+        F.col("o_orderkey").alias("order_id"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_nationkey").alias("nation"), "order_id", "cents"
+    )
+    return grubbs_test(j, "cents", "nation", "order_id")
+
+
+def _sql_grubbs_test() -> str:
+    from revtron_utils_spark.operators.profile import grubbs_test_oracle_sql
+
+    values = """
+SELECT c_nationkey AS nation, o_orderkey AS order_id,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+    return grubbs_test_oracle_sql(values, "cents", "nation", "order_id")
+
+
+SQL_GRUBBS_TEST = _sql_grubbs_test()
+
+
+def q_runs_test(spark, sf):
+    """Randomness-of-sequence test (`timeseries.runs_test`): is each
+    priority's monthly order-count series random around its median, or
+    does it clump into regimes — the fit-free companion to
+    `durbin_watson` (same series as `acf_lags`). Doubled-median
+    dichotomy, integer run counting, pinned z."""
+    from revtron_utils_spark.operators.timeseries import runs_test
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mon"),
+    )
+    series = o.groupBy(F.col("o_orderpriority").alias("prio"), "mon").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return runs_test(series, "prio", "mon", "cnt")
+
+
+def _sql_runs_test() -> str:
+    from revtron_utils_spark.operators.timeseries import runs_test_oracle_sql
+
+    series = """
+SELECT o_orderpriority AS prio,
+       CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS BIGINT) AS mon,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders GROUP BY 1, 2
+"""
+    return runs_test_oracle_sql(series, "prio", "mon", "cnt")
+
+
+SQL_RUNS_TEST = _sql_runs_test()
+
+
+def q_moods_median(spark, sf):
+    """Robust k-sample location test (`profile.moods_median`): do the
+    A/N/R return-flag populations share a common median quantity — the
+    outlier-immune cross-check on `kruskal_wallis` (same fixture,
+    different statistic: KW uses the full rank distribution, Mood's
+    only the above/below-median dichotomy). Doubled grand median over
+    the bounded 50-value spine, integer 2×k cells, group-ordered
+    chi-square fold."""
+    from revtron_utils_spark.operators.profile import moods_median
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"), "l_returnflag"
+    )
+    return moods_median(li, "qty", "l_returnflag")
+
+
+def _sql_moods_median() -> str:
+    from revtron_utils_spark.operators.profile import moods_median_oracle_sql
+
+    values = (
+        "SELECT CAST(l_quantity AS BIGINT) AS qty, l_returnflag FROM lineitem"
+    )
+    return moods_median_oracle_sql(values, "qty", "l_returnflag")
+
+
+SQL_MOODS_MEDIAN = _sql_moods_median()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -10273,6 +10399,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "durbin_watson": (q_durbin_watson, SQL_DURBIN_WATSON),
     "effect_sizes": (q_effect_sizes, SQL_EFFECT_SIZES),
     "community_quality": (q_community_quality, SQL_COMMUNITY_QUALITY),
+    "welch_anova": (q_welch_anova, SQL_WELCH_ANOVA),
+    "grubbs_test": (q_grubbs_test, SQL_GRUBBS_TEST),
+    "runs_test": (q_runs_test, SQL_RUNS_TEST),
+    "moods_median": (q_moods_median, SQL_MOODS_MEDIAN),
 }
 
 

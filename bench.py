@@ -233,6 +233,10 @@ HEADLINE = [
     "durbin_watson",
     "effect_sizes",
     "community_quality",
+    "welch_anova",
+    "grubbs_test",
+    "runs_test",
+    "moods_median",
 ]
 
 

@@ -3807,3 +3807,435 @@ SELECT {sel}n1, n0,
              END, {round_to}) AS hedges_g
 FROM calc {order}
 """
+
+
+def welch_anova(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    round_to: int = 6,
+    max_groups: int | None = 10_000,
+) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA — the k-group extension of
+    the Welch t-test (`ab_test`) and the variance-honest sibling of
+    :func:`anova_oneway`: when :func:`brown_forsythe` rejects equal
+    variances, the classic F is invalid and THIS is the test to run.
+
+        w_g = n_g/s_g²,  W = Σw_g,  m = Σ w_g·x̄_g / W,
+        F_W = [Σ w_g(x̄_g − m)²/(k−1)] / [1 + 2Λ(k−2)/3],
+        Λ   = 3·Σ (1 − w_g/W)²/(n_g−1) / (k²−1),
+        df₂ = 1/Λ.
+
+    Exactness: per-group n, Σx, Σx² are exact DECIMAL(38,0); every
+    subsequent step is the pinned float tail computed via GROUP-ORDERED
+    folds over one collected per-group array (three passes over the
+    same sorted array: W, then m, then the two Σ-terms that need m) —
+    token-identical in the oracle. Groups with n < 2 or zero variance
+    are EXCLUDED (infinite weight) and counted. Output one row:
+    ``(k, n, n_excluded, f_welch, df2)`` — NULL when fewer than 2
+    usable groups survive.
+    """
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, group_col, [], max_groups, "welch_anova")
+    dec = lambda c: c.cast("decimal(38,0)")
+    v = F.col(value_col).cast("long")
+    grp = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec(v)).alias("_s"),
+        F.sum(dec(v) * dec(v)).alias("_q"),
+    )
+    nd = F.col("_n").cast("double")
+    # guard on the variance NUMERATOR, not the variance: evaluating
+    # var for a singleton group divides by n(n-1)=0, which ANSI mode
+    # raises on even inside the predicate
+    varnum = (dec(F.col("_n")) * F.col("_q") - F.col("_s") * F.col("_s")).cast(
+        "double"
+    )
+    var = varnum / (nd * (nd - F.lit(1.0)))
+    usable = (F.col("_n") > 1) & (varnum > 0)
+    agg = grp.agg(
+        F.sum(F.when(usable, 1).otherwise(0)).alias("k"),
+        F.sum(F.when(usable, F.col("_n")).otherwise(F.lit(0))).alias("n"),
+        F.sum(F.when(~usable, 1).otherwise(0)).alias("n_excluded"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    usable,
+                    F.struct(
+                        F.col("_g").alias("g"),
+                        nd.alias("n"),
+                        (nd / var).alias("w"),
+                        (F.col("_s").cast("double") / nd).alias("xb"),
+                    ),
+                )
+            )
+        ).alias("_t"),
+    )
+    fold = lambda expr: F.aggregate(F.col("_t"), F.lit(0.0), expr)
+    agg = agg.withColumn("_W", fold(lambda a, x: a + x["w"]))
+    agg = agg.withColumn(
+        "_m", fold(lambda a, x: a + x["w"] * x["xb"]) / F.col("_W")
+    )
+    agg = agg.withColumn(
+        "_num",
+        fold(
+            lambda a, x: a
+            + x["w"] * (x["xb"] - F.col("_m")) * (x["xb"] - F.col("_m"))
+        ),
+    )
+    agg = agg.withColumn(
+        "_lam3",
+        fold(
+            lambda a, x: a
+            + (F.lit(1.0) - x["w"] / F.col("_W"))
+            * (F.lit(1.0) - x["w"] / F.col("_W"))
+            / (x["n"] - F.lit(1.0))
+        ),
+    )
+    k = F.col("k")
+    kd = k.cast("double")
+    lam = F.lit(3.0) * F.col("_lam3") / (kd * kd - F.lit(1.0))
+    fw = (F.col("_num") / (kd - F.lit(1.0))) / (
+        F.lit(1.0) + F.lit(2.0) * lam * (kd - F.lit(2.0)) / F.lit(3.0)
+    )
+    ok = k > 1
+    return agg.select(
+        k.cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_excluded").cast("long").alias("n_excluded"),
+        F.round(F.when(ok, fw), round_to).alias("f_welch"),
+        F.round(F.when(ok & (lam > 0), F.lit(1.0) / lam), round_to).alias("df2"),
+    )
+
+
+def welch_anova_oracle_sql(
+    values_sql: str,
+    value_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same HUGEINT moments, same group-ordered fold
+    passes over one list, same pinned Welch tail."""
+    core = """
+  SELECT {g} AS _g, CAST(COUNT(*) AS BIGINT) AS _n,
+         SUM(CAST({v} AS HUGEINT)) AS _s,
+         SUM(CAST({v} AS HUGEINT) * CAST({v} AS HUGEINT)) AS _q
+  FROM vals GROUP BY 1
+""".format(g=group_col, v=f"CAST({value_col} AS BIGINT)")
+    varnum = "CAST(CAST(_n AS HUGEINT) * _q - _s * _s AS DOUBLE)"
+    var = (
+        "CAST(CAST(_n AS HUGEINT) * _q - _s * _s AS DOUBLE)"
+        " / (CAST(_n AS DOUBLE) * (CAST(_n AS DOUBLE) - 1.0))"
+    )
+    return f"""
+WITH vals AS ({values_sql}),
+grp AS ({core}),
+flt AS MATERIALIZED (
+  SELECT _g, CAST(_n AS DOUBLE) AS n,
+         CAST(_n AS DOUBLE) / ({var}) AS w,
+         CAST(_s AS DOUBLE) / CAST(_n AS DOUBLE) AS xb
+  FROM grp WHERE _n > 1 AND ({varnum}) > 0
+),
+meta AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM flt) AS k,
+         (SELECT CAST(COALESCE(SUM(_n), 0) AS BIGINT) FROM grp
+          WHERE _n > 1 AND ({varnum}) > 0) AS n,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM grp
+          WHERE NOT (_n > 1 AND ({varnum}) > 0)) AS n_excluded
+),
+arr AS (
+  SELECT list(struct_pack(g := _g, n := n, w := w, xb := xb) ORDER BY _g) AS t
+  FROM flt
+),
+f1 AS (
+  SELECT t, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(t, x -> x.w)), (a, b) -> a + b) AS W
+  FROM arr
+),
+f2 AS (
+  SELECT t, W,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(t, x -> x.w * x.xb)), (a, b) -> a + b) / W AS m
+  FROM f1
+),
+f3 AS (
+  SELECT W, m,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(t, x -> x.w * (x.xb - m) * (x.xb - m))),
+           (a, b) -> a + b) AS num,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(t, x -> (1.0 - x.w / W) * (1.0 - x.w / W)
+                                  / (x.n - 1.0))),
+           (a, b) -> a + b) AS lam3
+  FROM f2
+)
+SELECT meta.k, meta.n, meta.n_excluded,
+       ROUND(CASE WHEN meta.k > 1 THEN
+         (num / (CAST(meta.k AS DOUBLE) - 1.0))
+         / (1.0 + 2.0 * (3.0 * lam3 / (CAST(meta.k AS DOUBLE) * CAST(meta.k AS DOUBLE) - 1.0))
+                  * (CAST(meta.k AS DOUBLE) - 2.0) / 3.0)
+         END, {round_to}) AS f_welch,
+       ROUND(CASE WHEN meta.k > 1 AND
+         3.0 * lam3 / (CAST(meta.k AS DOUBLE) * CAST(meta.k AS DOUBLE) - 1.0) > 0
+         THEN 1.0 / (3.0 * lam3 / (CAST(meta.k AS DOUBLE) * CAST(meta.k AS DOUBLE) - 1.0))
+         END, {round_to}) AS df2
+FROM f3, meta
+"""
+
+def grubbs_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Grubbs' maximum-normed-residual test per group — "is the single
+    most extreme value an outlier", the formal companion to the robust
+    screens (`hbos_outliers` scores everything; Grubbs tests the worst
+    one):
+
+        G = max_i |x_i − x̄| / s.
+
+    Exactness: the argmax runs on the exact INTEGER n-scaled deviation
+    |n·x_i − S| (ties → smallest id), so the chosen row is
+    deterministic; G = dev_max/n ÷ s with s from the exact moments is
+    the pinned float tail. One aggregation + one group-partitioned
+    top-1 window. Output per group: ``(group, outlier_id, value,
+    g_stat)`` — NULL g_stat when n < 3 or zero variance (those groups
+    still report their extreme row).
+    """
+    from pyspark.sql import Window
+
+    dec = lambda c: c.cast("decimal(38,0)")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    stats = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec(F.col("_x"))).alias("_s"),
+        F.sum(dec(F.col("_x")) * dec(F.col("_x"))).alias("_q"),
+    )
+    j = base.join(stats, "_g").withColumn(
+        "_dev", F.abs(dec(F.col("_n")) * dec(F.col("_x")) - F.col("_s"))
+    )
+    w = Window.partitionBy("_g").orderBy(
+        F.col("_dev").desc(), F.col("_id").asc()
+    )
+    top = j.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1)
+    nd = F.col("_n").cast("double")
+    var = (dec(F.col("_n")) * F.col("_q") - F.col("_s") * F.col("_s")).cast(
+        "double"
+    ) / (nd * (nd - F.lit(1.0)))
+    g = (F.col("_dev").cast("double") / nd) / F.sqrt(var)
+    ok = (F.col("_n") > 2) & (var > 0)
+    return top.select(
+        F.col("_g").alias(group_col),
+        F.col("_id").alias("outlier_id"),
+        F.col("_x").alias(value_col),
+        F.round(F.when(ok, g), round_to).alias("g_stat"),
+    )
+
+
+def grubbs_test_oracle_sql(
+    values_sql: str,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same integer n-scaled deviation argmax, same pinned
+    G tail."""
+    return f"""
+WITH vals AS (
+  SELECT {group_col} AS _g, {id_col} AS _id,
+         CAST({value_col} AS BIGINT) AS _x
+  FROM ({values_sql})
+),
+stats AS (
+  SELECT _g, CAST(COUNT(*) AS BIGINT) AS _n,
+         SUM(CAST(_x AS HUGEINT)) AS _s,
+         SUM(CAST(_x AS HUGEINT) * CAST(_x AS HUGEINT)) AS _q
+  FROM vals GROUP BY _g
+),
+j AS (
+  SELECT v._g, v._id, v._x, s._n, s._s, s._q,
+         ABS(CAST(s._n AS HUGEINT) * v._x - s._s) AS _dev
+  FROM vals v JOIN stats s ON v._g = s._g
+),
+top AS (
+  SELECT * FROM j
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY _g ORDER BY _dev DESC, _id ASC) = 1
+)
+SELECT _g AS {group_col}, _id AS outlier_id, _x AS {value_col},
+       ROUND(CASE WHEN _n > 2 AND
+         CAST(CAST(_n AS HUGEINT) * _q - _s * _s AS DOUBLE)
+         / (CAST(_n AS DOUBLE) * (CAST(_n AS DOUBLE) - 1.0)) > 0
+         THEN (CAST(_dev AS DOUBLE) / CAST(_n AS DOUBLE))
+              / SQRT(CAST(CAST(_n AS HUGEINT) * _q - _s * _s AS DOUBLE)
+                     / (CAST(_n AS DOUBLE) * (CAST(_n AS DOUBLE) - 1.0)))
+         END, {round_to}) AS g_stat
+FROM top
+"""
+
+
+def moods_median(
+    df: DataFrame,
+    bucket_col: str,
+    group_col: str,
+    round_to: int = 6,
+    max_buckets: int | None = 100_000,
+    max_groups: int | None = 10_000,
+) -> DataFrame:
+    """Mood's median test — do the k groups share a common median?
+    The maximally-robust k-sample location test (uses only
+    above/below-the-grand-median counts, so it shrugs off outliers
+    that bend :func:`anova_oneway` and even :func:`kruskal_wallis`):
+    a 2×k chi-square on the dichotomized counts.
+
+    Exactness: the DOUBLED grand median comes from the bounded value
+    spine's cumulative histogram (exactly :func:`mann_whitney`'s spine
+    contract — the one unpartitioned cumsum is over the caller-bounded
+    spine, guard-enforced); values equal to the median are dropped
+    (the SAS convention); per-group above/below counts are exact
+    integers, and the chi-square Σ(O−E)²/E terms are the pinned float
+    tail folded in GROUP ORDER. Output one row: ``(k, n, chi2)`` —
+    NULL when either margin is empty.
+    """
+    from pyspark.sql import Window
+
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, bucket_col, [], max_buckets, "moods_median")
+    require_bounded_spine(df, group_col, [], max_groups, "moods_median")
+    base = df.select(
+        F.col(group_col).alias("_g"), F.col(bucket_col).cast("long").alias("_x")
+    )
+    hist = base.groupBy("_x").agg(F.count(F.lit(1)).alias("_c"))
+    wcum = Window.orderBy("_x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "_x",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_nt"),
+    )
+    med = cum.agg(
+        (
+            F.min(F.when(F.col("_cum") >= F.expr("(_nt + 1) div 2"), F.col("_x")))
+            + F.min(F.when(F.col("_cum") >= F.expr("_nt div 2 + 1"), F.col("_x")))
+        ).alias("_m2")
+    )
+    marked = base.crossJoin(med).where(F.lit(2) * F.col("_x") != F.col("_m2"))
+    per = marked.groupBy("_g").agg(
+        F.sum(F.when(F.lit(2) * F.col("_x") > F.col("_m2"), 1).otherwise(0)).alias(
+            "_a"
+        ),
+        F.sum(F.when(F.lit(2) * F.col("_x") < F.col("_m2"), 1).otherwise(0)).alias(
+            "_b"
+        ),
+    )
+    tot = per.agg(
+        F.sum("_a").alias("_ta"), F.sum("_b").alias("_tb")
+    )
+    j = per.crossJoin(tot)
+    ngd = (F.col("_a") + F.col("_b")).cast("double")
+    nd = (F.col("_ta") + F.col("_tb")).cast("double")
+    ea = ngd * F.col("_ta").cast("double") / nd
+    eb = ngd * F.col("_tb").cast("double") / nd
+    term = (F.col("_a").cast("double") - ea) * (
+        F.col("_a").cast("double") - ea
+    ) / ea + (F.col("_b").cast("double") - eb) * (
+        F.col("_b").cast("double") - eb
+    ) / eb
+    agg = j.groupBy("_ta", "_tb").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("_a") + F.col("_b")).alias("n"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_g").alias("g"), term.alias("t")))
+        ).alias("_terms"),
+    ).withColumn(
+        "_chi2",
+        F.aggregate(F.col("_terms"), F.lit(0.0), lambda a, x: a + x["t"]),
+    )
+    ok = (F.col("_ta") > 0) & (F.col("_tb") > 0) & (F.col("k") > 1)
+    return agg.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(ok, F.col("_chi2")), round_to).alias("chi2"),
+    )
+
+
+def moods_median_oracle_sql(
+    values_sql: str,
+    bucket_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same doubled grand median, same integer 2×k cells,
+    same group-ordered chi-square fold."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {group_col} AS _g, CAST({bucket_col} AS BIGINT) AS _x
+  FROM ({values_sql})
+),
+cum AS (
+  SELECT _x,
+         SUM(_c) OVER (ORDER BY _x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+         SUM(_c) OVER () AS _nt
+  FROM (SELECT _x, CAST(COUNT(*) AS BIGINT) AS _c FROM base GROUP BY 1)
+),
+med AS (
+  SELECT MIN(CASE WHEN _cum >= (_nt + 1) // 2 THEN _x END)
+         + MIN(CASE WHEN _cum >= _nt // 2 + 1 THEN _x END) AS _m2
+  FROM cum
+),
+per AS (
+  SELECT _g,
+         CAST(SUM(CASE WHEN 2 * _x > (SELECT _m2 FROM med) THEN 1 ELSE 0 END) AS BIGINT) AS _a,
+         CAST(SUM(CASE WHEN 2 * _x < (SELECT _m2 FROM med) THEN 1 ELSE 0 END) AS BIGINT) AS _b
+  FROM base WHERE 2 * _x != (SELECT _m2 FROM med)
+  GROUP BY _g
+),
+tot AS (
+  SELECT CAST(SUM(_a) AS BIGINT) AS _ta, CAST(SUM(_b) AS BIGINT) AS _tb FROM per
+),
+agg AS (
+  SELECT t._ta, t._tb, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(p._a + p._b) AS BIGINT) AS n,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(
+             (CAST(p._a AS DOUBLE)
+              - CAST(p._a + p._b AS DOUBLE) * CAST(t._ta AS DOUBLE)
+                / CAST(t._ta + t._tb AS DOUBLE))
+             * (CAST(p._a AS DOUBLE)
+                - CAST(p._a + p._b AS DOUBLE) * CAST(t._ta AS DOUBLE)
+                  / CAST(t._ta + t._tb AS DOUBLE))
+             / (CAST(p._a + p._b AS DOUBLE) * CAST(t._ta AS DOUBLE)
+                / CAST(t._ta + t._tb AS DOUBLE))
+             +
+             (CAST(p._b AS DOUBLE)
+              - CAST(p._a + p._b AS DOUBLE) * CAST(t._tb AS DOUBLE)
+                / CAST(t._ta + t._tb AS DOUBLE))
+             * (CAST(p._b AS DOUBLE)
+                - CAST(p._a + p._b AS DOUBLE) * CAST(t._tb AS DOUBLE)
+                  / CAST(t._ta + t._tb AS DOUBLE))
+             / (CAST(p._a + p._b AS DOUBLE) * CAST(t._tb AS DOUBLE)
+                / CAST(t._ta + t._tb AS DOUBLE))
+             ORDER BY p._g)),
+           (a, b) -> a + b) AS _chi2
+  FROM per p, tot t
+  GROUP BY t._ta, t._tb
+)
+SELECT k, n,
+       ROUND(CASE WHEN _ta > 0 AND _tb > 0 AND k > 1 THEN _chi2 END,
+             {round_to}) AS chi2
+FROM agg
+"""

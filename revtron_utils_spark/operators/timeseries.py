@@ -1230,3 +1230,169 @@ SELECT _g AS {group_col}, _n AS n,
              THEN _num / _den END, {round_to}) AS dw
 FROM per
 """
+
+
+def runs_test(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    round_to: int = 6,
+    max_buckets: int | None = 100_000,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test per group — "is this series random
+    noise around its median, or does it clump" (too FEW runs = sticky
+    regimes, too MANY = oscillation): the distribution-free cousin of
+    :func:`durbin_watson` that needs no fitted line.
+
+    Median-dichotomize (values EQUAL to the median are dropped, the
+    standard convention), count runs, compare to the exact null
+    moments:
+
+        μ = 1 + 2n₁n₂/n,   σ² = 2n₁n₂(2n₁n₂ − n) / (n²(n−1)),
+        z = (R − μ)/σ.
+
+    Exactness: the DOUBLED per-group median (two middle order
+    statistics from the per-group cumulative histogram — the
+    brown_forsythe machinery) keeps the dichotomy integer-exact
+    (2x vs m2); runs are an integer lag count over the time order;
+    μ/σ/z are the pinned tail from integer n₁/n₂/R. All windows are
+    group-partitioned; the value spine is caller-bounded
+    (``require_bounded_spine``). Output per group:
+    ``(group, n1, n2, runs, z)`` — NULL z when either side is empty or
+    σ² ≤ 0.
+    """
+    from ..operators.guards import require_bounded_spine
+
+    require_bounded_spine(df, value_col, [], max_buckets, "runs_test")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(time_col).alias("_t"),
+        F.col(value_col).cast("long").alias("_x"),
+    )
+    hist = base.groupBy("_g", "_x").agg(F.count(F.lit(1)).alias("_c"))
+    wg = Window.partitionBy("_g").orderBy("_x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "_g",
+        "_x",
+        F.sum("_c").over(wg).alias("_cum"),
+        F.sum("_c").over(Window.partitionBy("_g")).alias("_ng"),
+    )
+    med = cum.groupBy("_g").agg(
+        (
+            F.min(F.when(F.col("_cum") >= F.expr("(_ng + 1) div 2"), F.col("_x")))
+            + F.min(F.when(F.col("_cum") >= F.expr("_ng div 2 + 1"), F.col("_x")))
+        ).alias("_m2")
+    )
+    marked = (
+        base.join(med, "_g")
+        .where(F.lit(2) * F.col("_x") != F.col("_m2"))
+        .withColumn("_hi", (F.lit(2) * F.col("_x") > F.col("_m2")).cast("int"))
+    )
+    wt = Window.partitionBy("_g").orderBy("_t")
+    flips = marked.withColumn("_prev", F.lag("_hi", 1).over(wt))
+    per = flips.groupBy("_g").agg(
+        F.sum("_hi").alias("n1"),
+        F.sum(F.lit(1) - F.col("_hi")).alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("_prev").isNotNull() & (F.col("_prev") != F.col("_hi")),
+                    1,
+                ).otherwise(0)
+            )
+        ).alias("runs"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    mu = F.lit(1.0) + F.lit(2.0) * n1d * n2d / nd
+    var = (
+        F.lit(2.0)
+        * n1d
+        * n2d
+        * (F.lit(2.0) * n1d * n2d - nd)
+        / (nd * nd * (nd - F.lit(1.0)))
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0) & (var > 0)
+    return per.select(
+        F.col("_g").alias(group_col),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("runs").cast("long").alias("runs"),
+        F.round(
+            F.when(ok, (F.col("runs").cast("double") - mu) / F.sqrt(var)),
+            round_to,
+        ).alias("z"),
+    )
+
+
+def runs_test_oracle_sql(
+    series_sql: str,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same doubled per-group median dichotomy, same
+    integer run count over the time order, same pinned z tail."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {group_col} AS _g, {time_col} AS _t,
+         CAST({value_col} AS BIGINT) AS _x
+  FROM ({series_sql})
+),
+cum AS (
+  SELECT _g, _x,
+         SUM(_c) OVER (PARTITION BY _g ORDER BY _x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+         SUM(_c) OVER (PARTITION BY _g) AS _ng
+  FROM (SELECT _g, _x, CAST(COUNT(*) AS BIGINT) AS _c FROM base GROUP BY 1, 2)
+),
+med AS (
+  SELECT _g,
+         MIN(CASE WHEN _cum >= (_ng + 1) // 2 THEN _x END)
+         + MIN(CASE WHEN _cum >= _ng // 2 + 1 THEN _x END) AS _m2
+  FROM cum GROUP BY _g
+),
+marked AS (
+  SELECT b._g, b._t,
+         CASE WHEN 2 * b._x > m._m2 THEN 1 ELSE 0 END AS _hi
+  FROM base b JOIN med m ON b._g = m._g
+  WHERE 2 * b._x != m._m2
+),
+flips AS (
+  SELECT _g, _hi,
+         LAG(_hi, 1) OVER (PARTITION BY _g ORDER BY _t) AS _prev
+  FROM marked
+),
+per AS (
+  SELECT _g, CAST(SUM(_hi) AS BIGINT) AS n1,
+         CAST(SUM(1 - _hi) AS BIGINT) AS n2,
+         CAST(1 + SUM(CASE WHEN _prev IS NOT NULL AND _prev != _hi
+                      THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM flips GROUP BY _g
+)
+SELECT _g AS {group_col}, n1, n2, runs,
+       ROUND(CASE WHEN n1 > 0 AND n2 > 0 AND
+         2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+         * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+            - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+         / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+            * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+            * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0)) > 0
+         THEN (CAST(runs AS DOUBLE)
+               - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+              / SQRT(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                     / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                        * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) - 1.0)))
+         END, {round_to}) AS z
+FROM per
+"""

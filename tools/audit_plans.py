@@ -65,6 +65,7 @@ BOUNDED_SPINE_OK: set[str] = {
     "mann_whitney",  # require_bounded_spine-guarded value spine (r9)
     "bh_fdr",  # require_bounded_spine-guarded test family (r9)
     "kruskal_wallis",  # require_bounded_spine-guarded value spine (r10)
+    "moods_median",  # require_bounded_spine-guarded grand-median spine (r10)
     "gain_curve",
     "cusum_changepoint",
     "theil_sen",
