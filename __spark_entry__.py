@@ -9850,8 +9850,11 @@ def q_durbin_watson(spark, sf):
     series = o.groupBy(F.col("o_orderpriority").alias("prio"), "mon").agg(
         # month revenue in DOLLARS: cents sums overflow the 16x width
         # bound at sf>=1 (n=84 months, y<=1e10 cents); dollars keep the
-        # residual numerators inside DECIMAL(38,0) through sf100
-        (F.sum("cents") / F.lit(100)).cast("long").alias("rev")
+        # residual numerators inside DECIMAL(38,0) through sf100.
+        # Integer division (div), not float-divide-then-truncate: the
+        # oracle's `// 100` is exact, and float true-division only agrees
+        # while the cents sum stays well under 2^53
+        F.expr("sum(cents) div 100").alias("rev")
     )
     return durbin_watson(series, "prio", "mon", "mon", "rev")
 

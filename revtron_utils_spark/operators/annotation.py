@@ -1003,17 +1003,20 @@ def cronbach_alpha(
     fold is one row wide, like every bounded-catalog fold in the repo.
     """
     from .dedup import _persist
-    from .guards import require_bounded_spine
+    from .guards import integral_long, require_bounded_spine, require_sum_sq_width
 
     require_bounded_spine(df, item_col, [], max_items, "cronbach_alpha")
     dec = lambda c: c.cast("decimal(38,0)")
-    v = F.col(value_col).cast("long")
+    v = integral_long(df, value_col, "cronbach_alpha")
     base = df.select(
         F.col(subject_col).alias("_s"),
         F.col(item_col).alias("_i"),
         v.alias("_v"),
     )
     n_items = base.select(F.countDistinct("_i").alias("k")).first()["k"]
+    # the total-variance sum squares per-subject TOTALS (up to k·max
+    # wide), so the width guard scales by the item count
+    require_sum_sq_width(df, value_col, "cronbach_alpha", scale=max(int(n_items or 1), 1))
     per_subj = base.groupBy("_s").agg(
         F.countDistinct("_i").alias("_ni"),
         F.count(F.lit(1)).alias("_nrows"),

@@ -63,6 +63,10 @@ def release_caches() -> int:
             _PERSISTED.pop().unpersist()
             n += 1
         except Exception:
+            # best-effort cache release: unpersist on an already-released
+            # or session-stopped DataFrame raises, and a failed release
+            # must never mask the caller's real result — swallow and keep
+            # draining the list
             pass
     return n
 

@@ -19,8 +19,9 @@ huge bounded spine can raise ``max_buckets`` or pass ``None`` to vouch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType, DoubleType, FloatType
 
 DEFAULT_MAX_BUCKETS = 100_000
 
@@ -53,3 +54,66 @@ def require_bounded_spine(
             "column (e.g. floor timestamps to days, bin scores), or "
             "raise/disable max_buckets to vouch for the bound."
         )
+
+
+def require_sum_sq_width(
+    df: DataFrame, col: str, op_name: str, scale: int = 1
+) -> None:
+    """Fail fast when Σ (scale·value)² could overflow DECIMAL(38,0) —
+    MEASURED from the data (the tfidf/hbos house rule: silent Spark
+    non-ANSI overflow NULLs exactly the extreme rows while DuckDB's
+    HUGEINT keeps going, so the engines would diverge invisibly).
+    ``scale`` covers derived sums whose terms are up to scale·max(|x|)
+    wide (e.g. cronbach_alpha's per-subject totals over k items)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("_n"), F.max(F.abs(F.col(col))).alias("_mx")
+    ).first()
+    n, mx = (row["_n"] or 0), (row["_mx"] or 0)
+    if n and int(n) * (int(scale) * int(mx)) ** 2 >= 10**38:
+        raise ValueError(
+            f"{op_name}: n·(scale·max({col}))² = {n}·({scale}·{mx})² would "
+            "overflow the DECIMAL(38,0) sum of squares — rescale the metric "
+            "(smaller units) or pre-aggregate"
+        )
+
+
+_FRACTIONAL = (DoubleType, FloatType)
+
+
+def integral_long(df: DataFrame, col: str, op_name: str) -> Column:
+    """``col`` cast to LONG for the integer-exact stats family, with an
+    inline (codegen'd, zero extra pass) fail-fast when a FRACTIONAL-typed
+    column carries a non-integer value: a silent ``.cast("long")``
+    truncation of genuine doubles (prices, scores) is the same
+    invisible-divergence class as decimal overflow — the Spark result
+    would quietly disagree with any exact-integer oracle. Integral input
+    types return a plain cast (identical plan to before the guard).
+    NULLs pass through (``v != floor(v)`` is NULL → no raise)."""
+    c = F.col(col)
+    try:
+        dt = df.schema[col].dataType
+    except Exception:
+        dt = None
+    fractional = isinstance(dt, _FRACTIONAL) or (
+        isinstance(dt, DecimalType) and dt.scale > 0
+    )
+    if not fractional:
+        return c.cast("long")
+    return (
+        F.when(
+            c != F.floor(c),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{op_name}: non-integer value in {col!r} ("),
+                    c.cast("string"),
+                    F.lit(
+                        ") — the integer-exact stats family would silently "
+                        "truncate; rescale to integer units (e.g. cents) "
+                        "first"
+                    ),
+                )
+            ),
+        )
+        .otherwise(c)
+        .cast("long")
+    )

@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .guards import integral_long
+
 _NUMERIC = (T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DecimalType, T.ShortType)
 
 
@@ -2626,17 +2628,12 @@ def _require_sum_sq_width(df: DataFrame, col: str, op_name: str) -> None:
     """Fail fast when Σ value² could overflow DECIMAL(38,0) — MEASURED
     from the data (the tfidf/hbos house rule: silent Spark non-ANSI
     overflow NULLs exactly the extreme rows while DuckDB's HUGEINT
-    keeps going, so the engines would diverge invisibly)."""
-    row = df.agg(
-        F.count(F.lit(1)).alias("_n"), F.max(F.abs(F.col(col))).alias("_mx")
-    ).first()
-    n, mx = (row["_n"] or 0), (row["_mx"] or 0)
-    if n and int(n) * (int(mx) ** 2) >= 10**38:
-        raise ValueError(
-            f"{op_name}: n·max({col})² = {n}·{mx}² would overflow the "
-            "DECIMAL(38,0) sum of squares — rescale the metric (smaller "
-            "units) or pre-aggregate"
-        )
+    keeps going, so the engines would diverge invisibly). Shared
+    implementation lives in :mod:`.guards` (annotation.cronbach_alpha
+    needs it too)."""
+    from .guards import require_sum_sq_width
+
+    require_sum_sq_width(df, col, op_name)
 
 
 def anova_oneway(
@@ -2666,7 +2663,7 @@ def anova_oneway(
     require_bounded_spine(df, group_col, [], max_groups, "anova_oneway")
     _require_sum_sq_width(df, value_col, "anova_oneway")
     dec = lambda c: c.cast("decimal(38,0)")
-    v = F.col(value_col).cast("long")
+    v = integral_long(df, value_col, "anova_oneway")
     grp = df.groupBy(F.col(group_col).alias("_g")).agg(
         F.count(F.lit(1)).alias("_ng"),
         F.sum(dec(v)).alias("_sg"),
@@ -2784,7 +2781,8 @@ def brown_forsythe(
     require_bounded_spine(df, group_col, [], max_groups, "brown_forsythe")
     dec = lambda c: c.cast("decimal(38,0)")
     per = df.groupBy(
-        F.col(group_col).alias("_g"), F.col(bucket_col).cast("long").alias("_v")
+        F.col(group_col).alias("_g"),
+        integral_long(df, bucket_col, "brown_forsythe").alias("_v"),
     ).agg(F.count(F.lit(1)).alias("_c"))
     wg = Window.partitionBy("_g").orderBy("_v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -2923,6 +2921,7 @@ def kendall_tau(
     round_to: int = 6,
     max_x_buckets: int | None = 1000,
     max_y_buckets: int | None = 1000,
+    max_cells: int | None = 25_000,
 ) -> DataFrame:
     """Kendall's τ-b rank correlation over two BOUNDED-spine columns —
     the concordance companion to the Spearman/Pearson correlations the
@@ -2936,7 +2935,8 @@ def kendall_tau(
     Exactness AND scale: naive τ is O(n²) over ROWS — undistributable.
     Over bucketed spines it collapses to the joint histogram: C and D
     are cell-pair sums Σ n_a·n_b over V² CELL pairs (V = distinct
-    cells, caller-bounded), every count/product an exact
+    JOINT cells, guarded by ``max_cells`` — the per-axis caps alone
+    would admit V up to their product), every count/product an exact
     DECIMAL(38,0), with the single pinned sqrt tail at the end. The
     cell self-join is restricted to x_b > x_a (each unordered pair
     counted once; x-ties contribute to neither C nor D). Output one
@@ -2946,10 +2946,19 @@ def kendall_tau(
 
     require_bounded_spine(df, x_col, [], max_x_buckets, "kendall_tau")
     require_bounded_spine(df, y_col, [], max_y_buckets, "kendall_tau")
+    # the per-axis caps bound each margin, but the concordance self-join
+    # is over JOINT cells: V distinct (x,y) cells cost ~V²/2 compared
+    # pairs in the x-range join, so V must be guarded directly or the
+    # defaults admit a 5e11-pair blowup
+    if max_cells is not None:
+        joint = df.select(
+            F.struct(F.col(x_col), F.col(y_col)).alias("_cell")
+        )
+        require_bounded_spine(joint, "_cell", [], max_cells, "kendall_tau")
     dec = lambda c: c.cast("decimal(38,0)")
     cells = df.groupBy(
-        F.col(x_col).cast("long").alias("_x"),
-        F.col(y_col).cast("long").alias("_y"),
+        integral_long(df, x_col, "kendall_tau").alias("_x"),
+        integral_long(df, y_col, "kendall_tau").alias("_y"),
     ).agg(F.count(F.lit(1)).alias("_c"))
     a = cells.select(
         F.col("_x").alias("_xa"), F.col("_y").alias("_ya"), F.col("_c").alias("_ca")
@@ -3104,8 +3113,8 @@ def regression_influence(
     base = df.select(
         F.col(group_col).alias("_g"),
         F.col(id_col).alias("_id"),
-        F.col(x_col).cast("long").alias("_x"),
-        F.col(y_col).cast("long").alias("_y"),
+        integral_long(df, x_col, "regression_influence").alias("_x"),
+        integral_long(df, y_col, "regression_influence").alias("_y"),
     )
     stats = base.groupBy("_g").agg(
         F.count(F.lit(1)).alias("_n"),
@@ -3408,7 +3417,7 @@ def friedman_test(
     base = df.select(
         F.col(block_col).alias("_b"),
         F.col(treatment_col).alias("_j"),
-        F.col(value_col).cast("long").alias("_v"),
+        integral_long(df, value_col, "friedman_test").alias("_v"),
     )
     k_row = base.select(F.countDistinct("_j").alias("k")).first()
     k = int(k_row["k"] or 0)
@@ -3719,10 +3728,13 @@ def effect_sizes(
     cohens_d, hedges_g)`` — NULL d/g when either arm has < 2 rows or
     the pooled variance is 0.
     """
+    from .guards import require_sum_sq_width
+
+    require_sum_sq_width(df, value_col, "effect_sizes")
     keys = list(by or [])
     dec = lambda c: c.cast("decimal(38,0)")
     t = F.col(treat_col).cast("int")
-    v = dec(F.col(value_col).cast("long"))
+    v = dec(integral_long(df, value_col, "effect_sizes"))
     per = df.groupBy(*keys).agg(
         F.sum(F.when(t == 1, 1).otherwise(0)).alias("n1"),
         F.sum(F.when(t == 1, v).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("_s1"),
@@ -3838,8 +3850,9 @@ def welch_anova(
     from .guards import require_bounded_spine
 
     require_bounded_spine(df, group_col, [], max_groups, "welch_anova")
+    _require_sum_sq_width(df, value_col, "welch_anova")
     dec = lambda c: c.cast("decimal(38,0)")
-    v = F.col(value_col).cast("long")
+    v = integral_long(df, value_col, "welch_anova")
     grp = df.groupBy(F.col(group_col).alias("_g")).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(dec(v)).alias("_s"),
@@ -4007,11 +4020,12 @@ def grubbs_test(
     """
     from pyspark.sql import Window
 
+    _require_sum_sq_width(df, value_col, "grubbs_test")
     dec = lambda c: c.cast("decimal(38,0)")
     base = df.select(
         F.col(group_col).alias("_g"),
         F.col(id_col).alias("_id"),
-        F.col(value_col).cast("long").alias("_x"),
+        integral_long(df, value_col, "grubbs_test").alias("_x"),
     )
     stats = base.groupBy("_g").agg(
         F.count(F.lit(1)).alias("_n"),
@@ -4111,7 +4125,8 @@ def moods_median(
     require_bounded_spine(df, bucket_col, [], max_buckets, "moods_median")
     require_bounded_spine(df, group_col, [], max_groups, "moods_median")
     base = df.select(
-        F.col(group_col).alias("_g"), F.col(bucket_col).cast("long").alias("_x")
+        F.col(group_col).alias("_g"),
+        integral_long(df, bucket_col, "moods_median").alias("_x"),
     )
     hist = base.groupBy("_x").agg(F.count(F.lit(1)).alias("_c"))
     wcum = Window.orderBy("_x").rowsBetween(

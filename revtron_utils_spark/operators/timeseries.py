@@ -928,10 +928,12 @@ def acf_lags(
     Output: ``(group, lag, n, acf)`` — acf NULL when the group has
     ≤ lag points or zero variance.
     """
+    from .guards import integral_long
+
     base = df.select(
         F.col(group_col).alias("_g"),
         F.col(time_col).alias("_t"),
-        F.col(value_col).cast("long").alias("_x"),
+        integral_long(df, value_col, "acf_lags").alias("_x"),
     )
     chk = base.groupBy("_g", "_t").agg(F.count(F.lit(1)).alias("_c")).agg(
         F.max("_c").alias("_dup"),
@@ -1090,15 +1092,23 @@ def durbin_watson(
     from ..operators.guards import require_bounded_spine
 
     require_bounded_spine(df, time_col, [group_col], max_points, "durbin_watson")
+    from .guards import integral_long
+
     dec = lambda c: c.cast("decimal(38,0)")
     base = df.select(
         F.col(group_col).alias("_g"),
         F.col(time_col).alias("_t"),
-        F.col(x_col).cast("long").alias("_x"),
-        F.col(y_col).cast("long").alias("_y"),
+        integral_long(df, x_col, "durbin_watson").alias("_x"),
+        integral_long(df, y_col, "durbin_watson").alias("_y"),
     )
     stats = base.groupBy("_g").agg(
         F.count(F.lit(1)).alias("_n"),
+        # duplicate (group, time) buckets make the LAG alignment
+        # nondeterministic (the acf_lags precedent: Spark's struct-sort
+        # tiebreak and DuckDB's unspecified list order would diverge on
+        # the ordered float folds) — counted here, raised below, at zero
+        # extra passes (the width scan already runs)
+        F.count_distinct(F.col("_t")).alias("_nt"),
         F.sum(dec(F.col("_x"))).alias("_sx"),
         F.sum(dec(F.col("_y"))).alias("_sy"),
         F.sum(dec(F.col("_x")) * dec(F.col("_x"))).alias("_sxx"),
@@ -1110,8 +1120,15 @@ def durbin_watson(
         F.max("_n").alias("_n"),
         F.max("_mx").alias("_mx"),
         F.max("_my").alias("_my"),
+        F.max(F.col("_n") - F.col("_nt")).alias("_dups"),
     ).first()
     n_w, mx_w, my_w = (int(w[c] or 0) for c in ("_n", "_mx", "_my"))
+    if int(w["_dups"] or 0) > 0:
+        raise ValueError(
+            "durbin_watson: duplicate (group, time) buckets — "
+            "pre-aggregate the series (one row per bucket) or the "
+            "residual lag alignment is meaningless"
+        )
     # 16x, not the influence guard's 8x: the DW numerator takes the
     # DIFFERENCE of two residual numerators (|R_t − R_{t−1}| ≤ 2·|R|),
     # so the width bound doubles
