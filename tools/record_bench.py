@@ -54,6 +54,25 @@ HEADER2 = (
     "| --- | --- | --- | --- | --- | --- | --- | --- | --- |\n"
 )
 
+# Heavy-axis canary (round-11, VERDICT r10 task 2): the small-query
+# TPC-H canary tracks scheduler/JIT pressure but NOT sustained-CPU
+# throughput, and the two axes move independently on this host (the
+# r10 close runs normalized to 441 vs 573 s on identical code). Two
+# pinned iterative queries — pagerank (exact-int recurrence, code
+# frozen r9) and dawid_skene (wide-posterior EM, frozen r9) — probe the
+# sustained axis directly. Steady-state (min-of-passes) is the unit:
+# cold numbers of iterative queries carry first-run JIT.
+HEAVY_CANARY = ["pagerank", "dawid_skene"]
+# Σ best-of-3 isolated quiet-host seconds, measured r11 (2026-08-16):
+# pagerank 10.00, dawid_skene 12.53
+HEAVY_REF = 22.53
+MARKER3 = "## BENCH_HISTORY (heavy axis)"
+HEADER3 = (
+    "| label | commit | pagerank min (s) | dawid_skene min (s) "
+    "| heavy Σ (s) | heavy drift |\n"
+    "| --- | --- | --- | --- | --- | --- |\n"
+)
+
 
 def _parse_source(path: Path) -> dict:
     raw = json.loads(path.read_text())
@@ -120,6 +139,20 @@ def main() -> None:
                 f"| {canary_total:.3f} | {drift:.2f}x | {norm:.1f} |\n"
             )
 
+    # heavy-axis row: steady-state (min) of the two pinned iterative
+    # queries; fall back to warm then cold for pre-r10 artifacts that
+    # lack the min pass
+    heavy = d.get("queries_min") or d.get("queries_warm") or qs
+    row3 = None
+    if all(c in heavy for c in HEAVY_CANARY):
+        h = [heavy[c] for c in HEAVY_CANARY]
+        hsum = sum(h)
+        if hsum > 0:
+            row3 = (
+                f"| {args.label} | {commit} | {h[0]} | {h[1]} "
+                f"| {hsum:.2f} | {hsum / HEAVY_REF:.2f}x |\n"
+            )
+
     # Archive the per-query detail under the round label so round-over-
     # round per-query comparison never depends on the driver tail's
     # last-75-query truncation (r7 could compare only 29/114 r6
@@ -159,10 +192,32 @@ def main() -> None:
                 "cold ÷ drift. Compare norm-cold across rounds; raw "
                 "cold stays the official driver metric:\n\n" + HEADER2
             )
-        text += row2
+        if MARKER3 in text:
+            head, tail = text.split(MARKER3, 1)
+            text = head + row2 + MARKER3 + tail
+        else:
+            text += row2
     else:
         print(
             "no drift-normalized row: detail lacks canary queries",
+            file=sys.stderr,
+        )
+    if row3:
+        if MARKER3 not in text:
+            text += (
+                f"\n{MARKER3}\n\nSustained-CPU drift probe (the small-query "
+                "canary above tracks scheduler/JIT pressure; iterative "
+                "queries drift on an independent axis — the r10 close-run "
+                "finding): steady-state (min-of-passes) seconds of the two "
+                f"pinned iterative queries ({', '.join(HEAVY_CANARY)}, both "
+                "code-frozen since r9), `heavy drift` = Σ ÷ "
+                f"{HEAVY_REF} (Σ best-of-3 isolated quiet-host, r11):\n\n"
+                + HEADER3
+            )
+        text += row3
+    else:
+        print(
+            "no heavy-axis row: detail lacks the pinned heavy queries",
             file=sys.stderr,
         )
     baseline.write_text(text)
