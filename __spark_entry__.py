@@ -4497,6 +4497,60 @@ def q_pq_ann(spark, sf):
     return index.rerank_topk(enc, list(qvec), k=10, shortlist=50)
 
 
+def q_ivf_ann_poly(spark, sf):
+    """IVF ANN with deterministic integer centroids
+    (`similarity.ivf_probe_exact`, round-11 close of the `ivf_ann`
+    rows-only gate): the 8 smallest-id vectors ARE the coarse
+    centroids, assignment/probe/top-k are exact int64 over quantized
+    components, so the DuckDB twin reproduces the ENTIRE IVF path —
+    Voronoi assignment, 2-probe pruning, ranked shortlist — hash-exact.
+    The KMeans-trained `ivf_ann` stays as the recall-documented
+    throughput twin. Physical plan: seeds folded to literals → one
+    narrow projection (no join/shuffle) → TakeOrderedAndProject."""
+    emb = _t(spark, sf, "embeddings")
+    min_id = emb.agg(F.min("vec_id")).first()[0]
+    qvec = emb.filter(F.col("vec_id") == min_id).select("embedding").first()[0]
+    return SIM.ivf_probe_exact(emb, list(qvec), k=10, n_seeds=8, nprobe=2)
+
+
+def _sql_ivf_ann_poly() -> str:
+    from revtron_utils_spark.operators.similarity import (
+        ivf_probe_exact_oracle_sql,
+    )
+
+    return ivf_probe_exact_oracle_sql(k=10, n_seeds=8, nprobe=2, dim=64)
+
+
+SQL_IVF_ANN_POLY = _sql_ivf_ann_poly()
+
+
+def q_pq_ann_poly(spark, sf):
+    """PQ ADC search with deterministic integer codebooks
+    (`pq.pq_adc_exact`, round-11 close of the `pq_ann` rows-only gate):
+    per-subspace codebooks are the subvectors of the 16 smallest-id
+    vectors, encode/ADC/shortlist/re-rank all exact int64 with integer
+    tie order, so the DuckDB twin reproduces the full
+    compress-score-refine pipeline hash-exact. The k-means++-trained
+    `pq_ann` stays as the throughput twin. Physical plan: codebooks
+    unrolled as literals → one projection (encode + ADC LUT, no
+    join/shuffle) → two TakeOrderedAndProjects (shortlist, re-rank)."""
+    from revtron_utils_spark.operators.pq import pq_adc_exact
+
+    emb = _t(spark, sf, "embeddings")
+    min_id = emb.agg(F.min("vec_id")).first()[0]
+    qvec = emb.filter(F.col("vec_id") == min_id).select("embedding").first()[0]
+    return pq_adc_exact(emb, list(qvec), k=10, shortlist=50, m=4, n_codes=16)
+
+
+def _sql_pq_ann_poly() -> str:
+    from revtron_utils_spark.operators.pq import pq_adc_exact_oracle_sql
+
+    return pq_adc_exact_oracle_sql(k=10, shortlist=50, m=4, n_codes=16, dim=64)
+
+
+SQL_PQ_ANN_POLY = _sql_pq_ann_poly()
+
+
 def _fake_sf_client(spark, sf, limit_rows=5000):
     """Salesforce-compatible client over an in-memory backend seeded
     deterministically from the events fixture (S9-S19 demo without a
@@ -10286,6 +10340,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_pairs": (q_minhash_pairs, None),
     "simhash_pairs": (q_simhash_pairs, None),
     "ivf_ann": (q_ivf_ann, None),
+    "ivf_ann_poly": (q_ivf_ann_poly, SQL_IVF_ANN_POLY),
+    "pq_ann_poly": (q_pq_ann_poly, SQL_PQ_ANN_POLY),
     "cosine_neardup_lsh": (q_cosine_neardup_lsh, None),
     "cosine_neardup_lsh_poly": (
         q_cosine_neardup_lsh_poly,

@@ -1148,3 +1148,166 @@ SELECT k_items, _nt AS n_subjects,
          END, {round_to}) AS alpha
 FROM isum, tot
 """
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    rater_col: str,
+    value_col: str,
+    round_to: int = 6,
+    max_panel: int | None = 1_000,
+) -> DataFrame:
+    """Krippendorff's α for nominal data over a (unit, rater, value)
+    ratings table — the agreement coefficient that, unlike
+    :func:`cohen_kappa_pairs` (fixed rater pairs) and
+    :func:`fleiss_kappa` (fixed panel size), tolerates VARIABLE panel
+    sizes per unit: exactly the shape crowd-label tables have after
+    dropouts. Units with a single rating carry no pairable information
+    and are EXCLUDED and counted (Krippendorff's own rule):
+
+        D_o = (1/n) Σ_u Σ_c n_uc (m_u − n_uc) / (m_u − 1),
+        D_e = Σ_c n_c (n − n_c) / (n (n − 1)),
+        α   = 1 − D_o / D_e,
+
+    with n = Σ m_u over usable units. Exactness: the per-panel-size
+    disagreement sums S_m = Σ_{u: m_u = m} Σ_c n_uc(m_u − n_uc) are
+    exact DECIMAL(38,0) integers; Σ_m S_m/(m−1) runs as an m-ORDERED
+    float fold over the panel-size buckets (≤ max_panel distinct sizes
+    by contract — a rater panel, not a corpus dimension); D_e is exact
+    integers with ONE division; the α tail is pinned. Output one row:
+    ``(n_units, n_ratings, n_dropped, alpha)`` — NULL when D_e = 0 or
+    fewer than 2 usable ratings.
+
+    Plan: one (unit, value) partial-agg shuffle → one unit agg → one
+    ≤max_panel-row fold; the category margin is a second small agg over
+    the same cells. Nothing collects a unit's ratings anywhere.
+    """
+    from .guards import require_bounded_spine
+
+    dec = lambda c: c.cast("decimal(38,0)")
+    cells = (
+        df.select(
+            F.col(unit_col).alias("_u"),
+            F.col(rater_col).alias("_r"),
+            F.col(value_col).alias("_c"),
+        )
+        .groupBy("_u", "_c")
+        .agg(F.count(F.lit(1)).alias("_nuc"))
+    )
+    units = cells.groupBy("_u").agg(
+        F.sum("_nuc").alias("_m"),
+        F.sum(dec(F.col("_nuc")) * dec(F.col("_nuc"))).alias("_sq"),
+    )
+    # Σ_c n_uc(m_u − n_uc) = m_u² − Σ_c n_uc²
+    usable = units.where(F.col("_m") > 1).select(
+        "_u",
+        "_m",
+        (dec(F.col("_m")) * dec(F.col("_m")) - F.col("_sq")).alias("_dis"),
+    )
+    require_bounded_spine(usable, "_m", [], max_panel, "krippendorff_alpha")
+    n_dropped = units.where(F.col("_m") <= 1).count()
+    by_m = usable.groupBy("_m").agg(
+        F.count(F.lit(1)).alias("_units"),
+        F.sum("_m").alias("_nm"),
+        F.sum("_dis").alias("_sm"),
+    )
+    do_agg = by_m.agg(
+        F.sum("_units").alias("n_units"),
+        F.sum("_nm").alias("n"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_m").alias("m"),
+                    (
+                        F.col("_sm").cast("double")
+                        / (F.col("_m") - F.lit(1)).cast("double")
+                    ).alias("term"),
+                )
+            )
+        ).alias("_terms"),
+    ).withColumn(
+        "_dosum",
+        F.aggregate(F.col("_terms"), F.lit(0.0), lambda a, x: a + x["term"]),
+    )
+    # category margins over usable units only
+    margins = (
+        cells.join(usable.select("_u"), "_u")
+        .groupBy("_c")
+        .agg(F.sum("_nuc").alias("_nc"))
+    )
+    tot = margins.agg(
+        F.sum("_nc").alias("_n2"),
+        F.sum(dec(F.col("_nc")) * dec(F.col("_nc"))).alias("_ncsq"),
+    )
+    out = do_agg.crossJoin(tot)
+    n = F.col("n")
+    nd = n.cast("double")
+    de_num = (dec(n) * dec(n) - F.col("_ncsq")).cast("double")
+    de = de_num / (nd * (nd - F.lit(1.0)))
+    do = F.col("_dosum") / nd
+    ok = (n > 1) & (de_num > 0)
+    return out.select(
+        F.col("n_units").cast("long").alias("n_units"),
+        n.cast("long").alias("n_ratings"),
+        F.lit(n_dropped).cast("long").alias("n_dropped"),
+        F.round(F.when(ok, F.lit(1.0) - do / de), round_to).alias("alpha"),
+    )
+
+
+def krippendorff_alpha_oracle_sql(
+    ratings_sql: str,
+    unit_col: str,
+    rater_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same integer per-panel-size disagreement sums, same
+    m-ordered float fold, same pinned D_e/α tail."""
+    return f"""
+WITH cells AS MATERIALIZED (
+  SELECT {unit_col} AS _u, {value_col} AS _c, CAST(COUNT(*) AS BIGINT) AS _nuc
+  FROM ({ratings_sql}) GROUP BY 1, 2
+),
+units AS MATERIALIZED (
+  SELECT _u, CAST(SUM(_nuc) AS BIGINT) AS _m,
+         SUM(CAST(_nuc AS HUGEINT) * _nuc) AS _sq
+  FROM cells GROUP BY _u
+),
+usable AS MATERIALIZED (
+  SELECT _u, _m, CAST(_m AS HUGEINT) * _m - _sq AS _dis
+  FROM units WHERE _m > 1
+),
+by_m AS (
+  SELECT _m, CAST(COUNT(*) AS BIGINT) AS _units,
+         CAST(SUM(_m) AS BIGINT) AS _nm, SUM(_dis) AS _sm
+  FROM usable GROUP BY _m
+),
+do_agg AS (
+  SELECT CAST(SUM(_units) AS BIGINT) AS n_units,
+         CAST(SUM(_nm) AS BIGINT) AS n,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CAST(_sm AS DOUBLE) / (CAST(_m AS DOUBLE) - 1.0) ORDER BY _m)),
+           (a, b) -> a + b) AS _dosum
+  FROM by_m
+),
+margins AS (
+  SELECT c._c, CAST(SUM(c._nuc) AS BIGINT) AS _nc
+  FROM cells c JOIN usable u ON c._u = u._u
+  GROUP BY c._c
+),
+tot AS (
+  SELECT SUM(CAST(_nc AS HUGEINT) * _nc) AS _ncsq FROM margins
+),
+dropped AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped FROM units WHERE _m <= 1
+)
+SELECT d.n_units, d.n AS n_ratings, dr.n_dropped,
+       ROUND(CASE WHEN d.n > 1
+                   AND CAST(CAST(d.n AS HUGEINT) * d.n - t._ncsq AS DOUBLE) > 0
+         THEN 1.0 - (d._dosum / CAST(d.n AS DOUBLE))
+              / (CAST(CAST(d.n AS HUGEINT) * d.n - t._ncsq AS DOUBLE)
+                 / (CAST(d.n AS DOUBLE) * (CAST(d.n AS DOUBLE) - 1.0)))
+         END, {round_to}) AS alpha
+FROM do_agg d, tot t, dropped dr
+"""

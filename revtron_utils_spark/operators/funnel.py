@@ -1139,3 +1139,161 @@ SELECT it[CAST(u.r AS INTEGER)] AS channel,
 FROM fin, UNNEST(range(1, m + 1)) AS u(r)
 """
     )
+
+
+def shapley_attribution(
+    touches: DataFrame,
+    unit_col: str,
+    channel_col: str,
+    round_to: int = 6,
+    max_channels: int = 12,
+) -> DataFrame:
+    """Exact Shapley-value channel attribution over converted units —
+    the game-theoretic sibling of :func:`markov_attribution` (Markov
+    credits by removal effect on a path chain; Shapley credits each
+    channel its average marginal contribution over every coalition
+    order, the only attribution satisfying efficiency + symmetry):
+
+        φ_c = Σ_{S ⊆ C∖{c}} |S|!·(k−1−|S|)!/k! · [v(S∪{c}) − v(S)],
+
+    with the standard marketing characteristic function
+    v(S) = #units whose touched-channel set ⊆ S (units that would
+    still have converted with only S available).
+
+    Exactness AND scale: the corpus reduces to ≤2^k MASK COUNTS (one
+    distinct + one aggregation — the only passes over the data);
+    v(·), every marginal difference, and the k!-scaled credits are
+    exact DECIMAL integers over the ≤2^k×2^k subset lattice (driver-
+    free, a self-join on `(mask & S) = mask`), and φ_c is ONE pinned
+    division by k!. ``k`` is measured and fail-fast capped at
+    ``max_channels`` (the lattice is 4^k cells — 12 channels = 16M,
+    fine; 30 would not be). Output per channel:
+    ``(channel, shapley)``, ordered by channel; Σφ = #units with a
+    non-empty touched set.
+    """
+    from pyspark.sql import Window
+
+    chans = [
+        r["_c"]
+        for r in touches.select(F.col(channel_col).alias("_c"))
+        .distinct()
+        .orderBy("_c")
+        .collect()
+    ]
+    k = len(chans)
+    if k == 0:
+        raise ValueError("shapley_attribution: no channels in input")
+    if k > max_channels:
+        raise ValueError(
+            f"shapley_attribution: {k} channels exceeds max_channels="
+            f"{max_channels} — the subset lattice is 4^k cells; bucket "
+            "the channel taxonomy first"
+        )
+    spark = touches.sparkSession
+    bits = spark.createDataFrame(
+        [(c, 1 << i) for i, c in enumerate(chans)], ["_c", "_bit"]
+    )
+    masks = (
+        touches.select(F.col(unit_col).alias("_u"), F.col(channel_col).alias("_c"))
+        .distinct()
+        .join(F.broadcast(bits), "_c")
+        .groupBy("_u")
+        .agg(F.sum("_bit").alias("_mask"))  # distinct bits: sum == OR
+        .groupBy("_mask")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    subsets = spark.range(0, 1 << k).select(F.col("id").alias("_s"))
+    from .dedup import _persist
+
+    # persisted: v is ≤ 2^k rows but sits on top of the corpus-reducing
+    # scan, and the marginal-difference self-join below reads it twice
+    v = _persist(
+        subsets.join(
+            F.broadcast(masks),
+            masks["_mask"].bitwiseAND(subsets["_s"]) == masks["_mask"],
+            "left",
+        )
+        .groupBy("_s")
+        .agg(F.coalesce(F.sum("_cnt"), F.lit(0)).alias("_v"))
+    )
+    # factorial weights as exact literals (k ≤ 12 → fits long); ONE
+    # plan for all channels — the chan×lattice joins reuse the single
+    # corpus-reducing `v` subtree instead of re-scanning per channel
+    import math
+
+    fact = [math.factorial(i) for i in range(k + 1)]
+    wexpr = F.element_at(
+        F.array(*[F.lit(fact[s] * fact[k - 1 - s]) for s in range(k)]),
+        (F.bit_count(F.col("_s0")) + 1).cast("int"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    v0 = v.select(F.col("_s").alias("_s0"), F.col("_v").alias("_v0"))
+    v1 = v.select(F.col("_s").alias("_s1"), F.col("_v").alias("_v1"))
+    pairs = (
+        F.broadcast(bits)
+        .join(v0, v0["_s0"].bitwiseAND(F.col("_bit")) == 0)
+        .join(v1, F.col("_s1") == F.col("_s0") + F.col("_bit"))
+    )
+    return (
+        pairs.groupBy(F.col("_c").alias("channel"))
+        .agg(
+            F.sum(dec(F.col("_v1") - F.col("_v0")) * dec(wexpr)).alias("_num")
+        )
+        .select(
+            "channel",
+            F.round(
+                F.col("_num").cast("double") / F.lit(float(fact[k])), round_to
+            ).alias("shapley"),
+        )
+        .orderBy("channel")
+    )
+
+
+def shapley_attribution_oracle_sql(
+    touches_sql: str,
+    unit_col: str,
+    channel_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same mask counts, same subset lattice joined on
+    `(mask & S) = mask`, same factorial-weighted exact integer credits
+    and single k! division. k is derived in SQL (no literal k), so the
+    twin stays valid at any channel count."""
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT DISTINCT {unit_col} AS _u, {channel_col} AS _c FROM ({touches_sql})
+),
+chan AS MATERIALIZED (
+  SELECT _c, CAST(1 AS BIGINT) << (CAST(row_number() OVER (ORDER BY _c) AS INTEGER) - 1) AS _bit,
+         CAST(row_number() OVER (ORDER BY _c) AS BIGINT) - 1 AS _i
+  FROM (SELECT DISTINCT _c FROM t)
+),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM chan),
+masks AS MATERIALIZED (
+  SELECT _mask, CAST(COUNT(*) AS BIGINT) AS _cnt FROM (
+    SELECT t._u, CAST(SUM(c._bit) AS BIGINT) AS _mask
+    FROM t JOIN chan c USING (_c) GROUP BY t._u
+  ) GROUP BY _mask
+),
+subsets AS (
+  SELECT CAST(r.range AS BIGINT) AS _s
+  FROM range(0, CAST(power(2, (SELECT k FROM kk)) AS BIGINT)) r
+),
+v AS MATERIALIZED (
+  SELECT s._s, CAST(COALESCE(SUM(m._cnt), 0) AS BIGINT) AS _v
+  FROM subsets s LEFT JOIN masks m ON (m._mask & s._s) = m._mask
+  GROUP BY s._s
+)
+SELECT c._c AS channel,
+       ROUND(CAST(SUM(CAST(v1._v - v0._v AS HUGEINT)
+                      * CAST(factorial(CAST(bit_count(v0._s) AS INTEGER)) AS HUGEINT)
+                      * CAST(factorial(CAST((SELECT k FROM kk) - 1 - bit_count(v0._s) AS INTEGER)) AS HUGEINT))
+                  AS DOUBLE)
+             / CAST(factorial(CAST((SELECT k FROM kk) AS INTEGER)) AS DOUBLE),
+             {round_to}) AS shapley
+FROM chan c
+JOIN v v0 ON (v0._s & c._bit) = 0
+JOIN v v1 ON v1._s = v0._s + c._bit
+GROUP BY c._c
+ORDER BY c._c
+"""

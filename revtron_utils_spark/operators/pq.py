@@ -238,3 +238,170 @@ class PQIndex:
             id_col, vec_col
         )
         return cosine_topk(survivors, list(query_vec), k, vec_col=vec_col, id_col=id_col)
+
+
+def pq_adc_exact(
+    df,
+    query_vec,
+    k: int = 10,
+    shortlist: int = 50,
+    m: int = 4,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+):
+    """PQ ADC search with DETERMINISTIC INTEGER codebooks — the
+    hash-gateable twin of :class:`PQIndex` (whose k-means++ codebook
+    training is iterative numpy and therefore rows-only-gated). Same
+    pipeline shape — per-subspace encode, ADC shortlist, exact re-rank
+    of the survivors — but the per-subspace codebooks are the
+    subvectors of the ``n_codes`` smallest-id data vectors
+    (deterministic), every distance is an exact int64 over quantized
+    components, and every tie breaks on integers (code index, then id),
+    so a SQL oracle reproduces encode → ADC → shortlist → re-rank
+    bit-for-bit.
+
+    Physical shape: codebooks collected once (``n_codes`` rows, bounded
+    by contract) and unrolled as literals; encode + ADC is ONE per-row
+    projection (no join, no shuffle, whole-stage codegen), the
+    shortlist and final top-k both plan as TakeOrderedAndProject. The
+    re-rank re-reads only the shortlist's own rows (the distances ride
+    along in the struct — no second scan, no self-join).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions import vectors as VX
+    from .similarity import _int_dist2, _quant_ints
+
+    qe = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(VX.quantize(vec_col, scale), lambda x: x.cast("long")).alias(
+            "qv"
+        ),
+    )
+    seed_rows = qe.orderBy("id").limit(n_codes).collect()
+    dim = len(seed_rows[0]["qv"])
+    if dim % m:
+        raise ValueError(f"pq_adc_exact: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    # codebooks[s][t] = subvector s of seed t (python ints)
+    books = [
+        [list(r["qv"])[s * sub : (s + 1) * sub] for r in seed_rows]
+        for s in range(m)
+    ]
+    qints = _quant_ints(query_vec, scale)
+    qsubs = [qints[s * sub : (s + 1) * sub] for s in range(m)]
+    # per-subspace: argmin over the literal codebook → (code, adc term)
+    # where the ADC term is the exact int distance from the QUERY's
+    # subvector to the chosen CODE vector (classic asymmetric lookup:
+    # dist(q_s, c_s(code)) — precomputed per (s, t) as a literal)
+    adc_terms = []
+    for s in range(m):
+        svec = F.slice(F.col("qv"), s * sub + 1, sub)
+        lut = [
+            sum((a - b) * (a - b) for a, b in zip(qsubs[s], books[s][t]))
+            for t in range(n_codes)
+        ]
+        best = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _int_dist2(svec, books[s][t]).alias("d"),
+                        F.lit(t).cast("long").alias("t"),
+                    )
+                    for t in range(n_codes)
+                ]
+            )
+        )
+        # element_at on a literal long array: the LUT lookup
+        adc_terms.append(
+            F.element_at(
+                F.array(*[F.lit(int(v)).cast("long") for v in lut]),
+                (best["t"] + 1).cast("int"),
+            )
+        )
+    adc = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc = adc + t
+    scored = qe.select(
+        "id",
+        adc.alias("adc_dist2"),
+        _int_dist2(F.col("qv"), qints).alias("dist2"),
+    )
+    short = scored.orderBy(F.col("adc_dist2").asc(), F.col("id").asc()).limit(
+        shortlist
+    )
+    return (
+        short.orderBy(F.col("dist2").asc(), F.col("id").asc())
+        .limit(k)
+        .select(F.col("id").alias(id_col), "adc_dist2", "dist2")
+    )
+
+
+def pq_adc_exact_oracle_sql(
+    k: int = 10,
+    shortlist: int = 50,
+    m: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`pq_adc_exact` over the ``embeddings``
+    view: same smallest-id codebooks, same exact-integer encode/ADC/
+    shortlist/re-rank with identical tie order."""
+    sub = dim // m
+    quant = (
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(round(x * {scale}) AS BIGINT))"
+    )
+
+    def d2(a, b, lo, n):
+        return (
+            f"list_sum(list_transform(range({lo}, {lo + n}), i -> "
+            f"({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+        )
+
+    # per-subspace encode: cross join e × codes, keep the argmin code
+    # per (vector, subspace); the ADC term is the query→code distance
+    enc_selects = []
+    for s in range(m):
+        lo = s * sub + 1
+        enc_selects.append(
+            f"""
+enc{s} AS (
+  SELECT e.vec_id,
+         {d2("c.qv", "q.qv", lo, sub)} AS adc_term
+  FROM e CROSS JOIN codes c CROSS JOIN q
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY {d2("e.qv", "c.qv", lo, sub)}, c.t) = 1
+)"""
+        )
+    joins = " ".join(f"JOIN enc{s} USING (vec_id)" for s in range(1, m))
+    adc_sum = " + ".join(
+        f"enc{s}.adc_term" if m > 1 else "enc0.adc_term" for s in range(m)
+    )
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, {quant} AS qv FROM embeddings
+),
+codes AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS t, qv
+  FROM e ORDER BY vec_id LIMIT {n_codes}
+),
+q AS MATERIALIZED (SELECT qv FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+{", ".join(enc_selects)},
+scored AS (
+  SELECT enc0.vec_id, CAST({adc_sum} AS BIGINT) AS adc_dist2
+  FROM enc0 {joins}
+),
+short AS (
+  SELECT s.vec_id, s.adc_dist2,
+         CAST({d2("e.qv", "q.qv", 1, dim)} AS BIGINT) AS dist2
+  FROM scored s JOIN e USING (vec_id) CROSS JOIN q
+  ORDER BY s.adc_dist2, s.vec_id LIMIT {shortlist}
+)
+SELECT vec_id, adc_dist2, dist2
+FROM short ORDER BY dist2, vec_id LIMIT {k}
+"""

@@ -4254,3 +4254,383 @@ SELECT k, n,
              {round_to}) AS chi2
 FROM agg
 """
+
+
+def cramer_von_mises(
+    df: DataFrame,
+    bucket_col: str,
+    slice_col,
+    slice_a,
+    slice_b,
+    round_to: int = 6,
+    max_buckets: int | None = 100_000,
+) -> DataFrame:
+    """Two-sample Cramér–von Mises criterion over a caller-bounded
+    bucket spine — the INTEGRATED companion to :func:`ks_test` (KS finds
+    the worst single point of ECDF disagreement; CvM sums the squared
+    disagreement across the whole support, so a broad mild shift that
+    never spikes still registers):
+
+        T = (n_a·n_b / N²) · Σ_k t_k · (F_a(k) − F_b(k))².
+
+    Exactness: with D_k = cum_a(k)·n_b − cum_b(k)·n_a (the exact integer
+    KS cross-product), F_a − F_b = D_k/(n_a·n_b) and
+
+        T = Σ_k t_k·D_k² / (N² · n_a · n_b)
+
+    — numerator an exact DECIMAL(38,0) sum, ONE pinned division. Width
+    is MEASURED fail-fast (Σ t·D² ≤ N·(n_a·n_b)²). Plan: one
+    (bucket, slice) partial-agg shuffle + cumsum windows over the
+    bounded histogram, a single-row readout. Output:
+    ``(n_a, n_b, t_cvm)`` — NULL when either sample is empty.
+    """
+    from pyspark.sql import Window
+
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, bucket_col, [], max_buckets, "cramer_von_mises")
+    s = F.col(slice_col)
+    per = (
+        df.where(s.isin(slice_a, slice_b))
+        .groupBy(F.col(bucket_col).alias("_k"))
+        .agg(
+            F.sum(F.when(s == slice_a, 1).otherwise(0)).alias("_ca"),
+            F.sum(F.when(s == slice_b, 1).otherwise(0)).alias("_cb"),
+        )
+    )
+    wcum = Window.orderBy("_k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("_k").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "_k",
+        (F.col("_ca") + F.col("_cb")).alias("_t"),
+        F.sum("_ca").over(wcum).alias("_cuma"),
+        F.sum("_cb").over(wcum).alias("_cumb"),
+        F.sum("_ca").over(wall).alias("_na"),
+        F.sum("_cb").over(wall).alias("_nb"),
+    )
+    wrow = cum.agg(
+        F.max("_na").alias("_na"), F.max("_nb").alias("_nb")
+    ).first()
+    na_w, nb_w = int(wrow["_na"] or 0), int(wrow["_nb"] or 0)
+    if (na_w + nb_w) * (na_w * nb_w) ** 2 >= 10**38:
+        raise ValueError(
+            f"cramer_von_mises: N·(n_a·n_b)² = "
+            f"{na_w + nb_w}·({na_w}·{nb_w})² would overflow the "
+            "DECIMAL(38,0) Σ t·D² sum — subsample or stratify first"
+        )
+    dec = lambda c: c.cast("decimal(38,0)")
+    d_k = dec(F.col("_cuma")) * dec(F.col("_nb")) - dec(F.col("_cumb")) * dec(
+        F.col("_na")
+    )
+    agg = cum.agg(
+        F.max("_na").alias("n_a"),
+        F.max("_nb").alias("n_b"),
+        F.sum(dec(F.col("_t")) * d_k * d_k).alias("_num"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    nn = dec(na + nb) * dec(na + nb) * dec(na) * dec(nb)
+    ok = (na > 0) & (nb > 0)
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(
+            F.when(ok, F.col("_num").cast("double") / nn.cast("double")),
+            round_to,
+        ).alias("t_cvm"),
+    )
+
+
+def cramer_von_mises_oracle_sql(
+    values_sql: str,
+    bucket_col: str,
+    slice_col: str,
+    slice_a: str,
+    slice_b: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same integer D_k cross products, same HUGEINT
+    Σ t·D² numerator, same single pinned division."""
+    return f"""
+WITH vals AS ({values_sql}),
+per AS (
+  SELECT {bucket_col} AS _k,
+         CAST(SUM(CASE WHEN {slice_col} = '{slice_a}' THEN 1 ELSE 0 END) AS BIGINT) AS _ca,
+         CAST(SUM(CASE WHEN {slice_col} = '{slice_b}' THEN 1 ELSE 0 END) AS BIGINT) AS _cb
+  FROM vals WHERE {slice_col} IN ('{slice_a}', '{slice_b}')
+  GROUP BY 1
+),
+cum AS (
+  SELECT _k, _ca + _cb AS _t,
+         SUM(_ca) OVER (ORDER BY _k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cuma,
+         SUM(_cb) OVER (ORDER BY _k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cumb,
+         SUM(_ca) OVER () AS _na,
+         SUM(_cb) OVER () AS _nb
+  FROM per
+),
+agg AS (
+  SELECT MAX(_na) AS n_a, MAX(_nb) AS n_b,
+         SUM(CAST(_t AS HUGEINT)
+             * (CAST(_cuma AS HUGEINT) * _nb - CAST(_cumb AS HUGEINT) * _na)
+             * (CAST(_cuma AS HUGEINT) * _nb - CAST(_cumb AS HUGEINT) * _na)) AS _num
+  FROM cum
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+         CAST(_num AS DOUBLE)
+         / CAST(CAST(n_a + n_b AS HUGEINT) * (n_a + n_b) * n_a * n_b AS DOUBLE)
+       END, {round_to}) AS t_cvm
+FROM agg
+"""
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group winsorized and trimmed means over an integer metric —
+    the robust-location readout that belongs next to `robust_stats`
+    (median/MAD say where the middle is; winsorizing says what the mean
+    WOULD be if the tails were clamped, the standard way to report
+    revenue-per-user without one whale dominating):
+
+        p_lo = percentile_disc(lo), p_hi = percentile_disc(hi),
+        winsorized = mean(clamp(x, p_lo, p_hi)),
+        trimmed    = mean(x : p_lo ≤ x ≤ p_hi).
+
+    Exactness: percentile_disc picks actual DATA values (the smallest
+    value whose cumulative count reaches ⌈q·n⌉ — integers, no
+    interpolation); the clamped/trimmed sums are exact DECIMAL(38,0);
+    each mean is ONE pinned division. Plan: one group-partitioned rank
+    window (distributed per-group sort — no bounded-spine requirement),
+    a broadcast-size percentile row per group joined back, one
+    conditional aggregation. Output per group: ``(*by, n, p_lo, p_hi,
+    winsorized_mean, trimmed_mean)``.
+    """
+    from pyspark.sql import Window
+
+    from .guards import integral_long
+
+    keys = list(by or [])
+    dec = lambda c: c.cast("decimal(38,0)")
+    base = df.select(
+        *keys, integral_long(df, value_col, "winsorized_stats").alias("_v")
+    )
+    w = Window.partitionBy(*keys).orderBy("_v")
+    ranked = base.select(
+        *keys,
+        "_v",
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("_n"),
+    )
+    # percentile_disc: the value at rank ⌈q·n⌉ (ties resolved by the
+    # rank itself — duplicates of the threshold value are all ≥ it)
+    lo_rank = F.ceil(F.col("_n") * F.lit(lo_pct) / F.lit(100.0)).cast("long")
+    hi_rank = F.ceil(F.col("_n") * F.lit(hi_pct) / F.lit(100.0)).cast("long")
+    pcts = (
+        ranked.where(
+            (F.col("_r") == F.greatest(lo_rank, F.lit(1)))
+            | (F.col("_r") == F.greatest(hi_rank, F.lit(1)))
+        )
+        .groupBy(*keys)
+        .agg(
+            F.min(
+                F.when(F.col("_r") == F.greatest(lo_rank, F.lit(1)), F.col("_v"))
+            ).alias("_plo"),
+            F.min(
+                F.when(F.col("_r") == F.greatest(hi_rank, F.lit(1)), F.col("_v"))
+            ).alias("_phi"),
+        )
+    )
+    j = base.join(F.broadcast(pcts), keys) if keys else base.crossJoin(pcts)
+    clamped = F.greatest(F.least(F.col("_v"), F.col("_phi")), F.col("_plo"))
+    inside = (F.col("_v") >= F.col("_plo")) & (F.col("_v") <= F.col("_phi"))
+    out = j.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_plo").alias("p_lo"),
+        F.min("_phi").alias("p_hi"),
+        F.sum(dec(clamped)).alias("_ws"),
+        F.sum(F.when(inside, dec(F.col("_v"))).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("_ts"),
+        F.sum(F.when(inside, 1).otherwise(0)).alias("_tn"),
+    )
+    res = out.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.col("p_lo").cast("long").alias("p_lo"),
+        F.col("p_hi").cast("long").alias("p_hi"),
+        F.round(
+            F.col("_ws").cast("double") / F.col("n").cast("double"), round_to
+        ).alias("winsorized_mean"),
+        F.round(
+            F.when(
+                F.col("_tn") > 0,
+                F.col("_ts").cast("double") / F.col("_tn").cast("double"),
+            ),
+            round_to,
+        ).alias("trimmed_mean"),
+    )
+    return res.orderBy(*keys) if keys else res
+
+
+def winsorized_stats_oracle_sql(
+    values_sql: str,
+    value_col: str,
+    by: list[str] | None = None,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same rank-⌈q·n⌉ discrete percentiles, same HUGEINT
+    clamped/trimmed sums, same pinned divisions."""
+    keys = list(by or [])
+    gc = ", ".join(keys)
+    sel = (gc + ", ") if keys else ""
+    part = f"PARTITION BY {gc}" if keys else ""
+    joincond = " AND ".join(f"b.{k} = p.{k}" for k in keys) if keys else "TRUE"
+    psel = (", ".join(f"b.{k}" for k in keys) + ", ") if keys else ""
+    order = f"ORDER BY {gc}" if keys else ""
+    group = f"GROUP BY {gc}" if keys else ""
+    return f"""
+WITH vals AS (SELECT {sel}CAST({value_col} AS BIGINT) AS _v FROM ({values_sql})),
+ranked AS (
+  SELECT {sel}_v,
+         row_number() OVER ({part} ORDER BY _v) AS _r,
+         COUNT(*) OVER ({part}) AS _n
+  FROM vals
+),
+pcts AS (
+  SELECT {sel}
+         MIN(CASE WHEN _r = GREATEST(CAST(ceil(_n * {lo_pct} / 100.0) AS BIGINT), 1)
+             THEN _v END) AS _plo,
+         MIN(CASE WHEN _r = GREATEST(CAST(ceil(_n * {hi_pct} / 100.0) AS BIGINT), 1)
+             THEN _v END) AS _phi
+  FROM ranked
+  WHERE _r = GREATEST(CAST(ceil(_n * {lo_pct} / 100.0) AS BIGINT), 1)
+     OR _r = GREATEST(CAST(ceil(_n * {hi_pct} / 100.0) AS BIGINT), 1)
+  {group}
+)
+SELECT {psel}
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(p._plo) AS BIGINT) AS p_lo,
+       CAST(MIN(p._phi) AS BIGINT) AS p_hi,
+       ROUND(CAST(SUM(CAST(GREATEST(LEAST(b._v, p._phi), p._plo) AS HUGEINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), {round_to}) AS winsorized_mean,
+       ROUND(CASE WHEN SUM(CASE WHEN b._v BETWEEN p._plo AND p._phi THEN 1 ELSE 0 END) > 0
+         THEN CAST(SUM(CASE WHEN b._v BETWEEN p._plo AND p._phi
+                       THEN CAST(b._v AS HUGEINT) ELSE 0 END) AS DOUBLE)
+              / CAST(SUM(CASE WHEN b._v BETWEEN p._plo AND p._phi THEN 1 ELSE 0 END) AS DOUBLE)
+         END, {round_to}) AS trimmed_mean
+FROM vals b JOIN pcts p ON {joincond}
+{("GROUP BY " + ", ".join("b." + k for k in keys)) if keys else ""}
+{("ORDER BY " + ", ".join("b." + k for k in keys)) if keys else ""}
+"""
+
+
+def correlation_matrix(
+    df: DataFrame,
+    value_cols: list[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations over k integer metrics in ONE
+    aggregation pass — the multi-column extension of `grouped_linreg`'s
+    moment algebra (k(k−1)/2 correlations from one scan instead of one
+    job per pair; the screen a feature pipeline runs before shipping a
+    redundant column set):
+
+        r_ij = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)).
+
+    Exactness: all moments (Σx_i, Σx_i², Σx_i·x_j) are exact
+    DECIMAL(38,0) sums; each r is the pinned rational-over-sqrt tail.
+    Output one row per unordered pair (i < j by position):
+    ``(col_a, col_b, n, r)`` — r NULL when either variance is 0. Plan:
+    one scan, one reduce (k(k+3)/2 accumulators), a literal-exploded
+    readout; no joins, no windows.
+    """
+    from .guards import integral_long
+
+    k = len(value_cols)
+    if k < 2:
+        raise ValueError("correlation_matrix: need at least two columns")
+    dec = lambda c: c.cast("decimal(38,0)")
+    vs = [
+        dec(integral_long(df, c, "correlation_matrix")).alias(f"_v{i}")
+        for i, c in enumerate(value_cols)
+    ]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i in range(k):
+        aggs.append(F.sum(F.col(f"_v{i}")).alias(f"_s{i}"))
+        aggs.append(F.sum(F.col(f"_v{i}") * F.col(f"_v{i}")).alias(f"_q{i}"))
+    for i in range(k):
+        for j in range(i + 1, k):
+            aggs.append(
+                F.sum(F.col(f"_v{i}") * F.col(f"_v{j}")).alias(f"_p{i}_{j}")
+            )
+    mom = df.select(*vs).agg(*aggs)
+    n = F.col("_n")
+    pairs = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            num = dec(n) * F.col(f"_p{i}_{j}") - F.col(f"_s{i}") * F.col(f"_s{j}")
+            vi = dec(n) * F.col(f"_q{i}") - F.col(f"_s{i}") * F.col(f"_s{i}")
+            vj = dec(n) * F.col(f"_q{j}") - F.col(f"_s{j}") * F.col(f"_s{j}")
+            r = num.cast("double") / F.sqrt(vi.cast("double") * vj.cast("double"))
+            pairs.append(
+                F.struct(
+                    F.lit(value_cols[i]).alias("col_a"),
+                    F.lit(value_cols[j]).alias("col_b"),
+                    n.cast("long").alias("n"),
+                    F.round(
+                        F.when((vi > 0) & (vj > 0), r), round_to
+                    ).alias("r"),
+                )
+            )
+    return mom.select(F.explode(F.array(*pairs)).alias("_e")).select(
+        "_e.col_a", "_e.col_b", "_e.n", "_e.r"
+    )
+
+
+def correlation_matrix_oracle_sql(
+    values_sql: str,
+    value_cols: list[str],
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same one-pass HUGEINT moments, same pinned
+    rational-over-sqrt tails, rows unioned in the same (i, j) order."""
+    k = len(value_cols)
+    moms = ["CAST(COUNT(*) AS HUGEINT) AS _n"]
+    for i, c in enumerate(value_cols):
+        moms.append(f"SUM(CAST(CAST({c} AS BIGINT) AS HUGEINT)) AS _s{i}")
+        moms.append(
+            f"SUM(CAST(CAST({c} AS BIGINT) AS HUGEINT) * CAST({c} AS BIGINT)) AS _q{i}"
+        )
+    for i in range(k):
+        for j in range(i + 1, k):
+            moms.append(
+                f"SUM(CAST(CAST({value_cols[i]} AS BIGINT) AS HUGEINT)"
+                f" * CAST({value_cols[j]} AS BIGINT)) AS _p{i}_{j}"
+            )
+    rows = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            vi = f"(_n * _q{i} - _s{i} * _s{i})"
+            vj = f"(_n * _q{j} - _s{j} * _s{j})"
+            num = f"(_n * _p{i}_{j} - _s{i} * _s{j})"
+            rows.append(
+                f"SELECT '{value_cols[i]}' AS col_a, '{value_cols[j]}' AS col_b, "
+                f"CAST(_n AS BIGINT) AS n, "
+                f"ROUND(CASE WHEN {vi} > 0 AND {vj} > 0 THEN "
+                f"CAST({num} AS DOUBLE) / SQRT(CAST({vi} AS DOUBLE) * CAST({vj} AS DOUBLE)) "
+                f"END, {round_to}) AS r FROM mom"
+            )
+    return f"""
+WITH vals AS ({values_sql}),
+mom AS (SELECT {", ".join(moms)} FROM vals)
+{" UNION ALL ".join(rows)}
+"""

@@ -371,3 +371,151 @@ def embedding_outliers(
             ),
         )
     )
+
+
+def _quant_ints(vec: Sequence[float], scale: int) -> list[int]:
+    """Driver-side quantization with half-AWAY rounding — the same
+    result as Spark/DuckDB ``round(x * scale)`` (Python's round() is
+    banker's and would disagree on exact halves)."""
+    import math
+
+    return [
+        math.floor(float(v) * scale + 0.5)
+        if v >= 0
+        else math.ceil(float(v) * scale - 0.5)
+        for v in vec
+    ]
+
+
+def _int_dist2(qv_col: Column, ints: list[int]) -> Column:
+    """Exact int64 squared euclidean between a quantized LONG array
+    column and a literal integer vector — zip_with + ordered fold, all
+    inside whole-stage codegen. At scale=1e6 and 64 dims the fold peaks
+    ~9e15 « 2^63, ANSI-safe."""
+    lit = F.array(*[F.lit(int(x)).cast("long") for x in ints])
+    return F.aggregate(
+        F.zip_with(qv_col, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_probe_exact(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_seeds: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """IVF ANN with DETERMINISTIC INTEGER centroid assignment — the
+    hash-gateable twin of :class:`IVFIndex` (whose KMeans training is
+    iterative float and therefore rows-only-gated). Same search
+    machinery — coarse cluster assignment, nprobe pruning, exact
+    re-rank — but the "centroids" are the ``n_seeds`` data vectors with
+    the smallest ids (deterministic), every distance is an exact int64
+    over scale-quantized components, and ties break on integers, so a
+    SQL oracle reproduces the ENTIRE path bit-for-bit: assignment,
+    probe set, candidate set, final ranking.
+
+    Physical shape (the 100-TB story): the seeds are collected once
+    (``n_seeds`` rows, bounded by contract) and folded into the plan as
+    LITERALS — assignment is a pure per-row projection (no join, no
+    shuffle), the probe filter prunes before the top-k, and the final
+    ``orderBy().limit(k)`` plans as TakeOrderedAndProject. One scan,
+    one narrow stage, a k-row driver merge. Accuracy matches IVF with
+    random-seed centroids: both are Voronoi partitions of the corpus;
+    recall vs brute force is asserted in tests.
+    """
+    qe = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(VX.quantize(vec_col, scale), lambda x: x.cast("long")).alias(
+            "qv"
+        ),
+    )
+    seed_rows = (
+        qe.orderBy("id").limit(n_seeds).collect()
+    )  # bounded: n_seeds rows
+    seeds = [list(r["qv"]) for r in seed_rows]
+    qints = _quant_ints(query_vec, scale)
+    # probe set: nprobe seeds closest to the query, driver-side exact
+    # int math (n_seeds tiny), tie → smaller seed index
+    sdist = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(s, qints)), j)
+        for j, s in enumerate(seeds)
+    )
+    probes = [j for _, j in sdist[:nprobe]]
+    # per-row assignment: argmin over the literal seed array (struct
+    # min orders by dist first, then seed index — deterministic ties)
+    assign = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _int_dist2(F.col("qv"), s).alias("d"),
+                    F.lit(j).cast("long").alias("j"),
+                )
+                for j, s in enumerate(seeds)
+            ]
+        )
+    )["j"]
+    out = (
+        qe.select(
+            "id",
+            assign.alias("cluster"),
+            _int_dist2(F.col("qv"), qints).alias("dist2"),
+        )
+        .where(F.col("cluster").isin([int(p) for p in probes]))
+        .orderBy(F.col("dist2").asc(), F.col("id").asc())
+        .limit(k)
+        .select(F.col("id").alias(id_col), "cluster", "dist2")
+    )
+    return out
+
+
+def ivf_probe_exact_oracle_sql(
+    k: int = 10,
+    n_seeds: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`ivf_probe_exact` on the ``embeddings``
+    view: same quantization, same smallest-id seeds, same exact-integer
+    assignment/probe/top-k with identical tie order."""
+    quant = (
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(round(x * {scale}) AS BIGINT))"
+    )
+    d2 = (
+        "list_sum(list_transform(range(1, {n}), i -> "
+        "({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, {quant} AS qv FROM embeddings
+),
+seeds AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j, qv
+  FROM e ORDER BY vec_id LIMIT {n_seeds}
+),
+q AS (SELECT qv FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+assign AS (
+  SELECT e.vec_id, e.qv, s.j,
+         {d2.format(n=dim + 1, a="e.qv", b="s.qv")} AS sd
+  FROM e CROSS JOIN seeds s
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY sd, s.j) = 1
+),
+probes AS (
+  SELECT s.j FROM seeds s CROSS JOIN q
+  ORDER BY {d2.format(n=dim + 1, a="s.qv", b="q.qv")}, s.j
+  LIMIT {nprobe}
+)
+SELECT a.vec_id,
+       a.j AS cluster,
+       CAST({d2.format(n=dim + 1, a="a.qv", b="q.qv")} AS BIGINT) AS dist2
+FROM assign a CROSS JOIN q
+WHERE a.j IN (SELECT j FROM probes)
+ORDER BY dist2, a.vec_id LIMIT {k}
+"""

@@ -210,7 +210,16 @@ def make_fixtures(out_dir: Path, n_docs: int, seed: int = 42) -> None:
         }
     )
     pq.write_table(nation, out_dir / "nation.parquet")
-    supplier = pa.table({"s_suppkey": pa.array(range(n_supp), pa.int64())})
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array(range(n_supp), pa.int64()),
+            # modularity gate dimension: the nation partition over the
+            # trade graph, 25 nations as in TPC-H
+            "s_nationkey": pa.array(
+                [rng.randrange(25) for _ in range(n_supp)], pa.int32()
+            ),
+        }
+    )
     pq.write_table(supplier, out_dir / "supplier.parquet")
     n_li = n_docs * 4
     n_part = n_docs * 4
@@ -316,6 +325,8 @@ def main() -> None:
             if not (d / "customer.parquet").exists():
                 return True
             if not (d / "supplier.parquet").exists():
+                return True
+            if "s_nationkey" not in _pq.read_schema(d / "supplier.parquet").names:
                 return True
             return "o_orderdate" not in _pq.read_schema(d / "orders.parquet").names
 
