@@ -4551,6 +4551,257 @@ def _sql_pq_ann_poly() -> str:
 SQL_PQ_ANN_POLY = _sql_pq_ann_poly()
 
 
+def q_cramer_von_mises(spark, sf):
+    """Integrated ECDF drift (`profile.cramer_von_mises`): the CvM
+    criterion between the 1995 and 1999 order-value distributions on
+    the same $5k buckets as `ks_test`/`hellinger_drift` — KS finds the
+    worst single point of disagreement, CvM sums ALL of it, so a broad
+    mild shift registers even when no point spikes. Exact DECIMAL
+    Σ t·D² numerator over the same integer CDF cross products, ONE
+    pinned division, measured width fail-fast."""
+    from revtron_utils_spark.operators.profile import cramer_von_mises
+
+    orders = _t(spark, sf, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 500000").alias(
+            "bucket"
+        ),
+    )
+    return cramer_von_mises(orders, "bucket", "yr", 1995, 1999)
+
+
+def _sql_cramer_von_mises() -> str:
+    from revtron_utils_spark.operators.profile import cramer_von_mises_oracle_sql
+
+    values = """
+SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+       CAST(round(o_totalprice * 100) AS BIGINT) // 500000 AS bucket
+FROM orders
+"""
+    return cramer_von_mises_oracle_sql(values, "bucket", "yr", "1995", "1999")
+
+
+SQL_CRAMER_VON_MISES = _sql_cramer_von_mises()
+
+
+def q_winsorized_stats(spark, sf):
+    """Robust location per segment (`profile.winsorized_stats`):
+    winsorized + trimmed mean order value per priority — the
+    whale-proof revenue-per-order readout next to `robust_stats`
+    (median/MAD) and `stats_moments` (the raw mean the whales own).
+    Exact rank-⌈q·n⌉ discrete percentiles (data values, no
+    interpolation), exact DECIMAL clamped/trimmed sums, one pinned
+    division per mean."""
+    from revtron_utils_spark.operators.profile import winsorized_stats
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return winsorized_stats(o, "cents", by=["prio"])
+
+
+def _sql_winsorized_stats() -> str:
+    from revtron_utils_spark.operators.profile import winsorized_stats_oracle_sql
+
+    values = """
+SELECT o_orderpriority AS prio,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders
+"""
+    return winsorized_stats_oracle_sql(values, "cents", by=["prio"])
+
+
+SQL_WINSORIZED_STATS = _sql_winsorized_stats()
+
+
+def q_correlation_matrix(spark, sf):
+    """Feature-redundancy screen (`profile.correlation_matrix`): all
+    pairwise Pearson correlations between quantity, extended price,
+    discount bps, and tax bps over lineitem — k(k−1)/2 correlations
+    from ONE scan (`grouped_linreg`'s moment algebra, widened), the
+    pre-training check that catches a duplicated feature column before
+    it ships. Exact DECIMAL moments, pinned rational-over-sqrt tails."""
+    from revtron_utils_spark.operators.profile import correlation_matrix
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.expr("CAST(round(l_discount * 10000) AS BIGINT)").alias("disc_bps"),
+        F.expr("CAST(round(l_tax * 10000) AS BIGINT)").alias("tax_bps"),
+    )
+    return correlation_matrix(li, ["qty", "cents", "disc_bps", "tax_bps"])
+
+
+def _sql_correlation_matrix() -> str:
+    from revtron_utils_spark.operators.profile import (
+        correlation_matrix_oracle_sql,
+    )
+
+    values = """
+SELECT CAST(l_quantity AS BIGINT) AS qty,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+       CAST(round(l_discount * 10000) AS BIGINT) AS disc_bps,
+       CAST(round(l_tax * 10000) AS BIGINT) AS tax_bps
+FROM lineitem
+"""
+    return correlation_matrix_oracle_sql(
+        values, ["qty", "cents", "disc_bps", "tax_bps"]
+    )
+
+
+SQL_CORRELATION_MATRIX = _sql_correlation_matrix()
+
+
+def q_krippendorff_alpha(spark, sf):
+    """Variable-panel agreement (`annotation.krippendorff_alpha`):
+    Krippendorff's α of the per-order lineitem "rater" panel on the
+    return flag — the agreement coefficient that tolerates the
+    variable panel sizes real crowd tables have (Cohen needs fixed
+    pairs, Fleiss a fixed panel; orders have 1-7 lineitems).
+    Single-rating orders are excluded and counted (Krippendorff's
+    rule). Exact per-panel-size integer disagreement sums, m-ordered
+    fold, pinned D_e/α tail."""
+    from revtron_utils_spark.operators.annotation import krippendorff_alpha
+
+    return krippendorff_alpha(_ratings(spark, sf), "item", "rater", "label")
+
+
+def _sql_krippendorff_alpha() -> str:
+    from revtron_utils_spark.operators.annotation import (
+        krippendorff_alpha_oracle_sql,
+    )
+
+    # (inline rather than _SQL_RATINGS: that constant is defined later
+    # in the module and this builder runs at import)
+    ratings = (
+        "SELECT l_orderkey AS item, l_linenumber AS rater, "
+        "l_returnflag AS label FROM lineitem"
+    )
+    return krippendorff_alpha_oracle_sql(ratings, "item", "rater", "label")
+
+
+SQL_KRIPPENDORFF_ALPHA = _sql_krippendorff_alpha()
+
+
+def q_shapley_attribution(spark, sf):
+    """Game-theoretic channel credit (`funnel.shapley_attribution`):
+    exact Shapley values of the four non-purchase event channels over
+    purchasing users — `attribution_last_touch` is position-biased,
+    `markov_attribution` path-model-biased; Shapley is the only
+    allocation satisfying efficiency + symmetry, and at ≤12 channels
+    the full 2^k lattice is EXACT (no sampling). The corpus reduces to
+    ≤2^k mask counts in one pass; everything after is integer algebra
+    on the lattice with one k! division."""
+    from revtron_utils_spark.operators.funnel import shapley_attribution
+
+    ev = _t(spark, sf, "events").select("user_id", "event_type")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    touches = ev.where(F.col("event_type") != "purchase").join(
+        buyers, "user_id"
+    )
+    return shapley_attribution(touches, "user_id", "event_type")
+
+
+def _sql_shapley_attribution() -> str:
+    from revtron_utils_spark.operators.funnel import (
+        shapley_attribution_oracle_sql,
+    )
+
+    touches = """
+SELECT e.user_id, e.event_type
+FROM events e
+JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') b
+  ON e.user_id = b.user_id
+WHERE e.event_type <> 'purchase'
+"""
+    return shapley_attribution_oracle_sql(touches, "user_id", "event_type")
+
+
+SQL_SHAPLEY_ATTRIBUTION = _sql_shapley_attribution()
+
+
+def q_brier_decomposition(spark, sf):
+    """Murphy decomposition (`evaluation.brier_decomposition`) of the
+    hashed-linear quality score against the Gopher pass label — the
+    WHY behind `ece`'s single number: reliability (how wrong the
+    stated confidences are), resolution (whether the score separates
+    the classes at all), uncertainty (the base-rate floor), with the
+    algebraic identity brier = rel − res + unc as the built-in
+    acceptance check. Same byte-identical binning as `calibration`;
+    midpoint convention keeps every term engine-exact."""
+    from revtron_utils_spark.functions import classifier as CL
+    from revtron_utils_spark.operators.evaluation import brier_decomposition
+
+    docs = _t(spark, sf, "documents")
+    scored = docs.select(
+        CL.hashed_linear_score_num("text", dim=4096, seed=0).alias("num"),
+        TX.token_count("text").cast("long").alias("den"),
+        CL.gopher_quality_flags("text").getField("pass_all").alias("y"),
+    )
+    return brier_decomposition(
+        scored, "num", "den", "y", score_min=-1_000_000, score_max=1_000_000
+    )
+
+
+def _sql_brier_decomposition() -> str:
+    from revtron_utils_spark.operators.evaluation import (
+        brier_decomposition_oracle_sql,
+    )
+
+    scored = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS den,
+         COALESCE(list_sum(list_transform(toks, tk ->
+           (({_TOKHASH_SQL} % 4096 + 1) * 2654435761) % 2000001 - 1000000
+         )), 0) AS num,
+         COALESCE(list_sum(list_transform(toks, tk -> CAST(length(tk) AS BIGINT))), 0) AS sum_len,
+         len(list_filter(toks, tk -> regexp_matches(tk, '[a-zA-Z]'))) AS n_alpha,
+         len(list_filter(toks, tk -> starts_with(tk, '#') OR contains(tk, '...'))) AS n_sym,
+         len(list_filter(toks, tk -> lower(tk) IN ('the','be','to','of','and','that','have','with'))) AS n_stop
+  FROM t
+)
+SELECT num, den,
+       ((den >= 20 AND den <= 100000) AND (sum_len >= 3 * den AND sum_len <= 10 * den)
+        AND (n_alpha * 5 >= den * 4) AND (n_sym * 10 <= den) AND (n_stop >= 2)) AS y
+FROM s
+"""
+    return brier_decomposition_oracle_sql(
+        scored, "num", "den", "y", score_min=-1_000_000, score_max=1_000_000
+    )
+
+
+SQL_BRIER_DECOMPOSITION = _sql_brier_decomposition()
+
+
+def q_ngram_novelty(spark, sf):
+    """Per-document originality (`retrieval.ngram_novelty`): the share
+    of each document's distinct 3-grams with corpus df = 1 — the
+    inverse of the dedup family (MinHash asks "whose copy is this";
+    novelty asks "how much of this is genuinely new"), the boilerplate
+    screen before mixture weighting. Inverted-index plan (explode →
+    df shuffle → join back), exact counts, one pinned division, total
+    (novelty DESC, id) order."""
+    from revtron_utils_spark.operators.retrieval import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf, "documents"), "text", "doc_id", n=3)
+
+
+def _sql_ngram_novelty() -> str:
+    from revtron_utils_spark.operators.retrieval import ngram_novelty_oracle_sql
+
+    return ngram_novelty_oracle_sql(
+        "SELECT doc_id, text FROM documents", "text", "doc_id", n=3
+    )
+
+
+SQL_NGRAM_NOVELTY = _sql_ngram_novelty()
+
+
 def _fake_sf_client(spark, sf, limit_rows=5000):
     """Salesforce-compatible client over an in-memory backend seeded
     deterministically from the events fixture (S9-S19 demo without a
@@ -10342,6 +10593,13 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ivf_ann": (q_ivf_ann, None),
     "ivf_ann_poly": (q_ivf_ann_poly, SQL_IVF_ANN_POLY),
     "pq_ann_poly": (q_pq_ann_poly, SQL_PQ_ANN_POLY),
+    "cramer_von_mises": (q_cramer_von_mises, SQL_CRAMER_VON_MISES),
+    "winsorized_stats": (q_winsorized_stats, SQL_WINSORIZED_STATS),
+    "correlation_matrix": (q_correlation_matrix, SQL_CORRELATION_MATRIX),
+    "krippendorff_alpha": (q_krippendorff_alpha, SQL_KRIPPENDORFF_ALPHA),
+    "shapley_attribution": (q_shapley_attribution, SQL_SHAPLEY_ATTRIBUTION),
+    "brier_decomposition": (q_brier_decomposition, SQL_BRIER_DECOMPOSITION),
+    "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "cosine_neardup_lsh": (q_cosine_neardup_lsh, None),
     "cosine_neardup_lsh_poly": (
         q_cosine_neardup_lsh_poly,

@@ -1109,3 +1109,169 @@ SELECT {sel}tp, fp, tn, fn,
              END, {round_to}) AS mcc
 FROM per {order}
 """
+
+
+def brier_decomposition(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    label_col: str,
+    score_min: int,
+    score_max: int,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the binned Brier score —
+    reliability − resolution + uncertainty, the WHY behind the single
+    numbers :func:`expected_calibration_error` and
+    :func:`calibration_curve` report (a scorer can have low ECE by
+    being uselessly uniform; resolution is what says it actually
+    separates the classes):
+
+        brier       = (1/N) Σ_b [k_b·(mid_b − 1)² + (n_b − k_b)·mid_b²]
+        reliability = (1/N) Σ_b n_b·(mid_b − acc_b)²
+        resolution  = (1/N) Σ_b n_b·(acc_b − ȳ)²
+        uncertainty = ȳ·(1 − ȳ)
+
+    in the same MIDPOINT convention as `expected_calibration_error`
+    (per-row rational confidences would be an order-dependent float
+    sum; bin midpoints are constants), over binning byte-identical to
+    `calibration_curve`. The Murphy identity
+    ``brier = reliability − resolution + uncertainty`` then holds
+    EXACTLY (it is algebraic for any bin-constant confidence), which
+    doubles as the acceptance test. Per-bin counts are exact integers,
+    each term folds bin-ordered (≤ n_bins terms), divisions pinned.
+    Output one row: ``(n_docs, n_bins_hit, brier, reliability,
+    resolution, uncertainty)``.
+    """
+    nb = int(n_bins)
+    num = F.col(num_col).cast("double")
+    den = F.col(den_col).cast("double")
+    span = float(score_max - score_min + 1)
+    raw = F.floor(
+        (num - F.lit(float(score_min)) * den) * F.lit(float(nb)) / (F.lit(span) * den)
+    )
+    b = F.greatest(F.lit(0), F.least(F.lit(nb - 1), raw)).cast("int")
+    base = df.where(
+        F.col(num_col).isNotNull()
+        & F.col(den_col).isNotNull()
+        & (F.col(den_col) > 0)
+        & F.col(label_col).isNotNull()
+    )
+    per = base.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(label_col).cast("boolean").cast("int")).alias("_p"),
+    )
+    mid = (F.col("bin").cast("double") + F.lit(0.5)) / F.lit(float(nb))
+    nd_ = F.col("_n").cast("double")
+    pd_ = F.col("_p").cast("double")
+    acc = pd_ / nd_
+    t_brier = pd_ * (mid - F.lit(1.0)) * (mid - F.lit(1.0)) + (nd_ - pd_) * mid * mid
+    t_rel = nd_ * (mid - acc) * (mid - acc)
+    agg = per.agg(
+        F.sum("_n").alias("n_docs"),
+        F.sum("_p").alias("_k"),
+        F.count(F.lit(1)).alias("n_bins_hit"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("bin"),
+                    t_brier.alias("tb"),
+                    t_rel.alias("tr"),
+                    nd_.alias("n"),
+                    acc.alias("acc"),
+                )
+            )
+        ).alias("_terms"),
+    )
+    n_all = F.col("n_docs").cast("double")
+    ybar = F.col("_k").cast("double") / n_all
+    fold = lambda expr: F.aggregate(F.col("_terms"), F.lit(0.0), expr)
+    agg = agg.withColumn("_brier", fold(lambda a, x: a + x["tb"]) / n_all)
+    agg = agg.withColumn("_rel", fold(lambda a, x: a + x["tr"]) / n_all)
+    agg = agg.withColumn(
+        "_res",
+        fold(lambda a, x: a + x["n"] * (x["acc"] - ybar) * (x["acc"] - ybar))
+        / n_all,
+    )
+    ok = F.col("n_docs") > 0
+    return agg.select(
+        "n_docs",
+        "n_bins_hit",
+        F.round(F.when(ok, F.col("_brier")), round_to).alias("brier"),
+        F.round(F.when(ok, F.col("_rel")), round_to).alias("reliability"),
+        F.round(F.when(ok, F.col("_res")), round_to).alias("resolution"),
+        F.round(F.when(ok, ybar * (F.lit(1.0) - ybar)), round_to).alias(
+            "uncertainty"
+        ),
+    )
+
+
+def brier_decomposition_oracle_sql(
+    scored_sql: str,
+    num_col: str,
+    den_col: str,
+    label_col: str,
+    score_min: int,
+    score_max: int,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: identical binning, identical bin-ordered folds of
+    the identical per-bin terms, same pinned tails."""
+    nb = int(n_bins)
+    span = float(score_max - score_min + 1)
+    mid = f"(CAST(bin AS DOUBLE) + 0.5) / {float(nb)!r}"
+    return f"""
+WITH scored AS ({scored_sql}),
+base AS (
+  SELECT * FROM scored
+  WHERE {num_col} IS NOT NULL AND {den_col} IS NOT NULL
+    AND {den_col} > 0 AND {label_col} IS NOT NULL
+),
+per AS (
+  SELECT CAST(GREATEST(0, LEAST({nb - 1},
+           FLOOR((CAST({num_col} AS DOUBLE) - {float(score_min)!r} * CAST({den_col} AS DOUBLE))
+                 * {float(nb)!r} / ({span!r} * CAST({den_col} AS DOUBLE))))) AS INTEGER) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS _n,
+         CAST(SUM(CASE WHEN CAST({label_col} AS BOOLEAN) THEN 1 ELSE 0 END) AS BIGINT) AS _p
+  FROM base GROUP BY 1
+),
+agg AS (
+  SELECT CAST(SUM(_n) AS BIGINT) AS n_docs,
+         CAST(SUM(_p) AS BIGINT) AS _k,
+         CAST(COUNT(*) AS BIGINT) AS n_bins_hit,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CAST(_p AS DOUBLE) * ({mid} - 1.0) * ({mid} - 1.0)
+                + (CAST(_n AS DOUBLE) - CAST(_p AS DOUBLE)) * {mid} * {mid}
+                ORDER BY bin)), (a, b) -> a + b) AS _tb,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CAST(_n AS DOUBLE)
+                * ({mid} - CAST(_p AS DOUBLE) / CAST(_n AS DOUBLE))
+                * ({mid} - CAST(_p AS DOUBLE) / CAST(_n AS DOUBLE))
+                ORDER BY bin)), (a, b) -> a + b) AS _tr,
+         list(struct_pack(bin := bin, n := CAST(_n AS DOUBLE),
+                          acc := CAST(_p AS DOUBLE) / CAST(_n AS DOUBLE))
+              ORDER BY bin) AS _rows
+  FROM per
+),
+calc AS (
+  SELECT n_docs, n_bins_hit,
+         _tb / CAST(n_docs AS DOUBLE) AS _brier,
+         _tr / CAST(n_docs AS DOUBLE) AS _rel,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(_rows, x ->
+             x.n * (x.acc - CAST(_k AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                 * (x.acc - CAST(_k AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+           (a, b) -> a + b) / CAST(n_docs AS DOUBLE) AS _res,
+         CAST(_k AS DOUBLE) / CAST(n_docs AS DOUBLE)
+           * (1.0 - CAST(_k AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS _unc
+  FROM agg
+)
+SELECT n_docs, n_bins_hit,
+       ROUND(CASE WHEN n_docs > 0 THEN _brier END, {round_to}) AS brier,
+       ROUND(CASE WHEN n_docs > 0 THEN _rel END, {round_to}) AS reliability,
+       ROUND(CASE WHEN n_docs > 0 THEN _res END, {round_to}) AS resolution,
+       ROUND(CASE WHEN n_docs > 0 THEN _unc END, {round_to}) AS uncertainty
+FROM calc
+"""

@@ -1276,8 +1276,11 @@ masks AS MATERIALIZED (
   ) GROUP BY _mask
 ),
 subsets AS (
+  -- constant-bound range (table functions can't take subqueries),
+  -- filtered to the real 2^k lattice; 4096 = the max_channels=12 cap
   SELECT CAST(r.range AS BIGINT) AS _s
-  FROM range(0, CAST(power(2, (SELECT k FROM kk)) AS BIGINT)) r
+  FROM range(0, 4096) r
+  WHERE r.range < CAST(power(2, (SELECT k FROM kk)) AS BIGINT)
 ),
 v AS MATERIALIZED (
   SELECT s._s, CAST(COALESCE(SUM(m._cnt), 0) AS BIGINT) AS _v

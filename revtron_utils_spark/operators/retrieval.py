@@ -673,3 +673,104 @@ WHERE ROUND(CAST(_dot AS DOUBLE)
             / (SQRT(CAST(na._n2 AS DOUBLE)) * SQRT(CAST(nb._n2 AS DOUBLE))),
             {round_to}) >= {float(threshold)!r}
 """
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    top: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document n-gram novelty — the fraction of a document's
+    distinct word n-grams that appear NOWHERE else in the corpus
+    (corpus df = 1). The inverse readout of the dedup family: MinHash
+    asks "who is this a copy of"; novelty asks "how much of this doc is
+    genuinely new text" — the signal that separates boilerplate-heavy
+    pages (novelty → 0) from original content before mixture weighting.
+
+        novelty = |{g ∈ ngrams(d) : df(g) = 1}| / |ngrams(d)|.
+
+    Exactness: distinct-shingle sets, document frequencies, and the
+    novel counts are exact integers; novelty is ONE pinned division,
+    rounded; the top-``top`` readout orders (novelty DESC, id ASC) —
+    total order, hash-stable. Documents with < n tokens (no n-grams)
+    are excluded (novelty undefined).
+
+    Scale shape: explode distinct shingles → one (shingle) partial-agg
+    shuffle for df → one shingle-keyed join back → one per-doc agg →
+    TakeOrderedAndProject. The inverted index IS the plan; no
+    collect, no all-pairs anything.
+    """
+    from ..functions import text as TX
+
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(TX.word_ngrams(text_col, n)).alias("_sh"),
+    ).where(F.size("_sh") > 0)
+    inv = sh.select("_id", F.explode("_sh").alias("_g"))
+    dfreq = inv.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    per = (
+        inv.join(dfreq, "_g")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    return (
+        per.select(
+            F.col("_id").alias(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double"),
+                round_to,
+            ).alias("novelty"),
+        )
+        .orderBy(F.col("novelty").desc(), F.col(id_col).asc())
+        .limit(top)
+    )
+
+
+def ngram_novelty_oracle_sql(
+    docs_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    top: int = 100,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same whitespace tokens, same space-joined distinct
+    n-grams, same df counting and pinned division, same total order."""
+    concat = ", ' ', ".join(f"toks[i+{j}]" for j in range(n))
+    return rf"""
+WITH t AS (
+  SELECT {id_col} AS _id,
+         list_filter(string_split_regex(trim({text_col}), '\s+'), x -> x != '') AS toks
+  FROM ({docs_sql})
+),
+sh AS (
+  SELECT _id, list_distinct(
+           list_transform(range(1, len(toks) - {n - 2}),
+                          i -> concat({concat}))) AS _sh
+  FROM t WHERE len(toks) >= {n}
+),
+inv AS (
+  SELECT _id, unnest(_sh) AS _g FROM sh WHERE len(_sh) > 0
+),
+dfreq AS (
+  SELECT _g, CAST(COUNT(*) AS BIGINT) AS _df FROM inv GROUP BY _g
+),
+per AS (
+  SELECT i._id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN d._df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM inv i JOIN dfreq d USING (_g)
+  GROUP BY i._id
+)
+SELECT _id AS {id_col}, n_shingles, n_novel,
+       ROUND(CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE), {round_to}) AS novelty
+FROM per ORDER BY novelty DESC, {id_col} ASC LIMIT {top}
+"""
