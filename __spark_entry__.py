@@ -4778,6 +4778,159 @@ FROM s
 SQL_BRIER_DECOMPOSITION = _sql_brier_decomposition()
 
 
+def q_tukey_hsd(spark, sf):
+    """Post-hoc pairwise contrasts (`profile.tukey_hsd`): which order
+    priorities actually differ in mean value after `anova_f` rejects —
+    the studentized-range q per priority pair over the same exact
+    DECIMAL moments and ordered within-variance fold. Exact integer
+    pair numerators, one pinned division per pair."""
+    from revtron_utils_spark.operators.profile import tukey_hsd
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return tukey_hsd(o, "cents", "prio")
+
+
+def _sql_tukey_hsd() -> str:
+    from revtron_utils_spark.operators.profile import tukey_hsd_oracle_sql
+
+    values = """
+SELECT o_orderpriority AS prio,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders
+"""
+    return tukey_hsd_oracle_sql(values, "cents", "prio")
+
+
+SQL_TUKEY_HSD = _sql_tukey_hsd()
+
+
+def q_dunn_test(spark, sf):
+    """Post-hoc rank contrasts (`profile.dunn_test`): which return-flag
+    populations differ in quantity distribution after `kruskal_wallis`
+    rejects — Dunn's tie-corrected z per pair on the same doubled
+    midrank spine. Exact DECIMAL rank/tie sums, exact integer pair
+    numerators, pinned σ²/z tail."""
+    from revtron_utils_spark.operators.profile import dunn_test
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    return dunn_test(li, "qty", "flag")
+
+
+def _sql_dunn_test() -> str:
+    from revtron_utils_spark.operators.profile import dunn_test_oracle_sql
+
+    values = """
+SELECT CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS flag
+FROM lineitem
+"""
+    return dunn_test_oracle_sql(values, "qty", "flag")
+
+
+SQL_DUNN_TEST = _sql_dunn_test()
+
+
+def q_iv_wald(spark, sf):
+    """Instrumental-variable effect (`profile.iv_wald`): the effect of
+    URGENT handling on order value per market segment, identified
+    through the even-orderkey "encouragement" instrument — the causal
+    readout when treatment is confounded but an exogenous nudge exists
+    (DiD needs parallel trends, CUPED a pre-period; IV needs only the
+    exclusion restriction). Six exact DECIMAL conditional sums from ONE
+    aggregation, exact cross-product differences, pinned β tail."""
+    from revtron_utils_spark.operators.profile import iv_wald
+
+    o = _t(spark, sf, "orders").select(
+        "o_custkey",
+        (F.col("o_orderkey") % 2 == 0).cast("int").alias("z"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("x"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("y"),
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "z", "x", "y"
+    )
+    return iv_wald(j, "y", "x", "z", by=["c_mktsegment"])
+
+
+def _sql_iv_wald() -> str:
+    from revtron_utils_spark.operators.profile import iv_wald_oracle_sql
+
+    units = """
+SELECT c_mktsegment,
+       CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS z,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS x,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS y
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+    return iv_wald_oracle_sql(units, "y", "x", "z", by=["c_mktsegment"])
+
+
+SQL_IV_WALD = _sql_iv_wald()
+
+
+def q_srm_check(spark, sf):
+    """Assignment integrity (`profile.srm_check`): sample-ratio-
+    mismatch χ² of the deterministic orderkey%4 arm split — the gate
+    that must pass BEFORE `ab_test`/`effect_sizes`/`cuped` mean
+    anything. Exact (k·Σo² − n²)/n algebra, one division, max/min arm
+    counts as the which-arm-leaks readout."""
+    from revtron_utils_spark.operators.profile import srm_check
+
+    o = _t(spark, sf, "orders").select(
+        (F.col("o_orderkey") % 4).alias("arm")
+    )
+    return srm_check(o, "arm")
+
+
+def _sql_srm_check() -> str:
+    from revtron_utils_spark.operators.profile import srm_check_oracle_sql
+
+    return srm_check_oracle_sql(
+        "SELECT o_orderkey % 4 AS arm FROM orders", "arm"
+    )
+
+
+SQL_SRM_CHECK = _sql_srm_check()
+
+
+def q_mrr_at_k(spark, sf):
+    """First-hit ranking quality (`evaluation.mrr_at_k`): per-customer
+    reciprocal rank of the first URGENT order in the value-ranked top
+    10 — the navigational-query readout next to `ndcg_at_k` (whole
+    list) and `mean_avg_precision` (all hits). Deterministic ranks,
+    exact integer first-hit positions, query-ordered reciprocal fold."""
+    from revtron_utils_spark.operators.evaluation import mrr_at_k
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("order_id"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("rel"),
+    )
+    return mrr_at_k(o, "cust", "order_id", "cents", "rel", k=10)
+
+
+def _sql_mrr_at_k() -> str:
+    from revtron_utils_spark.operators.evaluation import mrr_at_k_oracle_sql
+
+    cands = """
+SELECT o_custkey AS cust, o_orderkey AS order_id,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       (o_orderpriority = '1-URGENT') AS rel
+FROM orders
+"""
+    return mrr_at_k_oracle_sql(cands, "cust", "order_id", "cents", "rel", k=10)
+
+
+SQL_MRR_AT_K = _sql_mrr_at_k()
+
+
 def q_ngram_novelty(spark, sf):
     """Per-document originality (`retrieval.ngram_novelty`): the share
     of each document's distinct 3-grams with corpus df = 1 — the
@@ -10600,6 +10753,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "shapley_attribution": (q_shapley_attribution, SQL_SHAPLEY_ATTRIBUTION),
     "brier_decomposition": (q_brier_decomposition, SQL_BRIER_DECOMPOSITION),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
+    "tukey_hsd": (q_tukey_hsd, SQL_TUKEY_HSD),
+    "dunn_test": (q_dunn_test, SQL_DUNN_TEST),
+    "iv_wald": (q_iv_wald, SQL_IV_WALD),
+    "srm_check": (q_srm_check, SQL_SRM_CHECK),
+    "mrr_at_k": (q_mrr_at_k, SQL_MRR_AT_K),
     "cosine_neardup_lsh": (q_cosine_neardup_lsh, None),
     "cosine_neardup_lsh_poly": (
         q_cosine_neardup_lsh_poly,

@@ -237,6 +237,21 @@ HEADLINE = [
     "grubbs_test",
     "runs_test",
     "moods_median",
+    # round-11 wave
+    "ivf_ann_poly",
+    "pq_ann_poly",
+    "cramer_von_mises",
+    "winsorized_stats",
+    "correlation_matrix",
+    "krippendorff_alpha",
+    "shapley_attribution",
+    "brier_decomposition",
+    "ngram_novelty",
+    "tukey_hsd",
+    "dunn_test",
+    "iv_wald",
+    "srm_check",
+    "mrr_at_k",
 ]
 
 

@@ -1275,3 +1275,113 @@ SELECT n_docs, n_bins_hit,
        ROUND(CASE WHEN n_docs > 0 THEN _unc END, {round_to}) AS uncertainty
 FROM calc
 """
+
+
+def mrr_at_k(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mean Reciprocal Rank @ k — the first-hit ranking readout that
+    completes the retrieval-eval family (:func:`ndcg_at_k` grades the
+    whole list, :func:`mean_avg_precision` order-weights every hit; MRR
+    is the "how fast does the user reach ONE good result" number that
+    navigational queries are judged by):
+
+        MRR = (1/|Q|) Σ_q 1 / rank_q(first relevant in top k),  0 if none.
+
+    Exactness: ranks are ``row_number`` with the deterministic
+    (score DESC, id ASC) tiebreak; the first relevant rank per query is
+    an exact integer (MIN over an integer column); each 1/rank is one
+    correctly-rounded division and the cross-query mean runs as a
+    QUERY-ORDERED float fold (cross-row float sums are order-dependent
+    — the house rule). Output one row: ``(n_queries, n_hit, mrr)``.
+    Plan: one query-partitioned rank window → per-query min → one
+    bounded fold row (queries = a bounded eval set by contract, the
+    ndcg/map precedent).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        F.col(query_col).alias("_q"),
+        F.row_number().over(w).alias("_p"),
+        F.col(rel_col).cast("boolean").alias("_rel"),
+    ).where(F.col("_p") <= k)
+    per = ranked.groupBy("_q").agg(
+        F.min(F.when(F.col("_rel"), F.col("_p"))).alias("_first")
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.when(F.col("_first").isNotNull(), 1).otherwise(0)).alias(
+            "n_hit"
+        ),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_q").alias("q"),
+                    F.when(
+                        F.col("_first").isNotNull(),
+                        F.lit(1.0) / F.col("_first").cast("double"),
+                    )
+                    .otherwise(F.lit(0.0))
+                    .alias("rr"),
+                )
+            )
+        ).alias("_terms"),
+    )
+    mrr = F.aggregate(
+        F.col("_terms"), F.lit(0.0), lambda a, x: a + x["rr"]
+    ) / F.col("n_queries").cast("double")
+    return agg.select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.round(F.when(F.col("n_queries") > 0, mrr), round_to).alias("mrr"),
+    )
+
+
+def mrr_at_k_oracle_sql(
+    candidates_sql: str,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same deterministic ranks, same per-query first-hit
+    minimum, same query-ordered reciprocal fold."""
+    return f"""
+WITH cand AS ({candidates_sql}),
+ranked AS (
+  SELECT {query_col} AS _q,
+         row_number() OVER (PARTITION BY {query_col}
+                            ORDER BY {score_col} DESC, {id_col} ASC) AS _p,
+         CAST({rel_col} AS BOOLEAN) AS _rel
+  FROM cand
+  QUALIFY _p <= {k}
+),
+per AS (
+  SELECT _q, MIN(CASE WHEN _rel THEN _p END) AS _first
+  FROM ranked GROUP BY _q
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         CAST(SUM(CASE WHEN _first IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list(CASE WHEN _first IS NOT NULL
+                THEN 1.0 / CAST(_first AS DOUBLE) ELSE 0.0 END ORDER BY _q)),
+           (a, b) -> a + b) AS _rrsum
+  FROM per
+)
+SELECT n_queries, n_hit,
+       ROUND(CASE WHEN n_queries > 0
+             THEN _rrsum / CAST(n_queries AS DOUBLE) END, {round_to}) AS mrr
+FROM agg
+"""

@@ -4634,3 +4634,478 @@ WITH vals AS ({values_sql}),
 mom AS (SELECT {", ".join(moms)} FROM vals)
 {" UNION ALL ".join(rows)}
 """
+
+
+def tukey_hsd(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    round_to: int = 6,
+    max_groups: int | None = 1_000,
+) -> DataFrame:
+    """Tukey HSD pairwise contrasts — the post-hoc step after
+    :func:`anova_oneway` rejects (the F says SOME group differs; HSD
+    says WHICH pairs, with the studentized-range q statistic whose
+    critical values correct for all k(k−1)/2 comparisons at once):
+
+        q_ij = (x̄_i − x̄_j) / sqrt( s²_w/2 · (1/n_i + 1/n_j) ),
+        s²_w = SSW / (N − k)    (the ANOVA within-group variance).
+
+    Exactness: group moments are exact DECIMAL(38,0) (width MEASURED,
+    the anova_oneway guard); SSW's Σ S_g²/n_g runs as the same
+    group-ordered float fold; each pair's mean difference is the exact
+    integer (S_i·n_j − S_j·n_i) over ONE pinned division; the q tail is
+    pinned. Output per pair (i < j by group order): ``(group_a,
+    group_b, n_a, n_b, mean_diff, q_stat)`` — q NULL when s²_w ≤ 0 or
+    N ≤ k. Plan: one group agg (bounded by ``max_groups``), a one-row
+    within-variance readout broadcast onto the tiny group-pair
+    self-join.
+    """
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, group_col, [], max_groups, "tukey_hsd")
+    _require_sum_sq_width(df, value_col, "tukey_hsd")
+    dec = lambda c: c.cast("decimal(38,0)")
+    v = integral_long(df, value_col, "tukey_hsd")
+    grp = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec(v)).alias("_s"),
+        F.sum(dec(v) * dec(v)).alias("_q"),
+    )
+    within = grp.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_n").alias("_nt"),
+        F.sum("_q").alias("_qt"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("_g").alias("g"),
+                    (
+                        F.col("_s").cast("double")
+                        * F.col("_s").cast("double")
+                        / F.col("_n").cast("double")
+                    ).alias("term"),
+                )
+            )
+        ).alias("_terms"),
+    ).withColumn(
+        "_rs",
+        F.aggregate(F.col("_terms"), F.lit(0.0), lambda a, x: a + x["term"]),
+    )
+    ssw = F.col("_qt").cast("double") - F.col("_rs")
+    nt, kk = F.col("_nt"), F.col("_k")
+    sw2 = ssw / (nt - kk).cast("double")
+    wrow = within.select(
+        sw2.alias("_sw2"), ((nt > kk) & (ssw > 0)).alias("_ok")
+    )
+    a = grp.select(
+        F.col("_g").alias("group_a"),
+        F.col("_n").alias("_na"),
+        F.col("_s").alias("_sa"),
+    )
+    b = grp.select(
+        F.col("_g").alias("group_b"),
+        F.col("_n").alias("_nb"),
+        F.col("_s").alias("_sb"),
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b")).crossJoin(
+        F.broadcast(wrow)
+    )
+    nad, nbd = F.col("_na").cast("double"), F.col("_nb").cast("double")
+    diff = (
+        (dec(F.col("_sa")) * dec(F.col("_nb")) - dec(F.col("_sb")) * dec(F.col("_na")))
+        .cast("double")
+        / (dec(F.col("_na")) * dec(F.col("_nb"))).cast("double")
+    )
+    q = diff / F.sqrt(
+        F.col("_sw2") / F.lit(2.0) * (F.lit(1.0) / nad + F.lit(1.0) / nbd)
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(diff, round_to).alias("mean_diff"),
+        F.round(F.when(F.col("_ok"), q), round_to).alias("q_stat"),
+    ).orderBy("group_a", "group_b")
+
+
+def tukey_hsd_oracle_sql(
+    values_sql: str,
+    value_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same HUGEINT moments, same group-ordered SSW fold,
+    same exact pair numerators and pinned q tail."""
+    return f"""
+WITH vals AS (SELECT {group_col} AS _g, CAST({value_col} AS BIGINT) AS _v
+              FROM ({values_sql})),
+grp AS MATERIALIZED (
+  SELECT _g, CAST(COUNT(*) AS BIGINT) AS _n,
+         SUM(CAST(_v AS HUGEINT)) AS _s,
+         SUM(CAST(_v AS HUGEINT) * CAST(_v AS HUGEINT)) AS _q
+  FROM vals GROUP BY _g
+),
+win AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS _k, CAST(SUM(_n) AS BIGINT) AS _nt,
+         CAST(SUM(_q) AS DOUBLE)
+         - list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list(CAST(_s AS DOUBLE) * CAST(_s AS DOUBLE) / CAST(_n AS DOUBLE)
+                  ORDER BY _g)), (x, y) -> x + y) AS _ssw
+  FROM grp
+)
+SELECT a._g AS group_a, b._g AS group_b,
+       a._n AS n_a, b._n AS n_b,
+       ROUND(CAST(a._s * b._n - b._s * a._n AS DOUBLE)
+             / CAST(CAST(a._n AS HUGEINT) * b._n AS DOUBLE), {round_to}) AS mean_diff,
+       ROUND(CASE WHEN w._nt > w._k AND w._ssw > 0 THEN
+         (CAST(a._s * b._n - b._s * a._n AS DOUBLE)
+          / CAST(CAST(a._n AS HUGEINT) * b._n AS DOUBLE))
+         / SQRT((w._ssw / CAST(w._nt - w._k AS DOUBLE)) / 2.0
+                * (1.0 / CAST(a._n AS DOUBLE) + 1.0 / CAST(b._n AS DOUBLE)))
+         END, {round_to}) AS q_stat
+FROM grp a JOIN grp b ON a._g < b._g CROSS JOIN win w
+ORDER BY group_a, group_b
+"""
+
+
+def iv_wald(
+    df: DataFrame,
+    outcome_col: str,
+    exposure_col: str,
+    instrument_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Instrumental-variable Wald estimator per segment — the causal
+    readout when treatment is CONFOUNDED but an instrument exists
+    (encouragement assigned, offer shown): the effect of exposure on
+    outcome identified through the instrument,
+
+        β_IV = (ȳ₁ − ȳ₀) / (x̄₁ − x̄₀)
+
+    (intent-to-treat effect over first-stage compliance — the
+    two-stage-least-squares estimate with one binary instrument). The
+    companion to `did_estimate`/`cuped`: DiD needs parallel trends,
+    CUPED a pre-period; IV needs only the exclusion restriction.
+
+    Exactness: the six conditional sums (n, Σy, Σx per instrument arm)
+    are exact DECIMAL(38,0) from ONE aggregation; each difference of
+    means is the exact integer cross product over one pinned division;
+    β is one more. Output per segment: ``(*by, n1, n0, itt, first_stage,
+    beta_iv)`` — NULL β when the first stage is 0 (weak-instrument
+    degenerate) or either arm is empty.
+    """
+    from .guards import integral_long
+
+    keys = list(by or [])
+    dec = lambda c: c.cast("decimal(38,0)")
+    z = F.col(instrument_col).cast("int")
+    y = dec(integral_long(df, outcome_col, "iv_wald"))
+    x = dec(integral_long(df, exposure_col, "iv_wald"))
+    zero = F.lit(0).cast("decimal(38,0)")
+    per = df.groupBy(*keys).agg(
+        F.sum(F.when(z == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(z == 1, y).otherwise(zero)).alias("_y1"),
+        F.sum(F.when(z == 1, x).otherwise(zero)).alias("_x1"),
+        F.sum(F.when(z == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(z == 0, y).otherwise(zero)).alias("_y0"),
+        F.sum(F.when(z == 0, x).otherwise(zero)).alias("_x0"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    itt_num = dec(n0) * F.col("_y1") - dec(n1) * F.col("_y0")
+    fs_num = dec(n0) * F.col("_x1") - dec(n1) * F.col("_x0")
+    den = (dec(n1) * dec(n0)).cast("double")
+    itt = itt_num.cast("double") / den
+    fs = fs_num.cast("double") / den
+    both = (n1 > 0) & (n0 > 0)
+    return per.select(
+        *keys,
+        n1.cast("long").alias("n1"),
+        n0.cast("long").alias("n0"),
+        F.round(F.when(both, itt), round_to).alias("itt"),
+        F.round(F.when(both, fs), round_to).alias("first_stage"),
+        F.round(
+            F.when(both & (fs_num != 0), itt / fs), round_to
+        ).alias("beta_iv"),
+    ).orderBy(*keys) if keys else per.select(
+        n1.cast("long").alias("n1"),
+        n0.cast("long").alias("n0"),
+        F.round(F.when(both, itt), round_to).alias("itt"),
+        F.round(F.when(both, fs), round_to).alias("first_stage"),
+        F.round(
+            F.when(both & (fs_num != 0), itt / fs), round_to
+        ).alias("beta_iv"),
+    )
+
+
+def iv_wald_oracle_sql(
+    units_sql: str,
+    outcome_col: str,
+    exposure_col: str,
+    instrument_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same six HUGEINT conditional sums, same exact cross
+    products and pinned divisions."""
+    keys = list(by or [])
+    gc = ", ".join(keys)
+    sel = (gc + ", ") if keys else ""
+    group = f"GROUP BY {gc}" if keys else ""
+    order = f"ORDER BY {gc}" if keys else ""
+    z = f"CAST({instrument_col} AS INTEGER)"
+    y = f"CAST(CAST({outcome_col} AS BIGINT) AS HUGEINT)"
+    x = f"CAST(CAST({exposure_col} AS BIGINT) AS HUGEINT)"
+    return f"""
+WITH units AS ({units_sql}),
+per AS (
+  SELECT {sel}
+         CAST(SUM(CASE WHEN {z} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         SUM(CASE WHEN {z} = 1 THEN {y} ELSE 0 END) AS _y1,
+         SUM(CASE WHEN {z} = 1 THEN {x} ELSE 0 END) AS _x1,
+         CAST(SUM(CASE WHEN {z} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         SUM(CASE WHEN {z} = 0 THEN {y} ELSE 0 END) AS _y0,
+         SUM(CASE WHEN {z} = 0 THEN {x} ELSE 0 END) AS _x0
+  FROM units {group}
+)
+SELECT {sel}n1, n0,
+       ROUND(CASE WHEN n1 > 0 AND n0 > 0 THEN
+         CAST(CAST(n0 AS HUGEINT) * _y1 - CAST(n1 AS HUGEINT) * _y0 AS DOUBLE)
+         / CAST(CAST(n1 AS HUGEINT) * n0 AS DOUBLE) END, {round_to}) AS itt,
+       ROUND(CASE WHEN n1 > 0 AND n0 > 0 THEN
+         CAST(CAST(n0 AS HUGEINT) * _x1 - CAST(n1 AS HUGEINT) * _x0 AS DOUBLE)
+         / CAST(CAST(n1 AS HUGEINT) * n0 AS DOUBLE) END, {round_to}) AS first_stage,
+       ROUND(CASE WHEN n1 > 0 AND n0 > 0
+                   AND (CAST(n0 AS HUGEINT) * _x1 - CAST(n1 AS HUGEINT) * _x0) <> 0
+         THEN (CAST(CAST(n0 AS HUGEINT) * _y1 - CAST(n1 AS HUGEINT) * _y0 AS DOUBLE)
+               / CAST(CAST(n1 AS HUGEINT) * n0 AS DOUBLE))
+              / (CAST(CAST(n0 AS HUGEINT) * _x1 - CAST(n1 AS HUGEINT) * _x0 AS DOUBLE)
+                 / CAST(CAST(n1 AS HUGEINT) * n0 AS DOUBLE))
+         END, {round_to}) AS beta_iv
+FROM per {order}
+"""
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    round_to: int = 6,
+    max_arms: int | None = 1_000,
+) -> DataFrame:
+    """Sample-ratio-mismatch check for an equal-allocation experiment —
+    the integrity gate that runs BEFORE any effect readout (`ab_test`,
+    `effect_sizes`, `cuped` are all invalid if assignment itself is
+    broken): a chi-square of the observed arm counts against the equal
+    split,
+
+        χ² = Σ_a (o_a − n/k)² / (n/k)  =  (k·Σo² − n²) / n
+
+    — which the right-hand algebra makes EXACT: k·Σo² − n² is an exact
+    DECIMAL integer, χ² is ONE pinned division. Output one row:
+    ``(k, n, chi2)`` plus the max/min arm counts (the "which arm leaks"
+    readout); NULL χ² when n = 0 or k < 2. One map-side-combined
+    aggregation; the arm catalog is bounded (``max_arms``).
+    """
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, arm_col, [], max_arms, "srm_check")
+    dec = lambda c: c.cast("decimal(38,0)")
+    arms = df.groupBy(F.col(arm_col).alias("_a")).agg(
+        F.count(F.lit(1)).alias("_o")
+    )
+    agg = arms.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_o").alias("n"),
+        F.sum(dec(F.col("_o")) * dec(F.col("_o"))).alias("_osq"),
+        F.max("_o").alias("max_arm"),
+        F.min("_o").alias("min_arm"),
+    )
+    k, n = F.col("k"), F.col("n")
+    chi2 = (dec(k) * F.col("_osq") - dec(n) * dec(n)).cast("double") / n.cast(
+        "double"
+    )
+    ok = (n > 0) & (k > 1)
+    return agg.select(
+        k.cast("long").alias("k"),
+        n.cast("long").alias("n"),
+        F.col("max_arm").cast("long").alias("max_arm"),
+        F.col("min_arm").cast("long").alias("min_arm"),
+        F.round(F.when(ok, chi2), round_to).alias("chi2"),
+    )
+
+
+def srm_check_oracle_sql(
+    units_sql: str,
+    arm_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same exact k·Σo² − n² numerator, one division."""
+    return f"""
+WITH units AS ({units_sql}),
+arms AS (
+  SELECT {arm_col} AS _a, CAST(COUNT(*) AS BIGINT) AS _o FROM units GROUP BY 1
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(_o) AS BIGINT) AS n,
+         SUM(CAST(_o AS HUGEINT) * _o) AS _osq,
+         CAST(MAX(_o) AS BIGINT) AS max_arm, CAST(MIN(_o) AS BIGINT) AS min_arm
+  FROM arms
+)
+SELECT k, n, max_arm, min_arm,
+       ROUND(CASE WHEN n > 0 AND k > 1 THEN
+         CAST(CAST(k AS HUGEINT) * _osq - CAST(n AS HUGEINT) * n AS DOUBLE)
+         / CAST(n AS DOUBLE) END, {round_to}) AS chi2
+FROM agg
+"""
+
+
+def dunn_test(
+    df: DataFrame,
+    bucket_col: str,
+    group_col: str,
+    round_to: int = 6,
+    max_buckets: int | None = 100_000,
+    max_groups: int | None = 1_000,
+) -> DataFrame:
+    """Dunn's pairwise rank contrasts — the post-hoc step after
+    :func:`kruskal_wallis` rejects (H says SOME group's distribution is
+    shifted; Dunn says WHICH pairs, on the same pooled midranks, with
+    the tie-corrected null variance):
+
+        z_ij = (R̄_i − R̄_j) / sqrt( σ² · (1/n_i + 1/n_j) ),
+        σ²   = N(N+1)/12 − Σ(t³−t) / (12(N−1)).
+
+    Exactness: the DOUBLED-midrank spine (the mann_whitney/
+    kruskal_wallis machinery) keeps per-group doubled rank sums R2_g
+    and the tie term Σ(t³−t) exact DECIMAL(38,0); each pair's mean-rank
+    difference is the exact integer (R2_i·n_j − R2_j·n_i) over ONE
+    pinned division by 2·n_i·n_j; the σ² tail is pinned. Output per
+    pair (i < j by group order): ``(group_a, group_b, n_a, n_b,
+    mean_rank_diff, z)`` — z NULL when σ² ≤ 0 (every value tied) or
+    N < 2. Bounded contracts as in kruskal_wallis.
+    """
+    from pyspark.sql import Window
+
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, bucket_col, [], max_buckets, "dunn_test")
+    require_bounded_spine(df, group_col, [], max_groups, "dunn_test")
+    per = df.groupBy(
+        F.col(bucket_col).alias("_k"), F.col(group_col).alias("_g")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    wcum = Window.orderBy("_k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    spine = per.groupBy("_k").agg(F.sum("_c").alias("_t"))
+    spine = spine.select(
+        "_k", "_t", (F.sum("_t").over(wcum) - F.col("_t")).alias("_before")
+    )
+    grp = (
+        per.join(spine, "_k")
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").alias("_n"),
+            F.sum(
+                dec(F.col("_c"))
+                * dec(F.lit(2) * F.col("_before") + F.col("_t") + F.lit(1))
+            ).alias("_r2"),
+        )
+    )
+    ties = spine.agg(
+        F.sum("_t").alias("_nt"),
+        F.sum(
+            dec(F.col("_t")) * dec(F.col("_t")) * dec(F.col("_t"))
+            - dec(F.col("_t"))
+        ).alias("_ties"),
+    )
+    a = grp.select(
+        F.col("_g").alias("group_a"),
+        F.col("_n").alias("_na"),
+        F.col("_r2").alias("_ra"),
+    )
+    b = grp.select(
+        F.col("_g").alias("group_b"),
+        F.col("_n").alias("_nb"),
+        F.col("_r2").alias("_rb"),
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b")).crossJoin(
+        F.broadcast(ties)
+    )
+    nt = F.col("_nt")
+    ntd = nt.cast("double")
+    sig2 = ntd * (ntd + F.lit(1.0)) / F.lit(12.0) - F.col("_ties").cast(
+        "double"
+    ) / (F.lit(12.0) * (ntd - F.lit(1.0)))
+    diff = (
+        (dec(F.col("_ra")) * dec(F.col("_nb")) - dec(F.col("_rb")) * dec(F.col("_na")))
+        .cast("double")
+        / (F.lit(2.0) * (dec(F.col("_na")) * dec(F.col("_nb"))).cast("double"))
+    )
+    z = diff / F.sqrt(
+        sig2
+        * (
+            F.lit(1.0) / F.col("_na").cast("double")
+            + F.lit(1.0) / F.col("_nb").cast("double")
+        )
+    )
+    ok = (nt > 1) & (sig2 > 0)
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(diff, round_to).alias("mean_rank_diff"),
+        F.round(F.when(ok, z), round_to).alias("z"),
+    ).orderBy("group_a", "group_b")
+
+
+def dunn_test_oracle_sql(
+    values_sql: str,
+    bucket_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same doubled midranks, HUGEINT rank/tie sums, same
+    exact pair numerators and pinned σ²/z tail."""
+    return f"""
+WITH vals AS (SELECT {bucket_col} AS _k, {group_col} AS _g FROM ({values_sql})),
+per AS (
+  SELECT _k, _g, CAST(COUNT(*) AS BIGINT) AS _c FROM vals GROUP BY 1, 2
+),
+spine AS MATERIALIZED (
+  SELECT _k, CAST(SUM(_c) AS BIGINT) AS _t,
+         CAST(SUM(SUM(_c)) OVER (ORDER BY _k
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - SUM(_c)
+              AS BIGINT) AS _before
+  FROM per GROUP BY _k
+),
+grp AS MATERIALIZED (
+  SELECT p._g, CAST(SUM(p._c) AS BIGINT) AS _n,
+         SUM(CAST(p._c AS HUGEINT) * (2 * s._before + s._t + 1)) AS _r2
+  FROM per p JOIN spine s USING (_k)
+  GROUP BY p._g
+),
+ties AS (
+  SELECT CAST(SUM(_t) AS BIGINT) AS _nt,
+         SUM(CAST(_t AS HUGEINT) * _t * _t - _t) AS _ties
+  FROM spine
+)
+SELECT a._g AS group_a, b._g AS group_b, a._n AS n_a, b._n AS n_b,
+       ROUND(CAST(a._r2 * b._n - b._r2 * a._n AS DOUBLE)
+             / (2.0 * CAST(CAST(a._n AS HUGEINT) * b._n AS DOUBLE)),
+             {round_to}) AS mean_rank_diff,
+       ROUND(CASE WHEN t._nt > 1 AND
+         (CAST(t._nt AS DOUBLE) * (CAST(t._nt AS DOUBLE) + 1.0) / 12.0
+          - CAST(t._ties AS DOUBLE) / (12.0 * (CAST(t._nt AS DOUBLE) - 1.0))) > 0
+         THEN (CAST(a._r2 * b._n - b._r2 * a._n AS DOUBLE)
+               / (2.0 * CAST(CAST(a._n AS HUGEINT) * b._n AS DOUBLE)))
+              / SQRT((CAST(t._nt AS DOUBLE) * (CAST(t._nt AS DOUBLE) + 1.0) / 12.0
+                      - CAST(t._ties AS DOUBLE) / (12.0 * (CAST(t._nt AS DOUBLE) - 1.0)))
+                     * (1.0 / CAST(a._n AS DOUBLE) + 1.0 / CAST(b._n AS DOUBLE)))
+         END, {round_to}) AS z
+FROM grp a JOIN grp b ON a._g < b._g CROSS JOIN ties t
+ORDER BY group_a, group_b
+"""
