@@ -4955,6 +4955,86 @@ def _sql_ngram_novelty() -> str:
 SQL_NGRAM_NOVELTY = _sql_ngram_novelty()
 
 
+def q_ffill_series(spark, sf):
+    """Calendar densify + forward fill (`timeseries.ffill_series`):
+    the monthly URGENT-order revenue series per market segment, with
+    every month from each segment's first to last order materialized
+    and gaps carried forward — the spine repair `ewma`/`holt`/`acf`
+    silently assume (sparse months would otherwise compress time).
+    Integer month spine via per-group sequence, group-windowed
+    last-ignorenulls carry, duplicate-bucket fail-fast."""
+    from revtron_utils_spark.operators.timeseries import ffill_series
+
+    o = _t(spark, sf, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mon"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    series = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), "mon")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    return ffill_series(series, "seg", "mon", "rev")
+
+
+def _sql_ffill_series() -> str:
+    from revtron_utils_spark.operators.timeseries import ffill_series_oracle_sql
+
+    series = """
+SELECT c_mktsegment AS seg,
+       CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS BIGINT) AS mon,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY 1, 2
+"""
+    return ffill_series_oracle_sql(series, "seg", "mon", "rev")
+
+
+SQL_FFILL_SERIES = _sql_ffill_series()
+
+
+def q_ols_two_factor(spark, sf):
+    """Two-driver OLS (`profile.ols_two_factor`): line-value cents on
+    quantity AND discount bps per return flag — the multivariate step
+    past `grouped_linreg` (one regressor can't separate correlated
+    drivers; price rises with quantity and falls with discount, and
+    the single-factor fit blames the wrong one). Nine exact DECIMAL
+    moments from ONE aggregation, pinned Cramer determinants,
+    singular-system NULLs."""
+    from revtron_utils_spark.operators.profile import ols_two_factor
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.expr("CAST(round(l_discount * 10000) AS BIGINT)").alias("disc_bps"),
+    )
+    return ols_two_factor(li, "cents", "qty", "disc_bps", by=["flag"])
+
+
+def _sql_ols_two_factor() -> str:
+    from revtron_utils_spark.operators.profile import ols_two_factor_oracle_sql
+
+    points = """
+SELECT l_returnflag AS flag,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+       CAST(l_quantity AS BIGINT) AS qty,
+       CAST(round(l_discount * 10000) AS BIGINT) AS disc_bps
+FROM lineitem
+"""
+    return ols_two_factor_oracle_sql(
+        points, "cents", "qty", "disc_bps", by=["flag"]
+    )
+
+
+SQL_OLS_TWO_FACTOR = _sql_ols_two_factor()
+
+
 def _fake_sf_client(spark, sf, limit_rows=5000):
     """Salesforce-compatible client over an in-memory backend seeded
     deterministically from the events fixture (S9-S19 demo without a
@@ -10758,6 +10838,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "iv_wald": (q_iv_wald, SQL_IV_WALD),
     "srm_check": (q_srm_check, SQL_SRM_CHECK),
     "mrr_at_k": (q_mrr_at_k, SQL_MRR_AT_K),
+    "ffill_series": (q_ffill_series, SQL_FFILL_SERIES),
+    "ols_two_factor": (q_ols_two_factor, SQL_OLS_TWO_FACTOR),
     "cosine_neardup_lsh": (q_cosine_neardup_lsh, None),
     "cosine_neardup_lsh_poly": (
         q_cosine_neardup_lsh_poly,

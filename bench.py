@@ -252,6 +252,8 @@ HEADLINE = [
     "iv_wald",
     "srm_check",
     "mrr_at_k",
+    "ffill_series",
+    "ols_two_factor",
 ]
 
 

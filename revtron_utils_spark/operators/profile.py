@@ -5109,3 +5109,141 @@ SELECT a._g AS group_a, b._g AS group_b, a._n AS n_a, b._n AS n_b,
 FROM grp a JOIN grp b ON a._g < b._g CROSS JOIN ties t
 ORDER BY group_a, group_b
 """
+
+
+def ols_two_factor(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-regressor OLS with intercept per segment — the multivariate
+    step past :func:`grouped_linreg` (one regressor can't separate
+    correlated drivers; two + Cramer's rule is the largest normal-
+    equation system whose closed form stays a readable pinned tail):
+
+        [n    Σx₁   Σx₂ ] [β₀]   [Σy  ]
+        [Σx₁  Σx₁²  Σx₁x₂] [β₁] = [Σx₁y]
+        [Σx₂  Σx₁x₂ Σx₂² ] [β₂]   [Σx₂y]
+
+    solved by Cramer determinants. Exactness: all nine moments are
+    exact DECIMAL(38,0) from ONE aggregation; each 3×3 determinant is
+    the PINNED fixed-order float expression a(ei−fh) − b(di−fg) +
+    c(dh−eg) over the exact moments cast to double (a determinant of
+    38-digit integers exceeds any fixed-precision decimal — the pinned
+    tail is the honest exact-prefix/float-suffix boundary, token-
+    identical in the oracle); each β is one division. Output per
+    segment: ``(*by, n, b0, b1, b2)`` — NULL βs when the system is
+    singular (|det| = 0: collinear regressors or degenerate n).
+    """
+    from .guards import integral_long
+
+    keys = list(by or [])
+    dec = lambda c: c.cast("decimal(38,0)")
+    y = dec(integral_long(df, y_col, "ols_two_factor"))
+    x1 = dec(integral_long(df, x1_col, "ols_two_factor"))
+    x2 = dec(integral_long(df, x2_col, "ols_two_factor"))
+    per = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x1).alias("_s1"),
+        F.sum(x2).alias("_s2"),
+        F.sum(x1 * x1).alias("_s11"),
+        F.sum(x1 * x2).alias("_s12"),
+        F.sum(x2 * x2).alias("_s22"),
+        F.sum(y).alias("_sy"),
+        F.sum(x1 * y).alias("_s1y"),
+        F.sum(x2 * y).alias("_s2y"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    n = F.col("_n").cast("double")
+
+    def det3(a, b, c, dd, e, f, g, h, i):
+        return (
+            a * (e * i - f * h) - b * (dd * i - f * g) + c * (dd * h - e * g)
+        )
+
+    den = det3(
+        n, d("_s1"), d("_s2"),
+        d("_s1"), d("_s11"), d("_s12"),
+        d("_s2"), d("_s12"), d("_s22"),
+    )
+    num0 = det3(
+        d("_sy"), d("_s1"), d("_s2"),
+        d("_s1y"), d("_s11"), d("_s12"),
+        d("_s2y"), d("_s12"), d("_s22"),
+    )
+    num1 = det3(
+        n, d("_sy"), d("_s2"),
+        d("_s1"), d("_s1y"), d("_s12"),
+        d("_s2"), d("_s2y"), d("_s22"),
+    )
+    num2 = det3(
+        n, d("_s1"), d("_sy"),
+        d("_s1"), d("_s11"), d("_s1y"),
+        d("_s2"), d("_s12"), d("_s2y"),
+    )
+    ok = den != 0.0
+    out = per.select(
+        *keys,
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.when(ok, num0 / den), round_to).alias("b0"),
+        F.round(F.when(ok, num1 / den), round_to).alias("b1"),
+        F.round(F.when(ok, num2 / den), round_to).alias("b2"),
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def ols_two_factor_oracle_sql(
+    points_sql: str,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same nine HUGEINT moments, the token-identical
+    pinned Cramer determinants and divisions."""
+    keys = list(by or [])
+    gc = ", ".join(keys)
+    sel = (gc + ", ") if keys else ""
+    group = f"GROUP BY {gc}" if keys else ""
+    order = f"ORDER BY {gc}" if keys else ""
+    h = lambda c: f"CAST(CAST({c} AS BIGINT) AS HUGEINT)"
+
+    def det3(a, b, c, dd, e, f, g, i1, i2):
+        return (
+            f"({a} * ({e} * {i2} - {f} * {i1}) "
+            f"- {b} * ({dd} * {i2} - {f} * {g}) "
+            f"+ {c} * ({dd} * {i1} - {e} * {g}))"
+        )
+
+    D = lambda c: f"CAST({c} AS DOUBLE)"
+    n, s1, s2 = D("_n"), D("_s1"), D("_s2")
+    s11, s12, s22 = D("_s11"), D("_s12"), D("_s22")
+    sy, s1y, s2y = D("_sy"), D("_s1y"), D("_s2y")
+    den = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    num0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    num1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    num2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    return f"""
+WITH pts AS ({points_sql}),
+per AS (
+  SELECT {sel}
+         CAST(COUNT(*) AS BIGINT) AS _n,
+         SUM({h(x1_col)}) AS _s1, SUM({h(x2_col)}) AS _s2,
+         SUM({h(x1_col)} * {h(x1_col)}) AS _s11,
+         SUM({h(x1_col)} * {h(x2_col)}) AS _s12,
+         SUM({h(x2_col)} * {h(x2_col)}) AS _s22,
+         SUM({h(y_col)}) AS _sy,
+         SUM({h(x1_col)} * {h(y_col)}) AS _s1y,
+         SUM({h(x2_col)} * {h(y_col)}) AS _s2y
+  FROM pts {group}
+)
+SELECT {sel}_n AS n,
+       ROUND(CASE WHEN {den} <> 0.0 THEN {num0} / {den} END, {round_to}) AS b0,
+       ROUND(CASE WHEN {den} <> 0.0 THEN {num1} / {den} END, {round_to}) AS b1,
+       ROUND(CASE WHEN {den} <> 0.0 THEN {num2} / {den} END, {round_to}) AS b2
+FROM per {order}
+"""

@@ -1413,3 +1413,104 @@ SELECT _g AS {group_col}, n1, n2, runs,
          END, {round_to}) AS z
 FROM per
 """
+
+
+def ffill_series(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    max_points: int | None = 100_000,
+) -> DataFrame:
+    """Densify a sparse integer-bucketed series and forward-fill — the
+    spine-repair step every calendar readout silently assumes (`ewma`,
+    `holt_linear`, `acf_lags` all treat consecutive rows as consecutive
+    PERIODS; a sparse month with no orders would otherwise compress
+    time): per group, generate every bucket from the group's min to its
+    max, left-join the observed values, and carry the last observation
+    forward.
+
+        filled_t = v_t if observed else v_{t'} for the max t' < t observed.
+
+    Exactness: bucket spines are integer `sequence`s, the fill is
+    `last(value, ignorenulls)` over the time-ordered group window —
+    deterministic (one observed value per bucket enforced by a
+    duplicate fail-fast, the acf_lags rule). Output: ``(group, time,
+    value, filled, is_observed)``; leading missing buckets (nothing to
+    carry) stay NULL.
+
+    Scale: spine generation is one row per group exploded to its own
+    range (bounded per group by ``max_points`` via
+    ``require_bounded_spine``), the join is group+time keyed, the fill
+    window is group-partitioned — nothing global anywhere.
+    """
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, time_col, [group_col], max_points, "ffill_series")
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(time_col).cast("long").alias("_t"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    chk = base.groupBy("_g", "_t").agg(F.count(F.lit(1)).alias("_c")).agg(
+        F.max("_c").alias("_dup")
+    ).first()
+    if int(chk["_dup"] or 0) > 1:
+        raise ValueError(
+            "ffill_series: duplicate (group, time) buckets — pre-aggregate "
+            "the series (one row per bucket) before densifying"
+        )
+    spine = (
+        base.groupBy("_g")
+        .agg(F.min("_t").alias("_lo"), F.max("_t").alias("_hi"))
+        .select(
+            "_g", F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_t")
+        )
+    )
+    joined = spine.join(base, ["_g", "_t"], "left")
+    w = Window.partitionBy("_g").orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        F.col("_g").alias(group_col),
+        F.col("_t").alias(time_col),
+        F.col("_v").alias(value_col),
+        F.last("_v", ignorenulls=True).over(w).alias("filled"),
+        F.col("_v").isNotNull().alias("is_observed"),
+    )
+
+
+def ffill_series_oracle_sql(
+    series_sql: str,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+) -> str:
+    """DuckDB twin: same per-group generate_series spine, same
+    IGNORE NULLS last-value carry."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {group_col} AS _g, CAST({time_col} AS BIGINT) AS _t,
+         CAST({value_col} AS BIGINT) AS _v
+  FROM ({series_sql})
+),
+bounds AS (
+  SELECT _g, MIN(_t) AS _lo, MAX(_t) AS _hi FROM base GROUP BY _g
+),
+spine AS (
+  -- list-function range (not the generate_series table function: that
+  -- one rejects lateral column parameters in DuckDB)
+  SELECT _g, CAST(unnest(range(_lo, _hi + 1)) AS BIGINT) AS _t
+  FROM bounds
+),
+joined AS (
+  SELECT s._g, s._t, base._v
+  FROM spine s LEFT JOIN base ON s._g = base._g AND s._t = base._t
+)
+SELECT _g AS {group_col}, _t AS {time_col}, _v AS {value_col},
+       LAST_VALUE(_v IGNORE NULLS) OVER (
+         PARTITION BY _g ORDER BY _t
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+       _v IS NOT NULL AS is_observed
+FROM joined
+"""
