@@ -5035,6 +5035,155 @@ FROM lineitem
 SQL_OLS_TWO_FACTOR = _sql_ols_two_factor()
 
 
+def q_dataset_card(spark, sf):
+    """One-row corpus datasheet — the composition gate that assembles
+    the numbers a dataset card leads with (Gebru et al., "Datasheets
+    for Datasets") from the repo's exact primitives in ONE plan:
+    document count, total whitespace tokens, English share (marker
+    lang-ID), exact-duplicate rate (normalized-text fingerprints),
+    Gopher quality pass rate, and the discrete median document length
+    (rank-⌈n/2⌉ over the bounded length histogram). Every ingredient
+    is integer-exact with one pinned division per rate, so the whole
+    card hash-matches a chained-CTE oracle."""
+    from pyspark.sql.window import Window
+
+    from revtron_utils_spark.functions import classifier as CL
+
+    docs = _t(spark, sf, "documents")
+    base = docs.select(
+        "doc_id",
+        TX.token_count("text").cast("long").alias("ntok"),
+        (TX.lang_id("text") == "en").cast("int").alias("is_en"),
+        TX.fingerprint("text").alias("fp"),
+        CL.gopher_quality_flags("text").getField("pass_all").cast("int").alias(
+            "gopher"
+        ),
+        F.length("text").cast("long").alias("len"),
+    )
+    core = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("n_tokens"),
+        F.sum("is_en").alias("_en"),
+        F.count_distinct(F.col("fp")).alias("_uniq"),
+        F.sum("gopher").alias("_gp"),
+    )
+    hist = base.groupBy("len").agg(F.count(F.lit(1)).alias("_c"))
+    wcum = Window.orderBy("len").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("len").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        hist.select(
+            "len",
+            F.sum("_c").over(wcum).alias("_cum"),
+            F.sum("_c").over(wall).alias("_nt"),
+        )
+        .where(F.col("_cum") >= F.ceil(F.col("_nt") / F.lit(2.0)))
+        .agg(F.min("len").alias("p50_chars"))
+    )
+    n = F.col("n_docs")
+    nd = n.cast("double")
+    return core.crossJoin(med).select(
+        n.cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("_en").cast("double") / nd, 6).alias("pct_en"),
+        F.round(
+            (n - F.col("_uniq")).cast("double") / nd, 6
+        ).alias("dup_rate"),
+        F.round(F.col("_gp").cast("double") / nd, 6).alias("gopher_pass_rate"),
+        F.col("p50_chars").cast("long").alias("p50_chars"),
+    )
+
+
+def _sql_dataset_card() -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks
+  FROM documents
+),
+lp AS MATERIALIZED ({SQL_LANG_ID}),
+gs AS (
+  SELECT t.doc_id,
+         CAST(len(toks) AS BIGINT) AS ntok,
+         CASE WHEN lp.lang_pred = 'en' THEN 1 ELSE 0 END AS is_en,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         CASE WHEN (len(toks) >= 20 AND len(toks) <= 100000)
+               AND (COALESCE(list_sum(list_transform(toks, tk -> CAST(length(tk) AS BIGINT))), 0)
+                    BETWEEN 3 * len(toks) AND 10 * len(toks))
+               AND (len(list_filter(toks, tk -> regexp_matches(tk, '[a-zA-Z]'))) * 5 >= len(toks) * 4)
+               AND (len(list_filter(toks, tk -> starts_with(tk, '#') OR contains(tk, '...'))) * 10 <= len(toks))
+               AND (len(list_filter(toks, tk -> lower(tk) IN ('the','be','to','of','and','that','have','with'))) >= 2)
+              THEN 1 ELSE 0 END AS gopher,
+         CAST(length(text) AS BIGINT) AS len
+  FROM t JOIN lp ON t.doc_id = lp.doc_id
+),
+core AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+         CAST(SUM(is_en) AS BIGINT) AS _en,
+         CAST(COUNT(DISTINCT fp) AS BIGINT) AS _uniq,
+         CAST(SUM(gopher) AS BIGINT) AS _gp
+  FROM gs
+),
+hist AS (
+  SELECT len, CAST(COUNT(*) AS BIGINT) AS _c FROM gs GROUP BY len
+),
+med AS (
+  SELECT CAST(MIN(len) AS BIGINT) AS p50_chars FROM (
+    SELECT len,
+           SUM(_c) OVER (ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+           SUM(_c) OVER () AS _nt
+    FROM hist
+  ) WHERE _cum >= CEIL(CAST(_nt AS DOUBLE) / 2.0)
+)
+SELECT n_docs, n_tokens,
+       ROUND(CAST(_en AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS pct_en,
+       ROUND(CAST(n_docs - _uniq AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+       ROUND(CAST(_gp AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS gopher_pass_rate,
+       p50_chars
+FROM core, med
+"""
+
+
+SQL_DATASET_CARD = _sql_dataset_card()
+
+
+def q_sample_size_power(spark, sf):
+    """Experiment planning (`profile.sample_size_power`): the n-per-arm
+    each market segment needs to detect a 2% order-value lift at
+    α=5%/80% power — the readout that belongs BEFORE `ab_test` ships
+    (underpowered experiments are decisions already made). z quantiles
+    are shared Python literals (the DCG-weight precedent — no inverse
+    normal CDF in either engine); exact DECIMAL moments, pinned tail."""
+    from revtron_utils_spark.operators.profile import sample_size_power
+
+    o = _t(spark, sf, "orders").select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey).select("c_mktsegment", "cents")
+    return sample_size_power(j, "cents", by=["c_mktsegment"])
+
+
+def _sql_sample_size_power() -> str:
+    from revtron_utils_spark.operators.profile import (
+        sample_size_power_oracle_sql,
+    )
+
+    values = """
+SELECT c_mktsegment, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+    return sample_size_power_oracle_sql(values, "cents", by=["c_mktsegment"])
+
+
+SQL_SAMPLE_SIZE_POWER = _sql_sample_size_power()
+
+
 def _fake_sf_client(spark, sf, limit_rows=5000):
     """Salesforce-compatible client over an in-memory backend seeded
     deterministically from the events fixture (S9-S19 demo without a
@@ -10840,6 +10989,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "mrr_at_k": (q_mrr_at_k, SQL_MRR_AT_K),
     "ffill_series": (q_ffill_series, SQL_FFILL_SERIES),
     "ols_two_factor": (q_ols_two_factor, SQL_OLS_TWO_FACTOR),
+    "dataset_card": (q_dataset_card, SQL_DATASET_CARD),
+    "sample_size_power": (q_sample_size_power, SQL_SAMPLE_SIZE_POWER),
     "cosine_neardup_lsh": (q_cosine_neardup_lsh, None),
     "cosine_neardup_lsh_poly": (
         q_cosine_neardup_lsh_poly,

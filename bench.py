@@ -254,6 +254,8 @@ HEADLINE = [
     "mrr_at_k",
     "ffill_series",
     "ols_two_factor",
+    "dataset_card",
+    "sample_size_power",
 ]
 
 

@@ -5247,3 +5247,107 @@ SELECT {sel}_n AS n,
        ROUND(CASE WHEN {den} <> 0.0 THEN {num2} / {den} END, {round_to}) AS b2
 FROM per {order}
 """
+
+
+def sample_size_power(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    mde_pct: float = 2.0,
+    z_alpha: float = 1.959963984540054,  # two-sided 5%
+    z_beta: float = 0.8416212335729143,  # 80% power
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-segment A/B sample-size requirement — the planning readout
+    that belongs BEFORE `ab_test`/`effect_sizes` ship (an experiment
+    that can't reach power is a decision already made): the classic
+    two-arm normal-approximation formula at a relative minimum
+    detectable effect,
+
+        n/arm = 2 σ² (z_α/2 + z_β)² / (MDE·x̄)²,
+
+    with σ², x̄ from the segment's own history. The z quantiles are
+    fixed PYTHON literals (the ndcg DCG-weight precedent — neither
+    engine evaluates an inverse normal CDF, which libm could disagree
+    on in the last bit).
+
+    Exactness: n, Σx, Σx² are exact DECIMAL(38,0) from one
+    aggregation; variance, mean, and the n-per-arm tail are pinned
+    float ops token-identical in the oracle. Output per segment:
+    ``(*by, n_hist, mean, variance, n_per_arm)`` — NULL when the
+    segment has < 2 rows, zero variance, or zero mean (relative MDE
+    undefined). ``n_per_arm`` is ceiled to a whole unit.
+    """
+    from .guards import integral_long
+
+    keys = list(by or [])
+    dec = lambda c: c.cast("decimal(38,0)")
+    v = dec(integral_long(df, value_col, "sample_size_power"))
+    per = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(v).alias("_s"),
+        F.sum(v * v).alias("_q"),
+    )
+    nd = F.col("_n").cast("double")
+    mean = F.col("_s").cast("double") / nd
+    varnum = (dec(F.col("_n")) * F.col("_q") - F.col("_s") * F.col("_s")).cast(
+        "double"
+    )
+    var = varnum / (nd * (nd - F.lit(1.0)))
+    delta = F.lit(float(mde_pct) / 100.0) * mean
+    zsum = F.lit(float(z_alpha) + float(z_beta))
+    n_arm = F.ceil(F.lit(2.0) * var * zsum * zsum / (delta * delta))
+    ok = (F.col("_n") > 1) & (varnum > 0) & (mean != 0.0)
+    out = per.select(
+        *keys,
+        F.col("_n").cast("long").alias("n_hist"),
+        F.round(mean, round_to).alias("mean"),
+        F.round(F.when(F.col("_n") > 1, var), round_to).alias("variance"),
+        F.when(ok, n_arm).cast("long").alias("n_per_arm"),
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def sample_size_power_oracle_sql(
+    values_sql: str,
+    value_col: str,
+    by: list[str] | None = None,
+    mde_pct: float = 2.0,
+    z_alpha: float = 1.959963984540054,
+    z_beta: float = 0.8416212335729143,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same HUGEINT moments, same literal z sum, same
+    pinned tail and ceil."""
+    keys = list(by or [])
+    gc = ", ".join(keys)
+    sel = (gc + ", ") if keys else ""
+    group = f"GROUP BY {gc}" if keys else ""
+    order = f"ORDER BY {gc}" if keys else ""
+    zsum = float(z_alpha) + float(z_beta)
+    return f"""
+WITH vals AS ({values_sql}),
+per AS (
+  SELECT {sel}
+         CAST(COUNT(*) AS BIGINT) AS _n,
+         SUM(CAST(CAST({value_col} AS BIGINT) AS HUGEINT)) AS _s,
+         SUM(CAST(CAST({value_col} AS BIGINT) AS HUGEINT) * CAST({value_col} AS BIGINT)) AS _q
+  FROM vals {group}
+),
+calc AS (
+  SELECT {sel}_n,
+         CAST(_s AS DOUBLE) / CAST(_n AS DOUBLE) AS _mean,
+         CAST(CAST(_n AS HUGEINT) * _q - _s * _s AS DOUBLE) AS _varnum,
+         CAST(CAST(_n AS HUGEINT) * _q - _s * _s AS DOUBLE)
+           / (CAST(_n AS DOUBLE) * (CAST(_n AS DOUBLE) - 1.0)) AS _var
+  FROM per
+)
+SELECT {sel}_n AS n_hist,
+       ROUND(_mean, {round_to}) AS mean,
+       ROUND(CASE WHEN _n > 1 THEN _var END, {round_to}) AS variance,
+       CAST(CASE WHEN _n > 1 AND _varnum > 0 AND _mean <> 0.0 THEN
+         CEIL(2.0 * _var * {zsum!r} * {zsum!r}
+              / (({float(mde_pct) / 100.0!r} * _mean) * ({float(mde_pct) / 100.0!r} * _mean)))
+       END AS BIGINT) AS n_per_arm
+FROM calc {order}
+"""

@@ -66,6 +66,9 @@ BOUNDED_SPINE_OK: set[str] = {
     "bh_fdr",  # require_bounded_spine-guarded test family (r9)
     "kruskal_wallis",  # require_bounded_spine-guarded value spine (r10)
     "moods_median",  # require_bounded_spine-guarded grand-median spine (r10)
+    "cramer_von_mises",  # same guarded bucket spine as ks_test (r11)
+    "dunn_test",  # same guarded doubled-midrank spine as kruskal_wallis (r11)
+    "dataset_card",  # median over the bounded document-LENGTH histogram (r11)
     "gain_curve",
     "cusum_changepoint",
     "theil_sen",
