@@ -6,6 +6,39 @@ import pytest
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Two-tier suite (round-11, r10 verdict task 8): the full run crossed
+# 50 minutes, dominated by the hypothesis/differential modules and the
+# full-registry smoke sweep. Those modules are auto-marked `slow` here
+# (centrally — no per-file pytestmark drift) so the per-commit loop is
+#
+#     python -m pytest tests/ -q -m "not slow"     # fast tier
+#     python -m pytest tests/ -q                   # full tier (round close)
+#
+# Membership rule: a module goes in SLOW_MODULES when its runtime is
+# dominated by randomized differentials / full-registry sweeps rather
+# than targeted unit+oracle checks — the fast tier must still execute
+# every operator at least once (the per-operator unit/oracle tests all
+# live outside these modules).
+SLOW_MODULES = {
+    "test_properties",            # hypothesis differentials (~5 min)
+    "test_registry_smoke",        # all 306 registry queries end-to-end
+    "test_lm",                    # KN/backoff hypothesis differentials
+    "test_bpe",                   # distributed-BPE reference differentials
+    "test_corpus_pipeline",       # end-to-end pipeline fanout/cache checks
+    "test_timeseries_properties", # ewma/KM/MK property differentials
+    "test_cdc",                   # cdc/table_diff python-model sweeps
+    "test_drift_corr",            # vocab-drift property differential
+    "test_substring",             # duplicate-span hypothesis differential
+    "test_rollup_fuzzy",          # CMS/quantile-sketch error-bound sweeps
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__ if item.module else ""
+        if mod in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def spark():
