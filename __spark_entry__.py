@@ -5184,6 +5184,55 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 SQL_SAMPLE_SIZE_POWER = _sql_sample_size_power()
 
 
+def q_hhi_concentration(spark, sf):
+    """Supplier concentration (`profile.hhi_concentration`): HHI and
+    effective-supplier count of the per-supplier lineitem share within
+    each return-flag population — the top-weighted companion to
+    `concentration_gini` (Gini sees the whole curve; HHI moves when
+    ONE key eats the corpus). Exact Σc² DECIMAL, two pinned divisions,
+    no windows or ranks anywhere."""
+    from revtron_utils_spark.operators.profile import hhi_concentration
+
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_suppkey")
+    return hhi_concentration(li, ["l_suppkey"], by=["l_returnflag"])
+
+
+def _sql_hhi_concentration() -> str:
+    from revtron_utils_spark.operators.profile import (
+        hhi_concentration_oracle_sql,
+    )
+
+    return hhi_concentration_oracle_sql(
+        "lineitem", ["l_suppkey"], by=["l_returnflag"]
+    )
+
+
+SQL_HHI_CONCENTRATION = _sql_hhi_concentration()
+
+
+def q_lorenz_curve(spark, sf):
+    """Corpus inequality curve (`profile.lorenz_curve`): cumulative
+    order share held by each decile of customers (ranked by order
+    count) — the curve behind `concentration_gini`'s single number
+    ("the bottom half of customers hold X% of orders"). Deterministic
+    distributed rank (no single-task sort), integer (a+b−1) div b band
+    ceil (the negated-div identity is an engine trap: Spark div
+    truncates, DuckDB // floors), bounded 10-row cumsum."""
+    from revtron_utils_spark.operators.profile import lorenz_curve
+
+    o = _t(spark, sf, "orders").select("o_custkey")
+    return lorenz_curve(o, ["o_custkey"], n_bands=10)
+
+
+def _sql_lorenz_curve() -> str:
+    from revtron_utils_spark.operators.profile import lorenz_curve_oracle_sql
+
+    return lorenz_curve_oracle_sql("orders", ["o_custkey"], n_bands=10)
+
+
+SQL_LORENZ_CURVE = _sql_lorenz_curve()
+
+
 def _fake_sf_client(spark, sf, limit_rows=5000):
     """Salesforce-compatible client over an in-memory backend seeded
     deterministically from the events fixture (S9-S19 demo without a
@@ -10991,6 +11040,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ols_two_factor": (q_ols_two_factor, SQL_OLS_TWO_FACTOR),
     "dataset_card": (q_dataset_card, SQL_DATASET_CARD),
     "sample_size_power": (q_sample_size_power, SQL_SAMPLE_SIZE_POWER),
+    "hhi_concentration": (q_hhi_concentration, SQL_HHI_CONCENTRATION),
+    "lorenz_curve": (q_lorenz_curve, SQL_LORENZ_CURVE),
     "cosine_neardup_lsh": (q_cosine_neardup_lsh, None),
     "cosine_neardup_lsh_poly": (
         q_cosine_neardup_lsh_poly,

@@ -256,6 +256,8 @@ HEADLINE = [
     "ols_two_factor",
     "dataset_card",
     "sample_size_power",
+    "hhi_concentration",
+    "lorenz_curve",
 ]
 
 

@@ -5351,3 +5351,169 @@ SELECT {sel}_n AS n_hist,
        END AS BIGINT) AS n_per_arm
 FROM calc {order}
 """
+
+
+def hhi_concentration(
+    df: DataFrame,
+    key_cols: list[str],
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of the per-key
+    row-count shares, optionally per segment — the antitrust-style
+    companion to :func:`concentration_gini` (Gini measures inequality
+    of the whole distribution; HHI weights the TOP — the readout that
+    moves when one supplier/domain eats the corpus):
+
+        HHI = Σ_k (c_k / n)²  =  Σ c_k² / n²
+
+    — which makes it EXACT: Σ c_k² is an exact DECIMAL(38,0), HHI one
+    pinned division (and n_eff = 1/HHI, the "effective number of
+    keys", one more). Output per segment: ``(*by, n_keys, n_rows, hhi,
+    n_effective)``. Plan: one (segment, key) partial-agg shuffle + one
+    segment rollup; no windows, no rank."""
+    keys = list(key_cols)
+    segs = list(by or [])
+    dec = lambda c: c.cast("decimal(38,0)")
+    counts = df.groupBy(*(segs + keys)).agg(F.count(F.lit(1)).alias("_c"))
+    agg = counts.groupBy(*segs).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_c").alias("n_rows"),
+        F.sum(dec(F.col("_c")) * dec(F.col("_c"))).alias("_csq"),
+    )
+    n = F.col("n_rows")
+    hhi = F.col("_csq").cast("double") / (dec(n) * dec(n)).cast("double")
+    out = agg.select(
+        *segs,
+        F.col("n_keys").cast("long").alias("n_keys"),
+        n.cast("long").alias("n_rows"),
+        F.round(F.when(n > 0, hhi), round_to).alias("hhi"),
+        F.round(F.when(n > 0, F.lit(1.0) / hhi), round_to).alias("n_effective"),
+    )
+    return out.orderBy(*segs) if segs else out
+
+
+def hhi_concentration_oracle_sql(
+    table_expr: str,
+    key_cols: list[str],
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same HUGEINT Σc², same pinned divisions."""
+    keys = list(key_cols)
+    segs = list(by or [])
+    gall = ", ".join(segs + keys)
+    gseg = ", ".join(segs)
+    sel = (gseg + ", ") if segs else ""
+    group = f"GROUP BY {gseg}" if segs else ""
+    order = f"ORDER BY {gseg}" if segs else ""
+    return f"""
+WITH _hh_c AS (SELECT {gall}, CAST(COUNT(*) AS BIGINT) AS _c
+           FROM {table_expr} GROUP BY {gall}),
+_hh_a AS (
+  SELECT {sel}CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(_c) AS BIGINT) AS n_rows,
+         SUM(CAST(_c AS HUGEINT) * _c) AS _csq
+  FROM _hh_c {group}
+)
+SELECT {sel}n_keys, n_rows,
+       ROUND(CASE WHEN n_rows > 0 THEN CAST(_csq AS DOUBLE)
+             / CAST(CAST(n_rows AS HUGEINT) * n_rows AS DOUBLE) END,
+             {round_to}) AS hhi,
+       ROUND(CASE WHEN n_rows > 0 THEN 1.0 / (CAST(_csq AS DOUBLE)
+             / CAST(CAST(n_rows AS HUGEINT) * n_rows AS DOUBLE)) END,
+             {round_to}) AS n_effective
+FROM _hh_a {order}
+"""
+
+
+def lorenz_curve(
+    df: DataFrame,
+    key_cols: list[str],
+    n_bands: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lorenz curve of the per-key row-count distribution at
+    ``n_bands`` population bands — the curve behind
+    :func:`concentration_gini`'s single number (the readout that says
+    "the bottom 50% of domains hold 4% of the corpus" instead of
+    "gini = 0.71"): keys ranked ascending by count (deterministic
+    (count, key) order, `curation.distributed_rank` — no single-task
+    sort), band_d = ⌈n_bands·i/n_keys⌉, cumulative count share per
+    band.
+
+    Exactness: per-band row sums are exact integers; the band
+    assignment ⌈n_bands·i/n_keys⌉ is the positive-operand integer ceil
+    (a + b − 1) div b — no float ceil anywhere near a boundary, and no
+    negated-div identity (Spark `div` truncates while DuckDB `//`
+    floors, so they disagree on negatives — measured engine trap);
+    the cumulative share is a cumsum over ≤ n_bands rows
+    with ONE pinned division per band. Output per band:
+    ``(band, n_keys_cum, cum_share)``."""
+    from .curation import distributed_rank
+
+    keys = list(key_cols)
+    dec = lambda c: c.cast("decimal(38,0)")
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_c"))
+    order = [F.col("_c").asc()] + [F.col(k).asc() for k in keys]
+    ranked = distributed_rank(counts, order, rank_col="_i").select("_c", "_i")
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("_nk"), F.sum("_c").alias("_nr")
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    # integer ceil over POSITIVE operands: ⌈a/b⌉ = (a + b − 1) div b —
+    # the negated-div identity is an engine trap (Spark `div` truncates
+    # toward zero, DuckDB `//` floors; they disagree on negatives)
+    band = F.expr(f"({n_bands} * _i + _nk - 1) div _nk")
+    per = j.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("_bk"),
+        F.sum("_c").alias("_bs"),
+        F.max("_nr").alias("_nr"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        F.col("band").cast("long").alias("band"),
+        F.sum("_bk").over(w).cast("long").alias("n_keys_cum"),
+        F.round(
+            F.sum(dec(F.col("_bs"))).over(w).cast("double")
+            / F.col("_nr").cast("double"),
+            round_to,
+        ).alias("cum_share"),
+    ).orderBy("band")
+
+
+def lorenz_curve_oracle_sql(
+    table_expr: str,
+    key_cols: list[str],
+    n_bands: int = 10,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same deterministic rank, same integer band ceil,
+    same bounded cumsum and pinned divisions."""
+    keys = list(key_cols)
+    gc = ", ".join(keys)
+    tb = ", ".join(f"{k} ASC" for k in keys)
+    return f"""
+WITH _lz_c AS (SELECT {gc}, CAST(COUNT(*) AS BIGINT) AS _c FROM {table_expr} GROUP BY {gc}),
+_lz_r AS (SELECT _c, CAST(ROW_NUMBER() OVER (ORDER BY _c ASC, {tb}) AS BIGINT) AS _i FROM _lz_c),
+_lz_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS _nk, CAST(SUM(_c) AS BIGINT) AS _nr FROM _lz_r),
+per AS (
+  SELECT ({n_bands} * r._i + t._nk - 1) // t._nk AS band,
+         CAST(COUNT(*) AS BIGINT) AS _bk,
+         SUM(CAST(r._c AS HUGEINT)) AS _bs,
+         CAST(MAX(t._nr) AS BIGINT) AS _nr
+  FROM _lz_r r CROSS JOIN _lz_t t
+  GROUP BY 1
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(SUM(_bk) OVER (ORDER BY band
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_keys_cum,
+       ROUND(CAST(SUM(_bs) OVER (ORDER BY band
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / CAST(_nr AS DOUBLE), {round_to}) AS cum_share
+FROM per ORDER BY band
+"""

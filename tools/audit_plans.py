@@ -69,6 +69,7 @@ BOUNDED_SPINE_OK: set[str] = {
     "cramer_von_mises",  # same guarded bucket spine as ks_test (r11)
     "dunn_test",  # same guarded doubled-midrank spine as kruskal_wallis (r11)
     "dataset_card",  # median over the bounded document-LENGTH histogram (r11)
+    "lorenz_curve",  # cumsum over the <= n_bands band frame (r11)
     "gain_curve",
     "cusum_changepoint",
     "theil_sen",
