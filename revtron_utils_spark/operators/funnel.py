@@ -1254,11 +1254,17 @@ def shapley_attribution_oracle_sql(
     unit_col: str,
     channel_col: str,
     round_to: int = 6,
+    max_channels: int = 12,
 ) -> str:
     """DuckDB twin: same mask counts, same subset lattice joined on
     `(mask & S) = mask`, same factorial-weighted exact integer credits
-    and single k! division. k is derived in SQL (no literal k), so the
-    twin stays valid at any channel count."""
+    and single k! division. k is derived in SQL, but the lattice range
+    needs a CONSTANT bound (DuckDB table functions reject subquery
+    args) — it is ``2^max_channels``, which must match the Spark
+    call's ``max_channels`` (both default 12). A SQL-side guard
+    errors (rather than silently truncating the lattice) if the data
+    carries more channels than the bound."""
+    lattice = 1 << max_channels
     return f"""
 WITH t AS MATERIALIZED (
   SELECT DISTINCT {unit_col} AS _u, {channel_col} AS _c FROM ({touches_sql})
@@ -1268,7 +1274,11 @@ chan AS MATERIALIZED (
          CAST(row_number() OVER (ORDER BY _c) AS BIGINT) - 1 AS _i
   FROM (SELECT DISTINCT _c FROM t)
 ),
-kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM chan),
+kk AS (SELECT CASE WHEN COUNT(*) > {max_channels}
+              THEN CAST(error('shapley_attribution oracle: ' || COUNT(*)
+                   || ' channels exceeds max_channels={max_channels} — the '
+                   || 'constant lattice bound would silently truncate') AS BIGINT)
+              ELSE CAST(COUNT(*) AS BIGINT) END AS k FROM chan),
 masks AS MATERIALIZED (
   SELECT _mask, CAST(COUNT(*) AS BIGINT) AS _cnt FROM (
     SELECT t._u, CAST(SUM(c._bit) AS BIGINT) AS _mask
@@ -1277,9 +1287,10 @@ masks AS MATERIALIZED (
 ),
 subsets AS (
   -- constant-bound range (table functions can't take subqueries),
-  -- filtered to the real 2^k lattice; 4096 = the max_channels=12 cap
+  -- filtered to the real 2^k lattice; bound = 2^max_channels, and kk
+  -- errors first whenever k would exceed it
   SELECT CAST(r.range AS BIGINT) AS _s
-  FROM range(0, 4096) r
+  FROM range(0, {lattice}) r
   WHERE r.range < CAST(power(2, (SELECT k FROM kk)) AS BIGINT)
 ),
 v AS MATERIALIZED (

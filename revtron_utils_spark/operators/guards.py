@@ -77,6 +77,31 @@ def require_sum_sq_width(
         )
 
 
+def require_sum_sq_width_multi(
+    df: DataFrame, cols: list[str], op_name: str
+) -> None:
+    """Multi-column :func:`require_sum_sq_width` in ONE aggregation
+    action (k separate guard passes over the same frame would scan it
+    k times). Per-column bounds also cover every CROSS product the
+    caller may sum: if n·mx_i² < 10³⁸ and n·mx_j² < 10³⁸ then by
+    Cauchy–Schwarz n·mx_i·mx_j ≤ √((n·mx_i²)(n·mx_j²)) < 10³⁸."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.max(F.abs(F.col(c))).alias(f"_mx{i}") for i, c in enumerate(cols)],
+    ).first()
+    n = (row["_n"] if row is not None else 0) or 0
+    if not n:
+        return
+    for i, c in enumerate(cols):
+        mx = row[f"_mx{i}"] or 0
+        if int(n) * int(mx) ** 2 >= 10**38:
+            raise ValueError(
+                f"{op_name}: n·max({c})² = {n}·{mx}² would overflow the "
+                "DECIMAL(38,0) sum of squares — rescale the metric "
+                "(smaller units) or pre-aggregate"
+            )
+
+
 _FRACTIONAL = (DoubleType, FloatType)
 
 

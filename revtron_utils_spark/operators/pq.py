@@ -281,6 +281,12 @@ def pq_adc_exact(
         ),
     )
     seed_rows = qe.orderBy("id").limit(n_codes).collect()
+    if len(seed_rows) < n_codes:
+        raise ValueError(
+            f"pq_adc_exact: corpus has only {len(seed_rows)} rows but the "
+            f"deterministic codebooks need n_codes={n_codes} seed vectors — "
+            "lower n_codes (and mirror it in the oracle) or grow the corpus"
+        )
     dim = len(seed_rows[0]["qv"])
     if dim % m:
         raise ValueError(f"pq_adc_exact: dim {dim} not divisible by m={m}")
