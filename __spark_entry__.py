@@ -10843,6 +10843,308 @@ def _sql_moods_median() -> str:
 SQL_MOODS_MEDIAN = _sql_moods_median()
 
 
+def q_regression_adjustment(spark, sf):
+    """ANCOVA-adjusted treatment effect (`experiment.
+    regression_adjustment`): per-mktsegment orderkey-parity "arms",
+    account-balance covariate, order-value outcome — the pooled
+    within-arm slope β is a ratio of exact cross-scaled DECIMAL
+    integers, ATE_adj a fixed-order double tail."""
+    from revtron_utils_spark.operators.experiment import regression_adjustment
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    units = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment",
+        (F.col("o_orderkey") % 2).alias("arm"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return regression_adjustment(
+        units, "bal", "cents", "arm", 1, 0, by=["c_mktsegment"]
+    )
+
+
+def _sql_regression_adjustment() -> str:
+    from revtron_utils_spark.operators.experiment import (
+        regression_adjustment_oracle_sql,
+    )
+
+    units = """
+SELECT c_mktsegment, o_orderkey % 2 AS arm,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+    return regression_adjustment_oracle_sql(
+        units, "bal", "cents", "arm", "1", "0", by=["c_mktsegment"]
+    )
+
+
+SQL_REGRESSION_ADJUSTMENT = _sql_regression_adjustment()
+
+
+def q_group_sequential(spark, sf):
+    """Interim-analysis boundary check (`experiment.
+    group_sequential_check`): four orderkey-derived looks, custkey-
+    parity arms, order-value metric vs the pinned O'Brien–Fleming
+    z boundaries — cumulative exact DECIMAL cells, pinned z tails,
+    literal boundary array shared token-for-token with the oracle."""
+    from revtron_utils_spark.operators.experiment import group_sequential_check
+
+    o = _t(spark, sf, "orders").select(
+        (F.lit(1) + F.col("o_orderkey") % 4).alias("look"),
+        (F.col("o_custkey") % 2).alias("arm"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return group_sequential_check(o, "look", "arm", "cents", 1, 0)
+
+
+def _sql_group_sequential() -> str:
+    from revtron_utils_spark.operators.experiment import (
+        group_sequential_check_oracle_sql,
+    )
+
+    units = (
+        "SELECT 1 + o_orderkey % 4 AS look, o_custkey % 2 AS arm, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders"
+    )
+    return group_sequential_check_oracle_sql(
+        units, "look", "arm", "cents", "1", "0"
+    )
+
+
+SQL_GROUP_SEQUENTIAL = _sql_group_sequential()
+
+
+def q_seasonal_naive(spark, sf):
+    """Forecast-baseline error readout (`timeseries.
+    seasonal_naive_eval`): monthly revenue per order status, seasonal
+    lag 12 vs naive lag 1 — exact integer error sums, cross-multiplied
+    MASE ratio with ONE pinned division."""
+    from revtron_utils_spark.operators.timeseries import seasonal_naive_eval
+
+    series = (
+        _t(spark, sf, "orders")
+        .groupBy(
+            "o_orderstatus",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("mth"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    return seasonal_naive_eval(
+        series, "mth", "cents", 12, by=["o_orderstatus"]
+    )
+
+
+def _sql_seasonal_naive() -> str:
+    from revtron_utils_spark.operators.timeseries import (
+        seasonal_naive_eval_oracle_sql,
+    )
+
+    series = """
+SELECT o_orderstatus, year(o_orderdate) * 12 + month(o_orderdate) AS mth,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+FROM orders GROUP BY 1, 2
+"""
+    return seasonal_naive_eval_oracle_sql(
+        series, "mth", "cents", 12, by=["o_orderstatus"]
+    )
+
+
+SQL_SEASONAL_NAIVE = _sql_seasonal_naive()
+
+
+def q_partial_correlation(spark, sf):
+    """Confound screen (`association.partial_correlation`): quantity ↔
+    revenue correlation per returnflag with the discount partialled
+    out — nine exact DECIMAL moments in one pass, pinned recursion."""
+    from revtron_utils_spark.operators.association import partial_correlation
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+    )
+    return partial_correlation(
+        li, "qty", "cents", "disc", by=["l_returnflag"]
+    )
+
+
+def _sql_partial_correlation() -> str:
+    from revtron_utils_spark.operators.association import (
+        partial_correlation_oracle_sql,
+    )
+
+    values = (
+        "SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, "
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents, "
+        "CAST(round(l_discount * 100) AS BIGINT) AS disc FROM lineitem"
+    )
+    return partial_correlation_oracle_sql(
+        values, "qty", "cents", "disc", by=["l_returnflag"]
+    )
+
+
+SQL_PARTIAL_CORRELATION = _sql_partial_correlation()
+
+
+def q_gamma_somers_d(spark, sf):
+    """Ordinal association (`association.gamma_somers_d`): does a
+    higher discount band go with a higher quantity band — joint-
+    histogram concordance (never O(rows²)), doubled-denominator
+    exact ratios."""
+    from revtron_utils_spark.operators.association import gamma_somers_d
+
+    li = _t(spark, sf, "lineitem").select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return gamma_somers_d(li, "disc", "qty")
+
+
+def _sql_gamma_somers_d() -> str:
+    from revtron_utils_spark.operators.association import (
+        gamma_somers_d_oracle_sql,
+    )
+
+    values = (
+        "SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc, "
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem"
+    )
+    return gamma_somers_d_oracle_sql(values, "disc", "qty")
+
+
+SQL_GAMMA_SOMERS_D = _sql_gamma_somers_d()
+
+
+def q_risk_ratios(spark, sf):
+    """2×2 risk readout (`association.risk_ratios`): urgent-priority
+    exposure vs high-value outcome per order status — exact cells,
+    exact-integer risk ratio, pinned Wald CI with the shared z
+    literal."""
+    from revtron_utils_spark.operators.association import risk_ratios
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderstatus",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("exposed"),
+        F.when(F.col("o_totalprice") > 150000.0, 1).otherwise(0).alias("high"),
+    )
+    return risk_ratios(o, "exposed", "high", by=["o_orderstatus"])
+
+
+def _sql_risk_ratios() -> str:
+    from revtron_utils_spark.operators.association import risk_ratios_oracle_sql
+
+    units = (
+        "SELECT o_orderstatus, "
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS exposed, "
+        "CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS high "
+        "FROM orders"
+    )
+    return risk_ratios_oracle_sql(units, "exposed", "high", by=["o_orderstatus"])
+
+
+SQL_RISK_RATIOS = _sql_risk_ratios()
+
+
+def q_ratio_metric_ci(spark, sf):
+    """Delta-method ratio metric (`experiment.ratio_metric_ci`):
+    revenue-per-unit-quantity per returnflag with the correct
+    unit-of-analysis CI — exact moments, pinned variance tail."""
+    from revtron_utils_spark.operators.experiment import ratio_metric_ci
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return ratio_metric_ci(li, "cents", "qty", by=["l_returnflag"])
+
+
+def _sql_ratio_metric_ci() -> str:
+    from revtron_utils_spark.operators.experiment import (
+        ratio_metric_ci_oracle_sql,
+    )
+
+    units = (
+        "SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents, "
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem"
+    )
+    return ratio_metric_ci_oracle_sql(units, "cents", "qty", by=["l_returnflag"])
+
+
+SQL_RATIO_METRIC_CI = _sql_ratio_metric_ci()
+
+
+def q_quantile_share(spark, sf):
+    """Palma-style value shares (`concentration.quantile_share`):
+    bottom-40% vs top-10% of customer balances per market segment —
+    deterministic (value, custkey) rank, integer cut indices, exact
+    set sums."""
+    from revtron_utils_spark.operators.concentration import quantile_share
+
+    c = _t(spark, sf, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    return quantile_share(
+        c, "bal", ["c_custkey"], by=["c_mktsegment"]
+    )
+
+
+def _sql_quantile_share() -> str:
+    from revtron_utils_spark.operators.concentration import (
+        quantile_share_oracle_sql,
+    )
+
+    values = (
+        "SELECT c_mktsegment, c_custkey, "
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal FROM customer"
+    )
+    return quantile_share_oracle_sql(
+        values, "bal", ["c_custkey"], by=["c_mktsegment"]
+    )
+
+
+SQL_QUANTILE_SHARE = _sql_quantile_share()
+
+
+def q_jonckheere(spark, sf):
+    """Ordered-trend test (`hypothesis_tests.jonckheere_terpstra`):
+    does quantity trend with line number — joint-histogram doubled J,
+    tie-corrected variance from exact margin polynomials."""
+    from revtron_utils_spark.operators.hypothesis_tests import (
+        jonckheere_terpstra,
+    )
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_linenumber").cast("long").alias("ln"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return jonckheere_terpstra(li, "qty", "ln")
+
+
+def _sql_jonckheere() -> str:
+    from revtron_utils_spark.operators.hypothesis_tests import (
+        jonckheere_terpstra_oracle_sql,
+    )
+
+    values = (
+        "SELECT CAST(l_linenumber AS BIGINT) AS ln, "
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem"
+    )
+    return jonckheere_terpstra_oracle_sql(values, "qty", "ln")
+
+
+SQL_JONCKHEERE = _sql_jonckheere()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -11162,6 +11464,15 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "grubbs_test": (q_grubbs_test, SQL_GRUBBS_TEST),
     "runs_test": (q_runs_test, SQL_RUNS_TEST),
     "moods_median": (q_moods_median, SQL_MOODS_MEDIAN),
+    "regression_adjustment": (q_regression_adjustment, SQL_REGRESSION_ADJUSTMENT),
+    "group_sequential": (q_group_sequential, SQL_GROUP_SEQUENTIAL),
+    "seasonal_naive": (q_seasonal_naive, SQL_SEASONAL_NAIVE),
+    "partial_correlation": (q_partial_correlation, SQL_PARTIAL_CORRELATION),
+    "gamma_somers_d": (q_gamma_somers_d, SQL_GAMMA_SOMERS_D),
+    "risk_ratios": (q_risk_ratios, SQL_RISK_RATIOS),
+    "ratio_metric_ci": (q_ratio_metric_ci, SQL_RATIO_METRIC_CI),
+    "quantile_share": (q_quantile_share, SQL_QUANTILE_SHARE),
+    "jonckheere": (q_jonckheere, SQL_JONCKHEERE),
 }
 
 

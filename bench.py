@@ -258,6 +258,16 @@ HEADLINE = [
     "sample_size_power",
     "hhi_concentration",
     "lorenz_curve",
+    # round-12 wave
+    "regression_adjustment",
+    "group_sequential",
+    "seasonal_naive",
+    "partial_correlation",
+    "gamma_somers_d",
+    "risk_ratios",
+    "ratio_metric_ci",
+    "quantile_share",
+    "jonckheere",
 ]
 
 
@@ -300,6 +310,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     qmin: dict[str, float] = {}
     gc_ms: dict[str, int] = {}
+    loadavg: dict[str, float] = {}
     suspects: dict[str, dict] = {}
     errors: dict[str, str] = {}
 
@@ -329,6 +340,15 @@ def main() -> None:
 
     for name in HEADLINE:
         fn = queries[name]
+        # 1-minute loadavg sampled at query START (round-11 verdict task
+        # 7): host-epoch adjudication of an elevated number becomes
+        # data-driven — a spike whose load column is high is the host,
+        # not the plan. Our own 32 worker threads contribute, so read
+        # this as a RELATIVE trace along the suite, not an absolute.
+        try:
+            loadavg[name] = round(os.getloadavg()[0], 2)
+        except OSError:  # pragma: no cover - non-POSIX
+            pass
         g0 = _gc_now()
         t0 = time.perf_counter()
         try:
@@ -370,7 +390,12 @@ def main() -> None:
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 w2 = round(time.perf_counter() - t0, 3)
                 passes.append(w2)
-                suspects[name] = {"cold": timings[name], "warm": w, "warm2": w2}
+                suspects[name] = {
+                    "cold": timings[name],
+                    "warm": w,
+                    "warm2": w2,
+                    "loadavg": loadavg.get(name),
+                }
             except Exception:
                 pass
             finally:
@@ -388,6 +413,7 @@ def main() -> None:
         "queries_min": qmin,
         "value_min": round(sum(qmin.values()), 3),
         "queries_gc_ms": gc_ms,
+        "queries_loadavg": loadavg,
         "suspects": suspects,
         "sf": sf,
     }

@@ -840,3 +840,406 @@ WITH vals AS ({values_sql}),
 mom AS (SELECT {", ".join(moms)} FROM vals)
 {" UNION ALL ".join(rows)}
 """
+
+
+def partial_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order partial correlation r_xy·z per segment — the
+    confound-screening step past :func:`correlation_matrix` (a raw
+    r_xy that vanishes once z is partialled out was the z-effect in
+    disguise; the standard recursion over the pairwise correlations):
+
+        r_xy·z = (r_xy − r_xz·r_yz) / sqrt((1 − r_xz²)(1 − r_yz²)).
+
+    Exactness: the nine moments (Σa, Σa², Σab for the three columns)
+    are exact DECIMAL(38,0) from ONE aggregation (width measured via
+    the multi-column guard — per-column bounds cover the cross
+    products by Cauchy–Schwarz); each pairwise r and the recursion
+    are fixed-order double tails token-identical in the oracle.
+    Output per segment: ``(*by, n, r_xy, r_xz, r_yz, partial_r)`` —
+    NULL r's when a variance is 0; NULL partial when either
+    1 − r² factor is ≤ 0.
+    """
+    from .guards import require_sum_sq_width_multi
+
+    cols = [x_col, y_col, z_col]
+    require_sum_sq_width_multi(df, cols, "partial_correlation")
+    keys = list(by or [])
+    dec = lambda c: c.cast("decimal(38,0)")
+    a = dec(integral_long(df, x_col, "partial_correlation"))
+    b = dec(integral_long(df, y_col, "partial_correlation"))
+    c = dec(integral_long(df, z_col, "partial_correlation"))
+    per = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(a).alias("_sx"),
+        F.sum(b).alias("_sy"),
+        F.sum(c).alias("_sz"),
+        F.sum(a * a).alias("_qx"),
+        F.sum(b * b).alias("_qy"),
+        F.sum(c * c).alias("_qz"),
+        F.sum(a * b).alias("_pxy"),
+        F.sum(a * c).alias("_pxz"),
+        F.sum(b * c).alias("_pyz"),
+    )
+    n = dec(F.col("_n"))
+
+    def rr(p, s1, s2, q1, q2):
+        num = (n * F.col(p) - F.col(s1) * F.col(s2)).cast("double")
+        v1 = (n * F.col(q1) - F.col(s1) * F.col(s1)).cast("double")
+        v2 = (n * F.col(q2) - F.col(s2) * F.col(s2)).cast("double")
+        return num / F.sqrt(v1 * v2), (v1 > 0) & (v2 > 0)
+
+    r_xy, ok_xy = rr("_pxy", "_sx", "_sy", "_qx", "_qy")
+    r_xz, ok_xz = rr("_pxz", "_sx", "_sz", "_qx", "_qz")
+    r_yz, ok_yz = rr("_pyz", "_sy", "_sz", "_qy", "_qz")
+    d1 = F.lit(1.0) - r_xz * r_xz
+    d2 = F.lit(1.0) - r_yz * r_yz
+    ok_all = ok_xy & ok_xz & ok_yz
+    ok_p = ok_all & (d1 > 0) & (d2 > 0)
+    partial = (r_xy - r_xz * r_yz) / F.sqrt(d1 * d2)
+    out = per.select(
+        *keys,
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.when(ok_xy, r_xy), round_to).alias("r_xy"),
+        F.round(F.when(ok_xz, r_xz), round_to).alias("r_xz"),
+        F.round(F.when(ok_yz, r_yz), round_to).alias("r_yz"),
+        F.round(F.when(ok_p, partial), round_to).alias("partial_r"),
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def partial_correlation_oracle_sql(
+    values_sql: str,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same one-pass HUGEINT moments, token-identical
+    pairwise r's and partial recursion."""
+    keys = list(by or [])
+    gc = ", ".join(keys)
+    sel = (gc + ", ") if keys else ""
+    group = f"GROUP BY {gc}" if keys else ""
+    order = f"ORDER BY {gc}" if keys else ""
+    h = lambda col: f"CAST(CAST({col} AS BIGINT) AS HUGEINT)"
+
+    def rr(p, s1, s2, q1, q2):
+        num = f"CAST(CAST(_n AS HUGEINT) * {p} - {s1} * {s2} AS DOUBLE)"
+        v1 = f"CAST(CAST(_n AS HUGEINT) * {q1} - {s1} * {s1} AS DOUBLE)"
+        v2 = f"CAST(CAST(_n AS HUGEINT) * {q2} - {s2} * {s2} AS DOUBLE)"
+        return f"({num} / SQRT({v1} * {v2}))", f"({v1} > 0 AND {v2} > 0)"
+
+    r_xy, ok_xy = rr("_pxy", "_sx", "_sy", "_qx", "_qy")
+    r_xz, ok_xz = rr("_pxz", "_sx", "_sz", "_qx", "_qz")
+    r_yz, ok_yz = rr("_pyz", "_sy", "_sz", "_qy", "_qz")
+    d1 = f"(1.0 - {r_xz} * {r_xz})"
+    d2 = f"(1.0 - {r_yz} * {r_yz})"
+    ok_p = f"{ok_xy} AND {ok_xz} AND {ok_yz} AND {d1} > 0 AND {d2} > 0"
+    partial = f"(({r_xy} - {r_xz} * {r_yz}) / SQRT({d1} * {d2}))"
+    return f"""
+WITH vals AS ({values_sql}),
+per AS (
+  SELECT {sel}CAST(COUNT(*) AS BIGINT) AS _n,
+         SUM({h(x_col)}) AS _sx, SUM({h(y_col)}) AS _sy, SUM({h(z_col)}) AS _sz,
+         SUM({h(x_col)} * CAST({x_col} AS BIGINT)) AS _qx,
+         SUM({h(y_col)} * CAST({y_col} AS BIGINT)) AS _qy,
+         SUM({h(z_col)} * CAST({z_col} AS BIGINT)) AS _qz,
+         SUM({h(x_col)} * CAST({y_col} AS BIGINT)) AS _pxy,
+         SUM({h(x_col)} * CAST({z_col} AS BIGINT)) AS _pxz,
+         SUM({h(y_col)} * CAST({z_col} AS BIGINT)) AS _pyz
+  FROM vals {group}
+)
+SELECT {sel}_n AS n,
+       ROUND(CASE WHEN {ok_xy} THEN {r_xy} END, {round_to}) AS r_xy,
+       ROUND(CASE WHEN {ok_xz} THEN {r_xz} END, {round_to}) AS r_xz,
+       ROUND(CASE WHEN {ok_yz} THEN {r_yz} END, {round_to}) AS r_yz,
+       ROUND(CASE WHEN {ok_p} THEN {partial} END, {round_to}) AS partial_r
+FROM per {order}
+"""
+
+
+def gamma_somers_d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+    max_x_buckets: int | None = 1000,
+    max_y_buckets: int | None = 1000,
+    max_cells: int | None = 25_000,
+) -> DataFrame:
+    """Goodman–Kruskal gamma and Somers' d_yx over two bounded ordinal
+    columns — the tie-aware ordinal-association pair that completes
+    :func:`kendall_tau` (τ-b symmetrizes the tie correction; gamma
+    drops tied pairs entirely, Somers' D conditions on the predictor —
+    the statistic behind "does raising the score band raise the
+    outcome band"):
+
+        gamma = (C − D) / (C + D),
+        d_yx  = (C − D) / (n0 − n1),   n0 = n(n−1)/2, n1 = Σ t_x(t_x−1)/2.
+
+    Exactness AND scale: the identical joint-histogram cell-pair
+    machinery as kendall_tau (concordance over V² CELL pairs, guarded
+    by ``max_cells``; never O(rows²)); C, D, and both denominators
+    are exact DECIMAL(38,0) (the halves clear by doubling: both
+    ratios are computed as 2(C−D) over the DOUBLED pair counts), each
+    statistic ONE pinned division. Output one row: ``(n, concordant,
+    discordant, gamma, somers_dyx)`` — NULL when a denominator is 0.
+    """
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, x_col, [], max_x_buckets, "gamma_somers_d")
+    require_bounded_spine(df, y_col, [], max_y_buckets, "gamma_somers_d")
+    if max_cells is not None:
+        joint = df.select(
+            F.struct(F.col(x_col), F.col(y_col)).alias("_cell")
+        )
+        require_bounded_spine(joint, "_cell", [], max_cells, "gamma_somers_d")
+    dec = lambda c: c.cast("decimal(38,0)")
+    cells = df.groupBy(
+        integral_long(df, x_col, "gamma_somers_d").alias("_x"),
+        integral_long(df, y_col, "gamma_somers_d").alias("_y"),
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    a = cells.select(
+        F.col("_x").alias("_xa"), F.col("_y").alias("_ya"), F.col("_c").alias("_ca")
+    )
+    b = cells.select(
+        F.col("_x").alias("_xb"), F.col("_y").alias("_yb"), F.col("_c").alias("_cb")
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    pairs = a.join(b, F.col("_xb") > F.col("_xa")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_yb") > F.col("_ya"),
+                    dec(F.col("_ca")) * dec(F.col("_cb")),
+                ).otherwise(zero)
+            ),
+            zero,
+        ).alias("concordant"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_yb") < F.col("_ya"),
+                    dec(F.col("_ca")) * dec(F.col("_cb")),
+                ).otherwise(zero)
+            ),
+            zero,
+        ).alias("discordant"),
+    )
+    margins = cells.agg(F.sum("_c").alias("n"))
+    tx = (
+        cells.groupBy("_x")
+        .agg(F.sum("_c").alias("_t"))
+        .agg(F.sum(dec(F.col("_t")) * dec(F.col("_t") - F.lit(1))).alias("_tx2"))
+    )
+    out = pairs.crossJoin(margins).crossJoin(tx)
+    n = F.col("n")
+    n02 = dec(n) * dec(n - F.lit(1))  # 2·n0
+    cd = F.col("concordant") - F.col("discordant")
+    gden = F.col("concordant") + F.col("discordant")
+    dden = n02 - F.col("_tx2")  # 2·(n0 − n1)
+    return out.select(
+        "n",
+        F.col("concordant").cast("long").alias("concordant"),
+        F.col("discordant").cast("long").alias("discordant"),
+        F.round(
+            F.when(gden > 0, cd.cast("double") / gden.cast("double")),
+            round_to,
+        ).alias("gamma"),
+        F.round(
+            F.when(
+                dden > 0,
+                F.lit(2.0) * cd.cast("double") / dden.cast("double"),
+            ),
+            round_to,
+        ).alias("somers_dyx"),
+    )
+
+
+def gamma_somers_d_oracle_sql(
+    values_sql: str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same joint-histogram concordance counts, same
+    doubled-denominator pinned divisions."""
+    return f"""
+WITH vals AS (SELECT CAST({x_col} AS BIGINT) AS _x, CAST({y_col} AS BIGINT) AS _y
+              FROM ({values_sql})),
+cells AS MATERIALIZED (
+  SELECT _x, _y, CAST(COUNT(*) AS BIGINT) AS _c FROM vals GROUP BY _x, _y
+),
+pairs AS (
+  SELECT COALESCE(SUM(CASE WHEN b._y > a._y
+                 THEN CAST(a._c AS HUGEINT) * b._c ELSE 0 END), 0) AS concordant,
+         COALESCE(SUM(CASE WHEN b._y < a._y
+                 THEN CAST(a._c AS HUGEINT) * b._c ELSE 0 END), 0) AS discordant
+  FROM cells a JOIN cells b ON b._x > a._x
+),
+margins AS (SELECT CAST(SUM(_c) AS BIGINT) AS n FROM cells),
+tx AS (
+  SELECT SUM(CAST(_t AS HUGEINT) * (_t - 1)) AS _tx2
+  FROM (SELECT CAST(SUM(_c) AS BIGINT) AS _t FROM cells GROUP BY _x)
+)
+SELECT n,
+       CAST(concordant AS BIGINT) AS concordant,
+       CAST(discordant AS BIGINT) AS discordant,
+       ROUND(CASE WHEN concordant + discordant > 0
+             THEN CAST(concordant - discordant AS DOUBLE)
+                  / CAST(concordant + discordant AS DOUBLE) END,
+             {round_to}) AS gamma,
+       ROUND(CASE WHEN CAST(n AS HUGEINT) * (n - 1) - _tx2 > 0
+             THEN 2.0 * CAST(concordant - discordant AS DOUBLE)
+                  / CAST(CAST(n AS HUGEINT) * (n - 1) - _tx2 AS DOUBLE) END,
+             {round_to}) AS somers_dyx
+FROM pairs CROSS JOIN margins CROSS JOIN tx
+"""
+
+
+def risk_ratios(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    by: list[str] | None = None,
+    z_crit: float = 1.959963984540054,
+    round_to: int = 6,
+) -> DataFrame:
+    """Epidemiological 2×2 risk readouts per stratum — the
+    absolute-scale companion to :func:`odds_ratio` (an OR of 3 on a
+    rare outcome and an OR of 3 on a common one are very different
+    decisions; risk difference and risk ratio say what actually
+    changes):
+
+        RD = a/n₁ − c/n₀,   RR = a·n₀ / (c·n₁),
+        Wald CI: RD ± z·sqrt(a·b/n₁³ + c·d/n₀³),
+
+    with a,b,c,d the exposed/unexposed × outcome/no-outcome cells,
+    n₁ = a+b, n₀ = c+d. The z quantile is a fixed PYTHON literal (no
+    inverse normal CDF on either engine).
+
+    Exactness: the four cells are exact integers from ONE conditional
+    aggregation; RR is a ratio of exact DECIMAL(38,0) products with
+    ONE pinned division; RD and its CI are fixed-order double tails
+    (a·b and n₁³ stay exact integers until the final casts). Output
+    per stratum: ``(*by, n_exposed, n_unexposed, risk_exposed,
+    risk_unexposed, risk_diff, rd_lo, rd_hi, risk_ratio)`` — NULLs
+    when a margin (or RR's denominator) is 0. Booleans/0-1 ints both
+    accepted: any nonzero/true outcome counts as an event.
+    """
+    keys = list(by or [])
+    exp_ = F.col(exposure_col).cast("boolean")
+    out_ = F.col(outcome_col).cast("boolean")
+    base = df.filter(exp_.isNotNull() & out_.isNotNull())
+    cell = lambda e, o: F.sum(
+        F.when((exp_ == e) & (out_ == o), 1).otherwise(0)
+    )
+    per = base.groupBy(*keys).agg(
+        cell(True, True).alias("_a"),
+        cell(True, False).alias("_b"),
+        cell(False, True).alias("_cc"),
+        cell(False, False).alias("_d"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    n1 = F.col("_a") + F.col("_b")
+    n0 = F.col("_cc") + F.col("_d")
+    n1d, n0d = n1.cast("double"), n0.cast("double")
+    p1 = F.col("_a").cast("double") / n1d
+    p0 = F.col("_cc").cast("double") / n0d
+    rd = p1 - p0
+    # a·b/n1³ + c·d/n0³ with exact integer numerators/denominators
+    var1 = (dec(F.col("_a")) * dec(F.col("_b"))).cast("double") / (
+        dec(n1) * dec(n1) * dec(n1)
+    ).cast("double")
+    var0 = (dec(F.col("_cc")) * dec(F.col("_d"))).cast("double") / (
+        dec(n0) * dec(n0) * dec(n0)
+    ).cast("double")
+    half = F.lit(float(z_crit)) * F.sqrt(var1 + var0)
+    rr_num = dec(F.col("_a")) * dec(n0)
+    rr_den = dec(F.col("_cc")) * dec(n1)
+    both = (n1 > 0) & (n0 > 0)
+    out = per.select(
+        *keys,
+        n1.cast("long").alias("n_exposed"),
+        n0.cast("long").alias("n_unexposed"),
+        F.round(F.when(n1 > 0, p1), round_to).alias("risk_exposed"),
+        F.round(F.when(n0 > 0, p0), round_to).alias("risk_unexposed"),
+        F.round(F.when(both, rd), round_to).alias("risk_diff"),
+        F.round(F.when(both, rd - half), round_to).alias("rd_lo"),
+        F.round(F.when(both, rd + half), round_to).alias("rd_hi"),
+        F.round(
+            F.when(
+                both & (rr_den > 0),
+                rr_num.cast("double") / rr_den.cast("double"),
+            ),
+            round_to,
+        ).alias("risk_ratio"),
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def risk_ratios_oracle_sql(
+    units_sql: str,
+    exposure_col: str,
+    outcome_col: str,
+    by: list[str] | None = None,
+    z_crit: float = 1.959963984540054,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same 2×2 cells, same exact-integer RR ratio and
+    fixed-order Wald CI with the shared z literal."""
+    keys = list(by or [])
+    gc = ", ".join(keys)
+    sel = (gc + ", ") if keys else ""
+    group = f"GROUP BY {gc}" if keys else ""
+    order = f"ORDER BY {gc}" if keys else ""
+    z = repr(float(z_crit))
+    p1 = "(CAST(_a AS DOUBLE) / CAST(_a + _b AS DOUBLE))"
+    p0 = "(CAST(_cc AS DOUBLE) / CAST(_cc + _d AS DOUBLE))"
+    rd = f"({p1} - {p0})"
+    var1 = (
+        "(CAST(CAST(_a AS HUGEINT) * _b AS DOUBLE)"
+        " / CAST(CAST(_a + _b AS HUGEINT) * (_a + _b) * (_a + _b) AS DOUBLE))"
+    )
+    var0 = (
+        "(CAST(CAST(_cc AS HUGEINT) * _d AS DOUBLE)"
+        " / CAST(CAST(_cc + _d AS HUGEINT) * (_cc + _d) * (_cc + _d) AS DOUBLE))"
+    )
+    half = f"({z} * SQRT({var1} + {var0}))"
+    both = "(_a + _b > 0 AND _cc + _d > 0)"
+    return f"""
+WITH units AS ({units_sql}),
+base AS (
+  SELECT {sel}CAST({exposure_col} AS BOOLEAN) AS _e, CAST({outcome_col} AS BOOLEAN) AS _o
+  FROM units WHERE {exposure_col} IS NOT NULL AND {outcome_col} IS NOT NULL
+),
+per AS (
+  SELECT {sel}
+         CAST(SUM(CASE WHEN _e AND _o THEN 1 ELSE 0 END) AS BIGINT) AS _a,
+         CAST(SUM(CASE WHEN _e AND NOT _o THEN 1 ELSE 0 END) AS BIGINT) AS _b,
+         CAST(SUM(CASE WHEN NOT _e AND _o THEN 1 ELSE 0 END) AS BIGINT) AS _cc,
+         CAST(SUM(CASE WHEN NOT _e AND NOT _o THEN 1 ELSE 0 END) AS BIGINT) AS _d
+  FROM base {group}
+)
+SELECT {sel}
+       CAST(_a + _b AS BIGINT) AS n_exposed,
+       CAST(_cc + _d AS BIGINT) AS n_unexposed,
+       ROUND(CASE WHEN _a + _b > 0 THEN {p1} END, {round_to}) AS risk_exposed,
+       ROUND(CASE WHEN _cc + _d > 0 THEN {p0} END, {round_to}) AS risk_unexposed,
+       ROUND(CASE WHEN {both} THEN {rd} END, {round_to}) AS risk_diff,
+       ROUND(CASE WHEN {both} THEN {rd} - {half} END, {round_to}) AS rd_lo,
+       ROUND(CASE WHEN {both} THEN {rd} + {half} END, {round_to}) AS rd_hi,
+       ROUND(CASE WHEN {both} AND CAST(_cc AS HUGEINT) * (_a + _b) > 0
+             THEN CAST(CAST(_a AS HUGEINT) * (_cc + _d) AS DOUBLE)
+                  / CAST(CAST(_cc AS HUGEINT) * (_a + _b) AS DOUBLE) END,
+             {round_to}) AS risk_ratio
+FROM per {order}
+"""

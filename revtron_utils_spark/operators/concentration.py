@@ -1327,3 +1327,134 @@ SELECT CAST(band AS BIGINT) AS band,
             / CAST(_nr AS DOUBLE), {round_to}) AS cum_share
 FROM per ORDER BY band
 """
+
+
+def quantile_share(
+    df: DataFrame,
+    value_col: str,
+    id_cols: list[str],
+    bottom_pct: int = 40,
+    top_pct: int = 10,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bottom-p% / top-q% value shares and their Palma-style ratio per
+    segment — the two-number summary between :func:`concentration_gini`
+    (one number) and :func:`lorenz_curve` (the whole curve); with the
+    defaults (bottom 40 / top 10) this is the Palma ratio from the
+    inequality literature:
+
+        share_bottom = Σ value over ranks 1..⌊n·p/100⌋ ÷ Σ value,
+        share_top    = Σ value over ranks n−⌊n·q/100⌋+1..n ÷ Σ value,
+        ratio        = Σ_top / Σ_bottom.
+
+    Exactness: ranks are deterministic over the (value, *id_cols)
+    order (ties broken by the caller's id columns — a value-only sort
+    would pick different boundary rows per engine); the cut indices
+    are integer ⌊n·p/100⌋ via `div` on both engines; the set sums are
+    exact DECIMAL(38,0); shares and ratio are single pinned divisions
+    (ratio as the exact-integer Σ_top/Σ_bottom). Plan: one per-group
+    rank window (distributed per-group sort), one conditional
+    aggregation. Output per segment: ``(*by, n, total,
+    bottom_share, top_share, top_bottom_ratio)`` — NULL shares when
+    the total is 0, NULL ratio when the bottom sum is ≤ 0.
+    """
+    from pyspark.sql import Window
+
+    from .guards import integral_long
+
+    keys = list(by or [])
+    dec = lambda c: c.cast("decimal(38,0)")
+    base = df.select(
+        *keys,
+        *id_cols,
+        integral_long(df, value_col, "quantile_share").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("_v").asc(), *[F.col(c).asc() for c in id_cols]
+    )
+    ranked = base.select(
+        *keys,
+        "_v",
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("_n"),
+    )
+    kb = F.expr(f"(_n * {int(bottom_pct)}) div 100")
+    kt = F.expr(f"(_n * {int(top_pct)}) div 100")
+    z = F.lit(0).cast("decimal(38,0)")
+    agg = ranked.groupBy(*keys).agg(
+        F.max("_n").alias("n"),
+        F.sum(dec(F.col("_v"))).alias("_tot"),
+        F.sum(F.when(F.col("_r") <= kb, dec(F.col("_v"))).otherwise(z)).alias("_sb"),
+        F.sum(F.when(F.col("_r") > F.col("_n") - kt, dec(F.col("_v"))).otherwise(z)).alias("_st"),
+    )
+    totd = F.col("_tot").cast("double")
+    out = agg.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.col("_tot").cast("long").alias("total"),
+        F.round(
+            F.when(F.col("_tot") != 0, F.col("_sb").cast("double") / totd),
+            round_to,
+        ).alias("bottom_share"),
+        F.round(
+            F.when(F.col("_tot") != 0, F.col("_st").cast("double") / totd),
+            round_to,
+        ).alias("top_share"),
+        F.round(
+            F.when(
+                F.col("_sb") > 0,
+                F.col("_st").cast("double") / F.col("_sb").cast("double"),
+            ),
+            round_to,
+        ).alias("top_bottom_ratio"),
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def quantile_share_oracle_sql(
+    values_sql: str,
+    value_col: str,
+    id_cols: list[str],
+    bottom_pct: int = 40,
+    top_pct: int = 10,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same deterministic (value, id) rank, same integer
+    cut indices and HUGEINT set sums."""
+    keys = list(by or [])
+    gc = ", ".join(keys)
+    sel = (gc + ", ") if keys else ""
+    part = f"PARTITION BY {gc} " if keys else ""
+    group = f"GROUP BY {gc}" if keys else ""
+    order = f"ORDER BY {gc}" if keys else ""
+    tb = ", ".join(f"{c} ASC" for c in id_cols)
+    return f"""
+WITH vals AS ({values_sql}),
+base AS (
+  SELECT {sel}{", ".join(id_cols)}, CAST({value_col} AS BIGINT) AS _v
+  FROM vals WHERE {value_col} IS NOT NULL
+),
+ranked AS (
+  SELECT {sel}_v,
+         row_number() OVER ({part}ORDER BY _v ASC, {tb}) AS _r,
+         COUNT(*) OVER ({part}) AS _n
+  FROM base
+),
+agg AS (
+  SELECT {sel}CAST(MAX(_n) AS BIGINT) AS n,
+         SUM(CAST(_v AS HUGEINT)) AS _tot,
+         SUM(CASE WHEN _r <= (_n * {int(bottom_pct)}) // 100
+             THEN CAST(_v AS HUGEINT) ELSE 0 END) AS _sb,
+         SUM(CASE WHEN _r > _n - (_n * {int(top_pct)}) // 100
+             THEN CAST(_v AS HUGEINT) ELSE 0 END) AS _st
+  FROM ranked {group}
+)
+SELECT {sel}n,
+       CAST(_tot AS BIGINT) AS total,
+       ROUND(CASE WHEN _tot <> 0 THEN CAST(_sb AS DOUBLE) / CAST(_tot AS DOUBLE) END, {round_to}) AS bottom_share,
+       ROUND(CASE WHEN _tot <> 0 THEN CAST(_st AS DOUBLE) / CAST(_tot AS DOUBLE) END, {round_to}) AS top_share,
+       ROUND(CASE WHEN _sb > 0 THEN CAST(_st AS DOUBLE) / CAST(_sb AS DOUBLE) END, {round_to}) AS top_bottom_ratio
+FROM agg {order}
+"""

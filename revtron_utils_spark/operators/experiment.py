@@ -1413,3 +1413,486 @@ SELECT {sel}_n AS n_hist,
        END AS BIGINT) AS n_per_arm
 FROM calc {order}
 """
+
+
+def regression_adjustment(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    arm_col: str,
+    treated,
+    control,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """ANCOVA / regression-adjusted treatment effect per segment — the
+    post-stratified sibling of :func:`cuped_adjustment` (CUPED shifts
+    each arm's mean by the POOLED covariate slope; regression
+    adjustment fits the within-arm pooled slope, the classic ANCOVA
+    ATE that is consistent under randomization even when arms differ
+    on the covariate by chance):
+
+        β = Σ_arm SS_xy(arm) / Σ_arm SS_xx(arm)   (pooled WITHIN-arm),
+        ATE_adj = (ȳ_t − ȳ_c) − β·(x̄_t − x̄_c).
+
+    Exactness: both β terms clear their per-arm 1/n by cross-scaling
+    with the OTHER arm's n —
+
+        Nβ = n_c·(n_t·Σxy_t − Σx_t·Σy_t) + n_t·(n_c·Σxy_c − Σx_c·Σy_c),
+        Dβ = n_c·(n_t·Σx²_t − Σx_t²)     + n_t·(n_c·Σx²_c − Σx_c²),
+
+    so β = Nβ/Dβ is a ratio of exact DECIMAL(38,0) integers (ONE
+    pinned division), and ATE_adj is a fixed-order double tail
+    token-identical in the oracle. Width is MEASURED (n³·mx·my bound
+    vs 10³⁸) before the aggregation is scheduled. Plan: one
+    conditional aggregation per segment (map-side combined), no join.
+    Output: ``(*by, n_t, n_c, diff_raw, beta, ate_adj)``; NULL
+    beta/ate when either arm is empty or Dβ ≤ 0 (no within-arm
+    x-variance).
+    """
+    keys = list(by or [])
+    for c in (x_col, y_col):
+        dt = df.schema[c].dataType.simpleString()
+        if dt not in ("tinyint", "smallint", "int", "bigint", "long"):
+            raise ValueError(
+                f"regression_adjustment needs integral columns for exact "
+                f"sums; got {c}: {dt}"
+            )
+    # measured width guard: the cross-scaled products are ≤ n³·mx·my
+    row = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max(F.abs(F.col(x_col))).alias("_mx"),
+        F.max(F.abs(F.col(y_col))).alias("_my"),
+    ).first()
+    n_all, mx, my = (row["_n"] or 0), (row["_mx"] or 0), (row["_my"] or 0)
+    if n_all and int(n_all) ** 3 * int(mx) * max(int(mx), int(my)) >= 10**38:
+        raise ValueError(
+            f"regression_adjustment: n³·max(x)·max(x,y) = "
+            f"{n_all}³·{mx}·{max(mx, my)} would overflow DECIMAL(38,0) — "
+            "rescale the metric or pre-aggregate"
+        )
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    arm = F.col(arm_col)
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")
+
+    def cell(val, tag):
+        m = arm == F.lit(val)
+        z = F.lit(0).cast("decimal(38,0)")
+        return [
+            F.sum(F.when(m, 1).otherwise(0)).alias(f"_n{tag}"),
+            F.sum(F.when(m, dec(x)).otherwise(z)).alias(f"_sx{tag}"),
+            F.sum(F.when(m, dec(y)).otherwise(z)).alias(f"_sy{tag}"),
+            F.sum(F.when(m, dec(x) * dec(x)).otherwise(z)).alias(f"_sxx{tag}"),
+            F.sum(F.when(m, dec(x) * dec(y)).otherwise(z)).alias(f"_sxy{tag}"),
+        ]
+
+    per = base.groupBy(*keys).agg(*cell(treated, "t"), *cell(control, "c"))
+    nt, nc = dec(F.col("_nt")), dec(F.col("_nc"))
+    nbeta = nc * (nt * F.col("_sxyt") - F.col("_sxt") * F.col("_syt")) + nt * (
+        nc * F.col("_sxyc") - F.col("_sxc") * F.col("_syc")
+    )
+    dbeta = nc * (nt * F.col("_sxxt") - F.col("_sxt") * F.col("_sxt")) + nt * (
+        nc * F.col("_sxxc") - F.col("_sxc") * F.col("_sxc")
+    )
+    ntd = F.col("_nt").cast("double")
+    ncd = F.col("_nc").cast("double")
+    diff_raw = F.col("_syt").cast("double") / ntd - F.col("_syc").cast("double") / ncd
+    diff_x = F.col("_sxt").cast("double") / ntd - F.col("_sxc").cast("double") / ncd
+    beta = nbeta.cast("double") / dbeta.cast("double")
+    ok = (F.col("_nt") > 0) & (F.col("_nc") > 0) & (dbeta > 0)
+    both = (F.col("_nt") > 0) & (F.col("_nc") > 0)
+    out = per.select(
+        *keys,
+        F.col("_nt").cast("long").alias("n_t"),
+        F.col("_nc").cast("long").alias("n_c"),
+        F.round(F.when(both, diff_raw), round_to).alias("diff_raw"),
+        F.round(F.when(ok, beta), round_to).alias("beta"),
+        F.round(F.when(ok, diff_raw - beta * diff_x), round_to).alias("ate_adj"),
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def regression_adjustment_oracle_sql(
+    units_sql: str,
+    x_col: str,
+    y_col: str,
+    arm_col: str,
+    treated_sql: str,
+    control_sql: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same cross-scaled HUGEINT β ratio, same fixed-order
+    double tail."""
+    keys = list(by or [])
+    gc = ", ".join(keys)
+    sel = (gc + ", ") if keys else ""
+    group = f"GROUP BY {gc}" if keys else ""
+    order = f"ORDER BY {gc}" if keys else ""
+
+    def cell(val, tag):
+        m = f"{arm_col} = {val}"
+        h = f"CAST(x AS HUGEINT)"
+        hy = f"CAST(y AS HUGEINT)"
+        return (
+            f"CAST(SUM(CASE WHEN {m} THEN 1 ELSE 0 END) AS BIGINT) AS _n{tag},\n"
+            f"         SUM(CASE WHEN {m} THEN {h} ELSE 0 END) AS _sx{tag},\n"
+            f"         SUM(CASE WHEN {m} THEN {hy} ELSE 0 END) AS _sy{tag},\n"
+            f"         SUM(CASE WHEN {m} THEN {h} * x ELSE 0 END) AS _sxx{tag},\n"
+            f"         SUM(CASE WHEN {m} THEN {h} * y ELSE 0 END) AS _sxy{tag}"
+        )
+
+    nbeta = (
+        "(CAST(_nc AS HUGEINT) * (CAST(_nt AS HUGEINT) * _sxyt - _sxt * _syt)"
+        " + CAST(_nt AS HUGEINT) * (CAST(_nc AS HUGEINT) * _sxyc - _sxc * _syc))"
+    )
+    dbeta = (
+        "(CAST(_nc AS HUGEINT) * (CAST(_nt AS HUGEINT) * _sxxt - _sxt * _sxt)"
+        " + CAST(_nt AS HUGEINT) * (CAST(_nc AS HUGEINT) * _sxxc - _sxc * _sxc))"
+    )
+    diff_raw = (
+        "(CAST(_syt AS DOUBLE) / CAST(_nt AS DOUBLE)"
+        " - CAST(_syc AS DOUBLE) / CAST(_nc AS DOUBLE))"
+    )
+    diff_x = (
+        "(CAST(_sxt AS DOUBLE) / CAST(_nt AS DOUBLE)"
+        " - CAST(_sxc AS DOUBLE) / CAST(_nc AS DOUBLE))"
+    )
+    beta = f"(CAST({nbeta} AS DOUBLE) / CAST({dbeta} AS DOUBLE))"
+    ok = f"_nt > 0 AND _nc > 0 AND {dbeta} > 0"
+    return f"""
+WITH units AS ({units_sql}),
+base AS (
+  SELECT {sel}{arm_col}, CAST({x_col} AS BIGINT) AS x, CAST({y_col} AS BIGINT) AS y
+  FROM units WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+),
+per AS (
+  SELECT {sel}{cell(treated_sql, "t")},
+         {cell(control_sql, "c")}
+  FROM base {group}
+)
+SELECT {sel}_nt AS n_t, _nc AS n_c,
+       ROUND(CASE WHEN _nt > 0 AND _nc > 0 THEN {diff_raw} END, {round_to}) AS diff_raw,
+       ROUND(CASE WHEN {ok} THEN {beta} END, {round_to}) AS beta,
+       ROUND(CASE WHEN {ok} THEN {diff_raw} - {beta} * {diff_x} END, {round_to}) AS ate_adj
+FROM per {order}
+"""
+
+
+# O'Brien–Fleming-type two-sided group-sequential z boundaries for
+# K = 4 equally-spaced looks at overall α = 0.05 — textbook values
+# (Jennison & Turnbull, "Group Sequential Methods", Table 2.3; also
+# Pocock 1977 for the constant-boundary alternative). Shipped as fixed
+# PYTHON float literals (the ndcg DCG-weight precedent): neither engine
+# evaluates an inverse normal CDF, so the boundary constants cannot
+# drift between engines in the last bit.
+OBF_4LOOK_005 = [4.048591, 2.862786, 2.337455, 2.024407]
+
+
+def group_sequential_check(
+    df: DataFrame,
+    look_col: str,
+    arm_col: str,
+    value_col: str,
+    treated,
+    control,
+    boundaries: list[float] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Group-sequential boundary check — the interim-analysis companion
+    to :func:`~.concentration.srm_check` (SRM asks "is the assignment
+    broken?"; this asks "has the experiment already crossed its
+    early-stopping boundary at look k?"). At each look the CUMULATIVE
+    two-sample pooled-variance z statistic is compared against the
+    caller's alpha-spending boundary sequence (default: the K=4
+    O'Brien–Fleming two-sided 5% z values, shipped as pinned float
+    literals — no inverse normal CDF on either engine):
+
+        z_k = (ȳ_t − ȳ_c) / sqrt( s²_p · (1/n_t + 1/n_c) ),
+        s²_p = (SS_t + SS_c) / (n_t + n_c − 2)     (cumulative cells).
+
+    Exactness: per-look per-arm (n, Σy, Σy²) are exact DECIMAL(38,0);
+    cumulation over looks is integer adds inside a window over the
+    AGGREGATED ≤K-row frame (bounded by construction — K is the number
+    of looks, not data); every SS/variance/z is a fixed-order double
+    tail token-identical in the oracle; the boundary lookup indexes a
+    shared literal array. Output per look: ``(look, n_t, n_c,
+    info_frac, z, boundary, crossed)`` — z NULL when either
+    cumulative arm is empty or the pooled variance is ≤ 0 or df ≤ 0;
+    ``info_frac`` is the exact (n_t+n_c)/(N_t+N_c) ratio as ONE
+    pinned division.
+    """
+    from pyspark.sql import Window
+
+    bounds = [float(b) for b in (boundaries or OBF_4LOOK_005)]
+    K = len(bounds)
+    look = F.col(look_col).cast("long")
+    v = F.col(value_col).cast("long")
+    arm = F.col(arm_col)
+    dec = lambda c: c.cast("decimal(38,0)")
+    z0 = F.lit(0).cast("decimal(38,0)")
+
+    def cell(val, tag):
+        m = arm == F.lit(val)
+        return [
+            F.sum(F.when(m, 1).otherwise(0)).alias(f"_n{tag}"),
+            F.sum(F.when(m, dec(v)).otherwise(z0)).alias(f"_s{tag}"),
+            F.sum(F.when(m, dec(v) * dec(v)).otherwise(z0)).alias(f"_q{tag}"),
+        ]
+
+    per = (
+        df.filter(v.isNotNull() & look.isNotNull() & (look >= 1) & (look <= K))
+        .groupBy(look.alias("look"))
+        .agg(*cell(treated, "t"), *cell(control, "c"))
+    )
+    w = Window.orderBy("look").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("look").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "look",
+        F.sum("_nt").over(w).alias("_cnt"),
+        F.sum("_st").over(w).alias("_cst"),
+        F.sum("_qt").over(w).alias("_cqt"),
+        F.sum("_nc").over(w).alias("_cnc"),
+        F.sum("_sc").over(w).alias("_csc"),
+        F.sum("_qc").over(w).alias("_cqc"),
+        (F.sum("_nt").over(wall) + F.sum("_nc").over(wall)).alias("_ntot"),
+    )
+    ntd = F.col("_cnt").cast("double")
+    ncd = F.col("_cnc").cast("double")
+    mt = F.col("_cst").cast("double") / ntd
+    mc = F.col("_csc").cast("double") / ncd
+    sst = (dec(F.col("_cnt")) * F.col("_cqt") - F.col("_cst") * F.col("_cst")).cast("double") / ntd
+    ssc = (dec(F.col("_cnc")) * F.col("_cqc") - F.col("_csc") * F.col("_csc")).cast("double") / ncd
+    dfree = ntd + ncd - F.lit(2.0)
+    sp2 = (sst + ssc) / dfree
+    z = (mt - mc) / F.sqrt(sp2 * (F.lit(1.0) / ntd + F.lit(1.0) / ncd))
+    bexpr = F.element_at(F.array(*[F.lit(b) for b in bounds]), F.col("look").cast("int"))
+    ok = (
+        (F.col("_cnt") > 0)
+        & (F.col("_cnc") > 0)
+        & (dfree > 0)
+        & (sst + ssc > 0)
+    )
+    return cum.select(
+        F.col("look"),
+        F.col("_cnt").cast("long").alias("n_t"),
+        F.col("_cnc").cast("long").alias("n_c"),
+        F.round(
+            (F.col("_cnt") + F.col("_cnc")).cast("double")
+            / F.col("_ntot").cast("double"),
+            round_to,
+        ).alias("info_frac"),
+        F.round(F.when(ok, z), round_to).alias("z"),
+        bexpr.alias("boundary"),
+        F.when(ok, F.abs(z) >= bexpr).alias("crossed"),
+    ).orderBy("look")
+
+
+def group_sequential_check_oracle_sql(
+    units_sql: str,
+    look_col: str,
+    arm_col: str,
+    value_col: str,
+    treated_sql: str,
+    control_sql: str,
+    boundaries: list[float] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same per-look HUGEINT cells, same bounded cumsum,
+    token-identical z tail and literal boundary array."""
+    bounds = [float(b) for b in (boundaries or OBF_4LOOK_005)]
+    K = len(bounds)
+    # CAST each element: a bare DuckDB list literal of decimals types as
+    # DECIMAL, which would diverge from Spark's double boundary column
+    blist = ", ".join(f"CAST({b!r} AS DOUBLE)" for b in bounds)
+    mt = "(CAST(_cst AS DOUBLE) / CAST(_cnt AS DOUBLE))"
+    mc = "(CAST(_csc AS DOUBLE) / CAST(_cnc AS DOUBLE))"
+    sst = (
+        "(CAST(CAST(_cnt AS HUGEINT) * _cqt - _cst * _cst AS DOUBLE)"
+        " / CAST(_cnt AS DOUBLE))"
+    )
+    ssc = (
+        "(CAST(CAST(_cnc AS HUGEINT) * _cqc - _csc * _csc AS DOUBLE)"
+        " / CAST(_cnc AS DOUBLE))"
+    )
+    dfree = "(CAST(_cnt AS DOUBLE) + CAST(_cnc AS DOUBLE) - 2.0)"
+    sp2 = f"(({sst} + {ssc}) / {dfree})"
+    z = (
+        f"(({mt} - {mc}) / SQRT({sp2} * (1.0 / CAST(_cnt AS DOUBLE)"
+        f" + 1.0 / CAST(_cnc AS DOUBLE))))"
+    )
+    ok = f"_cnt > 0 AND _cnc > 0 AND {dfree} > 0 AND {sst} + {ssc} > 0"
+    return f"""
+WITH units AS ({units_sql}),
+base AS (
+  SELECT CAST({look_col} AS BIGINT) AS look, {arm_col} AS arm,
+         CAST({value_col} AS BIGINT) AS v
+  FROM units
+  WHERE {value_col} IS NOT NULL AND {look_col} IS NOT NULL
+    AND CAST({look_col} AS BIGINT) BETWEEN 1 AND {K}
+),
+per AS (
+  SELECT look,
+         CAST(SUM(CASE WHEN arm = {treated_sql} THEN 1 ELSE 0 END) AS BIGINT) AS _nt,
+         SUM(CASE WHEN arm = {treated_sql} THEN CAST(v AS HUGEINT) ELSE 0 END) AS _st,
+         SUM(CASE WHEN arm = {treated_sql} THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS _qt,
+         CAST(SUM(CASE WHEN arm = {control_sql} THEN 1 ELSE 0 END) AS BIGINT) AS _nc,
+         SUM(CASE WHEN arm = {control_sql} THEN CAST(v AS HUGEINT) ELSE 0 END) AS _sc,
+         SUM(CASE WHEN arm = {control_sql} THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS _qc
+  FROM base GROUP BY look
+),
+cum AS (
+  SELECT look,
+         SUM(_nt) OVER (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cnt,
+         SUM(_st) OVER (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cst,
+         SUM(_qt) OVER (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cqt,
+         SUM(_nc) OVER (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cnc,
+         SUM(_sc) OVER (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _csc,
+         SUM(_qc) OVER (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cqc,
+         SUM(_nt + _nc) OVER () AS _ntot
+  FROM per
+)
+SELECT look,
+       CAST(_cnt AS BIGINT) AS n_t,
+       CAST(_cnc AS BIGINT) AS n_c,
+       ROUND(CAST(_cnt + _cnc AS DOUBLE) / CAST(_ntot AS DOUBLE), {round_to}) AS info_frac,
+       ROUND(CASE WHEN {ok} THEN {z} END, {round_to}) AS z,
+       ([{blist}])[CAST(look AS INTEGER)] AS boundary,
+       CASE WHEN {ok} THEN ABS({z}) >= ([{blist}])[CAST(look AS INTEGER)] END AS crossed
+FROM cum ORDER BY look
+"""
+
+
+def ratio_metric_ci(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    by: list[str] | None = None,
+    z_crit: float = 1.959963984540054,
+    round_to: int = 6,
+) -> DataFrame:
+    """Delta-method confidence interval for a per-segment RATIO metric
+    (clicks/views, revenue/sessions — the metrics whose unit of
+    analysis is the USER but whose readout is a ratio of totals, where
+    a naive per-row proportion CI is simply wrong; Deng, Knoblich & Lu
+    2018 give this estimator its A/B-testing form):
+
+        R = Σy / Σx,
+        Var(R) ≈ (s²_y − 2R·s_xy + R²·s²_x) / (n·x̄²),
+        CI = R ± z·sqrt(Var).
+
+    Exactness: n, Σx, Σy, Σx², Σxy, Σy² are exact DECIMAL(38,0) from
+    ONE aggregation (width measured); R is a ratio of exact integers
+    with ONE pinned division; the variance is a fixed-order double
+    tail over the n-scaled exact moment differences, token-identical
+    in the oracle; z is a shared Python float literal. Output per
+    segment: ``(*by, n, sum_num, sum_den, ratio, se, ci_lo,
+    ci_hi)`` — NULLs when n ≤ 1, Σx = 0, or the variance estimate is
+    negative (degenerate inputs).
+    """
+    from .guards import require_sum_sq_width_multi
+
+    require_sum_sq_width_multi(df, [num_col, den_col], "ratio_metric_ci")
+    keys = list(by or [])
+    for c in (num_col, den_col):
+        dt = df.schema[c].dataType.simpleString()
+        if dt not in ("tinyint", "smallint", "int", "bigint", "long"):
+            raise ValueError(
+                f"ratio_metric_ci needs integral columns for exact sums; "
+                f"got {c}: {dt}"
+            )
+    x = F.col(den_col).cast("long")
+    y = F.col(num_col).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    per = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(dec(x) * dec(x)).alias("_sxx"),
+        F.sum(dec(x) * dec(y)).alias("_sxy"),
+        F.sum(dec(y) * dec(y)).alias("_syy"),
+    )
+    n = F.col("_n")
+    nd = n.cast("double")
+    nden = nd * (nd - F.lit(1.0))
+    sx2 = (dec(n) * F.col("_sxx") - dec(F.col("_sx")) * dec(F.col("_sx"))).cast("double") / nden
+    sy2 = (dec(n) * F.col("_syy") - dec(F.col("_sy")) * dec(F.col("_sy"))).cast("double") / nden
+    sxy = (dec(n) * F.col("_sxy") - dec(F.col("_sx")) * dec(F.col("_sy"))).cast("double") / nden
+    r = F.col("_sy").cast("double") / F.col("_sx").cast("double")
+    xbar = F.col("_sx").cast("double") / nd
+    varr = (sy2 - F.lit(2.0) * r * sxy + r * r * sx2) / (nd * xbar * xbar)
+    ok = (n > 1) & (F.col("_sx") != 0)
+    okv = ok & (varr >= 0)
+    half = F.lit(float(z_crit)) * F.sqrt(varr)
+    out = per.select(
+        *keys,
+        n.cast("long").alias("n"),
+        F.col("_sy").cast("long").alias("sum_num"),
+        F.col("_sx").cast("long").alias("sum_den"),
+        F.round(F.when(F.col("_sx") != 0, r), round_to).alias("ratio"),
+        F.round(F.when(okv, F.sqrt(varr)), round_to).alias("se"),
+        F.round(F.when(okv, r - half), round_to).alias("ci_lo"),
+        F.round(F.when(okv, r + half), round_to).alias("ci_hi"),
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def ratio_metric_ci_oracle_sql(
+    units_sql: str,
+    num_col: str,
+    den_col: str,
+    by: list[str] | None = None,
+    z_crit: float = 1.959963984540054,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same HUGEINT moments, token-identical delta-method
+    tail and shared z literal."""
+    keys = list(by or [])
+    gc = ", ".join(keys)
+    sel = (gc + ", ") if keys else ""
+    group = f"GROUP BY {gc}" if keys else ""
+    order = f"ORDER BY {gc}" if keys else ""
+    z = repr(float(z_crit))
+    nden = "(CAST(_n AS DOUBLE) * (CAST(_n AS DOUBLE) - 1.0))"
+    sx2 = f"(CAST(CAST(_n AS HUGEINT) * _sxx - CAST(_sx AS HUGEINT) * _sx AS DOUBLE) / {nden})"
+    sy2 = f"(CAST(CAST(_n AS HUGEINT) * _syy - CAST(_sy AS HUGEINT) * _sy AS DOUBLE) / {nden})"
+    sxy = f"(CAST(CAST(_n AS HUGEINT) * _sxy - CAST(_sx AS HUGEINT) * _sy AS DOUBLE) / {nden})"
+    r = "(CAST(_sy AS DOUBLE) / CAST(_sx AS DOUBLE))"
+    xbar = "(CAST(_sx AS DOUBLE) / CAST(_n AS DOUBLE))"
+    varr = (
+        f"(({sy2} - 2.0 * {r} * {sxy} + {r} * {r} * {sx2})"
+        f" / (CAST(_n AS DOUBLE) * {xbar} * {xbar}))"
+    )
+    ok = "_n > 1 AND _sx <> 0"
+    okv = f"{ok} AND {varr} >= 0"
+    half = f"({z} * SQRT({varr}))"
+    return f"""
+WITH units AS ({units_sql}),
+base AS (
+  SELECT {sel}CAST({den_col} AS BIGINT) AS x, CAST({num_col} AS BIGINT) AS y
+  FROM units WHERE {den_col} IS NOT NULL AND {num_col} IS NOT NULL
+),
+per AS (
+  SELECT {sel}CAST(COUNT(*) AS BIGINT) AS _n,
+         SUM(x) AS _sx, SUM(y) AS _sy,
+         SUM(CAST(x AS HUGEINT) * x) AS _sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS _sxy,
+         SUM(CAST(y AS HUGEINT) * y) AS _syy
+  FROM base {group}
+)
+SELECT {sel}_n AS n,
+       CAST(_sy AS BIGINT) AS sum_num,
+       CAST(_sx AS BIGINT) AS sum_den,
+       ROUND(CASE WHEN _sx <> 0 THEN {r} END, {round_to}) AS ratio,
+       ROUND(CASE WHEN {okv} THEN SQRT({varr}) END, {round_to}) AS se,
+       ROUND(CASE WHEN {okv} THEN {r} - {half} END, {round_to}) AS ci_lo,
+       ROUND(CASE WHEN {okv} THEN {r} + {half} END, {round_to}) AS ci_hi
+FROM per {order}
+"""

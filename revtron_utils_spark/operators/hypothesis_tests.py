@@ -1922,3 +1922,194 @@ SELECT a._g AS group_a, b._g AS group_b, a._n AS n_a, b._n AS n_b,
 FROM grp a JOIN grp b ON a._g < b._g CROSS JOIN ties t
 ORDER BY group_a, group_b
 """
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    round_to: int = 6,
+    max_groups: int | None = 1000,
+    max_cells: int | None = 25_000,
+) -> DataFrame:
+    """Jonckheere–Terpstra test for an ORDERED alternative — the trend
+    question :func:`kruskal_wallis` cannot ask (KW rejects when "some
+    group differs"; JT accumulates the Mann–Whitney exceedances along
+    the hypothesized group ORDER, so monotone dose-response designs
+    gain power). Groups are ordered by the natural ascending sort of
+    ``group_col`` — encode the hypothesized order into the labels:
+
+        J = Σ_{i<j} U_ij,   U_ij = #{x∈g_i, y∈g_j : x < y} + ½·ties,
+        z = (J − E₀) / sqrt(Var₀)   (tie-CORRECTED normal null;
+        Hollander & Wolfe §6.2: the three-term variance with both
+        group-size and value-tie products).
+
+    Exactness AND scale: like kendall_tau the O(rows²) pair count
+    collapses to the joint (group, value) histogram — J doubles to
+    2J = Σ cell-pairs (2·c_a·c_b [v_b>v_a] + c_a·c_b [v_b=v_a]), an
+    exact DECIMAL(38,0) over the ``max_cells``-guarded cell self-join
+    restricted to g_b > g_a; 4·E₀ = N² − Σn_i² exactly, so the z
+    numerator is the exact integer (2·jt2 − (N² − Σn_i²))/4; every variance
+    term is an exact integer sum cast once into a fixed-order double
+    tail. Output one row: ``(n, k, jt2, z)`` (``jt2`` = 2J) — z NULL
+    when Var₀ ≤ 0 (degenerate: all one group or all one value).
+    """
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, group_col, [], max_groups, "jonckheere_terpstra")
+    if max_cells is not None:
+        joint = df.select(
+            F.struct(F.col(group_col), F.col(value_col)).alias("_cell")
+        )
+        require_bounded_spine(joint, "_cell", [], max_cells, "jonckheere_terpstra")
+    dec = lambda c: c.cast("decimal(38,0)")
+    cells = df.groupBy(
+        F.col(group_col).alias("_g"),
+        integral_long(df, value_col, "jonckheere_terpstra").alias("_v"),
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    a = cells.select(
+        F.col("_g").alias("_ga"), F.col("_v").alias("_va"), F.col("_c").alias("_ca")
+    )
+    b = cells.select(
+        F.col("_g").alias("_gb"), F.col("_v").alias("_vb"), F.col("_c").alias("_cb")
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    j2 = a.join(b, F.col("_gb") > F.col("_ga")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_vb") > F.col("_va"),
+                    F.lit(2).cast("decimal(38,0)") * dec(F.col("_ca")) * dec(F.col("_cb")),
+                )
+                .when(
+                    F.col("_vb") == F.col("_va"),
+                    dec(F.col("_ca")) * dec(F.col("_cb")),
+                )
+                .otherwise(zero)
+            ),
+            zero,
+        ).alias("_j2")
+    )
+    # margins: group sizes n_i and value-tie sizes t_v (exact sums of
+    # the polynomial terms the tie-corrected variance needs)
+    gm = (
+        cells.groupBy("_g")
+        .agg(F.sum("_c").alias("_ni"))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("_ni").alias("n"),
+            F.sum(dec(F.col("_ni")) * dec(F.col("_ni"))).alias("_gsq"),
+            F.sum(
+                dec(F.col("_ni"))
+                * dec(F.col("_ni") - F.lit(1))
+                * dec(F.lit(2) * F.col("_ni") + F.lit(5))
+            ).alias("_g25"),
+            F.sum(
+                dec(F.col("_ni"))
+                * dec(F.col("_ni") - F.lit(1))
+                * dec(F.col("_ni") - F.lit(2))
+            ).alias("_g3"),
+            F.sum(dec(F.col("_ni")) * dec(F.col("_ni") - F.lit(1))).alias("_g2"),
+        )
+    )
+    vm = (
+        cells.groupBy("_v")
+        .agg(F.sum("_c").alias("_tv"))
+        .agg(
+            F.sum(
+                dec(F.col("_tv"))
+                * dec(F.col("_tv") - F.lit(1))
+                * dec(F.lit(2) * F.col("_tv") + F.lit(5))
+            ).alias("_t25"),
+            F.sum(
+                dec(F.col("_tv"))
+                * dec(F.col("_tv") - F.lit(1))
+                * dec(F.col("_tv") - F.lit(2))
+            ).alias("_t3"),
+            F.sum(dec(F.col("_tv")) * dec(F.col("_tv") - F.lit(1))).alias("_t2"),
+        )
+    )
+    out = j2.crossJoin(gm).crossJoin(vm)
+    n = F.col("n")
+    nd = n.cast("double")
+    # q4 = N² − Σn_i² = 2·Σ_{i<j} n_i n_j = 4·E₀, so the z numerator
+    # J − E₀ = (2·jt2 − q4)/4 stays an exact integer over 4
+    q4 = (dec(n) * dec(n) - F.col("_gsq")).cast("double")
+    term1 = (
+        dec(n) * dec(n - F.lit(1)) * dec(F.lit(2) * n + F.lit(5))
+        - F.col("_g25")
+        - F.col("_t25")
+    ).cast("double") / F.lit(72.0)
+    term2 = (
+        F.col("_g3").cast("double") * F.col("_t3").cast("double")
+    ) / (
+        F.lit(36.0) * nd * (nd - F.lit(1.0)) * (nd - F.lit(2.0))
+    )
+    term3 = (F.col("_g2").cast("double") * F.col("_t2").cast("double")) / (
+        F.lit(8.0) * nd * (nd - F.lit(1.0))
+    )
+    var0 = term1 + term2 + term3
+    z = (F.lit(2.0) * F.col("_j2").cast("double") - q4) / (
+        F.lit(4.0) * F.sqrt(var0)
+    )
+    return out.select(
+        n.cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.col("_j2").cast("long").alias("jt2"),
+        F.round(F.when((n > 2) & (var0 > 0), z), round_to).alias("z"),
+    )
+
+
+def jonckheere_terpstra_oracle_sql(
+    values_sql: str,
+    value_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same joint-histogram doubled J, same exact margin
+    polynomials and fixed-order tie-corrected variance tail."""
+    return f"""
+WITH vals AS (SELECT {group_col} AS _g, CAST({value_col} AS BIGINT) AS _v
+              FROM ({values_sql})),
+cells AS MATERIALIZED (
+  SELECT _g, _v, CAST(COUNT(*) AS BIGINT) AS _c FROM vals GROUP BY _g, _v
+),
+j2 AS (
+  SELECT COALESCE(SUM(CASE WHEN b._v > a._v THEN 2 * CAST(a._c AS HUGEINT) * b._c
+                           WHEN b._v = a._v THEN CAST(a._c AS HUGEINT) * b._c
+                           ELSE 0 END), 0) AS _j2
+  FROM cells a JOIN cells b ON b._g > a._g
+),
+gm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(_ni) AS BIGINT) AS n,
+         SUM(CAST(_ni AS HUGEINT) * _ni) AS _gsq,
+         SUM(CAST(_ni AS HUGEINT) * (_ni - 1) * (2 * _ni + 5)) AS _g25,
+         SUM(CAST(_ni AS HUGEINT) * (_ni - 1) * (_ni - 2)) AS _g3,
+         SUM(CAST(_ni AS HUGEINT) * (_ni - 1)) AS _g2
+  FROM (SELECT CAST(SUM(_c) AS BIGINT) AS _ni FROM cells GROUP BY _g)
+),
+vm AS (
+  SELECT SUM(CAST(_tv AS HUGEINT) * (_tv - 1) * (2 * _tv + 5)) AS _t25,
+         SUM(CAST(_tv AS HUGEINT) * (_tv - 1) * (_tv - 2)) AS _t3,
+         SUM(CAST(_tv AS HUGEINT) * (_tv - 1)) AS _t2
+  FROM (SELECT CAST(SUM(_c) AS BIGINT) AS _tv FROM cells GROUP BY _v)
+)
+SELECT n, k,
+       CAST(_j2 AS BIGINT) AS jt2,
+       ROUND(CASE WHEN n > 2 AND
+         (CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - _g25 - _t25 AS DOUBLE) / 72.0
+          + (CAST(_g3 AS DOUBLE) * CAST(_t3 AS DOUBLE))
+            / (36.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (CAST(n AS DOUBLE) - 2.0))
+          + (CAST(_g2 AS DOUBLE) * CAST(_t2 AS DOUBLE))
+            / (8.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) > 0
+       THEN (2.0 * CAST(_j2 AS DOUBLE) - CAST(CAST(n AS HUGEINT) * n - _gsq AS DOUBLE))
+            / (4.0 * SQRT(
+         CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - _g25 - _t25 AS DOUBLE) / 72.0
+          + (CAST(_g3 AS DOUBLE) * CAST(_t3 AS DOUBLE))
+            / (36.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * (CAST(n AS DOUBLE) - 2.0))
+          + (CAST(_g2 AS DOUBLE) * CAST(_t2 AS DOUBLE))
+            / (8.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+       END, {round_to}) AS z
+FROM j2 CROSS JOIN gm CROSS JOIN vm
+"""

@@ -1514,3 +1514,138 @@ SELECT _g AS {group_col}, _t AS {time_col}, _v AS {value_col},
        _v IS NOT NULL AS is_observed
 FROM joined
 """
+
+
+def seasonal_naive_eval(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    period: int,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Seasonal-naive forecast baseline with in-sample error readout —
+    the benchmark every real forecaster (`holt_linear`,
+    `seasonal_outliers`' decomposition) must beat before it ships
+    (Hyndman & Koehler 2006: MASE scales a model's MAE by the naive
+    method's, so "MASE < 1" is the universal "better than doing
+    nothing" bar):
+
+        ŷ_t(seasonal) = y_{t−m},   ŷ_t(naive) = y_{t−1},
+        MASE = MAE_seasonal / MAE_naive
+             = (Σ|e_s| · n_naive) / (Σ|e_n| · n_seasonal).
+
+    Exactness: both error sums are exact integer |y − lag(y)| sums;
+    MASE clears the two 1/n factors by cross-multiplying counts, so it
+    is a ratio of exact DECIMAL(38,0) integers with ONE pinned
+    division; MAEs and RMSE are single pinned divisions (sqrt pinned).
+    Contract: ``time_col`` is UNIQUE per group (a bucketed series —
+    the lag is positional over the time order, so duplicate times
+    would make it nondeterministic); NULL values are dropped first.
+    Plan: one per-group lag window (distributed per-group sort), one
+    aggregation. Output per group: ``(*by, n, mae_seasonal,
+    mae_naive, mase, rmse_seasonal)`` — NULLs when a term's
+    evaluation span is empty or the naive error sum is 0.
+    """
+    if period < 2:
+        raise ValueError("seasonal_naive_eval: period must be ≥ 2")
+    keys = list(by or [])
+    t = F.col(time_col)
+    v = F.col(value_col).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")
+    base = df.filter(v.isNotNull() & t.isNotNull()).select(
+        *keys, t.alias("_t"), v.alias("_v")
+    )
+    w = Window.partitionBy(*keys).orderBy("_t")
+    lagged = base.select(
+        *keys,
+        "_v",
+        F.lag("_v", period).over(w).alias("_ls"),
+        F.lag("_v", 1).over(w).alias("_ln"),
+    )
+    es = F.abs(F.col("_v") - F.col("_ls"))
+    en = F.abs(F.col("_v") - F.col("_ln"))
+    z = F.lit(0).cast("decimal(38,0)")
+    agg = lagged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_ls").isNotNull(), 1).otherwise(0)).alias("_ns"),
+        F.sum(F.when(F.col("_ls").isNotNull(), dec(es)).otherwise(z)).alias("_ses"),
+        F.sum(F.when(F.col("_ls").isNotNull(), dec(es) * dec(es)).otherwise(z)).alias("_qes"),
+        F.sum(F.when(F.col("_ln").isNotNull(), 1).otherwise(0)).alias("_nn"),
+        F.sum(F.when(F.col("_ln").isNotNull(), dec(en)).otherwise(z)).alias("_sen"),
+    )
+    nsd = F.col("_ns").cast("double")
+    nnd = F.col("_nn").cast("double")
+    mae_s = F.col("_ses").cast("double") / nsd
+    mae_n = F.col("_sen").cast("double") / nnd
+    mase_num = F.col("_ses") * dec(F.col("_nn"))
+    mase_den = F.col("_sen") * dec(F.col("_ns"))
+    out = agg.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(F.col("_ns") > 0, mae_s), round_to).alias("mae_seasonal"),
+        F.round(F.when(F.col("_nn") > 0, mae_n), round_to).alias("mae_naive"),
+        F.round(
+            F.when(
+                (F.col("_ns") > 0) & (mase_den > 0),
+                mase_num.cast("double") / mase_den.cast("double"),
+            ),
+            round_to,
+        ).alias("mase"),
+        F.round(
+            F.when(
+                F.col("_ns") > 0,
+                F.sqrt(F.col("_qes").cast("double") / nsd),
+            ),
+            round_to,
+        ).alias("rmse_seasonal"),
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def seasonal_naive_eval_oracle_sql(
+    series_sql: str,
+    time_col: str,
+    value_col: str,
+    period: int,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same positional lags over the time order, same
+    HUGEINT error sums and cross-multiplied MASE ratio."""
+    keys = list(by or [])
+    gc = ", ".join(keys)
+    sel = (gc + ", ") if keys else ""
+    part = f"PARTITION BY {gc} " if keys else ""
+    group = f"GROUP BY {gc}" if keys else ""
+    order = f"ORDER BY {gc}" if keys else ""
+    return f"""
+WITH series AS ({series_sql}),
+base AS (
+  SELECT {sel}{time_col} AS _t, CAST({value_col} AS BIGINT) AS _v
+  FROM series WHERE {value_col} IS NOT NULL AND {time_col} IS NOT NULL
+),
+lagged AS (
+  SELECT {sel}_v,
+         lag(_v, {period}) OVER ({part}ORDER BY _t) AS _ls,
+         lag(_v, 1) OVER ({part}ORDER BY _t) AS _ln
+  FROM base
+),
+agg AS (
+  SELECT {sel}CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN _ls IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS _ns,
+         SUM(CASE WHEN _ls IS NOT NULL THEN CAST(ABS(_v - _ls) AS HUGEINT) ELSE 0 END) AS _ses,
+         SUM(CASE WHEN _ls IS NOT NULL THEN CAST(ABS(_v - _ls) AS HUGEINT) * ABS(_v - _ls) ELSE 0 END) AS _qes,
+         CAST(SUM(CASE WHEN _ln IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS _nn,
+         SUM(CASE WHEN _ln IS NOT NULL THEN CAST(ABS(_v - _ln) AS HUGEINT) ELSE 0 END) AS _sen
+  FROM lagged {group}
+)
+SELECT {sel}n,
+       ROUND(CASE WHEN _ns > 0 THEN CAST(_ses AS DOUBLE) / CAST(_ns AS DOUBLE) END, {round_to}) AS mae_seasonal,
+       ROUND(CASE WHEN _nn > 0 THEN CAST(_sen AS DOUBLE) / CAST(_nn AS DOUBLE) END, {round_to}) AS mae_naive,
+       ROUND(CASE WHEN _ns > 0 AND _sen * CAST(_ns AS HUGEINT) > 0
+             THEN CAST(_ses * CAST(_nn AS HUGEINT) AS DOUBLE)
+                  / CAST(_sen * CAST(_ns AS HUGEINT) AS DOUBLE) END, {round_to}) AS mase,
+       ROUND(CASE WHEN _ns > 0 THEN SQRT(CAST(_qes AS DOUBLE) / CAST(_ns AS DOUBLE)) END, {round_to}) AS rmse_seasonal
+FROM agg {order}
+"""

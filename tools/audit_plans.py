@@ -70,6 +70,7 @@ BOUNDED_SPINE_OK: set[str] = {
     "dunn_test",  # same guarded doubled-midrank spine as kruskal_wallis (r11)
     "dataset_card",  # median over the bounded document-LENGTH histogram (r11)
     "lorenz_curve",  # cumsum over the <= n_bands band frame (r11)
+    "group_sequential",  # cumsum over the <= K(looks) aggregated frame (r12)
     "gain_curve",
     "cusum_changepoint",
     "theil_sen",
