@@ -11145,6 +11145,179 @@ def _sql_jonckheere() -> str:
 SQL_JONCKHEERE = _sql_jonckheere()
 
 
+def q_page_trend(spark, sf):
+    """Ordered repeated-measures trend (`hypothesis_tests.
+    page_trend_test`): does revenue fall along the priority order
+    WITHIN each nation — Page's L over friedman's doubled within-block
+    midranks, catalog-ordered weights, pinned z over the no-tie null
+    moments."""
+    from revtron_utils_spark.operators.hypothesis_tests import page_trend_test
+
+    o = _t(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.sum("cents").alias("rev"))
+    )
+    return page_trend_test(cells, "nation", "prio", "rev")
+
+
+def _sql_page_trend() -> str:
+    from revtron_utils_spark.operators.hypothesis_tests import (
+        page_trend_test_oracle_sql,
+    )
+
+    rows = """
+SELECT c_nationkey AS nation, o_orderpriority AS prio,
+       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+"""
+    return page_trend_test_oracle_sql(rows, "nation", "prio", "rev")
+
+
+SQL_PAGE_TREND = _sql_page_trend()
+
+
+def q_yuen_t(spark, sf):
+    """Robust two-sample location (`hypothesis_tests.yuen_trimmed_t`):
+    urgent vs low-priority order values compared by 20%-trimmed means
+    with winsorized variances — the heavy-tail-safe t the plain
+    `effect_sizes` machinery can't give. Exact rank-range sums,
+    pinned Yuen/Satterthwaite tail."""
+    from revtron_utils_spark.operators.hypothesis_tests import yuen_trimmed_t
+
+    o = _t(spark, sf, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return yuen_trimmed_t(o, "cents", "o_orderpriority", "1-URGENT", "5-LOW")
+
+
+def _sql_yuen_t() -> str:
+    from revtron_utils_spark.operators.hypothesis_tests import (
+        yuen_trimmed_t_oracle_sql,
+    )
+
+    values = (
+        "SELECT o_orderpriority, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders"
+    )
+    return yuen_trimmed_t_oracle_sql(
+        values, "cents", "o_orderpriority", "'1-URGENT'", "'5-LOW'"
+    )
+
+
+SQL_YUEN_T = _sql_yuen_t()
+
+
+def q_tvd_drift(spark, sf):
+    """Exact distribution drift (`concentration.tvd_drift`): total-
+    variation distance between the 1996 and 1998 order-value
+    histograms — the no-transcendentals companion to
+    `hellinger_drift`: cleared-denominator exact integer numerator,
+    ONE pinned division."""
+    from revtron_utils_spark.operators.concentration import tvd_drift
+
+    orders = _t(spark, sf, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 500000").alias(
+            "bucket"
+        ),
+    )
+    return tvd_drift(orders, "bucket", "yr", 1996, 1998)
+
+
+def _sql_tvd_drift() -> str:
+    from revtron_utils_spark.operators.concentration import tvd_drift_oracle_sql
+
+    values = """
+SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+       CAST(round(o_totalprice * 100) AS BIGINT) // 500000 AS bucket
+FROM orders
+"""
+    return tvd_drift_oracle_sql(values, "bucket", "yr", "1996", "1998")
+
+
+SQL_TVD_DRIFT = _sql_tvd_drift()
+
+
+def q_bland_altman(spark, sf):
+    """Method agreement (`association.bland_altman`): do catalog price
+    and the discount-adjusted charge agree as "measurements" of an
+    item's value per returnflag — mean difference ± limits of
+    agreement with the within-LoA recount (correlation can't see a
+    constant offset; Bland–Altman can). Exact difference moments,
+    token-identical float bounds."""
+    from revtron_utils_spark.operators.association import bland_altman
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("m1"),
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+        ).alias("m2"),
+    )
+    return bland_altman(li, "m1", "m2", by=["l_returnflag"])
+
+
+def _sql_bland_altman() -> str:
+    from revtron_utils_spark.operators.association import (
+        bland_altman_oracle_sql,
+    )
+
+    units = """
+SELECT l_returnflag,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS m1,
+       CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS m2
+FROM lineitem
+"""
+    return bland_altman_oracle_sql(units, "m1", "m2", by=["l_returnflag"])
+
+
+SQL_BLAND_ALTMAN = _sql_bland_altman()
+
+
+def q_wilson_ci(spark, sf):
+    """Proportion interval done right (`experiment.wilson_ci`): the
+    urgent-order share per market segment with the score-test CI that
+    stays honest at extreme p̂ and small n — exact counts, pinned
+    sqrt-only tail, shared z literal."""
+    from revtron_utils_spark.operators.experiment import wilson_ci
+
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    units = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("urgent"),
+    )
+    return wilson_ci(units, "urgent", by=["c_mktsegment"])
+
+
+def _sql_wilson_ci() -> str:
+    from revtron_utils_spark.operators.experiment import wilson_ci_oracle_sql
+
+    units = (
+        "SELECT c_mktsegment, CASE WHEN o_orderpriority = '1-URGENT' "
+        "THEN 1 ELSE 0 END AS urgent "
+        "FROM orders JOIN customer ON o_custkey = c_custkey"
+    )
+    return wilson_ci_oracle_sql(units, "urgent", by=["c_mktsegment"])
+
+
+SQL_WILSON_CI = _sql_wilson_ci()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -11473,6 +11646,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ratio_metric_ci": (q_ratio_metric_ci, SQL_RATIO_METRIC_CI),
     "quantile_share": (q_quantile_share, SQL_QUANTILE_SHARE),
     "jonckheere": (q_jonckheere, SQL_JONCKHEERE),
+    "page_trend": (q_page_trend, SQL_PAGE_TREND),
+    "yuen_t": (q_yuen_t, SQL_YUEN_T),
+    "tvd_drift": (q_tvd_drift, SQL_TVD_DRIFT),
+    "bland_altman": (q_bland_altman, SQL_BLAND_ALTMAN),
+    "wilson_ci": (q_wilson_ci, SQL_WILSON_CI),
 }
 
 

@@ -268,6 +268,11 @@ HEADLINE = [
     "ratio_metric_ci",
     "quantile_share",
     "jonckheere",
+    "page_trend",
+    "yuen_t",
+    "tvd_drift",
+    "bland_altman",
+    "wilson_ci",
 ]
 
 

@@ -47,20 +47,46 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _pillow_or_none():
+    """Optional-import hook for production formats (JPEG/PNG/WebP):
+    pillow when installed, None otherwise. Isolated so tests can
+    monkeypatch and the import cost is paid once per worker."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to an ``(H, W, 3)`` uint8 RGB array.
 
     Dependency-free real decoders: uncompressed 24-bit BMP (``BM``
     magic; BI_RGB, bottom-up or top-down, 4-byte row padding) and binary
-    PPM (``P6`` magic, maxval 255, ``#`` comments). Other formats raise
-    ``ValueError`` — swap in PIL here for JPEG/PNG on a real cluster."""
+    PPM (``P6`` magic, maxval 255, ``#`` comments). Any other format
+    falls through to pillow WHEN INSTALLED (JPEG/PNG/WebP → RGB via
+    ``Image.open``; the executors need pillow on their Python path, the
+    plan is unchanged), else raises ``ValueError``. This sandbox ships
+    no pillow, so the fallback is exercised only by the skip-guarded
+    test; the BMP/PPM paths stay the hash-verified reference."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
+    Image = _pillow_or_none()
+    if Image is not None:
+        import io
+
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("RGB"), dtype=np.uint8)
+        except Exception as exc:  # keep the documented ValueError contract
+            raise ValueError(f"pillow could not decode payload: {exc}") from exc
     raise ValueError(
         f"unsupported image format (magic {payload[:2]!r}): only BMP/PPM "
-        "decode without an imaging library"
+        "decode without an imaging library — install pillow on the "
+        "executors for JPEG/PNG/WebP"
     )
 
 

@@ -1243,3 +1243,172 @@ SELECT {sel}
              {round_to}) AS risk_ratio
 FROM per {order}
 """
+
+
+def bland_altman(
+    df: DataFrame,
+    m1_col: str,
+    m2_col: str,
+    by: list[str] | None = None,
+    z_crit: float = 1.959963984540054,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bland–Altman method agreement per segment — the readout for "do
+    two MEASUREMENTS of the same thing agree", which correlation
+    cannot answer (two thermometers 10° apart correlate perfectly;
+    Bland & Altman 1986 made the mean difference ± limits of
+    agreement the standard):
+
+        d_i = m1_i − m2_i,
+        LoA = d̄ ± z·s_d,
+        pct_within = share of units with |d_i − d̄| ≤ z·s_d.
+
+    Exactness: d is an exact integer per unit; n, Σd, Σd² are exact
+    DECIMAL(38,0); d̄, s_d, and the LoA bounds are fixed-order double
+    tails with the shared z literal; the within-LoA indicator compares
+    the integer d_i against the token-identical float bounds, so both
+    engines flag the same units and pct_within is one more pinned
+    division. Plan: one aggregation + one broadcast-back conditional
+    count. Output per segment: ``(*by, n, mean_diff, sd_diff,
+    loa_lo, loa_hi, pct_within)`` — NULL sd/LoA/pct when n ≤ 1.
+    """
+    keys = list(by or [])
+    m1 = integral_long(df, m1_col, "bland_altman")
+    m2 = integral_long(df, m2_col, "bland_altman")
+    dec = lambda c: c.cast("decimal(38,0)")
+    base = df.select(*keys, (m1 - m2).alias("_d")).where(
+        F.col("_d").isNotNull()
+    )
+    per = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec(F.col("_d"))).alias("_s"),
+        F.sum(dec(F.col("_d")) * dec(F.col("_d"))).alias("_q"),
+    )
+    nd = F.col("_n").cast("double")
+    mean = F.col("_s").cast("double") / nd
+    var = (dec(F.col("_n")) * F.col("_q") - F.col("_s") * F.col("_s")).cast(
+        "double"
+    ) / (nd * (nd - F.lit(1.0)))
+    sd = F.sqrt(var)
+    half = F.lit(float(z_crit)) * sd
+    stats = per.select(
+        *keys,
+        F.col("_n").alias("_n"),
+        mean.alias("_mean"),
+        F.when(F.col("_n") > 1, sd).alias("_sd"),
+        F.when(F.col("_n") > 1, mean - half).alias("_lo"),
+        F.when(F.col("_n") > 1, mean + half).alias("_hi"),
+    )
+    jb = (
+        base.join(F.broadcast(stats), keys)
+        if keys
+        else base.crossJoin(F.broadcast(stats))
+    )
+    within = (F.col("_d").cast("double") >= F.col("_lo")) & (
+        F.col("_d").cast("double") <= F.col("_hi")
+    )
+    out = jb.groupBy(*keys).agg(
+        F.max("_n").alias("n"),
+        F.max("_mean").alias("_m"),
+        F.max("_sd").alias("_sdv"),
+        F.max("_lo").alias("_lov"),
+        F.max("_hi").alias("_hiv"),
+        F.sum(F.when(within, 1).otherwise(0)).alias("_nin"),
+    )
+    return (
+        out.select(
+            *keys,
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("_m"), round_to).alias("mean_diff"),
+            F.round(F.col("_sdv"), round_to).alias("sd_diff"),
+            F.round(F.col("_lov"), round_to).alias("loa_lo"),
+            F.round(F.col("_hiv"), round_to).alias("loa_hi"),
+            F.round(
+                F.when(
+                    F.col("n") > 1,
+                    F.col("_nin").cast("double") / F.col("n").cast("double"),
+                ),
+                round_to,
+            ).alias("pct_within"),
+        ).orderBy(*keys)
+        if keys
+        else out.select(
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("_m"), round_to).alias("mean_diff"),
+            F.round(F.col("_sdv"), round_to).alias("sd_diff"),
+            F.round(F.col("_lov"), round_to).alias("loa_lo"),
+            F.round(F.col("_hiv"), round_to).alias("loa_hi"),
+            F.round(
+                F.when(
+                    F.col("n") > 1,
+                    F.col("_nin").cast("double") / F.col("n").cast("double"),
+                ),
+                round_to,
+            ).alias("pct_within"),
+        )
+    )
+
+
+def bland_altman_oracle_sql(
+    units_sql: str,
+    m1_col: str,
+    m2_col: str,
+    by: list[str] | None = None,
+    z_crit: float = 1.959963984540054,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same exact difference moments, token-identical LoA
+    bounds and within-LoA recount."""
+    keys = list(by or [])
+    gc = ", ".join(keys)
+    sel = (gc + ", ") if keys else ""
+    bsel = (", ".join(f"b.{k}" for k in keys) + ", ") if keys else ""
+    group = f"GROUP BY {gc}" if keys else ""
+    joincond = (
+        " AND ".join(f"b.{k} = s.{k}" for k in keys) if keys else "TRUE"
+    )
+    bgroup = (
+        ("GROUP BY " + ", ".join(f"b.{k}" for k in keys)) if keys else ""
+    )
+    border = (
+        ("ORDER BY " + ", ".join(f"b.{k}" for k in keys)) if keys else ""
+    )
+    z = repr(float(z_crit))
+    mean = "(CAST(_s AS DOUBLE) / CAST(_n AS DOUBLE))"
+    var = (
+        "(CAST(CAST(_n AS HUGEINT) * _q - _s * _s AS DOUBLE)"
+        " / (CAST(_n AS DOUBLE) * (CAST(_n AS DOUBLE) - 1.0)))"
+    )
+    return f"""
+WITH units AS ({units_sql}),
+base AS (
+  SELECT {sel}CAST({m1_col} AS BIGINT) - CAST({m2_col} AS BIGINT) AS _d
+  FROM units WHERE {m1_col} IS NOT NULL AND {m2_col} IS NOT NULL
+),
+per AS (
+  SELECT {sel}CAST(COUNT(*) AS BIGINT) AS _n,
+         SUM(CAST(_d AS HUGEINT)) AS _s,
+         SUM(CAST(_d AS HUGEINT) * _d) AS _q
+  FROM base {group}
+),
+stats AS (
+  SELECT {sel}_n,
+         {mean} AS _mean,
+         CASE WHEN _n > 1 THEN SQRT({var}) END AS _sd,
+         CASE WHEN _n > 1 THEN {mean} - {z} * SQRT({var}) END AS _lo,
+         CASE WHEN _n > 1 THEN {mean} + {z} * SQRT({var}) END AS _hi
+  FROM per
+)
+SELECT {bsel}
+       CAST(MAX(s._n) AS BIGINT) AS n,
+       ROUND(MAX(s._mean), {round_to}) AS mean_diff,
+       ROUND(MAX(s._sd), {round_to}) AS sd_diff,
+       ROUND(MAX(s._lo), {round_to}) AS loa_lo,
+       ROUND(MAX(s._hi), {round_to}) AS loa_hi,
+       ROUND(CASE WHEN MAX(s._n) > 1 THEN
+         CAST(SUM(CASE WHEN CAST(b._d AS DOUBLE) >= s._lo
+                        AND CAST(b._d AS DOUBLE) <= s._hi THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(MAX(s._n) AS DOUBLE) END, {round_to}) AS pct_within
+FROM base b JOIN stats s ON {joincond}
+{bgroup} {border}
+"""

@@ -1458,3 +1458,101 @@ SELECT {sel}n,
        ROUND(CASE WHEN _sb > 0 THEN CAST(_st AS DOUBLE) / CAST(_sb AS DOUBLE) END, {round_to}) AS top_bottom_ratio
 FROM agg {order}
 """
+
+
+def tvd_drift(
+    df: DataFrame,
+    bucket_col: str,
+    slice_col,
+    slice_a,
+    slice_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Total-variation distance between the ``bucket_col``
+    distributions of two slices — the EXACT companion to
+    :func:`hellinger_drift` (Hellinger's Σ√(c_a·c_b) is the one float
+    fold in the drift family; TVD needs no transcendentals at all, and
+    it is the metric with the operational reading "the largest
+    possible difference in probability either distribution assigns to
+    any event"):
+
+        TVD = ½ Σ_b |p_a(b) − p_b(b)|
+            = Σ_b |c_a(b)·N_b − c_b(b)·N_a| / (2·N_a·N_b).
+
+    Exactness: clearing denominators makes the numerator an exact
+    DECIMAL(38,0) integer sum (buckets absent on one side contribute
+    their full count — no smoothing), and TVD is ONE pinned division.
+    Plan: one (bucket, slice) partial-agg shuffle over the
+    caller-bounded bucket frame, one reduce. Output one row:
+    ``(n_a, n_b, n_buckets_common, tvd)`` — NULL when either slice is
+    empty.
+    """
+    s = F.col(slice_col)
+    dec = lambda c: c.cast("decimal(38,0)")
+    per = (
+        df.where(s.isin(slice_a, slice_b))
+        .groupBy(F.col(bucket_col).alias("_k"))
+        .agg(
+            F.sum(F.when(s == slice_a, 1).otherwise(0)).alias("_ca"),
+            F.sum(F.when(s == slice_b, 1).otherwise(0)).alias("_cb"),
+        )
+    )
+    tot = per.agg(
+        F.sum("_ca").alias("n_a"),
+        F.sum("_cb").alias("n_b"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    agg = j.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(((F.col("_ca") > 0) & (F.col("_cb") > 0)).cast("long")).alias(
+            "n_buckets_common"
+        ),
+        F.sum(
+            F.abs(
+                dec(F.col("_ca")) * dec(F.col("n_b"))
+                - dec(F.col("_cb")) * dec(F.col("n_a"))
+            )
+        ).alias("_num"),
+    )
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    tvd = F.col("_num").cast("double") / (
+        F.lit(2.0) * (dec(F.col("n_a")) * dec(F.col("n_b"))).cast("double")
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_buckets_common",
+        F.round(F.when(both, tvd), round_to).alias("tvd"),
+    )
+
+
+def tvd_drift_oracle_sql(
+    rows_sql: str,
+    bucket_col: str,
+    slice_col: str,
+    slice_a_sql: str,
+    slice_b_sql: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same exact cleared-denominator numerator, same
+    single pinned division."""
+    return f"""
+WITH rows_x AS ({rows_sql}),
+per AS (
+  SELECT {bucket_col} AS _k,
+         CAST(SUM(CASE WHEN {slice_col} = {slice_a_sql} THEN 1 ELSE 0 END) AS BIGINT) AS _ca,
+         CAST(SUM(CASE WHEN {slice_col} = {slice_b_sql} THEN 1 ELSE 0 END) AS BIGINT) AS _cb
+  FROM rows_x
+  WHERE {slice_col} = {slice_a_sql} OR {slice_col} = {slice_b_sql}
+  GROUP BY {bucket_col}
+),
+tot AS (SELECT CAST(SUM(_ca) AS BIGINT) AS n_a, CAST(SUM(_cb) AS BIGINT) AS n_b FROM per)
+SELECT t.n_a, t.n_b,
+       CAST(SUM(CASE WHEN p._ca > 0 AND p._cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buckets_common,
+       ROUND(CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+         CAST(SUM(ABS(CAST(p._ca AS HUGEINT) * t.n_b - CAST(p._cb AS HUGEINT) * t.n_a)) AS DOUBLE)
+         / (2.0 * CAST(CAST(t.n_a AS HUGEINT) * t.n_b AS DOUBLE)) END, {round_to}) AS tvd
+FROM per p CROSS JOIN tot t
+GROUP BY t.n_a, t.n_b
+"""

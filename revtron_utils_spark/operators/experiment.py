@@ -1896,3 +1896,102 @@ SELECT {sel}_n AS n,
        ROUND(CASE WHEN {okv} THEN {r} + {half} END, {round_to}) AS ci_hi
 FROM per {order}
 """
+
+
+def wilson_ci(
+    df: DataFrame,
+    success_col: str,
+    by: list[str] | None = None,
+    z_crit: float = 1.959963984540054,
+    round_to: int = 6,
+) -> DataFrame:
+    """Wilson score interval for a per-segment proportion — the CI the
+    Wald interval pretends to be (Wald collapses to zero width at
+    p̂ ∈ {0,1} and undercovers badly at small n; Wilson inverts the
+    score test and needs only sqrt, which IEEE requires exactly
+    rounded — no beta quantiles, no logs):
+
+        center = (p̂ + z²/2n) / (1 + z²/n),
+        half   = z·sqrt(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n).
+
+    Exactness: n and successes are exact integers from one
+    aggregation; p̂ is ONE pinned division and the interval is a
+    fixed-order double tail with the shared z literal. NULL successes
+    dropped first; any nonzero/true value counts as a success. Output
+    per segment: ``(*by, n, successes, p_hat, ci_lo, ci_hi)`` — NULL
+    CI when n = 0.
+    """
+    keys = list(by or [])
+    s = F.col(success_col).cast("boolean")
+    base = df.filter(s.isNotNull())
+    per = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(s, 1).otherwise(0)).alias("_s"),
+    )
+    z = float(z_crit)
+    nd = F.col("_n").cast("double")
+    p = F.col("_s").cast("double") / nd
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / nd
+    center = (p + z2 / (F.lit(2.0) * nd)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / nd
+            + z2 / (F.lit(4.0) * nd * nd)
+        )
+        / denom
+    )
+    ok = F.col("_n") > 0
+    out = per.select(
+        *keys,
+        F.col("_n").cast("long").alias("n"),
+        F.col("_s").cast("long").alias("successes"),
+        F.round(F.when(ok, p), round_to).alias("p_hat"),
+        F.round(F.when(ok, center - half), round_to).alias("ci_lo"),
+        F.round(F.when(ok, center + half), round_to).alias("ci_hi"),
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def wilson_ci_oracle_sql(
+    units_sql: str,
+    success_col: str,
+    by: list[str] | None = None,
+    z_crit: float = 1.959963984540054,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same exact counts, token-identical Wilson tail
+    with the shared z literal."""
+    keys = list(by or [])
+    gc = ", ".join(keys)
+    sel = (gc + ", ") if keys else ""
+    group = f"GROUP BY {gc}" if keys else ""
+    order = f"ORDER BY {gc}" if keys else ""
+    z = repr(float(z_crit))
+    nd = "CAST(_n AS DOUBLE)"
+    p = f"(CAST(_s AS DOUBLE) / {nd})"
+    z2 = f"({z} * {z})"
+    denom = f"(1.0 + {z2} / {nd})"
+    center = f"(({p} + {z2} / (2.0 * {nd})) / {denom})"
+    half = (
+        f"({z} * SQRT({p} * (1.0 - {p}) / {nd}"
+        f" + {z2} / (4.0 * {nd} * {nd})) / {denom})"
+    )
+    return f"""
+WITH units AS ({units_sql}),
+base AS (
+  SELECT {sel}CAST({success_col} AS BOOLEAN) AS _x
+  FROM units WHERE {success_col} IS NOT NULL
+),
+per AS (
+  SELECT {sel}CAST(COUNT(*) AS BIGINT) AS _n,
+         CAST(SUM(CASE WHEN _x THEN 1 ELSE 0 END) AS BIGINT) AS _s
+  FROM base {group}
+)
+SELECT {sel}_n AS n, _s AS successes,
+       ROUND(CASE WHEN _n > 0 THEN {p} END, {round_to}) AS p_hat,
+       ROUND(CASE WHEN _n > 0 THEN {center} - {half} END, {round_to}) AS ci_lo,
+       ROUND(CASE WHEN _n > 0 THEN {center} + {half} END, {round_to}) AS ci_hi
+FROM per {order}
+"""

@@ -2113,3 +2113,372 @@ SELECT n, k,
        END, {round_to}) AS z
 FROM j2 CROSS JOIN gm CROSS JOIN vm
 """
+
+
+def page_trend_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    round_to: int = 6,
+    max_treatments: int | None = 10_000,
+) -> DataFrame:
+    """Page's L trend test — :func:`friedman_test` with an ORDERED
+    alternative (Friedman asks "do the k treatments differ at all?";
+    Page asks "do they increase along the hypothesized order?", the
+    repeated-measures sibling of :func:`jonckheere_terpstra`).
+    Treatments are ordered by the natural ascending sort of
+    ``treatment_col`` — encode the hypothesized order into the labels:
+
+        L = Σ_j w_j·R_j   (w_j = 1..k in treatment order,
+                           R_j = Σ_blocks within-block rank of j),
+        z = (L − n·k(k+1)²/4) / sqrt( n·k²(k+1)²(k−1)/144 ).
+
+    Exactness: the same DOUBLED within-block midranks as friedman
+    (2·midrank = 2·before + t + 1, integers; ties allowed in L itself),
+    weights joined from the sorted treatment catalog (bounded,
+    broadcast); L2 = 2L and E2 = n·(k(k+1)²/2) are exact
+    DECIMAL(38,0) (k(k+1)² is always even); z is ONE pinned tail over
+    the no-tie null variance (the standard normal approximation —
+    tie-corrected Page variance is not in the literature; heavy ties
+    argue for :func:`friedman_test` instead). Incomplete blocks
+    dropped + counted, friedman's convention. Output one row:
+    ``(k, n_blocks, n_dropped, l2, z)`` — NULL z when k < 3 or
+    n_blocks = 0.
+    """
+    from pyspark.sql import Window
+
+    from .guards import require_bounded_spine
+
+    require_bounded_spine(df, treatment_col, [], max_treatments, "page_trend_test")
+    dec = lambda c: c.cast("decimal(38,0)")
+    base = df.select(
+        F.col(block_col).alias("_b"),
+        F.col(treatment_col).alias("_j"),
+        integral_long(df, value_col, "page_trend_test").alias("_v"),
+    )
+    labels = [
+        r["_j"]
+        for r in base.select("_j").distinct().orderBy("_j").collect()
+    ]
+    k = len(labels)
+    spark = df.sparkSession
+    wts = spark.createDataFrame(
+        [(lab, i + 1) for i, lab in enumerate(labels)], ["_j", "_w"]
+    )
+    per_block = base.groupBy("_b").agg(
+        F.countDistinct("_j").alias("_nj"), F.count(F.lit(1)).alias("_nr")
+    )
+    from .dedup import _persist
+
+    complete = _persist(
+        per_block.where(
+            (F.col("_nj") == F.lit(k)) & (F.col("_nr") == F.lit(k))
+        ).select("_b")
+    )
+    n_complete = complete.count()
+    n_dropped = per_block.count() - n_complete
+    if n_complete == 0:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [(k, 0, n_dropped, None, None)],
+            T.StructType(
+                [
+                    T.StructField("k", T.LongType()),
+                    T.StructField("n_blocks", T.LongType()),
+                    T.StructField("n_dropped", T.LongType()),
+                    T.StructField("l2", T.LongType()),
+                    T.StructField("z", T.DoubleType()),
+                ]
+            ),
+        )
+    rows = base.join(complete, "_b")
+    hist = rows.groupBy("_b", "_v").agg(F.count(F.lit(1)).alias("_t"))
+    wb = Window.partitionBy("_b").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hist = hist.select(
+        "_b", "_v", "_t", (F.sum("_t").over(wb) - F.col("_t")).alias("_bef")
+    )
+    ranked = rows.join(hist, ["_b", "_v"]).select(
+        "_b",
+        "_j",
+        (F.lit(2) * F.col("_bef") + F.col("_t") + F.lit(1)).alias("_r2"),
+    )
+    glob = ranked.join(F.broadcast(wts), "_j").agg(
+        F.countDistinct("_b").alias("n_blocks"),
+        F.sum(dec(F.col("_r2")) * dec(F.col("_w"))).alias("_l2"),
+    )
+    # k(k+1)² is even for every k, so E2 = n·(k(k+1)²/2) is exact
+    e2c = k * (k + 1) * (k + 1) // 2
+    varc = k * k * (k + 1) * (k + 1) * (k - 1) if k > 1 else 0
+    nb = F.col("n_blocks")
+    var = (dec(nb) * dec(F.lit(varc))).cast("double") / F.lit(144.0)
+    z = (F.col("_l2") - dec(nb) * dec(F.lit(e2c))).cast("double") / (
+        F.lit(2.0) * F.sqrt(var)
+    )
+    return glob.select(
+        F.lit(k).cast("long").alias("k"),
+        nb.cast("long").alias("n_blocks"),
+        F.lit(n_dropped).cast("long").alias("n_dropped"),
+        F.col("_l2").cast("long").alias("l2"),
+        F.round(F.when((F.lit(k) > 2) & (nb > 0), z), round_to).alias("z"),
+    )
+
+
+def page_trend_test_oracle_sql(
+    rows_sql: str,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same complete-block filter and doubled midranks,
+    weights from the sorted treatment catalog, token-identical pinned
+    z tail over the no-tie null moments."""
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {block_col} AS _b, {treatment_col} AS _j,
+         CAST({value_col} AS BIGINT) AS _v
+  FROM ({rows_sql})
+),
+nk AS (SELECT CAST(COUNT(DISTINCT _j) AS BIGINT) AS k FROM base),
+wts AS MATERIALIZED (
+  SELECT _j, CAST(row_number() OVER (ORDER BY _j) AS BIGINT) AS _w
+  FROM (SELECT DISTINCT _j FROM base)
+),
+per_block AS MATERIALIZED (
+  SELECT _b, COUNT(DISTINCT _j) AS _nj, COUNT(*) AS _nr
+  FROM base GROUP BY _b
+),
+complete AS MATERIALIZED (
+  SELECT _b FROM per_block, nk WHERE _nj = k AND _nr = k
+),
+dropped AS (
+  SELECT (SELECT COUNT(*) FROM per_block) - (SELECT COUNT(*) FROM complete)
+         AS n_dropped
+),
+rows_c AS MATERIALIZED (
+  SELECT b.* FROM base b JOIN complete c ON b._b = c._b
+),
+hist AS (
+  SELECT _b, _v, CAST(COUNT(*) AS BIGINT) AS _t,
+         SUM(COUNT(*)) OVER (PARTITION BY _b ORDER BY _v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - COUNT(*) AS _bef
+  FROM rows_c GROUP BY _b, _v
+),
+ranked AS MATERIALIZED (
+  SELECT r._b, r._j, 2 * h._bef + h._t + 1 AS _r2
+  FROM rows_c r JOIN hist h ON r._b = h._b AND r._v = h._v
+),
+gl AS (
+  SELECT CAST(COUNT(DISTINCT r._b) AS BIGINT) AS n_blocks,
+         SUM(CAST(r._r2 AS HUGEINT) * w._w) AS _l2
+  FROM ranked r JOIN wts w ON r._j = w._j
+)
+SELECT (SELECT k FROM nk) AS k, n_blocks,
+       (SELECT n_dropped FROM dropped) AS n_dropped,
+       CAST(_l2 AS BIGINT) AS l2,
+       ROUND(CASE WHEN (SELECT k FROM nk) > 2 AND n_blocks > 0 THEN
+         CAST(_l2 - CAST(n_blocks AS HUGEINT)
+              * ((SELECT k FROM nk) * ((SELECT k FROM nk) + 1) * ((SELECT k FROM nk) + 1) // 2)
+              AS DOUBLE)
+         / (2.0 * SQRT(CAST(CAST(n_blocks AS HUGEINT)
+              * ((SELECT k FROM nk) * (SELECT k FROM nk) * ((SELECT k FROM nk) + 1)
+                 * ((SELECT k FROM nk) + 1) * ((SELECT k FROM nk) - 1)) AS DOUBLE) / 144.0))
+       END, {round_to}) AS z
+FROM gl
+"""
+
+
+def yuen_trimmed_t(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    trim_pct: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Yuen's two-sample trimmed-means t — the robust location test
+    between :func:`~.experiment.effect_sizes`' plain t machinery
+    (breaks under heavy tails) and :func:`mann_whitney` (gives up the
+    mean entirely): compare γ-trimmed means with winsorized variances
+    (Yuen 1974),
+
+        g_j = ⌊n_j·γ⌋,  h_j = n_j − 2g_j,
+        t = (x̄_t1 − x̄_t2) / sqrt(d_1 + d_2),
+        d_j = s²_wj·(n_j − 1) / (h_j·(h_j − 1)),
+        df = (d_1 + d_2)² / (d_1²/(h_1−1) + d_2²/(h_2−1)).
+
+    Exactness: per-arm ranks are a group-partitioned window (the
+    winsorized_stats discipline — rank-range SUMS are tie-invariant);
+    the trimmed sum (ranks g..n−g), the winsorizing order statistics
+    (values AT ranks g+1 and n−g), and the winsorized Σw/Σw² are all
+    exact DECIMAL(38,0) (w clamps to data values — still integers);
+    s²_w = (n·Σw² − (Σw)²)/(n(n−1)) and everything after is a
+    fixed-order double tail token-identical in the oracle. NULL
+    metrics dropped first (the NULLS FIRST/LAST engine trap). Output
+    one row: ``(n_a, n_b, h_a, h_b, tmean_a, tmean_b, t, df)`` —
+    NULL t/df when either h ≤ 1 or both winsorized variances are 0.
+    """
+    from pyspark.sql import Window
+
+    if not 0 <= trim_pct < 50:
+        raise ValueError("yuen_trimmed_t: trim_pct must be in [0, 50)")
+    g_ = F.col(group_col)
+    base = df.select(
+        F.when(g_ == F.lit(group_a), F.lit(0))
+        .when(g_ == F.lit(group_b), F.lit(1))
+        .alias("_g"),
+        integral_long(df, value_col, "yuen_trimmed_t").alias("_v"),
+    ).where(F.col("_g").isNotNull() & F.col("_v").isNotNull())
+    w = Window.partitionBy("_g").orderBy("_v")
+    ranked = base.select(
+        "_g",
+        "_v",
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(Window.partitionBy("_g")).alias("_n"),
+    )
+    gcut = F.expr(f"(_n * {int(trim_pct)}) div 100")
+    dec = lambda c: c.cast("decimal(38,0)")
+    z = F.lit(0).cast("decimal(38,0)")
+    mid = (F.col("_r") > gcut) & (F.col("_r") <= F.col("_n") - gcut)
+    per = ranked.groupBy("_g").agg(
+        F.max("_n").alias("n"),
+        F.max(gcut).alias("_gc"),
+        F.sum(F.when(mid, dec(F.col("_v"))).otherwise(z)).alias("_ts"),
+        F.sum(F.when(mid, dec(F.col("_v")) * dec(F.col("_v"))).otherwise(z)).alias("_tq"),
+        F.min(F.when(F.col("_r") == gcut + 1, F.col("_v"))).alias("_lo"),
+        F.min(F.when(F.col("_r") == F.col("_n") - gcut, F.col("_v"))).alias("_hi"),
+    )
+    h = F.col("n") - F.lit(2) * F.col("_gc")
+    ws = F.col("_ts") + dec(F.col("_gc")) * (dec(F.col("_lo")) + dec(F.col("_hi")))
+    wq = F.col("_tq") + dec(F.col("_gc")) * (
+        dec(F.col("_lo")) * dec(F.col("_lo")) + dec(F.col("_hi")) * dec(F.col("_hi"))
+    )
+    nd = F.col("n").cast("double")
+    sw2 = (dec(F.col("n")) * wq - ws * ws).cast("double") / (
+        nd * (nd - F.lit(1.0))
+    )
+    dterm = sw2 * (nd - F.lit(1.0)) / (
+        h.cast("double") * (h.cast("double") - F.lit(1.0))
+    )
+    arm = per.select(
+        "_g",
+        "n",
+        h.alias("_h"),
+        (F.col("_ts").cast("double") / h.cast("double")).alias("_tm"),
+        dterm.alias("_d"),
+    )
+    a = arm.where(F.col("_g") == 0).select(
+        F.col("n").alias("n_a"),
+        F.col("_h").alias("h_a"),
+        F.col("_tm").alias("_tma"),
+        F.col("_d").alias("_da"),
+    )
+    b = arm.where(F.col("_g") == 1).select(
+        F.col("n").alias("n_b"),
+        F.col("_h").alias("h_b"),
+        F.col("_tm").alias("_tmb"),
+        F.col("_d").alias("_db"),
+    )
+    j = a.crossJoin(b)
+    dsum = F.col("_da") + F.col("_db")
+    t = (F.col("_tma") - F.col("_tmb")) / F.sqrt(dsum)
+    dfree = (dsum * dsum) / (
+        F.col("_da") * F.col("_da") / (F.col("h_a").cast("double") - F.lit(1.0))
+        + F.col("_db") * F.col("_db") / (F.col("h_b").cast("double") - F.lit(1.0))
+    )
+    ok = (F.col("h_a") > 1) & (F.col("h_b") > 1) & (dsum > 0)
+    return j.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("h_a").cast("long").alias("h_a"),
+        F.col("h_b").cast("long").alias("h_b"),
+        F.round(F.col("_tma"), round_to).alias("tmean_a"),
+        F.round(F.col("_tmb"), round_to).alias("tmean_b"),
+        F.round(F.when(ok, t), round_to).alias("t"),
+        F.round(F.when(ok, dfree), round_to).alias("df"),
+    )
+
+
+def yuen_trimmed_t_oracle_sql(
+    values_sql: str,
+    value_col: str,
+    group_col: str,
+    group_a_sql: str,
+    group_b_sql: str,
+    trim_pct: int = 20,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same per-arm rank window, same exact winsorized
+    sums and token-identical Yuen t / Satterthwaite df tail."""
+    tp = int(trim_pct)
+    sw2 = (
+        "(CAST(CAST(n AS HUGEINT) * _wq - _ws * _ws AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))"
+    )
+    h = "(n - 2 * _gc)"
+    dterm = (
+        f"({sw2} * (CAST(n AS DOUBLE) - 1.0)"
+        f" / (CAST({h} AS DOUBLE) * (CAST({h} AS DOUBLE) - 1.0)))"
+    )
+    return f"""
+WITH vals AS ({values_sql}),
+base AS (
+  SELECT CASE WHEN {group_col} = {group_a_sql} THEN 0
+              WHEN {group_col} = {group_b_sql} THEN 1 END AS _g,
+         CAST({value_col} AS BIGINT) AS _v
+  FROM vals
+  WHERE ({group_col} = {group_a_sql} OR {group_col} = {group_b_sql})
+    AND {value_col} IS NOT NULL
+),
+ranked AS (
+  SELECT _g, _v,
+         row_number() OVER (PARTITION BY _g ORDER BY _v) AS _r,
+         COUNT(*) OVER (PARTITION BY _g) AS _n
+  FROM base
+),
+per AS (
+  SELECT _g,
+         CAST(MAX(_n) AS BIGINT) AS n,
+         CAST(MAX((_n * {tp}) // 100) AS BIGINT) AS _gc,
+         SUM(CASE WHEN _r > (_n * {tp}) // 100 AND _r <= _n - (_n * {tp}) // 100
+             THEN CAST(_v AS HUGEINT) ELSE 0 END) AS _ts,
+         SUM(CASE WHEN _r > (_n * {tp}) // 100 AND _r <= _n - (_n * {tp}) // 100
+             THEN CAST(_v AS HUGEINT) * _v ELSE 0 END) AS _tq,
+         MIN(CASE WHEN _r = (_n * {tp}) // 100 + 1 THEN _v END) AS _lo,
+         MIN(CASE WHEN _r = _n - (_n * {tp}) // 100 THEN _v END) AS _hi
+  FROM ranked GROUP BY _g
+),
+armx AS (
+  SELECT _g, n, {h} AS _h,
+         CAST(_ts AS DOUBLE) / CAST({h} AS DOUBLE) AS _tm,
+         _ts + CAST(_gc AS HUGEINT) * (CAST(_lo AS HUGEINT) + _hi) AS _wsx,
+         _tq + CAST(_gc AS HUGEINT) * (CAST(_lo AS HUGEINT) * _lo + CAST(_hi AS HUGEINT) * _hi) AS _wqx
+  FROM per
+),
+armd AS (
+  SELECT _g, n, _h, _tm,
+         (CAST(CAST(n AS HUGEINT) * _wqx - _wsx * _wsx AS DOUBLE)
+          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+         * (CAST(n AS DOUBLE) - 1.0)
+         / (CAST(_h AS DOUBLE) * (CAST(_h AS DOUBLE) - 1.0)) AS _d
+  FROM armx
+)
+SELECT a.n AS n_a, b.n AS n_b,
+       CAST(a._h AS BIGINT) AS h_a, CAST(b._h AS BIGINT) AS h_b,
+       ROUND(a._tm, {round_to}) AS tmean_a,
+       ROUND(b._tm, {round_to}) AS tmean_b,
+       ROUND(CASE WHEN a._h > 1 AND b._h > 1 AND a._d + b._d > 0
+             THEN (a._tm - b._tm) / SQRT(a._d + b._d) END, {round_to}) AS t,
+       ROUND(CASE WHEN a._h > 1 AND b._h > 1 AND a._d + b._d > 0
+             THEN ((a._d + b._d) * (a._d + b._d))
+                  / (a._d * a._d / (CAST(a._h AS DOUBLE) - 1.0)
+                     + b._d * b._d / (CAST(b._h AS DOUBLE) - 1.0)) END,
+             {round_to}) AS df
+FROM (SELECT * FROM armd WHERE _g = 0) a CROSS JOIN (SELECT * FROM armd WHERE _g = 1) b
+"""

@@ -437,3 +437,234 @@ def test_sum_sq_width_multi_guard(spark):
     )  # 100·(4e18)² ≈ 1.6e39 ≥ 10³⁸
     with pytest.raises(ValueError, match="overflow"):
         require_sum_sq_width_multi(wide, ["a", "b"], "t")
+
+
+# ------------------------------------------------------ pillow decode path
+
+
+def test_decode_image_pillow_fallback_when_available():
+    """JPEG/PNG decode via the optional pillow hook (r11 verdict
+    carry-over). Skips in this sandbox (no pillow); the BMP/PPM
+    reference codecs stay the tested default either way."""
+    import numpy as np
+
+    from revtron_utils_spark.multimodal import _pillow_or_none, decode_image
+
+    Image = _pillow_or_none()
+    if Image is None:
+        pytest.skip("pillow not installed in this environment")
+    import io
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[..., 0] = 200
+    buf = io.BytesIO()
+    Image.fromarray(px).save(buf, format="PNG")
+    got = decode_image(buf.getvalue())
+    assert got.shape == (4, 4, 3)
+    assert np.array_equal(got, px)
+
+
+def test_decode_image_unknown_magic_still_valueerror():
+    """Without pillow the non-BMP/PPM path must stay a ValueError (the
+    documented contract the mapInPandas error accounting relies on)."""
+    from revtron_utils_spark.multimodal import decode_image
+
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n not a real png")
+
+
+# ---------------------------------------------------------- page_trend_test
+
+
+def test_page_trend_perfect_monotone(spark):
+    """3 blocks × 3 treatments, values strictly increasing along the
+    treatment order in every block: ranks 1,2,3 (doubled 2,4,6),
+    L2 = 1·6 + 2·12 + 3·18 = 84 (the maximum); E2 = 3·24 = 72,
+    Var = 3·9·16·2/144 = 6 ⇒ z = 12/(2√6) ≈ 2.44949."""
+    from revtron_utils_spark.operators.hypothesis_tests import page_trend_test
+
+    rows = [
+        (blk, t, 10 * blk + t)
+        for blk in (1, 2, 3)
+        for t in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(rows, "blk long, trt long, v long")
+    r = page_trend_test(df, "blk", "trt", "v").collect()[0]
+    assert (r["k"], r["n_blocks"], r["n_dropped"]) == (3, 3, 0)
+    assert r["l2"] == 84
+    assert r["z"] == pytest.approx(2.44949, abs=1e-5)
+
+
+def test_page_trend_incomplete_blocks_dropped(spark):
+    from revtron_utils_spark.operators.hypothesis_tests import page_trend_test
+
+    rows = [(1, 1, 5), (1, 2, 6), (1, 3, 7), (2, 1, 9)]  # block 2 incomplete
+    df = spark.createDataFrame(rows, "blk long, trt long, v long")
+    r = page_trend_test(df, "blk", "trt", "v").collect()[0]
+    assert r["n_blocks"] == 1 and r["n_dropped"] == 1
+
+
+def test_page_trend_no_complete_blocks(spark):
+    from revtron_utils_spark.operators.hypothesis_tests import page_trend_test
+
+    rows = [(1, 1, 5), (2, 2, 6)]
+    df = spark.createDataFrame(rows, "blk long, trt long, v long")
+    r = page_trend_test(df, "blk", "trt", "v").collect()[0]
+    assert r["n_blocks"] == 0 and r["n_dropped"] == 2
+    assert r["z"] is None
+
+
+# ----------------------------------------------------------- yuen_trimmed_t
+
+
+def test_yuen_hand_case(spark):
+    """Arms [0,1,2,3,100] and [10,11,12,13,110], 20% trim: g=1, h=3,
+    trimmed means 2 vs 12, winsorized s²=1 each, d=2/3 each ⇒
+    t = −10/√(4/3) ≈ −8.660254, df = 4 (symmetric arms)."""
+    from revtron_utils_spark.operators.hypothesis_tests import yuen_trimmed_t
+
+    rows = [("a", v) for v in (0, 1, 2, 3, 100)] + [
+        ("b", v) for v in (10, 11, 12, 13, 110)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = yuen_trimmed_t(df, "v", "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["h_a"], r["h_b"]) == (5, 5, 3, 3)
+    assert r["tmean_a"] == 2.0 and r["tmean_b"] == 12.0
+    assert r["t"] == pytest.approx(-8.660254, abs=1e-6)
+    assert r["df"] == pytest.approx(4.0, abs=1e-6)
+
+
+def test_yuen_outlier_robustness(spark):
+    """The whale in arm a (100 vs 3) does not move the trimmed mean —
+    replacing it with 1000 changes nothing."""
+    from revtron_utils_spark.operators.hypothesis_tests import yuen_trimmed_t
+
+    base = [("a", v) for v in (0, 1, 2, 3, 100)] + [
+        ("b", v) for v in (10, 11, 12, 13, 14)
+    ]
+    whale = [("a", v) for v in (0, 1, 2, 3, 1000)] + [
+        ("b", v) for v in (10, 11, 12, 13, 14)
+    ]
+    r1 = yuen_trimmed_t(
+        spark.createDataFrame(base, "g string, v long"), "v", "g", "a", "b"
+    ).collect()[0]
+    r2 = yuen_trimmed_t(
+        spark.createDataFrame(whale, "g string, v long"), "v", "g", "a", "b"
+    ).collect()[0]
+    assert r1["tmean_a"] == r2["tmean_a"]
+    assert r1["t"] == r2["t"]
+
+
+def test_yuen_rejects_bad_trim(spark):
+    from revtron_utils_spark.operators.hypothesis_tests import yuen_trimmed_t
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    with pytest.raises(ValueError, match="trim_pct"):
+        yuen_trimmed_t(df, "v", "g", "a", "b", trim_pct=50)
+
+
+# ---------------------------------------------------------------- tvd_drift
+
+
+def test_tvd_hand_case(spark):
+    """a: {x:2, y:2}, b: {x:1, y:3} ⇒ TVD = ½(¼ + ¼) = 0.25."""
+    from revtron_utils_spark.operators.concentration import tvd_drift
+
+    rows = (
+        [("a", "x")] * 2 + [("a", "y")] * 2 + [("b", "x")] + [("b", "y")] * 3
+    )
+    df = spark.createDataFrame(rows, "s string, bkt string")
+    r = tvd_drift(df, "bkt", "s", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_buckets_common"]) == (4, 4, 2)
+    assert r["tvd"] == 0.25
+
+
+def test_tvd_disjoint_and_identical(spark):
+    from revtron_utils_spark.operators.concentration import tvd_drift
+
+    disjoint = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")], "s string, bkt string"
+    )
+    assert tvd_drift(disjoint, "bkt", "s", "a", "b").collect()[0]["tvd"] == 1.0
+    same = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")], "s string, bkt string"
+    )
+    assert tvd_drift(same, "bkt", "s", "a", "b").collect()[0]["tvd"] == 0.0
+
+
+# -------------------------------------------------------------- bland_altman
+
+
+def test_bland_altman_hand_case(spark):
+    """d = (1,3,5,7): mean 4, s² = 80/12, all four inside the ±1.96s
+    limits ⇒ pct_within = 1."""
+    import math
+
+    from revtron_utils_spark.operators.association import bland_altman
+
+    rows = [(11, 10), (13, 10), (15, 10), (17, 10)]
+    df = spark.createDataFrame(rows, "m1 long, m2 long")
+    r = bland_altman(df, "m1", "m2").collect()[0]
+    assert r["n"] == 4
+    assert r["mean_diff"] == 4.0
+    sd = math.sqrt(80 / 12)
+    assert r["sd_diff"] == pytest.approx(sd, abs=1e-6)
+    assert r["loa_lo"] == pytest.approx(4 - 1.959963984540054 * sd, abs=1e-6)
+    assert r["pct_within"] == 1.0
+
+
+def test_bland_altman_outlier_outside_loa(spark):
+    """Nine zeros and one d=100: LoA ≈ 10 ± 62, the whale falls
+    outside ⇒ pct_within = 0.9."""
+    from revtron_utils_spark.operators.association import bland_altman
+
+    rows = [(0, 0)] * 9 + [(100, 0)]
+    df = spark.createDataFrame(rows, "m1 long, m2 long")
+    r = bland_altman(df, "m1", "m2").collect()[0]
+    assert r["mean_diff"] == 10.0
+    assert r["pct_within"] == 0.9
+
+
+def test_bland_altman_single_row_nulls(spark):
+    from revtron_utils_spark.operators.association import bland_altman
+
+    df = spark.createDataFrame([(5, 3)], "m1 long, m2 long")
+    r = bland_altman(df, "m1", "m2").collect()[0]
+    assert r["n"] == 1 and r["mean_diff"] == 2.0
+    assert r["sd_diff"] is None and r["pct_within"] is None
+
+
+# ------------------------------------------------------------------ wilson_ci
+
+
+def test_wilson_hand_case(spark):
+    """s=5, n=10, z=1.959964: center = (0.5 + z²/20)/(1 + z²/10),
+    half = z·sqrt(0.025 + z²/400)/(1 + z²/10) — the classic
+    [0.2366, 0.7634] interval."""
+    import math
+
+    from revtron_utils_spark.operators.experiment import wilson_ci
+
+    rows = [(1,)] * 5 + [(0,)] * 5
+    df = spark.createDataFrame(rows, "x long")
+    r = wilson_ci(df, "x").collect()[0]
+    assert (r["n"], r["successes"]) == (10, 5)
+    assert r["p_hat"] == 0.5
+    z = 1.959963984540054
+    denom = 1.0 + z * z / 10.0
+    center = (0.5 + z * z / 20.0) / denom
+    half = z * math.sqrt(0.5 * 0.5 / 10.0 + z * z / 400.0) / denom
+    assert r["ci_lo"] == pytest.approx(center - half, abs=1e-6)
+    assert r["ci_hi"] == pytest.approx(center + half, abs=1e-6)
+
+
+def test_wilson_extreme_p_stays_inside_unit_interval(spark):
+    """All successes: Wald would give [1, 1]; Wilson pulls the lower
+    bound properly below 1 and keeps bounds in (0, 1]."""
+    from revtron_utils_spark.operators.experiment import wilson_ci
+
+    df = spark.createDataFrame([(1,)] * 8, "x long")
+    r = wilson_ci(df, "x").collect()[0]
+    assert r["p_hat"] == 1.0
+    assert 0.6 < r["ci_lo"] < 1.0
+    assert r["ci_hi"] <= 1.0

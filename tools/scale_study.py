@@ -200,6 +200,12 @@ def make_fixtures(out_dir: Path, n_docs: int, seed: int = 42) -> None:
                     for _ in range(n_cust)
                 ]
             ),
+            # quantile_share / regression_adjustment gate column:
+            # balances in the TPC-H range incl. negatives
+            "c_acctbal": pa.array(
+                [round(rng.uniform(-999.99, 9999.99), 2) for _ in range(n_cust)],
+                pa.float64(),
+            ),
         }
     )
     pq.write_table(customer, out_dir / "customer.parquet")
@@ -262,6 +268,10 @@ def make_fixtures(out_dir: Path, n_docs: int, seed: int = 42) -> None:
             ),
             "l_discount": pa.array(
                 [round(rng.randrange(0, 11) / 100, 2) for _ in range(n_li)], pa.float64()
+            ),
+            # correlation_matrix gate column, as in TPC-H (0.00-0.08)
+            "l_tax": pa.array(
+                [round(rng.randrange(0, 9) / 100, 2) for _ in range(n_li)], pa.float64()
             ),
         }
     )
@@ -327,6 +337,12 @@ def main() -> None:
             if not (d / "supplier.parquet").exists():
                 return True
             if "s_nationkey" not in _pq.read_schema(d / "supplier.parquet").names:
+                return True
+            # r12 additions: l_tax (correlation_matrix) and c_acctbal
+            # (quantile_share / regression_adjustment)
+            if "l_tax" not in _pq.read_schema(li).names:
+                return True
+            if "c_acctbal" not in _pq.read_schema(d / "customer.parquet").names:
                 return True
             return "o_orderdate" not in _pq.read_schema(d / "orders.parquet").names
 
