@@ -11318,6 +11318,112 @@ def _sql_wilson_ci() -> str:
 SQL_WILSON_CI = _sql_wilson_ci()
 
 
+def q_sign_test(spark, sf):
+    """Assumption-free paired comparison (`hypothesis_tests.
+    sign_test`): does the catalog price systematically exceed the
+    discounted charge per returnflag — only the sign of each pair's
+    difference, ties counted separately; exact counts, one pinned z."""
+    from revtron_utils_spark.operators.hypothesis_tests import sign_test
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("m1"),
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+        ).alias("m2"),
+    )
+    return sign_test(li, "m1", "m2", by=["l_returnflag"])
+
+
+def _sql_sign_test() -> str:
+    from revtron_utils_spark.operators.hypothesis_tests import (
+        sign_test_oracle_sql,
+    )
+
+    units = """
+SELECT l_returnflag,
+       CAST(round(l_extendedprice * 100) AS BIGINT) AS m1,
+       CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS m2
+FROM lineitem
+"""
+    return sign_test_oracle_sql(units, "m1", "m2", by=["l_returnflag"])
+
+
+SQL_SIGN_TEST = _sql_sign_test()
+
+
+def q_poisson_rate(spark, sf):
+    """Two-sample rate comparison (`hypothesis_tests.
+    poisson_rate_test`): orders per customer, AUTOMOBILE vs BUILDING —
+    the count-metric test whose variance IS the mean; exact totals,
+    pinned rate/z tail."""
+    from revtron_utils_spark.operators.hypothesis_tests import (
+        poisson_rate_test,
+    )
+
+    o = _t(spark, sf, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("events")
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    units = c.join(o, c["c_custkey"] == o["o_custkey"], "left").select(
+        "c_mktsegment",
+        F.coalesce(F.col("events"), F.lit(0)).alias("events"),
+        F.lit(1).alias("exposure"),
+    )
+    return poisson_rate_test(
+        units, "c_mktsegment", "AUTOMOBILE", "BUILDING", "events", "exposure"
+    )
+
+
+def _sql_poisson_rate() -> str:
+    from revtron_utils_spark.operators.hypothesis_tests import (
+        poisson_rate_test_oracle_sql,
+    )
+
+    units = """
+SELECT c_mktsegment,
+       COALESCE(o.events, 0) AS events,
+       1 AS exposure
+FROM customer
+LEFT JOIN (SELECT o_custkey, COUNT(*) AS events FROM orders GROUP BY o_custkey) o
+  ON c_custkey = o.o_custkey
+"""
+    return poisson_rate_test_oracle_sql(
+        units, "c_mktsegment", "'AUTOMOBILE'", "'BUILDING'", "events", "exposure"
+    )
+
+
+SQL_POISSON_RATE = _sql_poisson_rate()
+
+
+def q_hodges_lehmann(spark, sf):
+    """Robust location (`hypothesis_tests.hodges_lehmann`): the
+    pseudo-median of quantity per returnflag — the Walsh-average
+    median dual to the signed-rank test, collapsed onto the bounded
+    value histogram (never O(rows²)); doubled weights clear the
+    diagonal halves, rank selection stays exact."""
+    from revtron_utils_spark.operators.hypothesis_tests import hodges_lehmann
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return hodges_lehmann(li, "qty", by=["l_returnflag"])
+
+
+def _sql_hodges_lehmann() -> str:
+    from revtron_utils_spark.operators.hypothesis_tests import (
+        hodges_lehmann_oracle_sql,
+    )
+
+    values = (
+        "SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty FROM lineitem"
+    )
+    return hodges_lehmann_oracle_sql(values, "qty", by=["l_returnflag"])
+
+
+SQL_HODGES_LEHMANN = _sql_hodges_lehmann()
+
+
 _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "flagship": (q_flagship, SQL_FLAGSHIP),
     "where_eq": (q_where_eq, SQL_WHERE_EQ),
@@ -11651,6 +11757,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tvd_drift": (q_tvd_drift, SQL_TVD_DRIFT),
     "bland_altman": (q_bland_altman, SQL_BLAND_ALTMAN),
     "wilson_ci": (q_wilson_ci, SQL_WILSON_CI),
+    "sign_test": (q_sign_test, SQL_SIGN_TEST),
+    "poisson_rate": (q_poisson_rate, SQL_POISSON_RATE),
+    "hodges_lehmann": (q_hodges_lehmann, SQL_HODGES_LEHMANN),
 }
 
 

@@ -273,6 +273,9 @@ HEADLINE = [
     "tvd_drift",
     "bland_altman",
     "wilson_ci",
+    "sign_test",
+    "poisson_rate",
+    "hodges_lehmann",
 ]
 
 

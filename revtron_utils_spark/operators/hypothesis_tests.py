@@ -2482,3 +2482,362 @@ SELECT a.n AS n_a, b.n AS n_b,
              {round_to}) AS df
 FROM (SELECT * FROM armd WHERE _g = 0) a CROSS JOIN (SELECT * FROM armd WHERE _g = 1) b
 """
+
+
+def sign_test(
+    df: DataFrame,
+    m1_col: str,
+    m2_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Paired sign test per segment — the assumption-free floor under
+    :func:`yuen_trimmed_t` and the Wilcoxon family (it uses only the
+    SIGN of each within-pair difference, so it survives any monotone
+    transformation and any outlier):
+
+        z = (n⁺ − n⁻) / sqrt(n⁺ + n⁻)      (ties dropped, the
+        standard convention; equivalent to the binomial normal
+        approximation without continuity correction).
+
+    Exactness: the three counts are exact integers from ONE
+    conditional aggregation; z is a single pinned tail. Output per
+    segment: ``(*by, n, n_pos, n_neg, n_zero, z)`` — NULL z when
+    every pair is tied.
+    """
+    keys = list(by or [])
+    d = integral_long(df, m1_col, "sign_test") - integral_long(
+        df, m2_col, "sign_test"
+    )
+    base = df.select(*keys, d.alias("_d")).where(F.col("_d").isNotNull())
+    per = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0)).alias("_np"),
+        F.sum(F.when(F.col("_d") < 0, 1).otherwise(0)).alias("_nn"),
+        F.sum(F.when(F.col("_d") == 0, 1).otherwise(0)).alias("_nz"),
+    )
+    eff = F.col("_np") + F.col("_nn")
+    z = (F.col("_np") - F.col("_nn")).cast("double") / F.sqrt(
+        eff.cast("double")
+    )
+    out = per.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.col("_np").cast("long").alias("n_pos"),
+        F.col("_nn").cast("long").alias("n_neg"),
+        F.col("_nz").cast("long").alias("n_zero"),
+        F.round(F.when(eff > 0, z), round_to).alias("z"),
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def sign_test_oracle_sql(
+    units_sql: str,
+    m1_col: str,
+    m2_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same counts, same pinned z."""
+    keys = list(by or [])
+    gc = ", ".join(keys)
+    sel = (gc + ", ") if keys else ""
+    group = f"GROUP BY {gc}" if keys else ""
+    order = f"ORDER BY {gc}" if keys else ""
+    return f"""
+WITH units AS ({units_sql}),
+base AS (
+  SELECT {sel}CAST({m1_col} AS BIGINT) - CAST({m2_col} AS BIGINT) AS _d
+  FROM units
+  WHERE {m1_col} IS NOT NULL AND {m2_col} IS NOT NULL
+),
+per AS (
+  SELECT {sel}CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN _d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS _np,
+         CAST(SUM(CASE WHEN _d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS _nn,
+         CAST(SUM(CASE WHEN _d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS _nz
+  FROM base {group}
+)
+SELECT {sel}n, _np AS n_pos, _nn AS n_neg, _nz AS n_zero,
+       ROUND(CASE WHEN _np + _nn > 0 THEN
+         CAST(_np - _nn AS DOUBLE) / SQRT(CAST(_np + _nn AS DOUBLE)) END,
+         {round_to}) AS z
+FROM per {order}
+"""
+
+
+def poisson_rate_test(
+    df: DataFrame,
+    group_col: str,
+    group_a,
+    group_b,
+    events_col: str,
+    exposure_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Poisson rate comparison — the ops-metrics test the
+    mean-based machinery mis-models (error counts per machine-hour,
+    incidents per user-day: the variance IS the mean, so a t-test's
+    pooled variance is wrong on both sides):
+
+        z = (λ̂_a − λ̂_b) / sqrt( c_a/t_a² + c_b/t_b² ),
+        λ̂ = Σevents / Σexposure      (per arm).
+
+    Exactness: event and exposure totals are exact integers from ONE
+    conditional aggregation (exposure in integral units — hours,
+    days — by contract); each rate is ONE pinned division and z a
+    fixed-order tail. Output one row: ``(events_a, exposure_a,
+    rate_a, events_b, exposure_b, rate_b, z)`` — NULL z when either
+    exposure is 0 or both event counts are 0.
+    """
+    g = F.col(group_col)
+    ev = integral_long(df, events_col, "poisson_rate_test")
+    ex = integral_long(df, exposure_col, "poisson_rate_test")
+
+    def cell(val, tag):
+        m = g == F.lit(val)
+        return [
+            F.sum(F.when(m, ev).otherwise(F.lit(0))).alias(f"_c{tag}"),
+            F.sum(F.when(m, ex).otherwise(F.lit(0))).alias(f"_t{tag}"),
+        ]
+
+    agg = df.agg(*cell(group_a, "a"), *cell(group_b, "b"))
+    ca, ta = F.col("_ca").cast("double"), F.col("_ta").cast("double")
+    cb, tb = F.col("_cb").cast("double"), F.col("_tb").cast("double")
+    ra, rb = ca / ta, cb / tb
+    z = (ra - rb) / F.sqrt(ca / (ta * ta) + cb / (tb * tb))
+    ok = (F.col("_ta") > 0) & (F.col("_tb") > 0) & (
+        (F.col("_ca") > 0) | (F.col("_cb") > 0)
+    )
+    return agg.select(
+        F.col("_ca").cast("long").alias("events_a"),
+        F.col("_ta").cast("long").alias("exposure_a"),
+        F.round(F.when(F.col("_ta") > 0, ra), round_to).alias("rate_a"),
+        F.col("_cb").cast("long").alias("events_b"),
+        F.col("_tb").cast("long").alias("exposure_b"),
+        F.round(F.when(F.col("_tb") > 0, rb), round_to).alias("rate_b"),
+        F.round(F.when(ok, z), round_to).alias("z"),
+    )
+
+
+def poisson_rate_test_oracle_sql(
+    units_sql: str,
+    group_col: str,
+    group_a_sql: str,
+    group_b_sql: str,
+    events_col: str,
+    exposure_col: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same exact totals, token-identical rate/z tail."""
+    ra = "(CAST(_ca AS DOUBLE) / CAST(_ta AS DOUBLE))"
+    rb = "(CAST(_cb AS DOUBLE) / CAST(_tb AS DOUBLE))"
+    z = (
+        f"(({ra} - {rb}) / SQRT(CAST(_ca AS DOUBLE)"
+        " / (CAST(_ta AS DOUBLE) * CAST(_ta AS DOUBLE))"
+        " + CAST(_cb AS DOUBLE)"
+        " / (CAST(_tb AS DOUBLE) * CAST(_tb AS DOUBLE))))"
+    )
+    ok = "_ta > 0 AND _tb > 0 AND (_ca > 0 OR _cb > 0)"
+    return f"""
+WITH units AS ({units_sql}),
+agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN {group_col} = {group_a_sql} THEN CAST({events_col} AS BIGINT) ELSE 0 END) AS BIGINT) AS _ca,
+    CAST(SUM(CASE WHEN {group_col} = {group_a_sql} THEN CAST({exposure_col} AS BIGINT) ELSE 0 END) AS BIGINT) AS _ta,
+    CAST(SUM(CASE WHEN {group_col} = {group_b_sql} THEN CAST({events_col} AS BIGINT) ELSE 0 END) AS BIGINT) AS _cb,
+    CAST(SUM(CASE WHEN {group_col} = {group_b_sql} THEN CAST({exposure_col} AS BIGINT) ELSE 0 END) AS BIGINT) AS _tb
+  FROM units
+)
+SELECT _ca AS events_a, _ta AS exposure_a,
+       ROUND(CASE WHEN _ta > 0 THEN {ra} END, {round_to}) AS rate_a,
+       _cb AS events_b, _tb AS exposure_b,
+       ROUND(CASE WHEN _tb > 0 THEN {rb} END, {round_to}) AS rate_b,
+       ROUND(CASE WHEN {ok} THEN {z} END, {round_to}) AS z
+FROM agg
+"""
+
+
+def hodges_lehmann(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+    max_buckets: int | None = 1000,
+) -> DataFrame:
+    """Hodges–Lehmann pseudo-median per segment — the location
+    estimator dual to the Wilcoxon signed-rank test (median of all
+    n(n+1)/2 Walsh averages (x_i + x_j)/2, i ≤ j): ~30% more
+    efficient than the plain median at the normal, still 50%
+    breakdown-robust against gross outliers.
+
+    Exactness AND scale: O(n²) Walsh pairs collapse to the bounded
+    value histogram — pairs of DISTINCT values (v_i ≤ v_j, the
+    ``max_buckets``-guarded spine): each sum s = v_i + v_j carries
+    exact integer weight c_i·c_j (doubled: 2c_i·c_j off-diagonal,
+    c_i(c_i+1) on it, so the half-weights of the diagonal clear);
+    the weighted median is rank-selection over the s-ordered cumsum
+    (value at original rank r ⇔ smallest s with cum_w2 ≥ 2r), and
+    the estimate (s_lo + s_hi)/4 resolves both the two-middle
+    average AND the doubled s in one pinned division. Output per
+    segment: ``(*by, n, hl_estimate)``.
+    """
+    from pyspark.sql import Window
+
+    from .guards import require_bounded_spine
+
+    keys = list(by or [])
+    require_bounded_spine(df, value_col, keys, max_buckets, "hodges_lehmann")
+    dec = lambda c: c.cast("decimal(38,0)")
+    cells = (
+        df.select(
+            *keys, integral_long(df, value_col, "hodges_lehmann").alias("_v")
+        )
+        .where(F.col("_v").isNotNull())
+        .groupBy(*keys, "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    a = cells.select(
+        *[F.col(k).alias(f"_ka{i}") for i, k in enumerate(keys)],
+        F.col("_v").alias("_va"),
+        F.col("_c").alias("_cca"),
+    )
+    b = cells.select(
+        *[F.col(k).alias(f"_kb{i}") for i, k in enumerate(keys)],
+        F.col("_v").alias("_vb"),
+        F.col("_c").alias("_ccb"),
+    )
+    cond = [F.col(f"_ka{i}") == F.col(f"_kb{i}") for i in range(len(keys))]
+    pairs = a.join(b, cond + [F.col("_vb") >= F.col("_va")] if keys else [F.col("_vb") >= F.col("_va")])
+    w2 = F.when(
+        F.col("_vb") == F.col("_va"),
+        dec(F.col("_cca")) * dec(F.col("_cca") + F.lit(1)),
+    ).otherwise(F.lit(2).cast("decimal(38,0)") * dec(F.col("_cca")) * dec(F.col("_ccb")))
+    kb_cols = [F.col(f"_ka{i}").alias(k) for i, k in enumerate(keys)]
+    sums = (
+        pairs.select(
+            *kb_cols, (F.col("_va") + F.col("_vb")).alias("_s"), w2.alias("_w2")
+        )
+        .groupBy(*keys, "_s")
+        .agg(F.sum("_w2").alias("_w2"))
+    )
+    wcum = Window.partitionBy(*keys).orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy(*keys)
+    ranked = sums.select(
+        *keys,
+        "_s",
+        F.sum("_w2").over(wcum).alias("_cw2"),
+        F.sum("_w2").over(wall).alias("_W2"),
+    )
+    # original Walsh count W = W2/2; the two median ranks are
+    # r_lo = ⌊(W+1)/2⌋ and r_hi = ⌊W/2⌋+1, and value-at-rank-r is the
+    # smallest s with cum_w2 ≥ 2r. Because every w2 term is EVEN (the
+    # diagonal c(c+1) and off-diagonal 2ab both are), 2·r_lo = W + (W%2)
+    # and 2·r_hi = W − (W%2) + 2, with W%2 = (W2 % 4)/2 — all exact
+    # decimal algebra. Division of an EVEN decimal by 2 is exact on both
+    # engines (a stray ⌊/2⌋ of an ODD decimal would NOT be: Spark's
+    # decimal cast rounds HALF_UP while DuckDB's // floors — the
+    # negated-div class of engine trap, avoided by keeping operands even).
+    Wl = F.col("_W2").cast("decimal(38,0)")  # 2W (even)
+    half = (Wl / F.lit(2)).cast("decimal(38,0)")  # W, exact
+    wmod2 = (F.pmod(Wl, F.lit(4)) / F.lit(2)).cast("decimal(38,0)")  # W % 2
+    t_lo = half + wmod2
+    t_hi = half - wmod2 + F.lit(2)
+    lo = ranked.where(F.col("_cw2") >= t_lo).groupBy(*keys).agg(
+        F.min("_s").alias("_slo")
+    )
+    hi = ranked.where(F.col("_cw2") >= t_hi).groupBy(*keys).agg(
+        F.min("_s").alias("_shi")
+    )
+    n_per = cells.groupBy(*keys).agg(F.sum("_c").alias("n"))
+    j = n_per.join(lo, keys) if keys else n_per.crossJoin(lo)
+    j = j.join(hi, keys) if keys else j.crossJoin(hi)
+    out = j.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("_slo") + F.col("_shi")).cast("double") / F.lit(4.0),
+            round_to,
+        ).alias("hl_estimate"),
+    )
+    return out.orderBy(*keys) if keys else out
+
+
+def hodges_lehmann_oracle_sql(
+    values_sql: str,
+    value_col: str,
+    by: list[str] | None = None,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin: same histogram Walsh pairs with doubled weights,
+    same rank-selection algebra and single pinned division."""
+    keys = list(by or [])
+    gc = ", ".join(keys)
+    sel = (gc + ", ") if keys else ""
+    group = f"GROUP BY {gc}" if keys else ""
+    order = f"ORDER BY {gc}" if keys else ""
+    part = f"PARTITION BY {gc} " if keys else ""
+    acond = (
+        " AND ".join(f"a.{k} = b.{k}" for k in keys) + " AND "
+        if keys
+        else ""
+    )
+    asel = (", ".join(f"a.{k}" for k in keys) + ", ") if keys else ""
+    agroup = (
+        ("GROUP BY " + ", ".join(f"a.{k}" for k in keys) + ", _s")
+        if keys
+        else "GROUP BY _s"
+    )
+    jcond1 = (
+        " AND ".join(f"n.{k} = l.{k}" for k in keys) if keys else "TRUE"
+    )
+    jcond2 = (
+        " AND ".join(f"n.{k} = h.{k}" for k in keys) if keys else "TRUE"
+    )
+    nsel = (", ".join(f"n.{k}" for k in keys) + ", ") if keys else ""
+    norder = (
+        ("ORDER BY " + ", ".join(f"n.{k}" for k in keys)) if keys else ""
+    )
+    return f"""
+WITH vals AS ({values_sql}),
+cells AS MATERIALIZED (
+  SELECT {sel}CAST({value_col} AS BIGINT) AS _v, CAST(COUNT(*) AS BIGINT) AS _c
+  FROM vals WHERE {value_col} IS NOT NULL GROUP BY {sel}_v
+),
+sums AS MATERIALIZED (
+  SELECT {asel}a._v + b._v AS _s,
+         SUM(CASE WHEN a._v = b._v
+             THEN CAST(a._c AS HUGEINT) * (a._c + 1)
+             ELSE 2 * CAST(a._c AS HUGEINT) * b._c END) AS _w2
+  FROM cells a JOIN cells b ON {acond}b._v >= a._v
+  {agroup}
+),
+ranked AS MATERIALIZED (
+  SELECT {sel}_s,
+         SUM(_w2) OVER ({part}ORDER BY _s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cw2,
+         SUM(_w2) OVER ({part}) AS _W2
+  FROM sums
+),
+bounds AS (
+  SELECT {sel}_s, _cw2,
+         _W2 // 2 AS _half,
+         (_W2 % 4) // 2 AS _wmod2
+  FROM ranked
+),
+lo AS (
+  SELECT {sel}MIN(_s) AS _slo FROM bounds
+  WHERE _cw2 >= _half + _wmod2 {group}
+),
+hi AS (
+  SELECT {sel}MIN(_s) AS _shi FROM bounds
+  WHERE _cw2 >= _half - _wmod2 + 2 {group}
+),
+n_per AS (SELECT {sel}CAST(SUM(_c) AS BIGINT) AS n FROM cells {group})
+SELECT {nsel}n.n,
+       ROUND(CAST(l._slo + h._shi AS DOUBLE) / 4.0, {round_to}) AS hl_estimate
+FROM n_per n JOIN lo l ON {jcond1} JOIN hi h ON {jcond2}
+{norder}
+"""

@@ -93,6 +93,8 @@ from .experiment import (  # noqa: F401  (re-export: split round 12)
     sample_size_power_oracle_sql,
 )
 from .concentration import (  # noqa: F401  (re-export: split round 12)
+    _BENFORD_P,
+    _hbos_width_guard,
     rolling_zscore,
     token_diversity,
     token_diversity_oracle_sql,

@@ -33,10 +33,27 @@ SLOW_MODULES = {
 }
 
 
+# Individual ≥20 s differentials inside otherwise-fast modules
+# (round-12 verdict task 5): each operator named here keeps multiple
+# sibling unit/oracle tests in the fast tier (verified at demotion
+# time), so the per-commit loop still executes it — the full tier
+# (bare pytest at round close) runs these like everything else.
+SLOW_TESTS = {
+    ("test_evaluation", "test_rank_auc_matches_python_model_with_ties"),
+    ("test_annotation", "test_bradley_terry_property_differential"),
+    ("test_pq", "test_rerank_reproduces_exact_topk"),
+    ("test_dedup_similarity", "test_neardup_lsh_bench_recall"),
+    ("test_graph_curation", "test_decontaminate_bloom_fp_is_failsafe_and_deterministic"),
+    ("test_dedup_similarity", "test_hashed_tf_embedding_properties"),
+}
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         mod = item.module.__name__ if item.module else ""
         if mod in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        elif (mod, item.name.split("[")[0]) in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
 
 

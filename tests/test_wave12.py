@@ -668,3 +668,112 @@ def test_wilson_extreme_p_stays_inside_unit_interval(spark):
     assert r["p_hat"] == 1.0
     assert 0.6 < r["ci_lo"] < 1.0
     assert r["ci_hi"] <= 1.0
+
+
+# -------------------------------------------------------------------- sign_test
+
+
+def test_sign_test_hand_case(spark):
+    """6 positive, 2 negative, 2 ties: z = 4/√8 ≈ 1.414214, ties
+    excluded from the denominator but counted."""
+    from revtron_utils_spark.operators.hypothesis_tests import sign_test
+
+    rows = (
+        [(5, 1)] * 6 + [(1, 5)] * 2 + [(3, 3)] * 2
+    )
+    df = spark.createDataFrame(rows, "m1 long, m2 long")
+    r = sign_test(df, "m1", "m2").collect()[0]
+    assert (r["n"], r["n_pos"], r["n_neg"], r["n_zero"]) == (10, 6, 2, 2)
+    assert r["z"] == pytest.approx(1.414214, abs=1e-6)
+
+
+def test_sign_test_all_ties_null(spark):
+    from revtron_utils_spark.operators.hypothesis_tests import sign_test
+
+    df = spark.createDataFrame([(2, 2), (7, 7)], "m1 long, m2 long")
+    r = sign_test(df, "m1", "m2").collect()[0]
+    assert r["z"] is None and r["n_zero"] == 2
+
+
+# ------------------------------------------------------------ poisson_rate_test
+
+
+def test_poisson_rate_hand_case(spark):
+    """Arm a: 8 events over 4 units; arm b: 2 events over 4 units:
+    rates 2 vs 0.5, z = 1.5/sqrt(8/16 + 2/16) = 1.5/0.790569…"""
+    import math
+
+    from revtron_utils_spark.operators.hypothesis_tests import (
+        poisson_rate_test,
+    )
+
+    rows = [("a", 8, 4), ("b", 2, 4)]
+    df = spark.createDataFrame(rows, "g string, ev long, ex long")
+    r = poisson_rate_test(df, "g", "a", "b", "ev", "ex").collect()[0]
+    assert (r["events_a"], r["exposure_a"]) == (8, 4)
+    assert r["rate_a"] == 2.0 and r["rate_b"] == 0.5
+    z = 1.5 / math.sqrt(8 / 16 + 2 / 16)
+    assert r["z"] == pytest.approx(z, abs=1e-6)
+
+
+def test_poisson_rate_zero_exposure_null(spark):
+    from revtron_utils_spark.operators.hypothesis_tests import (
+        poisson_rate_test,
+    )
+
+    rows = [("a", 8, 4)]
+    df = spark.createDataFrame(rows, "g string, ev long, ex long")
+    r = poisson_rate_test(df, "g", "a", "b", "ev", "ex").collect()[0]
+    assert r["z"] is None and r["rate_b"] is None
+
+
+# --------------------------------------------------------------- hodges_lehmann
+
+
+def test_hodges_lehmann_odd_simple(spark):
+    """Values {1,2,3}: Walsh averages {1, 1.5, 2, 2, 2.5, 3} → W=6
+    even, middles 2 and 2 ⇒ HL = 2."""
+    from revtron_utils_spark.operators.hypothesis_tests import hodges_lehmann
+
+    df = spark.createDataFrame([(v,) for v in (1, 2, 3)], "v long")
+    r = hodges_lehmann(df, "v").collect()[0]
+    assert r["n"] == 3
+    assert r["hl_estimate"] == 2.0
+
+
+def test_hodges_lehmann_two_values(spark):
+    """Values {1, 5}: Walsh {1, 3, 5}, W=3 odd ⇒ HL = 3."""
+    from revtron_utils_spark.operators.hypothesis_tests import hodges_lehmann
+
+    df = spark.createDataFrame([(1,), (5,)], "v long")
+    r = hodges_lehmann(df, "v").collect()[0]
+    assert r["hl_estimate"] == 3.0
+
+
+def test_hodges_lehmann_even_average(spark):
+    """Values {1, 2, 4, 10}: W = 10, sorted Walsh (doubled s):
+    2,3,5,4,6,8,11,12,14,20 → sorted 2,3,4,5,6,8,11,12,14,20;
+    middles 6 and 8 (s-scale) ⇒ HL = (6+8)/4 = 3.5."""
+    from revtron_utils_spark.operators.hypothesis_tests import hodges_lehmann
+
+    df = spark.createDataFrame([(v,) for v in (1, 2, 4, 10)], "v long")
+    r = hodges_lehmann(df, "v").collect()[0]
+    assert r["hl_estimate"] == 3.5
+
+
+def test_hodges_lehmann_outlier_robust_vs_scipy_semantics(spark):
+    """Ties + outlier: matches a brute-force Python Walsh median."""
+    import statistics
+
+    from revtron_utils_spark.operators.hypothesis_tests import hodges_lehmann
+
+    vals = [3, 3, 5, 7, 7, 7, 9, 1000]
+    walsh = [
+        (vals[i] + vals[j]) / 2
+        for i in range(len(vals))
+        for j in range(i, len(vals))
+    ]
+    want = statistics.median(walsh)
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = hodges_lehmann(df, "v").collect()[0]
+    assert r["hl_estimate"] == pytest.approx(want, abs=1e-9)
