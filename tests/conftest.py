@@ -45,6 +45,12 @@ SLOW_TESTS = {
     ("test_dedup_similarity", "test_neardup_lsh_bench_recall"),
     ("test_graph_curation", "test_decontaminate_bloom_fp_is_failsafe_and_deterministic"),
     ("test_dedup_similarity", "test_hashed_tf_embedding_properties"),
+    # second demotion pass (the 2-shard wall was 18 min): each
+    # operator keeps a fast sibling — tumbling-equals-batch covers
+    # streaming equivalence per commit, encode_roundtrip covers unigram
+    ("test_streaming", "test_stream_interval_join_matches_batch"),
+    ("test_streaming", "test_streaming_sliding_equals_batch_and_doubles_membership"),
+    ("test_unigram", "test_train_hypothesis_differential"),
 }
 
 

@@ -30,25 +30,35 @@ REPO = Path(__file__).resolve().parent.parent
 # --durations top-50; unlisted modules default to 10) — only used to
 # balance shards, correctness does not depend on accuracy
 WEIGHTS = {
-    "test_dedup_similarity.py": 97,
-    "test_annotation.py": 66,
-    "test_streaming.py": 65,
-    "test_ann_poly.py": 63,
-    "test_evaluation.py": 42,
-    "test_graph_curation.py": 37,
-    "test_unigram.py": 30,
-    "test_pq.py": 29,
-    "test_plans.py": 28,
-    "test_session_edges.py": 21,
-    "test_sessionize.py": 20,
-    "test_semdedup.py": 18,
-    "test_stats_wave10b.py": 18,
-    "test_wave11b.py": 16,
-    "test_tables.py": 16,
-    "test_funnel.py": 15,
-    "test_wave12.py": 15,
-    "test_engine.py": 12,
-    "test_guards_audit.py": 12,
+    "test_dedup_similarity.py": 95,
+    "test_annotation.py": 70,
+    "test_streaming.py": 35,
+    "test_ann_poly.py": 100,
+    "test_session_edges.py": 55,
+    "test_evaluation.py": 25,
+    "test_graph_curation.py": 30,
+    "test_unigram.py": 16,
+    "test_pq.py": 15,
+    "test_plans.py": 45,
+    "test_sessionize.py": 30,
+    "test_semdedup.py": 25,
+    "test_stats_wave10b.py": 25,
+    "test_wave11b.py": 22,
+    "test_tables.py": 22,
+    "test_funnel.py": 20,
+    "test_wave12.py": 130,
+    "test_engine.py": 20,
+    "test_guards_audit.py": 25,
+    "test_guards_wave11.py": 40,
+    "test_stats_wave10.py": 35,
+    "test_stats_wave10c.py": 30,
+    "test_http_socket.py": 20,
+    "test_retrieval.py": 25,
+    "test_graph_ts_wave10.py": 35,
+    "test_quantiles.py": 20,
+    "test_wave11c.py": 25,
+    "test_wave11d.py": 25,
+    "test_eval_wave10.py": 20,
 }
 
 
@@ -66,8 +76,17 @@ def main() -> int:
         loads[i] += WEIGHTS.get(p.name, 10)
     procs = []
     t0 = time.time()
+    import os
+
     for i, shard in enumerate(shards):
         log = open(f"/tmp/fast_tier_shard{i}.log", "w")
+        env = dict(os.environ)
+        # split the cores between shards — two local[32] JVMs on 32
+        # cores thrash each other (measured: the 2-shard run was SLOWER
+        # than serial before this); local[cores/n] each keeps both
+        # sessions inside their budget and also halves shuffle
+        # partitions via get_spark's cpus default
+        env["SPARK_GRAFT_CPUS"] = str(max(4, (os.cpu_count() or 8) // n))
         procs.append(
             (
                 subprocess.Popen(
@@ -75,6 +94,7 @@ def main() -> int:
                     cwd=REPO,
                     stdout=log,
                     stderr=subprocess.STDOUT,
+                    env=env,
                 ),
                 log,
             )
