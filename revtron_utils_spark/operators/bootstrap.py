@@ -50,6 +50,24 @@ _POISSON_CDF = (
     0.9994058151824183,
 )
 
+# Exact integer crossovers of the oracle's double comparison: for every
+# integer h in [0, P), ``h/P >= _POISSON_CDF[k]`` (IEEE double division,
+# which is monotone in h) holds iff ``h >= _POISSON_CDF_H[k]``. Derived
+# by binary search over the same division and asserted at import, so the
+# Spark side can stay in pure int64 per exploded row while remaining
+# bit-identical to the oracle's float path (guide §2.3: cheaper per-row
+# work on the B-fold-amplified scan).
+_POISSON_CDF_H = (
+    367879418,
+    735758836,
+    919698545,
+    981011782,
+    996340091,
+    999405753,
+)
+for _t, _h in zip(_POISSON_CDF, _POISSON_CDF_H):
+    assert (_h - 1) / _P < _t <= _h / _P, "poisson threshold drift"
+
 
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint", "long"}
 
@@ -67,20 +85,31 @@ def _require_integral_id(df: DataFrame, id_col: str) -> None:
         )
 
 
-def _weight_expr(id_col: str, b_col: str):
-    # ((id % P) + P) % P: a negative id would otherwise make h (and u)
-    # negative, zero-weighting the unit in EVERY replicate — silently
-    # excluded from all resample means yet still counted in point_mean.
+def _hash_pre(id_col: str):
+    """Replicate-invariant hash prefix ``((id mod p) mod p) · A`` —
+    computed ONCE per unit before the B-fold explode instead of once per
+    (unit, replicate). ((id % P) + P) % P: a negative id would otherwise
+    make h (and u) negative, zero-weighting the unit in EVERY replicate —
+    silently excluded from all resample means yet still counted in
+    point_mean. The product stays < P·A < 2^60, inside int64."""
     nid = ((F.col(id_col).cast("long") % _P) + _P) % _P
+    return nid * _A
+
+
+def _weight_expr(pre_col: str, b_col: str):
+    """Poisson(1) weight from the precomputed :func:`_hash_pre` column.
+    Identical value to the oracle's ``CAST(h AS DOUBLE)/P >= t`` chain:
+    the comparisons use the exact integer crossovers ``_POISSON_CDF_H``,
+    so every op on the exploded frame is int64 (no per-row double
+    division, no decimal)."""
     h = (
-        nid * _A
+        F.col(pre_col)
         + (F.col(b_col).cast("long") + F.lit(1)) * _B1
     ) % _P
     h = (h * _A2) % _P
-    u = h.cast("double") / F.lit(float(_P))
     w = F.lit(0)
-    for t in _POISSON_CDF:
-        w = w + (u >= F.lit(t)).cast("int")
+    for t in _POISSON_CDF_H:
+        w = w + (h >= F.lit(t)).cast("int")
     return w
 
 
@@ -118,10 +147,10 @@ def poisson_bootstrap_ci(
     hi_rank = math.ceil(n_boot * (1 - alpha / 2))
     rep = df.select(
         *keys,
-        F.col(id_col).alias("_id"),
+        _hash_pre(id_col).alias("_hp"),
         F.col(value_col).cast("long").alias("_x"),
         F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))).alias("_b"),
-    ).withColumn("_w", _weight_expr("_id", "_b"))
+    ).withColumn("_w", _weight_expr("_hp", "_b"))
     means = (
         rep.groupBy(*keys, "_b")
         .agg(
@@ -257,7 +286,7 @@ def permutation_test(
     _require_integral_id(df, id_col)
     g = F.col(group_col)
     base = df.where(g.isin([group_a, group_b])).select(
-        F.col(id_col).alias("_id"),
+        _hash_pre(id_col).alias("_hp"),
         F.col(value_col).cast("long").alias("_x"),
         (g == F.lit(group_a)).alias("_is_a"),
     )
@@ -268,27 +297,40 @@ def permutation_test(
         F.sum(F.when(~F.col("_is_a"), F.col("_x"))).alias("_sb"),
     )
     rep = base.select(
-        "_id",
+        "_hp",
         "_x",
         F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("_b"),
     )
     # reassignment: unit i joins A in replicate b iff
-    # hash(i, b) * (n_a + n_b) < n_a * P  — exact cross-multiply in
-    # DECIMAL(38,0): h < 2^30 but n_a+n_b is the CORPUS unit count, so
-    # the int64 product wraps past ~8e9 units under ANSI; DECIMAL (and
-    # the oracle's HUGEINT) stays exact at any scale.
-    h = (
-        ((F.col("_id") % _P) + _P) % _P * _A
-        + (F.col("_b") + F.lit(1)) * _B1
-    ) % _P
+    # hash(i, b) * (n_a + n_b) < n_a * P. The cross-multiply needs more
+    # than int64 (h < 2^30 but n_a+n_b is the CORPUS unit count, so the
+    # product wraps past ~8e9 units under ANSI). Instead of a
+    # DECIMAL(38,0) multiply on every (unit, replicate) row, fold the
+    # inequality into ONE int64 threshold computed on the 1-row obs
+    # frame (guide §2.3 — shrink per-row work on the B-fold-amplified
+    # scan): for integers, h·n < n_a·P  ⟺  h ≤ (n_a·P − 1) div n; the
+    # n_a = 0 edge is pinned to −1 because decimal div truncates toward
+    # zero ((−1) div n = 0 would wrongly admit h = 0).
+    h = (F.col("_hp") + (F.col("_b") + F.lit(1)) * _B1) % _P
     h = (h * _A2) % _P
-    dec = lambda c: c.cast("decimal(38,0)")
     na, nb = F.col("n_a"), F.col("n_b")
-    flips = (
-        rep.crossJoin(F.broadcast(obs.select("n_a", "n_b")))
-        .withColumn(
-            "_to_a", dec(h) * dec(na + nb) < dec(na) * F.lit(_P).cast("decimal(38,0)")
+    thr = obs.select(
+        "n_a",
+        "n_b",
+        F.when(
+            na > 0,
+            F.expr(
+                f"(CAST(n_a AS DECIMAL(38,0)) * {_P} - 1)"
+                " div (CAST(n_a AS DECIMAL(38,0)) + CAST(n_b AS DECIMAL(38,0)))"
+            ),
         )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("_thr"),
+    )
+    flips = (
+        rep.crossJoin(F.broadcast(thr))
+        .withColumn("_to_a", h <= F.col("_thr"))
         .groupBy("_b")
         .agg(
             F.sum(F.when(F.col("_to_a"), F.col("_x"))).alias("_pa"),

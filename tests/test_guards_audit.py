@@ -240,12 +240,14 @@ def test_planfacts_partitioned_window_not_flagged(spark):
 def test_bootstrap_negative_ids_weighted(spark):
     """ADVICE r7: a negative id must NOT be silently zero-weighted in
     every replicate — hash input is normalized mod-positive now."""
-    from revtron_utils_spark.operators.bootstrap import _weight_expr
+    from revtron_utils_spark.operators.bootstrap import _hash_pre, _weight_expr
 
-    df = spark.range(200).select(
-        (F.col("id") - 100).alias("uid"), F.lit(0).alias("_b")
+    df = (
+        spark.range(200)
+        .select((F.col("id") - 100).alias("uid"), F.lit(0).alias("_b"))
+        .select(_hash_pre("uid").alias("_hp"), "_b")
     )
-    w = df.select(_weight_expr("uid", "_b").alias("w")).agg(
+    w = df.select(_weight_expr("_hp", "_b").alias("w")).agg(
         F.sum(F.when(F.col("w") > 0, 1).otherwise(0)).alias("nz"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
