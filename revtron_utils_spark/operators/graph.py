@@ -349,47 +349,65 @@ def pagerank(
     has_dangling = bool(dangling_nodes.limit(1).count())
 
     ranks = nodes.withColumn("rank_int", F.lit(scale).cast("bigint"))
-    for _ in range(iterations):
-        contribs = (
+    # zero-contribution spine: unioned into the contribution aggregate so
+    # sink-only nodes flow through the ONE exchange the groupBy already
+    # pays, instead of a second per-round "left-join nodes to reattach
+    # missing rows" (r12 job-count profile: this family is
+    # scheduling-bound — each removed join removes an AQE stage/
+    # broadcast job per round). sum(contribs ∪ zeros) per node ==
+    # coalesce(sum(contribs), 0), the exact old frame.
+    zero = nodes.select("node", F.lit(0).cast("bigint").alias("c"))
+    for _it in range(iterations):
+        summed = (
             ed.join(ranks, ed.src == ranks.node)
-            .select(F.col("dst"), F.expr("rank_int div outdeg").alias("c"))
-            .groupBy("dst")
+            .select(F.col("dst").alias("node"), F.expr("rank_int div outdeg").alias("c"))
+            .unionByName(zero)
+            .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        new_ranks = nodes.join(contribs, nodes.node == contribs.dst, "left")
         if has_dangling:
             div_by = n_seeds if seed_flags is not None else n
-            dangling = (
+            # one bounded row to the driver (the pagerank n = count()
+            # contract), folded back as a literal: the crossJoin(
+            # broadcast(1-row agg)) shape paid a BroadcastExchange
+            # build job per round for a single integer
+            dang_tot = (
                 ranks.join(deg, "node", "left_anti")
                 .agg(F.coalesce(F.sum("rank_int"), F.lit(0)).alias("dang"))
-                .select(F.expr(f"dang div {div_by}").alias("dang_share"))
+                .first()["dang"]
             )
-            new_ranks = new_ranks.crossJoin(F.broadcast(dangling))
-            dang_share = F.col("dang_share")
+            dang_share = F.lit(dang_tot // div_by)
         else:
             dang_share = F.lit(0)
         if seed_flags is not None:
             # no broadcast hint: a seed set can be any fraction of the
             # node set (the gate seeds every 10th customer) — AQE picks
             # broadcast only when the flags actually fit
-            new_ranks = new_ranks.join(seed_flags, "node", "left")
+            summed = summed.join(seed_flags, "node", "left")
             is_seed = F.coalesce(F.col("_seed"), F.lit(False))
             base_col = F.when(is_seed, F.lit(base_seed)).otherwise(F.lit(0))
             dang_share = F.when(is_seed, dang_share).otherwise(F.lit(0))
         else:
             base_col = F.lit(base)
+        # lazy cut: lineage is truncated immediately, the round's RDD
+        # materializes inside the next round's first job instead of
+        # paying one eager job per round — the dawid_skene convention;
+        # nothing else reads `ranks` mid-round (the dangling probe above
+        # runs before the cut). The LAST round stays eager: the edge/
+        # node caches are released below before the caller ever acts,
+        # so the final frame must be materialized while they exist.
         ranks = _cut(
-            new_ranks.select(
+            summed.select(
                 "node",
                 base_col.alias("_base"),
-                (
-                    F.lit(damping_num)
-                    * (F.coalesce(F.col("contrib"), F.lit(0)) + dang_share)
-                ).alias("_raw"),
+                (F.lit(damping_num) * (F.col("contrib") + dang_share)).alias(
+                    "_raw"
+                ),
             ).select(
                 "node",
                 F.expr(f"_base + _raw div {damping_den}").alias("rank_int"),
-            )
+            ),
+            eager=(_it == iterations - 1),
         )
     nodes.unpersist()
     ed.unpersist()
@@ -589,22 +607,30 @@ def label_propagation(
     spark = edges.sparkSession
     _cut = _lineage_cutter(spark, checkpoint_dir)
 
-    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    e0 = _cut(
-        raw.where(F.col("a") != F.col("b")),  # self-loops vote for nobody
-        True,
-    )
+    # cut the RAW edge projection (not just the loop's filtered view):
+    # `self_only` at the end re-reads raw, and cutting only e0 left the
+    # whole upstream fixture construction planned a second time in the
+    # returned frame (r12 plan audit)
+    raw = _cut(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")), True)
+    e0 = raw.where(F.col("a") != F.col("b"))  # self-loops vote for nobody
     und = e0.unionByName(
         e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct()
-    und = und.persist()
+    # cache pre-partitioned on the center key: the per-round broadcast
+    # join preserves it, and hash(a) satisfies the clustering of BOTH
+    # round aggregates (groupBy(a, label) and groupBy(a)), so the whole
+    # round plans zero exchanges when the label frame broadcasts (one
+    # setup exchange buys `iterations` round exchanges; when labels are
+    # too big to broadcast the sort-merge join re-shuffles und by b and
+    # the layout is a wash — same bytes either way)
+    und = und.repartition("a").persist()
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
     labels = _cut(labels, True)
-    for _ in range(iterations):
+    for _it in range(iterations):
         nb = und.join(labels, und["b"] == labels["node"]).select(
             F.col("a"), F.col("label")
         )
@@ -618,7 +644,16 @@ def label_propagation(
                 F.col("label"), F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
             ).alias("label")
         )
-        labels = _cut(new.select(F.col("a").alias("node"), "label"), True)
+        # lazy mid-loop cuts (r12, the dawid_skene convention): lineage
+        # still truncates, but the round's RDD materializes inside the
+        # next round's first job instead of one eager job per round —
+        # this family is scheduling-bound, not byte-bound. The last
+        # round stays eager because `und` is unpersisted before the
+        # caller's first action.
+        labels = _cut(
+            new.select(F.col("a").alias("node"), "label"),
+            _it == iterations - 1,
+        )
     # nodes every one of whose edges was a self-loop never enter `und`
     # (isolated nodes in a node-list sense don't appear in an edge list
     # at all) — they keep their own label rather than vanishing
@@ -703,22 +738,46 @@ def k_core(
     spark = edges.sparkSession
     _cut = _lineage_cutter(spark, checkpoint_dir)
 
-    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
-        F.col(src) != F.col(dst)
+    # cut the projected input before the symmetrizing union: both union
+    # branches reference e0, and uncut each would re-plan (and
+    # re-compute, inside the und materialization) the caller's whole
+    # edge construction once per branch
+    e0 = _cut(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).where(
+            F.col(src) != F.col(dst)
+        ),
+        True,
     )
+    # checkpoint pre-partitioned on the peel key: the per-round degree
+    # aggregate clusters by a, and both endpoint semi-joins broadcast
+    # `keep` and so preserve the layout — localCheckpoint keeps the
+    # partitioning on the RDD, so every round after the first plans
+    # zero exchanges (one setup exchange for `rounds` round exchanges)
     und = _cut(
         e0.unionByName(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct(),
+        .distinct()
+        .repartition("a"),
         True,
     )
     for _ in range(rounds):
         deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("_d"))
         keep = deg.where(F.col("_d") >= k).select("a")
+        # both endpoint filters reference the SAME `keep` frame (the
+        # second via a join condition instead of a renamed projection):
+        # canonically-equal subtrees let ReuseExchange share ONE
+        # broadcast build per round where the old shape built (and
+        # recomputed the degree aggregate for) two. Cuts are lazy (r12):
+        # nothing here persists, so the whole peel materializes in the
+        # caller's action with each round's RDD cached by its
+        # checkpoint — one job instead of one per round.
+        filtered = und.join(keep, "a", "left_semi")
         und = _cut(
-            und.join(keep, "a", "left_semi").join(
-                keep.select(F.col("a").alias("b")), "b", "left_semi"
+            filtered.join(
+                keep.alias("_keep_b"),
+                F.col("b") == F.col("_keep_b.a"),
+                "left_semi",
             ),
-            True,
+            False,
         )
     return und.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
@@ -1064,6 +1123,12 @@ def hits(
             F.lit(0).cast("bigint").alias("hub_int"),
             F.lit(0).cast("bigint").alias("auth_int"),
         )
+    # nodes is read twice per round (both half-step reattach joins);
+    # unpersisted it re-ran the union+distinct over e every time — 8
+    # extra exchanges per 4-round call (r12 job-count profile: the
+    # iterative family is scheduling-bound, ~0.1-0.3 s per job on an
+    # otherwise idle local[32], so every removed job is wall-clock)
+    nodes = nodes.persist()
     safe_scale = (2**62) // n_edges
     if safe_scale < scale:
         # Fail fast instead of silently clamping (round-9 advice): the
@@ -1081,55 +1146,61 @@ def hits(
 
     def _renorm(raw: DataFrame, col: str) -> DataFrame:
         # `raw` MUST be persisted by the caller: the one-row total below
-        # executes as the broadcast-exchange's own job, and without the
-        # cache the expensive join+aggregate subtree feeding `raw` would
-        # run a second time when the main plan reads it again — the
-        # round-9 fix for the "two extra renormalization actions per
-        # round" fat (each half-step's heavy subtree used to execute
-        # twice)
-        total = raw.agg(
-            F.coalesce(F.sum("_raw"), F.lit(0)).alias("_tot")
-        ).select(F.expr(f"greatest(1, _tot div {scale})").alias("_q"))
-        return raw.crossJoin(F.broadcast(total)).select(
-            "node", F.expr("_raw div _q").alias(col)
-        )
+        # materializes the cache, and the renormalized projection then
+        # reads it back instead of re-running the join+aggregate
+        # subtree. The total is pulled to the driver as a SCALAR (one
+        # bounded row — the same contract as pagerank's n = count) and
+        # folded into the plan as a literal: the previous
+        # crossJoin(broadcast(1-row agg)) shape paid a BroadcastExchange
+        # build job per half-step, which the r12 job-count profile
+        # showed is pure scheduling overhead on the per-round path
+        # (8 broadcast jobs per 4-round call). q = max(1, tot div scale)
+        # in Python ints is bit-identical to greatest(1, _tot div
+        # {scale}) for the non-negative tot this sum produces.
+        tot = raw.agg(F.coalesce(F.sum("_raw"), F.lit(0)).alias("_tot")).first()[
+            "_tot"
+        ]
+        q = max(1, tot // scale)
+        return raw.select("node", F.expr(f"_raw div CAST({q} AS BIGINT)").alias(col))
 
     hubs = nodes.withColumn("hub_int", F.lit(scale).cast("bigint"))
     auths = None
+    # zero-contribution spine: unioning it into the SAME aggregate that
+    # sums the edge contributions replaces the per-half-step
+    # "left-join nodes to reattach missing rows" (one more join + its
+    # broadcast job under AQE) with rows that flow through the one
+    # exchange the aggregate already pays — sum(contribs ∪ zeros) ==
+    # coalesce(sum(contribs), 0) per node, exactly the old frame
+    zero = nodes.select("node", F.lit(0).cast("bigint").alias("_c"))
     for _ in range(iterations):
-        a_raw = (
-            e.join(hubs, e.src == hubs.node)
-            .groupBy(e.dst.alias("anode"))
-            .agg(F.sum("hub_int").alias("_in"))
-        )
         a_all = _persist(
-            nodes.join(a_raw, nodes.node == a_raw.anode, "left").select(
-                "node", F.coalesce(F.col("_in"), F.lit(0)).alias("_raw")
-            )
+            e.join(hubs, e.src == hubs.node)
+            .select(e.dst.alias("node"), F.col("hub_int").alias("_c"))
+            .unionByName(zero)
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_raw"))
         )
         # The cut is EAGER on purpose: materializing the renormalized
         # half-step bakes a_all's data into the checkpoint, so the
         # half-step cache can be released immediately instead of
         # accumulating 2 persisted frames per round until a later
         # release_caches() call (round-9 advice — long-lived drivers
-        # grew executor storage across hits() calls). The broadcast
-        # total in _renorm still executes a_all's subtree exactly once
+        # grew executor storage across hits() calls). The scalar total
+        # in _renorm still executes a_all's subtree exactly once
         # (persist hit on the second read).
         auths = _cut(_renorm(a_all, "auth_int"))
         a_all.unpersist()
-        h_raw = (
-            e.join(auths, e.dst == auths.node)
-            .groupBy(e.src.alias("hnode"))
-            .agg(F.sum("auth_int").alias("_in"))
-        )
         h_all = _persist(
-            nodes.join(h_raw, nodes.node == h_raw.hnode, "left").select(
-                "node", F.coalesce(F.col("_in"), F.lit(0)).alias("_raw")
-            )
+            e.join(auths, e.dst == auths.node)
+            .select(e.src.alias("node"), F.col("auth_int").alias("_c"))
+            .unionByName(zero)
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_raw"))
         )
         hubs = _cut(_renorm(h_all, "hub_int"))
         h_all.unpersist()
     e.unpersist()
+    nodes.unpersist()
     return hubs.join(auths, "node").select("node", "hub_int", "auth_int")
 
 

@@ -28,8 +28,10 @@ def main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     evt_dir = Path("/tmp/spark-events")
     evt_dir.mkdir(exist_ok=True)
+    import shutil
+
     for old in evt_dir.glob("*"):
-        old.unlink()
+        shutil.rmtree(old) if old.is_dir() else old.unlink()
 
     import __spark_entry__ as entry_mod
     from revtron_utils_spark.session import get_spark
@@ -39,6 +41,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": str(evt_dir),
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -69,13 +73,22 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     spark.stop()
 
-    # ---- parse the event log ----
-    log = next(evt_dir.glob(f"{app_id}*"))
+    # ---- parse the event log (file, or rolling-v2 directory) ----
+    log = next(evt_dir.glob(f"*{app_id}*"))
+    if log.is_dir():
+        logs = sorted(log.glob("events_*"))
+    else:
+        logs = [log]
     jobs = {}  # jobId -> dict
     stages = {}  # stageId -> dict
     stage_jobs = {}  # stageId -> jobId
-    with open(log) as fh:
-        for line in fh:
+    import itertools
+
+    with open(logs[0]) as _f0:
+        pass  # ensure readable
+    lines = itertools.chain.from_iterable(open(p) for p in logs)
+    if True:
+        for line in lines:
             try:
                 e = json.loads(line)
             except json.JSONDecodeError:
@@ -158,6 +171,25 @@ def main() -> None:
         d = j["desc"]
         if d.startswith("Q:"):
             per_q_jobs[d[2:]].append(jid)
+
+    if os.environ.get("PROFILE_SUMMARY"):
+        for name in names:
+            jids = per_q_jobs.get(name, [])
+            nstages = sum(
+                1 for s, j in stage_jobs.items() if j in jids and s in stages
+            )
+            jdur = sum(((jobs[j]["t1"] or 0) - jobs[j]["t0"]) / 1000 for j in jids)
+            sw = sum(
+                stages[s]["sw"]
+                for s, j in stage_jobs.items()
+                if j in jids and s in stages
+            )
+            print(
+                f"SUMMARY {name}: wall={wall.get(name, 0):.2f}s "
+                f"jobs={len(jids)} stages={nstages} jobsum={jdur:.2f}s "
+                f"shuffle_write={sw / 1048576:.1f}M"
+            )
+        return
 
     mb = lambda b: f"{b / 1048576:.1f}M"
     for name in names:
