@@ -50,6 +50,51 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _copurchase_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-nearest-partner co-purchase graph shared by the graph-family
+    gates (triangle_counts, label_propagation, link_prediction,
+    clustering_coefficient, community_quality): two parts are adjacent
+    when some order contains both, and each part keeps only its 10
+    strongest partners (co-occurrence count desc, deterministic hash
+    tie-break).
+
+    Built shuffle-lean (optimization guide §2.4): items are collected
+    per order (one exchange), unordered pairs are expanded with
+    higher-order array functions — pair multiplicity cnt(x)*cnt(y) is
+    exactly the lineitem-self-join's row-pair count, so results are
+    hash-identical to the oracle's join formulation — and a single
+    hash(id_a) exchange then serves BOTH the (id_a, id_b) count
+    aggregate and the top-10 window (hash(id_a) satisfies the
+    aggregate's clustering requirement). Old plan: self-join + 3
+    exchanges + 2 sort-merge sorts; this plan: 2 exchanges, no join.
+    """
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    grouped = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("xs"))
+    pair_expr = (
+        "flatten(transform(xs, x -> transform(filter(xs, y -> y > x), "
+        "y -> named_struct('id_a', x, 'id_b', y))))"
+    )
+    pr = grouped.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        "p.id_a", "p.id_b"
+    )
+    pairs = (
+        pr.repartition("id_a").groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("w"))
+    )
+    tiebreak = (
+        F.col("id_a") * F.lit(2654435761) + F.col("id_b") * F.lit(40503)
+    ) % F.lit(999999937)
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("w").desc(), tiebreak.asc(), F.col("id_b")
+    )
+    return (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 10)
+        .select("id_a", "id_b")
+    )
+
+
 # --------------------------------------------------------------------------
 # entry: flagship query through the Engine (milestone 0)
 # --------------------------------------------------------------------------
@@ -3384,34 +3429,9 @@ def q_triangle_counts(spark, sf):
     near-complete Θ(n³)-triangle input that benchmarked the input, not
     the algorithm; dense-graph behavior stays covered by
     tests/test_graph_curation.py.)"""
-    from pyspark.sql.window import Window
-
     from revtron_utils_spark.operators.graph import triangle_counts
 
-    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    tiebreak = (
-        F.col("id_a") * F.lit(2654435761) + F.col("id_b") * F.lit(40503)
-    ) % F.lit(999999937)
-    w = Window.partitionBy("id_a").orderBy(
-        F.col("w").desc(), tiebreak.asc(), F.col("id_b")
-    )
-    sparse = (
-        pairs.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= 10)
-        .select("id_a", "id_b")
-    )
+    sparse = _copurchase_sparse(spark, sf)
     return triangle_counts(sparse, src="id_a", dst="id_b").withColumnRenamed(
         "node", "part_key"
     )
@@ -3450,34 +3470,9 @@ def q_label_propagation(spark, sf):
     the identical rounds as unrolled CTEs. Community granularity sits
     between connected components and triangles; one node-keyed shuffle
     per round, lineage cut between rounds."""
-    from pyspark.sql.window import Window
-
     from revtron_utils_spark.operators.graph import label_propagation
 
-    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    tiebreak = (
-        F.col("id_a") * F.lit(2654435761) + F.col("id_b") * F.lit(40503)
-    ) % F.lit(999999937)
-    w = Window.partitionBy("id_a").orderBy(
-        F.col("w").desc(), tiebreak.asc(), F.col("id_b")
-    )
-    sparse = (
-        pairs.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= 10)
-        .select("id_a", "id_b")
-    )
+    sparse = _copurchase_sparse(spark, sf)
     return label_propagation(sparse, "id_a", "id_b", iterations=3)
 
 
@@ -8218,34 +8213,9 @@ def q_link_prediction(spark, sf):
     max degree ~50, so the wedge enumeration is bounded). Exact integer
     cn/degrees, ONE division, total (cn DESC, jaccard DESC, u, w) order
     makes the top-k cut deterministic."""
-    from pyspark.sql.window import Window
-
     from revtron_utils_spark.operators.graph import link_prediction
 
-    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    tiebreak = (
-        F.col("id_a") * F.lit(2654435761) + F.col("id_b") * F.lit(40503)
-    ) % F.lit(999999937)
-    win = Window.partitionBy("id_a").orderBy(
-        F.col("w").desc(), tiebreak.asc(), F.col("id_b")
-    )
-    sparse = (
-        pairs.withColumn("_rk", F.row_number().over(win))
-        .filter(F.col("_rk") <= 10)
-        .select("id_a", "id_b")
-    )
+    sparse = _copurchase_sparse(spark, sf)
     return link_prediction(
         sparse, src="id_a", dst="id_b", min_common=2, top_k=100
     )
@@ -9100,34 +9070,9 @@ def q_clustering_coefficient(spark, sf):
     `triangle_counts`: community cores (neighbors buy together) vs
     bridge parts. Triangles via the degree-oriented wedge join;
     cc = 2t/(d(d−1)) is the one pinned float op."""
-    from pyspark.sql.window import Window
-
     from revtron_utils_spark.operators.graph import clustering_coefficient
 
-    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    tiebreak = (
-        F.col("id_a") * F.lit(2654435761) + F.col("id_b") * F.lit(40503)
-    ) % F.lit(999999937)
-    w = Window.partitionBy("id_a").orderBy(
-        F.col("w").desc(), tiebreak.asc(), F.col("id_b")
-    )
-    sparse = (
-        pairs.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= 10)
-        .select("id_a", "id_b")
-    )
+    sparse = _copurchase_sparse(spark, sf)
     return clustering_coefficient(sparse, src="id_a", dst="id_b")
 
 
@@ -10655,35 +10600,10 @@ def q_community_quality(spark, sf):
     score → accept/reject. Both stages reuse their standalone gates'
     exact arithmetic, so the composed readout hash-matches the nested
     oracle (LP rounds unrolled inside modularity's community CTE)."""
-    from pyspark.sql.window import Window
-
     from revtron_utils_spark.operators.dedup import _persist
     from revtron_utils_spark.operators.graph import label_propagation, modularity
 
-    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    tiebreak = (
-        F.col("id_a") * F.lit(2654435761) + F.col("id_b") * F.lit(40503)
-    ) % F.lit(999999937)
-    w = Window.partitionBy("id_a").orderBy(
-        F.col("w").desc(), tiebreak.asc(), F.col("id_b")
-    )
-    sparse = _persist(
-        pairs.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= 10)
-        .select("id_a", "id_b")
-    )
+    sparse = _persist(_copurchase_sparse(spark, sf))
     comm = label_propagation(sparse, "id_a", "id_b", iterations=3).select(
         "node", F.col("label").alias("community")
     )

@@ -498,6 +498,7 @@ def triangle_counts(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph:
     ``(node, triangles)``, one row per node that participates in ≥1
@@ -517,39 +518,54 @@ def triangle_counts(
     exactly once and credited to all three corners), which is what lets
     the DuckDB oracle use the simple ``a < b < c`` 3-way join and still
     hash-match.
+
+    ``assume_canonical=True`` skips the canonicalization distinct (one
+    exchange + a duplicate persist) when the caller proves the input is
+    already ``(u=greatest, v=least)``-canonical and duplicate-free —
+    :func:`clustering_coefficient` builds exactly that frame before
+    calling in.
     """
     from .dedup import _persist
 
     u, v = F.col("u"), F.col("v")
-    canon = _persist(
-        edges.select(
-            F.greatest(F.col(src), F.col(dst)).alias("u"),
-            F.least(F.col(src), F.col(dst)).alias("v"),
+    if assume_canonical:
+        canon = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    else:
+        canon = _persist(
+            edges.select(
+                F.greatest(F.col(src), F.col(dst)).alias("u"),
+                F.least(F.col(src), F.col(dst)).alias("v"),
+            )
+            .filter(u != v)
+            .distinct()
         )
-        .filter(u != v)
-        .distinct()
-    )
     deg = (
         canon.select(u.alias("node"))
         .unionByName(canon.select(v.alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # orient lower-(deg, id) -> higher-(deg, id)
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    ann = canon.join(du, "u").join(dv, "v")
-    fwd = F.struct(F.col("du").alias("d"), u.alias("n")) < F.struct(
-        F.col("dv").alias("d"), v.alias("n")
-    )
-    ku = F.struct(F.col("du").alias("d"), u.alias("n"))
-    kv = F.struct(F.col("dv").alias("d"), v.alias("n"))
+    # orient lower-(deg, id) -> higher-(deg, id). Both endpoint
+    # annotations reference the SAME deg frame through aliases + join
+    # conditions (not renamed projections): canonically-equal subtrees
+    # let ReuseExchange build ONE broadcast where the old shape built —
+    # and recomputed the degree aggregate for — two (the k_core r12
+    # finding, applied here).
+    d1, d2 = deg.alias("_d1"), deg.alias("_d2")
+    ann = canon.join(d1, u == F.col("_d1.node")).join(d2, v == F.col("_d2.node"))
+    ku = F.struct(F.col("_d1.deg").alias("d"), u.alias("n"))
+    kv = F.struct(F.col("_d2.deg").alias("d"), v.alias("n"))
+    fwd = ku < kv
+    # persist pre-partitioned on the wedge pivot: both sides of the
+    # wedge self-join read this cache hash-partitioned on `a`, so the
+    # join plans zero exchanges (sorts only) — one setup exchange
+    # replaces two join-side exchanges (guide §2.4 "share one exchange")
     oriented = _persist(
         ann.select(
             F.when(fwd, u).otherwise(v).alias("a"),
             F.when(fwd, v).otherwise(u).alias("b"),
             F.when(fwd, kv).otherwise(ku).alias("kb"),
-        )
+        ).repartition("a")
     )
     # wedges a->b, a->c enumerated once each ((deg,id)-order b < c);
     # the closing oriented edge between b and c is then exactly b->c
@@ -558,11 +574,10 @@ def triangle_counts(
     wedges = e1.join(e2, "a").filter(F.col("kb") < F.col("kc")).select("a", "b", "c")
     closer = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
     tri = wedges.join(closer, ["b", "c"], "left_semi")
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
-    )
+    # credit all three corners with ONE pass: the old 3-branch union
+    # re-planned — and re-ran — the whole wedge join once per branch
+    # (only exchanges get reused across union branches, not joins)
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
     # persisted intermediates are registered with dedup._persist and
     # released by the caller via dedup.release_caches() — the returned
     # frame is lazy, so an eager unpersist here would cancel the caches
@@ -962,6 +977,12 @@ def link_prediction(
     # symmetrize with ONE explode instead of a self-union — a union
     # would evaluate the upstream construction once per branch even
     # inside the persist materialization.
+    # the distinct's exchange is keyed on u alone (hash(u) satisfies the
+    # (u,v)-dedup aggregate's clustering — subset rule), so the cache
+    # comes out pre-partitioned on the center key and BOTH wedge-join
+    # sides and the degree aggregate read it with zero further
+    # exchanges (guide §2.4: two ops keyed the same way share one
+    # exchange)
     sym = _persist(
         e.select(
             F.explode(
@@ -973,7 +994,8 @@ def link_prediction(
         )
         .select("_e.u", "_e.v")
         .filter(F.col("u") != F.col("v"))
-        .distinct()
+        .repartition("u")
+        .dropDuplicates(["u", "v"])
     )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     centers = sym.select(F.col("u").alias("c"), F.col("v").alias("n"))
@@ -1485,7 +1507,7 @@ def clustering_coefficient(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    tri = triangle_counts(canon, "u", "v")
+    tri = triangle_counts(canon, "u", "v", assume_canonical=True)
     d = F.col("degree").cast("double")
     cc = (F.lit(2.0) * F.col("triangles").cast("double")) / (d * (d - F.lit(1.0)))
     return (
@@ -1574,21 +1596,31 @@ def modularity(
     decides), one degree aggregation. Nodes missing from
     ``communities`` fail fast — a silent drop would skew e_c vs d_c.
     """
+    from .dedup import _persist
+
     cm = communities.select(
         F.col(node_col).alias("_n"), F.col(community_col).alias("_c")
     )
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col("u") != F.col("v")
     )
-    # canonical undirected edge (min, max): each unordered pair once
-    e = raw.select(
-        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
-    ).distinct()
+    # canonical undirected edge (min, max): each unordered pair once.
+    # Persisted: `e` feeds FOUR consumers across THREE separate actions
+    # (the missing-node check, the m scalar, the returned frame) —
+    # unpersisted, the canonicalization distinct and the caller's whole
+    # edge construction re-ran once per action (r12 profile).
+    e = _persist(
+        raw.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).distinct()
+    )
     deg_src = e.select(F.col("u").alias("_n")).unionByName(
         e.select(F.col("v").alias("_n"))
     )
     deg = deg_src.groupBy("_n").agg(F.count(F.lit(1)).alias("_deg"))
-    labeled = deg.join(cm, "_n", "left")
+    # persisted for the same reason: read by the fail-fast count action
+    # here and again by the returned per-community aggregate
+    labeled = _persist(deg.join(cm, "_n", "left"))
     n_missing = labeled.where(F.col("_c").isNull()).count()
     if n_missing:
         raise ValueError(
@@ -1607,13 +1639,16 @@ def modularity(
             F.lit(0).cast("bigint").alias("degree_sum"),
             F.lit(None).cast("double").alias("q_contrib"),
         ).limit(0)
-    cu = cm.select(F.col("_n").alias("_nu"), F.col("_c").alias("_cu"))
-    cv = cm.select(F.col("_n").alias("_nv"), F.col("_c").alias("_cv"))
+    # both endpoint labelings reference the SAME cm frame via aliases +
+    # join conditions (not renamed projections): canonically-equal
+    # subtrees -> one shared broadcast/exchange build instead of two
+    # (the k_core r12 ReuseExchange finding)
+    c1, c2 = cm.alias("_cm1"), cm.alias("_cm2")
     intra = (
-        e.join(cu, e.u == cu._nu)
-        .join(cv, e.v == cv._nv)
-        .where(F.col("_cu") == F.col("_cv"))
-        .groupBy(F.col("_cu").alias("_c"))
+        e.join(c1, e.u == F.col("_cm1._n"))
+        .join(c2, e.v == F.col("_cm2._n"))
+        .where(F.col("_cm1._c") == F.col("_cm2._c"))
+        .groupBy(F.col("_cm1._c").alias("_c"))
         .agg(F.count(F.lit(1)).alias("_ec"))
     )
     per = (
