@@ -1442,7 +1442,12 @@ def embedding_neardup_pairs(
                 for _ in range(lsh_planes * lsh_bands)
             ]
         keys_udf = _hyperplane_band_keys(planes_i, lsh_planes, lsh_bands)
-        base = base.filter(F.col("q").isNotNull())
+        # spread the corpus BEFORE the band-keys UDF: a small corpus is
+        # one parquet file -> one partition, and the signature matmul ran
+        # single-threaded (r12 profile: 4.5 s 1-task stage per join side
+        # at sf0.1)
+        par0 = df.sparkSession.sparkContext.defaultParallelism
+        base = base.filter(F.col("q").isNotNull()).repartition(par0)
         if lsh_bands == 1:
             base = base.withColumn("bucket", keys_udf(F.col("q"))[0])
             extra_key = ["bucket"]
@@ -1453,6 +1458,74 @@ def embedding_neardup_pairs(
                 "*", F.posexplode(keys_udf(F.col("q"))).alias("band_b", "bucket")
             )
             extra_key = ["band_b", "bucket"]
+
+    if use_arrow and lsh_planes:
+        # per-bucket BLAS matmul instead of the bucket equi-join + per-
+        # pair Arrow UDF: each (vector, band) row crosses the Python
+        # boundary ONCE, and all same-bucket dots happen in one float64
+        # matmul (exact: products/sums of 1e-6-quantized 64-dim vectors
+        # stay < 2^53). The old join shipped BOTH q arrays once per
+        # CANDIDATE PAIR through ArrowEvalPython — r12 profile at sf0.1:
+        # 360 task-s (20 s CPU, 56 s GC) of boundary wait + allocation
+        # churn in the join stage, plus the band-keys UDF evaluated per
+        # join side. Guide §8: decide with small rows, move heavy bytes
+        # once; §4: batch native compute per partition.
+        keys = [*block_cols, *extra_key]
+        idt = df.schema[id_col].dataType.simpleString()
+        out_schema = f"id_a {idt}, id_b {idt}, cosine double"
+        thr = float(threshold)
+
+        def _bucket_pairs(batches):
+            import numpy as np
+            import pandas as pd
+
+            pdfs = [b for b in batches if len(b)]
+            if not pdfs:
+                return
+            # one concat per TASK (mapInPandas batches would otherwise
+            # split a bucket); per-task bytes are corpus·bands /
+            # n_partitions — sized by the repartition below
+            pdf = pd.concat(pdfs, ignore_index=True)
+            for _, g in pdf.groupby(keys, sort=False):
+                n = len(g)
+                if n < 2:
+                    continue
+                V = np.stack(g["q"].to_numpy())
+                ids = g["id"].to_numpy()
+                nrm = g["nrm"].to_numpy()
+                G = V @ V.T
+                iu, ju = np.triu_indices(n, k=1)
+                denom = nrm[iu] * nrm[ju]
+                dots = G[iu, ju]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / denom
+                # denom > 0 mirrors try_divide's NULL-on-zero-norm (NULL
+                # fails any threshold); comparisons are on bit-identical
+                # doubles, so the survivor set matches the join path
+                # ids[iu] != ids[ju] mirrors the join's l.id < r.id: a
+                # duplicated id never pairs with itself
+                m = (denom > 0) & (cos >= thr) & (ids[iu] != ids[ju])
+                if not m.any():
+                    continue
+                ia, ib = ids[iu[m]], ids[ju[m]]
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.minimum(ia, ib),
+                        "id_b": np.maximum(ia, ib),
+                        "cosine": cos[m],
+                    }
+                )
+
+        out = (
+            base.repartition(par0, *keys)
+            .mapInPandas(_bucket_pairs, out_schema)
+            .withColumn("cosine", F.round("cosine", 6))
+        )
+        if lsh_bands > 1:
+            # a pair agreeing on several bands surfaces once per band —
+            # collapse to one row (cosine is identical across duplicates)
+            out = out.dropDuplicates(["id_a", "id_b"])
+        return out
 
     # small corpora arrive as one parquet file → one partition → a
     # 1-task nested-loop join. Spread the streamed side across the

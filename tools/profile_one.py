@@ -112,11 +112,11 @@ def main() -> None:
             elif ev == "SparkListenerStageCompleted":
                 si = e["Stage Info"]
                 sid = si["Stage ID"]
-                stages[sid] = {
-                    "name": si.get("Stage Name", "")[:90],
-                    "tasks": si.get("Number of Tasks", 0),
-                    "t0": si.get("Submission Time"),
-                    "t1": si.get("Completion Time"),
+                # MERGE into any entry the task-end handler already
+                # created: task ends precede stage completion in the
+                # event log, and replacing the dict here zeroed every
+                # accumulated task metric (r12 fix)
+                st = stages.setdefault(sid, {
                     "task_time": 0,
                     "sr": 0,
                     "sw": 0,
@@ -125,7 +125,11 @@ def main() -> None:
                     "gc": 0,
                     "fetch_wait": 0,
                     "cpu": 0,
-                }
+                })
+                st["name"] = si.get("Stage Name", "")[:90]
+                st["tasks"] = si.get("Number of Tasks", 0)
+                st["t0"] = si.get("Submission Time")
+                st["t1"] = si.get("Completion Time")
             elif ev == "SparkListenerTaskEnd":
                 sid = e["Stage ID"]
                 st = stages.get(sid)
