@@ -1005,7 +1005,7 @@ def cronbach_alpha(
     from .dedup import _persist
     from .guards import integral_long, require_bounded_spine, require_sum_sq_width
 
-    require_bounded_spine(df, item_col, [], max_items, "cronbach_alpha")
+    df = require_bounded_spine(df, item_col, [], max_items, "cronbach_alpha")
     dec = lambda c: c.cast("decimal(38,0)")
     v = integral_long(df, value_col, "cronbach_alpha")
     base = df.select(
@@ -1205,7 +1205,7 @@ def krippendorff_alpha(
         "_m",
         (dec(F.col("_m")) * dec(F.col("_m")) - F.col("_sq")).alias("_dis"),
     )
-    require_bounded_spine(usable, "_m", [], max_panel, "krippendorff_alpha")
+    usable = require_bounded_spine(usable, "_m", [], max_panel, "krippendorff_alpha")
     n_dropped = units.where(F.col("_m") <= 1).count()
     by_m = usable.groupBy("_m").agg(
         F.count(F.lit(1)).alias("_units"),

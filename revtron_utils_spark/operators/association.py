@@ -377,7 +377,7 @@ def mantel_haenszel(
     """
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, stratum_col, [], max_strata, "mantel_haenszel")
+    df = require_bounded_spine(df, stratum_col, [], max_strata, "mantel_haenszel")
     dec = lambda c: c.cast("decimal(38,0)")
     t = F.col(treat_col).cast("int")
     o = F.col(outcome_col).cast("int")
@@ -607,8 +607,8 @@ def kendall_tau(
     """
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, x_col, [], max_x_buckets, "kendall_tau")
-    require_bounded_spine(df, y_col, [], max_y_buckets, "kendall_tau")
+    df = require_bounded_spine(df, x_col, [], max_x_buckets, "kendall_tau")
+    df = require_bounded_spine(df, y_col, [], max_y_buckets, "kendall_tau")
     # the per-axis caps bound each margin, but the concordance self-join
     # is over JOINT cells: V distinct (x,y) cells cost ~V²/2 compared
     # pairs in the x-range join, so V must be guarded directly or the
@@ -617,7 +617,9 @@ def kendall_tau(
         joint = df.select(
             F.struct(F.col(x_col), F.col(y_col)).alias("_cell")
         )
-        require_bounded_spine(joint, "_cell", [], max_cells, "kendall_tau")
+        df = require_bounded_spine(
+            df, "_cell", [], max_cells, "kendall_tau", check_df=joint
+        )
     dec = lambda c: c.cast("decimal(38,0)")
     cells = df.groupBy(
         integral_long(df, x_col, "kendall_tau").alias("_x"),
@@ -995,13 +997,15 @@ def gamma_somers_d(
     """
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, x_col, [], max_x_buckets, "gamma_somers_d")
-    require_bounded_spine(df, y_col, [], max_y_buckets, "gamma_somers_d")
+    df = require_bounded_spine(df, x_col, [], max_x_buckets, "gamma_somers_d")
+    df = require_bounded_spine(df, y_col, [], max_y_buckets, "gamma_somers_d")
     if max_cells is not None:
         joint = df.select(
             F.struct(F.col(x_col), F.col(y_col)).alias("_cell")
         )
-        require_bounded_spine(joint, "_cell", [], max_cells, "gamma_somers_d")
+        df = require_bounded_spine(
+            df, "_cell", [], max_cells, "gamma_somers_d", check_df=joint
+        )
     dec = lambda c: c.cast("decimal(38,0)")
     cells = df.groupBy(
         integral_long(df, x_col, "gamma_somers_d").alias("_x"),

@@ -233,7 +233,15 @@ def minhash_features_arrow(num_hashes: int = 64, shingle_n: int = 3, seed: int =
             sigs.append(((A * h + B) % MERSENNE_P).min(axis=1).tolist())
         return pd.DataFrame({"sig": sigs, "shingles": shingles})
 
-    return pandas_udf(feats, "sig: array<long>, shingles: array<string>")
+    # asNondeterministic: the callers filter on the struct's `shingles`
+    # field, and the optimizer pushes that filter below the projection
+    # WITH A COPY of the UDF — every row paid the shingle+minhash pass
+    # twice (guide §4.4; r12 plan audit found the double ArrowEvalPython
+    # in corpus_pipeline). The function is pure; the flag only forbids
+    # the optimizer's duplication/reordering.
+    return pandas_udf(
+        feats, "sig: array<long>, shingles: array<string>"
+    ).asNondeterministic()
 
 
 def minhash_banded_arrow(
@@ -296,7 +304,11 @@ def minhash_banded_arrow(
             bhashes.append(band_keys(sig))
         return pd.DataFrame({"bhash": bhashes, "shingles": shingles})
 
-    return pandas_udf(feats, "bhash: array<long>, shingles: array<string>")
+    # asNondeterministic: see minhash_features_arrow — prevents the
+    # pushed size(shingles)>0 filter from duplicating the UDF
+    return pandas_udf(
+        feats, "bhash: array<long>, shingles: array<string>"
+    ).asNondeterministic()
 
 
 def _cap_hot_buckets(
@@ -569,7 +581,11 @@ def minhash_poly_features_arrow(num_hashes: int = 32, bands: int = 8, shingle_n:
             )
         return pd.DataFrame({"bkeys": bkeys_out, "shingles": sh_out})
 
-    return pandas_udf(feats, "bkeys: array<string>, shingles: array<string>")
+    # asNondeterministic: see minhash_features_arrow — prevents the
+    # pushed size(shingles)>0 filter from duplicating the UDF
+    return pandas_udf(
+        feats, "bkeys: array<string>, shingles: array<string>"
+    ).asNondeterministic()
 
 
 def minhash_poly_pairs(

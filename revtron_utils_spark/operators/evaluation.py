@@ -570,7 +570,7 @@ def gain_curve(
     from .guards import require_bounded_spine
 
     keys = list(by or [])
-    require_bounded_spine(df, score_col, keys, max_buckets, "gain_curve")
+    df = require_bounded_spine(df, score_col, keys, max_buckets, "gain_curve")
     per = df.groupBy(*keys, F.col(score_col).alias("score")).agg(
         F.count(F.lit(1)).alias("n_at"),
         F.sum(F.col(label_col).cast("long")).alias("pos_at"),

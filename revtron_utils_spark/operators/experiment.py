@@ -399,7 +399,7 @@ def bh_fdr(
 
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, test_col, [], max_tests, "bh_fdr")
+    df = require_bounded_spine(df, test_col, [], max_tests, "bh_fdr")
     base = df.select(
         F.col(test_col).alias("test"), F.col(p_col).cast("double").alias("p_value")
     )
@@ -583,7 +583,7 @@ def propensity_strata_effect(
     """
     from .guards import require_bounded_spine
 
-    require_bounded_spine(
+    df = require_bounded_spine(
         df, stratum_col, [], max_strata, "propensity_strata_effect"
     )
     t = F.col(treat_col).cast("int")
@@ -1120,7 +1120,7 @@ def srm_check(
     """
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, arm_col, [], max_arms, "srm_check")
+    df = require_bounded_spine(df, arm_col, [], max_arms, "srm_check")
     dec = lambda c: c.cast("decimal(38,0)")
     arms = df.groupBy(F.col(arm_col).alias("_a")).agg(
         F.count(F.lit(1)).alias("_o")

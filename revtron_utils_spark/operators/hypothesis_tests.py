@@ -53,7 +53,7 @@ def ks_test(
 
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, bucket_col, [], max_buckets, "ks_test")
+    df = require_bounded_spine(df, bucket_col, [], max_buckets, "ks_test")
     s = F.col(slice_col)
     per = (
         df.where(s.isin(slice_a, slice_b))
@@ -194,7 +194,7 @@ def mann_whitney(
 
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, bucket_col, [], max_buckets, "mann_whitney")
+    df = require_bounded_spine(df, bucket_col, [], max_buckets, "mann_whitney")
     s = F.col(slice_col)
     per = (
         df.where(s.isin(slice_a, slice_b))
@@ -338,8 +338,8 @@ def kruskal_wallis(
 
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, bucket_col, [], max_buckets, "kruskal_wallis")
-    require_bounded_spine(df, group_col, [], max_groups, "kruskal_wallis")
+    df = require_bounded_spine(df, bucket_col, [], max_buckets, "kruskal_wallis")
+    df = require_bounded_spine(df, group_col, [], max_groups, "kruskal_wallis")
     per = df.groupBy(F.col(bucket_col).alias("_k"), F.col(group_col).alias("_g")).agg(
         F.count(F.lit(1)).alias("_c")
     )
@@ -493,7 +493,7 @@ def anova_oneway(
     """
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, group_col, [], max_groups, "anova_oneway")
+    df = require_bounded_spine(df, group_col, [], max_groups, "anova_oneway")
     _require_sum_sq_width(df, value_col, "anova_oneway")
     dec = lambda c: c.cast("decimal(38,0)")
     v = integral_long(df, value_col, "anova_oneway")
@@ -610,8 +610,8 @@ def brown_forsythe(
 
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, bucket_col, [], max_buckets, "brown_forsythe")
-    require_bounded_spine(df, group_col, [], max_groups, "brown_forsythe")
+    df = require_bounded_spine(df, bucket_col, [], max_buckets, "brown_forsythe")
+    df = require_bounded_spine(df, group_col, [], max_groups, "brown_forsythe")
     dec = lambda c: c.cast("decimal(38,0)")
     per = df.groupBy(
         F.col(group_col).alias("_g"),
@@ -781,7 +781,7 @@ def friedman_test(
 
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, treatment_col, [], max_treatments, "friedman_test")
+    df = require_bounded_spine(df, treatment_col, [], max_treatments, "friedman_test")
     dec = lambda c: c.cast("decimal(38,0)")
     base = df.select(
         F.col(block_col).alias("_b"),
@@ -961,7 +961,7 @@ def cochran_q(
     """
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, treatment_col, [], max_treatments, "cochran_q")
+    df = require_bounded_spine(df, treatment_col, [], max_treatments, "cochran_q")
     dec = lambda c: c.cast("decimal(38,0)")
     base = df.select(
         F.col(item_col).alias("_i"),
@@ -1101,7 +1101,7 @@ def welch_anova(
     """
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, group_col, [], max_groups, "welch_anova")
+    df = require_bounded_spine(df, group_col, [], max_groups, "welch_anova")
     _require_sum_sq_width(df, value_col, "welch_anova")
     dec = lambda c: c.cast("decimal(38,0)")
     v = integral_long(df, value_col, "welch_anova")
@@ -1375,8 +1375,8 @@ def moods_median(
 
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, bucket_col, [], max_buckets, "moods_median")
-    require_bounded_spine(df, group_col, [], max_groups, "moods_median")
+    df = require_bounded_spine(df, bucket_col, [], max_buckets, "moods_median")
+    df = require_bounded_spine(df, group_col, [], max_groups, "moods_median")
     base = df.select(
         F.col(group_col).alias("_g"),
         integral_long(df, bucket_col, "moods_median").alias("_x"),
@@ -1541,7 +1541,7 @@ def cramer_von_mises(
 
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, bucket_col, [], max_buckets, "cramer_von_mises")
+    df = require_bounded_spine(df, bucket_col, [], max_buckets, "cramer_von_mises")
     s = F.col(slice_col)
     per = (
         df.where(s.isin(slice_a, slice_b))
@@ -1667,7 +1667,7 @@ def tukey_hsd(
     """
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, group_col, [], max_groups, "tukey_hsd")
+    df = require_bounded_spine(df, group_col, [], max_groups, "tukey_hsd")
     _require_sum_sq_width(df, value_col, "tukey_hsd")
     dec = lambda c: c.cast("decimal(38,0)")
     v = integral_long(df, value_col, "tukey_hsd")
@@ -1803,8 +1803,8 @@ def dunn_test(
 
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, bucket_col, [], max_buckets, "dunn_test")
-    require_bounded_spine(df, group_col, [], max_groups, "dunn_test")
+    df = require_bounded_spine(df, bucket_col, [], max_buckets, "dunn_test")
+    df = require_bounded_spine(df, group_col, [], max_groups, "dunn_test")
     per = df.groupBy(
         F.col(bucket_col).alias("_k"), F.col(group_col).alias("_g")
     ).agg(F.count(F.lit(1)).alias("_c"))
@@ -1956,12 +1956,14 @@ def jonckheere_terpstra(
     """
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, group_col, [], max_groups, "jonckheere_terpstra")
+    df = require_bounded_spine(df, group_col, [], max_groups, "jonckheere_terpstra")
     if max_cells is not None:
         joint = df.select(
             F.struct(F.col(group_col), F.col(value_col)).alias("_cell")
         )
-        require_bounded_spine(joint, "_cell", [], max_cells, "jonckheere_terpstra")
+        df = require_bounded_spine(
+            df, "_cell", [], max_cells, "jonckheere_terpstra", check_df=joint
+        )
     dec = lambda c: c.cast("decimal(38,0)")
     cells = df.groupBy(
         F.col(group_col).alias("_g"),
@@ -2150,7 +2152,7 @@ def page_trend_test(
 
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, treatment_col, [], max_treatments, "page_trend_test")
+    df = require_bounded_spine(df, treatment_col, [], max_treatments, "page_trend_test")
     dec = lambda c: c.cast("decimal(38,0)")
     base = df.select(
         F.col(block_col).alias("_b"),
@@ -2687,7 +2689,7 @@ def hodges_lehmann(
     from .guards import require_bounded_spine
 
     keys = list(by or [])
-    require_bounded_spine(df, value_col, keys, max_buckets, "hodges_lehmann")
+    df = require_bounded_spine(df, value_col, keys, max_buckets, "hodges_lehmann")
     dec = lambda c: c.cast("decimal(38,0)")
     cells = (
         df.select(

@@ -301,39 +301,47 @@ def pq_adc_exact(
     # per-subspace: argmin over the literal codebook → (code, adc term)
     # where the ADC term is the exact int distance from the QUERY's
     # subvector to the chosen CODE vector (classic asymmetric lookup:
-    # dist(q_s, c_s(code)) — precomputed per (s, t) as a literal)
-    adc_terms = []
+    # dist(q_s, c_s(code)) — precomputed per (s, t) as a literal).
+    #
+    # Built as ONE SQL string per subspace (F.expr), not nested Column
+    # ops: the old python loop issued ~m·n_codes·sub py4j round-trips
+    # constructing lambda expressions, which the r12 split-timing put at
+    # 12-14 s of DRIVER wall per call — 6× the 2 s the query spends
+    # executing (guide §1.2: fix the dominant cost; §7.3 driver-side
+    # work). The expressions are semantically identical (same
+    # aggregate/zip_with fold, same struct argmin tie order, same
+    # BIGINT types), so the oracle hash is unchanged.
+    def _lits(vals):
+        return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+    adc_parts = []
     for s in range(m):
-        svec = F.slice(F.col("qv"), s * sub + 1, sub)
+        lo = s * sub + 1
         lut = [
             sum((a - b) * (a - b) for a, b in zip(qsubs[s], books[s][t]))
             for t in range(n_codes)
         ]
-        best = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _int_dist2(svec, books[s][t]).alias("d"),
-                        F.lit(t).cast("long").alias("t"),
-                    )
-                    for t in range(n_codes)
-                ]
-            )
+        books_sql = (
+            "array(" + ",".join(_lits(books[s][t]) for t in range(n_codes)) + ")"
         )
-        # element_at on a literal long array: the LUT lookup
-        adc_terms.append(
-            F.element_at(
-                F.array(*[F.lit(int(v)).cast("long") for v in lut]),
-                (best["t"] + 1).cast("int"),
-            )
+        best_sql = (
+            f"array_min(transform(sequence(0, {n_codes - 1}), t -> "
+            f"named_struct('d', aggregate(zip_with(slice(qv, {lo}, {sub}), "
+            f"element_at({books_sql}, t + 1), (x, y) -> (x - y) * (x - y)), "
+            f"0L, (acc, x) -> acc + x), 't', CAST(t AS BIGINT))))"
         )
-    adc = adc_terms[0]
-    for t in adc_terms[1:]:
-        adc = adc + t
+        adc_parts.append(
+            f"element_at({_lits(lut)}, CAST({best_sql}.t + 1 AS INT))"
+        )
+    adc = F.expr(" + ".join(adc_parts))
+    dist2 = F.expr(
+        f"aggregate(zip_with(qv, {_lits(qints)}, (x, y) -> (x - y) * (x - y)), "
+        f"0L, (acc, x) -> acc + x)"
+    )
     scored = qe.select(
         "id",
         adc.alias("adc_dist2"),
-        _int_dist2(F.col("qv"), qints).alias("dist2"),
+        dist2.alias("dist2"),
     )
     short = scored.orderBy(F.col("adc_dist2").asc(), F.col("id").asc()).limit(
         shortlist

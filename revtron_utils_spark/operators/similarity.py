@@ -448,23 +448,30 @@ def ivf_probe_exact(
     )
     probes = [j for _, j in sdist[:nprobe]]
     # per-row assignment: argmin over the literal seed array (struct
-    # min orders by dist first, then seed index — deterministic ties)
-    assign = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _int_dist2(F.col("qv"), s).alias("d"),
-                    F.lit(j).cast("long").alias("j"),
-                )
-                for j, s in enumerate(seeds)
-            ]
-        )
-    )["j"]
+    # min orders by dist first, then seed index — deterministic ties).
+    # Built as ONE SQL string (the pq_adc_exact r12 fix): the python
+    # Column loop paid a py4j round-trip per literal/lambda node, all
+    # driver wall; semantics (fold, tie order, BIGINT types) unchanged,
+    # so the oracle hash is unchanged.
+    def _lits(vals):
+        return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
+
+    seeds_sql = "array(" + ",".join(_lits(s) for s in seeds) + ")"
+    assign = F.expr(
+        f"array_min(transform(sequence(0, {len(seeds) - 1}), j -> "
+        f"named_struct('d', aggregate(zip_with(qv, element_at({seeds_sql}, "
+        f"j + 1), (x, y) -> (x - y) * (x - y)), 0L, (acc, x) -> acc + x), "
+        f"'j', CAST(j AS BIGINT)))).j"
+    )
+    dist2 = F.expr(
+        f"aggregate(zip_with(qv, {_lits(qints)}, (x, y) -> (x - y) * (x - y)), "
+        f"0L, (acc, x) -> acc + x)"
+    )
     out = (
         qe.select(
             "id",
             assign.alias("cluster"),
-            _int_dist2(F.col("qv"), qints).alias("dist2"),
+            dist2.alias("dist2"),
         )
         .where(F.col("cluster").isin([int(p) for p in probes]))
         .orderBy(F.col("dist2").asc(), F.col("id").asc())

@@ -247,7 +247,7 @@ def ewma(
     from .guards import require_bounded_spine
 
     keys = list(by)
-    require_bounded_spine(df, time_col, keys, max_buckets, "ewma")
+    df = require_bounded_spine(df, time_col, keys, max_buckets, "ewma")
     per = df.groupBy(*keys, F.col(time_col).alias("t")).agg(
         F.sum(F.col(value_col).cast("long")).alias("x")
     )
@@ -590,7 +590,7 @@ def holt_linear(
     from .guards import require_bounded_spine
 
     keys = list(by)
-    require_bounded_spine(df, time_col, keys, max_buckets, "holt_linear")
+    df = require_bounded_spine(df, time_col, keys, max_buckets, "holt_linear")
     per = df.groupBy(*keys, F.col(time_col).alias("t")).agg(
         F.sum(F.col(value_col).cast("long")).alias("x")
     )
@@ -1091,7 +1091,7 @@ def durbin_watson(
     from .dedup import _persist
     from ..operators.guards import require_bounded_spine
 
-    require_bounded_spine(df, time_col, [group_col], max_points, "durbin_watson")
+    df = require_bounded_spine(df, time_col, [group_col], max_points, "durbin_watson")
     from .guards import integral_long
 
     dec = lambda c: c.cast("decimal(38,0)")
@@ -1281,7 +1281,7 @@ def runs_test(
     """
     from ..operators.guards import require_bounded_spine
 
-    require_bounded_spine(df, value_col, [], max_buckets, "runs_test")
+    df = require_bounded_spine(df, value_col, [], max_buckets, "runs_test")
     base = df.select(
         F.col(group_col).alias("_g"),
         F.col(time_col).alias("_t"),
@@ -1446,7 +1446,7 @@ def ffill_series(
     """
     from .guards import require_bounded_spine
 
-    require_bounded_spine(df, time_col, [group_col], max_points, "ffill_series")
+    df = require_bounded_spine(df, time_col, [group_col], max_points, "ffill_series")
     base = df.select(
         F.col(group_col).alias("_g"),
         F.col(time_col).cast("long").alias("_t"),

@@ -238,5 +238,5 @@ def test_cronbach_guard_trips(spark):
     df = spark.range(3000).select(
         F.lit(1).alias("subj"), F.col("id").alias("item"), F.lit(1).alias("v")
     )
-    with pytest.raises(ValueError, match="cronbach_alpha"):
-        cronbach_alpha(df, "subj", "item", "v", max_items=100)
+    with pytest.raises(Exception, match="cronbach_alpha"):
+        cronbach_alpha(df, "subj", "item", "v", max_items=100).collect()

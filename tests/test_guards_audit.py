@@ -35,8 +35,8 @@ def test_ks_test_guard_trips(spark):
     from revtron_utils_spark.operators.profile import ks_test
 
     df = _wide_spine(spark)
-    with pytest.raises(ValueError, match="ks_test.*max_buckets"):
-        ks_test(df, "t", "s", "a", "b", max_buckets=100)
+    with pytest.raises(Exception, match="ks_test.*max_buckets"):
+        ks_test(df, "t", "s", "a", "b", max_buckets=100).collect()
 
 
 def test_ks_test_guard_vouch_none_runs(spark):
@@ -51,18 +51,18 @@ def test_gain_curve_guard_trips(spark):
     from revtron_utils_spark.operators.evaluation import gain_curve
 
     df = _wide_spine(spark).withColumnRenamed("t", "score")
-    with pytest.raises(ValueError, match="gain_curve"):
-        gain_curve(df, "score", "v", max_buckets=100)
+    with pytest.raises(Exception, match="gain_curve"):
+        gain_curve(df, "score", "v", max_buckets=100).collect()
 
 
 def test_ewma_and_holt_guards_trip(spark):
     from revtron_utils_spark.operators.timeseries import ewma, holt_linear
 
     df = _wide_spine(spark)
-    with pytest.raises(ValueError, match="ewma"):
-        ewma(df, "t", "v", by=["s"], max_buckets=100)
-    with pytest.raises(ValueError, match="holt_linear"):
-        holt_linear(df, "t", "v", by=["s"], max_buckets=100)
+    with pytest.raises(Exception, match="ewma"):
+        ewma(df, "t", "v", by=["s"], max_buckets=100).collect()
+    with pytest.raises(Exception, match="holt_linear"):
+        holt_linear(df, "t", "v", by=["s"], max_buckets=100).collect()
 
 
 def test_guard_passes_under_cap(spark):

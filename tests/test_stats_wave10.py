@@ -62,8 +62,8 @@ def test_kruskal_wallis_guard_trips(spark):
     df = spark.range(3000).select(
         F.col("id").alias("v"), (F.col("id") % 2).alias("g")
     )
-    with pytest.raises(ValueError, match="kruskal_wallis"):
-        kruskal_wallis(df, "v", "g", max_buckets=100)
+    with pytest.raises(Exception, match="kruskal_wallis"):
+        kruskal_wallis(df, "v", "g", max_buckets=100).collect()
 
 
 # ------------------------------------------------------------ anova_oneway
@@ -222,8 +222,8 @@ def test_kendall_tau_guard_trips(spark):
     df = spark.range(5000).select(
         F.col("id").alias("x"), (F.col("id") % 3).alias("y")
     )
-    with pytest.raises(ValueError, match="kendall_tau"):
-        kendall_tau(df, "x", "y", max_x_buckets=100)
+    with pytest.raises(Exception, match="kendall_tau"):
+        kendall_tau(df, "x", "y", max_x_buckets=100).collect()
 
 
 def test_kendall_tau_degenerate_all_tied_x(spark):
