@@ -769,24 +769,32 @@ def dawid_skene(
         # one row per observed (rater, voted-label), one column per true
         # label. A (r, m) row exists iff rater r ever voted m, exactly
         # the long form's (r, l, m) support.
+        # the confusion aggregate clusters on r alone (subset rule), so
+        # the per-rater denominator can be a WINDOW over the same
+        # layout instead of the old groupBy(r) + join-back — one
+        # exchange per round instead of two, no per-round persist, no
+        # broadcast build (r12; same integers: window sum/count over
+        # the r partition ≡ the groupBy's sums)
+        from pyspark.sql.window import Window as _W
+
         conf = (
             votes.join(q, "i")
+            .repartition("r")
             .groupBy("r", "m")
             .agg(*[(F.sum(f"_q{j}") + F.lit(1)).alias(f"_nm{j}") for j in L])
         )
-        conf = _persist(conf)
         # per-(r, l) denominator: observed-m sums + one Laplace unit for
         # each label m the rater never voted (count(*) = observed m's,
         # the same for every true-label column)
-        den = conf.groupBy("r").agg(
-            *[
-                (F.sum(f"_nm{j}") + (F.lit(n_labels) - F.count(F.lit(1)))).alias(
-                    f"_d{j}"
-                )
-                for j in L
-            ]
-        )
-        pi = conf.join(den, "r").select(
+        _wr = _W.partitionBy("r")
+        den_cols = [
+            (
+                F.sum(f"_nm{j}").over(_wr)
+                + (F.lit(n_labels) - F.count(F.lit(1)).over(_wr))
+            ).alias(f"_d{j}")
+            for j in L
+        ]
+        pi = conf.select("r", "m", *[F.col(f"_nm{j}") for j in L], *den_cols).select(
             "r",
             "m",
             *[

@@ -614,15 +614,58 @@ def mixture_sample(
     corpus growth of other domains (a row's fate depends only on its
     id, its domain's count, and the binding domain)."""
     _require_integral_id(df, id_col)
-    counts = {
-        r["d"]: r["n"]
-        for r in df.filter(F.col(domain_col).isin(list(proportions)))
-        .groupBy(F.col(domain_col).alias("d"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    thresholds = mixture_proportion_rates(counts, proportions)
-    tdf = _threshold_table(df, domain_col, thresholds)
+    if not proportions:
+        raise ValueError("proportions must be non-empty")
+    # r12: the per-domain counts used to be collect()ed to the driver at
+    # query-BUILD time, which materialized the caller's ENTIRE upstream
+    # chain once for the thresholds and again for the returned plan
+    # (corpus_pipeline pays this on every bench pass). The identical
+    # double arithmetic of mixture_proportion_rates now rides IN-PLAN
+    # over the O(domains) count aggregate: same IEEE op order
+    # (n/p̂ → min → (p̂·t)/n → ·HASH_MOD → truncating cast), so the
+    # thresholds — and the oracle hash — are bit-identical. The
+    # missing-domain fail-fast raises at execution (the r12 guard
+    # convention) instead of at build.
+    total_p = sum(proportions.values())
+    norm = {s: p / total_p for s, p in proportions.items()}
+    kt = df.schema[domain_col].dataType.simpleString()
+    props_df = df.sparkSession.createDataFrame(
+        sorted(norm.items(), key=lambda kv: str(kv[0])), f"_k {kt}, _np double"
+    )
+    counts = (
+        df.filter(F.col(domain_col).isin(list(proportions)))
+        .groupBy(F.col(domain_col).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    avail = props_df.join(counts, "_k", "left").select(
+        "_k",
+        "_np",
+        F.when(
+            F.coalesce(F.col("_n"), F.lit(0)) <= 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("no rows available for domains ['"),
+                    F.col("_k").cast("string"),
+                    F.lit("']"),
+                )
+            ),
+        )
+        .otherwise(F.col("_n"))
+        .alias("_n"),
+    )
+    t_row = avail.agg(
+        F.min(F.col("_n").cast("double") / F.col("_np")).alias("_t")
+    )
+    tdf = avail.crossJoin(F.broadcast(t_row)).select(
+        "_k",
+        (
+            (F.col("_np") * F.col("_t"))
+            / F.col("_n").cast("double")
+            * F.lit(float(HASH_MOD))
+        )
+        .cast("long")
+        .alias("_thr"),
+    )
     joined = df.join(F.broadcast(tdf), df[domain_col] == tdf["_k"], "inner")
     return joined.filter(id_hash(id_col, seed) < F.col("_thr")).drop("_k", "_thr")
 

@@ -389,8 +389,8 @@ def test_mixture_sample_missing_domain_raises(spark):
     df = spark.createDataFrame([(1, "A")], "id long, dom string")
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="no rows available"):
-        mixture_sample(df, "id", "dom", {"A": 0.5, "ZZZ": 0.5})
+    with _pytest.raises(Exception, match="no rows available"):
+        mixture_sample(df, "id", "dom", {"A": 0.5, "ZZZ": 0.5}).collect()
 
 
 def test_mixture_sample_deterministic(spark):
