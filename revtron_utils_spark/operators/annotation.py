@@ -355,97 +355,78 @@ def bradley_terry_from_counts(
     pair-count aggregation between this and the Wilson leaderboard).
     Same output contract as :func:`bradley_terry`.
 
-    The dense row-major n-matrix and win vector are assembled
-    DISTRIBUTED — index the counts against the broadcast sorted
-    catalog, symmetrize + sum as DataFrame aggregations (exact:
-    integer-valued doubles), left-join a generated (i, j) grid, and
-    collapse each to a position-sorted array — O(m²) grid rows instead
-    of the O(m⁴) single-row scatter fold a naive build costs. All
-    values and positions are identical to the naive build, so the MM
-    folds (and the oracle) are unchanged bit-for-bit."""
-    items_row = counts.agg(
-        F.array_sort(
-            F.array_distinct(
-                F.flatten(F.collect_list(F.array(F.col("w"), F.col("l"))))
-            )
-        ).alias("it")
-    )
-    ci = counts.join(F.broadcast(items_row)).select(
-        (F.array_position(F.col("it"), F.col("w")) - 1).alias("i"),
-        (F.array_position(F.col("it"), F.col("l")) - 1).alias("j"),
-        "c",
-    )
-    sym = (
-        ci.select("i", "j", "c")
-        .unionByName(ci.select(F.col("j").alias("i"), F.col("i").alias("j"), "c"))
-        .groupBy("i", "j")
-        .agg(F.sum("c").alias("c"))
-    )
-    wins_df = ci.groupBy("i").agg(F.sum("c").alias("wc"))
-    m_col = F.size("it")
-    idx = F.when(m_col > 0, F.sequence(F.lit(0), m_col - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    grid_i = items_row.select(m_col.alias("m"), F.explode(idx).alias("i"))
-    grid = grid_i.select("m", "i", F.explode(
-        F.sequence(F.lit(0), F.col("m") - 1)
-    ).alias("j"))
-    n_flat_row = (
-        grid.join(sym, ["i", "j"], "left")
-        .select(
-            (F.col("i").cast("long") * F.col("m") + F.col("j")).alias("k"),
-            F.coalesce(F.col("c"), F.lit(0.0)).alias("c"),
-        )
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("k", "c"))), lambda s: s["c"]
-            ).alias("n_flat")
-        )
-    )
-    wins_row = (
-        grid_i.join(wins_df, "i", "left")
-        .select("i", F.coalesce(F.col("wc"), F.lit(0.0)).alias("wc"))
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "wc"))), lambda s: s["wc"]
-            ).alias("wins")
-        )
-    )
-    state = items_row.join(n_flat_row).join(wins_row)
-    state = state.withColumn(
-        "p", F.transform(F.sequence(F.lit(0), F.size("it") - 1), lambda i: F.lit(1.0))
-    )
+    The dense row-major n-matrix and win vector are assembled on a
+    SINGLE-ROW state: one aggregation collects the (w, l, c) entries,
+    the catalog is the sorted-distinct endpoint array, and an
+    (i, j)→c index map feeds position-ordered transforms for
+    ``n_flat`` (``c(i,j) + c(j,i)``, row-major) and ``wins``
+    (ascending-j fold of integer-valued doubles — exact). Values and
+    positions are identical to the former grid-join build, so the MM
+    folds (and the oracle) are unchanged bit-for-bit — but the plan is
+    one aggregation + projections instead of a lattice of tiny
+    grid-join jobs.
 
-    def mm_step(col_p):
-        mm = F.size("it")
-        return F.transform(
-            F.sequence(F.lit(0), mm - 1),
-            lambda i: F.element_at("wins", i + 1)
-            / F.aggregate(
-                F.sequence(F.lit(0), mm - 1),
-                F.lit(0.0),
-                lambda acc, j: acc
-                + F.when(
-                    (j == i)
-                    | (F.element_at("n_flat", (i * mm + j).cast("int") + 1) == 0.0),
-                    F.lit(0.0),
-                ).otherwise(
-                    F.element_at("n_flat", (i * mm + j).cast("int") + 1)
-                    / (F.element_at(col_p, i + 1) + F.element_at(col_p, j + 1))
-                ),
-            ),
-        )
-
-    for _ in range(iterations):
-        state = state.select(
-            "it", "n_flat", "wins", mm_step(F.col("p")).alias("p")
-        )
-    total = F.aggregate("p", F.lit(0.0), lambda a, x: a + x)
-    normed = state.select(
-        "it", F.transform("p", lambda x: x / total).alias("_pn")
+    The whole chain (assembly + ``iterations`` MM rounds + readout) is
+    issued as ONE DataFrame-parameterized ``spark.sql`` CTE query:
+    building it as stacked ``select`` calls re-analyzed the growing
+    plan JVM-side once per round (~2k py4j round trips, build time
+    dominating execution — the pq_ann lesson). Single-reference CTEs
+    inline to the identical stacked-Project plan."""
+    cell = (
+        "coalesce(try_element_at(cm, struct(CAST({i} AS BIGINT) AS i,"
+        " CAST({j} AS BIGINT) AS j)), 0.0D)"
     )
-    return normed.select(F.posexplode("it").alias("_i", "item"), "_pn").select(
-        "item", F.round(F.element_at("_pn", F.col("_i") + 1), 6).alias("strength")
+    c_ij, c_ji = cell.format(i="i", j="j"), cell.format(i="j", j="i")
+    step = (
+        "s{k} AS (SELECT it, n_flat, wins,"
+        " transform(sequence(0, size(it) - 1), i -> element_at(wins, i + 1)"
+        " / aggregate(sequence(0, size(it) - 1), 0.0D, (acc, j) -> acc +"
+        " (CASE WHEN j = i"
+        " OR element_at(n_flat, CAST(i * size(it) + j AS INT) + 1) = 0.0D"
+        " THEN 0.0D"
+        " ELSE element_at(n_flat, CAST(i * size(it) + j AS INT) + 1)"
+        " / (element_at(p, i + 1) + element_at(p, j + 1)) END))) AS p"
+        " FROM s{prev})"
+    )
+    spark = counts.sparkSession
+    state = spark.sql(
+        f"""WITH _e AS (SELECT collect_list(struct(w, l, c)) AS e FROM {{counts}}),
+_it AS (SELECT array_sort(array_distinct(flatten(transform(e,
+  s -> array(s.w, s.l))))) AS it, e FROM _e),
+_cm AS (SELECT it, map_from_entries(transform(e, s ->
+  struct(struct(array_position(it, s.w) - 1 AS i,
+                array_position(it, s.l) - 1 AS j) AS k, s.c AS v))) AS cm
+  FROM _it),
+_g AS (SELECT it, cm, CASE WHEN size(it) > 0 THEN sequence(0, size(it) - 1)
+  ELSE CAST(array() AS ARRAY<INT>) END AS _idx FROM _cm)
+SELECT it,
+  flatten(transform(_idx, i -> transform(_idx, j -> {c_ij} + {c_ji}))) AS n_flat,
+  transform(_idx, i -> aggregate(_idx, 0.0D, (acc, j) -> acc + {c_ij})) AS wins,
+  transform(sequence(0, size(it) - 1), i -> 1.0D) AS p
+FROM _g""",
+        counts=counts,
+    )
+    # chunked: >~15 lambda-bearing chained CTEs overflow the analyzer's
+    # 100-pass fixed point, so the rounds go in blocks of 10
+    done = 0
+    while done < iterations:
+        block = min(10, iterations - done)
+        rounds = ",\n".join(
+            step.format(k=k + 1, prev=k) for k in range(block)
+        )
+        state = spark.sql(
+            f"WITH s0 AS (SELECT it, n_flat, wins, p FROM {{prev}}),\n"
+            f"{rounds}\n"
+            f"SELECT it, n_flat, wins, p FROM s{block}",
+            prev=state,
+        )
+        done += block
+    return spark.sql(
+        """SELECT item, ROUND(element_at(_pn, _i + 1), 6) AS strength
+FROM (SELECT it, transform(p, x -> x / aggregate(p, 0.0D, (a, y) -> a + y)) AS _pn
+      FROM {state}) _f
+LATERAL VIEW posexplode(it) _t AS _i, item""",
+        state=state,
     )
 
 
