@@ -6837,6 +6837,16 @@ def q_corpus_pipeline(spark, sf):
     # materialization every real pipeline makes) instead of re-running
     # WARC->HTML->dedup once per branch
     gq = DD._persist(dd.where(CL.gopher_quality_flags("text").getField("pass_all")))
+    # LAZY plan cut at the cleaned-corpus seam (guide §7.3 "very large
+    # plans"): the WARC→HTML→paragraph-dedup→gopher prefix is thousands
+    # of expression nodes, and every downstream DataFrame operation
+    # (the LSH pair build, decontaminate, mixture_sample — ~40 calls)
+    # re-ran the Analyzer over it, putting the query's BUILD at 3.8-5.2s
+    # of py4j/analysis round-trips. The checkpoint truncates the logical
+    # plan to an RDD leaf; materialization still happens inside the
+    # timed action (eager=False), and the upstream computes once either
+    # way (it was already persisted).
+    gq = gq.localCheckpoint(eager=False)
     # 6. near-dup removal: capped MinHash-LSH pairs, drop the larger id
     pairs = DD.minhash_poly_pairs(
         gq,
