@@ -344,9 +344,16 @@ def pagerank(
 
     # probe ONCE for dangling nodes (no out-edges): when there are none
     # — e.g. any symmetrized graph — every per-iteration dangling
-    # aggregate (two jobs each) collapses to a constant 0
+    # aggregate (two jobs each) collapses to a constant 0. The SET is
+    # static (deg never changes), so persist it: the per-round dangling
+    # total then reads two caches (ranks ⋈ dangling) instead of
+    # re-running the degree aggregate's exchange every round just to
+    # anti-join against it (guide §2.4; r12 job-count profile)
     dangling_nodes = nodes.join(deg, "node", "left_anti")
+    dangling_nodes.persist()
     has_dangling = bool(dangling_nodes.limit(1).count())
+    if not has_dangling:
+        dangling_nodes.unpersist()
 
     ranks = nodes.withColumn("rank_int", F.lit(scale).cast("bigint"))
     # zero-contribution spine: unioned into the contribution aggregate so
@@ -372,7 +379,7 @@ def pagerank(
             # broadcast(1-row agg)) shape paid a BroadcastExchange
             # build job per round for a single integer
             dang_tot = (
-                ranks.join(deg, "node", "left_anti")
+                ranks.join(dangling_nodes, "node", "left_semi")
                 .agg(F.coalesce(F.sum("rank_int"), F.lit(0)).alias("dang"))
                 .first()["dang"]
             )
@@ -411,6 +418,8 @@ def pagerank(
         )
     nodes.unpersist()
     ed.unpersist()
+    if has_dangling:
+        dangling_nodes.unpersist()
     if seed_flags is not None:
         seed_flags.unpersist()
     return ranks

