@@ -635,7 +635,7 @@ def label_propagation(
     # `self_only` at the end re-reads raw, and cutting only e0 left the
     # whole upstream fixture construction planned a second time in the
     # returned frame (r12 plan audit)
-    raw = _cut(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")), True)
+    raw = _cut(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")), False)
     e0 = raw.where(F.col("a") != F.col("b"))  # self-loops vote for nobody
     und = e0.unionByName(
         e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -647,13 +647,24 @@ def label_propagation(
     # setup exchange buys `iterations` round exchanges; when labels are
     # too big to broadcast the sort-merge join re-shuffles und by b and
     # the layout is a wash — same bytes either way)
-    und = und.repartition("a").persist()
+    # registry-persisted (released via dedup.release_caches like every
+    # operator cache) instead of unpersisted at function exit: keeping
+    # the cache alive lets the LAST round's cut stay lazy too, so a
+    # standalone call runs ZERO build-time actions — the caller's first
+    # action materializes the graph, every round, and the final labels
+    # in one job (r12; this family is scheduling-bound)
+    from .dedup import _persist
+
+    und = _persist(und.repartition("a"))
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
     )
-    labels = _cut(labels, True)
+    # lazy init cut (r12): lineage truncates now, the distinct
+    # materializes inside round 1's first job instead of paying a
+    # separate build-time action — this family is scheduling-bound
+    labels = _cut(labels, False)
     for _it in range(iterations):
         nb = und.join(labels, und["b"] == labels["node"]).select(
             F.col("a"), F.col("label")
@@ -668,16 +679,13 @@ def label_propagation(
                 F.col("label"), F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
             ).alias("label")
         )
-        # lazy mid-loop cuts (r12, the dawid_skene convention): lineage
-        # still truncates, but the round's RDD materializes inside the
-        # next round's first job instead of one eager job per round —
-        # this family is scheduling-bound, not byte-bound. The last
-        # round stays eager because `und` is unpersisted before the
-        # caller's first action.
-        labels = _cut(
-            new.select(F.col("a").alias("node"), "label"),
-            _it == iterations - 1,
-        )
+        # lazy cuts every round (r12, the dawid_skene convention):
+        # lineage still truncates, but each round's RDD materializes
+        # inside the caller's first job instead of one eager job per
+        # round — this family is scheduling-bound, not byte-bound. The
+        # last round can stay lazy because `und` now lives in the cache
+        # registry (released by release_caches, not at function exit).
+        labels = _cut(new.select(F.col("a").alias("node"), "label"), False)
     # nodes every one of whose edges was a self-loop never enter `und`
     # (isolated nodes in a node-list sense don't appear in an edge list
     # at all) — they keep their own label rather than vanishing
@@ -688,9 +696,7 @@ def label_propagation(
         .join(labels, "node", "left_anti")
         .select("node", F.col("node").alias("label"))
     )
-    out = labels.unionByName(self_only)
-    und.unpersist()
-    return out
+    return labels.unionByName(self_only)
 
 
 def label_propagation_oracle_sql(
@@ -1630,24 +1636,45 @@ def modularity(
     # persisted for the same reason: read by the fail-fast count action
     # here and again by the returned per-community aggregate
     labeled = _persist(deg.join(cm, "_n", "left"))
-    n_missing = labeled.where(F.col("_c").isNull()).count()
-    if n_missing:
-        raise ValueError(
-            f"modularity: {n_missing} graph node(s) missing from the "
-            "communities frame — a silent drop would skew e_c against "
-            "d_c; label every node (connected_components/"
-            "label_propagation output does)"
+    # fail-fast on unlabeled nodes, IN-PLAN (the require_bounded_spine
+    # r12 convention): the eager ``.count()`` here was a full action at
+    # query-build time — inside community_quality it materialized the
+    # whole label-propagation loop before the query ran. The check now
+    # rides as a 1-row broadcast whose projection raise_errors at
+    # execution; same message, zero extra action.
+    missing_gate = labeled.agg(
+        F.sum(F.when(F.col("_c").isNull(), 1).otherwise(0)).alias("_miss")
+    ).select(
+        F.when(
+            F.col("_miss") > 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("modularity: "),
+                    F.col("_miss").cast("string"),
+                    F.lit(
+                        " graph node(s) missing from the communities "
+                        "frame — a silent drop would skew e_c against "
+                        "d_c; label every node (connected_components/"
+                        "label_propagation output does)"
+                    ),
+                )
+            ),
         )
-    m_row = e.agg(F.count(F.lit(1)).alias("_m")).first()
-    m = int(m_row["_m"] or 0)
-    if m == 0:
-        return labeled.select(
-            F.col("_c").alias(community_col),
-            F.lit(0).cast("bigint").alias("n_nodes"),
-            F.lit(0).cast("bigint").alias("internal_edges"),
-            F.lit(0).cast("bigint").alias("degree_sum"),
-            F.lit(None).cast("double").alias("q_contrib"),
-        ).limit(0)
+        .otherwise(F.lit(1))
+        .alias("_mod_gate")
+    )
+    # the edge count m rides IN-PLAN on the same 1-row broadcast as the
+    # missing-node gate (r12): the old ``.first()`` was the last
+    # build-time action here — inside community_quality it materialized
+    # the whole upstream graph before the query ran. 4m and 4m² are
+    # computed in DECIMAL(38,0) from the count column (exact integers,
+    # identical to the old Python literals; the single double rounding
+    # happens at the same place — the final cast). m = 0 implies an
+    # empty `labeled`, so the old empty-frame early return is the
+    # natural result of the same plan.
+    gate = missing_gate.crossJoin(
+        e.agg(F.count(F.lit(1)).alias("_m"))
+    )
     # both endpoint labelings reference the SAME cm frame via aliases +
     # join conditions (not renamed projections): canonically-equal
     # subtrees -> one shared broadcast/exchange build instead of two
@@ -1677,17 +1704,23 @@ def modularity(
         )
     )
     dec = lambda c: c.cast("decimal(38,0)")
-    q_num = dec(F.lit(4 * m)) * dec(F.col("internal_edges")) - dec(
+    four_m = dec(F.lit(4)) * dec(F.col("_m"))
+    q_num = four_m * dec(F.col("internal_edges")) - dec(
         F.col("degree_sum")
     ) * dec(F.col("degree_sum"))
-    return per.select(
-        community_col,
-        "n_nodes",
-        "internal_edges",
-        "degree_sum",
-        F.round(
-            q_num.cast("double") / F.lit(float(4 * m * m)), round_to
-        ).alias("q_contrib"),
+    return (
+        per.join(F.broadcast(gate), F.col("_mod_gate") == 1, "inner")
+        .select(
+            community_col,
+            "n_nodes",
+            "internal_edges",
+            "degree_sum",
+            F.round(
+                q_num.cast("double")
+                / (four_m * dec(F.col("_m"))).cast("double"),
+                round_to,
+            ).alias("q_contrib"),
+        )
     )
 
 

@@ -52,8 +52,11 @@ def test_modularity_missing_node_raises(spark):
 
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     comm = spark.createDataFrame([(1, "a")], "node long, community string")
-    with pytest.raises(ValueError, match="missing from the"):
-        modularity(edges, comm)
+    # r12: the check rides in-plan (raise_error behind a 1-row
+    # broadcast), so it surfaces as a Spark execution error at the
+    # first action — the require_bounded_spine convention
+    with pytest.raises(Exception, match="missing from the"):
+        modularity(edges, comm).collect()
 
 
 def test_modularity_matches_oracle(spark):
