@@ -933,47 +933,38 @@ def markov_attribution(
         ),
     )
 
-    def _t_at(i, j):
+    # one propagation step as a single parameterized SQL string, parsed
+    # once and reused for all k steps (the bradley_terry / pq_ann_poly
+    # r12 convention): the old nested-lambda Column construction issued
+    # hundreds of py4j round-trips per step (~0.12 s × k_steps of pure
+    # driver time). Identical expression tree: same CASE branch order,
+    # same fold, same cast/divide placement — `0.0D` literals keep the
+    # DoubleType the lambdas produced (bare 0.0 parses as DECIMAL).
+    def _t_sql(i: str, j: str) -> str:
         return (
-            F.element_at("tflat", ((i * (F.col("m") + 3)) + j).cast("int") + 1)
-            .cast("double")
-            / F.lit(sd)
+            f"CAST(element_at(tflat, CAST(({i} * (m + 3)) + {j} AS INT) + 1)"
+            f" AS DOUBLE) / {sd!r}D"
         )
 
-    def _step(vs_col):
-        nn = F.col("m") + 3
-
-        def new_vec(r):
-            vr = F.element_at(vs_col, r + 1)
-            return F.transform(
-                F.sequence(F.lit(0), nn - 1),
-                lambda j: F.when((r >= 1) & (j == r), F.lit(0.0))
-                .when(
-                    j == nn - 1,
-                    F.aggregate(
-                        F.sequence(F.lit(0), nn - 1),
-                        F.lit(0.0),
-                        lambda acc, i: acc
-                        + F.element_at(vr, i + 1)
-                        * (
-                            _t_at(i, j)
-                            + F.when(r >= 1, _t_at(i, r)).otherwise(F.lit(0.0))
-                        ),
-                    ),
-                )
-                .otherwise(
-                    F.aggregate(
-                        F.sequence(F.lit(0), nn - 1),
-                        F.lit(0.0),
-                        lambda acc, i: acc + F.element_at(vr, i + 1) * _t_at(i, j),
-                    )
-                ),
-            )
-
-        return F.transform(F.sequence(F.lit(0), F.col("m")), new_vec)
+    _fold_last = (
+        "aggregate(sequence(0, (m + 3) - 1), 0.0D, (acc, i) -> acc + "
+        "element_at(element_at(vs, r + 1), i + 1) * "
+        f"({_t_sql('i', 'j')} + (CASE WHEN r >= 1 THEN {_t_sql('i', 'r')} "
+        "ELSE 0.0D END)))"
+    )
+    _fold_plain = (
+        "aggregate(sequence(0, (m + 3) - 1), 0.0D, (acc, i) -> acc + "
+        f"element_at(element_at(vs, r + 1), i + 1) * {_t_sql('i', 'j')})"
+    )
+    step_expr = F.expr(
+        "transform(sequence(0, m), r -> transform(sequence(0, (m + 3) - 1), "
+        "j -> CASE WHEN (r >= 1) AND (j = r) THEN 0.0D "
+        f"WHEN j = (m + 3) - 1 THEN {_fold_last} "
+        f"ELSE {_fold_plain} END))"
+    )
 
     for _ in range(k_steps):
-        state = state.select("m", "it", "tflat", _step(F.col("vs")).alias("vs"))
+        state = state.select("m", "it", "tflat", step_expr.alias("vs"))
     conv_at = lambda r: F.element_at(F.element_at("vs", r + 1), F.col("m") + 2)
     base = conv_at(F.lit(0))
     tot_re = F.aggregate(
