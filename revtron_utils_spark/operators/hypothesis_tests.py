@@ -963,11 +963,28 @@ def cochran_q(
 
     df = require_bounded_spine(df, treatment_col, [], max_treatments, "cochran_q")
     dec = lambda c: c.cast("decimal(38,0)")
+    from .dedup import _persist
+
     base = df.select(
         F.col(item_col).alias("_i"),
         F.col(treatment_col).alias("_j"),
         F.col(outcome_col).cast("int").alias("_o"),
     )
+    # the operator makes four passes over base (k probe, per-item
+    # aggregate, complete filter, per-treatment sums), and the caller's
+    # outcome flags are often expression-heavy (the gate query computes
+    # lang-ID regexes) — persist base so the flags compute once, and
+    # spread a narrower-than-the-cluster input first so that one
+    # compute doesn't run on a single scan task (a small parquet table
+    # is one split; 2.3 s serial at sf0.1, r12 profile). Scale-adaptive:
+    # at real scale the input already has ≥ cores partitions.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if base.rdd.getNumPartitions() < par:
+            base = base.repartition(par)
+    except Exception:  # pragma: no cover - plan without RDD translation
+        pass
+    base = _persist(base)
     k_row = base.select(F.countDistinct("_j").alias("k")).first()
     k = int(k_row["k"] or 0)
     per_item = base.groupBy("_i").agg(
@@ -975,14 +992,16 @@ def cochran_q(
         F.count(F.lit(1)).alias("_nr"),
         F.sum("_o").alias("_l"),
     )
-    from .dedup import _persist
-
-    complete = _persist(
-        per_item.where(
-            (F.col("_nj") == F.lit(k)) & (F.col("_nr") == F.lit(k))
-        ).select("_i", "_l")
+    is_complete = (F.col("_nj") == F.lit(k)) & (F.col("_nr") == F.lit(k))
+    complete = _persist(per_item.where(is_complete).select("_i", "_l"))
+    # dropped-item count rides IN-PLAN as a 1-row crossJoin (r12): the
+    # old per_item.count() - complete.count() was two more build-time
+    # actions re-scanning the cached base
+    dropped = per_item.agg(
+        F.coalesce(
+            F.sum(F.when(is_complete, 0).otherwise(1)), F.lit(0)
+        ).alias("_nd")
     )
-    n_dropped = per_item.count() - complete.count()
     gj = (
         base.join(complete.select("_i"), "_i")
         .groupBy("_j")
@@ -998,7 +1017,7 @@ def cochran_q(
         F.sum(dec(F.col("_l"))).alias("_sl"),
         F.sum(dec(F.col("_l")) * dec(F.col("_l"))).alias("_sl2"),
     )
-    out = gj.crossJoin(li)
+    out = gj.crossJoin(li).crossJoin(dropped)
     kd = dec(F.lit(k))
     num = kd * (kd - F.lit(1).cast("decimal(38,0)")) * (
         kd * F.col("_sg2") - F.col("_sg") * F.col("_sg")
@@ -1007,7 +1026,7 @@ def cochran_q(
     return out.select(
         F.lit(k).cast("long").alias("k"),
         F.col("n_items").cast("long").alias("n_items"),
-        F.lit(n_dropped).cast("long").alias("n_dropped"),
+        F.col("_nd").cast("long").alias("n_dropped"),
         F.round(
             F.when(
                 (F.lit(k) > 1) & (den > 0),
