@@ -788,20 +788,28 @@ def friedman_test(
         F.col(treatment_col).alias("_j"),
         integral_long(df, value_col, "friedman_test").alias("_v"),
     )
+    from .dedup import _persist
+
+    # persist: the frame feeds the k probe, the block-completeness
+    # aggregate, and the rank join — without the cache the caller's
+    # upstream (a join in the gate query) re-ran once per pass (r12)
+    base = _persist(base)
     k_row = base.select(F.countDistinct("_j").alias("k")).first()
     k = int(k_row["k"] or 0)
     per_block = base.groupBy("_b").agg(
         F.countDistinct("_j").alias("_nj"), F.count(F.lit(1)).alias("_nr")
     )
-    from .dedup import _persist
-
-    complete = _persist(
-        per_block.where(
-            (F.col("_nj") == F.lit(k)) & (F.col("_nr") == F.lit(k))
-        ).select("_b")
-    )
-    n_complete = complete.count()
-    n_dropped = per_block.count() - n_complete
+    is_complete = (F.col("_nj") == F.lit(k)) & (F.col("_nr") == F.lit(k))
+    complete = _persist(per_block.where(is_complete).select("_b"))
+    # both block counts in ONE action (was two — each a full pass)
+    crow = per_block.agg(
+        F.count(F.lit(1)).alias("_nt"),
+        F.coalesce(
+            F.sum(F.when(is_complete, 1).otherwise(0)), F.lit(0)
+        ).alias("_nc"),
+    ).first()
+    n_complete = int(crow["_nc"])
+    n_dropped = int(crow["_nt"]) - n_complete
     if n_complete == 0:
         # no complete block anywhere: emit the one-row summary instead
         # of an empty frame (the SQL twin returns 0 rows here — the
