@@ -605,21 +605,22 @@ def kendall_tau(
     counted once; x-ties contribute to neither C nor D). Output one
     row: ``(n, concordant, discordant, tau_b)``.
     """
-    from .guards import require_bounded_spine
+    from .guards import require_bounded_spines
 
-    df = require_bounded_spine(df, x_col, [], max_x_buckets, "kendall_tau")
-    df = require_bounded_spine(df, y_col, [], max_y_buckets, "kendall_tau")
     # the per-axis caps bound each margin, but the concordance self-join
     # is over JOINT cells: V distinct (x,y) cells cost ~V²/2 compared
     # pairs in the x-range join, so V must be guarded directly or the
-    # defaults admit a 5e11-pair blowup
-    if max_cells is not None:
-        joint = df.select(
-            F.struct(F.col(x_col), F.col(y_col)).alias("_cell")
-        )
-        df = require_bounded_spine(
-            df, "_cell", [], max_cells, "kendall_tau", check_df=joint
-        )
+    # defaults admit a 5e11-pair blowup. All three bounds fold into ONE
+    # aggregate gate (r13: stacked gates multiplied input scans)
+    df = require_bounded_spines(
+        df,
+        [
+            (x_col, max_x_buckets, x_col),
+            (y_col, max_y_buckets, y_col),
+            (F.struct(F.col(x_col), F.col(y_col)), max_cells, "_cell"),
+        ],
+        "kendall_tau",
+    )
     dec = lambda c: c.cast("decimal(38,0)")
     cells = df.groupBy(
         integral_long(df, x_col, "kendall_tau").alias("_x"),
@@ -995,17 +996,19 @@ def gamma_somers_d(
     statistic ONE pinned division. Output one row: ``(n, concordant,
     discordant, gamma, somers_dyx)`` — NULL when a denominator is 0.
     """
-    from .guards import require_bounded_spine
+    from .guards import require_bounded_spines
 
-    df = require_bounded_spine(df, x_col, [], max_x_buckets, "gamma_somers_d")
-    df = require_bounded_spine(df, y_col, [], max_y_buckets, "gamma_somers_d")
-    if max_cells is not None:
-        joint = df.select(
-            F.struct(F.col(x_col), F.col(y_col)).alias("_cell")
-        )
-        df = require_bounded_spine(
-            df, "_cell", [], max_cells, "gamma_somers_d", check_df=joint
-        )
+    # one folded gate for all three bounds (r13: stacked gates
+    # multiplied input scans)
+    df = require_bounded_spines(
+        df,
+        [
+            (x_col, max_x_buckets, x_col),
+            (y_col, max_y_buckets, y_col),
+            (F.struct(F.col(x_col), F.col(y_col)), max_cells, "_cell"),
+        ],
+        "gamma_somers_d",
+    )
     dec = lambda c: c.cast("decimal(38,0)")
     cells = df.groupBy(
         integral_long(df, x_col, "gamma_somers_d").alias("_x"),

@@ -89,6 +89,64 @@ def require_bounded_spine(
     )
 
 
+def require_bounded_spines(
+    df: DataFrame,
+    specs: list[tuple["Column | str", int | None, str]],
+    op_name: str,
+) -> DataFrame:
+    """Fold a query's SEVERAL global (``by=[]``) bounded-spine gates into
+    ONE aggregate over the UN-gated input and one 1-row broadcast gate.
+
+    r13 fix (verdict): chaining :func:`require_bounded_spine` calls
+    nests the gates — gate k's aggregate subtree re-evaluates all k−1
+    earlier gate joins (distinct aggregates never hit ReuseExchange),
+    so k stacked gates cost ~k(k+1)/2 input scans inside one plan, and
+    each downstream reference of the gated frame repeats the whole
+    stack. One aggregate computing every bound costs ONE scan, and its
+    broadcast subtree is canonically identical at every reference, so
+    ReuseExchange builds it once.
+
+    ``specs``: ``(spine expression or column name, max_buckets,
+    display name)`` — entries with ``max_buckets=None`` are dropped
+    (the caller vouches). The first violated spec in order raises with
+    the same message :func:`require_bounded_spine` produces for
+    ``by=[]``.
+    """
+    live = [(c, mb, nm) for (c, mb, nm) in specs if mb is not None]
+    if not live:
+        return df
+    agg = df.agg(
+        *[
+            F.approx_count_distinct(
+                c if isinstance(c, Column) else F.col(c)
+            ).alias(f"_nb{i}")
+            for i, (c, _mb, _nm) in enumerate(live)
+        ]
+    )
+    chain = None
+    for i, (_c, mb, nm) in enumerate(live):
+        cond = F.col(f"_nb{i}") > mb
+        err = F.raise_error(
+            F.concat(
+                F.lit(f"{op_name}: spine column {nm!r} has ~"),
+                F.col(f"_nb{i}").cast("string"),
+                F.lit(
+                    f" distinct values overall, over max_buckets="
+                    f"{mb}. This operator's contract is a "
+                    "CALLER-BOUNDED spine (it sorts or folds the whole "
+                    "spine in one task/row) — pre-bucket the column "
+                    "(e.g. floor timestamps to days, bin scores), or "
+                    "raise/disable max_buckets to vouch for the bound."
+                ),
+            )
+        )
+        chain = F.when(cond, err) if chain is None else chain.when(cond, err)
+    gate = agg.select(chain.otherwise(F.lit(1)).alias("_spine_gate"))
+    return df.join(F.broadcast(gate), F.col("_spine_gate") == 1, "inner").drop(
+        "_spine_gate"
+    )
+
+
 def require_sum_sq_width(
     df: DataFrame, col: str, op_name: str, scale: int = 1
 ) -> None:

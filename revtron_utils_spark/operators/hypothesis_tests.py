@@ -336,10 +336,13 @@ def kruskal_wallis(
     """
     from pyspark.sql import Window
 
-    from .guards import require_bounded_spine
+    from .guards import require_bounded_spines
 
-    df = require_bounded_spine(df, bucket_col, [], max_buckets, "kruskal_wallis")
-    df = require_bounded_spine(df, group_col, [], max_groups, "kruskal_wallis")
+    df = require_bounded_spines(
+        df,
+        [(bucket_col, max_buckets, bucket_col), (group_col, max_groups, group_col)],
+        "kruskal_wallis",
+    )
     per = df.groupBy(F.col(bucket_col).alias("_k"), F.col(group_col).alias("_g")).agg(
         F.count(F.lit(1)).alias("_c")
     )
@@ -608,10 +611,13 @@ def brown_forsythe(
     """
     from pyspark.sql import Window
 
-    from .guards import require_bounded_spine
+    from .guards import require_bounded_spines
 
-    df = require_bounded_spine(df, bucket_col, [], max_buckets, "brown_forsythe")
-    df = require_bounded_spine(df, group_col, [], max_groups, "brown_forsythe")
+    df = require_bounded_spines(
+        df,
+        [(bucket_col, max_buckets, bucket_col), (group_col, max_groups, group_col)],
+        "brown_forsythe",
+    )
     dec = lambda c: c.cast("decimal(38,0)")
     per = df.groupBy(
         F.col(group_col).alias("_g"),
@@ -1400,10 +1406,13 @@ def moods_median(
     """
     from pyspark.sql import Window
 
-    from .guards import require_bounded_spine
+    from .guards import require_bounded_spines
 
-    df = require_bounded_spine(df, bucket_col, [], max_buckets, "moods_median")
-    df = require_bounded_spine(df, group_col, [], max_groups, "moods_median")
+    df = require_bounded_spines(
+        df,
+        [(bucket_col, max_buckets, bucket_col), (group_col, max_groups, group_col)],
+        "moods_median",
+    )
     base = df.select(
         F.col(group_col).alias("_g"),
         integral_long(df, bucket_col, "moods_median").alias("_x"),
@@ -1828,10 +1837,13 @@ def dunn_test(
     """
     from pyspark.sql import Window
 
-    from .guards import require_bounded_spine
+    from .guards import require_bounded_spines
 
-    df = require_bounded_spine(df, bucket_col, [], max_buckets, "dunn_test")
-    df = require_bounded_spine(df, group_col, [], max_groups, "dunn_test")
+    df = require_bounded_spines(
+        df,
+        [(bucket_col, max_buckets, bucket_col), (group_col, max_groups, group_col)],
+        "dunn_test",
+    )
     per = df.groupBy(
         F.col(bucket_col).alias("_k"), F.col(group_col).alias("_g")
     ).agg(F.count(F.lit(1)).alias("_c"))
@@ -1981,16 +1993,16 @@ def jonckheere_terpstra(
     tail. Output one row: ``(n, k, jt2, z)`` (``jt2`` = 2J) — z NULL
     when Var₀ ≤ 0 (degenerate: all one group or all one value).
     """
-    from .guards import require_bounded_spine
+    from .guards import require_bounded_spines
 
-    df = require_bounded_spine(df, group_col, [], max_groups, "jonckheere_terpstra")
-    if max_cells is not None:
-        joint = df.select(
-            F.struct(F.col(group_col), F.col(value_col)).alias("_cell")
-        )
-        df = require_bounded_spine(
-            df, "_cell", [], max_cells, "jonckheere_terpstra", check_df=joint
-        )
+    df = require_bounded_spines(
+        df,
+        [
+            (group_col, max_groups, group_col),
+            (F.struct(F.col(group_col), F.col(value_col)), max_cells, "_cell"),
+        ],
+        "jonckheere_terpstra",
+    )
     dec = lambda c: c.cast("decimal(38,0)")
     cells = df.groupBy(
         F.col(group_col).alias("_g"),
