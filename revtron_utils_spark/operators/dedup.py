@@ -41,6 +41,12 @@ from ..functions import vectors as VX
 
 MERSENNE_P = (1 << 31) - 1  # 2^31-1, prime
 
+# Per-block float64 budget for the LSH per-bucket Gram slab (r13): the
+# tiled `V[i0:i1] @ V.T` holds at most this many doubles (~32 MB), so a
+# hot bucket costs O(n·block) memory instead of O(n²) in one Python
+# worker. Tests shrink it to force multi-block execution on small data.
+_GRAM_BLOCK_F64 = 4 << 20
+
 # Operators below persist() intermediates that feed self-joins (the join
 # would otherwise recompute an expensive projection on both sides). The
 # persisted frames are tracked here; long-lived drivers that call these
@@ -1490,6 +1496,8 @@ def embedding_neardup_pairs(
         idt = df.schema[id_col].dataType.simpleString()
         out_schema = f"id_a {idt}, id_b {idt}, cosine double"
         thr = float(threshold)
+        # captured into the closure at build time so tests can shrink it
+        gram_block_f64 = _GRAM_BLOCK_F64
 
         def _bucket_pairs(batches):
             import numpy as np
@@ -1509,28 +1517,49 @@ def embedding_neardup_pairs(
                 V = np.stack(g["q"].to_numpy())
                 ids = g["id"].to_numpy()
                 nrm = g["nrm"].to_numpy()
-                G = V @ V.T
-                iu, ju = np.triu_indices(n, k=1)
-                denom = nrm[iu] * nrm[ju]
-                dots = G[iu, ju]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = dots / denom
-                # denom > 0 mirrors try_divide's NULL-on-zero-norm (NULL
-                # fails any threshold); comparisons are on bit-identical
-                # doubles, so the survivor set matches the join path
-                # ids[iu] != ids[ju] mirrors the join's l.id < r.id: a
-                # duplicated id never pairs with itself
-                m = (denom > 0) & (cos >= thr) & (ids[iu] != ids[ju])
-                if not m.any():
-                    continue
-                ia, ib = ids[iu[m]], ids[ju[m]]
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.minimum(ia, ib),
-                        "id_b": np.maximum(ia, ib),
-                        "cosine": cos[m],
-                    }
-                )
+                # Gram matmul in ROW BLOCKS (r13; verdict): the full
+                # n×n `V @ V.T` holds O(n²) float64 in ONE task — a
+                # skewed bucket (near-dup-heavy corpus, low-entropy
+                # band) with n~10⁶ members would need ~8 TB. Blocks of
+                # `blk = budget div n` rows bound the slab (and every
+                # derived pair array) to O(budget) while V itself stays
+                # O(n·dim) (guide §2.5 skew / §5 memory). Bit-identical
+                # output: each dot of 1e-6-quantized 64-dim vectors is
+                # exactly representable, so tiling cannot change it.
+                # Tiny buckets (n² ≤ budget) take exactly one block —
+                # the common case pays one extra compare per bucket.
+                blk = max(1, min(n, gram_block_f64 // n))
+                col = np.arange(n)
+                for i0 in range(0, n - 1, blk):
+                    i1 = min(i0 + blk, n)
+                    Gi = V[i0:i1] @ V.T
+                    # strict upper triangle of this row block: local
+                    # row r (global i0+r) pairs with columns j > i0+r
+                    li, ju = np.nonzero(
+                        col[None, :] > np.arange(i0, i1)[:, None]
+                    )
+                    iu = li + i0
+                    denom = nrm[iu] * nrm[ju]
+                    dots = Gi[li, ju]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = dots / denom
+                    # denom > 0 mirrors try_divide's NULL-on-zero-norm
+                    # (NULL fails any threshold); comparisons are on
+                    # bit-identical doubles, so the survivor set matches
+                    # the join path. ids[iu] != ids[ju] mirrors the
+                    # join's l.id < r.id: a duplicated id never pairs
+                    # with itself
+                    m = (denom > 0) & (cos >= thr) & (ids[iu] != ids[ju])
+                    if not m.any():
+                        continue
+                    ia, ib = ids[iu[m]], ids[ju[m]]
+                    yield pd.DataFrame(
+                        {
+                            "id_a": np.minimum(ia, ib),
+                            "id_b": np.maximum(ia, ib),
+                            "cosine": cos[m],
+                        }
+                    )
 
         out = (
             base.repartition(par0, *keys)

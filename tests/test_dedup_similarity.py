@@ -244,6 +244,25 @@ def test_neardup_tiled_matches_single_tile(emb):
     assert tiled == single and len(single) > 0
 
 
+def test_neardup_lsh_gram_blocks_match_full(emb, monkeypatch):
+    """Shrinking the per-bucket Gram block budget (forcing many row
+    blocks per hot bucket) must give the identical pair set — the r13
+    tiling changes memory shape, never results."""
+    kw = dict(threshold=0.3, lsh_planes=2, lsh_bands=4)
+    full = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in DD.embedding_neardup_pairs(emb, **kw).collect()
+    }
+    # budget of 64 doubles → blk = max(1, 64 // n): every bucket with
+    # more than 8 members runs multiple row blocks
+    monkeypatch.setattr(DD, "_GRAM_BLOCK_F64", 64)
+    tiled = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in DD.embedding_neardup_pairs(emb, **kw).collect()
+    }
+    assert tiled == full and len(full) > 0
+
+
 def test_embedding_neardup_degenerate_inputs(emb):
     # empty corpus and single row must not crash the matmul path
     assert DD.embedding_neardup_pairs(emb.limit(0), threshold=0.5).count() == 0
