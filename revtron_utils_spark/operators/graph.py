@@ -1393,12 +1393,22 @@ def harmonic_centrality_sampled(
     spark = edges.sparkSession
     _cut = _lineage_cutter(spark, checkpoint_dir)
     raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    e = _persist(
+    # canonicalize BEFORE the dedup (r13): distinct over the min/max
+    # canonical pairs shuffles |E| rows; the old symmetrize-then-distinct
+    # shuffled 2|E| for the identical undirected edge set (guide §2.3 —
+    # shuffle fewer bytes). The both-directions union afterwards is a
+    # narrow op over the persisted canonical set.
+    canon = _persist(
         _cut(
-            raw.unionByName(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .where(F.col("u") != F.col("v"))
+            raw.where(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
             .distinct()
         )
+    )
+    e = canon.unionByName(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     nodes = e.select(F.col("u").alias("node")).distinct()
     sources = _persist(
@@ -1412,10 +1422,16 @@ def harmonic_centrality_sampled(
     dist = sources.select("s", F.col("s").alias("node"), F.lit(0).alias("d"))
     frontier = dist
     for r in range(1, radius + 1):
+        # distinct on (s, node) only — d is the round constant, and
+        # keeping it out of the key lets the dedup exchange co-partition
+        # with the (s, node) anti-join right after (one less shuffle
+        # layout change per round)
         nxt = (
             frontier.join(e, frontier.node == e.u)
-            .select("s", F.col("v").alias("node"), F.lit(r).alias("d"))
+            .select("s", F.col("v").alias("node"))
             .distinct()
+            .withColumn("d", F.lit(r))
+            .select("s", "node", "d")
             .join(
                 dist.select(
                     F.col("s").alias("_ks"), F.col("node").alias("_kn")
