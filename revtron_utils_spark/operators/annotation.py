@@ -992,7 +992,7 @@ def cronbach_alpha(
     fold is one row wide, like every bounded-catalog fold in the repo.
     """
     from .dedup import _persist
-    from .guards import integral_long, require_bounded_spine, require_sum_sq_width
+    from .guards import check_sum_sq_width, integral_long, require_bounded_spine
 
     df = require_bounded_spine(df, item_col, [], max_items, "cronbach_alpha")
     dec = lambda c: c.cast("decimal(38,0)")
@@ -1002,10 +1002,21 @@ def cronbach_alpha(
         F.col(item_col).alias("_i"),
         v.alias("_v"),
     )
-    n_items = base.select(F.countDistinct("_i").alias("k")).first()["k"]
+    # ONE probe action (r13): the item-catalog size and the width-guard
+    # bounds come out of a single aggregate — the old build ran a
+    # countDistinct action plus a separate guard action (guide §1.2).
+    probe = base.agg(
+        F.countDistinct("_i").alias("k"),
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.abs(F.col("_v"))).alias("mx"),
+    ).first()
+    n_items = probe["k"]
     # the total-variance sum squares per-subject TOTALS (up to k·max
     # wide), so the width guard scales by the item count
-    require_sum_sq_width(df, value_col, "cronbach_alpha", scale=max(int(n_items or 1), 1))
+    check_sum_sq_width(
+        probe["n"], probe["mx"], value_col, "cronbach_alpha",
+        scale=max(int(n_items or 1), 1),
+    )
     per_subj = base.groupBy("_s").agg(
         F.countDistinct("_i").alias("_ni"),
         F.count(F.lit(1)).alias("_nrows"),
@@ -1013,13 +1024,19 @@ def cronbach_alpha(
     )
     # complete = every item exactly once (duplicate (subject, item)
     # cells are as invalid as missing ones)
-    complete = _persist(
-        per_subj.where(
-            (F.col("_ni") == F.lit(n_items))
-            & (F.col("_nrows") == F.lit(n_items))
-        ).select("_s", "_t")
+    complete_cond = (F.col("_ni") == F.lit(n_items)) & (
+        F.col("_nrows") == F.lit(n_items)
     )
-    n_dropped = per_subj.count() - complete.count()
+    complete = _persist(per_subj.where(complete_cond).select("_s", "_t"))
+    # dropped-subject count rides IN-PLAN as a 1-row broadcast (r13):
+    # the old build ran per_subj.count() and complete.count() as two
+    # eager jobs just to compute a literal output column (guide §1.2)
+    drop_cnt = per_subj.agg(
+        (
+            F.count(F.lit(1))
+            - F.count(F.when(complete_cond, F.lit(1)))
+        ).cast("long").alias("_n_dropped")
+    )
     items = (
         base.join(complete.select("_s"), "_s")
         .groupBy("_i")
@@ -1051,7 +1068,7 @@ def cronbach_alpha(
         F.sum(F.col("_t")).alias("_st"),
         F.sum(F.col("_t") * F.col("_t")).alias("_qt"),
     )
-    out = isum.crossJoin(tot)
+    out = isum.crossJoin(tot).crossJoin(F.broadcast(drop_cnt))
     ntd = F.col("_nt").cast("double")
     var_t = (
         (dec(F.col("_nt")) * F.col("_qt") - F.col("_st") * F.col("_st")).cast(
@@ -1065,7 +1082,7 @@ def cronbach_alpha(
     return out.select(
         "k_items",
         F.col("_nt").cast("long").alias("n_subjects"),
-        F.lit(n_dropped).cast("long").alias("n_dropped"),
+        F.col("_n_dropped").alias("n_dropped"),
         F.round(
             F.when(
                 ok,
@@ -1195,7 +1212,13 @@ def krippendorff_alpha(
         (dec(F.col("_m")) * dec(F.col("_m")) - F.col("_sq")).alias("_dis"),
     )
     usable = require_bounded_spine(usable, "_m", [], max_panel, "krippendorff_alpha")
-    n_dropped = units.where(F.col("_m") <= 1).count()
+    # dropped-unit count rides IN-PLAN as a 1-row broadcast (r13): the
+    # old build ran a dedicated count() job for a literal output column
+    drop_cnt = units.agg(
+        F.count(F.when(F.col("_m") <= 1, F.lit(1)))
+        .cast("long")
+        .alias("_n_dropped")
+    )
     by_m = usable.groupBy("_m").agg(
         F.count(F.lit(1)).alias("_units"),
         F.sum("_m").alias("_nm"),
@@ -1229,7 +1252,7 @@ def krippendorff_alpha(
         F.sum("_nc").alias("_n2"),
         F.sum(dec(F.col("_nc")) * dec(F.col("_nc"))).alias("_ncsq"),
     )
-    out = do_agg.crossJoin(tot)
+    out = do_agg.crossJoin(tot).crossJoin(F.broadcast(drop_cnt))
     n = F.col("n")
     nd = n.cast("double")
     de_num = (dec(n) * dec(n) - F.col("_ncsq")).cast("double")
@@ -1239,7 +1262,7 @@ def krippendorff_alpha(
     return out.select(
         F.col("n_units").cast("long").alias("n_units"),
         n.cast("long").alias("n_ratings"),
-        F.lit(n_dropped).cast("long").alias("n_dropped"),
+        F.col("_n_dropped").alias("n_dropped"),
         F.round(F.when(ok, F.lit(1.0) - do / de), round_to).alias("alpha"),
     )
 

@@ -159,7 +159,17 @@ def require_sum_sq_width(
     row = df.agg(
         F.count(F.lit(1)).alias("_n"), F.max(F.abs(F.col(col))).alias("_mx")
     ).first()
-    n, mx = (row["_n"] or 0), (row["_mx"] or 0)
+    check_sum_sq_width(row["_n"], row["_mx"], col, op_name, scale)
+
+
+def check_sum_sq_width(
+    n, mx, col: str, op_name: str, scale: int = 1
+) -> None:
+    """Driver-side core of :func:`require_sum_sq_width`, for callers
+    that already hold (count, max|x|) from their own probe action —
+    folding the guard into an existing aggregate costs zero extra jobs
+    (r13; guide §1.2)."""
+    n, mx = (n or 0), (mx or 0)
     if n and int(n) * (int(scale) * int(mx)) ** 2 >= 10**38:
         raise ValueError(
             f"{op_name}: n·(scale·max({col}))² = {n}·({scale}·{mx})² would "
