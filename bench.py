@@ -279,6 +279,36 @@ HEADLINE = [
 ]
 
 
+# Fixed per-query subset for the FINAL summary line (r13, VERDICT task
+# 6): the driver captures only the last ~2000 bytes of stdout and parses
+# the LAST line, so the 245-entry map of the detail line never reaches
+# it (r4's long single line was lost the same way) and PERF per_query /
+# scaling stayed empty for two rounds. This list is FIXED — the driver
+# diffs common queries round-over-round, so names must stay stable: the
+# top-45 by r13-baseline min-of-passes cost, plus the TPC-H canaries,
+# the r12 weak-tail watch list, and the reworked LSH/ANN queries. At
+# 2-decimal values the summary line stays ≈1.5 kB (asserted below).
+# Append only; never remove or rename.
+SUMMARY_QUERIES = [
+    "community_quality", "dawid_skene", "corpus_pipeline", "pagerank",
+    "clustering_coefficient", "harmonic_centrality", "perplexity_filter",
+    "robust_stats", "hits", "analytics_pipeline", "label_propagation",
+    "preference_pipeline", "embedding_pipeline", "triangle_counts",
+    "lm_score", "k_core", "kneser_ney", "embedding_pipeline_scaled",
+    "ams_f2", "calibration", "leakage_safe_split", "ngram_novelty",
+    "fuzzy_pairs", "ece", "brier_decomposition", "dedup_canonical",
+    "cronbach_alpha", "bradley_terry", "link_prediction",
+    "conformal_bounds", "kmv_intersect", "dedup_clusters",
+    "markov_attribution", "ngram_containment", "krippendorff_alpha",
+    "modularity", "degree_assortativity", "streaming_tumbling",
+    "cochran_q", "permutation_test", "correlation_matrix", "page_trend",
+    "partial_correlation", "kmv_distinct", "streaming_sliding",
+    "join_q3", "groupby_q1", "where_theta", "rollup", "sign_test",
+    "jonckheere", "yuen_t", "bland_altman", "cosine_neardup_lsh",
+    "cosine_neardup_lsh_poly", "pq_ann_poly", "flagship",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -445,11 +475,24 @@ def main() -> None:
         "value_warm": detail["value_warm"],
         "n_queries": len(timings),
         "sf": sf,
+        # fixed per-query subset (cold seconds, the same numbers as the
+        # detail line's "queries") sized to survive the driver's
+        # fixed-size stdout tail capture — see SUMMARY_QUERIES
+        "queries": {
+            n: round(timings[n], 2) for n in SUMMARY_QUERIES if n in timings
+        },
     }
     if errors:
         summary["errors"] = {k: v[:80] for k, v in errors.items()}
         summary["incomplete"] = True
-    print(json.dumps(summary))
+    line = json.dumps(summary)
+    while len(line) > 1800 and summary["queries"]:
+        # never let the last line outgrow the driver's tail buffer — the
+        # headline value must always parse; drop subset entries from the
+        # end (lowest-priority) until it fits
+        summary["queries"].pop(list(summary["queries"])[-1])
+        line = json.dumps(summary)
+    print(line)
     if errors:
         sys.exit(2)
 
