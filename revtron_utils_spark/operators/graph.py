@@ -626,6 +626,12 @@ def label_propagation(
     as a PageRank iteration; labels frame lineage-cut per round
     (reliable checkpoint with ``checkpoint_dir``); nothing collects.
 
+    Cache lifetime (r12): the symmetrized edge cache stays persisted
+    past function exit (keeping it alive lets the last round's lineage
+    cut stay lazy). Long-lived drivers that call this repeatedly should
+    release it via ``operators.dedup.release_caches()`` — the repo-wide
+    operator-cache convention the bench follows between queries.
+
     Returns ``(node, label)``; community members share a label.
     """
     spark = edges.sparkSession
@@ -1625,7 +1631,11 @@ def modularity(
     Scale: one edge-canonicalization distinct, two edge⋈community
     joins (community frames are data-sized — no broadcast hint, AQE
     decides), one degree aggregation. Nodes missing from
-    ``communities`` fail fast — a silent drop would skew e_c vs d_c.
+    ``communities`` RAISE — a silent drop would skew e_c vs d_c. The
+    check rides IN-PLAN (r12): it fires at the caller's first action as
+    a Spark execution exception wrapping the ValueError message, not
+    eagerly at call time — callers that need the old fail-fast must
+    force an action (e.g. ``.first()``) right after calling.
     """
     from .dedup import _persist
 

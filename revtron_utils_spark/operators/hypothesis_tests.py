@@ -992,11 +992,24 @@ def cochran_q(
     # compute doesn't run on a single scan task (a small parquet table
     # is one split; 2.3 s serial at sf0.1, r12 profile). Scale-adaptive:
     # at real scale the input already has ≥ cores partitions.
-    par = df.sparkSession.sparkContext.defaultParallelism
+    # AQE/Connect-safe probe (r13 advice): `base.rdd` under AQE eagerly
+    # executes upstream shuffle stages (and sparkContext is absent on
+    # Spark Connect), so estimate the scan parallelism from the input
+    # FILE listing instead — no execution, no RDD translation. A plan
+    # with no input files (in-memory relation) estimates 0 splits and
+    # spreads, matching the old probe's behavior on tiny local inputs.
     try:
-        if base.rdd.getNumPartitions() < par:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        files = base.inputFiles()
+        import os as _os
+
+        nbytes = sum(
+            _os.stat(f.removeprefix("file:")).st_size for f in files[:256]
+        )
+        est_splits = max(len(files), nbytes // (128 << 20))
+        if est_splits < par:
             base = base.repartition(par)
-    except Exception:  # pragma: no cover - plan without RDD translation
+    except Exception:  # pragma: no cover - non-local URIs / no SparkContext
         pass
     base = _persist(base)
     k_row = base.select(F.countDistinct("_j").alias("k")).first()

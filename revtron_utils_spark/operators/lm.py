@@ -281,10 +281,13 @@ def ngram_lm_score(
         aggs.append(F.sum("_s_int").alias("score_sum_int"))
     out = (
         pos.withColumn("_s_int", F.round(score * F.lit(float(scale))).cast("long"))
-        # no-op on a non-empty training corpus (every CASE branch is
-        # then defined); on an empty one every score is NULL and this
-        # reproduces the documented empty frame
-        .filter(F.col("_s_int").isNotNull())
+        # filter on the CORPUS-total column, not the score (r13 advice):
+        # _tv is NULL exactly when the training corpus is empty, which
+        # reproduces the documented empty frame; a per-position NULL
+        # score on a live corpus (a c{k}⇒cd{k} prefix-property
+        # violation) now stays LOUD as a NULL n_tokens/lm_score instead
+        # of being silently dropped from the mean
+        .filter(F.col("_tv").isNotNull())
         .groupBy(id_col)
         .agg(*aggs)
     )
@@ -451,9 +454,11 @@ def kneser_ney_score(
         aggs.append(F.sum("_s_int").alias("score_sum_int"))
     return (
         p.withColumn("_s_int", F.round(score * F.lit(float(scale))).cast("long"))
-        # no-op on a non-empty LM corpus (every branch defined); on an
-        # empty one every score is NULL → the documented empty frame
-        .filter(F.col("_s_int").isNotNull())
+        # filter on the CORPUS-total column, not the score (r13 advice):
+        # _bv is NULL exactly when the LM corpus is empty (the
+        # documented empty frame); a per-position NULL score on a live
+        # corpus stays loud instead of silently skewing the mean
+        .filter(F.col("_bv").isNotNull())
         .groupBy(id_col)
         .agg(*aggs)
     )
