@@ -142,5 +142,17 @@ def hashed_tf_embedding(
     )
     if not l2_normalize:
         return counts
-    nrm = F.sqrt(F.aggregate(counts, F.lit(0.0), lambda a, v: a + v * v))
-    return F.when(nrm > 0, F.transform(counts, lambda v: v / nrm)).otherwise(counts)
+    # let-bind `counts` and the norm via single-element transform scopes
+    # (lambda arguments are true variables in Catalyst): embedding the
+    # norm expression directly in the per-element division lambda
+    # re-evaluated the WHOLE counts aggregate once per element — a 64×
+    # CPU blowup measured at 59 s vs 0.9 s for one sf0.1 corpus pass
+    # (HOF lambdas run interpreted; nothing dedups a captured subtree).
+    # Same operations on the same values, so output is bit-identical.
+    return F.transform(
+        F.array(counts),
+        lambda c: F.transform(
+            F.array(F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, v: a + v * v))),
+            lambda n: F.when(n > 0, F.transform(c, lambda v: v / n)).otherwise(c),
+        )[0],
+    )[0]

@@ -585,6 +585,39 @@ def test_hashed_tf_embedding_properties(spark):
     assert abs(sims[(1, 4)]) < 0.35       # unrelated -> low (hash collisions only)
 
 
+def test_hashed_tf_embedding_l2_matches_counts_over_norm(spark):
+    """The r13 let-binding rewrite of the L2 normalization (single-pass
+    counts + norm instead of re-evaluating the counts aggregate inside
+    the per-element division lambda) must stay BIT-identical to the
+    naive counts/norm arithmetic."""
+    import math
+
+    from revtron_utils_spark.functions.vectors import hashed_tf_embedding
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha delta epsilon beta"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, ""),
+            (4, "solo"),
+        ],
+        "id long, text string",
+    )
+    for fam in ("xxhash", "poly"):
+        rows = df.select(
+            "id",
+            hashed_tf_embedding("text", 16, hash_family=fam).alias("e"),
+            hashed_tf_embedding(
+                "text", 16, l2_normalize=False, hash_family=fam
+            ).alias("c"),
+        ).collect()
+        for r in rows:
+            nrm = math.sqrt(sum(v * v for v in r["c"]))
+            expect = [v / nrm for v in r["c"]] if nrm > 0 else list(r["c"])
+            # bit-exact: same counts, one sqrt, one division per element
+            assert r["e"] == expect, (fam, r["id"])
+
+
 def test_text_neardup_hashed_end_to_end(spark):
     from revtron_utils_spark.functions.vectors import hashed_tf_embedding
     from revtron_utils_spark.operators.dedup import embedding_neardup_pairs
