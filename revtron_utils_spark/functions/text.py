@@ -80,14 +80,20 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
     """Character shingles of the normalized text."""
-    norm = normalize_text(col)
-    return F.when(
-        F.length(norm) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.length(norm) - (n - 1)),
-            lambda i: norm.substr(i, F.lit(n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # let-bind the normalized string: capturing `norm` (a regexp chain)
+    # inside the per-position lambda re-ran the regex once per shingle
+    # position — O(len²) per document (r13; the hashed_tf_embedding
+    # precedent)
+    return F.transform(
+        F.array(normalize_text(col)),
+        lambda s: F.when(
+            F.length(s) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - (n - 1)),
+                lambda i: s.substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )[0]
 
 
 def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
@@ -175,12 +181,19 @@ def simhash64(col: Column | str) -> Column:
     votes = F.aggregate(
         toks,
         F.array_repeat(F.lit(0).cast("long"), 64),
+        # let-bind the token hash via a single-element transform scope:
+        # putting F.xxhash64(t) directly inside the per-bit lambda
+        # re-hashed the token once per bit (64× per token; HOF lambdas
+        # run interpreted with no subexpression reuse — r13)
         lambda acc, t: F.zip_with(
             acc,
             F.transform(
-                bit_idx,
-                lambda i: F.when(F.getbit(F.xxhash64(t), i) == 1, 1).otherwise(-1),
-            ),
+                F.array(F.xxhash64(t)),
+                lambda h: F.transform(
+                    bit_idx,
+                    lambda i: F.when(F.getbit(h, i) == 1, 1).otherwise(-1),
+                ),
+            )[0],
             lambda a, b: a + b,
         ),
     )
