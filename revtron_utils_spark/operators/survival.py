@@ -74,18 +74,43 @@ def kaplan_meier(
     arr = ev.groupBy(*keys).agg(
         F.sort_array(F.collect_list(F.struct("t", "d", "n", "f"))).alias("a")
     )
-    ex = arr.select(*keys, "a", F.posexplode("a").alias("i", "s"))
-    surv = F.aggregate(
-        F.slice("a", F.lit(1), F.col("i") + F.lit(1)),
-        F.lit(1.0),
-        lambda acc, x: acc * x["f"],
+    # ONE array-building fold per group (r13, the timeseries.ewma
+    # treatment): the old shape exploded positions and re-folded each
+    # position's prefix — O(T²) interpreted lambda evaluations per
+    # group. Appending S_i = S_{i−1}·f_i (S_0 = 1.0) computes the
+    # identical double sequence in one O(T) pass; oracle unchanged.
+    survs = F.aggregate(
+        F.col("a"),
+        F.array().cast("array<double>"),
+        lambda acc, x: F.array_append(
+            acc,
+            F.when(F.size(acc) == 0, F.lit(1.0)).otherwise(
+                F.element_at(acc, F.lit(-1))
+            )
+            * x["f"],
+        ),
+    )
+    ex = arr.select(
+        *keys,
+        F.posexplode(
+            F.zip_with(
+                "a",
+                survs,
+                lambda s, sv: F.struct(
+                    s["t"].alias("t"),
+                    s["d"].alias("d"),
+                    s["n"].alias("n"),
+                    sv.alias("sv"),
+                ),
+            )
+        ).alias("i", "z"),
     )
     return ex.select(
         *keys,
-        F.col("s.t").alias("t"),
-        F.col("s.n").alias("at_risk"),
-        F.col("s.d").alias("events"),
-        F.round(surv, round_to).alias("survival"),
+        F.col("z.t").alias("t"),
+        F.col("z.n").alias("at_risk"),
+        F.col("z.d").alias("events"),
+        F.round(F.col("z.sv"), round_to).alias("survival"),
     ).orderBy(*keys, "t")
 
 

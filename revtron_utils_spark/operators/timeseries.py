@@ -254,21 +254,43 @@ def ewma(
     arr = per.groupBy(*keys).agg(
         F.sort_array(F.collect_list(F.struct("t", "x"))).alias("_a")
     )
+    # ONE array-building fold per group (r13): the old shape exploded
+    # positions first and re-folded each position's PREFIX (slice +
+    # aggregate per row) — O(T²) interpreted lambda evaluations per
+    # group. Appending E_i to the accumulator computes the identical
+    # double sequence (E_1 = x_1, E_i = α·x_i + (1−α)·E_{i−1}, same op
+    # order) in one O(T) pass, then a zip_with+posexplode emits the
+    # same rows. Oracle unchanged — hash-exact by construction.
     # internal aliases prefixed to avoid colliding with caller group
     # column names (a group column literally named "s" — or "a" —
     # used to make the struct/array reference ambiguous)
-    ex = arr.select(*keys, "_a", F.posexplode("_a").alias("_i", "_s"))
-    xs = F.transform(F.slice("_a", F.lit(1), F.col("_i") + F.lit(1)), lambda s: s["x"])
-    e = F.aggregate(
-        F.slice(xs, F.lit(2), F.col("_i")),
-        F.element_at(xs, 1).cast("double"),
-        lambda acc, x: F.lit(alpha) * x.cast("double") + F.lit(1.0 - alpha) * acc,
+    xs = F.transform(F.col("_a"), lambda s: s["x"])
+    es = F.aggregate(
+        F.slice(xs, F.lit(2), F.greatest(F.size(xs) - F.lit(1), F.lit(0))),
+        F.array(F.element_at(xs, 1).cast("double")),
+        lambda acc, x: F.array_append(
+            acc,
+            F.lit(alpha) * x.cast("double")
+            + F.lit(1.0 - alpha) * F.element_at(acc, F.lit(-1)),
+        ),
+    )
+    ex = arr.select(
+        *keys,
+        F.posexplode(
+            F.zip_with(
+                "_a",
+                es,
+                lambda s, ev: F.struct(
+                    s["t"].alias("t"), s["x"].alias("x"), ev.alias("e")
+                ),
+            )
+        ).alias("_i", "_z"),
     )
     return ex.select(
         *keys,
-        F.col("_s.t").alias("t"),
-        F.col("_s.x").alias("x"),
-        F.round(e, round_to).alias("ewma"),
+        F.col("_z.t").alias("t"),
+        F.col("_z.x").alias("x"),
+        F.round(F.col("_z.e"), round_to).alias("ewma"),
     ).orderBy(*keys, "t")
 
 
