@@ -683,12 +683,28 @@ def dawid_skene(
             F.col(label_col).alias("m"),
         ).repartition("i")
     )
-    panel_max = (
+    # ONE probe action (r13): the panel-width gate and the label-catalog
+    # collect used to run as two scans of the persisted votes (guide
+    # §1.2); both fold out of one two-level aggregate. NULL labels are
+    # tracked separately (collect_set drops them) so the catalog order
+    # reproduces the old distinct().orderBy(asc) exactly — NULL first.
+    probe = (
         votes.groupBy("i")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.max("c").alias("mx"))
-        .first()["mx"]
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.collect_set("m").alias("ls"),
+            F.max(F.col("m").isNull()).alias("hn"),
+        )
+        .agg(
+            F.max("c").alias("mx"),
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("ls")))
+            ).alias("labs"),
+            F.max("hn").alias("has_null"),
+        )
+        .first()
     )
+    panel_max = probe["mx"]
     if panel_max is None:
         return votes.select(
             F.col("i").alias("item"),
@@ -703,14 +719,10 @@ def dawid_skene(
             "bound) — dedup the panel or lower scale"
         )
     # the bounded label catalog, in the ENGINE's ASC order (the same
-    # ordering the r8 long form's MAP window used for its tie-break)
-    labels = [
-        r["l"]
-        for r in votes.select(F.col("m").alias("l"))
-        .distinct()
-        .orderBy(F.col("l").asc())
-        .collect()
-    ]
+    # ordering the r8 long form's MAP window used for its tie-break):
+    # array_sort on the non-null set + the NULL flag reproduces
+    # distinct().orderBy(asc) — NULL sorts first in Spark ASC
+    labels = ([None] if probe["has_null"] else []) + list(probe["labs"])
     n_labels = len(labels)
     if n_labels > max_labels:
         raise ValueError(

@@ -957,25 +957,41 @@ def acf_lags(
         F.col(time_col).alias("_t"),
         integral_long(df, value_col, "acf_lags").alias("_x"),
     )
-    chk = base.groupBy("_g", "_t").agg(F.count(F.lit(1)).alias("_c")).agg(
-        F.max("_c").alias("_dup"),
-        F.count(F.lit(1)).alias("_pts"),
-    )
     stats = base.groupBy("_g").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_x").alias("_s"),
         F.max(F.abs(F.col("_x"))).alias("_mx"),
     )
-    worst = chk.first()
-    if (worst["_dup"] or 0) > 1:
+    # ONE probe action (r13): the duplicate-bucket gate and the
+    # decimal-width gate used to run as two separate build-time scans
+    # of the input (guide §1.2); both fold out of one two-level
+    # aggregate — per-bucket counts roll up to per-group totals, whose
+    # maxima are exactly the old probes' values
+    wrow = (
+        base.groupBy("_g", "_t")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.max(F.abs(F.col("_x"))).alias("_mb"),
+        )
+        .groupBy("_g")
+        .agg(
+            F.sum("_c").alias("_ng"),
+            F.max("_c").alias("_dupg"),
+            F.max("_mb").alias("_mxg"),
+        )
+        .agg(
+            F.max("_dupg").alias("_dup"),
+            F.max("_ng").alias("_n"),
+            F.max("_mxg").alias("_mx"),
+        )
+        .first()
+    )
+    if (wrow["_dup"] or 0) > 1:
         raise ValueError(
             "acf_lags: duplicate (group, time) buckets — pre-aggregate "
             "the series (one row per bucket) or the lag alignment is "
             "meaningless"
         )
-    wrow = stats.agg(
-        F.max("_n").alias("_n"), F.max("_mx").alias("_mx")
-    ).first()
     n_w, mx_w = int(wrow["_n"] or 0), int(wrow["_mx"] or 0)
     if 4 * (n_w**3) * (mx_w**2) >= 10**38:
         raise ValueError(
