@@ -796,13 +796,26 @@ def importance_weights(
         F.count(F.lit(1)).alias("_cr"),
         F.count_if(F.col("_is_target")).alias("_ct"),
     )
-    tot = counts.agg(F.sum("_cr").alias("tr"), F.sum("_ct").alias("tt")).first()
-    # a token-less corpus aggregates to NULL totals; Laplace smoothing
-    # alone (the +dim) then defines the ratios
-    t_raw = float((tot.tr or 0) + dim)
-    t_tgt = float((tot.tt or 0) + dim)
-    ratio = ((F.col("_ct") + 1) * F.lit(t_raw)) / ((F.col("_cr") + 1) * F.lit(t_tgt))
-    bucket_w = counts.select(
+    # corpus totals ride IN-PLAN as a 1-row broadcast (r13): the old
+    # build-time ``.first()`` materialized the whole token⋈vocab join at
+    # query-build time just to turn two sums into literals (guide §1.2).
+    # The totals aggregate is the SAME canonical counts subtree as
+    # bucket_w's source, so ReuseExchange computes the groupBy once. A
+    # token-less corpus aggregates to NULL totals — coalesce(0) + the
+    # Laplace +dim reproduces the old float((tot or 0) + dim) doubles
+    # exactly (integer-valued, < 2^53).
+    tot = counts.agg(
+        (F.coalesce(F.sum("_cr"), F.lit(0)) + F.lit(dim))
+        .cast("double")
+        .alias("_t_raw"),
+        (F.coalesce(F.sum("_ct"), F.lit(0)) + F.lit(dim))
+        .cast("double")
+        .alias("_t_tgt"),
+    )
+    ratio = ((F.col("_ct") + 1) * F.col("_t_raw")) / (
+        (F.col("_cr") + 1) * F.col("_t_tgt")
+    )
+    bucket_w = counts.crossJoin(F.broadcast(tot)).select(
         "_b", F.round(ratio * scale).cast("long").alias("_r_int")
     )
     return (
