@@ -240,14 +240,22 @@ def rarity_scores(
             F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("term"),
         )
     )
-    n_docs = docs.count()
+    # the corpus size rides IN-PLAN as a 1-row broadcast (r13): the old
+    # build-time docs.count() was a full scan at query-build time just
+    # to produce a literal (guide §1.2). double(count)·double(scale) is
+    # the same IEEE multiply the old float(n_docs)·scale ran in Python.
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("_nd"))
     df_tab = (
         toks.select(id_col, "term")
         .distinct()
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nd))
         .withColumn(
-            "idf_int", F.round(F.lit(float(n_docs) * scale) / F.col("df")).cast("long")
+            "idf_int",
+            F.round((F.col("_nd") * F.lit(float(scale))) / F.col("df")).cast(
+                "long"
+            ),
         )
     )
     return (
