@@ -550,7 +550,6 @@ def tfidf_cosine_pairs(
     tf = _persist(
         toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("_tf"))
     )
-    n_docs = docs.count()
     # DECIMAL(38,0) width contract, MEASURED (round-9 fix: the old
     # n_docs·scale ≤ 1e17 bound ignored tf — a term with tf ≥ ~100
     # still pushed Σw² past 10³⁸). The largest weight is
@@ -558,14 +557,18 @@ def tfidf_cosine_pairs(
     # max_terms_per_doc of its squares, so the exact bound is
     # (max_tf·N·scale)² · max_terms_per_doc < 10³⁸. max_tf and
     # max_terms_per_doc come from one aggregate over the already-
-    # persisted tf frame. Fail fast with the fix (lower `scale` as the
-    # corpus grows) instead of silently NULLing norms at scale.
+    # persisted tf frame, and the corpus count rides the SAME action
+    # via a 1×1 crossJoin (r13: one build-time job instead of two).
+    # Fail fast with the fix (lower `scale` as the corpus grows)
+    # instead of silently NULLing norms at scale.
     stats = (
         tf.groupBy("_id")
         .agg(F.max("_tf").alias("_mt"), F.count(F.lit(1)).alias("_nt"))
         .agg(F.max("_mt").alias("mt"), F.max("_nt").alias("nt"))
+        .crossJoin(docs.agg(F.count(F.lit(1)).alias("nd")))
         .first()
     )
+    n_docs = int(stats["nd"])
     max_tf = int(stats["mt"] or 1)
     max_terms = int(stats["nt"] or 1)
     if (max_tf * n_docs * scale) ** 2 * max_terms >= 10**38:
