@@ -60,6 +60,32 @@ def _persist(df: DataFrame) -> DataFrame:
     return out
 
 
+def _spread_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin-spread ``df`` when its scan parallelism is below the
+    cluster's, so a heavy projection built ON TOP of the result runs on
+    every core — a small parquet table is one split, and the
+    text→shingle→hash pipeline otherwise executes in a single scan task
+    (guide §2.5 input skew). Scale-adaptive no-op: at real scale the
+    input already has ≥ cores splits. AQE/Connect-safe probe (the
+    cochran_q r13 convention): estimate splits from the input FILE
+    listing — no execution, no RDD translation; an in-memory relation
+    lists no files, estimates 0 and spreads."""
+    try:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        files = df.inputFiles()
+        import os as _os
+
+        nbytes = sum(
+            _os.stat(f.removeprefix("file:")).st_size for f in files[:256]
+        )
+        est_splits = max(len(files), nbytes // (128 << 20))
+        if est_splits < par:
+            return df.repartition(par)
+    except Exception:  # pragma: no cover - non-local URIs / no SparkContext
+        pass
+    return df
+
+
 def release_caches() -> int:
     """Unpersist every intermediate cached by dedup operators; returns
     the number released."""
@@ -1202,7 +1228,12 @@ def _ngram_pair_counts(
     """Shared inverted-index core of the exact set-similarity joins:
     ``(id_a, id_b, n_a, n_b, c)`` for every pair sharing ≥1 shingle
     (see :func:`ngram_jaccard_pairs` for the physical-shape rationale)."""
-    base = df.select(
+    # spread a narrow scan BEFORE the shingle projection (r13): a small
+    # parquet table is one split, so tokenize+shingle+hash ran in a
+    # single 1.6 s task at sf0.1 (leakage_safe_split profile); the
+    # exchange sits BELOW the heavy projection, so the work lands on
+    # every core. No-op at real scale (≥ cores splits already).
+    base = _spread_if_narrow(df).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         F.array_distinct(TX.word_ngrams(text_col, shingle_n)).alias("sh_str"),
