@@ -715,8 +715,13 @@ def ngram_novelty(
     collect, no all-pairs anything.
     """
     from ..functions import text as TX
+    from .dedup import _spread_if_narrow
 
-    sh = df.select(
+    # spread a narrow scan below the shingle projection (r13, the
+    # _ngram_pair_counts treatment): a one-split table otherwise runs
+    # tokenize+shingle in a single task — twice, once per branch of the
+    # inverted index (two ~1 s 1-task stages at sf0.1)
+    sh = _spread_if_narrow(df).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(TX.word_ngrams(text_col, n)).alias("_sh"),
     ).where(F.size("_sh") > 0)
