@@ -1758,7 +1758,9 @@ FROM all_docs GROUP BY 1 HAVING count(*) > 1
 
 
 def q_token_stats(spark, sf):
-    docs = _t(spark, sf, "documents")
+    # guarded spread below the tokenize projection (r13): a one-split
+    # scan otherwise runs the whole projection in a single task
+    docs = DD._spread_if_narrow(_t(spark, sf, "documents"))
     return docs.select(
         "doc_id",
         TX.token_count("text").cast("long").alias("n_tokens"),
@@ -1777,7 +1779,7 @@ FROM documents
 
 
 def q_text_quality(spark, sf):
-    docs = _t(spark, sf, "documents")
+    docs = DD._spread_if_narrow(_t(spark, sf, "documents"))
     return docs.select("doc_id", TX.quality_score("text").alias("quality"))
 
 
@@ -2356,7 +2358,7 @@ def q_quality_classifier(spark, sf):
     list_reduce oracle."""
     from revtron_utils_spark.functions import classifier as CL
 
-    docs = _t(spark, sf, "documents")
+    docs = DD._spread_if_narrow(_t(spark, sf, "documents"))
     return docs.select(
         "doc_id",
         CL.hashed_linear_score("text", dim=4096, seed=0).alias("score"),
@@ -2391,7 +2393,7 @@ def q_gopher_filters(spark, sf):
     words, >=2 stopword hits."""
     from revtron_utils_spark.functions import classifier as CL
 
-    docs = _t(spark, sf, "documents")
+    docs = DD._spread_if_narrow(_t(spark, sf, "documents"))
     return docs.select(
         "doc_id", CL.gopher_quality_flags("text").alias("g")
     ).select("doc_id", "g.*")
