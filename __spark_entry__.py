@@ -4730,7 +4730,7 @@ def q_brier_decomposition(spark, sf):
     from revtron_utils_spark.functions import classifier as CL
     from revtron_utils_spark.operators.evaluation import brier_decomposition
 
-    docs = _t(spark, sf, "documents")
+    docs = DD._spread_if_narrow(_t(spark, sf, "documents"))
     scored = docs.select(
         CL.hashed_linear_score_num("text", dim=4096, seed=0).alias("num"),
         TX.token_count("text").cast("long").alias("den"),
@@ -5046,7 +5046,8 @@ def q_dataset_card(spark, sf):
 
     from revtron_utils_spark.functions import classifier as CL
 
-    docs = _t(spark, sf, "documents")
+    # guarded spread below the per-doc scoring projection (r13)
+    docs = DD._spread_if_narrow(_t(spark, sf, "documents"))
     base = docs.select(
         "doc_id",
         TX.token_count("text").cast("long").alias("ntok"),
@@ -7573,7 +7574,7 @@ def q_calibration(spark, sf):
     from revtron_utils_spark.functions import classifier as CL
     from revtron_utils_spark.operators.evaluation import calibration_curve
 
-    docs = _t(spark, sf, "documents")
+    docs = DD._spread_if_narrow(_t(spark, sf, "documents"))
     scored = docs.select(
         CL.hashed_linear_score_num("text", dim=4096, seed=0).alias("num"),
         TX.token_count("text").cast("long").alias("den"),
@@ -9164,7 +9165,7 @@ def q_ece(spark, sf):
         expected_calibration_error,
     )
 
-    docs = _t(spark, sf, "documents")
+    docs = DD._spread_if_narrow(_t(spark, sf, "documents"))
     scored = docs.select(
         CL.hashed_linear_score_num("text", dim=4096, seed=0).alias("num"),
         TX.token_count("text").cast("long").alias("den"),
