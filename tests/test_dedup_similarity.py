@@ -585,6 +585,29 @@ def test_hashed_tf_embedding_properties(spark):
     assert abs(sims[(1, 4)]) < 0.35       # unrelated -> low (hash collisions only)
 
 
+def test_spread_if_narrow_spreads_small_scans_only(spark):
+    """The r13 narrow-scan spread: a small parquet scan (one split)
+    round-robins to defaultParallelism partitions; the helper never
+    changes rows, and a frame whose estimated splits already cover the
+    cluster is returned untouched."""
+    import tempfile
+
+    from revtron_utils_spark.operators.dedup import _spread_if_narrow
+
+    par = spark.sparkContext.defaultParallelism
+    with tempfile.TemporaryDirectory() as d:
+        spark.range(1000).selectExpr("id", "id * 2 AS v").write.mode(
+            "overwrite"
+        ).parquet(d)
+        df = spark.read.parquet(d)
+        out = _spread_if_narrow(df)
+        assert out.rdd.getNumPartitions() == par
+        assert sorted(r["id"] for r in out.collect()) == list(range(1000))
+    # in-memory relation: no input files -> estimated 0 splits -> spread
+    mem = spark.range(10).toDF("id")
+    assert _spread_if_narrow(mem).rdd.getNumPartitions() == par
+
+
 def test_hashed_tf_embedding_l2_matches_counts_over_norm(spark):
     """The r13 let-binding rewrite of the L2 normalization (single-pass
     counts + norm instead of re-evaluating the counts aggregate inside
